@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (and the training-data
+  * extensions) registers one named query here via a [[QueryPack]];
+  * each SQL-expressible one also carries a DuckDB oracle with matching
+  * column aliases (the driver sorts columns by name and hash-compares
+  * values).
+  */
 object SparkEntry {
+
+  private def packs: Seq[QueryPack] = Seq(
+    StarQueries)
+
+  private lazy val registry: Seq[GQuery] = packs.flatMap(_.all)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    StarQueries.starFactLoad.run(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _.trim)).toMap
+
+  /** Subset timed by Bench (headline queries). */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.filter(_.bench).map(q => q.name -> q.run).toMap
 }

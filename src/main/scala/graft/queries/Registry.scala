@@ -1,0 +1,26 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named engine query: a Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) a DuckDB oracle over the same
+  * parquet tables. Conventions that keep the driver's hash compare
+  * deterministic (see the builder contract in SparkEntry):
+  *
+  *  - every result has an explicit total ORDER BY in BOTH forms;
+  *  - double aggregates go through DECIMAL(18,4) (exact, order-
+  *    independent) and are cast back to double at the end, so Spark's
+  *    partition-order float summation can never drift from DuckDB's;
+  *  - aggregate/computed columns carry identical aliases in both forms;
+  *  - timestamps are projected as DATE or STRING at the result edge.
+  */
+final case class GQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** headline queries get timed by Bench at sf0.1 */
+    bench: Boolean = true)
+
+trait QueryPack {
+  def all: Seq[GQuery]
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.IntegerType
+import graft.Tables
+import graft.ops.SafeCast
+
+/** Star-schema load family — SURVEY.md §2.3 J6/J7/J8, §2.5 W3, §2.4 A4.
+  *
+  * Reference flagship: the gold fact load
+  * (reference: dags/SQL/Gold/create_load_data_gold.sql:122-145) — an
+  * inner dim join plus LEFT joins with expression keys (REPLACE /
+  * TRIM+UPPER), one null-safe composite join, safe casts and CASE
+  * flags, then an anti-join for idempotent append. Realized on the
+  * testdata star per FIXTURES.md §B.
+  *
+  * Scale notes: nation/region/derived dims are tiny at every SF →
+  * broadcast-hash joins (explicit `broadcast` hint on the derived dim,
+  * which has no stats). lineitem⋈orders is the only real shuffle; at
+  * 100 TB both sides shuffle-hash/SMJ on the order key, which is also
+  * the natural bucketing key. Surrogate keys use a single-partition
+  * row_number ONLY over the tiny distinct dim (bounded by segment
+  * cardinality, not data size) — never over fact rows.
+  */
+object StarQueries extends QueryPack {
+
+  /** Distinct-dim extraction + dense surrogate keys (A4 + W3). */
+  private def dimSegment(c: org.apache.spark.sql.DataFrame) =
+    c.select(col("c_mktsegment").as("seg_value")).distinct()
+      .withColumn("segment_key",
+        row_number().over(Window.orderBy("seg_value")))
+
+  val starFactLoad = GQuery(
+    "q_star_fact_load",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d)
+      val ds = dimSegment(c)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") <=> col("n_nationkey"), "left")
+        .join(r, col("n_regionkey") === col("r_regionkey"), "left")
+        .join(broadcast(ds),
+          upper(trim(col("c_mktsegment"))) === upper(trim(col("seg_value"))),
+          "left")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("c_custkey").as("cust_key"),
+          col("n_name").as("nation_name"),
+          col("r_name").as("region_name"),
+          col("segment_key"),
+          when(col("o_orderstatus").isin("F", "P"), 1).otherwise(0)
+            .as("done_flag"),
+          SafeCast.safeNumeric(col("o_orderpriority"), IntegerType)
+            .as("priority_num"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""
+      WITH dim_segment AS (
+        SELECT seg_value, ROW_NUMBER() OVER (ORDER BY seg_value) AS segment_key
+        FROM (SELECT DISTINCT c_mktsegment AS seg_value FROM customer)
+      )
+      SELECT l.l_orderkey, l.l_linenumber, c.c_custkey AS cust_key,
+             n.n_name AS nation_name, r.r_name AS region_name,
+             ds.segment_key,
+             CASE WHEN o.o_orderstatus IN ('F','P') THEN 1 ELSE 0 END AS done_flag,
+             CAST(NULLIF(REGEXP_REPLACE(o.o_orderpriority, '[^0-9.]', '', 'g'), '') AS INTEGER) AS priority_num,
+             l.l_extendedprice * (1 - l.l_discount) AS net_price
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      LEFT JOIN nation n ON c.c_nationkey IS NOT DISTINCT FROM n.n_nationkey
+      LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      LEFT JOIN dim_segment ds
+        ON UPPER(TRIM(c.c_mktsegment)) = UPPER(TRIM(ds.seg_value))
+      ORDER BY l.l_orderkey, l.l_linenumber
+    """))
+
+  def all: Seq[GQuery] = Seq(starFactLoad)
+}

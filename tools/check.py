@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate: run each oracle SQL
+from outDir/oracle_sql.json in DuckDB over the sf parquet tables, load
+the Spark result parquet, sort columns by name, and compare values.
+Usage: check.py <sfDir> <verifyOutDir>
+"""
+import duckdb, json, sys, glob, math
+
+def _feq(a, b):
+    try:
+        return float(a) == float(b)
+    except (TypeError, ValueError):
+        return False
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    name = p.split("/")[-1].removesuffix(".parquet")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}"); fails += 1; continue
+    try:
+        got = duckdb.connect().execute(
+            f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").df()
+    except Exception as e:
+        print(f"FAIL {name}: spark result missing: {e}"); fails += 1; continue
+    ec = sorted(exp.columns); gc = sorted(got.columns)
+    if ec != gc:
+        print(f"FAIL {name}: columns {gc} != oracle {ec}"); fails += 1; continue
+    exp, got = exp[ec], got[ec]
+    if len(exp) != len(got):
+        print(f"FAIL {name}: rows {len(got)} != oracle {len(exp)}"); fails += 1; continue
+    bad = 0
+    for col in ec:
+        ev, gv = exp[col].tolist(), got[col].tolist()
+        for i, (a, b) in enumerate(zip(ev, gv)):
+            ana = a is None or (isinstance(a, float) and math.isnan(a))
+            bna = b is None or (isinstance(b, float) and math.isnan(b))
+            if ana and bna:
+                continue
+            eq = (not ana and not bna) and (str(a) == str(b) or
+                 (isinstance(a, float) or isinstance(b, float)) and
+                 _feq(a, b))
+            if not eq:
+                if bad < 3:
+                    print(f"  {name}.{col}[{i}]: spark={b!r} oracle={a!r}")
+                bad += 1
+    if bad:
+        print(f"FAIL {name}: {bad} value mismatches"); fails += 1
+    else:
+        print(f"PASS {name} ({len(exp)} rows)")
+
+sys.exit(1 if fails else 0)
