@@ -38,6 +38,10 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
     .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    // the events table ships TIMESTAMP(NANOS) parquet, which the
+    // vectorized reader rejects outright; read as epoch-nanos longs
+    // and let Tables.events convert to a micros timestamp.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def local(appName: String = "graft"): SparkSession = {
     val s = tune(

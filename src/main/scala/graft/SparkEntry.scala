@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    StarQueries)
+    StarQueries, ValidateQueries, AggQueries, JoinQueries,
+    WindowQueries, FuncQueries)
 
   private lazy val registry: Seq[GQuery] = packs.flatMap(_.all)
 

@@ -18,7 +18,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = t(s, d, "events")
+  /** events.ts is TIMESTAMP(NANOS) parquet — surfaced as epoch-nanos
+    * long via spark.sql.legacy.parquet.nanosAsLong (GraftSession), then
+    * converted here with exact integer division (a double division
+    * would lose precision above 2^53 ns ≈ 104 days). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    t(s, d, "events").withColumn("ts",
+      timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

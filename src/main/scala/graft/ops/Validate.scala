@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Row-validation family — SURVEY.md §2.2 P3-P6/P8, §2.5 W1, §2.4 A11.
+  *
+  * The reference annotates every row with a `; `-joined list of failed
+  * rule names in declaration order ("Missing ID; Negative Tenure"),
+  * then splits good (empty annotation) from quarantined rows
+  * (reference: dags/DataWarehouse.py:626-637, dags/Reprocessing.py:68-109).
+  *
+  * Implementation: one `concat_ws` over `when(cond, name)` columns —
+  * concat_ws skips NULLs, which reproduces the reference's
+  * join-then-strip-trailing-"; " behavior exactly, stays fully
+  * codegen'd, and costs a single projection (no shuffle). The
+  * duplicate-key rule is the only one needing a shuffle (window count
+  * partitioned by the key — scales as a hash shuffle on the key, no
+  * global ordering).
+  */
+object Validate {
+
+  final case class Rule(name: String, failsWhen: Column)
+
+  /** Append `error_details` per the reference's annotation semantics. */
+  def annotate(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    df.withColumn("error_details",
+      concat_ws("; ", rules.map(r => when(r.failsWhen, lit(r.name))): _*))
+
+  /** Duplicate-marking condition (reference pandas
+    * `duplicated(keep=False)`): true on EVERY copy of a duplicated key.
+    * NULL keys are not marked (reference drops NULLs before the dup
+    * scan — dags/DataWarehouse.py:632-633). */
+  def duplicatedAll(key: Column): Column =
+    key.isNotNull && count(lit(1)).over(Window.partitionBy(key)) > 1
+
+  def good(annotated: DataFrame): DataFrame =
+    annotated.filter(col("error_details") === "")
+
+  def bad(annotated: DataFrame): DataFrame =
+    annotated.filter(col("error_details") =!= "")
+
+  /** Error-rate circuit breaker (reference: 10% threshold,
+    * dags/DataWarehouse.py:456-482). Single-pass aggregate; the only
+    * driver-side value is the tiny scalar. */
+  def errorRatePct(annotated: DataFrame): Double = {
+    val r = annotated.agg(
+      count(lit(1)).as("total"),
+      count(when(col("error_details") =!= "", 1)).as("bad")).head()
+    val total = r.getLong(0)
+    if (total == 0) 0.0 else r.getLong(1) * 100.0 / total
+  }
+
+  /** Halt-or-clean gate: error rate above threshold throws BEFORE any
+    * destructive step (reference halt ordering, §7.4). */
+  def gate(annotated: DataFrame, thresholdPct: Double = 10.0): DataFrame = {
+    val rate = errorRatePct(annotated)
+    if (rate > thresholdPct)
+      throw new IllegalStateException(
+        f"error rate $rate%.2f%% exceeds $thresholdPct%.1f%% — halting before cleanup")
+    good(annotated)
+  }
+}

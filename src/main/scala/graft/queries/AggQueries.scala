@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Exact
+
+/** Aggregation family — SURVEY.md §2.4 A1-A8/A10, §2.7 U1.
+  *
+  * Scale notes: every aggregate here is a hash aggregate with map-side
+  * partial aggregation (Spark plans partial_/final_ automatically), so
+  * the shuffle moves one row per (group × partition), not per input
+  * row. Grouping cardinalities are tiny and fixed (flags, priorities),
+  * independent of data size — these queries scale linearly with input
+  * and the shuffle is O(groups × partitions).
+  */
+object AggQueries extends QueryPack {
+
+  /** A1+A6+A8 flagship aggregate (TPC-H Q1 shape): grouped exact sums
+    * + counts over lineitem. */
+  val pricingSummary = GQuery(
+    "q_agg_pricing",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Exact.fixedSum(col("l_quantity"), 2).as("sum_qty"),
+        Exact.fixedSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        Exact.fixedSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("sum_disc_price"),
+        Exact.fixedAvg(col("l_quantity"), 2).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${Exact.fixedSumSql("l_quantity", 2)} AS sum_qty,
+             ${Exact.fixedSumSql("l_extendedprice", 2)} AS sum_base_price,
+             ${Exact.fixedSumSql("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+             ${Exact.fixedAvgSql("l_quantity", 2)} AS avg_qty,
+             COUNT(*) AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """))
+
+  /** A2: multi-column conditional audit in ONE pass (reference
+    * COUNT(*) FILTER — dags/SQL/DWH_Quality_Checks.sql:44-51). */
+  val conditionalAudit = GQuery(
+    "q_conditional_audit",
+    (s, d) => Tables.lineitem(s, d).agg(
+      count(lit(1)).as("total_rows"),
+      count(when(col("l_orderkey").isNull, 1)).as("null_orderkey"),
+      count(when(col("l_quantity").isNull, 1)).as("null_quantity"),
+      count(when(col("l_discount") > 0.05, 1)).as("high_discount"),
+      count(when(col("l_returnflag") === "R", 1)).as("returned_rows"),
+      count(when(col("l_quantity") < 0, 1)).as("negative_qty")),
+    Some("""
+      SELECT COUNT(*) AS total_rows,
+             COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS null_orderkey,
+             COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS null_quantity,
+             COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS high_discount,
+             COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS returned_rows,
+             COUNT(CASE WHEN l_quantity < 0 THEN 1 END) AS negative_qty
+      FROM lineitem
+    """))
+
+  /** A3: GROUP BY + HAVING duplicate detection. */
+  val dupHaving = GQuery(
+    "q_dup_having",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("order_cnt"))
+      .filter(col("order_cnt") > 1)
+      .orderBy("o_custkey"),
+    Some("""
+      SELECT o_custkey, COUNT(*) AS order_cnt FROM orders
+      GROUP BY o_custkey HAVING COUNT(*) > 1 ORDER BY o_custkey
+    """))
+
+  /** A5: exact COUNT(DISTINCT) consistency check. */
+  val countDistinctCheck = GQuery(
+    "q_count_distinct",
+    (s, d) => Tables.orders(s, d).agg(
+      countDistinct(col("o_custkey")).as("distinct_customers"),
+      count(lit(1)).as("total_orders")),
+    Some("""
+      SELECT COUNT(DISTINCT o_custkey) AS distinct_customers,
+             COUNT(*) AS total_orders
+      FROM orders
+    """))
+
+  /** A6: min/max range profiling (exact — no FP-order sensitivity). */
+  val minmaxProfile = GQuery(
+    "q_minmax_profile",
+    (s, d) => Tables.lineitem(s, d).agg(
+      min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
+      min(col("l_extendedprice")).as("min_price"), max(col("l_extendedprice")).as("max_price"),
+      min(col("l_discount")).as("min_disc"), max(col("l_discount")).as("max_disc"),
+      min(col("l_shipdate").cast("date")).as("min_shipdate"),
+      max(col("l_shipdate").cast("date")).as("max_shipdate")),
+    Some("""
+      SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+             min(l_discount) AS min_disc, max(l_discount) AS max_disc,
+             min(CAST(l_shipdate AS DATE)) AS min_shipdate,
+             max(CAST(l_shipdate AS DATE)) AS max_shipdate
+      FROM lineitem
+    """))
+
+  /** A7: distribution counts ordered by frequency. */
+  val distribution = GQuery(
+    "q_distribution",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("o_orderpriority")),
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+      GROUP BY o_orderpriority ORDER BY cnt DESC, o_orderpriority
+    """))
+
+  /** A4: SELECT DISTINCT dim extraction. */
+  val distinctDims = GQuery(
+    "q_distinct_dims",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+      .orderBy("o_orderstatus", "o_orderpriority"),
+    Some("""
+      SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      ORDER BY o_orderstatus, o_orderpriority
+    """))
+
+  /** U1: UNION ALL layer summary of 1-row aggregates. */
+  val unionSummary = GQuery(
+    "q_union_summary",
+    (s, d) => {
+      def c(name: String) = Tables.t(s, d, name)
+        .agg(count(lit(1)).as("row_cnt")).select(lit(name).as("layer"), col("row_cnt"))
+      Seq("lineitem", "orders", "customer", "supplier", "part")
+        .map(c).reduce(_ unionByName _)
+        .orderBy("layer")
+    },
+    Some("""
+      SELECT 'lineitem' AS layer, COUNT(*) AS row_cnt FROM lineitem
+      UNION ALL SELECT 'orders', COUNT(*) FROM orders
+      UNION ALL SELECT 'customer', COUNT(*) FROM customer
+      UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+      UNION ALL SELECT 'part', COUNT(*) FROM part
+      ORDER BY layer
+    """))
+
+  /** A10: batch stats — conditional counts + ratio in one aggregate
+    * (reference export stats: dags/churn_export_dag_cloude.py:550-553). */
+  val batchStats = GQuery(
+    "q_batch_stats",
+    (s, d) => Tables.events(s, d).agg(
+      count(lit(1)).as("total_events"),
+      count(when(col("event_type") === "purchase", 1)).as("purchases"),
+      count(when(col("event_type") === "error", 1)).as("errors"),
+      countDistinct(col("user_id")).as("active_users"))
+      .withColumn("purchase_pct",
+        round(col("purchases") * lit(100.0) / col("total_events"), 4)),
+    Some("""
+      SELECT COUNT(*) AS total_events,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+             COUNT(DISTINCT user_id) AS active_users,
+             ROUND(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) * 100.0
+                   / COUNT(*), 4) AS purchase_pct
+      FROM events
+    """))
+
+  def all: Seq[GQuery] = Seq(
+    pricingSummary, conditionalAudit, dupHaving, countDistinctCheck,
+    minmaxProfile, distribution, distinctDims, unionSummary, batchStats)
+}
