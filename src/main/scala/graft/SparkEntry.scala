@@ -15,7 +15,7 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     StarQueries, ValidateQueries, AggQueries, JoinQueries,
-    WindowQueries, FuncQueries)
+    WindowQueries, FuncQueries, UpsertQueries)
 
   private lazy val registry: Seq[GQuery] = packs.flatMap(_.all)
 

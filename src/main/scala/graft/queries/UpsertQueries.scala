@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Incremental, Upsert}
+
+/** Upsert + incremental family — SURVEY.md §2.3 J3/J4, §2.9 ST1/P7.
+  * Snapshot-vs-delta built by splitting `orders` on key arithmetic
+  * (FIXTURES.md §B): snapshot = keys not divisible by 3, delta =
+  * even keys with mutated columns, so conflicts, inserts, and
+  * untouched rows all occur.
+  */
+object UpsertQueries extends QueryPack {
+
+  /** J3: full-outer partial-column merge. Delta mutates status, price
+    * AND priority, but only status+price are in the on-conflict update
+    * list — surviving priorities prove the partial semantics. */
+  val partialMerge = GQuery(
+    "q_upsert_partial_merge",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val snapshot = o.filter(col("o_orderkey") % 3 =!= 0)
+      val delta = o.filter(col("o_orderkey") % 2 === 0).select(
+        col("o_orderkey"), col("o_custkey"),
+        lit("U").as("o_orderstatus"),
+        round(col("o_totalprice") * 1.1, 2).as("o_totalprice"),
+        col("o_orderdate"),
+        lit("X-DELTA").as("o_orderpriority"))
+      Upsert.merge(snapshot, delta, Seq("o_orderkey"),
+          updateOnConflict = Seq("o_orderstatus", "o_totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH snap AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+      delta AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                       ROUND(o_totalprice * 1.1, 2) AS o_totalprice,
+                       o_orderdate, 'X-DELTA' AS o_orderpriority
+                FROM orders WHERE o_orderkey % 2 = 0)
+      SELECT COALESCE(d.o_orderkey, s.o_orderkey) AS o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE d.o_custkey END AS o_custkey,
+             CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderstatus ELSE s.o_orderstatus END AS o_orderstatus,
+             CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
+             CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderdate ELSE d.o_orderdate END AS DATE) AS o_orderdate,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE d.o_orderpriority END AS o_orderpriority
+      FROM snap s FULL OUTER JOIN delta d ON s.o_orderkey = d.o_orderkey
+      ORDER BY o_orderkey
+    """))
+
+  /** J4: delete+insert upsert — corrected rows replace, fresh rows
+    * append. */
+  val deleteInsert = GQuery(
+    "q_delete_insert_upsert",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val fixed = c.filter(col("c_custkey") % 10 === 0).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        lit(0.0).as("c_acctbal"), lit("FIXED").as("c_mktsegment"))
+      Upsert.replaceByKey(c, fixed, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH fixed AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               0.0 AS c_acctbal, 'FIXED' AS c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0)
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM fixed f WHERE f.c_custkey = c.c_custkey)
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM fixed
+      ORDER BY c_custkey
+    """))
+
+  /** ST1/P7/O1: half-open watermark window with deterministic export
+    * ordering. */
+  val watermarkWindow = GQuery(
+    "q_watermark_window",
+    (s, d) => Incremental.window(
+        Tables.events(s, d), col("ts"),
+        lit("2024-01-10 00:00:00").cast("timestamp"),
+        lit("2024-01-20 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy("ts", "event_id"),
+    Some("""
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      FROM events
+      WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+        AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+      ORDER BY ts, event_id
+    """))
+
+  /** F11/F13 + record_type derivation (reference new/updated CASE:
+    * dags/churn_export_dag_cloude.py:363-366). */
+  val recordType = GQuery(
+    "q_record_type",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("updated_ts",
+          when(col("event_type") === "purchase",
+            col("ts") + expr("INTERVAL 1 HOUR")).otherwise(col("ts")))
+      e.select(
+          col("event_id"),
+          Incremental.changeTs(col("ts"), col("updated_ts")).as("change_ts"),
+          when(col("updated_ts") > col("ts"), "updated").otherwise("new")
+            .as("record_type"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT *, CASE WHEN event_type = 'purchase'
+                       THEN ts + INTERVAL 1 HOUR ELSE ts END AS updated_ts
+        FROM events)
+      SELECT event_id,
+             CAST(GREATEST(ts, updated_ts) AS TIMESTAMP) AS change_ts,
+             CASE WHEN updated_ts > ts THEN 'updated' ELSE 'new' END AS record_type
+      FROM e ORDER BY event_id
+    """))
+
+  def all: Seq[GQuery] =
+    Seq(partialMerge, deleteInsert, watermarkWindow, recordType)
+}
