@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     StarQueries, ValidateQueries, AggQueries, JoinQueries,
-    WindowQueries, FuncQueries, UpsertQueries)
+    WindowQueries, FuncQueries, UpsertQueries,
+    DedupQueries, TextQueries, SimilarityQueries)
 
   private lazy val registry: Seq[GQuery] = packs.flatMap(_.all)
 

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID profile scoring, and
+  * document fingerprinting. Everything here is a pure per-row Column
+  * expression — no UDFs, no shuffles — so it stays inside whole-stage
+  * codegen and scales linearly with the scan at any data size.
+  *
+  * Determinism discipline (same rules as [[Exact]]): all derived
+  * scores are exact integer arithmetic (scaled ratios via integer
+  * division), never float folds, so results are bit-identical across
+  * partitionings, re-runs, and vs the DuckDB oracle.
+  */
+object TextOps {
+
+  /** Whitespace tokens. Single-space split (not `\s+`) to match the
+    * layer contract: upstream normalization collapses whitespace, and
+    * the oracle's `string_split(text, ' ')` must agree exactly. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of lowercase letters, runs of digits,
+    * or any other single non-space char — the classic pre-tokenizer
+    * shape used to estimate LLM token counts without a vocab. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeCount(text: Column): Column = regexp_count(text, lit(BpePattern))
+
+  /** Occurrences of exactly-equal word `w` among the tokens. */
+  def wordCount(toks: Column, w: String): Column =
+    size(filter(toks, t => t === lit(w)))
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and")
+
+  /** Per-mille ratios as exact integers: x*1000 DIV y. Floor of the
+    * double division is exact while |num·1000| < 2^53 — true for any
+    * realistic document (chars ≤ 8·10^12) — and matches DuckDB `//`. */
+  private def perMille(num: Column, den: Column): Column =
+    floor((num * lit(1000L)).cast("double") / den.cast("double")).cast("long")
+
+  /** Quality-score columns (reference-style length/stopword/diversity
+    * heuristics, re-expressed for document corpora):
+    *  - n_tokens, n_chars
+    *  - stop_milli:   stopword tokens per mille
+    *  - uniq_milli:   distinct-token ratio per mille (lexical diversity)
+    *  - len_milli:    mean token length per mille (chars minus spaces)
+    *  - quality_milli: fixed linear blend, and a CASE class label.
+    */
+  def qualityCols(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val nChars = length(text).cast("long")
+    val stopCnt = Stopwords.map(w => wordCount(toks, w).cast("long"))
+      .reduce(_ + _)
+    val stopMilli = perMille(stopCnt, nTok)
+    val uniqMilli = perMille(size(array_distinct(toks)).cast("long"), nTok)
+    val lenMilli = perMille(nChars - (nTok - 1), nTok)
+    // blend: diversity up, stopword-stuffing down, degenerate-length down
+    val quality = uniqMilli * 2 - stopMilli +
+      when(lenMilli.between(3000, 8000), lit(500L)).otherwise(lit(0L))
+    Seq(
+      "n_tokens" -> nTok,
+      "stop_milli" -> stopMilli,
+      "uniq_milli" -> uniqMilli,
+      "len_milli" -> lenMilli,
+      "quality_milli" -> quality,
+      "quality_class" -> when(quality >= 1200, "high")
+        .when(quality >= 800, "medium").otherwise("low"))
+  }
+
+  /** Identical formula as DuckDB SQL, for the oracle. */
+  def qualitySql(textExpr: String): String = {
+    val toks = s"string_split($textExpr, ' ')"
+    val nTok = s"CAST(len($toks) AS BIGINT)"
+    val stopCnt = Stopwords
+      .map(w => s"len(list_filter($toks, t -> t = '$w'))")
+      .mkString("(", " + ", ")")
+    val stopMilli = s"($stopCnt * 1000) // $nTok"
+    val uniqMilli = s"(len(list_distinct($toks)) * 1000) // $nTok"
+    val lenMilli = s"((length($textExpr) - ($nTok - 1)) * 1000) // $nTok"
+    val quality =
+      s"($uniqMilli * 2 - $stopMilli + CASE WHEN $lenMilli BETWEEN 3000 AND 8000 THEN 500 ELSE 0 END)"
+    s"""$nTok AS n_tokens, $stopMilli AS stop_milli,
+       $uniqMilli AS uniq_milli, $lenMilli AS len_milli,
+       $quality AS quality_milli,
+       CASE WHEN $quality >= 1200 THEN 'high'
+            WHEN $quality >= 800 THEN 'medium' ELSE 'low' END AS quality_class"""
+  }
+
+  /** Language-ID by marker-word profile scoring — the portable core of
+    * an n-gram language identifier: each language carries a weighted
+    * marker profile; score = sum of marker occurrences; prediction =
+    * argmax with deterministic lexicographic tie-break. Profiles here
+    * are fixture-vocabulary words (the harness corpus is synthetic);
+    * swapping in real char-trigram profiles is a constant change, the
+    * operator shape (profile scan, argmax) is what scales. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die", "batch", "stream"),
+    "en" -> Seq("the", "a", "and", "scan", "join"),
+    "es" -> Seq("el", "la", "que", "sort", "merge"),
+    "fr" -> Seq("le", "la", "et", "window", "group"),
+    "zh" -> Seq("de5", "shi4", "le5", "hash", "vector"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    LangProfiles.map { case (lang, words) =>
+      s"score_$lang" ->
+        words.map(w => wordCount(toks, w).cast("long")).reduce(_ + _)
+    }
+  }
+
+  /** Argmax over the profile scores; ties break to the alphabetically
+    * first language (profiles are pre-sorted). */
+  def predictedLang(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit(null).cast("string")) { case ((name, s), acc) =>
+      when(s === best, lit(name.stripPrefix("score_"))).otherwise(acc)
+    } // foldRight ⇒ the FIRST matching profile wins
+  }
+
+  def langSql(textExpr: String): String = {
+    val toks = s"string_split($textExpr, ' ')"
+    def score(words: Seq[String]) = words
+      .map(w => s"len(list_filter($toks, t -> t = '$w'))")
+      .mkString("(", " + ", ")")
+    val scores = LangProfiles.map { case (l, ws) => l -> score(ws) }
+    val best = scores.map(_._2).reduceRight((a, b) => s"GREATEST($a, $b)")
+    val pred = scores.foldRight("NULL") { case ((l, s), acc) =>
+      s"CASE WHEN $s = $best THEN '$l' ELSE $acc END"
+    }
+    val cols = scores.map { case (l, s) => s"$s AS score_$l" }.mkString(", ")
+    s"$cols, $pred AS predicted_lang"
+  }
+
+  /** Content fingerprint: md5 of the exact text bytes. */
+  def md5Fingerprint(text: Column): Column = md5(text)
+
+  /** Portable polynomial rolling hash over tokens — pure BIGINT
+    * arithmetic (no engine hash functions), position-weighted so
+    * word order matters, order-independent to SUM so the fold can run
+    * as a distributed aggregate:
+    *   h = Σ_i  w(token_i) · ((i·131071) mod 1000003)   (mod 1e9+7)
+    * with w(t) = ascii(first char) + 7·len(t). Positions are 1-based
+    * (DuckDB lambda-index convention). */
+  def polyFingerprint(text: Column): Column = {
+    val toks = tokens(text)
+    val terms = zip_with(
+      toks,
+      sequence(lit(1), greatest(size(toks), lit(1))),
+      (t, i) =>
+        (ascii(t).cast("long") + lit(7L) * length(t)) *
+          ((i.cast("long") * lit(131071L)) % lit(1000003L)))
+    aggregate(terms, lit(0L), (acc, x) => acc + x) % lit(1000000007L)
+  }
+
+  def polyFingerprintSql(textExpr: String): String = {
+    val toks = s"string_split($textExpr, ' ')"
+    s"""list_sum(list_transform($toks, (t, i) ->
+          (CAST(ascii(t) AS BIGINT) + 7 * length(t)) *
+          ((CAST(i AS BIGINT) * 131071) % 1000003))) % 1000000007"""
+  }
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Similarity
+
+/** Similarity-search queries over `embeddings` (unit-normalized
+  * 64-dim float vectors). Scores are exact scaled-integer dot
+  * products (= cosine·10^12 on unit vectors) — see [[Similarity]] for
+  * the numeric and scale rationale.
+  */
+object SimilarityQueries extends QueryPack {
+
+  val TopK = 10
+  /** Query set: a fixed arithmetic slice of the corpus. */
+  private val QueryPred = "vec_id % 100 = 3"
+
+  /** Brute-force exact cosine top-k — the correctness baseline. The
+    * query side broadcasts; the corpus is scanned once; ranks prune
+    * partition-locally before the only shuffle. */
+  val cosineTopK = GQuery(
+    "q_cosine_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteTopK(
+          emb.filter(expr(QueryPred)), "vec_id", "embedding",
+          emb, "vec_id", "embedding", TopK)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE $QueryPred),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS neighbour_id,
+               ${Similarity.dotScaledSql("q.qv", "e.embedding")} AS sim_scaled
+        FROM q CROSS JOIN embeddings e),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim_scaled DESC, neighbour_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbour_id, sim_scaled, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= $TopK
+      ORDER BY query_id, rank
+    """))
+
+  /** ANN via random-hyperplane LSH with 1-bit multi-probe; exact
+    * re-scoring of bucket candidates only. Not SQL-oracle-able (the
+    * plane hashing has no DuckDB mirror) — driver records rows-only;
+    * recall vs q_cosine_topk is asserted in SimilaritySpec. */
+  val annTopK = GQuery(
+    "q_ann_hyperplane_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.annTopK(
+          emb.filter(expr(QueryPred)), "vec_id", "embedding",
+          emb, "vec_id", "embedding", TopK, planes = 12)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  /** Per-label embedding stats: exact integer norms (quantized), the
+    * agg-over-array shape of embedding-column profiling. */
+  val embeddingStats = GQuery(
+    "q_embedding_stats",
+    (s, d) => {
+      val sv = Similarity.scaledVec(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          Similarity.dotScaled(sv, sv).as("norm2_scaled"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("norm2_scaled")).as("sum_norm2_scaled"),
+          min(col("norm2_scaled")).as("min_norm2_scaled"),
+          max(col("norm2_scaled")).as("max_norm2_scaled"))
+        .orderBy("label")
+    },
+    Some(s"""
+      WITH n2 AS (
+        SELECT label,
+               ${Similarity.dotScaledSql("embedding", "embedding")} AS norm2_scaled
+        FROM embeddings)
+      SELECT label, COUNT(*) AS n,
+             SUM(norm2_scaled) AS sum_norm2_scaled,
+             MIN(norm2_scaled) AS min_norm2_scaled,
+             MAX(norm2_scaled) AS max_norm2_scaled
+      FROM n2 GROUP BY label ORDER BY label
+    """))
+
+  def all: Seq[GQuery] = Seq(cosineTopK, annTopK, embeddingStats)
+}

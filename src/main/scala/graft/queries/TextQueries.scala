@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TextOps
+
+/** Text-analysis queries over the `documents` table — the training-
+  * data-pipeline surface (north star): token counting, quality
+  * scoring, language-ID, fingerprinting, and multimodal metadata
+  * plumbing. All per-row expression work: the plans are a single
+  * whole-stage-codegen projection over the parquet scan (plus the
+  * result-edge ORDER BY for oracle determinism — verification surface
+  * only, production sinks write unsorted).
+  */
+object TextQueries extends QueryPack {
+
+  /** Token counting: whitespace tokens + BPE-ish subword estimate. */
+  val tokenStats = GQuery(
+    "q_token_stats",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextOps.bpeCount(col("text")).cast("long").as("bpe_tokens"),
+      length(col("text")).cast("long").as("chars"))
+      .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS BIGINT) AS bpe_tokens,
+             CAST(length(text) AS BIGINT) AS chars
+      FROM documents ORDER BY doc_id
+    """))
+
+  /** Quality scoring: stopword / diversity / length heuristics as
+    * exact per-mille integers + class label. */
+  val qualityScore = GQuery(
+    "q_quality_score",
+    (s, d) => {
+      val qc = TextOps.qualityCols(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id") +: qc.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, ${TextOps.qualitySql("text")}
+      FROM documents ORDER BY doc_id
+    """))
+
+  /** Language-ID: marker-profile scores + argmax prediction, compared
+    * with the tagged lang (accuracy is a property of the synthetic
+    * corpus; the operator is the profile scan + argmax). */
+  val langId = GQuery(
+    "q_lang_id",
+    (s, d) => {
+      val scores = TextOps.langScores(col("text"))
+      Tables.documents(s, d).select(
+        (col("doc_id") +: col("lang").as("tagged_lang") +:
+          scores.map { case (n, c) => c.as(n) }) :+
+          TextOps.predictedLang(col("text")).as("predicted_lang"): _*)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, lang AS tagged_lang, ${TextOps.langSql("text")}
+      FROM documents ORDER BY doc_id
+    """))
+
+  /** Fingerprinting: md5 content hash + portable position-weighted
+    * polynomial rolling hash. */
+  val fingerprint = GQuery(
+    "q_doc_fingerprint",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextOps.md5Fingerprint(col("text")).as("md5_fp"),
+      TextOps.polyFingerprint(col("text")).as("poly_fp"))
+      .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id, md5(text) AS md5_fp,
+             ${TextOps.polyFingerprintSql("text")} AS poly_fp
+      FROM documents ORDER BY doc_id
+    """))
+
+  /** Multimodal column plumbing: treat content as an opaque binary
+    * column with typed, deterministically-derived metadata (the
+    * decode itself is a stub at this layer — see ops/Multimodal) and
+    * frame-sampling expansion: one output row per sampled frame with
+    * its byte offset — the real partition/batch shape of a media
+    * pipeline, minus the codec. */
+  val binaryMeta = GQuery(
+    "q_binary_meta",
+    (s, d) => {
+      val bin = col("text").cast("binary")
+      val nBytes = length(bin).cast("long")
+      val frames = (pmod(col("n_chars"), lit(4L)) + 1L).as("n_frames")
+      Tables.documents(s, d)
+        .select(col("doc_id"), nBytes.as("n_bytes"),
+          (pmod(col("n_chars"), lit(97L)) + 32L).as("fake_width"),
+          (pmod(col("n_chars") * 31L + 7L, lit(89L)) + 32L).as("fake_height"),
+          frames)
+        .withColumn("frame_idx",
+          explode(sequence(lit(0L), col("n_frames") - 1L)))
+        .withColumn("frame_offset",
+          expr("frame_idx * (n_bytes DIV n_frames)"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""
+      WITH meta AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               n_chars % 97 + 32 AS fake_width,
+               (n_chars * 31 + 7) % 89 + 32 AS fake_height,
+               n_chars % 4 + 1 AS n_frames
+        FROM documents)
+      SELECT doc_id, n_bytes, fake_width, fake_height, n_frames,
+             unnest(generate_series(0, n_frames - 1)) AS frame_idx,
+             unnest(generate_series(0, n_frames - 1)) * (n_bytes // n_frames) AS frame_offset
+      FROM meta ORDER BY doc_id, frame_idx
+    """))
+
+  def all: Seq[GQuery] =
+    Seq(tokenStats, qualityScore, langId, fingerprint, binaryMeta)
+}

@@ -23,7 +23,13 @@ object UpsertQueries extends QueryPack {
       val delta = o.filter(col("o_orderkey") % 2 === 0).select(
         col("o_orderkey"), col("o_custkey"),
         lit("U").as("o_orderstatus"),
-        round(col("o_totalprice") * 1.1, 2).as("o_totalprice"),
+        // FP-exact delta mutation: Spark round(double,2) rounds the
+        // shortest-decimal string (HALF_UP) while DuckDB rounds the
+        // binary value, so round(x*1.1, 2) diverges on .xx5 ties.
+        // Scaled-integer form is one IEEE multiply + one round-to-long
+        // + one exact division — bit-identical in both engines.
+        (round(col("o_totalprice") * 110).cast("long") / lit(100.0))
+          .as("o_totalprice"),
         col("o_orderdate"),
         lit("X-DELTA").as("o_orderpriority"))
       Upsert.merge(snapshot, delta, Seq("o_orderkey"),
@@ -37,7 +43,7 @@ object UpsertQueries extends QueryPack {
     Some("""
       WITH snap AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
       delta AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-                       ROUND(o_totalprice * 1.1, 2) AS o_totalprice,
+                       CAST(ROUND(o_totalprice * 110) AS BIGINT) / 100.0 AS o_totalprice,
                        o_orderdate, 'X-DELTA' AS o_orderpriority
                 FROM orders WHERE o_orderkey % 2 = 0)
       SELECT COALESCE(d.o_orderkey, s.o_orderkey) AS o_orderkey,
