@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -17,10 +18,10 @@ import org.apache.spark.sql.expressions.Window
   *
   * Scale shapes:
   *  - [[bruteTopK]]: broadcast the (small) query set, scan the corpus
-  *    once, two-phase top-k — partition-local rank prunes to k rows
-  *    per (query, partition) *before* the only shuffle, so the
-  *    exchange carries O(queries·k·partitions), never the full
-  *    pairwise score matrix. This is the exact baseline.
+  *    once, then a bounded-heap [[TopKAgg]] aggregation whose map-side
+  *    partial step prunes to k rows per (query, partition) *before*
+  *    the only shuffle, so the exchange carries O(queries·k·partitions),
+  *    never the full pairwise score matrix. This is the exact baseline.
   *  - [[hyperplaneBuckets]] + [[annTopK]]: random-hyperplane LSH — a
   *    per-row signature over deterministic pseudo-random planes;
   *    candidates = bucket collisions (shuffle key: bucket), exact
@@ -41,16 +42,56 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** DuckDB mirror: quantize + exact integer dot, via list_zip
-    * (unnamed struct → numeric element access). */
+    * (unnamed struct → numeric element access). The outer CAST matters:
+    * DuckDB's list_sum over a BIGINT list returns HUGEINT (int128),
+    * which materializes as float64 and breaks the driver's typed hash
+    * against Spark's int64 — values identical, type different. */
   def dotScaledSql(aExpr: String, bExpr: String): String =
-    s"""list_sum(list_transform(list_zip($aExpr, $bExpr),
-        p -> CAST(ROUND(p[1] * 1e6) AS BIGINT) * CAST(ROUND(p[2] * 1e6) AS BIGINT)))"""
+    s"""CAST(list_sum(list_transform(list_zip($aExpr, $bExpr),
+        p -> CAST(ROUND(p[1] * 1e6) AS BIGINT) * CAST(ROUND(p[2] * 1e6) AS BIGINT))) AS BIGINT)"""
+
+  /** Bounded top-k accumulator: keeps the k best (sim desc, id asc)
+    * pairs. As a registered UDAF it aggregates with map-side partial
+    * aggregation, so each partition ships AT MOST k entries per query
+    * key into the shuffle — a genuine pre-exchange prune (a window
+    * rank, by contrast, must exchange every scored row before ranking).
+    * Buffer is a sorted list bounded at k; merge is a bounded merge. */
+  final case class TopKAgg(k: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    // element = (sim_scaled, neighbour_id); best first
+    private def better(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    def zero: Seq[(Long, Long)] = Nil
+    def reduce(buf: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] =
+      if (buf.lengthCompare(k) >= 0 && better(buf.last, x)) buf
+      else ((x +: buf).sortWith(better)).take(k)
+    def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      (a ++ b).sortWith(better).take(k)
+    def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+    def bufferEncoder = ExpressionEncoder[Seq[(Long, Long)]]()
+    def outputEncoder = ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
+  /** Rank the k best rows per query_id from a (query_id, neighbour_id,
+    * sim_scaled) frame via [[TopKAgg]]: one hash exchange carrying
+    * ≤ k·partitions rows per query, never the full score matrix. */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(TopKAgg(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("sim_scaled"), col("neighbour_id")).as("_tk"))
+      .select(col("query_id"), posexplode(col("_tk")).as(Seq("_pos", "_e")))
+      .select(col("query_id"), col("_e._2").as("neighbour_id"),
+        col("_e._1").as("sim_scaled"),
+        (col("_pos") + 1).cast("int").as("rank"))
+  }
 
   /** Exact top-k neighbours per query vector by scaled dot product
     * (= cosine·10^12 on unit vectors). Deterministic tie-break on
-    * neighbour id. Two-phase: local rank inside each corpus partition
-    * (no shuffle — window over spark_partition_id), keep k, then the
-    * global rank runs on ≤ k·numPartitions rows per query. */
+    * neighbour id. The query side broadcasts, the corpus is scanned
+    * once, and the only exchange is the bounded [[TopKAgg]] partial
+    * aggregation (≤ k entries per query per partition). */
   def bruteTopK(queries: DataFrame, qId: String, qVec: String,
                 corpus: DataFrame, cId: String, cVec: String,
                 k: Int): DataFrame = {
@@ -60,15 +101,7 @@ object Similarity {
     val scored = c.join(q) // broadcast nested-loop: corpus scanned once
       .withColumn("sim_scaled", dotScaled(col("_qv"), col("_cv")))
       .select("query_id", "neighbour_id", "sim_scaled")
-    val localW = Window
-      .partitionBy(col("query_id"), spark_partition_id())
-      .orderBy(col("sim_scaled").desc, col("neighbour_id"))
-    val globalW = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_scaled").desc, col("neighbour_id"))
-    scored
-      .withColumn("_lr", row_number().over(localW)).filter(col("_lr") <= k)
-      .withColumn("rank", row_number().over(globalW)).filter(col("rank") <= k)
-      .select("query_id", "neighbour_id", "sim_scaled", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
@@ -117,9 +150,27 @@ object Similarity {
     val scored = c.join(q, "bucket")
       .withColumn("sim_scaled", dotScaled(col("_qv"), col("_cv")))
       .select("query_id", "neighbour_id", "sim_scaled")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_scaled").desc, col("neighbour_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "neighbour_id", "sim_scaled", "rank")
+    topKPerQuery(scored, k)
   }
+
+  /** DuckDB mirror of [[planeWeight]]: same pure integer arithmetic,
+    * all operands non-negative so `%` agrees between engines. */
+  private def planeWeightSql(p: Int, dExpr: String): String =
+    s"((($dExpr * 2654435761 + ${p.toLong * 40503L + 104729L}) % 1000003) % 2001 - 1000)"
+
+  /** DuckDB mirror of [[hyperplaneBuckets]]. DuckDB list lambdas carry
+    * a 1-based index, Spark's sequence is 0-based — hence `i - 1`. */
+  def hyperplaneBucketsSql(vecExpr: String, planes: Int): String = {
+    val sv = s"list_transform($vecExpr, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+    (0 until planes).map { p =>
+      val proj = s"list_sum(list_transform($sv, (x, i) -> x * ${planeWeightSql(p, "(i - 1)")}))"
+      s"CASE WHEN $proj > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("CAST((", " + ", ") AS BIGINT)")
+  }
+
+  /** DuckDB mirror of the 1-bit multi-probe expansion in [[annTopK]]:
+    * the query's own bucket plus every single-bit flip. */
+  def probesSql(bucketExpr: String, planes: Int): String =
+    s"""list_prepend($bucketExpr, list_transform(range(0, $planes),
+        p -> xor($bucketExpr, CAST(1 AS BIGINT) << p)))"""
 }

@@ -157,10 +157,13 @@ object TextOps {
     aggregate(terms, lit(0L), (acc, x) => acc + x) % lit(1000000007L)
   }
 
+  /** The outer CAST is load-bearing: DuckDB list_sum over BIGINT yields
+    * HUGEINT (materializes float64) and would break the typed hash
+    * compare against Spark's int64 even with identical values. */
   def polyFingerprintSql(textExpr: String): String = {
     val toks = s"string_split($textExpr, ' ')"
-    s"""list_sum(list_transform($toks, (t, i) ->
+    s"""CAST(list_sum(list_transform($toks, (t, i) ->
           (CAST(ascii(t) AS BIGINT) + 7 * length(t)) *
-          ((CAST(i AS BIGINT) * 131071) % 1000003))) % 1000000007"""
+          ((CAST(i AS BIGINT) * 131071) % 1000003))) % 1000000007 AS BIGINT)"""
   }
 }

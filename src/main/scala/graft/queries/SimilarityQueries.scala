@@ -43,20 +43,48 @@ object SimilarityQueries extends QueryPack {
       ORDER BY query_id, rank
     """))
 
+  val Planes = 12
+
   /** ANN via random-hyperplane LSH with 1-bit multi-probe; exact
-    * re-scoring of bucket candidates only. Not SQL-oracle-able (the
-    * plane hashing has no DuckDB mirror) — driver records rows-only;
-    * recall vs q_cosine_topk is asserted in SimilaritySpec. */
+    * re-scoring of bucket candidates only. The whole pipeline is pure
+    * integer arithmetic, so the DuckDB oracle mirrors it end to end
+    * (plane weights, bucket signature, probe expansion, scoring);
+    * recall vs the exact baseline is additionally asserted in
+    * SimilaritySpec. */
   val annTopK = GQuery(
     "q_ann_hyperplane_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.annTopK(
           emb.filter(expr(QueryPred)), "vec_id", "embedding",
-          emb, "vec_id", "embedding", TopK, planes = 12)
+          emb, "vec_id", "embedding", TopK, planes = Planes)
         .orderBy("query_id", "rank")
     },
-    None)
+    Some(s"""
+      WITH q0 AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               ${Similarity.hyperplaneBucketsSql("embedding", Planes)} AS b
+        FROM embeddings WHERE $QueryPred),
+      probes AS (
+        SELECT query_id, qv,
+               unnest(${Similarity.probesSql("b", Planes)}) AS bucket
+        FROM q0),
+      c AS (
+        SELECT vec_id AS neighbour_id, embedding AS cv,
+               ${Similarity.hyperplaneBucketsSql("embedding", Planes)} AS bucket
+        FROM embeddings),
+      scored AS (
+        SELECT p.query_id, c.neighbour_id,
+               ${Similarity.dotScaledSql("p.qv", "c.cv")} AS sim_scaled
+        FROM probes p JOIN c USING (bucket)),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim_scaled DESC, neighbour_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbour_id, sim_scaled, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= $TopK
+      ORDER BY query_id, rank
+    """))
 
   /** Per-label embedding stats: exact integer norms (quantized), the
     * agg-over-array shape of embedding-column profiling. */
@@ -80,9 +108,9 @@ object SimilarityQueries extends QueryPack {
                ${Similarity.dotScaledSql("embedding", "embedding")} AS norm2_scaled
         FROM embeddings)
       SELECT label, COUNT(*) AS n,
-             SUM(norm2_scaled) AS sum_norm2_scaled,
-             MIN(norm2_scaled) AS min_norm2_scaled,
-             MAX(norm2_scaled) AS max_norm2_scaled
+             CAST(SUM(norm2_scaled) AS BIGINT) AS sum_norm2_scaled,
+             CAST(MIN(norm2_scaled) AS BIGINT) AS min_norm2_scaled,
+             CAST(MAX(norm2_scaled) AS BIGINT) AS max_norm2_scaled
       FROM n2 GROUP BY label ORDER BY label
     """))
 

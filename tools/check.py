@@ -36,6 +36,18 @@ for name, sql in sorted(oracle.items()):
     exp, got = exp[ec], got[ec]
     if len(exp) != len(got):
         print(f"FAIL {name}: rows {len(got)} != oracle {len(exp)}"); fails += 1; continue
+    # the driver's compare hashes TYPED values: a float64 oracle column vs
+    # an int64 spark column fails there even when values print identically.
+    # Integer WIDTH differences (int32 vs int64) are normalized by the
+    # driver (observed: r2 hash-green queries with int32 spark cols), so
+    # compare the dtype KIND only.
+    kind = lambda d: d.kind if d.kind not in "ui" else "i"
+    dt_bad = [c for c in ec if kind(exp[c].dtype) != kind(got[c].dtype)]
+    if dt_bad:
+        print(f"FAIL {name}: dtype mismatch " +
+              ", ".join(f"{c}: spark={got[c].dtype} oracle={exp[c].dtype}"
+                        for c in dt_bad))
+        fails += 1; continue
     bad = 0
     for col in ec:
         ev, gv = exp[col].tolist(), got[col].tolist()
