@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs the whole "cluster" in one JVM: executor threads,
+  // shuffle blocks, broadcasts and the block manager all share this
+  // heap. 8g starves 32 threads (GC pressure inflated bench numbers
+  // ~2x on shuffle-heavy queries); the image has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -16,7 +16,7 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     StarQueries, ValidateQueries, AggQueries, JoinQueries,
     WindowQueries, FuncQueries, UpsertQueries,
-    DedupQueries, TextQueries, SimilarityQueries)
+    DedupQueries, TextQueries, SimilarityQueries, CsvQueries)
 
   private lazy val registry: Seq[GQuery] = packs.flatMap(_.all)
 

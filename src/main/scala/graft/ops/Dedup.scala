@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *    the plan should globally cross-join.
   *  - The exact pair join ([[jaccardPairs]]) exists as ground truth /
   *    verification for bounded corpora and candidate sets; production
-  *    paths go through [[minhashCandidates]].
+  *    paths go through [[bucketPairs]].
   *
   * All signatures are per-row Column expressions (no UDFs, no
   * shuffle); only banding/bucketing shuffles. Note on constants: the
@@ -120,27 +120,56 @@ object Dedup {
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
 
-  /** Candidate pairs from banded signatures: docs sharing any
-    * (band, bucket). The self-join shuffles on the bucket key only;
-    * distinct() collapses multi-band hits. */
-  def minhashCandidates(banded: DataFrame, idCol: String): DataFrame = {
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+  /** All unordered within-bucket pairs from ONE grouped pass. The
+    * alternative (bucket self-join) evaluates the upstream signature
+    * pipeline twice — the exchanges differ by column aliases, so Spark
+    * cannot reuse them. Here the bucketed frame is aggregated once
+    * (`collect_set` of the payload struct, map-side combined), pairs
+    * are generated inside each bucket with array lambdas, and the only
+    * shuffles are the bucket groupBy and the final pair `distinct`.
+    *
+    * `payload` must be a struct whose FIRST field is the document id:
+    * `sort_array` orders buckets by it, so emitted pairs satisfy
+    * a.id < b.id by construction.
+    *
+    * `maxBucket` is the skew guard for the 100 TB path: a bucket of
+    * size m emits m·(m−1)/2 pairs, so one mega-bucket (a boilerplate
+    * shingle band, a degenerate signature) can dominate the whole job.
+    * Buckets above the cap are dropped — at sane banding parameters a
+    * bucket that large is near-certainly a parameterization bug, and
+    * dropping it bounds the worst case. Correctness-gated queries pass
+    * None (exact oracle parity); production callers should cap. */
+  def bucketPairs(bucketed: DataFrame, keyCols: Seq[String],
+                  payload: Column, maxBucket: Option[Int] = None): DataFrame = {
+    val grouped = bucketed
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_set(payload)).as("_ids"))
+    val bounded = maxBucket.fold(grouped)(m =>
+      grouped.filter(size(col("_ids")) <= m))
+    val pairs = flatten(transform(col("_ids"), (x, i) =>
+      transform(slice(col("_ids"), i + lit(2), size(col("_ids")) - i - lit(1)),
+        y => struct(x.as("a"), y.as("b")))))
+    bounded
+      .filter(size(col("_ids")) > 1)
+      .select(explode(pairs).as("_p"))
+      .select(col("_p.a").as("a"), col("_p.b").as("b"))
+      .distinct()
   }
 
-  /** Exact-verify candidates against shingle sets: join the candidate
-    * pairs back to per-doc shingle arrays and compute true Jaccard
-    * with array intersection — bounded by the candidate count, so the
-    * quadratic step never touches non-colliding documents. */
-  def verifyCandidates(cands: DataFrame, docShingleArr: DataFrame,
-                       idCol: String, arrCol: String,
-                       minMille: Int): DataFrame = {
-    val a = docShingleArr.select(col(idCol).as("id_a"), col(arrCol).as("sh_a"))
-    val b = docShingleArr.select(col(idCol).as("id_b"), col(arrCol).as("sh_b"))
+  /** Exact-verify candidate pairs against the raw corpus: join the
+    * (small) candidate set back to the documents and recompute shingle
+    * arrays ONLY for candidate rows — the projection sits above the
+    * join, so the interpreted shingle expression never runs on
+    * non-colliding documents and no corpus-wide cache is needed.
+    * Quadratic work is bounded by the candidate count. */
+  def verifyCandidatesByText(cands: DataFrame, docs: DataFrame,
+                             idCol: String, textCol: String, k: Int,
+                             minMille: Int): DataFrame = {
+    val a = docs.select(col(idCol).as("id_a"), col(textCol).as("_ta"))
+    val b = docs.select(col(idCol).as("id_b"), col(textCol).as("_tb"))
     cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("sh_a", shingles(col("_ta"), k))
+      .withColumn("sh_b", shingles(col("_tb"), k))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard_milli",
         expr("inter * 1000 DIV (size(sh_a) + size(sh_b) - inter)"))
@@ -149,54 +178,84 @@ object Dedup {
   }
 
   /** Portable SimHash: a b-bit locality-sensitive signature where bit
-    * j is the sign of Σ_tokens (2·bit_j(token) − 1). The per-token bit
-    * generator is pure BIGINT arithmetic (multiplicative scrambling of
-    * a small polynomial word hash) so the DuckDB oracle can replicate
-    * it exactly — no engine-specific hash functions:
-    *   w(t)     = (ascii(t) + 7·len(t) + 131·ascii(reverse(t))) mod 1000003
-    *   bit_j(t) = ((w(t)·(j·2654435761 + 104729)) mod 1000000007) mod 2
-    * Near-dup = small Hamming distance between signatures (bit_count
-    * of xor); bucketing for scale = band the bit range like MinHash.
+    * j is the sign of Σ_features (2·bit_j(h(f)) − 1), features = word
+    * k-gram shingles and h = the first 15 hex chars of md5 (60 uniform
+    * bits, identical in Spark and DuckDB — no engine-specific hashes).
+    *
+    * Design history (r3→r4): the first cut hashed single TOKENS with a
+    * positional char hash (first char, last char, length). Both
+    * choices correlate signatures across unrelated documents — shared
+    * vocabulary dominates the votes and the weak hash collides distinct
+    * tokens — which made chunk buckets cluster catastrophically
+    * (candidate mass reached 13% of all-pairs at 5k docs, measured in
+    * DedupSpec). Shingle features + a uniform 60-bit hash decorrelate
+    * the background: unrelated docs now get near-independent
+    * signatures, so bucket collisions sit at the N²/2^chunkBits random
+    * floor, while true near-dups (shared shingles) stay within small
+    * Hamming distance.
     *
     * Cost shape: array higher-order functions are CodegenFallback in
-    * Spark (interpreted per row, not whole-stage-codegen'd), so the
-    * constant factor is the number of interpreted folds. This builds
-    * the signature in THREE passes regardless of bit width — one
-    * `transform` computing each token's word hash once, one fold over
-    * tokens carrying a b-slot vote-accumulator array (`zip_with`
-    * against a constant multiplier array), one `zip_with`+fold packing
-    * vote signs into the signature — instead of b independent folds
-    * that each re-walk the token array and re-derive w(t) (b× the
-    * work interpreted; measured ~10× slower end-to-end at b=48). */
-  def simhash(text: Column, bits: Int): Column = {
-    val P = 1000000007L
-    val toks = TextOps.tokens(text)
-    val weights = transform(toks, t =>
-      (ascii(t).cast("long") + lit(7L) * length(t) +
-        lit(131L) * ascii(reverse(t))) % lit(1000003L))
-    val mults = array((0 until bits).map(j =>
-      lit((j.toLong * 2654435761L + 104729L) % P)): _*)
-    val votes = aggregate(weights, array_repeat(lit(0L), bits),
-      (acc, w) => zip_with(acc, mults,
-        (a, m) => a + ((w * m) % lit(P)) % lit(2L) * 2L - 1L))
+    * Spark (interpreted per row), so the constant factor is the number
+    * of interpreted folds. THREE passes regardless of bit width — one
+    * `transform` hashing each shingle once (md5 evaluated once per
+    * feature, never inside the inner lambda), one fold carrying a
+    * b-slot vote-accumulator array (inner `zip_with` of cheap bit
+    * tests), one packing pass — instead of b independent folds. */
+  def simhash(text: Column, bits: Int, k: Int = 3): Column = {
+    require(bits <= 60, "md5-derived signature caps at 60 bits (15 hex chars)")
+    val hs = transform(shingles(text, k), t =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
     val powers = array((0 until bits).map(j => lit(1L << j)): _*)
+    val votes = aggregate(hs, array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc, powers,
+        (a, pw) => a + when(h.bitwiseAND(pw) =!= lit(0L), lit(1L))
+          .otherwise(lit(-1L))))
     aggregate(
       zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
   }
 
-  def simhashSql(textExpr: String, bits: Int): String = {
-    val toks = s"string_split($textExpr, ' ')"
-    val w = (t: String) =>
-      s"((CAST(ascii($t) AS BIGINT) + 7*length($t) + 131*ascii(reverse($t))) % 1000003)"
-    val bitCols = (0 until bits).map { j =>
-      val mult = (j.toLong * 2654435761L + 104729L) % 1000000007L
-      val vote = s"list_sum(list_transform($toks, t -> ((${w("t")} * $mult) % 1000000007) % 2 * 2 - 1))"
+  /** DuckDB mirror of the per-feature 60-bit hash list. */
+  def featureHashesSql(textExpr: String, k: Int = 3): String =
+    s"""list_transform(${shinglesSql(textExpr, k)},
+        t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))"""
+
+  /** DuckDB mirror of the signature fold, over a pre-computed hash
+    * list expression (put [[featureHashesSql]] in a CTE so md5 runs
+    * once per feature, not once per bit). */
+  def simhashFromHashesSql(hsExpr: String, bits: Int): String =
+    (0 until bits).map { j =>
+      val vote = s"list_sum(list_transform($hsExpr, h -> CASE WHEN (h & ${1L << j}) != 0 THEN 1 ELSE -1 END))"
       s"CASE WHEN $vote > 0 THEN ${1L << j} ELSE 0 END"
-    }
-    bitCols.mkString("(", " + ", ")")
-  }
+    }.mkString("(", " + ", ")")
 
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash candidate pairs via pigeonhole chunking: split the b-bit
+    * signature into `chunks` equal chunks — any pair within Hamming
+    * distance (chunks − 1) shares at least one exact chunk (guaranteed
+    * recall). Expected fan-out per chunk for hash-random signatures is
+    * ~N²/2^(b/chunks) buckets; at b=48, chunks=4 that is N²/4096 —
+    * chunk width is THE scale knob (8-bit chunks would carry 16× the
+    * collision mass). Returns (id_a, id_b, sig_a, sig_b) with
+    * id_a < id_b; the caller applies the exact Hamming filter. */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        bits: Int, chunks: Int,
+                        maxBucket: Option[Int] = None): DataFrame = {
+    require(bits % chunks == 0, "chunks must divide the signature width")
+    val chunkBits = bits / chunks
+    val mask = (1L << chunkBits) - 1
+    val sigs = docs.select(col(idCol).as("doc_id"),
+      simhash(col(textCol), bits).as("sig"))
+    val chunkRows = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until chunks).map(ci => struct(lit(ci).as("ci"),
+        shiftright(col("sig"), ci * chunkBits)
+          .bitwiseAND(lit(mask)).as("cv"))): _*)).as("ch"))
+      .select(col("doc_id"), col("sig"), col("ch.ci"), col("ch.cv"))
+    bucketPairs(chunkRows, Seq("ci", "cv"),
+        struct(col("doc_id"), col("sig")), maxBucket)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+  }
 }

@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Run-date-partitioned layer tables — SURVEY.md §2.2 P10.
+  *
+  * The reference's fact queries filter on `run_date`
+  * (dags/ml_churn_pipeline.py:153). On a 100 TB fact the difference
+  * between "read one day" and "read the table" IS partition layout:
+  * the fact is written `partitionBy(run_date)` so a `run_date = …`
+  * predicate prunes at PLANNING time — the scan's PartitionFilters
+  * (asserted in PruningSpec) keep every other partition's files out of
+  * the job entirely. Filters on non-partition columns still push down
+  * to parquet row groups, but only partition pruning skips whole
+  * directories.
+  */
+object Partitioned {
+
+  /** Write a layer partitioned by `partCol` (dynamic overwrite: only
+    * partitions present in `df` are replaced, the reference's
+    * per-run-date append/replace shape). */
+  def writeBy(df: DataFrame, path: String, partCol: String): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(path)
+
+  /** Read one run-date slice; the equality predicate on the partition
+    * column becomes a catalog-side PartitionFilter, never a data scan. */
+  def readSlice(spark: SparkSession, path: String, partCol: String,
+                value: String): DataFrame =
+    spark.read.parquet(path).filter(col(partCol) === lit(value))
+}

@@ -106,50 +106,116 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dim d): an integer mix mapped to [-1000, 1000]. Same constants
-    * are reproducible anywhere — no RNG state. */
-  private def planeWeight(p: Int, d: Column): Column = {
+    * are reproducible anywhere — no RNG state. Plane index is a Column
+    * so the signature builds in a single fold (below); multi-table LSH
+    * decorrelates tables by offsetting the plane index. */
+  private def planeWeight(p: Column, d: Column): Column = {
     val mixed = (d.cast("long") * lit(2654435761L) +
-      lit(p.toLong * 40503L + 104729L)) % lit(1000003L)
+      (p * lit(40503L) + lit(104729L))) % lit(1000003L)
     (mixed % lit(2001L)) - lit(1000L)
   }
 
   /** LSH signature: one bit per hyperplane = sign of Σ_d v[d]·w(p,d),
-    * packed into a BIGINT bucket key. Pure per-row compute on the
-    * scaled vector (exact integer arithmetic throughout). */
-  def hyperplaneBuckets(vec: Column, planes: Int): Column = {
+    * packed into a BIGINT bucket key; plane indices [offset,
+    * offset+planes) so independent tables draw disjoint plane sets.
+    *
+    * Cost shape: array higher-order functions are CodegenFallback
+    * (interpreted per row), so the constant factor is the number of
+    * interpreted folds. ONE fold walks the vector once carrying a
+    * `planes`-slot projection-accumulator array (inner `zip_with`
+    * against the constant plane-index array), then one packing pass —
+    * the same single-fold discipline as [[Dedup.simhash]], instead of
+    * `planes` independent folds that each re-walk the vector
+    * (measured ~10× on the simhash analogue). */
+  def hyperplaneBuckets(vec: Column, planes: Int, offset: Int = 0): Column = {
     val sv = scaledVec(vec)
-    (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(sv, sequence(lit(0), size(sv) - 1),
-          (x, d) => x * planeWeight(p, d)),
-        lit(0L), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val indexed = zip_with(sv, sequence(lit(0), size(sv) - 1),
+      (x, d) => struct(x.as("x"), d.as("d")))
+    val planeIdx = array((0 until planes).map(p => lit((offset + p).toLong)): _*)
+    val projs = aggregate(indexed, array_repeat(lit(0L), planes),
+      (acc, e) => zip_with(acc, planeIdx,
+        (a, p) => a + e.getField("x") * planeWeight(p, e.getField("d"))))
+    val powers = array((0 until planes).map(p => lit(1L << p)): _*)
+    aggregate(
+      zip_with(projs, powers, (v, pw) => when(v > 0, pw).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
-  /** ANN top-k: bucket corpus and queries with the same hyperplanes,
-    * join on the bucket (plus single-bit multi-probe neighbours of the
-    * query bucket for recall), exact-score candidates, rank. Returns
-    * the same schema as [[bruteTopK]] — recall measured against it in
-    * tests. */
+  /** ALL `tables` bucket signatures in ONE interpreted fold: the
+    * accumulator carries tables·planes projection slots; the fold's
+    * `finish` lambda — whose argument is a BOUND value, evaluated
+    * once, unlike a column reference that CollapseProject would
+    * re-inline per consumer — packs each planes-wide slice into its
+    * bucket. One vector walk total, vs one per table. */
+  def hyperplaneBucketsAll(vec: Column, planes: Int, tables: Int): Column = {
+    val total = tables * planes
+    val sv = scaledVec(vec)
+    val indexed = zip_with(sv, sequence(lit(0), size(sv) - 1),
+      (x, d) => struct(x.as("x"), d.as("d")))
+    val planeIdx = array((0 until total).map(p => lit(p.toLong)): _*)
+    val powers = array((0 until planes).map(j => lit(1L << j)): _*)
+    aggregate(indexed, array_repeat(lit(0L), total),
+      (acc, e) => zip_with(acc, planeIdx,
+        (a, p) => a + e.getField("x") * planeWeight(p, e.getField("d"))),
+      projs => transform(sequence(lit(0), lit(tables - 1)), t =>
+        aggregate(
+          zip_with(slice(projs, t * lit(planes) + 1, lit(planes)), powers,
+            (v, pw) => when(v > 0, pw).otherwise(lit(0L))),
+          lit(0L), (a, x) => a + x)))
+  }
+
+  /** XOR masks for multi-probe: the exact bucket, every 1-bit flip,
+    * and (probeBits ≥ 2) every 2-bit flip. Enumerated at plan-build
+    * time — pure literals, mirrored verbatim by the SQL oracle. */
+  def probeMasks(planes: Int, probeBits: Int): Seq[Long] =
+    Seq(0L) ++
+      (if (probeBits >= 1) (0 until planes).map(i => 1L << i) else Nil) ++
+      (if (probeBits >= 2)
+        for { i <- 0 until planes; j <- (i + 1) until planes }
+          yield (1L << i) | (1L << j)
+      else Nil)
+
+  /** ANN top-k via MULTI-TABLE random-hyperplane LSH: `tables`
+    * independent signatures of `planes` bits each; a candidate is any
+    * corpus row sharing a probed bucket with the query in ANY table;
+    * candidates are deduplicated, exact-scored, and ranked.
+    *
+    * (planes, tables, probeBits) is the recall/cost dial: collision
+    * probability per table is p^planes for bit-agreement probability
+    * p = 1 − θ/π, and 1 − (1 − p^planes)^tables overall — planes
+    * bounds the scanned fraction (~N/2^planes per probe), tables and
+    * probes buy recall linearly in cost. On clustered real-world
+    * embeddings (p near 1 for true neighbours) a single wide table
+    * suffices; the harness corpus is uniform random (top-10 cosine
+    * ≈ 0.3 ⇒ p ≈ 0.6), the adversarial case for any LSH, where
+    * recall ≈ 0.66 costs scanning ≈ half the corpus (measured in
+    * SimilaritySpec). The bucketed shape — never all-pairs — is what
+    * survives the 100 TB corpus either way. */
   def annTopK(queries: DataFrame, qId: String, qVec: String,
               corpus: DataFrame, cId: String, cVec: String,
-              k: Int, planes: Int): DataFrame = {
+              k: Int, planes: Int, tables: Int = 4,
+              probeBits: Int = 2): DataFrame = {
+    // posexplode evaluates the bucket array ONCE per row (a transform
+    // over a column ref would re-inline the whole signature fold)
     val c = corpus.select(col(cId).as("neighbour_id"),
       scaledVec(col(cVec)).as("_cv"),
-      hyperplaneBuckets(col(cVec), planes).as("bucket"))
-    // multi-probe: the query's own bucket + all 1-bit flips
-    val probes = (0 until planes).foldLeft(array(col("_b"))) { (acc, p) =>
-      array_union(acc, array(col("_b").bitwiseXOR(lit(1L << p))))
-    }
+      posexplode(hyperplaneBucketsAll(col(cVec), planes, tables))
+        .as(Seq("t", "bucket")))
+    val masks = probeMasks(planes, probeBits)
     val q = broadcast(
       queries.select(col(qId).as("query_id"), scaledVec(col(qVec)).as("_qv"),
-          hyperplaneBuckets(col(qVec), planes).as("_b"))
-        .withColumn("bucket", explode(probes))
-        .select("query_id", "_qv", "bucket"))
-    val scored = c.join(q, "bucket")
+          posexplode(hyperplaneBucketsAll(col(qVec), planes, tables))
+            .as(Seq("t", "_b")))
+        .withColumn("bucket",
+          explode(array(masks.map(m => col("_b").bitwiseXOR(lit(m))): _*)))
+        .select(col("query_id"), col("_qv"), col("t"), col("bucket")))
+    // dedup multi-table hits AFTER scoring: sims of duplicate pairs are
+    // identical, so max() both dedups and stays map-side combinable —
+    // duplicates must not reach TopKAgg (they would fill k slots).
+    val scored = c.join(q, Seq("t", "bucket"))
       .withColumn("sim_scaled", dotScaled(col("_qv"), col("_cv")))
-      .select("query_id", "neighbour_id", "sim_scaled")
+      .groupBy("query_id", "neighbour_id")
+      .agg(max("sim_scaled").as("sim_scaled"))
     topKPerQuery(scored, k)
   }
 
@@ -160,17 +226,18 @@ object Similarity {
 
   /** DuckDB mirror of [[hyperplaneBuckets]]. DuckDB list lambdas carry
     * a 1-based index, Spark's sequence is 0-based — hence `i - 1`. */
-  def hyperplaneBucketsSql(vecExpr: String, planes: Int): String = {
+  def hyperplaneBucketsSql(vecExpr: String, planes: Int, offset: Int = 0): String = {
     val sv = s"list_transform($vecExpr, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
     (0 until planes).map { p =>
-      val proj = s"list_sum(list_transform($sv, (x, i) -> x * ${planeWeightSql(p, "(i - 1)")}))"
+      val proj = s"list_sum(list_transform($sv, (x, i) -> x * ${planeWeightSql(offset + p, "(i - 1)")}))"
       s"CASE WHEN $proj > 0 THEN ${1L << p} ELSE 0 END"
     }.mkString("CAST((", " + ", ") AS BIGINT)")
   }
 
-  /** DuckDB mirror of the 1-bit multi-probe expansion in [[annTopK]]:
-    * the query's own bucket plus every single-bit flip. */
-  def probesSql(bucketExpr: String, planes: Int): String =
-    s"""list_prepend($bucketExpr, list_transform(range(0, $planes),
-        p -> xor($bucketExpr, CAST(1 AS BIGINT) << p)))"""
+  /** DuckDB mirror of the multi-probe expansion: the same literal XOR
+    * mask list as [[probeMasks]]. */
+  def probesSql(bucketExpr: String, planes: Int, probeBits: Int): String =
+    probeMasks(planes, probeBits)
+      .map(m => s"xor($bucketExpr, CAST($m AS BIGINT))")
+      .mkString("[", ", ", "]")
 }

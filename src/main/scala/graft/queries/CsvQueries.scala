@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.ops.CsvIngest
+
+/** CSV landing-zone ingestion — SURVEY.md §2.1 S1/S2 + §2.2 P1.
+  *
+  * The reference's edge is CSV-driven with two header dialects in the
+  * wild (dags/DataWarehouse.py:583,615-631; SURVEY §1.3): a classic
+  * dialect (mixed case + spaces, no record_type) and a backend-export
+  * dialect (snake_case, extra audit columns). The fixture reproduces
+  * both from the customer table, then [[CsvIngest.ingestDir]] lands
+  * them in one fixed schema — exercising canonicalization, the rename
+  * map, missing-column NULL fill, and extra-column drop. The oracle
+  * reads the SAME files with DuckDB read_csv and mirrors the renames.
+  */
+object CsvQueries extends QueryPack {
+
+  /** Fixed layer schema the landing files conform to. */
+  val target: StructType = StructType(Seq(
+    StructField("customer_id", LongType),
+    StructField("market_segment", StringType),
+    StructField("account_balance", DoubleType),
+    StructField("nationkey", LongType),
+    StructField("record_type", StringType)))
+
+  private def landingDir(sfDir: String): String =
+    s"/tmp/graft_fixtures/csv_ingest_${new java.io.File(sfDir).getName}/landing"
+
+  /** Deterministic single-file CSV write: ordered coalesce(1) write to
+    * a scratch dir, then the part file is moved to `landing/name`.
+    * Fixture scaffolding only — the engine path is [[CsvIngest]]. */
+  private def writeOne(df: DataFrame, landing: String, name: String): Unit = {
+    val spark = df.sparkSession
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val scratch = new Path(landing + "_scratch_" + name)
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(scratch.toString)
+    val part = fs.listStatus(scratch).map(_.getPath)
+      .find(_.getName.startsWith("part-")).get
+    val dest = new Path(landing, name)
+    fs.mkdirs(dest.getParent)
+    fs.delete(dest, false)
+    fs.rename(part, dest)
+    fs.delete(scratch, true)
+  }
+
+  /** Write both dialect files (idempotent overwrite per run). */
+  def writeFixture(s: SparkSession, sfDir: String): String = {
+    val landing = landingDir(sfDir)
+    val c = Tables.customer(s, sfDir).filter(col("c_custkey") % 3 === 0)
+      .orderBy("c_custkey")
+    // classic dialect: mixed case/spaces, CustomerID needs the rename
+    // map (customerid -> customer_id), record_type absent
+    writeOne(
+      c.filter(col("c_custkey") % 2 === 0).select(
+        col("c_custkey").as("CustomerID"),
+        col("c_mktsegment").as("Market Segment"),
+        col("c_acctbal").as("Account Balance"),
+        col("c_nationkey").as("NationKey")),
+      landing, "classic.csv")
+    // backend-export dialect: snake_case, record_type present, extra
+    // created_note column that must be dropped
+    writeOne(
+      c.filter(col("c_custkey") % 2 === 1).select(
+        col("c_custkey").as("customer_id"),
+        col("c_mktsegment").as("market_segment"),
+        col("c_acctbal").as("account_balance"),
+        col("c_nationkey").as("nationkey"),
+        lit("export").as("record_type"),
+        concat(lit("n"), col("c_custkey")).as("created_note")),
+      landing, "export.csv")
+    landing
+  }
+
+  val csvIngest = GQuery(
+    "q_csv_ingest",
+    (s, d) => {
+      val landing = writeFixture(s, d)
+      CsvIngest.ingestDir(s, landing, target)
+        .orderBy("customer_id")
+    },
+    Some {
+      // The oracle reads the same fixture files the Spark side lands.
+      // The correctness gate runs at sf0.01 (driver contract), and the
+      // fixture path is sf-keyed so a later Bench run at another SF
+      // cannot overwrite the files between Verify and the DuckDB pass.
+      val landing01 = landingDir("/root/testdata/sf0.01")
+      s"""
+      SELECT * FROM (
+        SELECT CAST("CustomerID" AS BIGINT) AS customer_id,
+               "Market Segment" AS market_segment,
+               CAST("Account Balance" AS DOUBLE) AS account_balance,
+               CAST("NationKey" AS BIGINT) AS nationkey,
+               CAST(NULL AS VARCHAR) AS record_type,
+               'classic.csv' AS src_file
+        FROM read_csv('$landing01/classic.csv', header=true, all_varchar=true)
+        UNION ALL
+        SELECT CAST("customer_id" AS BIGINT),
+               "market_segment",
+               CAST("account_balance" AS DOUBLE),
+               CAST("nationkey" AS BIGINT),
+               "record_type",
+               'export.csv'
+        FROM read_csv('$landing01/export.csv', header=true, all_varchar=true)
+      ) ORDER BY customer_id
+    """})
+
+  def all: Seq[GQuery] = Seq(csvIngest)
+}

@@ -91,67 +91,73 @@ object DedupQueries extends QueryPack {
       ORDER BY id_a, id_b
     """
 
-  /** MinHash + LSH banding near-dup: per-row signatures (no shuffle),
-    * band-hash bucketing (the only shuffle key), candidate pairs from
-    * bucket collisions only, exact verification of candidates. The
-    * all-pairs matrix is never formed — the 100 TB discovery path.
-    *
-    * The shingle arrays are built ONCE and persisted: the signature
-    * path (explode) and the exact-verify path both read the cached
-    * frame, instead of re-running the interpreted tokenize/slice/
-    * concat pipeline per consumer. Cache size is one shingle array per
-    * doc — the same order as the input text itself. */
+  /** MinHash + LSH banding near-dup: per-doc signatures built from one
+    * shingle pass (explode + grouped min, map-side combine), band-hash
+    * bucketing (the only wide shuffle key), candidate pairs generated
+    * within buckets by [[Dedup.bucketPairs]] — ONE grouped pass, no
+    * bucket self-join, so the whole signature pipeline evaluates once
+    * and nothing is persisted (the r3 `persist()` leak squatted in the
+    * block manager for every later query in the shared session).
+    * Verification recomputes shingles only for candidate rows
+    * ([[Dedup.verifyCandidatesByText]]), bounded by candidate count.
+    * The all-pairs matrix is never formed — the 100 TB discovery path. */
   val minhashLsh = GQuery(
     "q_minhash_lsh_pairs",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), Dedup.shingles(col("text"), K).as("sh_arr"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val exploded = docs.select(col("doc_id"), explode(col("sh_arr")).as("sh"))
+      val exploded = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), K)).as("sh"))
       val sigs = Dedup.minhashSignatures(exploded, "doc_id", "sh", NumHashes)
       val banded = Dedup.bandRows(sigs, "doc_id", "sig", Bands, RowsPerBand)
-      val cands = Dedup.minhashCandidates(banded, "doc_id")
-      Dedup.verifyCandidates(cands, docs, "doc_id", "sh_arr", minMille = 850)
+      val cands = Dedup
+        .bucketPairs(banded, Seq("band", "bucket"), struct(col("doc_id")))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.verifyCandidatesByText(cands, docs, "doc_id", "text", K,
+          minMille = 850)
         .orderBy("id_a", "id_b")
     },
     Some(jaccardOracle(850)))
 
-  /** SimHash near-dup: portable-arithmetic 48-bit signature; pairs at
-    * Hamming ≤ 5 found via pigeonhole chunking — 6 chunks of 8 bits,
-    * so any pair within distance 5 shares ≥ 1 exact chunk (guaranteed
-    * recall, not probabilistic). Bucket join on (chunk, value), exact
-    * Hamming verify on candidates. Oracle: brute-force over the
-    * corpus (bounded there; the engine side never goes all-pairs). */
+  /** SimHash near-dup: md5-derived 60-bit signature over word-3-gram
+    * shingles (see [[Dedup.simhash]] for why features+hash must be
+    * uniform); pairs at Hamming ≤ 3 found via pigeonhole chunking —
+    * 4 chunks of 15 bits, so any pair within distance 3 shares ≥ 1
+    * exact chunk (guaranteed recall, not probabilistic).
+    *
+    * Chunk-space math (the 100 TB constraint): expected candidate
+    * fan-out per chunk is ~N²/2^chunkBits for hash-random signatures —
+    * 15-bit chunks put 32,768 buckets under each chunk (the r2/r3
+    * 8-bit layout had 256: 128× the collision mass, flagged twice as
+    * the scale-killer). The operating rule at scale: size chunkBits ≳
+    * log₂(N) so the floor stays ~linear; DedupSpec demonstrates the
+    * knob empirically. Candidates are generated within buckets by
+    * [[Dedup.bucketPairs]] (one grouped pass, so the interpreted
+    * simhash expression runs once per doc, not twice via a self-join)
+    * carrying the signature in the payload, then exact-Hamming
+    * verified. Oracle: brute-force over the corpus (bounded there; the
+    * engine side never goes all-pairs). */
   val simhashPairs = GQuery(
     "q_simhash_pairs",
     (s, d) => {
-      val Bits = 48; val Chunks = 6; val ChunkBits = 8
-      val sigs = Tables.documents(s, d).select(col("doc_id"),
-        Dedup.simhash(col("text"), Bits).as("sig"))
-      val chunks = sigs.select(col("doc_id"), col("sig"),
-        explode(array((0 until Chunks).map(ci => struct(lit(ci).as("ci"),
-          shiftright(col("sig"), ci * ChunkBits)
-            .bitwiseAND(lit(255L)).as("cv"))): _*)).as("ch"))
-        .select(col("doc_id"), col("sig"), col("ch.ci"), col("ch.cv"))
-      val l = chunks.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
-        col("ci"), col("cv"))
-      val r = chunks.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
-        col("ci"), col("cv"))
-      l.join(r, Seq("ci", "cv")).filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      val Bits = 60; val Chunks = 4; val MaxHamming = 3
+      Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text",
+          Bits, Chunks)
         .withColumn("hamming", Dedup.hammingDistance(col("sig_a"), col("sig_b")))
-        .filter(col("hamming") <= 5)
+        .filter(col("hamming") <= MaxHamming)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
     },
     Some(s"""
-      WITH sigs AS (
-        SELECT doc_id, ${Dedup.simhashSql("text", 48)} AS sig
-        FROM documents)
+      WITH hs AS (
+        SELECT doc_id, ${Dedup.featureHashesSql("text", K)} AS hs
+        FROM documents),
+      sigs AS (
+        SELECT doc_id, ${Dedup.simhashFromHashesSql("hs", 60)} AS sig
+        FROM hs)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
       FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.sig, b.sig)) <= 5
+      WHERE bit_count(xor(a.sig, b.sig)) <= 3
       ORDER BY id_a, id_b
     """))
 

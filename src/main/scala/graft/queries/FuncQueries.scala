@@ -118,6 +118,33 @@ object FuncQueries extends QueryPack {
       ORDER BY l_orderkey, l_linenumber
     """))
 
+  /** F13: tenure-in-months with Postgres age() month-borrow semantics
+    * (see [[graft.ops.Dates.tenureMonths]] for the months_between
+    * divergence pin). Reference computes this for every exported
+    * customer (churn_export_dag_cloude.py:348-351); the fixed reference
+    * date stands in for NOW() so the oracle is deterministic. The
+    * order-date corpus spans leap years, so day-borrow and Feb-29
+    * created dates are both exercised. */
+  val tenureMonths = GQuery(
+    "q_tenure_months",
+    (s, d) => {
+      val ref = to_date(lit("2026-08-15"))
+      Tables.orders(s, d).select(
+          col("o_orderkey"),
+          col("o_orderdate").cast("date").as("created_date"),
+          graft.ops.Dates.tenureMonths(ref, col("o_orderdate").cast("date"))
+            .as("tenure_in_months"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS created_date,
+             EXTRACT(YEAR FROM age(TIMESTAMP '2026-08-15', o_orderdate)) * 12
+               + EXTRACT(MONTH FROM age(TIMESTAMP '2026-08-15', o_orderdate))
+               AS tenure_in_months
+      FROM orders ORDER BY o_orderkey
+    """))
+
   def all: Seq[GQuery] =
-    Seq(stringFuncs, safeCastDirty, caseMapping, dateFuncs)
+    Seq(stringFuncs, safeCastDirty, caseMapping, dateFuncs, tenureMonths)
 }

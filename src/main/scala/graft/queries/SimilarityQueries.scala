@@ -43,13 +43,17 @@ object SimilarityQueries extends QueryPack {
       ORDER BY query_id, rank
     """))
 
-  val Planes = 12
+  /** Multi-table LSH parameters — see [[Similarity.annTopK]] for the
+    * recall/cost analysis on this (uniform, LSH-adversarial) corpus. */
+  val Planes = 8
+  val NTables = 4
+  val ProbeBits = 2
 
-  /** ANN via random-hyperplane LSH with 1-bit multi-probe; exact
-    * re-scoring of bucket candidates only. The whole pipeline is pure
-    * integer arithmetic, so the DuckDB oracle mirrors it end to end
-    * (plane weights, bucket signature, probe expansion, scoring);
-    * recall vs the exact baseline is additionally asserted in
+  /** ANN via multi-table random-hyperplane LSH with 2-bit multi-probe;
+    * exact re-scoring of deduplicated bucket candidates only. The whole
+    * pipeline is pure integer arithmetic, so the DuckDB oracle mirrors
+    * it end to end (plane weights, per-table bucket signatures, probe
+    * expansion, scoring); recall vs the exact baseline is asserted in
     * SimilaritySpec. */
   val annTopK = GQuery(
     "q_ann_hyperplane_topk",
@@ -57,26 +61,32 @@ object SimilarityQueries extends QueryPack {
       val emb = Tables.embeddings(s, d)
       Similarity.annTopK(
           emb.filter(expr(QueryPred)), "vec_id", "embedding",
-          emb, "vec_id", "embedding", TopK, planes = Planes)
+          emb, "vec_id", "embedding", TopK,
+          planes = Planes, tables = NTables, probeBits = ProbeBits)
         .orderBy("query_id", "rank")
     },
-    Some(s"""
+    Some {
+      val bucketCols = (0 until NTables).map(t =>
+        s"${Similarity.hyperplaneBucketsSql("embedding", Planes, t * Planes)} AS b$t")
+      val probeArms = (0 until NTables).map(t =>
+        s"""SELECT query_id, qv, $t AS t,
+            unnest(${Similarity.probesSql(s"b$t", Planes, ProbeBits)}) AS bucket
+            FROM q0""")
+      val corpusArms = (0 until NTables).map(t =>
+        s"""SELECT vec_id AS neighbour_id, embedding AS cv, $t AS t,
+            ${Similarity.hyperplaneBucketsSql("embedding", Planes, t * Planes)} AS bucket
+            FROM embeddings""")
+      s"""
       WITH q0 AS (
         SELECT vec_id AS query_id, embedding AS qv,
-               ${Similarity.hyperplaneBucketsSql("embedding", Planes)} AS b
+               ${bucketCols.mkString(",\n               ")}
         FROM embeddings WHERE $QueryPred),
-      probes AS (
-        SELECT query_id, qv,
-               unnest(${Similarity.probesSql("b", Planes)}) AS bucket
-        FROM q0),
-      c AS (
-        SELECT vec_id AS neighbour_id, embedding AS cv,
-               ${Similarity.hyperplaneBucketsSql("embedding", Planes)} AS bucket
-        FROM embeddings),
+      probes AS (${probeArms.mkString("\n        UNION ALL\n        ")}),
+      c AS (${corpusArms.mkString("\n        UNION ALL\n        ")}),
       scored AS (
-        SELECT p.query_id, c.neighbour_id,
+        SELECT DISTINCT p.query_id, c.neighbour_id,
                ${Similarity.dotScaledSql("p.qv", "c.cv")} AS sim_scaled
-        FROM probes p JOIN c USING (bucket)),
+        FROM probes p JOIN c USING (t, bucket)),
       ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY sim_scaled DESC, neighbour_id) AS rank
@@ -84,7 +94,7 @@ object SimilarityQueries extends QueryPack {
       SELECT query_id, neighbour_id, sim_scaled, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank <= $TopK
       ORDER BY query_id, rank
-    """))
+    """})
 
   /** Per-label embedding stats: exact integer norms (quantized), the
     * agg-over-array shape of embedding-column profiling. */

@@ -82,5 +82,84 @@ object StarQueries extends QueryPack {
       ORDER BY l.l_orderkey, l.l_linenumber
     """))
 
-  def all: Seq[GQuery] = Seq(starFactLoad)
+  /** Service-combo columns with planted NULLs — the shape of the
+    * reference's dim_services: nullable attribute columns whose
+    * distinct combinations form the dimension
+    * (reference: dags/SQL/Gold/create_load_data_gold.sql:75-86). */
+  private val svcNames = Seq(
+    "svc_flag", "svc_status", "svc_qty_band", "svc_disc_band",
+    "svc_price_band")
+
+  private def withSvc(li: org.apache.spark.sql.DataFrame) = {
+    val nullStr = lit(null).cast("string")
+    li.select(
+      when(col("l_returnflag") === "N", nullStr)
+        .otherwise(col("l_returnflag")).as("svc_flag"),
+      col("l_linestatus").as("svc_status"),
+      when(col("l_quantity") < 10, "LOW")
+        .when(col("l_quantity") < 30, nullStr)
+        .otherwise("HIGH").as("svc_qty_band"),
+      when(col("l_discount") < 0.03, "LO")
+        .when(col("l_discount") < 0.07, nullStr)
+        .otherwise("HI").as("svc_disc_band"),
+      when(col("l_extendedprice") < 20000, "S")
+        .when(col("l_extendedprice") < 50000, "M")
+        .otherwise(nullStr).as("svc_price_band"))
+  }
+
+  /** The reference's most distinctive join (J6 faithful): the fact
+    * attaches dim_services via a multi-column NULL-SAFE composite key —
+    * `IS NOT DISTINCT FROM` over every service column
+    * (reference: dags/SQL/Gold/create_load_data_gold.sql:133-141),
+    * because service columns are legitimately NULL and plain `=` would
+    * orphan every NULL-bearing combination. Spark's `<=>` conjunction
+    * IS a hash-joinable equi-condition (EqualNullSafe keys), so the
+    * plan stays a single broadcast-hash join on the 5-part key — no
+    * nested-loop fallback (asserted in StarSpec). The dim is distinct
+    * combos + a dense surrogate from a single-partition window,
+    * bounded by combo cardinality (≤ 162), never by data size. */
+  val nullsafeDimJoin = GQuery(
+    "q_nullsafe_dim_join",
+    (s, d) => {
+      val svc = withSvc(Tables.lineitem(s, d))
+      val orderCols = svcNames.map(n => col(n).asc_nulls_first)
+      val dim = svc.distinct()
+        .withColumn("service_key",
+          row_number().over(Window.orderBy(orderCols: _*)))
+        .select(col("service_key") +: svcNames.map(n => col(n).as(s"d_$n")): _*)
+      svc.join(broadcast(dim),
+          svcNames.map(n => col(n) <=> col(s"d_$n")).reduce(_ && _),
+          "left")
+        .groupBy(col("service_key") +: svcNames.map(n => col(s"d_$n").as(n)): _*)
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("service_key")
+    },
+    Some {
+      val nf = svcNames.map(n => s"$n NULLS FIRST").mkString(", ")
+      val nsEq = svcNames.map(n => s"s.$n IS NOT DISTINCT FROM d.$n")
+        .mkString("\n         AND ")
+      s"""
+      WITH svc AS (
+        SELECT NULLIF(l_returnflag, 'N') AS svc_flag,
+               l_linestatus AS svc_status,
+               CASE WHEN l_quantity < 10 THEN 'LOW'
+                    WHEN l_quantity < 30 THEN NULL ELSE 'HIGH' END AS svc_qty_band,
+               CASE WHEN l_discount < 0.03 THEN 'LO'
+                    WHEN l_discount < 0.07 THEN NULL ELSE 'HI' END AS svc_disc_band,
+               CASE WHEN l_extendedprice < 20000 THEN 'S'
+                    WHEN l_extendedprice < 50000 THEN 'M' ELSE NULL END AS svc_price_band
+        FROM lineitem),
+      dim AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY $nf) AS INT) AS service_key
+        FROM (SELECT DISTINCT * FROM svc))
+      SELECT d.service_key, d.svc_flag, d.svc_status, d.svc_qty_band,
+             d.svc_disc_band, d.svc_price_band, COUNT(*) AS n_rows
+      FROM svc s
+      LEFT JOIN dim d
+        ON $nsEq
+      GROUP BY 1, 2, 3, 4, 5, 6
+      ORDER BY service_key
+    """})
+
+  def all: Seq[GQuery] = Seq(starFactLoad, nullsafeDimJoin)
 }

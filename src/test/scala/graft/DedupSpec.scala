@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Dedup
+
+/** LSH plumbing: bucketPairs equivalence vs a naive self-join, the
+  * skew guard, and the SimHash chunk-space scale property (candidate
+  * mass must grow far slower than corpus², VERDICT r3 #5).
+  */
+class DedupSpec extends SparkSpec {
+
+  test("bucketPairs emits exactly the within-bucket i<j pairs of a self-join") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)((rnd.nextLong(40), rnd.nextLong(8))) // (id, bucket)
+      .distinct.map { case (id, b) => (id, b % 4, b) }            // (id, key1, key2)
+    val df = rows.toDF("doc_id", "ci", "cv")
+    val got = Dedup.bucketPairs(df, Seq("ci", "cv"), struct(col("doc_id")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val naive = df.as("l").join(df.as("r"),
+        col("l.ci") === col("r.ci") && col("l.cv") === col("r.cv") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+    assert(rowsAsSet(got) === rowsAsSet(naive))
+  }
+
+  test("maxBucket guard drops oversized buckets and keeps the rest") {
+    val s = spark; import s.implicits._
+    // bucket 0: 10 members (45 pairs), bucket 1: 3 members (3 pairs)
+    val df = ((1 to 10).map(i => (i.toLong, 0L)) ++
+      (11 to 13).map(i => (i.toLong, 1L))).toDF("doc_id", "cv")
+      .withColumn("ci", lit(0))
+    def pairs(cap: Option[Int]) =
+      Dedup.bucketPairs(df, Seq("ci", "cv"), struct(col("doc_id")), cap).count()
+    assert(pairs(None) === 48)
+    assert(pairs(Some(5)) === 3) // mega-bucket dropped, small bucket kept
+  }
+
+  test("simhash chunk space: candidate mass sits at the random-collision floor") {
+    // The scale property (VERDICT r3 #5): candidate fan-out must be
+    // bounded by the N²·chunks/2^chunkBits random floor — NOT the
+    // clustered blow-up the r3 token-feature signatures produced
+    // (13% of all-pairs at 5k docs). chunkBits is the operating knob:
+    // size it ≳ log₂(N) and the floor stays ~linear in N.
+    def cands(sf: String, chunks: Int): (Long, Long) = {
+      val docs = Tables.documents(spark, sf)
+      (docs.count(),
+        Dedup.simhashCandidates(docs, "doc_id", "text", 60, chunks).count())
+    }
+    val (n2, cWide) = cands("/root/testdata/sf0.1", 4)   // 15-bit chunks
+    val allPairs = n2 * (n2 - 1) / 2.0
+    val floor = allPairs * 4 / math.pow(2, 15)
+    info(f"docs $n2, candidates $cWide (floor ≈ $floor%.0f, all-pairs ${allPairs.toLong})")
+    // bounded by the floor plus the planted near-dup mass, with margin
+    assert(cWide < 5 * floor + 1000)
+    // and a tiny fraction of all-pairs (r3's clustered layout was 13%)
+    assert(cWide < allPairs / 1000)
+    // the knob works: narrowing chunks to 10 bits (6 chunks) must
+    // multiply collision mass roughly by 2^5·6/4 — assert direction+scale
+    val (_, cNarrow) = cands("/root/testdata/sf0.1", 6)  // 10-bit chunks
+    info(s"10-bit-chunk candidates $cNarrow vs 15-bit $cWide")
+    assert(cNarrow > cWide * 4)
+  }
+
+  test("exact dedup collapses injected duplicates to the low id") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma"), (100L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "text", "doc_id")
+    assert(rowsAsSet(out.select("keep_id", "copies")) ===
+      Set(Seq(1L, 2L), Seq(2L, 1L)))
+  }
+}
