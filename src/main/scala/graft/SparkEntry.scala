@@ -16,7 +16,8 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     StarQueries, ValidateQueries, AggQueries, JoinQueries,
     WindowQueries, FuncQueries, UpsertQueries,
-    DedupQueries, TextQueries, SimilarityQueries, CsvQueries)
+    DedupQueries, TextQueries, SimilarityQueries, CsvQueries,
+    PartitionQueries, BinaryQueries)
 
   private lazy val registry: Seq[GQuery] = packs.flatMap(_.all)
 

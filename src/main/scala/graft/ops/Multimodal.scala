@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (binary) columns — opaque bytes + typed metadata.
+  *
+  * Posture for a 100 TB training-data pipeline: images/audio/video
+  * ride as `binary` columns with structured metadata alongside; the
+  * engine's job is the PLUMBING — a real binaryFile source, real
+  * byte-level metadata extraction (container headers are plain bytes),
+  * partition-friendly layout — while pixel/sample DECODING belongs to
+  * library code at the edge (no image/audio libs in this environment;
+  * see [[decodeStub]]).
+  *
+  * Byte parsing uses only codegen'd built-ins (`substring` on binary,
+  * `hex`, `conv`) — no UDFs, mirrored exactly by the DuckDB oracle.
+  */
+object Multimodal {
+
+  /** Binary-file source: one row per file with path, length, bytes.
+    * Spark's binaryFile source parallelizes files across tasks; at
+    * scale prefer many medium files (or a packed parquet of binary
+    * columns, as testdata's documents/embeddings do) over millions of
+    * tiny ones — the file LISTING is the driver-side bottleneck. */
+  def readBinaryDir(spark: SparkSession, dir: String,
+                    glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("length").as("size_bytes"),
+        col("content"))
+
+  /** Big-endian unsigned 32-bit int at a 1-based byte offset. */
+  def beUint32(content: Column, offset: Int): Column =
+    conv(hex(substring(content, offset, 4)), 16, 10).cast("long")
+
+  /** PNG header fields: 8-byte signature, then the IHDR chunk puts
+    * width at bytes 17-20 and height at 21-24 (big-endian). */
+  val PngMagicHex = "89504E470D0A1A0A"
+  def isPng(content: Column): Column =
+    hex(substring(content, 1, 8)) === PngMagicHex
+  def pngWidth(content: Column): Column = beUint32(content, 17)
+  def pngHeight(content: Column): Column = beUint32(content, 21)
+
+  /** DuckDB mirrors (read_blob column expressions). DuckDB has no
+    * substring over BLOB, so the mirror hexes the whole blob and
+    * slices the hex string: byte offset o (1-based) lives at hex
+    * chars 2o−1 .. 2o. */
+  def beUint32Sql(contentExpr: String, offset: Int): String =
+    s"CAST(('0x' || substring(hex($contentExpr), ${2 * offset - 1}, 8)) AS BIGINT)"
+  def isPngSql(contentExpr: String): String =
+    s"substring(hex($contentExpr), 1, 16) = '$PngMagicHex'"
+
+  /** Decode stub: the real pixel decode would run per-partition via a
+    * vectorized batch UDF against an imaging library (absent in this
+    * container). The deterministic stand-in derives a "mean luminance"
+    * from header bytes so downstream plumbing (schema, batching,
+    * null-handling for undecodable files) is exercised end to end. */
+  def decodeStub(content: Column): Column =
+    when(isPng(content),
+      struct(
+        pngWidth(content).as("width"),
+        pngHeight(content).as("height"),
+        (beUint32(content, 25) % 256).as("mean_luma_stub")))
+      .otherwise(lit(null))
+}

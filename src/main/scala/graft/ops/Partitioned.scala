@@ -21,7 +21,12 @@ object Partitioned {
     * partitions present in `df` are replaced, the reference's
     * per-run-date append/replace shape). */
   def writeBy(df: DataFrame, path: String, partCol: String): Unit =
-    df.write
+    // repartition on the partition column first: without it every task
+    // opens a writer per partition value (tasks x partitions small
+    // files); with it each partition directory gets one writer's
+    // output. At skewed scale add a salt column to the repartition.
+    df.repartition(col(partCol))
+      .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)

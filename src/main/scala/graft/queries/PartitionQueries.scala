@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.ops.Partitioned
+
+/** Run-date partition pruning — SURVEY.md §2.2 P10.
+  *
+  * The reference fact queries filter `WHERE f.run_date = %(run_date)s`
+  * (dags/ml_churn_pipeline.py:153). Here the fact is WRITTEN
+  * partitioned by run month and the slice read prunes at planning time
+  * (PartitionFilters — asserted structurally in PruningSpec; this
+  * query verifies the VALUES that flow through the pruned scan).
+  */
+object PartitionQueries extends QueryPack {
+
+  val runMonthPruning = GQuery(
+    "q_runmonth_pruning",
+    (s, d) => {
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_fixtures/fact_part_$sfName/fact"
+      val fact = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("run_month"))
+      Partitioned.writeBy(fact, path, "run_month")
+      Partitioned.readSlice(s, path, "run_month", "1995-03")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double")
+            .as("total_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price
+      FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """))
+
+  def all: Seq[GQuery] = Seq(runMonthPruning)
+}

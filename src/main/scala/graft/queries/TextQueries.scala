@@ -79,43 +79,9 @@ object TextQueries extends QueryPack {
       FROM documents ORDER BY doc_id
     """))
 
-  /** Multimodal column plumbing: treat content as an opaque binary
-    * column with typed, deterministically-derived metadata (the
-    * decode itself is a stub at this layer — see ops/Multimodal) and
-    * frame-sampling expansion: one output row per sampled frame with
-    * its byte offset — the real partition/batch shape of a media
-    * pipeline, minus the codec. */
-  val binaryMeta = GQuery(
-    "q_binary_meta",
-    (s, d) => {
-      val bin = col("text").cast("binary")
-      val nBytes = length(bin).cast("long")
-      val frames = (pmod(col("n_chars"), lit(4L)) + 1L).as("n_frames")
-      Tables.documents(s, d)
-        .select(col("doc_id"), nBytes.as("n_bytes"),
-          (pmod(col("n_chars"), lit(97L)) + 32L).as("fake_width"),
-          (pmod(col("n_chars") * 31L + 7L, lit(89L)) + 32L).as("fake_height"),
-          frames)
-        .withColumn("frame_idx",
-          explode(sequence(lit(0L), col("n_frames") - 1L)))
-        .withColumn("frame_offset",
-          expr("frame_idx * (n_bytes DIV n_frames)"))
-        .orderBy("doc_id", "frame_idx")
-    },
-    Some("""
-      WITH meta AS (
-        SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               n_chars % 97 + 32 AS fake_width,
-               (n_chars * 31 + 7) % 89 + 32 AS fake_height,
-               n_chars % 4 + 1 AS n_frames
-        FROM documents)
-      SELECT doc_id, n_bytes, fake_width, fake_height, n_frames,
-             unnest(generate_series(0, n_frames - 1)) AS frame_idx,
-             unnest(generate_series(0, n_frames - 1)) * (n_bytes // n_frames) AS frame_offset
-      FROM meta ORDER BY doc_id, frame_idx
-    """))
+  // q_binary_meta moved to BinaryQueries: it now reads a REAL
+  // binaryFile source and parses actual container-header bytes.
 
   def all: Seq[GQuery] =
-    Seq(tokenStats, qualityScore, langId, fingerprint, binaryMeta)
+    Seq(tokenStats, qualityScore, langId, fingerprint)
 }
