@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** The correction-loop pipeline — the reference's churn_99_reprocessing
+  * DAG (dags/Reprocessing.py:165-200): a sensor watches a fixed-data
+  * folder; each correction file is validated with the STRICTER
+  * reprocessing rule set (whitelists + numeric coercion), accepted
+  * fixes replace silver rows by key (delete+insert upsert J4,
+  * transactional via atomic overwrite), rejected fixes quarantine.
+  *
+  * The folder sensor (ST5) is the batch entry point here: a caller
+  * invokes [[run]] per discovered file (Structured Streaming's file
+  * source with availableNow is the always-on variant; the engine op —
+  * ingest+validate+upsert — is identical either way).
+  */
+object Reprocess {
+
+  /** Reprocessing rule chain (dags/Reprocessing.py:41-44,68-106):
+    * base rules + whitelists + tenure-coercion check (P8: flags
+    * values that were present but not numeric). */
+  def rules(rawTenure: org.apache.spark.sql.Column): Seq[Validate.Rule] =
+    ChurnSchema.stagingRules ++ Seq(
+      Validate.Rule("Tenure not numeric",
+        rawTenure.isNotNull && rawTenure.cast("double").isNull),
+      Validate.Rule("Invalid Contract Type",
+        col("contract").isNotNull &&
+          !col("contract").isin(ChurnSchema.validContracts: _*)),
+      Validate.Rule("Invalid Payment Method",
+        col("payment_method").isNotNull &&
+          !col("payment_method").isin(ChurnSchema.validPayments: _*)),
+      Validate.Rule("Invalid Internet Service",
+        col("internet_service").isNotNull &&
+          !col("internet_service").isin(ChurnSchema.validInternet: _*)))
+
+  /** Apply one correction file to silver. Returns (accepted, rejected)
+    * row counts; silver is atomically replaced with corrections
+    * upserted by key. */
+  def run(spark: SparkSession, correctionsCsvDir: String,
+          layers: Warehouse.Layers): (Long, Long) = {
+    val raw = CsvIngest
+      .ingestDir(spark, correctionsCsvDir, ChurnSchema.staging)
+      .drop("src_file")
+    val annotated = Validate.annotate(raw, rules(col("tenure_in_months")))
+      .persist()
+    try {
+      val rejected = Validate.bad(annotated)
+      val accepted = Validate.good(annotated).drop("error_details")
+      val nRejected = rejected.count()
+      val nAccepted = accepted.count()
+      if (nRejected > 0)
+        rejected.write.mode("append").parquet(layers.quarantine)
+      if (nAccepted > 0) {
+        val silver = spark.read.schema(ChurnSchema.silver)
+          .parquet(layers.silver)
+        val conformed = accepted.select(ChurnSchema.silver.fields
+          .map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        Upsert.atomicOverwrite(
+          Upsert.replaceByKey(silver, conformed, Seq("customer_id")),
+          layers.silver)
+      }
+      (nAccepted, nRejected)
+    } finally annotated.unpersist()
+  }
+}

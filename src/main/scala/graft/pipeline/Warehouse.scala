@@ -1,0 +1,226 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** The full medallion composition — the reference's
+  * Data_Warehouse_Full_Pipeline DAG re-expressed as one deterministic
+  * Spark program (reference: dags/DataWarehouse.py:760-879: ddl →
+  * load_csv → bronze upsert → DQ gate → silver refresh → gold star →
+  * DQ gate). Every step composes an existing engine op; this file adds
+  * COMPOSITION, not new operator semantics.
+  *
+  * Layer storage is path-addressed parquet under one root; overwrite
+  * layers go through [[Upsert.atomicOverwrite]] (the reference gets
+  * crash safety from Postgres transactions; Parquet needs it built).
+  *
+  * Scale: staging→bronze is the only keyed shuffle (full-outer merge
+  * on customer_id — broadcastable when the nightly batch is small
+  * relative to bronze); dims are distinct-combo-sized (broadcast
+  * joins); the fact anti-join is a hash join on the surrogate key.
+  */
+object Warehouse {
+
+  final case class Layers(root: String) {
+    val staging = s"$root/staging"
+    val bronze = s"$root/bronze"
+    val silver = s"$root/silver"
+    val quarantine = s"$root/quarantine"
+    def dim(name: String) = s"$root/gold/dim_$name"
+    val fact = s"$root/gold/fact_customer_churn"
+  }
+
+  /** S12: DDL bootstrap — every layer exists (possibly empty) with its
+    * declared schema before any run, like CREATE TABLE IF NOT EXISTS. */
+  def ddlBootstrap(spark: SparkSession, layers: Layers): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    def ensure(path: String, schema: org.apache.spark.sql.types.StructType): Unit =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .write.parquet(path)
+    ensure(layers.bronze, ChurnSchema.bronze)
+    ensure(layers.silver, ChurnSchema.silver)
+  }
+
+  /** Landing CSVs → staging frame (S1/S2 + P1 via [[CsvIngest]]). */
+  def loadStaging(spark: SparkSession, landingDir: String): DataFrame =
+    CsvIngest.ingestDir(spark, landingDir, ChurnSchema.staging)
+      .drop("src_file")
+
+  /** Validation split with the reference's halt-order semantics:
+    * annotate → circuit-breaker gate (throws above 10% BEFORE anything
+    * is written) → quarantine sink for bad rows → clean rows persisted
+    * as the staging layer (the reference's staging_churn table; also
+    * bounds re-evaluation of the annotated frame to the three passes
+    * here instead of every downstream consumer). */
+  def validateStaging(spark: SparkSession, staging: DataFrame,
+                      layers: Layers,
+                      thresholdPct: Double = 10.0): DataFrame = {
+    val rules = ChurnSchema.stagingRules :+
+      Validate.Rule("Duplicate ID", Validate.duplicatedAll(col("customer_id")))
+    val annotated = Validate.annotate(staging, rules)
+    val clean = Validate.gate(annotated, thresholdPct)
+    Validate.bad(annotated).write.mode("append").parquet(layers.quarantine)
+    Upsert.atomicOverwrite(clean.drop("error_details"), layers.staging)
+    spark.read.schema(ChurnSchema.staging).parquet(layers.staging)
+  }
+
+  /** Staging batch → bronze: in-batch dedup keeps the latest record
+    * per key (W2), then the reference's partial-column upsert (J3) —
+    * update-listed columns refresh, unlisted columns keep bronze
+    * values, conflicts stamp record_type='updated'. */
+  def upsertBronze(spark: SparkSession, batch: DataFrame, layers: Layers): Unit = {
+    val latest = batch.withColumn("_rn",
+        row_number().over(Window.partitionBy(col("customer_id"))
+          .orderBy(col("updated_at").desc_nulls_last)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val existing = spark.read.schema(ChurnSchema.bronze).parquet(layers.bronze)
+    val merged = Upsert.merge(existing, latest, Seq("customer_id"),
+      ChurnSchema.bronzeUpdateCols,
+      Map("record_type" -> lit("updated")))
+    Upsert.atomicOverwrite(merged, layers.bronze)
+  }
+
+  /** Bronze → silver full refresh (P2 projection + F4-F7 safe casts +
+    * null defaults — insert_data_into_silver.sql). */
+  def refreshSilver(spark: SparkSession, layers: Layers): Unit = {
+    val bronze = spark.read.schema(ChurnSchema.bronze).parquet(layers.bronze)
+    val defaults = ChurnSchema.silverDefaults
+    val silver = bronze.select(ChurnSchema.silver.fields.map { f =>
+      val base = f.name match {
+        case "churn_score" | "cltv" =>
+          SafeCast.safeNumeric(col(f.name), f.dataType)
+        case n if defaults.contains(n) => coalesce(col(n), defaults(n))
+        case n => col(n)
+      }
+      base.cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    Upsert.atomicOverwrite(silver, layers.silver)
+  }
+
+  /** Incremental dim load (J8): values not yet in the dim get fresh
+    * surrogate keys above the current max. NULL-bearing combos join
+    * null-safely — the reference's `=` here silently re-inserts NULL
+    * rows every run (SURVEY §7.4 flags it as a bug); we keep the dim
+    * stable and document the divergence. */
+  def loadDim(spark: SparkSession, path: String, values: DataFrame,
+              keyCol: String, valueCols: Seq[String]): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        spark.read.parquet(path)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField(keyCol,
+            org.apache.spark.sql.types.IntegerType) +:
+            values.schema.fields.toIndexedSeq))
+    val distinctNew = values.distinct()
+      .join(existing,
+        valueCols.map(c => values(c) <=> existing(c)).reduce(_ && _),
+        "left_anti")
+    // dims are distinct-combo-sized: the single-partition window is
+    // bounded by combo cardinality, never data size (same argument as
+    // StarQueries.dimSegment); maxKey is one scalar.
+    val maxKey = existing.agg(coalesce(max(col(keyCol)), lit(0))).head().getInt(0)
+    val withKeys = distinctNew.withColumn(keyCol,
+      (row_number().over(
+        Window.orderBy(valueCols.map(c => col(c).asc_nulls_first): _*))
+        + maxKey).cast("int"))
+      .select(col(keyCol) +: valueCols.map(col): _*)
+    val updated = existing.unionByName(withKeys)
+    Upsert.atomicOverwrite(updated, path)
+    spark.read.parquet(path)
+  }
+
+  /** Silver → gold star load (J6/J7/J8 + W3): five dims + the fact
+    * with the reference's expression keys — REPLACE-normalized
+    * contract, TRIM/UPPER churn_reason with 'n/a' default, and the
+    * 9-column null-safe composite services join — then the anti-join
+    * on customer_key keeps the append idempotent. */
+  def loadGold(spark: SparkSession, layers: Layers, runDate: String): Unit = {
+    val silver = spark.read.schema(ChurnSchema.silver).parquet(layers.silver)
+
+    val contractNorm =
+      regexp_replace(col("contract"), "Month-to-month", "Month-to-Month")
+    val reasonNorm =
+      upper(trim(coalesce(col("churn_reason"), lit("n/a"))))
+
+    val dimCustomer = loadDim(spark, layers.dim("customer"),
+      silver.select("customer_id", "gender", "senior_citizen", "partner",
+        "city", "state"),
+      "customer_key",
+      Seq("customer_id", "gender", "senior_citizen", "partner", "city", "state"))
+    val dimContract = loadDim(spark, layers.dim("contract"),
+      silver.select(contractNorm.as("contract_type")),
+      "contract_key", Seq("contract_type"))
+    val dimPayment = loadDim(spark, layers.dim("payment_method"),
+      silver.select(col("payment_method")),
+      "payment_key", Seq("payment_method"))
+    val dimReason = loadDim(spark, layers.dim("churn_reason"),
+      silver.select(reasonNorm.as("churn_reason")),
+      "reason_key", Seq("churn_reason"))
+    val dimServices = loadDim(spark, layers.dim("services"),
+      silver.select(ChurnSchema.serviceCols.map(col): _*),
+      "service_key", ChurnSchema.serviceCols)
+
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val factExists = fs.exists(new org.apache.hadoop.fs.Path(layers.fact))
+
+    // prefix every dim value column: the fact build joins five dims
+    // whose natural columns all exist on the silver side too
+    val dc = dimCustomer.select(col("customer_key"),
+      col("customer_id").as("_dc_id"))
+    val dk = dimContract.select(col("contract_key"),
+      col("contract_type").as("_dk_ct"))
+    val dp = dimPayment.select(col("payment_key"),
+      col("payment_method").as("_dp_pm"))
+    val dr = dimReason.select(col("reason_key"),
+      col("churn_reason").as("_dr_cr"))
+    val ds = dimServices.select(col("service_key") +:
+      ChurnSchema.serviceCols.map(c => col(c).as(s"_ds_$c")): _*)
+
+    val fact = silver
+      .join(dc, col("customer_id") === col("_dc_id"))
+      .join(broadcast(dk), contractNorm === col("_dk_ct"), "left")
+      .join(broadcast(dp), col("payment_method") === col("_dp_pm"), "left")
+      .join(broadcast(dr), reasonNorm === col("_dr_cr"), "left")
+      .join(broadcast(ds),
+        ChurnSchema.serviceCols
+          .map(c => col(c) <=> col(s"_ds_$c")).reduce(_ && _), "left")
+      .select(
+        col("customer_key"), col("contract_key"), col("payment_key"),
+        col("reason_key"), col("service_key"),
+        col("tenure_in_months"), col("monthly_charges_amount"),
+        col("total_charges"),
+        col("churn_label").as("churn_flag"),
+        col("churn_score"), col("cltv"),
+        to_date(lit(runDate)).as("run_date"))
+
+    val toAppend = if (factExists) {
+      val existingFact = spark.read.parquet(layers.fact)
+      fact.join(existingFact.select("customer_key"),
+        Seq("customer_key"), "left_anti")
+    } else fact
+    toAppend.write.mode("append").parquet(layers.fact)
+  }
+
+  /** One full nightly run (the DAG's task chain, in order). Returns
+    * the quality summary. */
+  def run(spark: SparkSession, landingDir: String, layers: Layers,
+          runDate: String): DataFrame = {
+    ddlBootstrap(spark, layers)
+    val staging = loadStaging(spark, landingDir)
+    val clean = validateStaging(spark, staging, layers)
+    upsertBronze(spark, clean, layers)
+    refreshSilver(spark, layers)
+    loadGold(spark, layers, runDate)
+    Quality.runAll(spark, layers)
+  }
+}
