@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.GBTClassifier
+import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Upsert
+
+/** The ML churn layer — SURVEY.md §2.11 + §2.3 J11 + §2.4 A13.
+  *
+  * Reference (dags/scripts/train_churn_model.py:18-165): extract the
+  * fact⋈dims feature join with COALESCE defaults, label-encode 10
+  * categoricals, scale 3 numerics, train a gradient-boosted tree
+  * classifier, full-refresh gold.churn_predictions with per-customer
+  * prediction + P(churn).
+  *
+  * Spark-native translation: the feature prep is a spark.ml Pipeline —
+  * StringIndexer (handleInvalid=keep: unseen categories at predict
+  * time get their own bucket instead of failing, the distributed
+  * analogue of a persisted LabelEncoder), VectorAssembler,
+  * StandardScaler — and the booster is Spark's GBTClassifier (the
+  * in-distribution stand-in for XGBoost; same additive-trees family,
+  * trains distributed). Training data never leaves executors; only
+  * the fitted model's coefficients come to the driver.
+  */
+object ChurnModel {
+
+  val categoricalCols: Seq[String] = Seq(
+    "contract_type", "payment_method", "gender", "senior_citizen",
+    "partner", "dependents", "internet_service", "phone_service",
+    "online_security", "streaming_tv")
+  val numericCols: Seq[String] = Seq(
+    "tenure_in_months", "monthly_charges_amount", "total_charges")
+
+  /** The reference's extract join (J11): fact inner dim_customer,
+    * LEFT dims, COALESCE defaults, training-row filter (P9). The
+    * fact stores churn_flag as the raw label string; both the
+    * reference's '0'/'1' and the load's 'Yes'/'No' conventions are
+    * accepted. */
+  def extractFeatures(spark: SparkSession, layers: Warehouse.Layers): DataFrame = {
+    val fact = spark.read.parquet(layers.fact)
+    val dc = spark.read.parquet(layers.dim("customer"))
+      .select(col("customer_key").as("_ck"), col("customer_id"),
+        col("gender"), col("senior_citizen"), col("partner"),
+        col("dependents"))
+    val dk = spark.read.parquet(layers.dim("contract"))
+      .select(col("contract_key"), col("contract_type"))
+    val dp = spark.read.parquet(layers.dim("payment_method"))
+      .select(col("payment_key"), col("payment_method"))
+    val ds = spark.read.parquet(layers.dim("services"))
+      .select(col("service_key"), col("internet_service"),
+        col("phone_service"), col("online_security"), col("streaming_tv"))
+    fact
+      // cast-inside-key: the reference joins on customer_key::INTEGER
+      .join(dc, fact("customer_key").cast("int") === col("_ck").cast("int"))
+      .join(broadcast(dk), Seq("contract_key"), "left")
+      .join(broadcast(dp), Seq("payment_key"), "left")
+      .join(broadcast(ds), Seq("service_key"), "left")
+      .filter(col("tenure_in_months").isNotNull &&
+        col("monthly_charges_amount").isNotNull &&
+        trim(col("churn_flag")).isin("0", "1", "No", "Yes"))
+      .select(
+        col("customer_key"), col("customer_id"),
+        when(trim(col("churn_flag")).isin("1", "Yes"), 1.0).otherwise(0.0)
+          .as("label"),
+        col("tenure_in_months").cast("double"),
+        col("monthly_charges_amount").cast("double"),
+        coalesce(col("total_charges").cast("double"), lit(0.0))
+          .as("total_charges"),
+        coalesce(col("contract_type"), lit("Unknown")).as("contract_type"),
+        coalesce(col("payment_method"), lit("Unknown")).as("payment_method"),
+        coalesce(col("gender"), lit("Unknown")).as("gender"),
+        coalesce(col("senior_citizen"), lit("0")).as("senior_citizen"),
+        coalesce(col("partner"), lit("No")).as("partner"),
+        coalesce(col("dependents"), lit("No")).as("dependents"),
+        coalesce(col("internet_service"), lit("Unknown")).as("internet_service"),
+        coalesce(col("phone_service"), lit("No")).as("phone_service"),
+        coalesce(col("online_security"), lit("No")).as("online_security"),
+        coalesce(col("streaming_tv"), lit("No")).as("streaming_tv"))
+  }
+
+  /** Feature-prep + booster pipeline (seeded — runs reproduce). */
+  def buildPipeline(): Pipeline = {
+    val indexers = categoricalCols.map(c =>
+      new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
+        .setHandleInvalid("keep"))
+    val assembler = new VectorAssembler()
+      .setInputCols((numericCols ++ categoricalCols.map(_ + "_idx")).toArray)
+      .setOutputCol("features_raw")
+    val scaler = new StandardScaler()
+      .setInputCol("features_raw").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+    val gbt = new GBTClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxIter(20).setMaxDepth(4).setStepSize(0.1).setSeed(42L)
+    new Pipeline().setStages((indexers :+ assembler :+ scaler :+ gbt).toArray)
+  }
+
+  final case class TrainResult(model: PipelineModel, predictions: DataFrame)
+
+  /** Train on the extracted features and score every row — the
+    * reference trains and predicts on the same extract. */
+  def trainPredict(features: DataFrame, runTs: String): TrainResult = {
+    require(features.limit(10).count() >= 10,
+      "Insufficient data for training: need at least 10 rows")
+    val model = buildPipeline().fit(features)
+    val p1 = element_at(vector_to_array(col("probability")), 2)
+    val predictions = model.transform(features).select(
+      col("customer_key"), col("customer_id"),
+      col("prediction").cast("smallint").as("churn_prediction"),
+      p1.cast("decimal(5,4)").as("churn_probability"),
+      to_timestamp(lit(runTs)).as("model_run_date"))
+    TrainResult(model, predictions)
+  }
+
+  /** A13: feature-importance ranking from the fitted booster. */
+  def featureImportance(spark: SparkSession, model: PipelineModel): DataFrame = {
+    import spark.implicits._
+    val gbt = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel]
+    val names = numericCols ++ categoricalCols
+    names.zip(gbt.featureImportances.toArray)
+      .toDF("feature", "importance")
+      .orderBy(col("importance").desc, col("feature"))
+  }
+
+  /** Full refresh of gold.churn_predictions (the reference TRUNCATEs
+    * then appends; atomic overwrite is the parquet equivalent). */
+  def run(spark: SparkSession, layers: Warehouse.Layers, runTs: String): DataFrame = {
+    val result = trainPredict(extractFeatures(spark, layers), runTs)
+    Upsert.atomicOverwrite(result.predictions,
+      s"${layers.root}/gold/churn_predictions")
+    spark.read.parquet(s"${layers.root}/gold/churn_predictions")
+  }
+}

@@ -151,11 +151,11 @@ object Warehouse {
     val reasonNorm =
       upper(trim(coalesce(col("churn_reason"), lit("n/a"))))
 
+    val customerDimCols = Seq("customer_id", "gender", "senior_citizen",
+      "partner", "dependents", "city", "state")
     val dimCustomer = loadDim(spark, layers.dim("customer"),
-      silver.select("customer_id", "gender", "senior_citizen", "partner",
-        "city", "state"),
-      "customer_key",
-      Seq("customer_id", "gender", "senior_citizen", "partner", "city", "state"))
+      silver.select(customerDimCols.map(col): _*),
+      "customer_key", customerDimCols)
     val dimContract = loadDim(spark, layers.dim("contract"),
       silver.select(contractNorm.as("contract_type")),
       "contract_key", Seq("contract_type"))

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** §2.11: the spark.ml churn layer — train/predict round trip over a
+  * warehouse built from fixture data (not oracle-checked; verified by
+  * invariants the reference trainer guarantees). */
+class ChurnModelSpec extends SparkSpec {
+
+  private val ExportHeader =
+    "customer_id,gender,senior_citizen,partner,dependents,country,state,city," +
+      ChurnSchema.serviceCols.mkString(",") +
+      ",paperless_billing,payment_method,contract,tenure_in_months," +
+      "monthly_charges_amount,total_charges,churn_label,churn_value," +
+      "churn_score,cltv,churn_reason,created_at,updated_at,record_type"
+
+  private def row(id: String, churn: String, tenure: Int,
+                  charges: Double): String =
+    s"$id,Female,No,Yes,No,United States,New York,Albany," +
+      "Yes,Yes,Fiber optic,No,No,No,No,Yes,Yes,Yes," +
+      s"Electronic check,Two year,$tenure,$charges,${charges * tenure}," +
+      s"$churn,${if (churn == "Yes") 1 else 0},86,3239,n/a," +
+      "2026-04-01 08:00:00,2026-04-01 08:00:00,new"
+
+  test("train/predict round trip writes a full prediction refresh") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ml").toString
+    val layers = Warehouse.Layers(root)
+    val landing = s"$root/landing"
+    // 16 customers, both classes, churn correlates with low tenure
+    val rows = (1 to 8).map(i => row(f"Y$i%03d", "Yes", i, 90.0 + i)) ++
+      (1 to 8).map(i => row(f"N$i%03d", "No", 40 + i, 50.0 + i))
+    val p = java.nio.file.Paths.get(landing)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve("export.csv"),
+      (ExportHeader +: rows).mkString("\n").getBytes("UTF-8"))
+    Warehouse.run(spark, landing, layers, "2026-04-01")
+
+    val preds = ChurnModel.run(spark, layers, "2026-04-02 00:00:00")
+    assert(preds.count() == 16, "one prediction per eligible customer")
+    assert(preds.filter(!col("churn_prediction").isin(0, 1)).count() == 0)
+    assert(preds.filter(col("churn_probability") < 0 ||
+      col("churn_probability") > 1).count() == 0)
+    // a seeded booster on linearly separable fixture data must learn it
+    val joined = preds.withColumn("actual",
+      when(col("customer_id").startsWith("Y"), 1).otherwise(0))
+    val correct = joined
+      .filter(col("churn_prediction") === col("actual")).count()
+    assert(correct >= 14, s"expected >=14/16 correct, got $correct")
+    // rerun = full refresh, not append
+    val again = ChurnModel.run(spark, layers, "2026-04-03 00:00:00")
+    assert(again.count() == 16)
+    assert(again.select(max(col("model_run_date")).cast("string")).head()
+      .getString(0).startsWith("2026-04-03"))
+  }
+
+  test("feature importances rank and sum to 1") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ml2").toString
+    val layers = Warehouse.Layers(root)
+    val landing = s"$root/landing"
+    val rows = (1 to 8).map(i => row(f"Y$i%03d", "Yes", i, 90.0 + i)) ++
+      (1 to 8).map(i => row(f"N$i%03d", "No", 40 + i, 50.0 + i))
+    val p = java.nio.file.Paths.get(landing)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve("export.csv"),
+      (ExportHeader +: rows).mkString("\n").getBytes("UTF-8"))
+    Warehouse.run(spark, landing, layers, "2026-04-01")
+
+    val result = ChurnModel.trainPredict(
+      ChurnModel.extractFeatures(spark, layers), "2026-04-02 00:00:00")
+    val imp = ChurnModel.featureImportance(spark, result.model)
+    assert(imp.count() ==
+      (ChurnModel.numericCols ++ ChurnModel.categoricalCols).size)
+    val total = imp.agg(sum("importance")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-6)
+    // tenure separates the classes in this fixture → top feature
+    assert(imp.head().getString(0) == "tenure_in_months")
+  }
+}
