@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface — SURVEY.md §2.1 S11 + §2.9 ST5.
+  *
+  * The reference's "streaming" is a PythonSensor polling a landing
+  * folder every 60 s plus an MD5 ledger for new-file detection
+  * (dags/Reprocessing.py:160-185, DataWarehouse.py:67-116). Spark's
+  * file source subsumes BOTH: the checkpoint's file log IS the
+  * processed-file ledger (exactly-once, new-files-only), and
+  * `Trigger.AvailableNow` IS the poll tick — one invocation per
+  * sensor wake-up drains everything new and stops. The same code runs
+  * always-on by swapping the trigger for a processing-time interval.
+  */
+object Streams {
+
+  /** S11/ST5: one sensor tick — drain all NEW csv files under
+    * `landingDir` into the staging parquet sink. Re-running with the
+    * same checkpoint skips files already processed (ledger semantics);
+    * files added between ticks are picked up by the next call. */
+  def sensorIngestOnce(spark: SparkSession, landingDir: String,
+                       schema: StructType, stagingPath: String,
+                       checkpoint: String): Unit = {
+    val stream = spark.readStream
+      .schema(schema).option("header", "true").csv(landingDir)
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", stagingPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream:
+    * event-time windows on `ts`, late data beyond the watermark
+    * dropped. At 100 TB/day the state store holds only open windows
+    * per (window, event_type) — bounded by the watermark horizon,
+    * not the stream length. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Custom streaming state (§ Structured Streaming / KeyValueGrouped
+    * mapGroupsWithState family): per-user sessionization with an
+    * inactivity gap. A session CLOSES when a later event arrives more
+    * than `gapMinutes` after the last one; the open session rides in
+    * the state store across micro-batches (bounded: one small state
+    * row per active user). Emission is deterministic — closed sessions
+    * only — so an availableNow drain emits exactly the sessions closed
+    * by the data seen so far. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last > gapMs =>
+                closed += Session(user, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.last), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case Some(s) =>
+                cur = Some(SessionState(s.start, t, s.n + 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Streams
+
+/** S11/ST5 + Structured Streaming surface: sensor-tick ingestion with
+  * checkpoint-ledger semantics, watermarked windowed aggregation
+  * equivalence vs batch, and stateful sessionization across
+  * micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  private def writeCsv(dir: String, name: String, lines: Seq[String]): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve(name),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private val eventsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+
+  test("sensor tick drains only NEW files (checkpoint = file ledger)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val landing = s"$root/landing"
+    val header = "event_id,ts,user_id,event_type,value"
+    writeCsv(landing, "batch1.csv", Seq(header,
+      "1,2026-04-01 10:00:00,7,click,1.0",
+      "2,2026-04-01 10:05:00,7,click,2.0"))
+    Streams.sensorIngestOnce(spark, landing, eventsSchema,
+      s"$root/staging", s"$root/ckpt")
+    assert(spark.read.parquet(s"$root/staging").count() == 2)
+    // second tick with one NEW file: only its rows land
+    writeCsv(landing, "batch2.csv", Seq(header,
+      "3,2026-04-01 11:00:00,8,signup,3.0"))
+    Streams.sensorIngestOnce(spark, landing, eventsSchema,
+      s"$root/staging", s"$root/ckpt")
+    val staged = spark.read.parquet(s"$root/staging")
+    assert(staged.count() == 3, "old file must not be re-ingested")
+    assert(staged.filter(col("event_id") === 3).count() == 1)
+  }
+
+  test("watermarked windowed counts match the batch computation") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wc").toString
+    val events = Tables.events(spark, TinySf)
+    events.write.parquet(s"$root/events")
+    val stream = spark.readStream.schema(events.schema)
+      .parquet(s"$root/events")
+    val q = Streams.windowedCounts(stream)
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("wc")
+      .select(col("window_start"), col("event_type"), col("n_events"))
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"))
+    assert(rowsAsSet(streamed) == rowsAsSet(batch))
+    assert(streamed.count() > 0)
+  }
+
+  test("sessionization state survives micro-batches; gap closes sessions") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    val header = "event_id,ts,user_id,event_type,value"
+
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(eventsSchema)
+        .option("header", "true").csv(src)
+      val q = Streams.sessionize(stream.as[Streams.Event], gapMinutes = 30)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // batch 1: user 7 has a 2-event session, then nothing
+    writeCsv(src, "b1.csv", Seq(header,
+      "1,2026-04-01 10:00:00,7,click,1.0",
+      "2,2026-04-01 10:10:00,7,click,1.0"))
+    drain()
+    assert(spark.read.schema("user_id LONG, session_start TIMESTAMP," +
+      "session_end TIMESTAMP, n_events INT").parquet(out).count() == 0,
+      "open session must stay in state, not emit")
+
+    // batch 2: an event 3 h later closes the session and opens a new one
+    writeCsv(src, "b2.csv", Seq(header,
+      "3,2026-04-01 13:00:00,7,click,1.0"))
+    drain()
+    val sessions = spark.read.parquet(out)
+    assert(sessions.count() == 1)
+    val s0 = sessions.head()
+    assert(s0.getAs[Long]("user_id") == 7L)
+    assert(s0.getAs[Int]("n_events") == 2)
+    assert(s0.getAs[java.sql.Timestamp]("session_end").toString
+      .startsWith("2026-04-01 10:10"))
+  }
+}
