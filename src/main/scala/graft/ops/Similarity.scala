@@ -141,27 +141,18 @@ object Similarity {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** ALL `tables` bucket signatures in ONE interpreted fold: the
-    * accumulator carries tables·planes projection slots; the fold's
-    * `finish` lambda — whose argument is a BOUND value, evaluated
-    * once, unlike a column reference that CollapseProject would
-    * re-inline per consumer — packs each planes-wide slice into its
-    * bucket. One vector walk total, vs one per table. */
+  /** ALL `tables` bucket signatures in one pass via the native
+    * [[graft.functions.HyperplaneBuckets]] Catalyst expression —
+    * identical arithmetic to [[hyperplaneBuckets]] and the SQL
+    * mirror, but codegen'd tight loops instead of interpreted HOF
+    * folds (the fold formulation cost ~dims×planes megamorphic
+    * lambda dispatches per row and dominated the ANN build; the
+    * expression's static method is JIT-friendly and sits inside
+    * whole-stage codegen). */
   def hyperplaneBucketsAll(vec: Column, planes: Int, tables: Int): Column = {
-    val total = tables * planes
-    val sv = scaledVec(vec)
-    val indexed = zip_with(sv, sequence(lit(0), size(sv) - 1),
-      (x, d) => struct(x.as("x"), d.as("d")))
-    val planeIdx = array((0 until total).map(p => lit(p.toLong)): _*)
-    val powers = array((0 until planes).map(j => lit(1L << j)): _*)
-    aggregate(indexed, array_repeat(lit(0L), total),
-      (acc, e) => zip_with(acc, planeIdx,
-        (a, p) => a + e.getField("x") * planeWeight(p, e.getField("d"))),
-      projs => transform(sequence(lit(0), lit(tables - 1)), t =>
-        aggregate(
-          zip_with(slice(projs, t * lit(planes) + 1, lit(planes)), powers,
-            (v, pw) => when(v > 0, pw).otherwise(lit(0L))),
-          lit(0L), (a, x) => a + x)))
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.HyperplaneBuckets(
+      Bridge.expression(scaledVec(vec)), planes, tables))
   }
 
   /** XOR masks for multi-probe: the exact bucket, every 1-bit flip,

@@ -61,4 +61,22 @@ object Validate {
         f"error rate $rate%.2f%% exceeds $thresholdPct%.1f%% — halting before cleanup")
     good(annotated)
   }
+
+  /** A12: value-check assertion — the reference's SQLValueCheckOperator
+    * (dags/DataWarehouse.py:810-819,843-863): a scalar query result
+    * must equal `expected` within `tolerance` (fractional, as in
+    * Airflow: |actual − expected| ≤ expected·tolerance) or the
+    * pipeline fails at that task. `df` must be a 1×1 frame. */
+  def valueCheck(df: DataFrame, expected: Double, tolerance: Double = 0.0,
+                 name: String = "value check"): Unit = {
+    val actual = df.head().get(0) match {
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: non-numeric check result $other")
+    }
+    val allowed = math.abs(expected) * tolerance
+    if (math.abs(actual - expected) > allowed)
+      throw new IllegalStateException(
+        s"$name failed: got $actual, expected $expected ± $allowed")
+  }
 }

@@ -72,16 +72,25 @@ object Warehouse {
   /** Staging batch → bronze: in-batch dedup keeps the latest record
     * per key (W2), then the reference's partial-column upsert (J3) —
     * update-listed columns refresh, unlisted columns keep bronze
-    * values, conflicts stamp record_type='updated'. */
+    * values, conflicts stamp record_type='updated' and refresh
+    * updated_at to the load time (F12: the reference's DEFAULT
+    * CURRENT_TIMESTAMP on insert + updated_at=CURRENT_TIMESTAMP on
+    * conflict; current_timestamp() is pinned per query, so one load
+    * stamps one instant). */
   def upsertBronze(spark: SparkSession, batch: DataFrame, layers: Layers): Unit = {
     val latest = batch.withColumn("_rn",
         row_number().over(Window.partitionBy(col("customer_id"))
           .orderBy(col("updated_at").desc_nulls_last)))
       .filter(col("_rn") === 1).drop("_rn")
+      .withColumn("created_at",
+        coalesce(col("created_at"), current_timestamp()))
+      .withColumn("updated_at",
+        coalesce(col("updated_at"), current_timestamp()))
     val existing = spark.read.schema(ChurnSchema.bronze).parquet(layers.bronze)
     val merged = Upsert.merge(existing, latest, Seq("customer_id"),
       ChurnSchema.bronzeUpdateCols,
-      Map("record_type" -> lit("updated")))
+      Map("record_type" -> lit("updated"),
+        "updated_at" -> current_timestamp()))
     Upsert.atomicOverwrite(merged, layers.bronze)
   }
 
@@ -211,6 +220,28 @@ object Warehouse {
     toAppend.write.mode("append").parquet(layers.fact)
   }
 
+  /** A12: the DAG's two hard value checks, at the DAG's positions —
+    * bronze sanity after the upsert, fact integrity after gold load
+    * (reference: dags/DataWarehouse.py:810-819,843-863; pass_value=0,
+    * tolerance=0 → any violation fails the run). */
+  def dqBronzeCheck(spark: SparkSession, layers: Layers): Unit =
+    Validate.valueCheck(
+      spark.read.schema(ChurnSchema.bronze).parquet(layers.bronze)
+        .filter(col("customer_id").isNull || col("churn_label").isNull)
+        .agg(count(lit(1))),
+      expected = 0, name = "dq_bronze_sanity_check")
+
+  def dqGoldCheck(spark: SparkSession, layers: Layers): Unit =
+    Validate.valueCheck(
+      spark.read.parquet(layers.fact)
+        .filter(col("customer_key").isNull ||
+          col("contract_key").isNull || col("service_key").isNull ||
+          col("monthly_charges_amount") < 0 || col("total_charges") < 0 ||
+          (col("churn_score").isNotNull &&
+            (col("churn_score") < 0 || col("churn_score") > 100)))
+        .agg(count(lit(1))),
+      expected = 0, name = "dq_gold_fact_check")
+
   /** One full nightly run (the DAG's task chain, in order). Returns
     * the quality summary. */
   def run(spark: SparkSession, landingDir: String, layers: Layers,
@@ -219,8 +250,10 @@ object Warehouse {
     val staging = loadStaging(spark, landingDir)
     val clean = validateStaging(spark, staging, layers)
     upsertBronze(spark, clean, layers)
+    dqBronzeCheck(spark, layers)
     refreshSilver(spark, layers)
     loadGold(spark, layers, runDate)
+    dqGoldCheck(spark, layers)
     Quality.runAll(spark, layers)
   }
 }

@@ -87,6 +87,9 @@ class PipelineSpec extends SparkSpec {
     // two service combos → dim_services has 2 rows, each key resolves
     assert(spark.read.parquet(layers.dim("services")).count() == 2)
     assert(fact.filter(col("service_key").isNull).count() == 0)
+    // F12: audit timestamps always present after the load
+    assert(bronze.filter(col("created_at").isNull ||
+      col("updated_at").isNull).count() == 0)
     // quality corpus: every check passes
     val failing = quality.filter(!col("pass"))
     assert(failing.isEmpty, failing.collect().mkString(", "))
