@@ -194,25 +194,17 @@ object Dedup {
     * floor, while true near-dups (shared shingles) stay within small
     * Hamming distance.
     *
-    * Cost shape: array higher-order functions are CodegenFallback in
-    * Spark (interpreted per row), so the constant factor is the number
-    * of interpreted folds. THREE passes regardless of bit width — one
-    * `transform` hashing each shingle once (md5 evaluated once per
-    * feature, never inside the inner lambda), one fold carrying a
-    * b-slot vote-accumulator array (inner `zip_with` of cheap bit
-    * tests), one packing pass — instead of b independent folds. */
+    * Cost shape: the feature hashing is one `transform` (md5 evaluated
+    * once per feature), and the vote-and-pack runs in the native
+    * [[graft.functions.SimHashBits]] expression — tight codegen'd
+    * loops instead of a features×bits interpreted fold (the same
+    * native-expression discipline as the hyperplane signatures). */
   def simhash(text: Column, bits: Int, k: Int = 3): Column = {
     require(bits <= 60, "md5-derived signature caps at 60 bits (15 hex chars)")
     val hs = transform(shingles(text, k), t =>
       conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    val powers = array((0 until bits).map(j => lit(1L << j)): _*)
-    val votes = aggregate(hs, array_repeat(lit(0L), bits),
-      (acc, h) => zip_with(acc, powers,
-        (a, pw) => a + when(h.bitwiseAND(pw) =!= lit(0L), lit(1L))
-          .otherwise(lit(-1L))))
-    aggregate(
-      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.SimHashBits(Bridge.expression(hs), bits))
   }
 
   /** DuckDB mirror of the per-feature 60-bit hash list. */
