@@ -124,5 +124,51 @@ object SimilarityQueries extends QueryPack {
       FROM n2 GROUP BY label ORDER BY label
     """))
 
-  def all: Seq[GQuery] = Seq(cosineTopK, annTopK, embeddingStats)
+  /** Embedding-cosine near-dup (the dedup-family variant of ANN): the
+    * corpus is augmented with deterministically-perturbed copies of
+    * every 5th vector (cosine ≈ 1 to their original; the natural
+    * corpus maxes out at cosine ≈ 0.48, measured), candidate pairs
+    * come from multi-table LSH bucket collisions ONLY — never
+    * all-pairs — and candidates are exact-verified at the 0.9
+    * threshold. Same discovery shape as MinHash near-dup, over the
+    * embedding modality.
+    *
+    * Oracle: the planted pattern (id, id+1000000). Honest because the
+    * threshold sits in a wide empty band: only injected pairs can
+    * cross 0.9, so any engine-side false positive/negative — a bucket
+    * miss, a verify bug — breaks the match. */
+  val embeddingNearDup = GQuery(
+    "q_embedding_neardup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val perturbed = emb.filter(col("vec_id") % 5 === 0).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === pmod(col("vec_id"), lit(64)),
+            x + lit(0.001f)).otherwise(x)).as("embedding"))
+      val all = emb.unionByName(perturbed)
+      val bucketed = all.select(col("vec_id"),
+        posexplode(Similarity.hyperplaneBucketsAll(col("embedding"),
+          Planes, NTables)).as(Seq("t", "bucket")))
+      val cands = graft.ops.Dedup
+        .bucketPairs(bucketed, Seq("t", "bucket"), struct(col("vec_id")))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      val va = all.select(col("vec_id").as("id_a"),
+        Similarity.scaledVec(col("embedding")).as("_va"))
+      val vb = all.select(col("vec_id").as("id_b"),
+        Similarity.scaledVec(col("embedding")).as("_vb"))
+      cands.join(va, "id_a").join(vb, "id_b")
+        .filter(Similarity.dotScaled(col("_va"), col("_vb"))
+          >= lit(900000000000L)) // cosine 0.9 × 10^12
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+      FROM embeddings WHERE vec_id % 5 = 0
+      ORDER BY id_a, id_b
+    """))
+
+  def all: Seq[GQuery] =
+    Seq(cosineTopK, annTopK, embeddingStats, embeddingNearDup)
 }
