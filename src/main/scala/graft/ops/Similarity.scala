@@ -231,4 +231,65 @@ object Similarity {
     probeMasks(planes, probeBits)
       .map(m => s"xor($bucketExpr, CAST($m AS BIGINT))")
       .mkString("[", ", ", "]")
+
+  /** ANN top-k via IVF (inverted-file index) — the second index family
+    * next to hyperplane LSH: a coarse codebook of `numCentroids`
+    * vectors partitions the corpus into cells (each row assigned to
+    * its nearest centroid by exact integer dot), queries probe their
+    * `nProbe` nearest cells, and only probed cells are exact-scored.
+    *
+    * Scale shape: the codebook is METADATA (C·dim longs — collected
+    * once to the driver and shipped inside the
+    * [[graft.functions.NearestCentroid]] expression, the same
+    * bounded-scalar discipline as the circuit breaker); cell
+    * assignment is then a pure per-row projection — corpus scanned
+    * once, no shuffle, no join. Scanned fraction ≈ nProbe/C. The
+    * codebook here is the C lowest-id corpus vectors (deterministic,
+    * SQL-mirrorable); a production index would k-means the codebook —
+    * a constant swap that changes recall, not the plan. */
+  def ivfTopK(queries: DataFrame, qId: String, qVec: String,
+              corpus: DataFrame, cId: String, cVec: String,
+              k: Int, numCentroids: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebook: Seq[Seq[Long]] = corpus
+      .select(col(cId).as("id"), scaledVec(col(cVec)).as("sv"))
+      .orderBy("id").limit(numCentroids)
+      .collect().toIndexedSeq.map(_.getSeq[Long](1).toIndexedSeq)
+    val centLit = typedLit(codebook)
+    def assign(v: Column): Column =
+      Bridge.column(graft.functions.NearestCentroid(
+        Bridge.expression(v), Bridge.expression(centLit)))
+
+    val c = corpus.select(col(cId).as("neighbour_id"),
+        scaledVec(col(cVec)).as("_cv"))
+      .withColumn("cent_idx", assign(col("_cv")))
+    val centDf = codebook.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("cent_idx", "_cent")
+    val probes = broadcast(
+      queries.select(col(qId).as("query_id"), scaledVec(col(qVec)).as("_qv"))
+        .crossJoin(broadcast(centDf))
+        .withColumn("_d", dotScaled(col("_qv"), col("_cent")))
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("_d").desc, col("cent_idx"))))
+        .filter(col("_rn") <= nProbe)
+        .select("query_id", "_qv", "cent_idx"))
+    // each corpus row lives in exactly one cell and each (query, cell)
+    // probes once → no duplicate candidates, straight to top-k
+    val scored = c.join(probes, "cent_idx")
+      .withColumn("sim_scaled", dotScaled(col("_qv"), col("_cv")))
+      .select("query_id", "neighbour_id", "sim_scaled")
+    topKPerQuery(scored, k)
+  }
+
+  /** DuckDB mirror of [[scaledVec]]. */
+  def scaledVecSql(vecExpr: String): String =
+    s"list_transform($vecExpr, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+
+  /** Exact dot of two PRE-SCALED BIGINT list expressions. */
+  def dotPreScaledSql(aExpr: String, bExpr: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($aExpr, $bExpr),
+        p -> p[1] * p[2])) AS BIGINT)"""
 }

@@ -169,6 +169,64 @@ object SimilarityQueries extends QueryPack {
       ORDER BY id_a, id_b
     """))
 
+  val NumCentroids = 16
+  val NProbe = 4
+
+  /** ANN via IVF cells (see [[Similarity.ivfTopK]]): corpus assigned
+    * to nearest-centroid cells once (per-row native expression, no
+    * shuffle), queries probe their 4 nearest of 16 cells → ~25% of
+    * the corpus scored per query. The whole pipeline is exact integer
+    * arithmetic, so the oracle mirrors it end to end: codebook
+    * selection, argmax assignment (same tie-break), probe ranking,
+    * scoring. */
+  val ivfTopK = GQuery(
+    "q_ann_ivf_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+          emb.filter(expr(QueryPred)), "vec_id", "embedding",
+          emb, "vec_id", "embedding", TopK, NumCentroids, NProbe)
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val sv = Similarity.scaledVecSql("embedding")
+      s"""
+      WITH cents AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_idx,
+               $sv AS cent
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $NumCentroids)),
+      corpus AS (SELECT vec_id AS neighbour_id, $sv AS cv FROM embeddings),
+      assign AS (
+        SELECT neighbour_id, cv, cent_idx FROM (
+          SELECT c.neighbour_id, c.cv, ct.cent_idx,
+                 ROW_NUMBER() OVER (PARTITION BY c.neighbour_id
+                   ORDER BY ${Similarity.dotPreScaledSql("c.cv", "ct.cent")} DESC,
+                            ct.cent_idx) AS rn
+          FROM corpus c CROSS JOIN cents ct)
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, $sv AS qv
+            FROM embeddings WHERE $QueryPred),
+      probes AS (
+        SELECT query_id, qv, cent_idx FROM (
+          SELECT q.query_id, q.qv, ct.cent_idx,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY ${Similarity.dotPreScaledSql("q.qv", "ct.cent")} DESC,
+                            ct.cent_idx) AS rn
+          FROM q CROSS JOIN cents ct)
+        WHERE rn <= $NProbe),
+      scored AS (
+        SELECT p.query_id, a.neighbour_id,
+               ${Similarity.dotPreScaledSql("p.qv", "a.cv")} AS sim_scaled
+        FROM probes p JOIN assign a USING (cent_idx)),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim_scaled DESC, neighbour_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbour_id, sim_scaled, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= $TopK
+      ORDER BY query_id, rank
+    """})
+
   def all: Seq[GQuery] =
-    Seq(cosineTopK, annTopK, embeddingStats, embeddingNearDup)
+    Seq(cosineTopK, annTopK, embeddingStats, embeddingNearDup, ivfTopK)
 }

@@ -38,6 +38,28 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5)
   }
 
+  test("IVF recall matches the scanned fraction on uniform embeddings") {
+    val emb = Tables.embeddings(spark, TinySf)
+    val queries = emb.filter(expr("vec_id % 100 = 3"))
+    val exact = neighbourSets(
+      Similarity.bruteTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", K))
+    val ivf = neighbourSets(
+      Similarity.ivfTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", K,
+        graft.queries.SimilarityQueries.NumCentroids,
+        graft.queries.SimilarityQueries.NProbe))
+    val recalls = exact.map { case (q, ex) =>
+      ivf.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean IVF recall@$K: $mean%.3f (uniform corpus: expect ≈ nProbe/C = 0.25)")
+    // uniform embeddings are the adversarial case: cells carry no
+    // signal, so recall ≈ scanned fraction; clustered real-world data
+    // concentrates neighbours in probed cells
+    assert(mean >= 0.15)
+  }
+
   test("scaled dot product is exact and symmetric") {
     val s = spark; import s.implicits._
     val df = Seq((Array(0.5f, -0.25f), Array(0.1f, 0.4f)))
