@@ -41,13 +41,14 @@ object Dedup {
 
   /** Distinct word k-gram shingles of a single-space-tokenized text.
     * Documents shorter than k words get their whole text as the one
-    * shingle (matches the degenerate-doc convention of the oracle). */
+    * shingle (matches the degenerate-doc convention of the oracle).
+    * Built by the native [[graft.functions.WordShingles]] expression —
+    * zero-copy byte slices in one codegen'd pass; semantics (and the
+    * DuckDB mirror) unchanged from the split/slice/concat_ws
+    * formulation it replaces. */
   def shingles(text: Column, k: Int): Column = {
-    val toks = TextOps.tokens(text)
-    array_distinct(
-      when(size(toks) < k, array(text)).otherwise(
-        transform(sequence(lit(1), size(toks) - (k - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(k))))))
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.WordShingles(Bridge.expression(text), k))
   }
 
   /** SQL mirror of [[shingles]] (DuckDB list slicing is inclusive). */
