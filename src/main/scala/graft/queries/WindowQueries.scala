@@ -87,6 +87,56 @@ object WindowQueries extends QueryPack {
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     """))
 
+  /** Batch sessionization (gap-and-island windows): per-user sessions
+    * split at >30-minute inactivity gaps — lag to detect gaps, a
+    * running sum to number islands, then one aggregate per session.
+    * Identical semantics to the STREAMING
+    * [[graft.streaming.Streams.sessionize]] (strictly-greater gap
+    * opens a session), so the oracle-checked batch form pins what the
+    * state-store form computes. Scale: both shuffles key on user_id —
+    * one exchange reused by lag, the running sum, and the groupBy.
+    * Gap compare uses exact integer micros on both engines. */
+  val sessionizeBatch = GQuery(
+    "q_sessionize_batch",
+    (s, d) => {
+      val GapMicros = 1800L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("_prev", lag(col("ts"), 1).over(w))
+        .withColumn("_new_sess",
+          when(col("_prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("_prev")) > GapMicros, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("_new_sess").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      f AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM g),
+      s AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM f)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+             CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, session_id
+      ORDER BY user_id, session_id
+    """))
+
   def all: Seq[GQuery] =
-    Seq(dupWindowMark, latestPerKey, surrogateKeys, topkOrders)
+    Seq(dupWindowMark, latestPerKey, surrogateKeys, topkOrders,
+      sessionizeBatch)
 }
