@@ -112,12 +112,20 @@ object Warehouse {
   }
 
   /** Incremental dim load (J8): values not yet in the dim get fresh
-    * surrogate keys above the current max. NULL-bearing combos join
-    * null-safely — the reference's `=` here silently re-inserts NULL
-    * rows every run (SURVEY §7.4 flags it as a bug); we keep the dim
-    * stable and document the divergence. */
+    * surrogate keys above the current max.
+    *
+    * The reference carries a key-equality ASYMMETRY (SURVEY §7.4): dim
+    * anti-join loads use plain `=` — NULL-bearing combos never match
+    * an existing row, so they re-insert with a fresh key EVERY run —
+    * while the fact join uses `IS NOT DISTINCT FROM`
+    * (create_load_data_gold.sql:75-86 vs :133-141). Engine-native mode
+    * (default) joins null-safely and keeps the dim stable;
+    * `faithful = true` replicates the reference's `=` byte-for-byte
+    * for compatibility runs (the duplicate-growth behavior is pinned
+    * in PipelineSpec). */
   def loadDim(spark: SparkSession, path: String, values: DataFrame,
-              keyCol: String, valueCols: Seq[String]): DataFrame = {
+              keyCol: String, valueCols: Seq[String],
+              faithful: Boolean = false): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem
       .get(spark.sparkContext.hadoopConfiguration)
     val existing =
@@ -131,7 +139,9 @@ object Warehouse {
             values.schema.fields.toIndexedSeq))
     val distinctNew = values.distinct()
       .join(existing,
-        valueCols.map(c => values(c) <=> existing(c)).reduce(_ && _),
+        valueCols.map(c =>
+          if (faithful) values(c) === existing(c)
+          else values(c) <=> existing(c)).reduce(_ && _),
         "left_anti")
     // dims are distinct-combo-sized: the single-partition window is
     // bounded by combo cardinality, never data size (same argument as

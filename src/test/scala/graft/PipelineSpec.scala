@@ -132,6 +132,28 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(layers.dim("services")).count() == 1)
   }
 
+  test("faithful dim-load mode replicates the reference's NULL re-insert bug") {
+    import spark.implicits._
+    val root = freshRoot("faithful")
+    // a combo with a NULL column: native mode inserts once; faithful
+    // mode (reference `=` anti-join) re-inserts it every run
+    val vals = Seq(("DSL", null: String), ("Fiber", "Yes"))
+      .toDF("internet", "tv")
+    val native = s"$root/native"; val faith = s"$root/faithful"
+    Warehouse.loadDim(spark, native, vals, "k", Seq("internet", "tv"))
+    Warehouse.loadDim(spark, native, vals, "k", Seq("internet", "tv"))
+    assert(spark.read.parquet(native).count() == 2,
+      "null-safe mode keeps the dim stable across runs")
+    Warehouse.loadDim(spark, faith, vals, "k", Seq("internet", "tv"),
+      faithful = true)
+    Warehouse.loadDim(spark, faith, vals, "k", Seq("internet", "tv"),
+      faithful = true)
+    assert(spark.read.parquet(faith)
+      .filter(col("tv").isNull).count() == 2,
+      "faithful mode re-inserts the NULL-bearing combo per run (reference bug)")
+    assert(spark.read.parquet(faith).count() == 3)
+  }
+
   test("breaker halts BEFORE any write when bad rate exceeds 10%") {
     val root = freshRoot("halt"); val layers = Warehouse.Layers(root)
     val landing = s"$root/landing"
