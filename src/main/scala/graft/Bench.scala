@@ -10,7 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.benchQueries.map { case (name, fn) =>
+    // sorted order: hash-map iteration order shifts when queries are
+    // added, which moves JVM warmup/GC noise between queries and makes
+    // round-over-round per-query comparison unnecessarily noisy
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Materialize through the noop sink: every projection/expression
       // is computed and serialized (a bare count() lets Catalyst prune
@@ -25,7 +28,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -82,6 +82,58 @@ object TextQueries extends QueryPack {
   // q_binary_meta moved to BinaryQueries: it now reads a REAL
   // binaryFile source and parses actual container-header bytes.
 
+  /** Term-weighting over the corpus (tf·idf family): top-3 terms per
+    * document by tf × (N/df). The idf is the exact rational N/df
+    * rather than log(N/df): transcendental log is not bit-identical
+    * across engines' libm, which would break the exact-integer oracle
+    * discipline — the linear-icf variant keeps the whole pipeline in
+    * BIGINT arithmetic (score_milli = tf·N·1000 div df). Plan shape is
+    * the scalable one: explode → (doc,term) count → per-term df join
+    * (term-keyed, broadcast-back) → bounded per-doc top-k window. */
+  val tfidfTopTerms = GQuery(
+    "q_tfidf_top_terms",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("_n"))
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score_milli",
+          expr("tf * _n * 1000 DIV df"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("score_milli").desc, col("term"))))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score_milli"), col("rank").cast("int").as("rank"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tfc AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+      dfc AS (
+        SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+      scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               t.tf * (SELECT COUNT(*) FROM documents) * 1000 // d.df
+                 AS score_milli
+        FROM tfc t JOIN dfc d USING (term)),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score_milli DESC, term) AS rank
+        FROM scored)
+      SELECT doc_id, term, tf, df, score_milli, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY doc_id, rank
+    """))
+
   def all: Seq[GQuery] =
-    Seq(tokenStats, qualityScore, langId, fingerprint)
+    Seq(tokenStats, qualityScore, langId, fingerprint, tfidfTopTerms)
 }
