@@ -22,7 +22,7 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   *    partial step prunes to k rows per (query, partition) *before*
   *    the only shuffle, so the exchange carries O(queries·k·partitions),
   *    never the full pairwise score matrix. This is the exact baseline.
-  *  - [[hyperplaneBuckets]] + [[annTopK]]: random-hyperplane LSH — a
+  *  - [[hyperplaneBucketsAll]] + [[annTopK]]: random-hyperplane LSH — a
   *    per-row signature over deterministic pseudo-random planes;
   *    candidates = bucket collisions (shuffle key: bucket), exact
   *    re-scoring only on candidates. The 100 TB path: corpus bucketing
@@ -104,51 +104,14 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dim d): an integer mix mapped to [-1000, 1000]. Same constants
-    * are reproducible anywhere — no RNG state. Plane index is a Column
-    * so the signature builds in a single fold (below); multi-table LSH
-    * decorrelates tables by offsetting the plane index. */
-  private def planeWeight(p: Column, d: Column): Column = {
-    val mixed = (d.cast("long") * lit(2654435761L) +
-      (p * lit(40503L) + lit(104729L))) % lit(1000003L)
-    (mixed % lit(2001L)) - lit(1000L)
-  }
-
-  /** LSH signature: one bit per hyperplane = sign of Σ_d v[d]·w(p,d),
-    * packed into a BIGINT bucket key; plane indices [offset,
-    * offset+planes) so independent tables draw disjoint plane sets.
-    *
-    * Cost shape: array higher-order functions are CodegenFallback
-    * (interpreted per row), so the constant factor is the number of
-    * interpreted folds. ONE fold walks the vector once carrying a
-    * `planes`-slot projection-accumulator array (inner `zip_with`
-    * against the constant plane-index array), then one packing pass —
-    * the same single-fold discipline as [[Dedup.simhash]], instead of
-    * `planes` independent folds that each re-walk the vector
-    * (measured ~10× on the simhash analogue). */
-  def hyperplaneBuckets(vec: Column, planes: Int, offset: Int = 0): Column = {
-    val sv = scaledVec(vec)
-    val indexed = zip_with(sv, sequence(lit(0), size(sv) - 1),
-      (x, d) => struct(x.as("x"), d.as("d")))
-    val planeIdx = array((0 until planes).map(p => lit((offset + p).toLong)): _*)
-    val projs = aggregate(indexed, array_repeat(lit(0L), planes),
-      (acc, e) => zip_with(acc, planeIdx,
-        (a, p) => a + e.getField("x") * planeWeight(p, e.getField("d"))))
-    val powers = array((0 until planes).map(p => lit(1L << p)): _*)
-    aggregate(
-      zip_with(projs, powers, (v, pw) => when(v > 0, pw).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-  }
-
   /** ALL `tables` bucket signatures in one pass via the native
     * [[graft.functions.HyperplaneBuckets]] Catalyst expression —
-    * identical arithmetic to [[hyperplaneBuckets]] and the SQL
-    * mirror, but codegen'd tight loops instead of interpreted HOF
-    * folds (the fold formulation cost ~dims×planes megamorphic
-    * lambda dispatches per row and dominated the ANN build; the
-    * expression's static method is JIT-friendly and sits inside
-    * whole-stage codegen). */
+    * identical arithmetic to the SQL mirror
+    * ([[hyperplaneBucketsSql]]), but codegen'd tight loops instead of
+    * interpreted HOF folds (the fold formulation cost ~dims×planes
+    * megamorphic lambda dispatches per row and dominated the ANN
+    * build; the expression's static method is JIT-friendly and sits
+    * inside whole-stage codegen). */
   def hyperplaneBucketsAll(vec: Column, planes: Int, tables: Int): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(graft.functions.HyperplaneBuckets(
@@ -215,8 +178,9 @@ object Similarity {
   private def planeWeightSql(p: Int, dExpr: String): String =
     s"((($dExpr * 2654435761 + ${p.toLong * 40503L + 104729L}) % 1000003) % 2001 - 1000)"
 
-  /** DuckDB mirror of [[hyperplaneBuckets]]. DuckDB list lambdas carry
-    * a 1-based index, Spark's sequence is 0-based — hence `i - 1`. */
+  /** DuckDB mirror of [[graft.functions.HyperplaneBuckets]] for one
+    * table's plane range. DuckDB list lambdas carry a 1-based index,
+    * Spark's sequence is 0-based — hence `i - 1`. */
   def hyperplaneBucketsSql(vecExpr: String, planes: Int, offset: Int = 0): String = {
     val sv = s"list_transform($vecExpr, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
     (0 until planes).map { p =>
