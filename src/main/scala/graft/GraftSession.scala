@@ -33,6 +33,9 @@ object GraftSession {
   /** Apply graft semantics to an existing builder (Verify/Bench own
     * their master/memory settings; semantics must never diverge). */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    // SQL names for the native graft expressions (word_shingles,
+    // simhash_bits, hyperplane_buckets, nearest_centroid)
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")

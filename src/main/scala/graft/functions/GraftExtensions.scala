@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the native graft expressions — registered through
+  * the standard `SparkSessionExtensions` hook (config
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, wired by
+  * GraftSession), so `spark.sql(...)` users call the same codegen'd
+  * operators the DataFrame API uses:
+  *
+  * {{{
+  *   SELECT word_shingles(text, 3)            FROM docs
+  *   SELECT simhash_bits(hashes, 60)          FROM hashed
+  *   SELECT hyperplane_buckets(vec, 8, 4)     FROM scaled
+  *   SELECT nearest_centroid(vec, codebook)   FROM scaled
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, clazz: Class[_]) =
+    new ExpressionInfo(clazz.getCanonicalName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", classOf[WordShingles]),
+      (args: Seq[Expression]) =>
+        WordShingles(args.head, intLit(args(1), "shingle size k"))))
+    ext.injectFunction((FunctionIdentifier("simhash_bits"),
+      info("simhash_bits", classOf[SimHashBits]),
+      (args: Seq[Expression]) =>
+        SimHashBits(args.head, intLit(args(1), "bits"))))
+    ext.injectFunction((FunctionIdentifier("hyperplane_buckets"),
+      info("hyperplane_buckets", classOf[HyperplaneBuckets]),
+      (args: Seq[Expression]) =>
+        HyperplaneBuckets(args.head,
+          intLit(args(1), "planes"), intLit(args(2), "tables"))))
+    ext.injectFunction((FunctionIdentifier("nearest_centroid"),
+      info("nearest_centroid", classOf[NearestCentroid]),
+      (args: Seq[Expression]) =>
+        NearestCentroid(args.head, args(1))))
+  }
+}

@@ -108,6 +108,25 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  // ---- SQL registration (SparkSessionExtensions) -----------------------
+
+  test("the native expressions are callable from SQL") {
+    val sh = spark.sql("SELECT word_shingles('a b c d', 3) AS sh")
+      .head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val sim = spark.sql("SELECT simhash_bits(array(1L, 3L, 3L), 2) AS s")
+      .head().getLong(0)
+    assert(sim == 3L) // bit0 votes +3, bit1 votes +1 → both set
+    val hb = spark.sql(
+      "SELECT hyperplane_buckets(array(1000000L, -500000L), 8, 4) AS b")
+      .head().getSeq[Long](0)
+    assert(hb == refBuckets(Seq(1000000L, -500000L), 8, 4))
+    val nc = spark.sql(
+      "SELECT nearest_centroid(array(5L, 1L), array(array(1L, 0L), array(0L, 1L))) AS c")
+      .head().getInt(0)
+    assert(nc == 0)
+  }
+
   // ---- NearestCentroid -------------------------------------------------
 
   test("nearest centroid: argmax with lowest-index tie-break") {
