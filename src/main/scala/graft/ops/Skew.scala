@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys — the manual lever next to AQE's
+  * runtime skew-join splitting (GraftSession keeps AQE on; salting is
+  * for the planned-ahead case where one key's row count dwarfs the
+  * rest and even a split shuffle partition is one task's worth of one
+  * key).
+  *
+  * Shape: the BIG side gets a deterministic salt in [0, factor) per
+  * row — xxhash64 of the whole row's representative column, NOT a
+  * random() (reruns must partition identically) — widening the hot
+  * key across `factor` shuffle partitions. The SMALL side is
+  * replicated once per salt value (explode of a literal range: cheap,
+  * its size × factor stays broadcast-range). Join on (key, salt)
+  * then drop the salt: result ≡ the unsalted join, proven in
+  * SkewSpec.
+  */
+object Skew {
+
+  /** Deterministic per-row salt derived from `entropy` (any column
+    * with per-row variation — an id, a line number). */
+  def salt(entropy: Column, factor: Int): Column =
+    pmod(xxhash64(entropy), lit(factor)).cast("int")
+
+  /** Salted equi-join on `key`: `big` spread across `factor` salts,
+    * `small` replicated `factor` times. Non-key columns pass through;
+    * use for inner/left joins from the big side. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 entropy: Column, factor: Int,
+                 joinType: String = "inner"): DataFrame = {
+    val b = big.withColumn("_salt", salt(entropy, factor))
+    val s = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    b.join(s, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+}

@@ -51,6 +51,16 @@ object Streams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same `idCols`
+    * within the watermark horizon (the at-least-once file/queue
+    * delivery case). State is bounded by the horizon — the reason to
+    * prefer dropDuplicatesWithinWatermark over plain dropDuplicates,
+    * whose state grows with the stream. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String,
+                           idCols: Seq[String]): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

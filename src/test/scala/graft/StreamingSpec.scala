@@ -62,6 +62,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("streaming dedup drops re-deliveries across micro-batches") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dd").toString
+    val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val header = "event_id,ts,user_id,event_type,value"
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(eventsSchema)
+        .option("header", "true").csv(src)
+      val q = Streams.dedupWithinWatermark(stream, "1 hour", Seq("event_id"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeCsv(src, "b1.csv", Seq(header,
+      "1,2026-04-01 10:00:00,7,click,1.0",
+      "1,2026-04-01 10:00:00,7,click,1.0", // in-batch duplicate
+      "2,2026-04-01 10:05:00,7,click,2.0"))
+    drain()
+    // re-delivery of event 1 in a later micro-batch, plus a new event
+    writeCsv(src, "b2.csv", Seq(header,
+      "1,2026-04-01 10:00:00,7,click,1.0",
+      "3,2026-04-01 10:10:00,8,signup,3.0"))
+    drain()
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"each event exactly once across batches, got $ids")
+  }
+
   test("sessionization state survives micro-batches; gap closes sessions") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_sess").toString
