@@ -145,6 +145,31 @@ object FuncQueries extends QueryPack {
       FROM orders ORDER BY o_orderkey
     """))
 
+  /** Semi-structured extraction: the events `props` column carries a
+    * JSON payload; `from_json` with a declared schema is the idiomatic
+    * (and codegen'd) path — typed NULL on malformed input, schema
+    * errors surface at plan time, unlike per-field regex scraping. A
+    * schema-conformance flag rides along (the training-pipeline shape:
+    * parse, validate, quarantine on NULL). */
+  val jsonProps = GQuery(
+    "q_json_props",
+    (s, d) => Tables.events(s, d).select(
+        col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_value"))
+      .withColumn("parsed_ok",
+        col("k_value").isNotNull.cast("int"))
+      .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+             CAST(CAST(json_extract_string(props, '$.k') AS INTEGER)
+                  IS NOT NULL AS INTEGER) AS parsed_ok
+      FROM events ORDER BY event_id
+    """))
+
   def all: Seq[GQuery] =
-    Seq(stringFuncs, safeCastDirty, caseMapping, dateFuncs, tenureMonths)
+    Seq(stringFuncs, safeCastDirty, caseMapping, dateFuncs, tenureMonths,
+      jsonProps)
 }
