@@ -33,7 +33,9 @@ object CsvIngest {
     * processes files in sorted order). */
   def listCsv(spark: SparkSession, dir: String): Seq[Path] = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new Path(dir)).toIndexedSeq.map(_.getPath)
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty // a missing landing dir = nothing new
+    else fs.listStatus(p).toIndexedSeq.map(_.getPath)
       .filter(_.getName.endsWith(".csv")).sortBy(_.getName)
   }
 
@@ -48,12 +50,21 @@ object CsvIngest {
                 renames: Map[String, String] = Normalize.renameMap): DataFrame = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val groups = listCsv(spark, dir).groupBy(p => headerLine(fs, p))
-    groups.values.toSeq.sortBy(_.head.getName).map { paths =>
+    val frames = groups.values.toSeq.sortBy(_.head.getName).map { paths =>
       val raw = spark.read.option("header", "true")
         .csv(paths.map(_.toString): _*)
       Normalize.conformTo(Normalize.headers(raw, renames), target)
         .withColumn("src_file",
           element_at(split(input_file_name(), "/"), -1))
-    }.reduce(_ unionByName _)
+    }
+    // an empty landing zone is a normal skip, not an error (the
+    // reference's sensor simply finds nothing)
+    if (frames.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(target.fields.toIndexedSeq :+
+          org.apache.spark.sql.types.StructField("src_file",
+            org.apache.spark.sql.types.StringType)))
+    else frames.reduce(_ unionByName _)
   }
 }

@@ -49,6 +49,18 @@ class NormalizeSpec extends SparkSpec {
     assert(!out.columns.contains("created_at"))
   }
 
+  test("empty or missing landing dir ingests zero rows, correct schema") {
+    val empty = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    val out = graft.ops.CsvIngest.ingestDir(spark, empty,
+      graft.queries.CsvQueries.target)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq ==
+      graft.queries.CsvQueries.target.fieldNames.toSeq :+ "src_file")
+    val missing = graft.ops.CsvIngest.ingestDir(spark,
+      s"$empty/does_not_exist", graft.queries.CsvQueries.target)
+    assert(missing.count() == 0)
+  }
+
   test("canonName: strip + lower + underscore") {
     assert(Normalize.canonName("  Churn Reason ") === "churn_reason")
     assert(Normalize.canonName("customerID") === "customerid")
