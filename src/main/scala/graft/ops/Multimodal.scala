@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (binary) columns — opaque bytes + typed metadata.
@@ -65,4 +65,49 @@ object Multimodal {
         pngHeight(content).as("height"),
         (beUint32(content, 25) % 256).as("mean_luma_stub")))
       .otherwise(lit(null))
+
+  final case class DecodedMeta(file_name: String, width: Long,
+                               height: Long, mean_luma: Double)
+
+  /** STUB decoder body — the ONE function a real imaging library
+    * replaces. Contract: receives at most `batchSize` images (decoders
+    * amortize setup per batch, the vectorized-UDF shape), returns one
+    * Option per input in order (None = undecodable → row dropped, the
+    * quarantine-at-decode convention). The stand-in parses the PNG
+    * header and derives a deterministic fake luminance. */
+  def decodeBatch(contents: Seq[Array[Byte]], batchSize: Int): Seq[Option[(Long, Long, Double)]] = {
+    require(contents.size <= batchSize,
+      s"decoder contract: at most $batchSize images per call")
+    contents.map { b =>
+      val magicOk = b.length >= 26 &&
+        b.take(8).map(x => f"${x & 0xff}%02X").mkString == PngMagicHex
+      if (!magicOk) None
+      else {
+        def be(off: Int) = // 1-based offset like the Column variant
+          ((b(off - 1) & 0xffL) << 24) | ((b(off) & 0xffL) << 16) |
+            ((b(off + 1) & 0xffL) << 8) | (b(off + 2) & 0xffL)
+        Some((be(17), be(21), (be(25) % 256).toDouble))
+      }
+    }
+  }
+
+  /** Per-partition batch decode — the Spark-side plumbing of a
+    * vectorized decoder, with the codec stubbed: rows stream through
+    * `mapPartitions` in bounded batches (executor-local, no shuffle;
+    * memory bounded by batchSize·imageSize per task), undecodable
+    * files drop out, and the output is a typed Dataset. Swapping in a
+    * real decoder touches ONLY [[decodeBatch]]. */
+  def decodeDataset(images: DataFrame,
+                    batchSize: Int = 64): Dataset[DecodedMeta] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap { batch =>
+        batch.zip(decodeBatch(batch.map(_._2), batchSize)).collect {
+          case ((name, _), Some((w, h, luma))) =>
+            DecodedMeta(name, w, h, luma)
+        }
+      })
+  }
 }
