@@ -47,9 +47,15 @@ object CsvIngest {
     * lineage column carries the basename (the reference tracks
     * file_name through its ledger). */
   def ingestDir(spark: SparkSession, dir: String, target: StructType,
-                renames: Map[String, String] = Normalize.renameMap): DataFrame = {
+                renames: Map[String, String] = Normalize.renameMap): DataFrame =
+    ingestFiles(spark, listCsv(spark, dir), target, renames)
+
+  /** Same, over an explicit file list (the ledger-driven path: only
+    * new/changed files get ingested — see pipeline/Warehouse). */
+  def ingestFiles(spark: SparkSession, files: Seq[Path], target: StructType,
+                  renames: Map[String, String] = Normalize.renameMap): DataFrame = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val groups = listCsv(spark, dir).groupBy(p => headerLine(fs, p))
+    val groups = files.groupBy(p => headerLine(fs, p))
     val frames = groups.values.toSeq.sortBy(_.head.getName).map { paths =>
       val raw = spark.read.option("header", "true")
         .csv(paths.map(_.toString): _*)

@@ -28,6 +28,7 @@ object Warehouse {
     val bronze = s"$root/bronze"
     val silver = s"$root/silver"
     val quarantine = s"$root/quarantine"
+    val ledger = s"$root/pipeline_file_metadata"
     def dim(name: String) = s"$root/gold/dim_$name"
     val fact = s"$root/gold/fact_customer_churn"
   }
@@ -265,5 +266,65 @@ object Warehouse {
     loadGold(spark, layers, runDate)
     dqGoldCheck(spark, layers)
     Quality.runAll(spark, layers)
+  }
+
+  /** The reference DAG's FULL file protocol around [[run]]
+    * (dags/DataWarehouse.py:67-147,711-752): scan the landing zone,
+    * consult the MD5 ledger, process ONLY new/changed files, skip the
+    * whole run when nothing is new (ST4 — no layer is touched),
+    * archive processed files with a run stamp, and upsert the ledger
+    * — all ordered so a crash re-processes rather than loses files
+    * (ledger/archive strictly AFTER the layers commit; re-running a
+    * crashed batch re-ingests the same files idempotently via the
+    * bronze upsert + fact anti-join).
+    *
+    * Returns (decisions, Some(quality)) — or None when skipped. */
+  def runWithLedger(spark: SparkSession, landingDir: String, layers: Layers,
+                    runDate: String): (DataFrame, Option[DataFrame]) = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val scanned = Ledger.scan(spark, landingDir, "*.csv")
+    val prior =
+      if (fs.exists(new org.apache.hadoop.fs.Path(layers.ledger)))
+        spark.read.parquet(layers.ledger)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "file_name STRING, size_bytes LONG, checksum STRING"))
+    // materialize decisions NOW: the plan reads the landing files,
+    // which this run archives away — a lazy consumer after the run
+    // would re-scan moved files. The decision set is metadata-sized
+    // (one row per file), same bounded-driver-data discipline as the
+    // ledger itself.
+    val decisions = {
+      val lazyDecisions = Ledger.decide(scanned, prior)
+      spark.createDataFrame(
+        new java.util.ArrayList(
+          java.util.Arrays.asList(lazyDecisions.collect(): _*)),
+        lazyDecisions.schema)
+    }
+    val toProcess = Ledger.toProcess(decisions)
+      .select("file_name").collect().map(_.getString(0)).sorted.toIndexedSeq
+    if (toProcess.isEmpty) return (decisions, None) // ST4: skip, touch nothing
+
+    ddlBootstrap(spark, layers)
+    val files = toProcess.map(n =>
+      new org.apache.hadoop.fs.Path(landingDir, n))
+    val staging = CsvIngest
+      .ingestFiles(spark, files, ChurnSchema.staging).drop("src_file")
+    val clean = validateStaging(spark, staging, layers)
+    upsertBronze(spark, clean, layers)
+    dqBronzeCheck(spark, layers)
+    refreshSilver(spark, layers)
+    loadGold(spark, layers, runDate)
+    dqGoldCheck(spark, layers)
+
+    // layers are committed: now the file protocol
+    val processedScan = scanned.filter(col("file_name").isin(toProcess: _*))
+    Upsert.atomicOverwrite(Ledger.update(prior, processedScan), layers.ledger)
+    val stamp = runDate.replace("-", "")
+    val archive = new org.apache.hadoop.fs.Path(landingDir, "archive")
+    files.foreach(f => Ledger.archiveFile(fs, f, archive, stamp))
+    (decisions, Some(Quality.runAll(spark, layers)))
   }
 }

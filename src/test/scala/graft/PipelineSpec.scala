@@ -132,6 +132,38 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(layers.dim("services")).count() == 1)
   }
 
+  test("ledger-driven run: skip-processed, skip-empty, archive, ledger upsert") {
+    val root = freshRoot("ledger"); val layers = Warehouse.Layers(root)
+    val landing = s"$root/landing"
+    writeCsv(landing, "day1.csv",
+      ClassicHeader +: (1 to 6).map(i => classicRow(s"L00$i")))
+    // run 1: processes day1.csv, archives it, records it in the ledger
+    val (d1, q1) = Warehouse.runWithLedger(spark, landing, layers, "2026-04-01")
+    assert(q1.isDefined)
+    assert(d1.filter(col("decision") === "new").count() == 1)
+    assert(spark.read.parquet(layers.bronze).count() == 6)
+    assert(spark.read.parquet(layers.ledger).count() == 1)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(landing, "day1.csv")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(landing,
+      "archive/day1_20260401.csv")))
+    // run 2: nothing new → ST4 skip, layers untouched
+    val (d2, q2) = Warehouse.runWithLedger(spark, landing, layers, "2026-04-02")
+    assert(q2.isEmpty, "empty batch must skip the whole run")
+    assert(d2.filter(col("decision") === "missing").count() == 1)
+    assert(spark.read.parquet(layers.bronze).count() == 6)
+    // run 3: one new file → only it is processed
+    writeCsv(landing, "day3.csv",
+      ClassicHeader +: Seq(classicRow("L900")))
+    val (d3, q3) = Warehouse.runWithLedger(spark, landing, layers, "2026-04-03")
+    assert(q3.isDefined)
+    assert(d3.filter(col("decision") === "new").count() == 1)
+    assert(spark.read.parquet(layers.bronze).count() == 7)
+    assert(spark.read.parquet(layers.ledger).count() == 2)
+    assert(spark.read.parquet(layers.fact).count() == 7)
+  }
+
   test("faithful dim-load mode replicates the reference's NULL re-insert bug") {
     import spark.implicits._
     val root = freshRoot("faithful")
