@@ -10,12 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: session/scheduler/parquet-reader init otherwise
-    // lands entirely on whichever query runs first (~4-6 s of charge
-    // unrelated to that query's plan)
-    try spark.read.parquet(s"$sfDir/region.parquet")
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // untimed warmup: session/scheduler/parquet-reader/shuffle init
+    // otherwise lands entirely on whichever query runs first (~4-6 s
+    // of charge unrelated to that query's plan); the tiny groupBy
+    // exercises the exchange + aggregate machinery too
+    try {
+      import org.apache.spark.sql.functions.count
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy("r_regionkey").agg(count("*"))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     // sorted order: hash-map iteration order shifts when queries are
     // added, which moves JVM warmup/GC noise between queries and makes
     // round-over-round per-query comparison unnecessarily noisy

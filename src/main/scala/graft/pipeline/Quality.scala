@@ -46,6 +46,8 @@ object Quality {
       "null_customer_id" -> col("customer_id").isNull,
       "null_churn_label" -> col("churn_label").isNull,
       "null_gender" -> col("gender").isNull,
+      "invalid_churn_label" -> (col("churn_label").isNotNull &&
+        !col("churn_label").isin("Yes", "No", "0", "1")),
       "negative_numeric" ->
         (col("tenure_in_months") < 0 || col("monthly_charges_amount") < 0)))
     // §4 silver — one pass
@@ -88,6 +90,10 @@ object Quality {
     val dimCustomerRows = dimCustomer.count()
     val dimCustomerDups = dupKeys(dimCustomer, "customer_id")
     val factDups = dupKeys(fact, "customer_key")
+    // §5.1 row counts across every dimension (informational)
+    val dimRowCounts = Seq("contract", "payment_method", "churn_reason",
+      "services").map(n =>
+      n -> spark.read.parquet(layers.dim(n)).count())
 
     val checks = Seq(
       Check("bronze", "total_rows", b("__total"), b("__total") >= 0),
@@ -98,6 +104,8 @@ object Quality {
       Check("bronze", "null_gender", b("null_gender"), b("null_gender") == 0),
       Check("bronze", "negative_numeric", b("negative_numeric"),
         b("negative_numeric") == 0),
+      Check("bronze", "invalid_churn_label", b("invalid_churn_label"),
+        b("invalid_churn_label") == 0),
       Check("bronze", "duplicate_customer_id", bronzeDups, bronzeDups == 0),
       Check("silver", "total_rows", sv("__total"),
         sv("__total") <= b("__total")),
@@ -110,7 +118,9 @@ object Quality {
       Check("silver", "negative_numeric", sv("negative_numeric"),
         sv("negative_numeric") == 0),
       Check("silver", "duplicate_customer_id", silverDups, silverDups == 0),
-      Check("gold", "dim_customer_rows", dimCustomerRows, dimCustomerRows > 0),
+      Check("gold", "dim_customer_rows", dimCustomerRows, dimCustomerRows > 0)) ++
+      dimRowCounts.map { case (n, c) =>
+        Check("gold", s"dim_${n}_rows", c, c > 0) } ++ Seq(
       Check("gold", "dim_customer_dup_id", dimCustomerDups, dimCustomerDups == 0),
       Check("gold", "fact_rows", f("__total"), f("__total") > 0),
       Check("gold", "fact_null_customer_key", f("null_customer_key"),
