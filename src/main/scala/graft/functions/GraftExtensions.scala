@@ -26,26 +26,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  private def arity(name: String, n: Int)(args: Seq[Expression]): Seq[Expression] = {
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments, got ${args.length}")
+    args
+  }
+
   private def info(name: String, clazz: Class[_]) =
     new ExpressionInfo(clazz.getCanonicalName, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", classOf[WordShingles]),
-      (args: Seq[Expression]) =>
-        WordShingles(args.head, intLit(args(1), "shingle size k"))))
+      (in: Seq[Expression]) => { val args = arity("word_shingles", 2)(in)
+        WordShingles(args.head, intLit(args(1), "shingle size k")) }))
     ext.injectFunction((FunctionIdentifier("simhash_bits"),
       info("simhash_bits", classOf[SimHashBits]),
-      (args: Seq[Expression]) =>
-        SimHashBits(args.head, intLit(args(1), "bits"))))
+      (in: Seq[Expression]) => { val args = arity("simhash_bits", 2)(in)
+        SimHashBits(args.head, intLit(args(1), "bits")) }))
     ext.injectFunction((FunctionIdentifier("hyperplane_buckets"),
       info("hyperplane_buckets", classOf[HyperplaneBuckets]),
-      (args: Seq[Expression]) =>
+      (in: Seq[Expression]) => { val args = arity("hyperplane_buckets", 3)(in)
         HyperplaneBuckets(args.head,
-          intLit(args(1), "planes"), intLit(args(2), "tables"))))
+          intLit(args(1), "planes"), intLit(args(2), "tables")) }))
     ext.injectFunction((FunctionIdentifier("nearest_centroid"),
       info("nearest_centroid", classOf[NearestCentroid]),
-      (args: Seq[Expression]) =>
-        NearestCentroid(args.head, args(1))))
+      (in: Seq[Expression]) => { val args = arity("nearest_centroid", 2)(in)
+        NearestCentroid(args.head, args(1)) }))
   }
 }

@@ -79,7 +79,9 @@ object Multimodal {
     require(contents.size <= batchSize,
       s"decoder contract: at most $batchSize images per call")
     contents.map { b =>
-      val magicOk = b.length >= 26 &&
+      // be(25) reads bytes 24..27 — a truncated header must return
+      // None, not crash the task
+      val magicOk = b.length >= 28 &&
         b.take(8).map(x => f"${x & 0xff}%02X").mkString == PngMagicHex
       if (!magicOk) None
       else {

@@ -53,8 +53,10 @@ object ChurnModel {
       .select(col("service_key"), col("internet_service"),
         col("phone_service"), col("online_security"), col("streaming_tv"))
     fact
-      // cast-inside-key: the reference joins on customer_key::INTEGER
-      .join(dc, fact("customer_key").cast("int") === col("_ck").cast("int"))
+      // cast-inside-key: the reference joins on customer_key::INTEGER;
+      // graft surrogate keys are 64-bit hashes, so the widening cast
+      // keeps the expression-key join shape without truncation
+      .join(dc, fact("customer_key").cast("long") === col("_ck").cast("long"))
       .join(broadcast(dk), Seq("contract_key"), "left")
       .join(broadcast(dp), Seq("payment_key"), "left")
       .join(broadcast(ds), Seq("service_key"), "left")

@@ -43,6 +43,13 @@ object ChurnSchema {
   /** Bronze = staging + audit semantics (record_type required). */
   val bronze: StructType = staging
 
+  /** Raw edge schema: every column lands as STRING. The reprocessing
+    * path validates on raw values (the numeric-coercion rule must see
+    * the original 'twelve', not a typed NULL) BEFORE conforming to a
+    * typed layer schema. */
+  val stagingRaw: StructType =
+    StructType(staging.fields.map(f => StructField(f.name, StringType)))
+
   /** Silver: same columns, dirty numerics recovered to typed NULLs
     * (churn_score/cltv 'n/a' → NULL DOUBLE). */
   val silver: StructType = StructType(staging.fields.map {

@@ -37,11 +37,16 @@ object Reprocess {
 
   /** Apply one correction file to silver. Returns (accepted, rejected)
     * row counts; silver is atomically replaced with corrections
-    * upserted by key. */
+    * upserted by key.
+    *
+    * Validation runs on the RAW string schema — conforming first would
+    * turn 'twelve' into a typed NULL and the numeric-coercion rule
+    * could never fire (it must REJECT such rows, not silently null
+    * them into silver). */
   def run(spark: SparkSession, correctionsCsvDir: String,
           layers: Warehouse.Layers): (Long, Long) = {
     val raw = CsvIngest
-      .ingestDir(spark, correctionsCsvDir, ChurnSchema.staging)
+      .ingestDir(spark, correctionsCsvDir, ChurnSchema.stagingRaw)
       .drop("src_file")
     val annotated = Validate.annotate(raw, rules(col("tenure_in_months")))
       .persist()
@@ -51,7 +56,7 @@ object Reprocess {
       val nRejected = rejected.count()
       val nAccepted = accepted.count()
       if (nRejected > 0)
-        rejected.write.mode("append").parquet(layers.quarantine)
+        rejected.write.mode("append").parquet(layers.reprocessQuarantine)
       if (nAccepted > 0) {
         val silver = spark.read.schema(ChurnSchema.silver)
           .parquet(layers.silver)

@@ -28,6 +28,10 @@ object Warehouse {
     val bronze = s"$root/bronze"
     val silver = s"$root/silver"
     val quarantine = s"$root/quarantine"
+    /** Rejected correction rows (raw string schema — kept apart from
+      * the typed staging quarantine; the reference likewise writes a
+      * separate rejected_fixes report). */
+    val reprocessQuarantine = s"$root/quarantine_reprocess"
     val ledger = s"$root/pipeline_file_metadata"
     def dim(name: String) = s"$root/gold/dim_$name"
     val fact = s"$root/gold/fact_customer_churn"
@@ -158,6 +162,49 @@ object Warehouse {
     spark.read.parquet(path)
   }
 
+  /** Entity dim (dim_customer): one row per NATURAL key — the
+    * reference inserts only unseen customer_ids and never revisits
+    * attributes, so matching on the whole attribute combo (like the
+    * small combo dims do) would grow a second row for a customer whose
+    * city changes and double their fact rows downstream. Attributes
+    * are first-seen; within-batch duplicate keys resolve
+    * deterministically (ordered pick).
+    *
+    * Surrogate = xxhash64 of the natural key: a pure per-row
+    * projection. An entity dim's cardinality IS data-sized, so the
+    * combo dims' single-partition row_number would funnel the whole
+    * table through one task here (SURVEY §7.5: surrogate keys become
+    * hashes at scale); hash keys are also stable across runs without
+    * reading the existing dim. Collisions land in the dup-key quality
+    * check; 64-bit space is safe at warehouse entity counts. */
+  def loadEntityDim(spark: SparkSession, path: String, values: DataFrame,
+                    keyCol: String, naturalKey: String,
+                    valueCols: Seq[String]): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        spark.read.parquet(path)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField(keyCol,
+            org.apache.spark.sql.types.LongType) +:
+            values.schema.fields.toIndexedSeq))
+    val deduped = values.withColumn("_rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(naturalKey))
+          .orderBy(valueCols.map(c => col(c).asc_nulls_first): _*)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val fresh = deduped
+      .join(existing.select(col(naturalKey)), Seq(naturalKey), "left_anti")
+      .withColumn(keyCol, xxhash64(col(naturalKey)))
+      .select(col(keyCol) +: valueCols.map(col): _*)
+    val updated = existing.unionByName(fresh)
+    Upsert.atomicOverwrite(updated, path)
+    spark.read.parquet(path)
+  }
+
   /** Silver → gold star load (J6/J7/J8 + W3): five dims + the fact
     * with the reference's expression keys — REPLACE-normalized
     * contract, TRIM/UPPER churn_reason with 'n/a' default, and the
@@ -173,9 +220,9 @@ object Warehouse {
 
     val customerDimCols = Seq("customer_id", "gender", "senior_citizen",
       "partner", "dependents", "city", "state")
-    val dimCustomer = loadDim(spark, layers.dim("customer"),
+    val dimCustomer = loadEntityDim(spark, layers.dim("customer"),
       silver.select(customerDimCols.map(col): _*),
-      "customer_key", customerDimCols)
+      "customer_key", "customer_id", customerDimCols)
     val dimContract = loadDim(spark, layers.dim("contract"),
       silver.select(contractNorm.as("contract_type")),
       "contract_key", Seq("contract_type"))
@@ -283,6 +330,11 @@ object Warehouse {
                     runDate: String): (DataFrame, Option[DataFrame]) = {
     val fs = org.apache.hadoop.fs.FileSystem
       .get(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    // a missing landing dir is the nothing-new case, same as CsvIngest
+    if (!fs.exists(new org.apache.hadoop.fs.Path(landingDir)))
+      return (Seq.empty[(String, Option[Long], String, String)]
+        .toDF("file_name", "size_bytes", "checksum", "decision"), None)
     val scanned = Ledger.scan(spark, landingDir, "*.csv")
     val prior =
       if (fs.exists(new org.apache.hadoop.fs.Path(layers.ledger)))
@@ -319,12 +371,22 @@ object Warehouse {
     loadGold(spark, layers, runDate)
     dqGoldCheck(spark, layers)
 
-    // layers are committed: now the file protocol
-    val processedScan = scanned.filter(col("file_name").isin(toProcess: _*))
-    Upsert.atomicOverwrite(Ledger.update(prior, processedScan), layers.ledger)
+    // Layers are committed: now the file protocol. The ledger rows
+    // come from the MATERIALIZED decisions (the checksums that were
+    // actually decided on), never a re-scan — a landing file
+    // overwritten mid-run would otherwise get its NEW checksum
+    // recorded against the OLD ingested content and silently skip on
+    // the next run. Archive runs BEFORE the ledger commit: a crash
+    // between the two re-processes idempotently (bronze upsert + fact
+    // anti-join) rather than stranding files in the landing zone as
+    // forever-"unchanged".
     val stamp = runDate.replace("-", "")
     val archive = new org.apache.hadoop.fs.Path(landingDir, "archive")
     files.foreach(f => Ledger.archiveFile(fs, f, archive, stamp))
+    val processedRows = decisions
+      .filter(col("file_name").isin(toProcess: _*))
+      .select("file_name", "size_bytes", "checksum")
+    Upsert.atomicOverwrite(Ledger.update(prior, processedRows), layers.ledger)
     (decisions, Some(Quality.runAll(spark, layers)))
   }
 }

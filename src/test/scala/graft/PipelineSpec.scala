@@ -116,6 +116,17 @@ class PipelineSpec extends SparkSpec {
     assert(u1.getAs[String]("payment_method") == "Mailed check")
     assert(u1.getAs[String]("record_type") == "updated")
     assert(bronze.filter(col("customer_id") === "U002").count() == 1)
+    // run 3: a DIM attribute changes (city is in the update list) —
+    // the entity dim must keep ONE row per customer and the fact must
+    // not double-count (a combo-matched dim would grow a second key)
+    val landing3 = s"$root/landing3"
+    writeCsv(landing3, "classic.csv", ClassicHeader +:
+      Seq(classicRow("U001").replace("Los Angeles", "Oakland")))
+    Warehouse.run(spark, landing3, layers, "2026-04-03")
+    val dimC = spark.read.parquet(layers.dim("customer"))
+    assert(dimC.filter(col("customer_id") === "U001").count() == 1)
+    val fact = spark.read.parquet(layers.fact)
+    assert(fact.count() == 2, "one fact row per customer, ever")
   }
 
   test("fact load is idempotent across reruns") {
@@ -240,18 +251,22 @@ class PipelineSpec extends SparkSpec {
     writeCsv(landing, "classic.csv",
       ClassicHeader +: (1 to 5).map(i => classicRow(s"R00$i")))
     Warehouse.run(spark, landing, layers, "2026-04-01")
-    // corrections: R001 gets new tenure; one row has a bad contract
+    // corrections: R001 gets new tenure; one row has a bad contract;
+    // one has non-numeric tenure (must REJECT, not null-coerce)
     val fixes = s"$root/fixed_data"
     writeCsv(fixes, "corrections.csv", ClassicHeader +: Seq(
       classicRow("R001", tenure = "99"),
-      classicRow("R900").replace("Month-to-month", "Weekly")))
+      classicRow("R900").replace("Month-to-month", "Weekly"),
+      classicRow("R901", tenure = "twelve")))
     val (accepted, rejected) = Reprocess.run(spark, fixes, layers)
-    assert(accepted == 1 && rejected == 1)
+    assert(accepted == 1 && rejected == 2)
+    assert(spark.read.parquet(layers.reprocessQuarantine)
+      .filter(col("error_details") === "Tenure not numeric").count() == 1)
     val silver = spark.read.parquet(layers.silver)
     assert(silver.filter(col("customer_id") === "R001")
       .head().getAs[Double]("tenure_in_months") == 99.0)
     assert(silver.count() == 5, "replace-by-key must not grow silver")
-    assert(spark.read.parquet(layers.quarantine)
+    assert(spark.read.parquet(layers.reprocessQuarantine)
       .filter(col("error_details") === "Invalid Contract Type").count() == 1)
     // gold refresh picks up nothing new (same keys) and stays clean
     Warehouse.loadGold(spark, layers, "2026-04-02")
