@@ -225,6 +225,66 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over near-dup pairs — the step that turns
+    * pairwise discovery into actual deduplication: every document gets
+    * a cluster id (the minimum doc id reachable through near-dup
+    * edges), and the cluster minimum is the canonical survivor.
+    *
+    * Algorithm: min-label propagation. Labels start as each node's own
+    * id; each round every node takes the min of its label and its
+    * neighbours' labels; converged when no label changes. Rounds =
+    * one hash-shuffle join each, so total cost is O(diameter) shuffles
+    * — near-dup clusters are small and dense (diameter 1-3 in
+    * practice), NOT long chains, which is what makes label propagation
+    * the right shape at 100 TB (a global union-find would serialize on
+    * the driver). The convergence check is one tiny aggregate per
+    * round.
+    *
+    * @param nodes one row per document id (singletons become their own
+    *              cluster); @param pairs undirected near-dup edges. */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    var labels = nodes.select(col(idCol).as("node"),
+      col(idCol).as("cluster_id"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val viaNeighbours = edges
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("cluster_id", "_nl"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("_nl")).as("_min_nl"))
+      val next = labels.join(viaNeighbours, Seq("node"), "left")
+        .select(col("node"),
+          least(col("cluster_id"), coalesce(col("_min_nl"),
+            col("cluster_id"))).as("cluster_id"))
+      // one materialization per round: the convergence count and the
+      // next iteration both read it (avoids recomputing the join chain
+      // exponentially across rounds)
+      val persisted = next.persist()
+      val changed = persisted.join(labels.withColumnRenamed(
+          "cluster_id", "_old"), Seq("node"))
+        .filter(col("cluster_id") =!= col("_old")).count()
+      labels.unpersist()
+      labels = persisted
+      converged = changed == 0
+      it += 1
+    }
+    // hand back a frame with TRUNCATED lineage (eager localCheckpoint)
+    // and release the loop's cache: consumers neither replay the
+    // O(rounds) join chain nor pin loop blocks in the block manager
+    // (the r3 cache-leak lesson)
+    val result = labels.localCheckpoint()
+    labels.unpersist()
+    result.withColumn("is_survivor",
+      (col("node") === col("cluster_id")).cast("int"))
+      .select(col("node").as(idCol), col("cluster_id"), col("is_survivor"))
+  }
+
   /** SimHash candidate pairs via pigeonhole chunking: split the b-bit
     * signature into `chunks` equal chunks — any pair within Hamming
     * distance (chunks − 1) shares at least one exact chunk (guaranteed

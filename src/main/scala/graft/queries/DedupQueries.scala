@@ -161,6 +161,47 @@ object DedupQueries extends QueryPack {
       ORDER BY id_a, id_b
     """))
 
+  /** Near-dup CLUSTERS — discovery alone doesn't dedupe; pairs must
+    * become components so each cluster keeps one survivor. The engine
+    * runs min-label propagation over the LSH-discovered pairs
+    * ([[Dedup.connectedComponents]]: O(cluster-diameter) shuffle
+    * rounds, no driver union-find); the oracle computes the same
+    * components with a recursive CTE. Every doc gets a cluster id
+    * (singletons are their own cluster) and the cluster minimum is
+    * flagged as the canonical survivor. */
+  val neardupClusters = GQuery(
+    "q_neardup_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val exploded = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), K)).as("sh"))
+      val sigs = Dedup.minhashSignatures(exploded, "doc_id", "sh", NumHashes)
+      val banded = Dedup.bandRows(sigs, "doc_id", "sig", Bands, RowsPerBand)
+      val cands = Dedup
+        .bucketPairs(banded, Seq("band", "bucket"), struct(col("doc_id")))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val pairs = Dedup.verifyCandidatesByText(cands, docs, "doc_id", "text",
+        K, minMille = 850)
+      Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+          pairs, "id_a", "id_b")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM (${jaccardOracle(850)})),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
+      SELECT src AS doc_id, MIN(node) AS cluster_id,
+             CAST(src = MIN(node) AS INT) AS is_survivor
+      FROM reach GROUP BY src ORDER BY doc_id
+    """))
+
   def all: Seq[GQuery] =
-    Seq(exactDedup, ngramJaccard, minhashLsh, simhashPairs)
+    Seq(exactDedup, ngramJaccard, minhashLsh, simhashPairs, neardupClusters)
 }

@@ -72,4 +72,22 @@ class DedupSpec extends SparkSpec {
     assert(rowsAsSet(out.select("keep_id", "copies")) ===
       Set(Seq(1L, 2L), Seq(2L, 1L)))
   }
+
+  test("connected components: chains converge, singletons survive alone") {
+    val s = spark; import s.implicits._
+    val nodes = (1L to 9L).toDF("doc_id")
+    // a 5-node CHAIN (needs multiple propagation rounds), a 2-cycle,
+    // and two singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (7L, 8L), (8L, 7L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(nodes, "doc_id", pairs,
+      "id_a", "id_b")
+    val byDoc = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    (1L to 5L).foreach(i => assert(byDoc(i) == (1L, if (i == 1) 1 else 0)))
+    assert(byDoc(6L) == (6L, 1) && byDoc(9L) == (9L, 1))
+    assert(byDoc(7L) == (7L, 1) && byDoc(8L) == (7L, 0))
+    // exactly one survivor per cluster
+    assert(out.filter(col("is_survivor") === 1).count() == 4)
+  }
 }
