@@ -245,9 +245,14 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once: it is consumed EVERY round, and
+    // its lineage is typically the whole LSH discovery pipeline —
+    // re-evaluating that per round would multiply the dominant cost by
+    // the round count (eager localCheckpoint: no lingering cache)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = nodes.select(col(idCol).as("node"),
       col(idCol).as("cluster_id"))
     var converged = false
