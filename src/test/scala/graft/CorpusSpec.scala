@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Corpus
+
+/** The training-data corpus funnel end to end on real testdata with
+  * injected exact and near duplicates: every stage drops what it
+  * should and nothing else. */
+class CorpusSpec extends SparkSpec {
+
+  test("corpus funnel: exact dups, near-dup clusters, filters") {
+    val s = spark; import s.implicits._
+    val docs = Tables.documents(spark, TinySf).select("doc_id", "text")
+    val n = docs.count()
+    // inject exact copies of every 10th doc (high ids lose to originals)
+    val exactCopies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val nExact = exactCopies.count()
+    val corpus = docs.unionByName(exactCopies)
+
+    val result = Corpus.run(spark, corpus, langs = Seq("en", "de", "fr",
+      "es", "zh"), minQualityMilli = 0L)
+    val byStage = result.funnel.map(f => f.stage -> f).toMap
+
+    // exact stage: exactly the injected copies drop
+    assert(byStage("exact_dedup").docs_in == n + nExact)
+    assert(byStage("exact_dedup").docs_out == n)
+    // near-dup stage: the corpus's planted near-dup pairs collapse —
+    // strictly fewer docs, and re-running the stage is a fixpoint
+    val afterNear = byStage("neardup_dedup").docs_out
+    assert(afterNear < n)
+    // permissive filters: nothing else drops in this configuration
+    assert(byStage("quality_filter").docs_out == afterNear)
+    assert(byStage("lang_filter").docs_out == afterNear)
+    assert(result.cleaned.count() == afterNear)
+    // survivors keep the LOW id of each near-dup cluster
+    assert(result.cleaned.filter(col("doc_id") >= 5000000L).count() == 0)
+
+    // idempotency: cleaning the cleaned corpus drops nothing
+    val again = Corpus.run(spark, result.cleaned,
+      langs = Seq("en", "de", "fr", "es", "zh"), minQualityMilli = 0L)
+    again.funnel.foreach(f =>
+      assert(f.docs_in == f.docs_out, s"stage ${f.stage} not a fixpoint"))
+  }
+
+  test("quality and language thresholds actually filter") {
+    val docs = Tables.documents(spark, TinySf).select("doc_id", "text")
+    val strict = Corpus.run(spark, docs, minQualityMilli = 1200L,
+      langs = Seq("en"))
+    val funnel = strict.funnel.map(f => f.stage -> f).toMap
+    assert(funnel("quality_filter").docs_out <
+      funnel("quality_filter").docs_in)
+    assert(funnel("lang_filter").docs_out < funnel("lang_filter").docs_in)
+    assert(strict.cleaned.count() == funnel("lang_filter").docs_out)
+  }
+}
