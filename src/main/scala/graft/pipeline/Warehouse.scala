@@ -307,6 +307,11 @@ object Warehouse {
     ddlBootstrap(spark, layers)
     val staging = loadStaging(spark, landingDir)
     val clean = validateStaging(spark, staging, layers)
+    // ST4 for the plain path too: an empty clean batch (empty landing,
+    // or everything quarantined under the breaker) skips every
+    // downstream layer — running gold on a first-ever empty batch
+    // would otherwise create a schemaless empty fact
+    if (clean.isEmpty) return Quality.empty(spark)
     upsertBronze(spark, clean, layers)
     dqBronzeCheck(spark, layers)
     refreshSilver(spark, layers)

@@ -143,6 +143,19 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(layers.dim("services")).count() == 1)
   }
 
+  test("plain run on an empty landing dir skips cleanly") {
+    val root = freshRoot("empty"); val layers = Warehouse.Layers(root)
+    val landing = s"$root/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    val q = Warehouse.run(spark, landing, layers, "2026-04-01")
+    assert(q.count() == 0, "skipped run returns the empty quality frame")
+    // and a later real run over the same root works normally
+    writeCsv(landing, "late.csv",
+      ClassicHeader +: Seq(classicRow("E001")))
+    val q2 = Warehouse.run(spark, landing, layers, "2026-04-02")
+    assert(q2.filter(!col("pass")).isEmpty)
+  }
+
   test("ledger-driven run: skip-processed, skip-empty, archive, ledger upsert") {
     val root = freshRoot("ledger"); val layers = Warehouse.Layers(root)
     val landing = s"$root/landing"
