@@ -225,6 +225,26 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** The full MinHash-LSH near-dup pair discovery pipeline in one
+    * place (shingle explode → signatures → banding → bucket pairs →
+    * exact verify) — the single definition the oracle-gated queries
+    * and the production corpus funnel both call, so banding
+    * parameters and the maxBucket skew guard cannot drift between
+    * copies. Oracle-gated callers pass maxBucket=None (exact parity
+    * with the brute-force oracle); production callers cap. */
+  def lshNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, numHashes: Int, bands: Int, rowsPerBand: Int,
+                      minMille: Int, maxBucket: Option[Int]): DataFrame = {
+    val exploded = docs.select(col(idCol),
+      explode(shingles(col(textCol), k)).as("sh"))
+    val sigs = minhashSignatures(exploded, idCol, "sh", numHashes)
+    val banded = bandRows(sigs, idCol, "sig", bands, rowsPerBand)
+    val cands = bucketPairs(banded, Seq("band", "bucket"),
+        struct(col(idCol)), maxBucket)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    verifyCandidatesByText(cands, docs, idCol, textCol, k, minMille)
+  }
+
   /** Connected components over near-dup pairs — the step that turns
     * pairwise discovery into actual deduplication: every document gets
     * a cluster id (the minimum doc id reachable through near-dup
@@ -278,6 +298,17 @@ object Dedup {
       labels = persisted
       converged = changed == 0
       it += 1
+    }
+    // non-converged labels are WRONG data (one true cluster reported
+    // as several, each with its own "survivor") — fail loudly rather
+    // than silently under-dedupe; LSH clusters are small and dense, so
+    // hitting the cap means pathological input or a parameter bug
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds the cap (raise maxIter or " +
+          "inspect the pair graph for chains)")
     }
     // hand back a frame with TRUNCATED lineage (eager localCheckpoint)
     // and release the loop's cache: consumers neither replay the

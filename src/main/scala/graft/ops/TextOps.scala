@@ -70,10 +70,19 @@ object TextOps {
       "stop_milli" -> stopMilli,
       "uniq_milli" -> uniqMilli,
       "len_milli" -> lenMilli,
-      "quality_milli" -> quality,
+      QualityKey -> quality,
       "quality_class" -> when(quality >= 1200, "high")
         .when(quality >= 800, "medium").otherwise("low"))
   }
+
+  val QualityKey = "quality_milli"
+
+  /** The blended quality score alone — typed accessor for callers
+    * that threshold on it (the corpus funnel). */
+  def qualityMilli(text: Column): Column =
+    qualityCols(text).collectFirst { case (QualityKey, c) => c }
+      .getOrElse(throw new IllegalStateException(
+        s"qualityCols no longer emits $QualityKey"))
 
   /** Identical formula as DuckDB SQL, for the oracle. */
   def qualitySql(textExpr: String): String = {

@@ -11,8 +11,10 @@ import graft.ops.{Dedup, TextOps}
   *
   * Stages (each one a documented scale shape):
   *  1. exact dedup — md5 content-hash groupBy, min-id survivor;
-  *  2. near-dup dedup — MinHash-LSH pair discovery → connected
-  *     components → cluster-survivor filter (never all-pairs);
+  *  2. near-dup dedup — MinHash-LSH pair discovery (skew-capped:
+  *     this is the production path, so oversized buckets are dropped
+  *     per the [[Dedup.bucketPairs]] contract) → connected components
+  *     → cluster-survivor filter;
   *  3. quality filter — per-mille heuristic scores, codegen'd
   *     projection;
   *  4. language filter — profile argmax against an allow-list.
@@ -20,6 +22,12 @@ import graft.ops.{Dedup, TextOps}
   * Order matters and is the conventional one: exact first (cheapest,
   * biggest mass), then near-dup on the survivors (shrinks the LSH
   * input), then row-local filters.
+  *
+  * Each stage output is materialized once (eager localCheckpoint):
+  * the funnel counts, the next stage, and the returned frame all read
+  * the materialized result instead of replaying the upstream funnel
+  * per consumer; the out-count of one stage IS the in-count of the
+  * next (one counting job per stage, not two).
   */
 object Corpus {
 
@@ -31,32 +39,31 @@ object Corpus {
           shingleK: Int = 3, numHashes: Int = 64,
           bands: Int = 16, rowsPerBand: Int = 4,
           nearDupMille: Int = 850, minQualityMilli: Long = 800L,
-          langs: Seq[String] = Seq("en")): Result = {
+          langs: Seq[String] = Seq("en"),
+          maxBucket: Int = 10000): Result = {
     val funnel = Seq.newBuilder[Funnel]
-    def staged(name: String, in: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
-      val out = f(in)
-      funnel += Funnel(name, in.count(), out.count())
-      out
+    var current = docs.localCheckpoint()
+    var currentCount = current.count()
+    def staged(name: String)(f: DataFrame => DataFrame): Unit = {
+      val out = f(current).localCheckpoint()
+      val outCount = out.count()
+      funnel += Funnel(name, currentCount, outCount)
+      current = out
+      currentCount = outCount
     }
 
     // 1. exact dedup: survivors carry the min id per content hash
-    val exact = staged("exact_dedup", docs) { d =>
+    staged("exact_dedup") { d =>
       val keep = Dedup.exact(d, "text", "doc_id")
         .select(col("keep_id").as("doc_id"))
       d.join(keep, Seq("doc_id"), "left_semi")
     }
 
     // 2. near-dup dedup: LSH pairs → components → cluster survivors
-    val nearDup = staged("neardup_dedup", exact) { d =>
-      val exploded = d.select(col("doc_id"),
-        explode(Dedup.shingles(col("text"), shingleK)).as("sh"))
-      val sigs = Dedup.minhashSignatures(exploded, "doc_id", "sh", numHashes)
-      val banded = Dedup.bandRows(sigs, "doc_id", "sig", bands, rowsPerBand)
-      val cands = Dedup
-        .bucketPairs(banded, Seq("band", "bucket"), struct(col("doc_id")))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      val pairs = Dedup.verifyCandidatesByText(cands, d, "doc_id", "text",
-        shingleK, nearDupMille)
+    staged("neardup_dedup") { d =>
+      val pairs = Dedup.lshNearDupPairs(d, "doc_id", "text",
+        shingleK, numHashes, bands, rowsPerBand, nearDupMille,
+        maxBucket = Some(maxBucket))
       val survivors = Dedup
         .connectedComponents(d.select("doc_id"), "doc_id",
           pairs, "id_a", "id_b")
@@ -66,17 +73,13 @@ object Corpus {
     }
 
     // 3. quality filter (row-local projection)
-    val quality = staged("quality_filter", nearDup) { d =>
-      val q = TextOps.qualityCols(col("text"))
-        .find(_._1 == "quality_milli").get._2
-      d.filter(q >= minQualityMilli)
-    }
+    staged("quality_filter")(
+      _.filter(TextOps.qualityMilli(col("text")) >= minQualityMilli))
 
     // 4. language filter (row-local argmax vs allow-list)
-    val cleaned = staged("lang_filter", quality) { d =>
-      d.filter(TextOps.predictedLang(col("text")).isin(langs: _*))
-    }
+    staged("lang_filter")(
+      _.filter(TextOps.predictedLang(col("text")).isin(langs: _*)))
 
-    Result(cleaned, funnel.result())
+    Result(current, funnel.result())
   }
 }

@@ -19,11 +19,6 @@ object Quality {
   final case class Check(section: String, name: String, value: Long,
                          pass: Boolean)
 
-  /** Zero-row frame with the corpus schema (skipped-run result). */
-  def empty(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq.empty[Check].toDF()
-  }
 
   private def dupKeys(df: DataFrame, key: String): Long =
     df.filter(col(key).isNotNull).groupBy(col(key))

@@ -307,11 +307,17 @@ object Warehouse {
     ddlBootstrap(spark, layers)
     val staging = loadStaging(spark, landingDir)
     val clean = validateStaging(spark, staging, layers)
-    // ST4 for the plain path too: an empty clean batch (empty landing,
-    // or everything quarantined under the breaker) skips every
-    // downstream layer — running gold on a first-ever empty batch
-    // would otherwise create a schemaless empty fact
-    if (clean.isEmpty) return Quality.empty(spark)
+    // ST4 for the plain path too: an empty landing zone yields an
+    // empty clean batch (a >10%-bad batch THROWS at the gate and never
+    // reaches here) and skips every downstream layer — running gold on
+    // a first-ever empty batch would otherwise create a schemaless
+    // empty fact. The explicit marker row distinguishes a skipped run
+    // from a healthy one (both satisfy filter(!pass).isEmpty).
+    if (clean.isEmpty) {
+      import spark.implicits._
+      return Seq(Quality.Check("run", "skipped_empty_batch", 0L, true))
+        .toDF()
+    }
     upsertBronze(spark, clean, layers)
     dqBronzeCheck(spark, layers)
     refreshSilver(spark, layers)

@@ -103,19 +103,11 @@ object DedupQueries extends QueryPack {
     * The all-pairs matrix is never formed — the 100 TB discovery path. */
   val minhashLsh = GQuery(
     "q_minhash_lsh_pairs",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val exploded = docs.select(col("doc_id"),
-        explode(Dedup.shingles(col("text"), K)).as("sh"))
-      val sigs = Dedup.minhashSignatures(exploded, "doc_id", "sh", NumHashes)
-      val banded = Dedup.bandRows(sigs, "doc_id", "sig", Bands, RowsPerBand)
-      val cands = Dedup
-        .bucketPairs(banded, Seq("band", "bucket"), struct(col("doc_id")))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      Dedup.verifyCandidatesByText(cands, docs, "doc_id", "text", K,
-          minMille = 850)
-        .orderBy("id_a", "id_b")
-    },
+    (s, d) => Dedup
+      .lshNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        K, NumHashes, Bands, RowsPerBand, minMille = 850,
+        maxBucket = None) // oracle-gated: exact parity, no skew cap
+      .orderBy("id_a", "id_b"),
     Some(jaccardOracle(850)))
 
   /** SimHash near-dup: md5-derived 60-bit signature over word-3-gram
@@ -173,15 +165,9 @@ object DedupQueries extends QueryPack {
     "q_neardup_clusters",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val exploded = docs.select(col("doc_id"),
-        explode(Dedup.shingles(col("text"), K)).as("sh"))
-      val sigs = Dedup.minhashSignatures(exploded, "doc_id", "sh", NumHashes)
-      val banded = Dedup.bandRows(sigs, "doc_id", "sig", Bands, RowsPerBand)
-      val cands = Dedup
-        .bucketPairs(banded, Seq("band", "bucket"), struct(col("doc_id")))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      val pairs = Dedup.verifyCandidatesByText(cands, docs, "doc_id", "text",
-        K, minMille = 850)
+      val pairs = Dedup.lshNearDupPairs(docs, "doc_id", "text",
+        K, NumHashes, Bands, RowsPerBand, minMille = 850,
+        maxBucket = None) // oracle-gated: exact parity, no skew cap
       Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
           pairs, "id_a", "id_b")
         .orderBy("doc_id")

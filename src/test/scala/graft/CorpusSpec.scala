@@ -33,8 +33,23 @@ class CorpusSpec extends SparkSpec {
     assert(byStage("quality_filter").docs_out == afterNear)
     assert(byStage("lang_filter").docs_out == afterNear)
     assert(result.cleaned.count() == afterNear)
-    // survivors keep the LOW id of each near-dup cluster
-    assert(result.cleaned.filter(col("doc_id") >= 5000000L).count() == 0)
+    // survivor selection on the PLANTED near-dup pairs (ground truth
+    // via exact jaccard): every higher pair member is gone, every id
+    // that is never dominated (cluster minimum) is kept
+    val exploded = docs.select(col("doc_id"),
+      explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
+    val truePairs = graft.ops.Dedup
+      .jaccardPairs(exploded, "doc_id", "sh", minMille = 850)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(truePairs.nonEmpty, "corpus must plant near-dup pairs")
+    val kept = result.cleaned.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val dominated = truePairs.map(_._2).toSet
+    dominated.foreach(b => assert(!kept.contains(b),
+      s"higher pair member $b must not survive"))
+    truePairs.map(_._1).filterNot(dominated).foreach(a =>
+      assert(kept.contains(a), s"cluster minimum $a must survive"))
 
     // idempotency: cleaning the cleaned corpus drops nothing
     val again = Corpus.run(spark, result.cleaned,

@@ -148,7 +148,9 @@ class PipelineSpec extends SparkSpec {
     val landing = s"$root/landing"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
     val q = Warehouse.run(spark, landing, layers, "2026-04-01")
-    assert(q.count() == 0, "skipped run returns the empty quality frame")
+    assert(q.count() == 1 &&
+      q.head().getString(1) == "skipped_empty_batch",
+      "skipped run returns the explicit skip marker")
     // and a later real run over the same root works normally
     writeCsv(landing, "late.csv",
       ClassicHeader +: Seq(classicRow("E001")))
