@@ -17,11 +17,11 @@ class AtomicOverwriteSpec extends SparkSpec {
   test("first write then replace: readers always see a complete layer") {
     val path = Files.createTempDirectory("graft-ao").resolve("layer").toString
     Upsert.atomicOverwrite(frame("v1", 10), path)
-    assert(spark.read.parquet(path).agg(count_distinct(col("tag"))).head.getLong(0) === 1)
+    assert(spark.read.parquet(path).agg(count_distinct(col("tag"))).head().getLong(0) === 1)
     Upsert.atomicOverwrite(frame("v2", 20), path)
     val out = spark.read.parquet(path)
     assert(out.count() === 20)
-    assert(out.select("tag").distinct().head.getString(0) === "v2")
+    assert(out.select("tag").distinct().head().getString(0) === "v2")
     // no staging debris left behind
     val parent = new java.io.File(path).getParentFile.listFiles().map(_.getName)
     assert(!parent.exists(_.contains("__tmp__")))
@@ -39,6 +39,6 @@ class AtomicOverwriteSpec extends SparkSpec {
     intercept[Throwable](Upsert.atomicOverwrite(bomb, path))
     val out = spark.read.parquet(path)
     assert(out.count() === 5)
-    assert(out.select("tag").distinct().head.getString(0) === "good")
+    assert(out.select("tag").distinct().head().getString(0) === "good")
   }
 }

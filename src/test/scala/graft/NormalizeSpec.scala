@@ -26,7 +26,7 @@ class NormalizeSpec extends SparkSpec {
       .toDF("CustomerID", "Tenure Months", "Monthly Charges", "Churn Reason", "Lat Long")
     val out = Normalize.conformTo(Normalize.headers(raw), layer)
     assert(out.schema === layer)
-    val r = out.head
+    val r = out.head()
     assert(r.getString(0) === "C1")
     assert(r.getInt(1) === 12)
     assert(r.getDouble(2) === 50.5)
@@ -41,7 +41,7 @@ class NormalizeSpec extends SparkSpec {
         "record_type", "created_at", "updated_at")
     val out = Normalize.conformTo(Normalize.headers(raw), layer)
     assert(out.schema === layer)
-    val r = out.head
+    val r = out.head()
     assert(r.getString(0) === "C2")
     assert(r.getInt(1) === 3)
     assert(r.getString(4) === "new")

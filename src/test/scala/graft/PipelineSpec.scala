@@ -56,9 +56,9 @@ class PipelineSpec extends SparkSpec {
       Seq(classicRow("C900", tenure = "-5"), // Negative Tenure
         classicRow("C901"), classicRow("C901")) // Duplicate ID ×2
     writeCsv(dir, "classic.csv", ClassicHeader +: classic)
-    val export = (1 to 8).map(i =>
+    val exportRows = (1 to 8).map(i =>
       exportRow(f"E$i%03d", "2026-04-01 08:00:00"))
-    writeCsv(dir, "export.csv", ExportHeader +: export)
+    writeCsv(dir, "export.csv", ExportHeader +: exportRows)
   }
 
   test("full warehouse run: layers, quarantine, star, quality corpus") {

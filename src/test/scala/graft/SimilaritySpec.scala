@@ -68,7 +68,7 @@ class SimilaritySpec extends SparkSpec {
         Similarity.scaledVec(col("a")), Similarity.scaledVec(col("b"))).as("d"),
         Similarity.dotScaled(
           Similarity.scaledVec(col("b")), Similarity.scaledVec(col("a"))).as("d2"))
-    val r = df.head
+    val r = df.head()
     // 0.5*0.1 + (-0.25)*0.4 = -0.05 → scaled by 10^12
     assert(r.getLong(0) === -50000000000L)
     assert(r.getLong(0) === r.getLong(1))

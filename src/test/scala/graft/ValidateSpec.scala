@@ -23,7 +23,7 @@ class ValidateSpec extends SparkSpec {
 
   test("annotation lists failed rules in declaration order, '; '-joined") {
     val df = churnish(Seq((None, -1, "x")))
-    val out = Validate.annotate(df, rules).select("error_details").head.getString(0)
+    val out = Validate.annotate(df, rules).select("error_details").head().getString(0)
     assert(out === "Missing ID; Negative Tenure; Invalid Gender")
   }
 
