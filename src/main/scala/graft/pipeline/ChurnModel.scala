@@ -83,24 +83,43 @@ object ChurnModel {
         coalesce(col("streaming_tv"), lit("No")).as("streaming_tv"))
   }
 
-  /** Feature-prep + booster pipeline (seeded — runs reproduce). */
+  /** Feature-prep + booster pipeline (seeded — runs reproduce).
+    *
+    * Scaling matches the reference (train_churn_model.py:106-112):
+    * ONLY the numeric features are standardized; label-indexed
+    * categoricals enter the final assembler unscaled. Hence the
+    * two-stage assembly — numerics → scaler → concat with indexes. */
   def buildPipeline(): Pipeline = {
     val indexers = categoricalCols.map(c =>
       new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
         .setHandleInvalid("keep"))
-    val assembler = new VectorAssembler()
-      .setInputCols((numericCols ++ categoricalCols.map(_ + "_idx")).toArray)
-      .setOutputCol("features_raw")
+    val numAssembler = new VectorAssembler()
+      .setInputCols(numericCols.toArray).setOutputCol("numeric_raw")
     val scaler = new StandardScaler()
-      .setInputCol("features_raw").setOutputCol("features")
+      .setInputCol("numeric_raw").setOutputCol("numeric_scaled")
       .setWithMean(true).setWithStd(true)
+    val assembler = new VectorAssembler()
+      .setInputCols(("numeric_scaled" +: categoricalCols.map(_ + "_idx")).toArray)
+      .setOutputCol("features")
     val gbt = new GBTClassifier()
       .setLabelCol("label").setFeaturesCol("features")
       .setMaxIter(20).setMaxDepth(4).setStepSize(0.1).setSeed(42L)
-    new Pipeline().setStages((indexers :+ assembler :+ scaler :+ gbt).toArray)
+    new Pipeline().setStages(
+      (indexers ++ Seq(numAssembler, scaler, assembler, gbt)).toArray)
   }
 
   final case class TrainResult(model: PipelineModel, predictions: DataFrame)
+
+  /** Score features with a fitted model → the gold.churn_predictions
+    * row shape (customer, class, P(churn), run stamp). */
+  def score(model: PipelineModel, features: DataFrame, runTs: String): DataFrame = {
+    val p1 = element_at(vector_to_array(col("probability")), 2)
+    model.transform(features).select(
+      col("customer_key"), col("customer_id"),
+      col("prediction").cast("smallint").as("churn_prediction"),
+      p1.cast("decimal(5,4)").as("churn_probability"),
+      to_timestamp(lit(runTs)).as("model_run_date"))
+  }
 
   /** Train on the extracted features and score every row — the
     * reference trains and predicts on the same extract. */
@@ -108,13 +127,81 @@ object ChurnModel {
     require(features.limit(10).count() >= 10,
       "Insufficient data for training: need at least 10 rows")
     val model = buildPipeline().fit(features)
-    val p1 = element_at(vector_to_array(col("probability")), 2)
-    val predictions = model.transform(features).select(
-      col("customer_key"), col("customer_id"),
-      col("prediction").cast("smallint").as("churn_prediction"),
-      p1.cast("decimal(5,4)").as("churn_probability"),
-      to_timestamp(lit(runTs)).as("model_run_date"))
-    TrainResult(model, predictions)
+    TrainResult(model, score(model, features, runTs))
+  }
+
+  // ------------------------------------------------------------------
+  // Versioned artifact lifecycle — SURVEY §2.11 / O4. The reference
+  // persists rf_churn_model_{ds}.pkl per monthly training run and the
+  // daily inference DAG picks the lexicographic max
+  // (dags/ml_churn_pipeline.py:71-95, :252-260). Spark-native: the
+  // whole fitted Pipeline (indexers = the persisted LabelEncoders,
+  // scaler, booster) saves as one PipelineModel directory named by the
+  // run date — ISO dates sort lexicographically, so "latest" = max.
+  // ------------------------------------------------------------------
+
+  private val ArtifactPrefix = "churn_model_"
+
+  /** Persist a fitted model under `artifactsRoot/churn_model_{runDate}`. */
+  def saveVersioned(model: PipelineModel, artifactsRoot: String,
+                    runDate: String): String = {
+    val path = s"$artifactsRoot/$ArtifactPrefix$runDate"
+    model.write.overwrite().save(path)
+    path
+  }
+
+  /** List persisted versions, ascending (empty if none trained yet). */
+  def listVersions(spark: SparkSession, artifactsRoot: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(artifactsRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith(ArtifactPrefix))
+      .sorted.toIndexedSeq
+  }
+
+  /** Load the newest artifact (lexicographic max, mirroring
+    * _get_latest_artifact_paths, ml_churn_pipeline.py:77-95). Fails
+    * loudly when no training run has happened, like the reference. */
+  def loadLatest(spark: SparkSession, artifactsRoot: String): PipelineModel = {
+    val versions = listVersions(spark, artifactsRoot)
+    if (versions.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"No trained artifacts in '$artifactsRoot'. " +
+          "Run trainAndSave first (reference: telecom_churn_training_monthly).")
+    PipelineModel.load(s"$artifactsRoot/${versions.last}")
+  }
+
+  /** Monthly training DAG body: extract → fit → persist versioned.
+    * Returns the artifact path. */
+  def trainAndSave(spark: SparkSession, layers: Warehouse.Layers,
+                   artifactsRoot: String, runDate: String): String = {
+    val features = extractFeatures(spark, layers)
+    require(features.limit(10).count() >= 10,
+      "Insufficient data for training: need at least 10 rows")
+    saveVersioned(buildPipeline().fit(features), artifactsRoot, runDate)
+  }
+
+  /** Daily inference DAG body (ml_churn_pipeline.py:324-349): load the
+    * LATEST artifact, score today's extract WITHOUT retraining, and
+    * delete+insert on DATE(model_run_date) so re-runs of the same day
+    * are idempotent (the reference's ensure_idempotency task). */
+  def predictWithLatest(spark: SparkSession, layers: Warehouse.Layers,
+                        artifactsRoot: String, runTs: String): DataFrame = {
+    val model = loadLatest(spark, artifactsRoot)
+    val preds = score(model, extractFeatures(spark, layers), runTs)
+    val out = s"${layers.root}/gold/churn_predictions"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(new org.apache.hadoop.fs.Path(out)))
+        spark.read.parquet(out)
+          .filter(to_date(col("model_run_date")) =!=
+            to_date(to_timestamp(lit(runTs))))
+          .unionByName(preds)
+      else preds
+    Upsert.atomicOverwrite(merged, out)
+    spark.read.parquet(out)
   }
 
   /** A13: feature-importance ranking from the fitted booster. */

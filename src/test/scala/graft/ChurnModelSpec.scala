@@ -54,6 +54,80 @@ class ChurnModelSpec extends SparkSpec {
       .getString(0).startsWith("2026-04-03"))
   }
 
+  test("scaler standardizes ONLY the numeric features (reference parity)") {
+    // train_churn_model.py:106-112 scales the 3 numerics; encoded
+    // categoricals stay raw. Pin the pipeline shape so a regression
+    // back to whole-vector scaling fails here.
+    val stages = ChurnModel.buildPipeline().getStages
+    val scaler = stages.collectFirst {
+      case s: org.apache.spark.ml.feature.StandardScaler => s
+    }.getOrElse(fail("pipeline must contain a StandardScaler"))
+    assert(scaler.getInputCol == "numeric_raw")
+    val numAsm = stages.collectFirst {
+      case a: org.apache.spark.ml.feature.VectorAssembler
+        if a.getOutputCol == "numeric_raw" => a
+    }.getOrElse(fail("numeric pre-assembler missing"))
+    assert(numAsm.getInputCols.toSeq == ChurnModel.numericCols)
+    val finalAsm = stages.collectFirst {
+      case a: org.apache.spark.ml.feature.VectorAssembler
+        if a.getOutputCol == "features" => a
+    }.getOrElse(fail("final assembler missing"))
+    assert(finalAsm.getInputCols.head == "numeric_scaled")
+    assert(finalAsm.getInputCols.tail.toSeq ==
+      ChurnModel.categoricalCols.map(_ + "_idx"))
+  }
+
+  test("versioned artifacts: save, load-latest of >=2, predict without retraining") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ml3").toString
+    val layers = Warehouse.Layers(root)
+    val landing = s"$root/landing"
+    val artifacts = s"$root/artifacts"
+    val rows = (1 to 8).map(i => row(f"Y$i%03d", "Yes", i, 90.0 + i)) ++
+      (1 to 8).map(i => row(f"N$i%03d", "No", 40 + i, 50.0 + i))
+    val p = java.nio.file.Paths.get(landing)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve("export.csv"),
+      (ExportHeader +: rows).mkString("\n").getBytes("UTF-8"))
+    Warehouse.run(spark, landing, layers, "2026-04-01")
+
+    // inference before any training run fails loudly, like the reference
+    val ex = intercept[java.io.FileNotFoundException] {
+      ChurnModel.loadLatest(spark, artifacts)
+    }
+    assert(ex.getMessage.contains("No trained artifacts"))
+
+    // two monthly training runs → two versioned artifacts
+    val v1 = ChurnModel.trainAndSave(spark, layers, artifacts, "2026-04-01")
+    val features = ChurnModel.extractFeatures(spark, layers)
+    val m2 = ChurnModel.buildPipeline().fit(features)
+    val v2 = ChurnModel.saveVersioned(m2, artifacts, "2026-05-01")
+    assert(v1.endsWith("churn_model_2026-04-01"))
+    assert(v2.endsWith("churn_model_2026-05-01"))
+    assert(ChurnModel.listVersions(spark, artifacts) ==
+      Seq("churn_model_2026-04-01", "churn_model_2026-05-01"))
+
+    // load-latest picks the lexicographic max (= the May model)
+    val latest = ChurnModel.loadLatest(spark, artifacts)
+    assert(latest.uid == m2.uid, "loadLatest must return the newest version")
+
+    // daily inference scores without retraining and round-trips the model
+    val preds = ChurnModel.predictWithLatest(
+      spark, layers, artifacts, "2026-05-02 00:00:00")
+    assert(preds.count() == 16)
+    val direct = ChurnModel.score(m2, features, "2026-05-02 00:00:00")
+    assert(preds.select("customer_id", "churn_prediction", "churn_probability")
+      .except(direct.select("customer_id", "churn_prediction", "churn_probability"))
+      .count() == 0, "persisted model must reproduce the in-memory model")
+
+    // same-day re-run is idempotent (delete+insert on model_run_date)...
+    assert(ChurnModel.predictWithLatest(
+      spark, layers, artifacts, "2026-05-02 00:00:00").count() == 16)
+    // ...and a next-day run keeps both days
+    val day2 = ChurnModel.predictWithLatest(
+      spark, layers, artifacts, "2026-05-03 00:00:00")
+    assert(day2.count() == 32)
+  }
+
   test("feature importances rank and sum to 1") {
     val root = java.nio.file.Files.createTempDirectory("graft_ml2").toString
     val layers = Warehouse.Layers(root)
