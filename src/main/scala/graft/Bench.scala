@@ -10,16 +10,32 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: session/scheduler/parquet-reader/shuffle init
-    // otherwise lands entirely on whichever query runs first (~4-6 s
-    // of charge unrelated to that query's plan); the tiny groupBy
-    // exercises the exchange + aggregate machinery too
+    // untimed warmup: session/scheduler/parquet-reader/shuffle/codegen
+    // init otherwise lands entirely on whichever query runs first
+    // (alphabetically q_agg_pricing showed 7x its own cost in r4). The
+    // warmup mirrors the flagship aggregate's codepath — a full
+    // lineitem scan, decimal hash aggregate, exchange, noop sink — so
+    // the first timed query starts with its reader and generated code
+    // paths already JIT-compiled.
     try {
-      import org.apache.spark.sql.functions.count
-      spark.read.parquet(s"$sfDir/region.parquet")
-        .groupBy("r_regionkey").agg(count("*"))
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).as("w_qty"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).as("w_price"),
+          count(lit(1)).as("w_n"))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // untimed fixture setup (e.g. the partitioned-fact layout for
+    // q_runmonth_pruning): one-off write I/O must not pollute timings
+    SparkEntry.benchPrepares.foreach { case (name, prep) =>
+      try prep(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prepare $name FAILED: ${e.getMessage}")
+      }
+    }
     // sorted order: hash-map iteration order shifts when queries are
     // added, which moves JVM warmup/GC noise between queries and makes
     // round-over-round per-query comparison unnecessarily noisy

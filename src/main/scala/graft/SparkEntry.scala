@@ -37,4 +37,8 @@ object SparkEntry {
   /** Subset timed by Bench (headline queries). */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     registry.filter(_.bench).map(q => q.name -> q.run).toMap
+
+  /** Untimed fixture setup for benched queries (run before timing). */
+  def benchPrepares: Map[String, (SparkSession, String) => Unit] =
+    registry.filter(_.bench).flatMap(q => q.prepare.map(q.name -> _)).toMap
 }

@@ -15,16 +15,33 @@ import graft.ops.Partitioned
   */
 object PartitionQueries extends QueryPack {
 
-  val runMonthPruning = GQuery(
-    "q_runmonth_pruning",
-    (s, d) => {
-      val sfName = new java.io.File(d).getName
-      val path = s"/tmp/graft_fixtures/fact_part_$sfName/fact"
+  private def fixturePath(d: String): String =
+    s"/tmp/graft_fixtures/fact_part_${new java.io.File(d).getName}/fact"
+
+  /** Idempotent fixture ensure: write the run-month-partitioned fact
+    * once per sf dir, skip when the completed marker already exists.
+    * Bench calls this untimed via `prepare`; the query body calls it
+    * too so Verify/standalone runs stay self-sufficient — the repeat
+    * call is a single filesystem stat. */
+  private def ensureFixture(s: org.apache.spark.sql.SparkSession,
+                            d: String): Unit = {
+    val path = fixturePath(d)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_GRAFT_COMPLETE")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
       val fact = Tables.orders(s, d).select(
         col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM").as("run_month"))
       Partitioned.writeBy(fact, path, "run_month")
-      Partitioned.readSlice(s, path, "run_month", "1995-03")
+      fs.create(marker, true).close()
+    }
+  }
+
+  val runMonthPruning = GQuery(
+    "q_runmonth_pruning",
+    (s, d) => {
+      ensureFixture(s, d)
+      Partitioned.readSlice(s, fixturePath(d), "run_month", "1995-03")
         .groupBy("o_orderstatus")
         .agg(
           count(lit(1)).as("n_orders"),
@@ -41,7 +58,8 @@ object PartitionQueries extends QueryPack {
       WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus
-    """))
+    """),
+    prepare = Some(ensureFixture))
 
   def all: Seq[GQuery] = Seq(runMonthPruning)
 }

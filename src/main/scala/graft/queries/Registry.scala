@@ -19,7 +19,12 @@ final case class GQuery(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     /** headline queries get timed by Bench at sf0.1 */
-    bench: Boolean = true)
+    bench: Boolean = true,
+    /** untimed fixture setup: Bench runs this before the timed body so
+      * one-off fixture I/O (e.g. the partitioned-fact write) doesn't
+      * pollute the query's measurement; `run` must still be
+      * self-sufficient (idempotent ensure) for Verify/standalone use */
+    prepare: Option[(SparkSession, String) => Unit] = None)
 
 trait QueryPack {
   def all: Seq[GQuery]
