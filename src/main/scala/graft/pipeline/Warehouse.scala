@@ -150,12 +150,17 @@ object Warehouse {
         "left_anti")
     // dims are distinct-combo-sized: the single-partition window is
     // bounded by combo cardinality, never data size (same argument as
-    // StarQueries.dimSegment); maxKey is one scalar.
+    // StarQueries.dimSegment) — and the bound is ENFORCED: the key
+    // expression raises past BoundedDim.MaxCombos instead of silently
+    // funnelling an entity-sized dim through one task. maxKey is one
+    // scalar.
     val maxKey = existing.agg(coalesce(max(col(keyCol)), lit(0))).head().getInt(0)
     val withKeys = distinctNew.withColumn(keyCol,
-      (row_number().over(
-        Window.orderBy(valueCols.map(c => col(c).asc_nulls_first): _*))
-        + maxKey).cast("int"))
+      graft.ops.BoundedDim.cappedKey(
+        row_number().over(
+          Window.orderBy(valueCols.map(c => col(c).asc_nulls_first): _*))
+          + maxKey,
+        s"loadDim($path)").cast("int"))
       .select(col(keyCol) +: valueCols.map(col): _*)
     val updated = existing.unionByName(withKeys)
     Upsert.atomicOverwrite(updated, path)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.IntegerType
 import graft.Tables
-import graft.ops.SafeCast
+import graft.ops.{BoundedDim, SafeCast}
 
 /** Star-schema load family — SURVEY.md §2.3 J6/J7/J8, §2.5 W3, §2.4 A4.
   *
@@ -29,7 +29,8 @@ object StarQueries extends QueryPack {
   private def dimSegment(c: org.apache.spark.sql.DataFrame) =
     c.select(col("c_mktsegment").as("seg_value")).distinct()
       .withColumn("segment_key",
-        row_number().over(Window.orderBy("seg_value")))
+        BoundedDim.cappedKey(
+          row_number().over(Window.orderBy("seg_value")), "dimSegment"))
 
   val starFactLoad = GQuery(
     "q_star_fact_load",
@@ -125,7 +126,9 @@ object StarQueries extends QueryPack {
       val orderCols = svcNames.map(n => col(n).asc_nulls_first)
       val dim = svc.distinct()
         .withColumn("service_key",
-          row_number().over(Window.orderBy(orderCols: _*)))
+          BoundedDim.cappedKey(
+            row_number().over(Window.orderBy(orderCols: _*)),
+            "q_nullsafe_dim_join"))
         .select(col("service_key") +: svcNames.map(n => col(n).as(s"d_$n")): _*)
       svc.join(broadcast(dim),
           svcNames.map(n => col(n) <=> col(s"d_$n")).reduce(_ && _),
