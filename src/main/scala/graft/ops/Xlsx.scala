@@ -1,0 +1,208 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import scala.collection.mutable
+
+/** Minimal xlsx ingestion — SURVEY.md §2.1 S3.
+  *
+  * The reference's correction loop accepts `.xlsx` drops alongside CSV
+  * (dags/Reprocessing.py:31,59: `pd.read_excel`). No Spark Excel source
+  * ships in this environment, but an xlsx is just a zip of XML — the
+  * JDK's `java.util.zip` + StAX cover the subset a correction file
+  * uses: one worksheet, shared strings, inline strings, numbers.
+  *
+  * Files parse ON EXECUTORS via the `binaryFile` source (one task per
+  * file, whole-file rows), so a thousand correction drops are a single
+  * distributed scan, not a driver loop — the per-file memory bound is
+  * the file itself, which is the same bound `binaryFile` already
+  * imposes. Each file's header row is canonicalized and renamed
+  * per-file (dialects differ per drop, same tolerance as
+  * [[CsvIngest]]), rows become header→value maps, and the union
+  * conforms to the target layer schema driver-side with one
+  * `element_at` projection per column.
+  */
+object Xlsx {
+
+  /** Parse the first worksheet into rows of cell strings (row 0 = the
+    * header row). Sparse cells materialize as nulls; trailing missing
+    * cells are left short (conformance pads them). Pure function of
+    * the bytes — runs on executors. */
+  def parseRows(bytes: Array[Byte]): Seq[Seq[String]] = {
+    val parts = zipParts(bytes,
+      Set("xl/sharedStrings.xml"), prefix = "xl/worksheets/")
+    val shared = parts.get("xl/sharedStrings.xml")
+      .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
+    // first worksheet by name order: sheet1.xml sorts first
+    val sheet = parts.view.filterKeys(_.startsWith("xl/worksheets/"))
+      .toSeq.sortBy(_._1).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "xlsx has no worksheet part"))._2
+    parseSheet(sheet, shared)
+  }
+
+  /** Extract named zip entries plus any entry under `prefix`. */
+  private def zipParts(bytes: Array[Byte], names: Set[String],
+                       prefix: String): Map[String, Array[Byte]] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = mutable.Map.empty[String, Array[Byte]]
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (names.contains(e.getName) || e.getName.startsWith(prefix))
+          out(e.getName) = zin.readAllBytes()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.toMap
+  }
+
+  /** `<sst><si>…</si></sst>` — an `<si>` is either one `<t>` or rich
+    * runs `<r><t>…</t></r>`; concatenate every `<t>` inside it. */
+  private def parseSharedStrings(xml: Array[Byte]): IndexedSeq[String] = {
+    val r = xmlReader(xml)
+    val strings = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inSi = false
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => inSi = true; cur.clear()
+            case "t" if inSi => inT = true
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if inT =>
+          cur.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "si" => inSi = false; strings += cur.toString
+            case "t" => inT = false
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    strings.toIndexedSeq
+  }
+
+  /** `<sheetData><row><c r="A1" t="s|str|inlineStr|b|…"><v>…</v></c>`.
+    * Cell refs place values at their column index (sparse rows keep
+    * nulls in the gaps); a missing ref means "next column". */
+  private def parseSheet(xml: Array[Byte],
+                         shared: IndexedSeq[String]): Seq[Seq[String]] = {
+    val r = xmlReader(xml)
+    val rows = mutable.ArrayBuffer.empty[Seq[String]]
+    var row: mutable.ArrayBuffer[String] = null
+    var cellType = ""
+    var nextIdx = 0
+    var curIdx = 0
+    var inV = false
+    val text = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" =>
+              row = mutable.ArrayBuffer.empty[String]; nextIdx = 0
+            case "c" if row != null =>
+              val ref = Option(r.getAttributeValue(null, "r"))
+              curIdx = ref.map(colIndex).getOrElse(nextIdx)
+              nextIdx = curIdx + 1
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+            case "v" | "t" if row != null =>
+              inV = true; text.clear()
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if inV =>
+          text.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "row" => rows += row.toSeq; row = null
+            case "v" | "t" if inV =>
+              inV = false
+              val raw = text.toString
+              val value = cellType match {
+                case "s" => shared(raw.trim.toInt)
+                case "b" => if (raw.trim == "1") "true" else "false"
+                case _ => raw // str / inlineStr t / plain numeric
+              }
+              while (row.length <= curIdx) row += null
+              row(curIdx) = value
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    rows.toSeq
+  }
+
+  /** "AB12" → 0-based column 27. */
+  private def colIndex(ref: String): Int = {
+    var i = 0
+    var n = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      n = n * 26 + (ref.charAt(i).toUpper - 'A' + 1); i += 1
+    }
+    n - 1
+  }
+
+  private def xmlReader(xml: Array[Byte]) = {
+    val f = XMLInputFactory.newInstance()
+    // correction drops are untrusted input: no DTDs, no external entities
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(new ByteArrayInputStream(xml))
+  }
+
+  /** S3: ingest every `*.xlsx` under `dir` into the fixed `target`
+    * schema — the Excel twin of [[CsvIngest.ingestDir]], same header
+    * canonicalization, rename map, schema conformance, and `src_file`
+    * lineage column. */
+  def ingestDir(spark: SparkSession, dir: String, target: StructType,
+                renames: Map[String, String] = Normalize.renameMap): DataFrame = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(dir)
+    val files =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toIndexedSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".xlsx")).sortBy(_.getName)
+    val empty = StructType(target.fields.toIndexedSeq :+
+      StructField("src_file", StringType))
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+    import spark.implicits._
+    val ren = renames // avoid closing over a default-param method call
+    val mapped = spark.read.format("binaryFile")
+      .load(files.map(_.toString): _*)
+      .select(element_at(split(col("path"), "/"), -1).as("src_file"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (srcFile, bytes) =>
+        val all = parseRows(bytes)
+        if (all.isEmpty) Iterator.empty
+        else {
+          val header = all.head.map(h =>
+            Option(h).map(Normalize.canonName).getOrElse(""))
+            .map(h => ren.getOrElse(h, h))
+          all.tail.iterator.map { cells =>
+            val kv = header.zipWithIndex.collect {
+              case (name, i) if name.nonEmpty && i < cells.length &&
+                cells(i) != null => name -> cells(i)
+            }
+            (srcFile, kv.toMap)
+          }
+        }
+      }.toDF("src_file", "m")
+    mapped.select(target.fields.toIndexedSeq.map { f =>
+      element_at(col("m"), f.name).cast(f.dataType).as(f.name)
+    } :+ col("src_file"): _*)
+  }
+}

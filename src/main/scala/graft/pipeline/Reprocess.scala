@@ -35,18 +35,24 @@ object Reprocess {
         col("internet_service").isNotNull &&
           !col("internet_service").isin(ChurnSchema.validInternet: _*)))
 
-  /** Apply one correction file to silver. Returns (accepted, rejected)
+  /** Apply one correction drop to silver. Returns (accepted, rejected)
     * row counts; silver is atomically replaced with corrections
     * upserted by key.
+    *
+    * Corrections arrive as `.csv` OR `.xlsx` (the reference accepts
+    * both, dags/Reprocessing.py:31,55-59) — both ingest paths conform
+    * to the same raw string schema before the shared rule chain runs.
     *
     * Validation runs on the RAW string schema — conforming first would
     * turn 'twelve' into a typed NULL and the numeric-coercion rule
     * could never fire (it must REJECT such rows, not silently null
     * them into silver). */
-  def run(spark: SparkSession, correctionsCsvDir: String,
+  def run(spark: SparkSession, correctionsDir: String,
           layers: Warehouse.Layers): (Long, Long) = {
     val raw = CsvIngest
-      .ingestDir(spark, correctionsCsvDir, ChurnSchema.stagingRaw)
+      .ingestDir(spark, correctionsDir, ChurnSchema.stagingRaw)
+      .unionByName(
+        Xlsx.ingestDir(spark, correctionsDir, ChurnSchema.stagingRaw))
       .drop("src_file")
     val annotated = Validate.annotate(raw, rules(col("tenure_in_months")))
       .persist()

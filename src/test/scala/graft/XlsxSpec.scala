@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Xlsx
+import graft.pipeline.{ChurnSchema, Reprocess, Warehouse}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import scala.collection.mutable
+
+/** S3 Excel ingestion: the correction loop must accept `.xlsx` drops
+  * (reference dags/Reprocessing.py:31,59). The fixture writer below
+  * emits a genuine xlsx (zip of sheet XML + shared strings) so the
+  * parser is exercised against the real container format, including
+  * shared-string cells, numeric cells, and sparse rows. */
+class XlsxSpec extends SparkSpec {
+
+  private def esc(s: String) =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def colRef(i: Int): String = {
+    var n = i + 1; val sb = new StringBuilder
+    while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  /** Build xlsx bytes from a grid: String → shared-string cell,
+    * Int/Double → numeric cell, null → omitted (sparse). */
+  private def xlsxBytes(grid: Seq[Seq[Any]]): Array[Byte] = {
+    val sst = mutable.LinkedHashMap.empty[String, Int]
+    val rowsXml = grid.zipWithIndex.map { case (cells, ri) =>
+      val cs = cells.zipWithIndex.collect { case (v, ci) if v != null =>
+        val ref = s"${colRef(ci)}${ri + 1}"
+        v match {
+          case s: String =>
+            val idx = sst.getOrElseUpdate(s, sst.size)
+            s"""<c r="$ref" t="s"><v>$idx</v></c>"""
+          case n => s"""<c r="$ref"><v>$n</v></c>"""
+        }
+      }.mkString
+      s"""<row r="${ri + 1}">$cs</row>"""
+    }.mkString
+    val sheet = """<?xml version="1.0" encoding="UTF-8"?>""" +
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      s"<sheetData>$rowsXml</sheetData></worksheet>"
+    val sstXml = """<?xml version="1.0" encoding="UTF-8"?>""" +
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      sst.keys.map(s => s"<si><t>${esc(s)}</t></si>").mkString + "</sst>"
+    val workbook = """<?xml version="1.0"?><workbook><sheets>""" +
+      """<sheet name="Sheet1" sheetId="1" r:id="rId1" """ +
+      """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/>""" +
+      """</sheets></workbook>"""
+    val types = """<?xml version="1.0"?>""" +
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+      """<Default Extension="xml" ContentType="application/xml"/></Types>"""
+    val bout = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bout)
+    for ((name, content) <- Seq(
+      "[Content_Types].xml" -> types,
+      "xl/workbook.xml" -> workbook,
+      "xl/sharedStrings.xml" -> sstXml,
+      "xl/worksheets/sheet1.xml" -> sheet)) {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    bout.toByteArray
+  }
+
+  private def write(dir: String, name: String, bytes: Array[Byte]): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve(name), bytes)
+  }
+
+  test("parseRows: shared strings, numerics, sparse cells, gaps as null") {
+    val bytes = xlsxBytes(Seq(
+      Seq("Customer ID", "Tenure In Months", "Notes & Flags"),
+      Seq("R001", 42, "a<b"),
+      Seq("R002", null, 3.5)))
+    val rows = Xlsx.parseRows(bytes)
+    assert(rows == Seq(
+      Seq("Customer ID", "Tenure In Months", "Notes & Flags"),
+      Seq("R001", "42", "a<b"),
+      Seq("R002", null, "3.5")))
+  }
+
+  test("ingestDir conforms headers and schema like the CSV path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
+    write(dir, "fix.xlsx", xlsxBytes(Seq(
+      Seq("CustomerID", "Gender", "Tenure Months"),
+      Seq("X001", "Male", 7))))
+    val df = Xlsx.ingestDir(spark, dir, ChurnSchema.stagingRaw)
+    val row = df.select("customer_id", "gender", "tenure_in_months",
+      "contract", "src_file").head()
+    assert(row.getString(0) == "X001" && row.getString(1) == "Male" &&
+      row.getString(2) == "7" && row.isNullAt(3) &&
+      row.getString(4) == "fix.xlsx")
+  }
+
+  test("correction loop accepts an xlsx drop alongside CSV") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wh_xlsx").toString
+    val layers = Warehouse.Layers(root)
+    val header = ("Customer ID,Gender,Senior Citizen,Partner,Dependents," +
+      "Country,State,City,Phone Service,Multiple Lines,Internet Service," +
+      "Online Security,Online Backup,Device Protection,Tech Support," +
+      "Streaming TV,Streaming Movies,Paperless Billing,Payment Method," +
+      "Contract,Tenure In Months,Monthly Charges Amount,Total Charges," +
+      "Churn Label,Churn Value,Churn Score,Cltv,Churn Reason").split(",").toSeq
+    def row(id: String, tenure: Any): Seq[Any] =
+      Seq(id, "Male", "No", "No", "No", "United States", "California",
+        "Los Angeles", "Yes", "No", "DSL", "Yes", "No", "No", "No", "No",
+        "No", "Yes", "Mailed check", "Month-to-month", tenure, 50.5,
+        600.0, "No", 0, "n/a", "n/a", "n/a")
+    // seed silver via the landing path
+    val landing = s"$root/landing"
+    val csvLines = (header.mkString(",") +:
+      Seq("R001", "R002", "R003").map(id =>
+        row(id, 12).mkString(","))).mkString("\n")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(landing, "classic.csv"),
+      csvLines.getBytes("UTF-8"))
+    Warehouse.run(spark, landing, layers, "2026-05-01")
+    // corrections: an xlsx with one good fix (numeric-cell tenure) and
+    // one bad (non-numeric tenure string must REJECT)
+    val fixes = s"$root/fixed_data"
+    write(fixes, "corrections.xlsx", xlsxBytes(
+      header +: Seq(row("R001", 99), row("R902", "twelve"))))
+    val (accepted, rejected) = Reprocess.run(spark, fixes, layers)
+    assert(accepted == 1 && rejected == 1)
+    val silver = spark.read.parquet(layers.silver)
+    assert(silver.filter(col("customer_id") === "R001")
+      .head().getAs[Double]("tenure_in_months") == 99.0)
+    assert(silver.count() == 3, "replace-by-key must not grow silver")
+    assert(spark.read.parquet(layers.reprocessQuarantine)
+      .filter(col("error_details") === "Tenure not numeric").count() == 1)
+  }
+}
