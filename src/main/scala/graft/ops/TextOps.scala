@@ -103,25 +103,39 @@ object TextOps {
             WHEN $quality >= 800 THEN 'medium' ELSE 'low' END AS quality_class"""
   }
 
-  /** Language-ID by marker-word profile scoring — the portable core of
-    * an n-gram language identifier: each language carries a weighted
-    * marker profile; score = sum of marker occurrences; prediction =
-    * argmax with deterministic lexicographic tie-break. Profiles here
-    * are fixture-vocabulary words (the harness corpus is synthetic);
-    * swapping in real char-trigram profiles is a constant change, the
-    * operator shape (profile scan, argmax) is what scales. */
+  /** Language-ID by character-trigram profile scoring — the classic
+    * Cavnar–Trenkle n-gram identifier reduced to its scalable core:
+    * each language carries its highest-frequency trigrams in rank
+    * order, weighted w = N−rank; score = Σ w·occurrences; prediction
+    * = argmax with deterministic lexicographic tie-break.
+    *
+    * Occurrence counting is (len(t) − len(replace(t, g, ''))) / 3 —
+    * pure codegen'd string primitives with identical non-overlapping
+    * semantics in the DuckDB mirror: no UDF, no regex, no shuffle.
+    * Trigrams are ASCII-only so `lower()` agrees across engines; zh is
+    * profiled over tone-digit pinyin romanization (the corpus
+    * convention for Latin-keyed zh text). */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("der", "und", "die", "batch", "stream"),
-    "en" -> Seq("the", "a", "and", "scan", "join"),
-    "es" -> Seq("el", "la", "que", "sort", "merge"),
-    "fr" -> Seq("le", "la", "et", "window", "group"),
-    "zh" -> Seq("de5", "shi4", "le5", "hash", "vector"))
+    "de" -> Seq("ich", "sch", "ein", "und", "der", "ch "),
+    "en" -> Seq("the", " th", "he ", "ing", "and", " of"),
+    "es" -> Seq(" de", "os ", "la ", "que", "ar ", "ado"),
+    "fr" -> Seq(" le", "es ", "ent", "eur", "oir", "ait"),
+    "zh" -> Seq("de5", "hi4", "le5", "ao4", "i3 ", "ng2"))
+
+  /** Non-overlapping occurrences of `trig` in `lowered` via the
+    * replace trick; exact long arithmetic (difference is always a
+    * multiple of 3, and the double division is exact below 2^53). */
+  private def trigramCount(lowered: Column, trig: String): Column =
+    ((length(lowered) - length(replace(lowered, lit(trig), lit("")))) /
+      lit(3)).cast("long")
 
   def langScores(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
-    LangProfiles.map { case (lang, words) =>
-      s"score_$lang" ->
-        words.map(w => wordCount(toks, w).cast("long")).reduce(_ + _)
+    val lowered = lower(text)
+    LangProfiles.map { case (lang, trigs) =>
+      val n = trigs.length
+      s"score_$lang" -> trigs.zipWithIndex.map { case (g, i) =>
+        lit((n - i).toLong) * trigramCount(lowered, g)
+      }.reduce(_ + _)
     }
   }
 
@@ -136,11 +150,15 @@ object TextOps {
   }
 
   def langSql(textExpr: String): String = {
-    val toks = s"string_split($textExpr, ' ')"
-    def score(words: Seq[String]) = words
-      .map(w => s"len(list_filter($toks, t -> t = '$w'))")
-      .mkString("(", " + ", ")")
-    val scores = LangProfiles.map { case (l, ws) => l -> score(ws) }
+    val lt = s"lower($textExpr)"
+    def cnt(g: String) =
+      s"((length($lt) - length(replace($lt, '$g', ''))) // 3)"
+    def score(trigs: Seq[String]) = {
+      val n = trigs.length
+      trigs.zipWithIndex.map { case (g, i) => s"${n - i} * ${cnt(g)}" }
+        .mkString("(", " + ", ")")
+    }
+    val scores = LangProfiles.map { case (l, gs) => l -> score(gs) }
     val best = scores.map(_._2).reduceRight((a, b) => s"GREATEST($a, $b)")
     val pred = scores.foldRight("NULL") { case ((l, s), acc) =>
       s"CASE WHEN $s = $best THEN '$l' ELSE $acc END"
