@@ -27,13 +27,21 @@ object Skew {
 
   /** Salted equi-join on `key`: `big` spread across `factor` salts,
     * `small` replicated `factor` times. Non-key columns pass through;
-    * use for inner/left joins from the big side. */
+    * use for inner/left joins from the big side.
+    *
+    * `smallHint` (e.g. `Some("merge")`) pins the replicated side's
+    * join strategy — salting only matters when the join SHUFFLES the
+    * big side, i.e. when the small side is past broadcast range at
+    * production scale; at test scale the hint models that reality
+    * deterministically instead of depending on size estimates. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  entropy: Column, factor: Int,
-                 joinType: String = "inner"): DataFrame = {
+                 joinType: String = "inner",
+                 smallHint: Option[String] = None): DataFrame = {
     val b = big.withColumn("_salt", salt(entropy, factor))
-    val s = small.withColumn("_salt",
+    val s0 = small.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
+    val s = smallHint.fold(s0)(s0.hint(_))
     b.join(s, Seq(key, "_salt"), joinType).drop("_salt")
   }
 }

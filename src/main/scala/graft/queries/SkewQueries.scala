@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Exact, Skew}
+
+/** Skew-join evidence pair — the latency claim behind
+  * [[graft.ops.Skew]], measured instead of asserted.
+  *
+  * Both queries compute the IDENTICAL aggregate over a deliberately
+  * skewed join (~90% of lineitem rows share one hot key) against a
+  * 51-row dim, so they share one DuckDB oracle — the salted plan must
+  * be equivalence-proven by the same hash compare as everything else.
+  * The dim carries a `merge` hint in both: at production scale the
+  * interesting case is a dim past broadcast range, and the hint models
+  * that deterministically at test scale (a broadcast join would make
+  * skew invisible — no shuffle of the big side — and prove nothing).
+  *
+  * q_skew_join_naive: plain sort-merge join — the hot key's entire
+  * row mass lands in ONE shuffle partition; one task does ~90% of the
+  * work while the rest idle. (AQE's skew split stays dormant at bench
+  * scale: partitions sit far under the 256 MB threshold. SkewSpec
+  * demonstrates the AQE path with lowered thresholds.)
+  *
+  * q_skew_join_salted: [[Skew.saltedJoin]] with factor 16 — the hot
+  * key spreads across 16 shuffle partitions, the dim replicates 16×
+  * (51·16 rows: still nothing), and the join parallelizes. BENCH_r5+
+  * records the delta between the two as the operator's evidence.
+  */
+object SkewQueries extends QueryPack {
+
+  private val Factor = 16
+
+  /** lineitem with a synthetic 90%-hot join key: multiples-of-10
+    * orderkeys fan out over k0..k49, everything else is 'hot'. */
+  private def bigSide(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      when(col("l_orderkey") % 10 === 0,
+        concat(lit("k"),
+          (floor(col("l_orderkey") / 10) % 50).cast("string")))
+        .otherwise(lit("hot")).as("skew_key"),
+      col("l_orderkey"), col("l_quantity"))
+
+  /** 51-row dim: k0..k49 weighted, plus the hot key. */
+  private def smallDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(0, 50).select(
+      concat(lit("k"), col("id").cast("string")).as("skew_key"),
+      (col("id") * 10L).as("dim_weight"))
+      .unionByName(Seq(("hot", -1L)).toDF("skew_key", "dim_weight"))
+  }
+
+  private val oracle = s"""
+    WITH dim AS (
+      SELECT 'k' || CAST(i AS VARCHAR) AS skew_key,
+             CAST(i * 10 AS BIGINT) AS dim_weight
+      FROM generate_series(0, 49) t(i)
+      UNION ALL SELECT 'hot', CAST(-1 AS BIGINT)
+    ), big AS (
+      SELECT CASE WHEN l_orderkey % 10 = 0
+               THEN 'k' || CAST(CAST(floor(l_orderkey / 10) AS BIGINT) % 50 AS VARCHAR)
+               ELSE 'hot' END AS skew_key,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT skew_key, COUNT(*) AS n_rows,
+           ${Exact.fixedSumSql("l_quantity", 2)} AS sum_qty,
+           CAST(SUM(dim_weight) AS BIGINT) AS wgt_sum
+    FROM big JOIN dim USING (skew_key)
+    GROUP BY skew_key ORDER BY skew_key
+  """
+
+  private def aggregate(joined: DataFrame): DataFrame =
+    joined.groupBy("skew_key").agg(
+      count(lit(1)).as("n_rows"),
+      Exact.fixedSum(col("l_quantity"), 2).as("sum_qty"),
+      sum(col("dim_weight")).as("wgt_sum"))
+      .orderBy("skew_key")
+
+  val naive = GQuery(
+    "q_skew_join_naive",
+    (s, d) => aggregate(
+      bigSide(s, d).join(smallDim(s).hint("merge"), Seq("skew_key"))),
+    Some(oracle))
+
+  val salted = GQuery(
+    "q_skew_join_salted",
+    (s, d) => aggregate(
+      Skew.saltedJoin(bigSide(s, d), smallDim(s), "skew_key",
+        entropy = col("l_orderkey"), factor = Factor,
+        smallHint = Some("merge"))),
+    Some(oracle))
+
+  def all: Seq[GQuery] = Seq(naive, salted)
+}

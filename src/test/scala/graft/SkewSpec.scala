@@ -21,6 +21,64 @@ class SkewSpec extends SparkSpec {
     assert(salted.count() == plain.count())
   }
 
+  test("salting spreads the hot key across shuffle partitions") {
+    val s = spark; import s.implicits._
+    val big = (1L to 2000L).map(i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "hot", i)).toDF("key", "row_id")
+    def maxFrac(df: org.apache.spark.sql.DataFrame,
+                cols: Seq[org.apache.spark.sql.Column]): Double = {
+      val counts = df.repartition(8, cols: _*)
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid").count().collect().map(_.getLong(1))
+      counts.max.toDouble / counts.sum
+    }
+    val naive = maxFrac(big, Seq(col("key")))
+    val salted = maxFrac(
+      big.withColumn("_salt", Skew.salt(col("row_id"), 8)),
+      Seq(col("key"), col("_salt")))
+    assert(naive > 0.8,
+      s"fixture is not skewed enough to prove anything: $naive")
+    assert(salted < 0.4,
+      s"salting failed to spread the hot key: max partition frac $salted")
+  }
+
+  test("AQE splits the skewed sort-merge partition when over threshold") {
+    val s = spark; import s.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      // the groupBy after the join REQUIRES the join's hash
+      // partitioning, which blocks the free split — force tells AQE
+      // the extra re-shuffle is worth it (the 100 TB answer: it is)
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // pad must be incompressible and survive pruning into the
+      // aggregate: MapOutputStatistics reports COMPRESSED partition
+      // sizes, and 47k copies of a constant deflate below any threshold
+      val big = (1L to 50000L).map(i =>
+        (if (i % 20 == 0) s"k${i % 13}" else "hot", i))
+        .toDF("key", "row_id")
+        .withColumn("pad", md5(col("row_id").cast("string")))
+      val dim = (Seq("hot") ++ (0 until 13).map(i => s"k$i"))
+        .map((_, 1)).toDF("key", "w")
+      val joined = big.join(dim, Seq("key"))
+        .groupBy("key").agg(count(lit(1)).as("n"), max("pad").as("mp"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not split the skewed join:\n${plan.take(1500)}")
+    } finally olds.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
   test("salt is deterministic across evaluations") {
     val s = spark; import s.implicits._
     val df = (1L to 100L).toDF("id")
