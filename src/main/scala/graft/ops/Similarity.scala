@@ -196,6 +196,62 @@ object Similarity {
       .map(m => s"xor($bucketExpr, CAST($m AS BIGINT))")
       .mkString("[", ", ", "]")
 
+  /** Renormalize a vector to length [[Scale]] in scaled-integer space
+    * (so exact-integer dot against it ranks by cosine). */
+  private def renorm(v: IndexedSeq[Double]): IndexedSeq[Long] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v.map(_ => 0L) else v.map(x => math.round(x / n * Scale))
+  }
+
+  /** Spherical k-means codebook training for [[ivfTopK]] — Lloyd
+    * iterations with mean-then-renormalize updates (the update that
+    * makes the cosine objective monotone, proven in SimilaritySpec).
+    *
+    * Scale shape: ASSIGNMENT is the same per-row
+    * [[graft.functions.NearestCentroid]] projection as query time (one
+    * corpus scan, no shuffle); the UPDATE is one
+    * groupBy(cell, component) partial-aggregated sum whose result is
+    * C·dim rows — codebook-sized driver metadata, the only collect.
+    * Deterministic end to end: lowest-id init, lowest-index tie-break
+    * in assignment, exact integer sums (the only floats are the final
+    * mean/renorm of int64 sums, identical on every platform). Empty
+    * cells keep their previous centroid. */
+  def kmeansCodebook(corpus: DataFrame, cId: String, cVec: String,
+                     numCentroids: Int, iters: Int = 5): Seq[Seq[Long]] = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val sv = corpus
+      .select(col(cId).as("id"), scaledVec(col(cVec)).as("sv"))
+      .persist() // scanned once per iteration
+    try {
+      var codebook: IndexedSeq[IndexedSeq[Long]] = sv.orderBy("id")
+        .limit(numCentroids).collect().toIndexedSeq
+        .map(r => renorm(r.getSeq[Long](1).map(_.toDouble).toIndexedSeq))
+      for (_ <- 0 until iters) {
+        val centLit = typedLit(codebook.map(_.toSeq).toSeq)
+        val stats = sv
+          .withColumn("cent_idx", Bridge.column(
+            graft.functions.NearestCentroid(
+              Bridge.expression(col("sv")), Bridge.expression(centLit))))
+          .select(col("cent_idx"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("cent_idx", "pos")
+          .agg(sum("x").as("s"), count(lit(1)).as("n"))
+          .collect() // ≤ C·dim rows — bounded codebook metadata
+        val byCell = stats.groupBy(_.getAs[Int]("cent_idx"))
+        codebook = codebook.zipWithIndex.map { case (old, i) =>
+          byCell.get(i).fold(old) { rows =>
+            val mean = new Array[Double](old.length)
+            rows.foreach { r =>
+              mean(r.getAs[Int]("pos")) =
+                r.getAs[Long]("s").toDouble / r.getAs[Long]("n")
+            }
+            renorm(mean.toIndexedSeq)
+          }
+        }
+      }
+      codebook.map(_.toSeq)
+    } finally sv.unpersist()
+  }
+
   /** ANN top-k via IVF (inverted-file index) — the second index family
     * next to hyperplane LSH: a coarse codebook of `numCentroids`
     * vectors partitions the corpus into cells (each row assigned to
@@ -208,19 +264,21 @@ object Similarity {
     * bounded-scalar discipline as the circuit breaker); cell
     * assignment is then a pure per-row projection — corpus scanned
     * once, no shuffle, no join. Scanned fraction ≈ nProbe/C. The
-    * codebook here is the C lowest-id corpus vectors (deterministic,
-    * SQL-mirrorable); a production index would k-means the codebook —
-    * a constant swap that changes recall, not the plan. */
+    * default codebook is the C lowest-id corpus vectors (deterministic,
+    * SQL-mirrorable — the oracle's form); pass a [[kmeansCodebook]]
+    * for the trained index — a constant swap that changes recall, not
+    * the plan. */
   def ivfTopK(queries: DataFrame, qId: String, qVec: String,
               corpus: DataFrame, cId: String, cVec: String,
-              k: Int, numCentroids: Int, nProbe: Int): DataFrame = {
+              k: Int, numCentroids: Int, nProbe: Int,
+              trainedCodebook: Option[Seq[Seq[Long]]] = None): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = corpus.sparkSession
     import spark.implicits._
-    val codebook: Seq[Seq[Long]] = corpus
+    val codebook: Seq[Seq[Long]] = trainedCodebook.getOrElse(corpus
       .select(col(cId).as("id"), scaledVec(col(cVec)).as("sv"))
       .orderBy("id").limit(numCentroids)
-      .collect().toIndexedSeq.map(_.getSeq[Long](1).toIndexedSeq)
+      .collect().toIndexedSeq.map(_.getSeq[Long](1).toIndexedSeq))
     val centLit = typedLit(codebook)
     def assign(v: Column): Column =
       Bridge.column(graft.functions.NearestCentroid(

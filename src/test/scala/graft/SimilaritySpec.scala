@@ -60,6 +60,58 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.15)
   }
 
+  /** Mean best-cell cosine (scaled): the spherical k-means objective. */
+  private def objective(emb: org.apache.spark.sql.DataFrame,
+                        codebook: Seq[Seq[Long]]): Double = {
+    val s = spark; import s.implicits._
+    val centDf = broadcast(codebook.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("cent_idx", "_cent"))
+    emb.select(col("vec_id"),
+        Similarity.scaledVec(col("embedding")).as("sv"))
+      .crossJoin(centDf)
+      .withColumn("d", Similarity.dotScaled(col("sv"), col("_cent")))
+      .groupBy("vec_id").agg(max("d").as("best"))
+      .agg(avg("best")).head().getDouble(0)
+  }
+
+  test("spherical k-means training raises the cosine objective, deterministically") {
+    val emb = Tables.embeddings(spark, TinySf)
+    val C = graft.queries.SimilarityQueries.NumCentroids
+    val cb0 = Similarity.kmeansCodebook(emb, "vec_id", "embedding", C, iters = 0)
+    val cb4 = Similarity.kmeansCodebook(emb, "vec_id", "embedding", C, iters = 4)
+    val (o0, o4) = (objective(emb, cb0), objective(emb, cb4))
+    info(f"objective: init $o0%.3e → trained $o4%.3e")
+    // Lloyd + renormalize is monotone in the cosine objective; the
+    // 0.1% slack absorbs integer-rounding epsilon only
+    assert(o4 >= o0 * 0.999, s"training degraded the objective: $o0 → $o4")
+    assert(o4 > o0, "training moved nothing — suspicious on 500 vectors")
+    assert(cb4 == Similarity.kmeansCodebook(
+      emb, "vec_id", "embedding", C, iters = 4),
+      "codebook training must be deterministic across runs")
+  }
+
+  test("trained codebook plugs into ivfTopK with sane recall") {
+    val emb = Tables.embeddings(spark, TinySf)
+    val queries = emb.filter(expr("vec_id % 100 = 3"))
+    val cb = Similarity.kmeansCodebook(emb, "vec_id", "embedding",
+      graft.queries.SimilarityQueries.NumCentroids, iters = 4)
+    val exact = neighbourSets(
+      Similarity.bruteTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", K))
+    val ivf = neighbourSets(
+      Similarity.ivfTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", K,
+        graft.queries.SimilarityQueries.NumCentroids,
+        graft.queries.SimilarityQueries.NProbe,
+        trainedCodebook = Some(cb)))
+    val recalls = exact.map { case (q, ex) =>
+      ivf.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean IVF recall@$K with trained codebook: $mean%.3f")
+    assert(mean >= 0.15)
+  }
+
   test("scaled dot product is exact and symmetric") {
     val s = spark; import s.implicits._
     val df = Seq((Array(0.5f, -0.25f), Array(0.1f, 0.4f)))
