@@ -12,22 +12,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: session/scheduler/parquet-reader/shuffle/codegen
     // init otherwise lands entirely on whichever query runs first
-    // (alphabetically q_agg_pricing showed 7x its own cost in r4). The
-    // warmup mirrors the flagship aggregate's codepath — a full
-    // lineitem scan, decimal hash aggregate, exchange, noop sink — so
-    // the first timed query starts with its reader and generated code
-    // paths already JIT-compiled.
-    try {
-      import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum(col("l_quantity").cast("decimal(18,4)")).as("w_qty"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)")).as("w_price"),
-          count(lit(1)).as("w_n"))
-        .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    // (alphabetically q_agg_pricing showed 7x its own cost in r4).
+    // Warm with the EXACT first timed query — an approximation of its
+    // shape left its own expression codegen and sort edge cold (r5:
+    // still 4x its record with a shape-alike warmup); running the real
+    // body JITs precisely the paths the first measurement hits.
+    SparkEntry.benchQueries.toSeq.sortBy(_._1).headOption.foreach {
+      case (_, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+    }
     // untimed fixture setup (e.g. the partitioned-fact layout for
     // q_runmonth_pruning): one-off write I/O must not pollute timings
     SparkEntry.benchPrepares.foreach { case (name, prep) =>

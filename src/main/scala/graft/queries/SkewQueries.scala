@@ -32,15 +32,25 @@ object SkewQueries extends QueryPack {
 
   private val Factor = 16
 
-  /** lineitem with a synthetic 90%-hot join key: multiples-of-10
-    * orderkeys fan out over k0..k49, everything else is 'hot'. */
+  /** Fact inflation: at sf0.1 the raw lineitem's hot partition sorts
+    * in ~0.1 s and scheduler overhead hides the one-task bottleneck
+    * the queries exist to measure. ×6 models the fact-to-dim ratio
+    * where skew actually bites; the oracle mirrors it verbatim. */
+  private val Mult = 6
+
+  /** lineitem ×[[Mult]] with a synthetic 90%-hot join key:
+    * multiples-of-10 orderkeys fan out over k0..k49, everything else
+    * is 'hot'. `rep` keeps replica rows distinct so the salt (keyed on
+    * (l_orderkey, rep)) spreads the inflated hot mass too. */
   private def bigSide(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).select(
-      when(col("l_orderkey") % 10 === 0,
-        concat(lit("k"),
-          (floor(col("l_orderkey") / 10) % 50).cast("string")))
-        .otherwise(lit("hot")).as("skew_key"),
-      col("l_orderkey"), col("l_quantity"))
+    Tables.lineitem(s, dir)
+      .withColumn("rep", explode(sequence(lit(1), lit(Mult))))
+      .select(
+        when(col("l_orderkey") % 10 === 0,
+          concat(lit("k"),
+            (floor(col("l_orderkey") / 10) % 50).cast("string")))
+          .otherwise(lit("hot")).as("skew_key"),
+        col("l_orderkey"), col("rep"), col("l_quantity"))
 
   /** 51-row dim: k0..k49 weighted, plus the hot key. */
   private def smallDim(s: SparkSession): DataFrame = {
@@ -62,7 +72,7 @@ object SkewQueries extends QueryPack {
                THEN 'k' || CAST(CAST(floor(l_orderkey / 10) AS BIGINT) % 50 AS VARCHAR)
                ELSE 'hot' END AS skew_key,
              l_quantity
-      FROM lineitem
+      FROM lineitem CROSS JOIN generate_series(1, $Mult) reps(rep)
     )
     SELECT skew_key, COUNT(*) AS n_rows,
            ${Exact.fixedSumSql("l_quantity", 2)} AS sum_qty,
@@ -88,8 +98,8 @@ object SkewQueries extends QueryPack {
     "q_skew_join_salted",
     (s, d) => aggregate(
       Skew.saltedJoin(bigSide(s, d), smallDim(s), "skew_key",
-        entropy = col("l_orderkey"), factor = Factor,
-        smallHint = Some("merge"))),
+        entropy = concat_ws("|", col("l_orderkey"), col("rep")),
+        factor = Factor, smallHint = Some("merge"))),
     Some(oracle))
 
   def all: Seq[GQuery] = Seq(naive, salted)
