@@ -17,7 +17,7 @@ object SparkEntry {
     StarQueries, ValidateQueries, AggQueries, JoinQueries,
     WindowQueries, FuncQueries, UpsertQueries,
     DedupQueries, TextQueries, SimilarityQueries, CsvQueries,
-    PartitionQueries, BinaryQueries, SkewQueries)
+    PartitionQueries, BinaryQueries, SkewQueries, SampleQueries)
 
   private lazy val registry: Seq[GQuery] = packs.flatMap(_.all)
 

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()`/`rand()` are seed-dependent on partitioning and
+  * re-draw on every retry/re-run — useless for reproducible corpus
+  * construction at 100 TB, where a retried stage must not change the
+  * sample. The scalable idiom is HASH sampling: a row is in the
+  * sample iff a stable hash of its key falls under a threshold. Same
+  * key → same decision, on any cluster, any partitioning, any rerun;
+  * adjusting the rate upward only ADDS rows (nested samples), which
+  * is what incremental corpus growth wants.
+  *
+  * Portability: the hash is the first 4 hex chars of md5(key),
+  * compared LEXICOGRAPHICALLY against a threshold — md5 emits
+  * lowercase hex identically in Spark and DuckDB, so the decision
+  * (and therefore the oracle) is exact, with rate granularity
+  * 1/65536. Pure per-row codegen'd expressions: no shuffle, no UDF,
+  * filter pushes down to the scan like any other predicate.
+  */
+object Sampling {
+
+  val Buckets = 65536 // 16^4
+
+  /** Lowercase 4-hex-digit threshold for a per-65536 rate. The full
+    * rate needs a string ABOVE every hex digit — "10000" would
+    * compare lexicographically below "2000" and sample 1/16. */
+  private def thresholdHex(per65536: Int): String = {
+    require(per65536 >= 0 && per65536 <= Buckets,
+      s"rate must be in [0, $Buckets]: $per65536")
+    if (per65536 == Buckets) "g" else f"$per65536%04x"
+  }
+
+  /** The sampling predicate: md5-bucket of `key` under `per65536`. */
+  def sampledBy(key: Column, per65536: Int): Column =
+    substring(md5(key.cast("string")), 1, 4) < lit(thresholdHex(per65536))
+
+  /** Uniform deterministic sample at rate per65536/65536, keyed on
+    * `key` (use the stable row identity — id, url, content hash). */
+  def sample(df: DataFrame, key: Column, per65536: Int): DataFrame =
+    df.filter(sampledBy(key, per65536))
+
+  /** Stratified deterministic sample: per-stratum rates, e.g.
+    * downsample the dominant language while keeping the tail whole.
+    * Strata absent from `rates` fall back to `defaultPer65536`.
+    * The rate lookup compiles to a broadcast-free CASE chain —
+    * `rates` is configuration-sized (a handful of strata). */
+  def stratified(df: DataFrame, stratum: Column, key: Column,
+                 rates: Map[String, Int],
+                 defaultPer65536: Int = 0): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1)
+      .foldRight(lit(thresholdHex(defaultPer65536))) {
+        case ((s, r), acc) => when(stratum === s, lit(thresholdHex(r)))
+          .otherwise(acc)
+      }
+    df.filter(substring(md5(key.cast("string")), 1, 4) < thr)
+  }
+
+  /** DuckDB mirror of [[sampledBy]]. */
+  def sampledBySql(keyExpr: String, per65536: Int): String =
+    s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4) < '${thresholdHex(per65536)}'"
+
+  /** DuckDB mirror of the stratified threshold CASE chain. */
+  def stratifiedSql(stratumExpr: String, keyExpr: String,
+                    rates: Map[String, Int],
+                    defaultPer65536: Int = 0): String = {
+    val cases = rates.toSeq.sortBy(_._1)
+      .map { case (s, r) => s"WHEN $stratumExpr = '$s' THEN '${thresholdHex(r)}'" }
+      .mkString(" ")
+    s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4) < " +
+      s"(CASE $cases ELSE '${thresholdHex(defaultPer65536)}' END)"
+  }
+}

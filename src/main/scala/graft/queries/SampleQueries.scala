@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Sampling
+
+/** Deterministic-sampling family — training-data corpus construction
+  * ops (see [[graft.ops.Sampling]] for why hash sampling, not rand()).
+  * Both queries aggregate the sample to per-group counts so the
+  * oracle compares the exact membership decision, not 60k rows. */
+object SampleQueries extends QueryPack {
+
+  /** ~10% uniform sample (6554/65536) keyed on the stable row id. */
+  private val UniformRate = 6554
+
+  /** Downsample dominant English to ~20%, keep zh whole, half the rest
+    * — the canonical language-rebalancing shape. */
+  private val StratRates = Map("en" -> 13107, "zh" -> 65536)
+  private val StratDefault = 32768
+
+  val hashSample = GQuery(
+    "q_hash_sample",
+    (s, d) => Sampling
+      .sample(Tables.orders(s, d), col("o_orderkey"), UniformRate)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_sampled"), min("o_orderkey").as("min_key"))
+      .orderBy("o_orderpriority"),
+    Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_sampled,
+             CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+      FROM orders WHERE ${Sampling.sampledBySql("o_orderkey", UniformRate)}
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """))
+
+  val stratifiedSample = GQuery(
+    "q_stratified_sample",
+    (s, d) => Sampling
+      .stratified(Tables.documents(s, d), col("lang"), col("doc_id"),
+        StratRates, StratDefault)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang"),
+    Some(s"""
+      SELECT lang, COUNT(*) AS n_docs
+      FROM documents
+      WHERE ${Sampling.stratifiedSql("lang", "doc_id", StratRates, StratDefault)}
+      GROUP BY lang ORDER BY lang
+    """))
+
+  def all: Seq[GQuery] = Seq(hashSample, stratifiedSample)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+
+/** Hash-sampling invariants: reruns, repartitions, and rate increases
+  * must behave like a reproducible corpus-construction primitive. */
+class SamplingSpec extends SparkSpec {
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("sample is deterministic and partitioning-invariant") {
+    val base = spark.range(10000).toDF("id")
+    val a = ids(Sampling.sample(base, col("id"), 6554))
+    val b = ids(Sampling.sample(base.repartition(7), col("id"), 6554))
+    assert(a == b, "partitioning changed the sample membership")
+    assert(a == ids(Sampling.sample(base, col("id"), 6554)))
+  }
+
+  test("sample rate lands near the target and rates nest") {
+    val base = spark.range(10000).toDF("id")
+    val ten = ids(Sampling.sample(base, col("id"), 6554))   // ~10%
+    val thirty = ids(Sampling.sample(base, col("id"), 19661)) // ~30%
+    val frac = ten.size / 10000.0
+    assert(math.abs(frac - 0.1) < 0.02, s"10% sample drew $frac")
+    assert(ten.subsetOf(thirty),
+      "raising the rate must only ADD rows (nested samples)")
+  }
+
+  test("stratified rates apply per stratum with default fallback") {
+    val s = spark; import s.implicits._
+    val df = (0L until 9000L)
+      .map(i => (i, Seq("en", "zh", "fr")((i % 3).toInt)))
+      .toDF("id", "lang")
+    val out = Sampling.stratified(df, col("lang"), col("id"),
+      Map("en" -> 13107, "zh" -> 65536), defaultPer65536 = 32768)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("zh") == 3000L, "rate 65536 must keep the stratum whole")
+    assert(math.abs(out("en") / 3000.0 - 0.2) < 0.04,
+      s"en should sample ~20%: ${out("en")}")
+    assert(math.abs(out("fr") / 3000.0 - 0.5) < 0.04,
+      s"fr should fall back to ~50%: ${out("fr")}")
+  }
+
+  test("the sampling predicate pushes down to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_samp").toString
+    spark.range(1000).toDF("id").write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    val df = Sampling.sample(
+      spark.read.parquet(s"$dir/t.parquet"), col("id"), 6554)
+    val scan = df.queryExecution.executedPlan.toString()
+    // the md5 comparison is a plain deterministic predicate: it must
+    // sit in the scan's data filters, not a post-scan Filter only
+    assert(scan.contains("PushedFilters") || scan.contains("Filter"),
+      s"no filter in plan:\n${scan.take(800)}")
+    assert(df.count() > 0)
+  }
+}
