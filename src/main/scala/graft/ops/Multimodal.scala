@@ -93,6 +93,63 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — the batch-contract twin of [[decodeBatch]] for the
+    * write path. The header rewrite is REAL byte work (PNG IHDR width
+    * at bytes 17-20, height at 21-24, big-endian, rewritten in a
+    * copy); only pixel RESAMPLING is stubbed (data bytes pass through
+    * untouched, so the output is a header-consistent fixture, not a
+    * viewable image — exactly what plumbing tests need). Undecodable
+    * input → None, same quarantine convention as decode. */
+  def resizeBatch(contents: Seq[Array[Byte]], width: Long, height: Long,
+                  batchSize: Int): Seq[Option[Array[Byte]]] = {
+    require(contents.size <= batchSize,
+      s"resizer contract: at most $batchSize images per call")
+    contents.zip(decodeBatch(contents, batchSize)).map {
+      case (_, None) => None
+      case (b, Some(_)) =>
+        val out = b.clone()
+        def putBe(off: Int, v: Long): Unit = { // 1-based like beUint32
+          out(off - 1) = ((v >> 24) & 0xff).toByte
+          out(off) = ((v >> 16) & 0xff).toByte
+          out(off + 1) = ((v >> 8) & 0xff).toByte
+          out(off + 2) = (v & 0xff).toByte
+        }
+        putBe(17, width); putBe(21, height)
+        Some(out)
+    }
+  }
+
+  /** Batch resize over a decoded frame — same mapPartitions shape as
+    * [[decodeDataset]]; swapping in a real resampler touches only
+    * [[resizeBatch]]. */
+  def resizeDataset(images: DataFrame, width: Long, height: Long,
+                    batchSize: Int = 64): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap { batch =>
+        batch.zip(resizeBatch(batch.map(_._2), width, height, batchSize))
+          .collect { case ((name, _), Some(bytes)) => (name, bytes) }
+      }).toDF("file_name", "content")
+  }
+
+  /** Deterministic frame-index sampling for video-shaped rows: an
+    * even stride over [0, n_frames) yielding ≤ `maxFrames` indexes,
+    * exploded to one row per sampled frame. Pure Column arithmetic —
+    * the per-frame EXTRACT is the stubbed decoder step; this is the
+    * fan-out plumbing (a 2-hour clip explodes to its sample frames on
+    * the executor, never materializing every frame). */
+  def sampleFrameIdx(nFrames: Column, maxFrames: Int): Column = {
+    val stride = greatest(
+      floor((nFrames.cast("double") + maxFrames - 1) / maxFrames)
+        .cast("long"),
+      lit(1L))
+    explode(when(nFrames > 0,
+      sequence(lit(0L), nFrames.cast("long") - 1, stride))
+      .otherwise(array().cast("array<long>")))
+  }
+
   /** Per-partition batch decode — the Spark-side plumbing of a
     * vectorized decoder, with the codec stubbed: rows stream through
     * `mapPartitions` in bounded batches (executor-local, no shuffle;
