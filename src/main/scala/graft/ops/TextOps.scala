@@ -167,6 +167,25 @@ object TextOps {
     s"$cols, $pred AS predicted_lang"
   }
 
+  /** PII redaction — the scrub step every training corpus runs before
+    * anything else sees the text. Patterns live in the Java-regex ∩
+    * RE2 subset (no backrefs, no lookarounds, literal `-` at class
+    * end) so Spark and the DuckDB oracle replace the exact same
+    * spans. Codegen'd regexp_replace: per-row, no UDF, no shuffle.
+    * Email first, then phone — a phone fragment inside an address
+    * must not split the email match. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  def redactPiiSql(textExpr: String): String =
+    s"regexp_replace(regexp_replace($textExpr, '$EmailRe', '<EMAIL>', 'g'), " +
+      s"'$PhoneRe', '<PHONE>', 'g')"
+
   /** Content fingerprint: md5 of the exact text bytes. */
   def md5Fingerprint(text: Column): Column = md5(text)
 

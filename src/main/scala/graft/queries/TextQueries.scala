@@ -134,6 +134,57 @@ object TextQueries extends QueryPack {
       ORDER BY doc_id, rank
     """))
 
+  /** PII scrubbing: the synthetic corpus carries no PII, so each row
+    * is deterministically augmented with a planted email (+ a second
+    * one every 3rd doc) and a phone before scrubbing — both engines
+    * plant the identical bytes, then the oracle checks match counts
+    * before, ZERO matches after, and the md5 of the redacted text
+    * (which still varies per row through the original content). */
+  val piiRedact = GQuery(
+    "q_pii_redact",
+    (s, d) => {
+      val planted = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" cc admin"), col("doc_id").cast("string"),
+            lit("@corp.example.org"))).otherwise(lit("")),
+        lit(" or call +1 555 000 "),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val redacted = TextOps.redactPii(planted)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_count(planted, lit(TextOps.EmailRe)).cast("long")
+          .as("n_emails_before"),
+        (regexp_count(redacted, lit(TextOps.EmailRe)) +
+          regexp_count(redacted, lit(TextOps.PhoneRe))).cast("long")
+          .as("n_pii_after"),
+        md5(redacted).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH planted AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com'
+                    || (CASE WHEN doc_id % 3 = 0
+                        THEN ' cc admin' || CAST(doc_id AS VARCHAR)
+                             || '@corp.example.org' ELSE '' END)
+                    || ' or call +1 555 000 '
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents),
+      red AS (SELECT doc_id, t, ${TextOps.redactPiiSql("t")} AS r FROM planted)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '${TextOps.EmailRe}')) AS BIGINT)
+               AS n_emails_before,
+             CAST(len(regexp_extract_all(r, '${TextOps.EmailRe}'))
+                + len(regexp_extract_all(r, '${TextOps.PhoneRe}')) AS BIGINT)
+               AS n_pii_after,
+             md5(r) AS redacted_md5
+      FROM red ORDER BY doc_id
+    """))
+
   def all: Seq[GQuery] =
-    Seq(tokenStats, qualityScore, langId, fingerprint, tfidfTopTerms)
+    Seq(tokenStats, qualityScore, langId, fingerprint, tfidfTopTerms,
+      piiRedact)
 }
