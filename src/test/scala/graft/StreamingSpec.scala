@@ -91,6 +91,30 @@ class StreamingSpec extends SparkSpec {
       s"each event exactly once across batches, got $ids")
   }
 
+  test("stream-static enrichment broadcasts the dim; unmatched keys survive") {
+    val root = java.nio.file.Files.createTempDirectory("graft_enr").toString
+    val events = Tables.events(spark, TinySf)
+    events.write.parquet(s"$root/events")
+    val s = spark; import s.implicits._
+    val dim = Seq(("click", "engagement"), ("signup", "conversion"))
+      .toDF("event_type", "category")
+    val stream = spark.readStream.schema(events.schema)
+      .parquet(s"$root/events")
+    val q = Streams.enrich(stream, dim, Seq("event_type"))
+      .writeStream.format("memory").queryName("enr")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("enr")
+    assert(out.count() == events.count(),
+      "left enrichment must keep every stream row")
+    val cats = out.groupBy("event_type", "category").count().collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(cats.get("click").flatten.contains("engagement"))
+    // event types outside the dim survive with a null category
+    assert(cats.values.exists(_.isEmpty) ||
+      cats.keySet.subsetOf(Set("click", "signup")))
+  }
+
   test("sessionization state survives micro-batches; gap closes sessions") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_sess").toString

@@ -84,6 +84,25 @@ class XlsxSpec extends SparkSpec {
       Seq("R002", null, "3.5")))
   }
 
+  test("parseRows handles inlineStr cells and ref-less consecutive cells") {
+    // hand-crafted sheet: no sharedStrings part, inline strings, and
+    // cells without r= attributes (writers may omit them — "next
+    // column" semantics)
+    val sheet = """<?xml version="1.0"?>""" +
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      "<sheetData>" +
+      """<row r="1"><c t="inlineStr"><is><t>id</t></is></c>""" +
+      """<c t="inlineStr"><is><t>amount</t></is></c></row>""" +
+      """<row r="2"><c t="inlineStr"><is><t>A1</t></is></c><c><v>7</v></c></row>""" +
+      "</sheetData></worksheet>"
+    val bout = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bout)
+    z.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    z.write(sheet.getBytes("UTF-8")); z.closeEntry(); z.close()
+    assert(Xlsx.parseRows(bout.toByteArray) ==
+      Seq(Seq("id", "amount"), Seq("A1", "7")))
+  }
+
   test("ingestDir conforms headers and schema like the CSV path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
     write(dir, "fix.xlsx", xlsxBytes(Seq(
