@@ -122,20 +122,23 @@ object TextOps {
     "fr" -> Seq(" le", "es ", "ent", "eur", "oir", "ait"),
     "zh" -> Seq("de5", "hi4", "le5", "ao4", "i3 ", "ng2"))
 
-  /** Non-overlapping occurrences of `trig` in `lowered` via the
-    * replace trick; exact long arithmetic (difference is always a
-    * multiple of 3, and the double division is exact below 2^53). */
-  private def trigramCount(lowered: Column, trig: String): Column =
-    ((length(lowered) - length(replace(lowered, lit(trig), lit("")))) /
-      lit(3)).cast("long")
+  /** All profile scores in ONE native expression evaluation
+    * ([[graft.functions.TrigramScores]]) — the Column-per-trigram
+    * formulation cost 30 `replace` scans each allocating a rewritten
+    * text copy per row; identical numbers (the expression implements
+    * replace's non-overlapping count), mirrored by the same SQL.
+    * Subexpression elimination collapses the repeated array expr to
+    * one evaluation per row within a projection. */
+  private def scoresArray(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.TrigramScores(
+      Bridge.expression(lower(text)), LangProfiles.map(_._2)))
+  }
 
   def langScores(text: Column): Seq[(String, Column)] = {
-    val lowered = lower(text)
-    LangProfiles.map { case (lang, trigs) =>
-      val n = trigs.length
-      s"score_$lang" -> trigs.zipWithIndex.map { case (g, i) =>
-        lit((n - i).toLong) * trigramCount(lowered, g)
-      }.reduce(_ + _)
+    val arr = scoresArray(text)
+    LangProfiles.map(_._1).zipWithIndex.map { case (lang, i) =>
+      s"score_$lang" -> element_at(arr, i + 1)
     }
   }
 
