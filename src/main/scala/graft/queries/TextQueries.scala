@@ -184,7 +184,40 @@ object TextQueries extends QueryPack {
       FROM red ORDER BY doc_id
     """))
 
+  /** Context packing: documents greedily packed into 2048-token packs
+    * across 8 parallel bucket streams (see [[graft.ops.Packing]] for
+    * why bucketed, not one global cumsum). Result: per-pack fill
+    * stats — the oracle checks every assignment decision through the
+    * aggregate. */
+  val tokenPacking = GQuery(
+    "q_token_packing",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Packing
+        .assignments(docs, "doc_id", col("n_tokens"),
+          budget = 2048L, buckets = 8)
+        .groupBy("pack_bucket", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("pack_tokens_doc").as("pack_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("pack_bucket", "pack_id")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      assigned AS (${graft.ops.Packing.assignmentsSql(
+        "docs", "doc_id", "n_tokens", 2048L, 8)})
+      SELECT pack_bucket, pack_id, COUNT(*) AS n_docs,
+             CAST(SUM(pack_tokens_doc) AS BIGINT) AS pack_tokens,
+             CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM assigned
+      GROUP BY pack_bucket, pack_id ORDER BY pack_bucket, pack_id
+    """))
+
   def all: Seq[GQuery] =
     Seq(tokenStats, qualityScore, langId, fingerprint, tfidfTopTerms,
-      piiRedact)
+      piiRedact, tokenPacking)
 }
