@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** Small-file compaction for append-accumulating parquet layers.
@@ -27,8 +27,10 @@ object Compaction {
   def compact(spark: SparkSession, path: String, targetBytes: Long,
               minBytes: Long = 0L): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val p = new Path(path)
+    // resolve the FS from the path, not the default scheme — a layer
+    // on s3a:// etc. must not hit the local default FS
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return 0
     val bytes = fs.getContentSummary(p).getLength
     if (bytes < minBytes || bytes == 0) return 0

@@ -38,8 +38,11 @@ object Xlsx {
       Set("xl/sharedStrings.xml"), prefix = "xl/worksheets/")
     val shared = parts.get("xl/sharedStrings.xml")
       .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
-    // first worksheet by name order: sheet1.xml sorts first
-    val sheet = parts.view.filterKeys(_.startsWith("xl/worksheets/"))
+    // first worksheet by name order (sheet1.xml sorts first) — ONLY
+    // direct sheet parts: xl/worksheets/_rels/sheet1.xml.rels sorts
+    // before 's' and would otherwise be picked as "the sheet"
+    val sheet = parts.view
+      .filterKeys(_.matches("xl/worksheets/[^/]+\\.xml"))
       .toSeq.sortBy(_._1).headOption
       .getOrElse(throw new IllegalArgumentException(
         "xlsx has no worksheet part"))._2
@@ -94,7 +97,10 @@ object Xlsx {
 
   /** `<sheetData><row><c r="A1" t="s|str|inlineStr|b|…"><v>…</v></c>`.
     * Cell refs place values at their column index (sparse rows keep
-    * nulls in the gaps); a missing ref means "next column". */
+    * nulls in the gaps); a missing ref means "next column". The cell's
+    * value assembles across ALL `<v>`/`<t>` children and finalizes at
+    * `</c>` — an inlineStr split into rich-text runs (`<r><t>…`)
+    * concatenates, same as [[parseSharedStrings]]. */
   private def parseSheet(xml: Array[Byte],
                          shared: IndexedSeq[String]): Seq[Seq[String]] = {
     val r = xmlReader(xml)
@@ -104,6 +110,7 @@ object Xlsx {
     var nextIdx = 0
     var curIdx = 0
     var inV = false
+    var sawValue = false
     val text = new StringBuilder
     while (r.hasNext) {
       r.next() match {
@@ -116,8 +123,9 @@ object Xlsx {
               curIdx = ref.map(colIndex).getOrElse(nextIdx)
               nextIdx = curIdx + 1
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+              text.clear(); sawValue = false
             case "v" | "t" if row != null =>
-              inV = true; text.clear()
+              inV = true
             case _ =>
           }
         case XMLStreamConstants.CHARACTERS if inV =>
@@ -126,12 +134,18 @@ object Xlsx {
           r.getLocalName match {
             case "row" => rows += row.toSeq; row = null
             case "v" | "t" if inV =>
-              inV = false
+              inV = false; sawValue = true
+            case "c" if row != null && sawValue =>
               val raw = text.toString
               val value = cellType match {
-                case "s" => shared(raw.trim.toInt)
+                case "s" =>
+                  val idx = raw.trim.toInt
+                  if (idx < 0 || idx >= shared.length)
+                    throw new IllegalArgumentException(
+                      s"shared-string index $idx out of range (${shared.length})")
+                  shared(idx)
                 case "b" => if (raw.trim == "1") "true" else "false"
-                case _ => raw // str / inlineStr t / plain numeric
+                case _ => raw // str / inlineStr runs / plain numeric
               }
               while (row.length <= curIdx) row += null
               row(curIdx) = value
@@ -167,8 +181,8 @@ object Xlsx {
     * lineage column. */
   def ingestDir(spark: SparkSession, dir: String, target: StructType,
                 renames: Map[String, String] = Normalize.renameMap): DataFrame = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files =
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toIndexedSeq.map(_.getPath)
@@ -186,7 +200,18 @@ object Xlsx {
         col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (srcFile, bytes) =>
-        val all = parseRows(bytes)
+        // per-file fault isolation, the reference's try/except-continue
+        // (dags/Reprocessing.py:55-156): one truncated or malformed
+        // drop must not kill the task and take the whole batch's good
+        // corrections down with it
+        val all =
+          try parseRows(bytes)
+          catch {
+            case e: Exception =>
+              System.err.println(
+                s"[xlsx] skipping unparseable $srcFile: ${e.getMessage}")
+              Seq.empty
+          }
         if (all.isEmpty) Iterator.empty
         else {
           val header = all.head.map(h =>

@@ -121,11 +121,15 @@ object ChurnModel {
       to_timestamp(lit(runTs)).as("model_run_date"))
   }
 
+  /** One min-rows guard shared by every training entry point. */
+  private def requireTrainable(features: DataFrame): Unit =
+    require(features.limit(10).count() >= 10,
+      "Insufficient data for training: need at least 10 rows")
+
   /** Train on the extracted features and score every row — the
     * reference trains and predicts on the same extract. */
   def trainPredict(features: DataFrame, runTs: String): TrainResult = {
-    require(features.limit(10).count() >= 10,
-      "Insufficient data for training: need at least 10 rows")
+    requireTrainable(features)
     val model = buildPipeline().fit(features)
     TrainResult(model, score(model, features, runTs))
   }
@@ -177,8 +181,7 @@ object ChurnModel {
   def trainAndSave(spark: SparkSession, layers: Warehouse.Layers,
                    artifactsRoot: String, runDate: String): String = {
     val features = extractFeatures(spark, layers)
-    require(features.limit(10).count() >= 10,
-      "Insufficient data for training: need at least 10 rows")
+    requireTrainable(features)
     saveVersioned(buildPipeline().fit(features), artifactsRoot, runDate)
   }
 
@@ -188,6 +191,12 @@ object ChurnModel {
     * are idempotent (the reference's ensure_idempotency task). */
   def predictWithLatest(spark: SparkSession, layers: Warehouse.Layers,
                         artifactsRoot: String, runTs: String): DataFrame = {
+    // an unparseable runTs would score rows with a NULL model_run_date
+    // AND make the non-null-safe idempotency filter below silently
+    // delete earlier null-dated rows — fail loudly instead
+    require(!spark.range(1)
+      .select(to_timestamp(lit(runTs)).isNull).head().getBoolean(0),
+      s"runTs '$runTs' does not parse as a timestamp")
     val model = loadLatest(spark, artifactsRoot)
     val preds = score(model, extractFeatures(spark, layers), runTs)
     val out = s"${layers.root}/gold/churn_predictions"
@@ -196,8 +205,10 @@ object ChurnModel {
     val merged =
       if (fs.exists(new org.apache.hadoop.fs.Path(out)))
         spark.read.parquet(out)
-          .filter(to_date(col("model_run_date")) =!=
-            to_date(to_timestamp(lit(runTs))))
+          // null-safe: a legacy row with a NULL run date is not
+          // "today's run" and must survive the delete+insert
+          .filter(!(to_date(col("model_run_date")) <=>
+            to_date(to_timestamp(lit(runTs)))))
           .unionByName(preds)
       else preds
     Upsert.atomicOverwrite(merged, out)

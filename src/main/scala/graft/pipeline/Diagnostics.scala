@@ -32,7 +32,9 @@ object Diagnostics {
   /** Probe every named layer of a warehouse (the `to_regclass` sweep). */
   def probeLayers(spark: SparkSession, layers: Warehouse.Layers): DataFrame = {
     import spark.implicits._
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // per-path FS resolution (layers may live on a non-default scheme)
+    val fs = new Path(layers.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(
       "staging" -> layers.staging,
       "bronze" -> layers.bronze,
@@ -50,8 +52,8 @@ object Diagnostics {
     * `like` uses SQL LIKE syntax, matched case-insensitively. */
   def findLayers(spark: SparkSession, root: String, like: String): DataFrame = {
     import spark.implicits._
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val re = java.util.regex.Pattern.quote(like.toLowerCase)
       .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q")
     val names =

@@ -92,15 +92,21 @@ class XlsxSpec extends SparkSpec {
       """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
       "<sheetData>" +
       """<row r="1"><c t="inlineStr"><is><t>id</t></is></c>""" +
-      """<c t="inlineStr"><is><t>amount</t></is></c></row>""" +
-      """<row r="2"><c t="inlineStr"><is><t>A1</t></is></c><c><v>7</v></c></row>""" +
+      """<c t="inlineStr"><is><t>amount</t></is></c>""" +
+      """<c t="inlineStr"><is><t>city</t></is></c></row>""" +
+      """<row r="2"><c t="inlineStr"><is><t>A1</t></is></c><c><v>7</v></c>""" +
+      """<c t="inlineStr"><is><r><t>Los </t></r><r><t>Angeles</t></r></is></c></row>""" +
       "</sheetData></worksheet>"
     val bout = new java.io.ByteArrayOutputStream()
     val z = new ZipOutputStream(bout)
+    // _rels sorts before 's': worksheet selection must skip it
+    z.putNextEntry(new ZipEntry("xl/worksheets/_rels/sheet1.xml.rels"))
+    z.write("""<?xml version="1.0"?><Relationships/>""".getBytes("UTF-8"))
+    z.closeEntry()
     z.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
     z.write(sheet.getBytes("UTF-8")); z.closeEntry(); z.close()
     assert(Xlsx.parseRows(bout.toByteArray) ==
-      Seq(Seq("id", "amount"), Seq("A1", "7")))
+      Seq(Seq("id", "amount", "city"), Seq("A1", "7", "Los Angeles")))
   }
 
   test("ingestDir conforms headers and schema like the CSV path") {
