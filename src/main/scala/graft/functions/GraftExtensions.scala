@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 
 /** SQL surface for the native graft expressions — registered through
   * the standard `SparkSessionExtensions` hook (config
@@ -53,5 +54,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("nearest_centroid", classOf[NearestCentroid]),
       (in: Seq[Expression]) => { val args = arity("nearest_centroid", 2)(in)
         NearestCentroid(args.head, args(1)) }))
+    ext.injectFunction((FunctionIdentifier("trigram_scores"),
+      info("trigram_scores", classOf[TrigramScores]),
+      (in: Seq[Expression]) => { val args = arity("trigram_scores", 2)(in)
+        TrigramScores(args.head, profilesLit(args(1))) }))
+  }
+
+  /** Constant-fold an `array(array('…'))` profiles argument — the
+    * expression compiles the patterns into its codegen, so they must
+    * be literal at plan time. */
+  private def profilesLit(e: Expression): Seq[Seq[String]] = {
+    val ok = e.resolved && e.foldable && (e.dataType match {
+      case ArrayType(ArrayType(StringType, _), _) => true
+      case _ => false
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"trigram profiles must be a literal ARRAY<ARRAY<STRING>>, got $e")
+    val ad = e.eval().asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map { i =>
+      val inner = ad.getArray(i)
+      (0 until inner.numElements()).map(j =>
+        inner.getUTF8String(j).toString)
+    }
   }
 }

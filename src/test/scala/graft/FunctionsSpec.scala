@@ -125,6 +125,12 @@ class FunctionsSpec extends SparkSpec {
       "SELECT nearest_centroid(array(5L, 1L), array(array(1L, 0L), array(0L, 1L))) AS c")
       .head().getInt(0)
     assert(nc == 0)
+    // 'ab' ×2 at weight 2, 'cd' ×1 at weight 1 → score 5; second
+    // profile counts 'zz' → 0
+    val tg = spark.sql(
+      "SELECT trigram_scores('ab ab cd', array(array('ab','cd'), array('zz'))) AS t")
+      .head().getSeq[Long](0)
+    assert(tg == Seq(5L, 0L))
   }
 
   // ---- NearestCentroid -------------------------------------------------
