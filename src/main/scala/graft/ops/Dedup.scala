@@ -111,6 +111,12 @@ object Dedup {
     * identical slices in different bands never collide. */
   def bandRows(df: DataFrame, idCol: String, sigCol: String,
                bands: Int, rowsPerBand: Int): DataFrame = {
+    // fail fast on parameter drift: element_at past the signature end
+    // returns NULL (non-ANSI) and xxhash64 SKIPS null inputs, so the
+    // overflowing bands would silently hash identically for every doc
+    // — one mega-bucket, quadratic pairs or silent recall loss
+    require(bands > 0 && rowsPerBand > 0,
+      s"bands=$bands rowsPerBand=$rowsPerBand must be positive")
     val bandHash = (b: Int) =>
       xxhash64(
         (lit(b) +: (0 until rowsPerBand)
@@ -235,6 +241,10 @@ object Dedup {
   def lshNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, numHashes: Int, bands: Int, rowsPerBand: Int,
                       minMille: Int, maxBucket: Option[Int]): DataFrame = {
+    require(bands * rowsPerBand <= numHashes,
+      s"banding overruns the signature: $bands bands x $rowsPerBand rows " +
+        s"> $numHashes hashes (overflow bands would silently collapse " +
+        "into one global bucket)")
     val exploded = docs.select(col(idCol),
       explode(shingles(col(textCol), k)).as("sh"))
     val sigs = minhashSignatures(exploded, idCol, "sh", numHashes)

@@ -37,13 +37,31 @@ object Warehouse {
     val fact = s"$root/gold/fact_customer_churn"
   }
 
+  /** Path-scheme-aware FS resolution — layers may live on a
+    * non-default scheme (s3a://…), where `FileSystem.get(conf)` throws
+    * Wrong FS; matches the idiom in [[Upsert.atomicOverwrite]]. */
+  private def fsFor(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pathExists(spark: SparkSession, path: String): Boolean =
+    fsFor(spark, path).exists(new org.apache.hadoop.fs.Path(path))
+
+  /** Read a layer with its schema PINNED, or an empty typed frame when
+    * the layer doesn't exist yet — inference on a dim that was written
+    * empty throws 'Unable to infer schema', and inferred key types can
+    * drift where an explicit schema fails loudly. */
+  private def readOrEmpty(spark: SparkSession, path: String,
+                          schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (pathExists(spark, path)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
   /** S12: DDL bootstrap — every layer exists (possibly empty) with its
     * declared schema before any run, like CREATE TABLE IF NOT EXISTS. */
   def ddlBootstrap(spark: SparkSession, layers: Layers): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
     def ensure(path: String, schema: org.apache.spark.sql.types.StructType): Unit =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+      if (!pathExists(spark, path))
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           .write.parquet(path)
@@ -83,9 +101,13 @@ object Warehouse {
     * conflict; current_timestamp() is pinned per query, so one load
     * stamps one instant). */
   def upsertBronze(spark: SparkSession, batch: DataFrame, layers: Layers): Unit = {
+    // tiebreak on a content hash: duplicate keys with tied (or NULL)
+    // updated_at must pick the SAME survivor on every run regardless
+    // of partition order
     val latest = batch.withColumn("_rn",
         row_number().over(Window.partitionBy(col("customer_id"))
-          .orderBy(col("updated_at").desc_nulls_last)))
+          .orderBy(col("updated_at").desc_nulls_last,
+            xxhash64(batch.columns.map(col).toIndexedSeq: _*).asc)))
       .filter(col("_rn") === 1).drop("_rn")
       .withColumn("created_at",
         coalesce(col("created_at"), current_timestamp()))
@@ -131,17 +153,11 @@ object Warehouse {
   def loadDim(spark: SparkSession, path: String, values: DataFrame,
               keyCol: String, valueCols: Seq[String],
               faithful: Boolean = false): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
-    val existing =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        spark.read.parquet(path)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(
-          org.apache.spark.sql.types.StructField(keyCol,
-            org.apache.spark.sql.types.IntegerType) +:
-            values.schema.fields.toIndexedSeq))
+    val dimSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(keyCol,
+        org.apache.spark.sql.types.IntegerType) +:
+        values.schema.fields.toIndexedSeq)
+    val existing = readOrEmpty(spark, path, dimSchema)
     val distinctNew = values.distinct()
       .join(existing,
         valueCols.map(c =>
@@ -164,7 +180,7 @@ object Warehouse {
       .select(col(keyCol) +: valueCols.map(col): _*)
     val updated = existing.unionByName(withKeys)
     Upsert.atomicOverwrite(updated, path)
-    spark.read.parquet(path)
+    spark.read.schema(dimSchema).parquet(path)
   }
 
   /** Entity dim (dim_customer): one row per NATURAL key — the
@@ -185,17 +201,11 @@ object Warehouse {
   def loadEntityDim(spark: SparkSession, path: String, values: DataFrame,
                     keyCol: String, naturalKey: String,
                     valueCols: Seq[String]): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
-    val existing =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        spark.read.parquet(path)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(
-          org.apache.spark.sql.types.StructField(keyCol,
-            org.apache.spark.sql.types.LongType) +:
-            values.schema.fields.toIndexedSeq))
+    val dimSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(keyCol,
+        org.apache.spark.sql.types.LongType) +:
+        values.schema.fields.toIndexedSeq)
+    val existing = readOrEmpty(spark, path, dimSchema)
     val deduped = values.withColumn("_rn",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col(naturalKey))
@@ -207,7 +217,7 @@ object Warehouse {
       .select(col(keyCol) +: valueCols.map(col): _*)
     val updated = existing.unionByName(fresh)
     Upsert.atomicOverwrite(updated, path)
-    spark.read.parquet(path)
+    spark.read.schema(dimSchema).parquet(path)
   }
 
   /** Silver → gold star load (J6/J7/J8 + W3): five dims + the fact
@@ -241,9 +251,7 @@ object Warehouse {
       silver.select(ChurnSchema.serviceCols.map(col): _*),
       "service_key", ChurnSchema.serviceCols)
 
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
-    val factExists = fs.exists(new org.apache.hadoop.fs.Path(layers.fact))
+    val factExists = pathExists(spark, layers.fact)
 
     // prefix every dim value column: the fact build joins five dims
     // whose natural columns all exist on the silver side too
@@ -258,11 +266,15 @@ object Warehouse {
     val ds = dimServices.select(col("service_key") +:
       ChurnSchema.serviceCols.map(c => col(c).as(s"_ds_$c")): _*)
 
+    // null-safe keys throughout: the dims were LOADED null-safely
+    // (a NULL contract gets a dim row), so the fact join must match
+    // it — a plain === would orphan the NULL-combo dim row, emit a
+    // NULL contract_key, and fail the run at dqGoldCheck
     val fact = silver
       .join(dc, col("customer_id") === col("_dc_id"))
-      .join(broadcast(dk), contractNorm === col("_dk_ct"), "left")
-      .join(broadcast(dp), col("payment_method") === col("_dp_pm"), "left")
-      .join(broadcast(dr), reasonNorm === col("_dr_cr"), "left")
+      .join(broadcast(dk), contractNorm <=> col("_dk_ct"), "left")
+      .join(broadcast(dp), col("payment_method") <=> col("_dp_pm"), "left")
+      .join(broadcast(dr), reasonNorm <=> col("_dr_cr"), "left")
       .join(broadcast(ds),
         ChurnSchema.serviceCols
           .map(c => col(c) <=> col(s"_ds_$c")).reduce(_ && _), "left")
@@ -344,21 +356,16 @@ object Warehouse {
     * Returns (decisions, Some(quality)) — or None when skipped. */
   def runWithLedger(spark: SparkSession, landingDir: String, layers: Layers,
                     runDate: String): (DataFrame, Option[DataFrame]) = {
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, landingDir)
     import spark.implicits._
     // a missing landing dir is the nothing-new case, same as CsvIngest
     if (!fs.exists(new org.apache.hadoop.fs.Path(landingDir)))
       return (Seq.empty[(String, Option[Long], String, String)]
         .toDF("file_name", "size_bytes", "checksum", "decision"), None)
     val scanned = Ledger.scan(spark, landingDir, "*.csv")
-    val prior =
-      if (fs.exists(new org.apache.hadoop.fs.Path(layers.ledger)))
-        spark.read.parquet(layers.ledger)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "file_name STRING, size_bytes LONG, checksum STRING"))
+    val prior = readOrEmpty(spark, layers.ledger,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "file_name STRING, size_bytes LONG, checksum STRING"))
     // materialize decisions NOW: the plan reads the landing files,
     // which this run archives away — a lazy consumer after the run
     // would re-scan moved files. The decision set is metadata-sized
@@ -367,8 +374,7 @@ object Warehouse {
     val decisions = {
       val lazyDecisions = Ledger.decide(scanned, prior)
       spark.createDataFrame(
-        new java.util.ArrayList(
-          java.util.Arrays.asList(lazyDecisions.collect(): _*)),
+        java.util.Arrays.asList(lazyDecisions.collect(): _*),
         lazyDecisions.schema)
     }
     val toProcess = Ledger.toProcess(decisions)
@@ -381,11 +387,18 @@ object Warehouse {
     val staging = CsvIngest
       .ingestFiles(spark, files, ChurnSchema.staging).drop("src_file")
     val clean = validateStaging(spark, staging, layers)
-    upsertBronze(spark, clean, layers)
-    dqBronzeCheck(spark, layers)
-    refreshSilver(spark, layers)
-    loadGold(spark, layers, runDate)
-    dqGoldCheck(spark, layers)
+    // ST4 here too (same guard as run()): a new file with zero data
+    // rows must not drive gold over a schemaless empty fact — but it
+    // WAS processed, so the archive + ledger protocol below still
+    // runs and the file won't re-ingest forever
+    val haveData = !clean.isEmpty
+    if (haveData) {
+      upsertBronze(spark, clean, layers)
+      dqBronzeCheck(spark, layers)
+      refreshSilver(spark, layers)
+      loadGold(spark, layers, runDate)
+      dqGoldCheck(spark, layers)
+    }
 
     // Layers are committed: now the file protocol. The ledger rows
     // come from the MATERIALIZED decisions (the checksums that were
@@ -403,6 +416,6 @@ object Warehouse {
       .filter(col("file_name").isin(toProcess: _*))
       .select("file_name", "size_bytes", "checksum")
     Upsert.atomicOverwrite(Ledger.update(prior, processedRows), layers.ledger)
-    (decisions, Some(Quality.runAll(spark, layers)))
+    (decisions, if (haveData) Some(Quality.runAll(spark, layers)) else None)
   }
 }

@@ -80,19 +80,28 @@ object Streams {
   /** Custom streaming state (§ Structured Streaming / KeyValueGrouped
     * mapGroupsWithState family): per-user sessionization with an
     * inactivity gap. A session CLOSES when a later event arrives more
-    * than `gapMinutes` after the last one; the open session rides in
-    * the state store across micro-batches (bounded: one small state
-    * row per active user). Emission is deterministic — closed sessions
-    * only — so an availableNow drain emits exactly the sessions closed
-    * by the data seen so far. */
+    * than `gapMinutes` after the last one, OR when the event-time
+    * watermark passes its last activity + gap (EventTimeTimeout) — the
+    * timeout is what makes the state store genuinely bounded on an
+    * always-on stream: an idle user's final session flushes and its
+    * state row is removed instead of riding the checkpoint forever.
+    * Emission is deterministic: a session emits exactly once, at
+    * whichever close signal arrives first. */
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
     events
+      .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user: Long, _, state: GroupState[SessionState])
+            if state.hasTimedOut =>
+          val s = state.get
+          state.remove()
+          Iterator(Session(user, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.last), s.n))
+        case (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           val sorted = batch.toSeq.sortBy(_.ts.getTime)
           var cur = state.getOption
           val closed = Seq.newBuilder[Session]
@@ -104,12 +113,24 @@ object Streams {
                   new java.sql.Timestamp(s.last), s.n)
                 cur = Some(SessionState(t, t, 1))
               case Some(s) =>
-                cur = Some(SessionState(s.start, t, s.n + 1))
+                // a LATE cross-batch event extends membership but must
+                // never move `last` (or `start`) backward — a backward
+                // last corrupts the next gap decision and session_end
+                cur = Some(SessionState(math.min(s.start, t),
+                  math.max(s.last, t), s.n + 1))
               case None =>
                 cur = Some(SessionState(t, t, 1))
             }
           }
-          cur.foreach(state.update)
+          cur.foreach { s =>
+            state.update(s)
+            // timeout must sit strictly past the current watermark or
+            // Spark rejects it (a very late batch can put last+gap
+            // behind the watermark — the session then times out on
+            // the next watermark advance, which is correct)
+            state.setTimeoutTimestamp(math.max(s.last + gapMs,
+              state.getCurrentWatermarkMs + 1))
+          }
           closed.result().iterator
       }
   }

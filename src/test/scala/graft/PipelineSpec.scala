@@ -158,6 +158,45 @@ class PipelineSpec extends SparkSpec {
     assert(q2.filter(!col("pass")).isEmpty)
   }
 
+  test("ledger run over a header-only file: ledgered + archived, layers untouched") {
+    val root = freshRoot("hdr"); val layers = Warehouse.Layers(root)
+    val landing = s"$root/landing"
+    writeCsv(landing, "empty.csv", Seq(ClassicHeader)) // zero data rows
+    val (decisions, quality) =
+      Warehouse.runWithLedger(spark, landing, layers, "2026-04-01")
+    assert(quality.isEmpty, "no data rows → no layer run, no quality")
+    assert(decisions.filter(col("decision") === "new").count() == 1)
+    // the file WAS processed: archived away and ledgered, so the next
+    // tick doesn't re-ingest it forever
+    assert(spark.read.parquet(layers.ledger)
+      .filter(col("file_name") === "empty.csv").count() == 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(landing, "empty.csv")))
+    // no schemaless fact was created
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(layers.fact)))
+    // a later real run over the same root proceeds normally
+    writeCsv(landing, "real.csv", ClassicHeader +: Seq(classicRow("H001")))
+    val (_, q2) = Warehouse.runWithLedger(spark, landing, layers, "2026-04-02")
+    assert(q2.isDefined && q2.get.filter(!col("pass")).isEmpty)
+  }
+
+  test("NULL contract flows to a keyed fact row, not a dqGoldCheck failure") {
+    val root = freshRoot("nullct"); val layers = Warehouse.Layers(root)
+    val landing = s"$root/landing"
+    val nullContractRow = classicRow("N001")
+      .replace("Month-to-month", "") // empty contract → NULL in silver
+    writeCsv(landing, "classic.csv",
+      ClassicHeader +: Seq(classicRow("N000"), nullContractRow))
+    // must not throw at dqGoldCheck
+    val q = Warehouse.run(spark, landing, layers, "2026-04-01")
+    assert(q.filter(!col("pass")).isEmpty)
+    val fact = spark.read.parquet(layers.fact)
+    assert(fact.count() == 2)
+    assert(fact.filter(col("contract_key").isNull).count() == 0,
+      "the NULL-combo dim row must key the fact (null-safe join)")
+  }
+
   test("ledger-driven run: skip-processed, skip-empty, archive, ledger upsert") {
     val root = freshRoot("ledger"); val layers = Warehouse.Layers(root)
     val landing = s"$root/landing"

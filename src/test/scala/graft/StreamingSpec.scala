@@ -152,5 +152,21 @@ class StreamingSpec extends SparkSpec {
     assert(s0.getAs[Int]("n_events") == 2)
     assert(s0.getAs[java.sql.Timestamp]("session_end").toString
       .startsWith("2026-04-01 10:10"))
+
+    // batch 3: ANOTHER user's far-future event advances the watermark
+    // past user 7's last+gap → the idle session flushes via the
+    // event-time timeout and its state row is removed (bounded state)
+    writeCsv(src, "b3.csv", Seq(header,
+      "4,2026-04-02 09:00:00,9,click,1.0"))
+    drain()
+    writeCsv(src, "b4.csv", Seq(header,
+      "5,2026-04-02 09:01:00,9,click,1.0"))
+    drain()
+    val flushed = spark.read.parquet(out)
+      .filter(col("user_id") === 7L).orderBy("session_start").collect()
+    assert(flushed.length == 2,
+      s"idle user's open session must flush on watermark advance: ${flushed.length}")
+    assert(flushed(1).getAs[java.sql.Timestamp]("session_end").toString
+      .startsWith("2026-04-01 13:00"))
   }
 }
