@@ -79,15 +79,23 @@ object Warehouse {
     * is written) → quarantine sink for bad rows → clean rows persisted
     * as the staging layer (the reference's staging_churn table; also
     * bounds re-evaluation of the annotated frame to the three passes
-    * here instead of every downstream consumer). */
+    * here instead of every downstream consumer).
+    *
+    * The quarantine writes run-date-partitioned with DYNAMIC overwrite,
+    * not append: the documented recovery for a mid-run crash is
+    * re-running the batch, and every other layer is idempotent under
+    * that — a plain append would double the quarantined rows per
+    * retry. */
   def validateStaging(spark: SparkSession, staging: DataFrame,
-                      layers: Layers,
+                      layers: Layers, runDate: String,
                       thresholdPct: Double = 10.0): DataFrame = {
     val rules = ChurnSchema.stagingRules :+
       Validate.Rule("Duplicate ID", Validate.duplicatedAll(col("customer_id")))
     val annotated = Validate.annotate(staging, rules)
     val clean = Validate.gate(annotated, thresholdPct)
-    Validate.bad(annotated).write.mode("append").parquet(layers.quarantine)
+    graft.ops.Partitioned.writeBy(
+      Validate.bad(annotated).withColumn("run_date", lit(runDate)),
+      layers.quarantine, "run_date")
     Upsert.atomicOverwrite(clean.drop("error_details"), layers.staging)
     spark.read.schema(ChurnSchema.staging).parquet(layers.staging)
   }
@@ -323,7 +331,7 @@ object Warehouse {
           runDate: String): DataFrame = {
     ddlBootstrap(spark, layers)
     val staging = loadStaging(spark, landingDir)
-    val clean = validateStaging(spark, staging, layers)
+    val clean = validateStaging(spark, staging, layers, runDate)
     // ST4 for the plain path too: an empty landing zone yields an
     // empty clean batch (a >10%-bad batch THROWS at the gate and never
     // reaches here) and skips every downstream layer — running gold on
@@ -386,7 +394,7 @@ object Warehouse {
       new org.apache.hadoop.fs.Path(landingDir, n))
     val staging = CsvIngest
       .ingestFiles(spark, files, ChurnSchema.staging).drop("src_file")
-    val clean = validateStaging(spark, staging, layers)
+    val clean = validateStaging(spark, staging, layers, runDate)
     // ST4 here too (same guard as run()): a new file with zero data
     // rows must not drive gold over a schemaless empty fact — but it
     // WAS processed, so the archive + ledger protocol below still

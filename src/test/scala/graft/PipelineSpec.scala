@@ -197,6 +197,25 @@ class PipelineSpec extends SparkSpec {
       "the NULL-combo dim row must key the fact (null-safe join)")
   }
 
+  test("crash-retry of the same batch does not double the quarantine") {
+    val root = freshRoot("retry"); val layers = Warehouse.Layers(root)
+    val landing = s"$root/landing"
+    // one bad row (negative tenure) among ten
+    writeCsv(landing, "classic.csv", ClassicHeader +:
+      ((1 to 9).map(i => classicRow(s"R10$i")) :+
+        classicRow("R110", tenure = "-3")))
+    Warehouse.run(spark, landing, layers, "2026-04-01")
+    val n1 = spark.read.parquet(layers.quarantine).count()
+    // the documented recovery path: re-run the same batch/date
+    Warehouse.run(spark, landing, layers, "2026-04-01")
+    val n2 = spark.read.parquet(layers.quarantine).count()
+    assert(n1 == 1 && n2 == 1,
+      s"retry must replace the run-date partition, not append: $n1 -> $n2")
+    // a different day's batch still accumulates
+    Warehouse.run(spark, landing, layers, "2026-04-02")
+    assert(spark.read.parquet(layers.quarantine).count() == 2)
+  }
+
   test("ledger-driven run: skip-processed, skip-empty, archive, ledger upsert") {
     val root = freshRoot("ledger"); val layers = Warehouse.Layers(root)
     val landing = s"$root/landing"
