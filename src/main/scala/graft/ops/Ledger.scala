@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * decides per run: never seen → process as new; seen with a different
   * checksum → reprocess; same checksum → skip
   * (reference: dags/DataWarehouse.py:36-50,67-116). Same protocol here:
-  * the ledger is a small engine-owned table (file_name, checksum,
-  * size_bytes), the scan is the binaryFile source, the decision is one
-  * full-outer join on file_name — broadcastable, since a ledger is
-  * metadata-sized no matter how big the data files are.
+  * the ledger is a small engine-owned table with columns, IN ORDER,
+  * (file_name, size_bytes, checksum) — [[update]] merges by schema and
+  * requires exactly this order; the scan is the binaryFile source, the
+  * decision is one full-outer join on file_name — broadcastable, since
+  * a ledger is metadata-sized no matter how big the data files are.
   */
 object Ledger {
 
@@ -61,16 +62,25 @@ object Ledger {
 
   /** S10: archive a processed file — move to `archiveDir` with a
     * suffix before the extension (the reference stamps a timestamp;
-    * the caller passes it, keeping this deterministic and testable). */
+    * the caller passes it, keeping this deterministic and testable).
+    * A same-suffix collision (the same file re-landed and reprocessed
+    * within one stamp period) gets a numeric disambiguator instead of
+    * failing: the archive rename runs AFTER layers commit but BEFORE
+    * the ledger commit, so throwing here would wedge the protocol in
+    * a reprocess-crash loop. */
   def archiveFile(fs: FileSystem, file: Path, archiveDir: Path,
                   suffix: String): Path = {
     val name = file.getName
     val dot = name.lastIndexOf('.')
-    val archived = if (dot >= 0)
-      s"${name.substring(0, dot)}_$suffix${name.substring(dot)}"
-    else s"${name}_$suffix"
+    def candidate(n: Int): String = {
+      val tag = if (n == 0) suffix else s"${suffix}_$n"
+      if (dot >= 0) s"${name.substring(0, dot)}_$tag${name.substring(dot)}"
+      else s"${name}_$tag"
+    }
     fs.mkdirs(archiveDir)
-    val dest = new Path(archiveDir, archived)
+    val dest = Iterator.from(0).map(n => new Path(archiveDir, candidate(n)))
+      .find(!fs.exists(_))
+      .get // Iterator.from is unbounded — some candidate is always free
     if (!fs.rename(file, dest))
       throw new java.io.IOException(s"cannot archive $file -> $dest")
     dest

@@ -58,6 +58,9 @@ object Similarity {
     * Buffer is a sorted list bounded at k; merge is a bounded merge. */
   final case class TopKAgg(k: Int)
       extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    require(k >= 1,
+      s"top-k needs k >= 1, got $k (k=0 would crash in an executor " +
+        "task as an opaque stage failure)")
     // element = (sim_scaled, neighbour_id); best first
     private def better(a: (Long, Long), b: (Long, Long)): Boolean =
       a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)

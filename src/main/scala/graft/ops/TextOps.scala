@@ -62,9 +62,13 @@ object TextOps {
     val stopMilli = perMille(stopCnt, nTok)
     val uniqMilli = perMille(size(array_distinct(toks)).cast("long"), nTok)
     val lenMilli = perMille(nChars - (nTok - 1), nTok)
-    // blend: diversity up, stopword-stuffing down, degenerate-length down
-    val quality = uniqMilli * 2 - stopMilli +
-      when(lenMilli.between(3000, 8000), lit(500L)).otherwise(lit(0L))
+    // blend: diversity up, stopword-stuffing down, degenerate-length
+    // down — and a hard floor: a near-empty document scores 0, not
+    // "maximally diverse" (uniq=1000 on one token would otherwise put
+    // empty/one-word garbage in the top class)
+    val quality = when(nTok < lit(MinQualityTokens), lit(0L))
+      .otherwise(uniqMilli * 2 - stopMilli +
+        when(lenMilli.between(3000, 8000), lit(500L)).otherwise(lit(0L)))
     Seq(
       "n_tokens" -> nTok,
       "stop_milli" -> stopMilli,
@@ -76,6 +80,9 @@ object TextOps {
   }
 
   val QualityKey = "quality_milli"
+
+  /** Below this token count a document is degenerate by definition. */
+  val MinQualityTokens = 5L
 
   /** The blended quality score alone — typed accessor for callers
     * that threshold on it (the corpus funnel). */
@@ -95,7 +102,10 @@ object TextOps {
     val uniqMilli = s"(len(list_distinct($toks)) * 1000) // $nTok"
     val lenMilli = s"((length($textExpr) - ($nTok - 1)) * 1000) // $nTok"
     val quality =
-      s"($uniqMilli * 2 - $stopMilli + CASE WHEN $lenMilli BETWEEN 3000 AND 8000 THEN 500 ELSE 0 END)"
+      s"""(CASE WHEN $nTok < $MinQualityTokens THEN 0
+           ELSE $uniqMilli * 2 - $stopMilli +
+                CASE WHEN $lenMilli BETWEEN 3000 AND 8000 THEN 500 ELSE 0 END
+           END)"""
     s"""$nTok AS n_tokens, $stopMilli AS stop_milli,
        $uniqMilli AS uniq_milli, $lenMilli AS len_milli,
        $quality AS quality_milli,

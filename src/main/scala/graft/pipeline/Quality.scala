@@ -69,8 +69,12 @@ object Quality {
         (col("monthly_charges_amount") < 0 || col("total_charges") < 0),
       "score_out_of_range" ->
         (col("churn_score") < 0 || col("churn_score") > 100)))
-    val orphanCustomers = fact.join(dimCustomer.select("customer_key"),
-      Seq("customer_key"), "left_anti").count()
+    // NULL keys are the null_*_key counters' concern; the orphan
+    // metric measures referential integrity among KEYED rows only —
+    // same filter discipline for all three
+    val orphanCustomers = fact.filter(col("customer_key").isNotNull)
+      .join(dimCustomer.select("customer_key"),
+        Seq("customer_key"), "left_anti").count()
     val orphanContracts = fact.filter(col("contract_key").isNotNull)
       .join(dimContract.select("contract_key"),
         Seq("contract_key"), "left_anti").count()
@@ -91,10 +95,15 @@ object Quality {
     val dimCustomerRows = dimCustomer.count()
     val dimCustomerDups = dupKeys(dimCustomer, "customer_id")
     val factDups = dupKeys(fact, "customer_key")
-    // §5.1 row counts across every dimension (informational)
-    val dimRowCounts = Seq("contract", "payment_method", "churn_reason",
-      "services").map(n =>
-      n -> spark.read.parquet(layers.dim(n)).count())
+    // §5.1 row counts across every dimension (informational) —
+    // contract/services reuse the frames already bound above
+    val dimRowCounts = Seq(
+      "contract" -> dimContract.count(),
+      "payment_method" ->
+        spark.read.parquet(layers.dim("payment_method")).count(),
+      "churn_reason" ->
+        spark.read.parquet(layers.dim("churn_reason")).count(),
+      "services" -> dimServices.count())
 
     val checks = Seq(
       Check("bronze", "total_rows", b("__total"), b("__total") >= 0),

@@ -52,19 +52,25 @@ object Warehouse {
     * empty throws 'Unable to infer schema', and inferred key types can
     * drift where an explicit schema fails loudly. */
   private def readOrEmpty(spark: SparkSession, path: String,
-                          schema: org.apache.spark.sql.types.StructType): DataFrame =
+                          schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    // a missing layer may be a crashed overwrite swap, not "no data" —
+    // restore before concluding empty (silent-truncation guard)
+    Upsert.recoverCrashedSwap(spark, path)
     if (pathExists(spark, path)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   /** S12: DDL bootstrap — every layer exists (possibly empty) with its
     * declared schema before any run, like CREATE TABLE IF NOT EXISTS. */
   def ddlBootstrap(spark: SparkSession, layers: Layers): Unit = {
-    def ensure(path: String, schema: org.apache.spark.sql.types.StructType): Unit =
+    def ensure(path: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+      Upsert.recoverCrashedSwap(spark, path) // never re-create over a crashed swap
       if (!pathExists(spark, path))
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           .write.parquet(path)
+    }
     ensure(layers.bronze, ChurnSchema.bronze)
     ensure(layers.silver, ChurnSchema.silver)
   }

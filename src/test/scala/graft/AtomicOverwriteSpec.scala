@@ -41,4 +41,27 @@ class AtomicOverwriteSpec extends SparkSpec {
     assert(out.count() === 5)
     assert(out.select("tag").distinct().head().getString(0) === "good")
   }
+
+  test("a crash between the two renames is recovered, never destroyed") {
+    val path = Files.createTempDirectory("graft-ao3").resolve("layer").toString
+    Upsert.atomicOverwrite(frame("v1", 10), path)
+    // simulate the crash window: target staged away to .__old__, the
+    // new version never published
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".__old__")))
+    // a reader-side recovery restores the only copy
+    assert(Upsert.recoverCrashedSwap(spark, path))
+    assert(spark.read.parquet(path).count() === 10)
+    assert(!Upsert.recoverCrashedSwap(spark, path), "recovery is idempotent")
+    // and an overwrite arriving straight after a crash also recovers
+    // (its own read-modify plan executes after the restore)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".__old__")))
+    val merged = frame("v2", 3) // stands in for batch merged onto restored
+    Upsert.atomicOverwrite(merged, path)
+    assert(spark.read.parquet(path).count() === 3)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".__old__")))
+  }
 }
