@@ -49,7 +49,18 @@ object Xlsx {
     parseSheet(sheet, shared)
   }
 
-  /** Extract named zip entries plus any entry under `prefix`. */
+  /** Hard cap on the INFLATED size of any one zip entry. Correction
+    * drops are untrusted; a decompression bomb would otherwise OOM the
+    * executor outside the per-file try/catch (OutOfMemoryError is not
+    * an Exception). 64 MB of XML is far beyond any real correction
+    * sheet. */
+  private val MaxEntryBytes: Int = 64 * 1024 * 1024
+
+  /** Extract named zip entries plus any entry under `prefix`,
+    * bounding each entry's inflated size to [[MaxEntryBytes]] so a
+    * zip bomb fails THIS file (an IllegalArgumentException the
+    * per-file isolation in [[ingestDir]] catches) instead of killing
+    * the task. */
   private def zipParts(bytes: Array[Byte], names: Set[String],
                        prefix: String): Map[String, Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
@@ -58,11 +69,26 @@ object Xlsx {
       var e = zin.getNextEntry
       while (e != null) {
         if (names.contains(e.getName) || e.getName.startsWith(prefix))
-          out(e.getName) = zin.readAllBytes()
+          out(e.getName) = readBounded(zin, e.getName)
         e = zin.getNextEntry
       }
     } finally zin.close()
     out.toMap
+  }
+
+  private def readBounded(zin: ZipInputStream, name: String): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](64 * 1024)
+    var n = zin.read(chunk)
+    while (n >= 0) {
+      if (buf.size() + n > MaxEntryBytes)
+        throw new IllegalArgumentException(
+          s"zip entry '$name' inflates past $MaxEntryBytes bytes — " +
+            "refusing (decompression bomb?)")
+      buf.write(chunk, 0, n)
+      n = zin.read(chunk)
+    }
+    buf.toByteArray
   }
 
   /** `<sst><si>…</si></sst>` — an `<si>` is either one `<t>` or rich

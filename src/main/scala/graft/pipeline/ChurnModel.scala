@@ -202,6 +202,12 @@ object ChurnModel {
     val out = s"${layers.root}/gold/churn_predictions"
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // layer READERS must recover a crashed swap before the exists
+    // check (Upsert contract): if a prior overwrite died between its
+    // two renames, `out` is missing and `.__old__` holds the only
+    // copy — without this, merged = today only and the overwrite
+    // below would silently truncate all prior days' predictions
+    Upsert.recoverCrashedSwap(spark, out)
     val merged =
       if (fs.exists(new org.apache.hadoop.fs.Path(out)))
         spark.read.parquet(out)

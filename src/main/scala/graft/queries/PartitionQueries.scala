@@ -48,6 +48,11 @@ object PartitionQueries extends QueryPack {
         try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
       }
     if (!current.contains(fingerprint)) {
+      // start from a clean directory: dynamic partition overwrite only
+      // replaces partitions present in the NEW write, so run_month
+      // partitions from an older source/projection would otherwise
+      // survive the rebuild as stale or mixed-schema data
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
       val fact = Tables.orders(s, d).select(
         col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM").as("run_month"))

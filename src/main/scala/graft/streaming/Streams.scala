@@ -86,7 +86,18 @@ object Streams {
     * always-on stream: an idle user's final session flushes and its
     * state row is removed instead of riding the checkpoint forever.
     * Emission is deterministic: a session emits exactly once, at
-    * whichever close signal arrives first. */
+    * whichever close signal arrives first.
+    *
+    * LATE-DATA SEMANTICS: the watermark that powers EventTimeTimeout
+    * also FILTERS input — an event more than `gapMinutes` behind the
+    * max observed event time is dropped before reaching the state
+    * function (it can no longer extend a session whose timeout may
+    * already have fired, so emitting it would break exactly-once).
+    * Events inside the watermark still merge across micro-batches via
+    * the min/max handling below. If arbitrarily late replays matter,
+    * widen the allowance by passing a `gapMinutes` larger than the
+    * session gap to a wrapper — watermark lateness and session gap are
+    * coupled here by design to keep state eviction prompt. */
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L

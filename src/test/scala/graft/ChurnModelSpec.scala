@@ -126,6 +126,19 @@ class ChurnModelSpec extends SparkSpec {
     val day2 = ChurnModel.predictWithLatest(
       spark, layers, artifacts, "2026-05-03 00:00:00")
     assert(day2.count() == 32)
+
+    // crash-swap recovery: simulate a prior atomicOverwrite dying
+    // between its two renames (target gone, .__old__ = only copy).
+    // predictWithLatest must restore it BEFORE its exists check or
+    // all prior days silently truncate to today's run.
+    val out = new org.apache.hadoop.fs.Path(
+      s"${layers.root}/gold/churn_predictions")
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(out, new org.apache.hadoop.fs.Path(out.toString + ".__old__")))
+    val day3 = ChurnModel.predictWithLatest(
+      spark, layers, artifacts, "2026-05-04 00:00:00")
+    assert(day3.count() == 48,
+      "crashed swap must be recovered before the merge, keeping all prior days")
   }
 
   test("feature importances rank and sum to 1") {

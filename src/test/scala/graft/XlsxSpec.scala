@@ -109,6 +109,29 @@ class XlsxSpec extends SparkSpec {
       Seq(Seq("id", "amount", "city"), Seq("A1", "7", "Los Angeles")))
   }
 
+  test("a decompression-bomb entry fails that file, not the batch") {
+    // 80 MB of repeated bytes deflates to ~80 KB; inflating it
+    // unbounded would OOM the executor outside the per-file try/catch
+    val bout = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bout)
+    z.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    val chunk = new Array[Byte](1024 * 1024) // zeros
+    for (_ <- 1 to 80) z.write(chunk)
+    z.closeEntry(); z.close()
+    val bomb = bout.toByteArray
+    assert(bomb.length < 1024 * 1024, "fixture must actually compress")
+    val ex = intercept[IllegalArgumentException](Xlsx.parseRows(bomb))
+    assert(ex.getMessage.contains("decompression bomb"))
+    // per-file isolation: the bomb drop is skipped, the good drop lands
+    val dir = java.nio.file.Files.createTempDirectory("graft_bomb").toString
+    write(dir, "bomb.xlsx", bomb)
+    write(dir, "good.xlsx", xlsxBytes(Seq(
+      Seq("CustomerID", "Gender"), Seq("G001", "Female"))))
+    val df = Xlsx.ingestDir(spark, dir, ChurnSchema.stagingRaw)
+    assert(df.select("customer_id").collect().map(_.getString(0)).toSeq ==
+      Seq("G001"))
+  }
+
   test("ingestDir conforms headers and schema like the CSV path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
     write(dir, "fix.xlsx", xlsxBytes(Seq(
