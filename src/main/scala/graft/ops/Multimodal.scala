@@ -6,15 +6,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal (binary) columns — opaque bytes + typed metadata.
   *
   * Posture for a 100 TB training-data pipeline: images/audio/video
-  * ride as `binary` columns with structured metadata alongside; the
-  * engine's job is the PLUMBING — a real binaryFile source, real
-  * byte-level metadata extraction (container headers are plain bytes),
-  * partition-friendly layout — while pixel/sample DECODING belongs to
-  * library code at the edge (no image/audio libs in this environment;
-  * see [[decodeStub]]).
+  * ride as `binary` columns with structured metadata alongside. Two
+  * tiers of work:
   *
-  * Byte parsing uses only codegen'd built-ins (`substring` on binary,
-  * `hex`, `conv`) — no UDFs, mirrored exactly by the DuckDB oracle.
+  *  - METADATA (container headers are plain bytes) stays in codegen'd
+  *    Column expressions (`substring` on binary, `hex`, `conv`) — no
+  *    UDFs, mirrored exactly by the DuckDB oracle;
+  *  - PIXEL work (decode, resample) runs per-partition in bounded
+  *    batches via `mapPartitions`, backed by the JDK's ImageIO/Java2D
+  *    (PNG, JPEG, GIF, BMP — whatever the installed ImageIO plugins
+  *    read). Formats the JDK can't decode would swap in a codec at
+  *    [[decodeBatch]]/[[resizeBatch]]; everything else — schema,
+  *    batching, quarantine-on-undecodable, partitioning — is format-
+  *    agnostic and stays put.
   */
 object Multimodal {
 
@@ -53,75 +57,95 @@ object Multimodal {
   def isPngSql(contentExpr: String): String =
     s"substring(hex($contentExpr), 1, 16) = '$PngMagicHex'"
 
-  /** Decode stub: the real pixel decode would run per-partition via a
-    * vectorized batch UDF against an imaging library (absent in this
-    * container). The deterministic stand-in derives a "mean luminance"
-    * from header bytes so downstream plumbing (schema, batching,
-    * null-handling for undecodable files) is exercised end to end. */
-  def decodeStub(content: Column): Column =
+  /** Header-only metadata struct (no pixel decode): the cheap Column
+    * path for scans that only need dimensions — runs in whole-stage
+    * codegen, never materializes pixels. Non-PNG → null. */
+  def pngHeaderStruct(content: Column): Column =
     when(isPng(content),
       struct(
         pngWidth(content).as("width"),
-        pngHeight(content).as("height"),
-        (beUint32(content, 25) % 256).as("mean_luma_stub")))
+        pngHeight(content).as("height")))
       .otherwise(lit(null))
 
   final case class DecodedMeta(file_name: String, width: Long,
                                height: Long, mean_luma: Double)
 
-  /** STUB decoder body — the ONE function a real imaging library
-    * replaces. Contract: receives at most `batchSize` images (decoders
-    * amortize setup per batch, the vectorized-UDF shape), returns one
-    * Option per input in order (None = undecodable → row dropped, the
-    * quarantine-at-decode convention). The stand-in parses the PNG
-    * header and derives a deterministic fake luminance. */
+  /** Integer Rec.601 luma weights, per mille: 299·R + 587·G + 114·B.
+    * The image SUM is accumulated exactly in a Long (≤ 255000/pixel,
+    * overflow-free below ~3.6e13 pixels), so mean = sum/(1000·n) is ONE
+    * correctly-rounded IEEE division of two exactly-representable
+    * values — for a uniform-color image it equals the per-pixel value
+    * (299r+587g+114b)/1000.0 bit-for-bit, which is what lets a SQL
+    * oracle predict it analytically. */
+  private def lumaMilli(p: Int): Long =
+    299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+
+  /** Real batch decoder over JDK ImageIO. Contract: receives at most
+    * `batchSize` images (decoders amortize setup per batch, the
+    * vectorized-UDF shape), returns one Option per input in order
+    * (None = undecodable → row dropped, the quarantine-at-decode
+    * convention). Output per image: (width, height, true mean Rec.601
+    * luminance over every pixel). Memory: one decoded image at a time
+    * per task — the pixel buffer is released before the next decode. */
   def decodeBatch(contents: Seq[Array[Byte]], batchSize: Int): Seq[Option[(Long, Long, Double)]] = {
     require(contents.size <= batchSize,
       s"decoder contract: at most $batchSize images per call")
+    javax.imageio.ImageIO.setUseCache(false) // no /tmp spill on executors
     contents.map { b =>
-      // be(25) reads bytes 24..27 — a truncated header must return
-      // None, not crash the task
-      val magicOk = b.length >= 28 &&
-        b.take(8).map(x => f"${x & 0xff}%02X").mkString == PngMagicHex
-      if (!magicOk) None
-      else {
-        def be(off: Int) = // 1-based offset like the Column variant
-          ((b(off - 1) & 0xffL) << 24) | ((b(off) & 0xffL) << 16) |
-            ((b(off + 1) & 0xffL) << 8) | (b(off + 2) & 0xffL)
-        Some((be(17), be(21), (be(25) % 256).toDouble))
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null) None // no registered reader for these bytes
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          // getRGB normalizes any internal raster layout to sRGB ints —
+          // exact for the 8-bit formats we care about
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var sum = 0L; var i = 0
+          while (i < px.length) { sum += lumaMilli(px(i)); i += 1 }
+          Some((w.toLong, h.toLong, sum.toDouble / (1000.0 * px.length)))
+        }
+      } catch { // corrupt stream inside a valid container: drop, don't kill the task
+        case scala.util.control.NonFatal(_) => None
       }
     }
   }
 
-  /** STUB resize — the batch-contract twin of [[decodeBatch]] for the
-    * write path. The header rewrite is REAL byte work (PNG IHDR width
-    * at bytes 17-20, height at 21-24, big-endian, rewritten in a
-    * copy); only pixel RESAMPLING is stubbed (data bytes pass through
-    * untouched, so the output is a header-consistent fixture, not a
-    * viewable image — exactly what plumbing tests need). Undecodable
-    * input → None, same quarantine convention as decode. */
+  /** Real batch resize — the write-path twin of [[decodeBatch]]:
+    * ImageIO decode → Java2D bilinear resample to (width, height) →
+    * lossless PNG re-encode. Undecodable input → None, same quarantine
+    * convention as decode. */
   def resizeBatch(contents: Seq[Array[Byte]], width: Long, height: Long,
                   batchSize: Int): Seq[Option[Array[Byte]]] = {
     require(contents.size <= batchSize,
       s"resizer contract: at most $batchSize images per call")
-    contents.zip(decodeBatch(contents, batchSize)).map {
-      case (_, None) => None
-      case (b, Some(_)) =>
-        val out = b.clone()
-        def putBe(off: Int, v: Long): Unit = { // 1-based like beUint32
-          out(off - 1) = ((v >> 24) & 0xff).toByte
-          out(off) = ((v >> 16) & 0xff).toByte
-          out(off + 1) = ((v >> 8) & 0xff).toByte
-          out(off + 2) = (v & 0xff).toByte
+    javax.imageio.ImageIO.setUseCache(false)
+    contents.map { b =>
+      try {
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (src == null) None
+        else {
+          val dst = new java.awt.image.BufferedImage(
+            width.toInt, height.toInt, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, width.toInt, height.toInt, null)
+          } finally g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", out)
+          Some(out.toByteArray)
         }
-        putBe(17, width); putBe(21, height)
-        Some(out)
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
     }
   }
 
   /** Batch resize over a decoded frame — same mapPartitions shape as
-    * [[decodeDataset]]; swapping in a real resampler touches only
-    * [[resizeBatch]]. */
+    * [[decodeDataset]]; a non-JDK resampler would swap in at
+    * [[resizeBatch]] only. */
   def resizeDataset(images: DataFrame, width: Long, height: Long,
                     batchSize: Int = 64): DataFrame = {
     val spark = images.sparkSession
@@ -137,7 +161,7 @@ object Multimodal {
   /** Deterministic frame-index sampling for video-shaped rows: an
     * even stride over [0, n_frames) yielding ≤ `maxFrames` indexes,
     * exploded to one row per sampled frame. Pure Column arithmetic —
-    * the per-frame EXTRACT is the stubbed decoder step; this is the
+    * the per-frame EXTRACT plugs in at [[decodeBatch]]; this is the
     * fan-out plumbing (a 2-hour clip explodes to its sample frames on
     * the executor, never materializing every frame). */
   def sampleFrameIdx(nFrames: Column, maxFrames: Int): Column = {
@@ -151,11 +175,11 @@ object Multimodal {
   }
 
   /** Per-partition batch decode — the Spark-side plumbing of a
-    * vectorized decoder, with the codec stubbed: rows stream through
-    * `mapPartitions` in bounded batches (executor-local, no shuffle;
-    * memory bounded by batchSize·imageSize per task), undecodable
-    * files drop out, and the output is a typed Dataset. Swapping in a
-    * real decoder touches ONLY [[decodeBatch]]. */
+    * vectorized decoder: rows stream through `mapPartitions` in
+    * bounded batches (executor-local, no shuffle; memory bounded by
+    * batchSize·imageSize per task), undecodable files drop out, and
+    * the output is a typed Dataset. A non-JDK codec would swap in at
+    * [[decodeBatch]] only. */
   def decodeDataset(images: DataFrame,
                     batchSize: Int = 64): Dataset[DecodedMeta] = {
     val spark = images.sparkSession

@@ -52,11 +52,118 @@ object BinaryQueries extends QueryPack {
     dir.toString
   }
 
+  // ---------------------------------------------------------------
+  // Uniform-color REAL PNGs: the pixel-decode fixture. Each file's
+  // name encodes its planted color and dimensions, so a SQL oracle
+  // can predict the decoder's output analytically — (299r+587g+114b)
+  // /1000.0 is bit-exact for a uniform image (see Multimodal.lumaMilli).
+  // ---------------------------------------------------------------
+
+  val UniformDir = "/tmp/graft_fixtures/binmm/uniform"
+  val NumUniform = 24
+
+  def uniColor(k: Int): (Int, Int, Int) =
+    ((k * 37 + 11) % 256, (k * 59 + 5) % 256, (k * 83 + 7) % 256)
+  def uniDims(k: Int): (Int, Int) = (16 + (k % 5) * 8, 12 + (k % 7) * 6)
+  def uniName(k: Int): String = {
+    val (r, g, b) = uniColor(k); val (w, h) = uniDims(k)
+    f"uni_$k%03d_${r}_${g}_${b}_${w}x$h.png"
+  }
+
+  /** Uniform-color RGB PNG, ImageIO-encoded (lossless, so the decoder
+    * reads back exactly the planted color). Fixture scaffolding. */
+  def uniformPng(r: Int, g: Int, b: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, Array.fill(w * h)((r << 16) | (g << 8) | b), 0, w)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Idempotent uniform-PNG fixture + one planted non-image (the
+    * Spark glob picks it up; the decoder must quarantine-drop it; the
+    * oracle's `uni_*` glob never sees it). */
+  def writeUniformFixture(): String = {
+    val dir = java.nio.file.Paths.get(UniformDir)
+    java.nio.file.Files.createDirectories(dir)
+    (0 until NumUniform).foreach { k =>
+      val p = dir.resolve(uniName(k))
+      if (!java.nio.file.Files.exists(p)) {
+        val (r, g, b) = uniColor(k); val (w, h) = uniDims(k)
+        java.nio.file.Files.write(p, uniformPng(r, g, b, w, h))
+      }
+    }
+    java.nio.file.Files.write(dir.resolve("broken.png"),
+      "not an image".getBytes("UTF-8"))
+    dir.toString
+  }
+
+  private def lumaSql(group: Int): String =
+    s"CAST(regexp_extract(file_name, 'uni_\\d+_(\\d+)_(\\d+)_(\\d+)_', $group) AS BIGINT)"
+
+  /** REAL pixel decode (JDK ImageIO), oracle-checked: binaryFile scan
+    * → batched ImageIO decode on executors → (dims, true mean Rec.601
+    * luminance). The oracle never decodes — it derives the expected
+    * output from the colors/dims planted in the filenames, which only
+    * match if the decoder read the actual pixels correctly. The
+    * planted broken.png must be quarantine-dropped, never error. */
+  val imageDecode = GQuery(
+    "q_image_decode",
+    (s, d) => {
+      val dir = writeUniformFixture()
+      Multimodal.decodeDataset(
+        Multimodal.readBinaryDir(s, dir, "*.png"), batchSize = 8)
+        .toDF()
+        .select("file_name", "width", "height", "mean_luma")
+        .orderBy("file_name")
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name
+        FROM read_blob('$UniformDir/uni_*.png'))
+      SELECT file_name,
+             CAST(regexp_extract(file_name, '_(\\d+)x(\\d+)\\.png', 1) AS BIGINT) AS width,
+             CAST(regexp_extract(file_name, '_(\\d+)x(\\d+)\\.png', 2) AS BIGINT) AS height,
+             (299 * ${lumaSql(1)} + 587 * ${lumaSql(2)} + 114 * ${lumaSql(3)}) / 1000.0
+               AS mean_luma
+      FROM f ORDER BY file_name
+    """),
+    prepare = Some((_, _) => { writeUniformFixture(); () }))
+
+  /** REAL resample (Java2D bilinear) + lossless PNG re-encode, then
+    * decoded back THROUGH THE ENGINE: output dims must be the resize
+    * target and — uniform color being resample-invariant — mean luma
+    * must still match the planted color exactly. */
+  val imageResize = GQuery(
+    "q_image_resize",
+    (s, d) => {
+      val dir = writeUniformFixture()
+      val resized = Multimodal.resizeDataset(
+        Multimodal.readBinaryDir(s, dir, "*.png"), 32L, 24L, batchSize = 8)
+      Multimodal.decodeDataset(resized, batchSize = 8)
+        .toDF()
+        .select("file_name", "width", "height", "mean_luma")
+        .orderBy("file_name")
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name
+        FROM read_blob('$UniformDir/uni_*.png'))
+      SELECT file_name,
+             CAST(32 AS BIGINT) AS width,
+             CAST(24 AS BIGINT) AS height,
+             (299 * ${lumaSql(1)} + 587 * ${lumaSql(2)} + 114 * ${lumaSql(3)}) / 1000.0
+               AS mean_luma
+      FROM f ORDER BY file_name
+    """),
+    prepare = Some((_, _) => { writeUniformFixture(); () }))
+
   /** Real multimodal metadata: binaryFile scan → PNG header parse
     * (width/height from IHDR bytes) → frame-sampling explode (one row
-    * per sampled frame with its byte offset) — the partition/batch
-    * shape of a media pipeline, with the codec stubbed
-    * ([[Multimodal.decodeStub]]). */
+    * per sampled frame with its byte offset) — the header-only Column
+    * tier of the media pipeline ([[Multimodal.pngHeaderStruct]]); the
+    * pixel tier is `q_image_decode`/`q_image_resize`. */
   val binaryMeta = GQuery(
     "q_binary_meta",
     (s, d) => {
@@ -131,5 +238,6 @@ object BinaryQueries extends QueryPack {
       ) ORDER BY file_name
     """))
 
-  def all: Seq[GQuery] = Seq(binaryMeta, fileLedger)
+  def all: Seq[GQuery] =
+    Seq(binaryMeta, fileLedger, imageDecode, imageResize)
 }

@@ -4,20 +4,28 @@ import org.apache.spark.sql.functions._
 import graft.ops.Multimodal
 import graft.queries.BinaryQueries
 
-/** Multimodal decode plumbing: the batch-decode hook's schema, batch
-  * shape, and undecodable-drop behavior over the real binaryFile
-  * fixture — everything a real codec swap would inherit. */
+/** Multimodal pixel tier: REAL ImageIO decode and Java2D resize
+  * through the batch plumbing — pixel-verified against planted
+  * colors, plus the schema/batch/undecodable-drop contract a codec
+  * swap would inherit. */
 class MultimodalSpec extends SparkSpec {
 
-  test("batch decode: typed output matches header parse; bad files drop") {
-    // own copy of the fixture: the shared dir backs oracle queries and
-    // must not grow a planted broken file
+  private def writeUniform(dir: String, k: Int): Unit = {
+    val (r, g, b) = BinaryQueries.uniColor(k)
+    val (w, h) = BinaryQueries.uniDims(k)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, BinaryQueries.uniName(k)),
+      BinaryQueries.uniformPng(r, g, b, w, h))
+  }
+
+  private def expectedLuma(k: Int): Double = {
+    val (r, g, b) = BinaryQueries.uniColor(k)
+    (299L * r + 587L * g + 114L * b) / 1000.0
+  }
+
+  test("batch decode: real pixels, exact analytic luma; bad files drop") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString
-    (0 until BinaryQueries.NumFiles).foreach { k =>
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(dir, BinaryQueries.fileName(k)),
-        BinaryQueries.pngBytes(k))
-    }
+    (0 until 10).foreach(writeUniform(dir, _))
     // plant one undecodable file among the PNGs
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "broken.png"),
@@ -25,17 +33,19 @@ class MultimodalSpec extends SparkSpec {
     val images = Multimodal.readBinaryDir(spark, dir, "*.png")
     val decoded = Multimodal.decodeDataset(images, batchSize = 7)
     val rows = decoded.collect().map(m => m.file_name -> m).toMap
-    assert(rows.size == BinaryQueries.NumFiles, "broken file must drop")
+    assert(rows.size == 10, "broken file must drop")
     assert(!rows.contains("broken.png"))
-    (0 until BinaryQueries.NumFiles).foreach { k =>
-      val m = rows(BinaryQueries.fileName(k))
-      assert(m.width == 100L + 7L * k)
-      assert(m.height == 50L + 13L * k)
-      assert(m.mean_luma >= 0 && m.mean_luma < 256)
+    (0 until 10).foreach { k =>
+      val m = rows(BinaryQueries.uniName(k))
+      val (w, h) = BinaryQueries.uniDims(k)
+      assert(m.width == w && m.height == h)
+      assert(m.mean_luma == expectedLuma(k), // bit-exact, not approx
+        s"${m.file_name}: ${m.mean_luma} != ${expectedLuma(k)}")
     }
-    // and the Column-level stub agrees with the batch decoder
+    // the header-only Column tier agrees with the pixel decoder on dims
     val viaExpr = images
-      .select(col("file_name"), Multimodal.decodeStub(col("content")).as("d"))
+      .select(col("file_name"),
+        Multimodal.pngHeaderStruct(col("content")).as("d"))
       .filter(col("d").isNotNull)
       .select(col("file_name"), col("d.width"), col("d.height"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
@@ -44,24 +54,47 @@ class MultimodalSpec extends SparkSpec {
     assert(viaExpr == viaBatch)
   }
 
-  test("resize rewrites header dims through the batch plumbing; bad files drop") {
+  test("decode averages true pixel values, not just headers") {
+    // 2x1 black|white: mean luma must be exactly 127.5 — a header fake
+    // or off-by-one pixel walk cannot produce it
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val res = Multimodal.decodeBatch(Seq(out.toByteArray), batchSize = 1)
+    assert(res == Seq(Some((2L, 1L, 127.5))))
+  }
+
+  test("resize resamples real pixels; round-trip keeps uniform color") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mm_rs").toString
-    (0 until 5).foreach { k =>
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(dir, BinaryQueries.fileName(k)),
-        BinaryQueries.pngBytes(k))
-    }
+    (0 until 5).foreach(writeUniform(dir, _))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "broken.png"), Array[Byte](1, 2, 3))
     val images = Multimodal.readBinaryDir(spark, dir, "*.png")
     val resized = Multimodal.resizeDataset(images, 224L, 224L, batchSize = 3)
+    val bytes = resized.collect().map(r =>
+      r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(bytes.size == 5, "broken file must drop at resize")
+    // pixel-level check OUTSIDE the engine: every output pixel is the
+    // planted color (bilinear over a uniform field is exact)
+    (0 until 5).foreach { k =>
+      val (r, g, b) = BinaryQueries.uniColor(k)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes(BinaryQueries.uniName(k))))
+      assert(img.getWidth == 224 && img.getHeight == 224)
+      val px = img.getRGB(0, 0, 224, 224, null, 0, 224)
+      val want = 0xFF000000 | (r << 16) | (g << 8) | b
+      assert(px.forall(_ == want), s"k=$k resample changed pixels")
+    }
     // re-decoding the resized output through the SAME pipeline reads
-    // the rewritten dims — the round-trip proves header consistency
+    // the new dims and the preserved color
     val redecoded = Multimodal.decodeDataset(resized, batchSize = 3).collect()
-    assert(redecoded.length == 5, "broken file must drop at resize")
+    assert(redecoded.length == 5)
     redecoded.foreach { m =>
-      assert(m.width == 224L && m.height == 224L,
-        s"${m.file_name}: ${m.width}x${m.height}")
+      val k = m.file_name.slice(4, 7).toInt
+      assert(m.width == 224L && m.height == 224L)
+      assert(m.mean_luma == expectedLuma(k))
     }
   }
 
