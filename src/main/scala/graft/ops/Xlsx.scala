@@ -201,6 +201,103 @@ object Xlsx {
     f.createXMLStreamReader(new ByteArrayInputStream(xml))
   }
 
+  // ---------------------------------------------------------------
+  // Write side — the quarantine REPORT sink (S9's xlsx veneer). The
+  // reference mails analysts an Excel of rejected corrections
+  // (dags/DataWarehouse.py:640-644); here the same zip+XML machinery
+  // runs in reverse: a minimal one-sheet workbook with inline strings
+  // (no sharedStrings part needed), readable by Excel and by
+  // [[parseRows]] — the round-trip is spec-pinned.
+  // ---------------------------------------------------------------
+
+  private def xmlEscape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '&' => b.append("&amp;")
+      case '<' => b.append("&lt;")
+      case '>' => b.append("&gt;")
+      case '"' => b.append("&quot;")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** 0-based column → "A", …, "Z", "AA", … (inverse of [[colIndex]]). */
+  private def colName(idx: Int): String = {
+    var n = idx + 1
+    val b = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; b.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    b.toString
+  }
+
+  private val XmlDecl = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+  // OOXML spec namespace constants (ECMA-376) — identifiers, not URLs
+  // the code ever fetches
+  private val NsMain =
+    "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+  private val NsPkgRel =
+    "http://schemas.openxmlformats.org/package/2006/relationships"
+  private val NsDocRel =
+    "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+  /** Minimal one-sheet xlsx: header row + data rows, every cell an
+    * inline string, null cells left sparse (omitted, same as the read
+    * side materializes them). Bounded, driver-side construction — this
+    * is a human-facing REPORT artifact, not a data sink (parquet/CSV
+    * are the data sinks); callers cap rows accordingly. */
+  def workbookBytes(header: Seq[String], rows: Seq[Seq[String]]): Array[Byte] = {
+    def cellXml(rowNum: Int, i: Int, v: String): String =
+      s"""<c r="${colName(i)}$rowNum" t="inlineStr"><is><t>${xmlEscape(v)}</t></is></c>"""
+    def rowXml(rowNum: Int, cells: Seq[String]): String =
+      cells.zipWithIndex.collect { case (v, i) if v != null =>
+        cellXml(rowNum, i, v)
+      }.mkString(s"""<row r="$rowNum">""", "", "</row>")
+    val sheet = new StringBuilder(XmlDecl)
+      .append(s"""<worksheet xmlns="$NsMain"><sheetData>""")
+      .append(rowXml(1, header))
+    rows.zipWithIndex.foreach { case (cells, i) =>
+      sheet.append(rowXml(i + 2, cells))
+    }
+    sheet.append("</sheetData></worksheet>")
+    val parts = Seq(
+      "[Content_Types].xml" ->
+        s"""$XmlDecl<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""",
+      "_rels/.rels" ->
+        s"""$XmlDecl<Relationships xmlns="$NsPkgRel"><Relationship Id="rId1" Type="$NsDocRel/officeDocument" Target="xl/workbook.xml"/></Relationships>""",
+      "xl/workbook.xml" ->
+        s"""$XmlDecl<workbook xmlns="$NsMain" xmlns:r="$NsDocRel"><sheets><sheet name="Report" sheetId="1" r:id="rId1"/></sheets></workbook>""",
+      "xl/_rels/workbook.xml.rels" ->
+        s"""$XmlDecl<Relationships xmlns="$NsPkgRel"><Relationship Id="rId1" Type="$NsDocRel/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""",
+      "xl/worksheets/sheet1.xml" -> sheet.toString)
+    val bout = new java.io.ByteArrayOutputStream()
+    val zout = new java.util.zip.ZipOutputStream(bout)
+    try parts.foreach { case (name, xml) =>
+      zout.putNextEntry(new java.util.zip.ZipEntry(name))
+      zout.write(xml.getBytes("UTF-8"))
+      zout.closeEntry()
+    } finally zout.close()
+    bout.toByteArray
+  }
+
+  /** Quarantine-report sink: the DataFrame's first `maxRows` rows
+    * (every column stringified, nulls sparse) as one xlsx at `dest`,
+    * written through the Hadoop FS (works on any warehouse layer URI).
+    * The limit keeps the driver-side materialization bounded — the
+    * full rejected set always lands in the parquet quarantine; this is
+    * the analyst-facing preview. Returns rows written. */
+  def writeReport(df: DataFrame, dest: String, maxRows: Int = 10000): Long = {
+    val header = df.columns.toIndexedSeq
+    val rows = df.limit(maxRows).collect().toIndexedSeq.map { r =>
+      header.indices.map(i =>
+        if (r.isNullAt(i)) null else String.valueOf(r.get(i)))
+    }
+    val p = new Path(dest)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(workbookBytes(header, rows)) finally out.close()
+    rows.length.toLong
+  }
+
   /** S3: ingest every `*.xlsx` under `dir` into the fixed `target`
     * schema — the Excel twin of [[CsvIngest.ingestDir]], same header
     * canonicalization, rename map, schema conformance, and `src_file`

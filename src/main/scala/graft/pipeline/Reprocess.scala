@@ -61,8 +61,17 @@ object Reprocess {
       val accepted = Validate.good(annotated).drop("error_details")
       val nRejected = rejected.count()
       val nAccepted = accepted.count()
-      if (nRejected > 0)
+      if (nRejected > 0) {
         rejected.write.mode("append").parquet(layers.reprocessQuarantine)
+        // analyst-facing xlsx preview of the rejects (the reference
+        // mails an Excel report, dags/DataWarehouse.py:640-644). Named
+        // by the correction batch, so a retried batch overwrites its
+        // own report instead of accumulating duplicates; the parquet
+        // quarantine above remains the complete record.
+        Xlsx.writeReport(rejected,
+          s"${layers.reprocessQuarantine}_report/" +
+            s"report_${new java.io.File(correctionsDir).getName}.xlsx")
+      }
       if (nAccepted > 0) {
         val silver = spark.read.schema(ChurnSchema.silver)
           .parquet(layers.silver)

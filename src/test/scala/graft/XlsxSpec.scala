@@ -183,5 +183,26 @@ class XlsxSpec extends SparkSpec {
     assert(silver.count() == 3, "replace-by-key must not grow silver")
     assert(spark.read.parquet(layers.reprocessQuarantine)
       .filter(col("error_details") === "Tenure not numeric").count() == 1)
+    // the analyst-facing reject preview landed as a REAL xlsx the
+    // engine's own reader round-trips: header + the one rejected row,
+    // named by the correction batch (retry-stable)
+    val report = Xlsx.parseRows(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        s"${layers.reprocessQuarantine}_report/report_fixed_data.xlsx")))
+    assert(report.length == 2, "header + one reject")
+    val hdr = report.head
+    assert(hdr.contains("customer_id") && hdr.contains("error_details"))
+    assert(report(1)(hdr.indexOf("customer_id")) == "R902")
+    assert(report(1)(hdr.indexOf("error_details")) == "Tenure not numeric")
+  }
+
+  test("workbook writer round-trips through the reader") {
+    val header = Seq("id", "note", "maybe")
+    val rows = Seq(
+      Seq("A<1>", "5 & 6 \"quoted\"", "x"),
+      Seq("B2", null, null)) // nulls written sparse, trailing left short
+    val parsed = Xlsx.parseRows(Xlsx.workbookBytes(header, rows))
+    assert(parsed == Seq(header,
+      Seq("A<1>", "5 & 6 \"quoted\"", "x"), Seq("B2")))
   }
 }
