@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
@@ -253,6 +253,59 @@ object Similarity {
       }
       codebook.map(_.toSeq)
     } finally sv.unpersist()
+  }
+
+  // ------------------------------------------------------------------
+  // Versioned codebook artifacts — a real corpus pipeline trains the
+  // IVF index ONCE and probes it many times (mirrors
+  // ChurnModel.saveVersioned / loadLatest for ML artifacts). Stored as
+  // plain parquet of (cent_idx, vec) rows: warehouse-native, readable
+  // on any Hadoop FS, no driver-format lock-in.
+  // ------------------------------------------------------------------
+
+  private val CodebookPrefix = "ivf_codebook_"
+
+  /** Persist a trained codebook under
+    * `artifactsRoot/ivf_codebook_{version}`. Spark's committed write
+    * (tmp + rename + _SUCCESS) keeps a crashed save invisible to
+    * [[loadLatestCodebook]]. */
+  def saveCodebook(spark: SparkSession, codebook: Seq[Seq[Long]],
+                   artifactsRoot: String, version: String): String = {
+    import spark.implicits._
+    val path = s"$artifactsRoot/$CodebookPrefix$version"
+    codebook.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toIndexedSeq) }
+      .toDF("cent_idx", "vec")
+      .coalesce(1) // C·dim longs — one tiny file, not 32 shards
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** List persisted codebook versions, ascending; only COMMITTED
+    * artifacts (those with a _SUCCESS marker) count. */
+  def listCodebooks(spark: SparkSession, artifactsRoot: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(artifactsRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(CodebookPrefix) &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.getName).sorted.toIndexedSeq
+  }
+
+  /** Load the newest committed codebook (lexicographic max version),
+    * ready to pass as [[ivfTopK]]'s `trainedCodebook`. Fails loudly
+    * when nothing has been trained, like ChurnModel.loadLatest. */
+  def loadLatestCodebook(spark: SparkSession,
+                         artifactsRoot: String): Seq[Seq[Long]] = {
+    val versions = listCodebooks(spark, artifactsRoot)
+    if (versions.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"No committed IVF codebook in '$artifactsRoot'. " +
+          "Run kmeansCodebook + saveCodebook first.")
+    spark.read.parquet(s"$artifactsRoot/${versions.last}")
+      .orderBy("cent_idx").collect().toIndexedSeq
+      .map(_.getSeq[Long](1).toIndexedSeq)
   }
 
   /** ANN top-k via IVF (inverted-file index) — the second index family

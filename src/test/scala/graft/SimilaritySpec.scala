@@ -110,6 +110,32 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     info(f"mean IVF recall@$K with trained codebook: $mean%.3f")
     assert(mean >= 0.15)
+
+    // train-once/probe-many: the codebook round-trips through the
+    // versioned artifact store and the LOADED copy drives ivfTopK to
+    // identical results (the whole point of persisting the index)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cb").toString
+    Similarity.saveCodebook(spark, cb, root, "2026-05-01")
+    Similarity.saveCodebook(spark, cb.map(_.map(_ + 1L)), root, "2026-04-01")
+    assert(Similarity.listCodebooks(spark, root) ==
+      Seq("ivf_codebook_2026-04-01", "ivf_codebook_2026-05-01"))
+    val loaded = Similarity.loadLatestCodebook(spark, root)
+    assert(loaded == cb, "latest = newest version, loaded bit-identical")
+    val viaLoaded = neighbourSets(
+      Similarity.ivfTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", K,
+        graft.queries.SimilarityQueries.NumCentroids,
+        graft.queries.SimilarityQueries.NProbe,
+        trainedCodebook = Some(loaded)))
+    assert(viaLoaded == ivf)
+    // an uncommitted artifact (no _SUCCESS) must be invisible
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/ivf_codebook_2026-05-01/_SUCCESS"), false)
+    assert(Similarity.loadLatestCodebook(spark, root)
+      == cb.map(_.map(_ + 1L)), "crashed save must not be 'latest'")
   }
 
   test("scaled dot product is exact and symmetric") {
