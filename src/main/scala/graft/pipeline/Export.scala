@@ -25,16 +25,21 @@ object Export {
     * watermark untouched). The export file name carries the window
     * bounds like the reference's Churn_Export_<from>_to_<to>.csv. */
   def run(spark: SparkSession, bronze: DataFrame, stateFile: String,
-          exportDir: String, runTs: String): Long = {
+          exportDir: String, runTs: String,
+          hook: NotifyHook = NotifyHook.Log): Long = {
     val store = new Incremental.WatermarkStore(stateFile)
     val lastWm = store.read()
     val fileSafe = (s: String) => s.replace(":", "").replace(" ", "T")
     val dest =
       s"$exportDir/Churn_Export_${fileSafe(lastWm)}_to_${fileSafe(runTs)}"
-    Incremental.runBatch(
+    val n = Incremental.runBatch(
       store,
       wm => extractWindow(bronze, wm, runTs),
       runTs,
       batch => Incremental.csvSink(batch, dest, Seq("customer_id")))
+    // success mail / skip notice of the reference's export DAG
+    hook.send(Notify.BatchStats("export",
+      Map("exported_rows" -> n, "skipped" -> (if (n == 0) 1L else 0L))))
+    n
   }
 }

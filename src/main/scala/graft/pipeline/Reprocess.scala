@@ -48,7 +48,8 @@ object Reprocess {
     * could never fire (it must REJECT such rows, not silently null
     * them into silver). */
   def run(spark: SparkSession, correctionsDir: String,
-          layers: Warehouse.Layers): (Long, Long) = {
+          layers: Warehouse.Layers,
+          hook: NotifyHook = NotifyHook.Log): (Long, Long) = {
     val raw = CsvIngest
       .ingestDir(spark, correctionsDir, ChurnSchema.stagingRaw)
       .unionByName(
@@ -71,6 +72,10 @@ object Reprocess {
         Xlsx.writeReport(rejected,
           s"${layers.reprocessQuarantine}_report/" +
             s"report_${new java.io.File(correctionsDir).getName}.xlsx")
+        // the reference mails the same preview it attaches (rejected
+        // is persisted above, so this is a bounded re-read, not a
+        // rule-chain recompute)
+        hook.send(Notify.preview(rejected, nRejected, "reprocess_quarantine"))
       }
       if (nAccepted > 0) {
         val silver = spark.read.schema(ChurnSchema.silver)
@@ -81,6 +86,8 @@ object Reprocess {
           Upsert.replaceByKey(silver, conformed, Seq("customer_id")),
           layers.silver)
       }
+      hook.send(Notify.BatchStats("reprocess",
+        Map("accepted" -> nAccepted, "rejected" -> nRejected)))
       (nAccepted, nRejected)
     } finally annotated.unpersist()
   }

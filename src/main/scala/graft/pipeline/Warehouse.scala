@@ -94,15 +94,37 @@ object Warehouse {
     * retry. */
   def validateStaging(spark: SparkSession, staging: DataFrame,
                       layers: Layers, runDate: String,
-                      thresholdPct: Double = 10.0): DataFrame = {
+                      thresholdPct: Double = 10.0,
+                      hook: NotifyHook = NotifyHook.Log): DataFrame = {
     val rules = ChurnSchema.stagingRules :+
       Validate.Rule("Duplicate ID", Validate.duplicatedAll(col("customer_id")))
     val annotated = Validate.annotate(staging, rules)
-    val clean = Validate.gate(annotated, thresholdPct)
+    val clean =
+      try Validate.gate(annotated, thresholdPct)
+      catch { case e: IllegalStateException =>
+        // the reference's on_failure_callback mail: alert, then halt
+        hook.send(Notify.GateFailure("staging_validate", e.getMessage))
+        throw e
+      }
     graft.ops.Partitioned.writeBy(
       Validate.bad(annotated).withColumn("run_date", lit(runDate)),
       layers.quarantine, "run_date")
     Upsert.atomicOverwrite(clean.drop("error_details"), layers.staging)
+    // quarantine-preview notification from the PARTITION JUST WRITTEN
+    // (a small schema-pinned parquet read-back — never a recompute of
+    // the rule chain; schema-pinned because an all-clean batch leaves
+    // the quarantine dir empty, which breaks inference)
+    val qSchema = org.apache.spark.sql.types.StructType(
+      ChurnSchema.staging.fields.toIndexedSeq :+
+        org.apache.spark.sql.types.StructField("error_details",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("run_date",
+          org.apache.spark.sql.types.StringType))
+    val written = readOrEmpty(spark, layers.quarantine, qSchema)
+      .filter(col("run_date") === lit(runDate))
+    val nBad = written.count()
+    if (nBad > 0)
+      hook.send(Notify.preview(written, nBad, "staging_quarantine"))
     spark.read.schema(ChurnSchema.staging).parquet(layers.staging)
   }
 
@@ -334,10 +356,10 @@ object Warehouse {
   /** One full nightly run (the DAG's task chain, in order). Returns
     * the quality summary. */
   def run(spark: SparkSession, landingDir: String, layers: Layers,
-          runDate: String): DataFrame = {
+          runDate: String, hook: NotifyHook = NotifyHook.Log): DataFrame = {
     ddlBootstrap(spark, layers)
     val staging = loadStaging(spark, landingDir)
-    val clean = validateStaging(spark, staging, layers, runDate)
+    val clean = validateStaging(spark, staging, layers, runDate, hook = hook)
     // ST4 for the plain path too: an empty landing zone yields an
     // empty clean batch (a >10%-bad batch THROWS at the gate and never
     // reaches here) and skips every downstream layer — running gold on
@@ -354,6 +376,10 @@ object Warehouse {
     refreshSilver(spark, layers)
     loadGold(spark, layers, runDate)
     dqGoldCheck(spark, layers)
+    // the reference's end-of-run stats mail: counts come from the
+    // just-written layer (one small parquet count, no recompute)
+    hook.send(Notify.BatchStats("warehouse_run",
+      Map("clean_rows" -> clean.count())))
     Quality.runAll(spark, layers)
   }
 
@@ -369,7 +395,8 @@ object Warehouse {
     *
     * Returns (decisions, Some(quality)) — or None when skipped. */
   def runWithLedger(spark: SparkSession, landingDir: String, layers: Layers,
-                    runDate: String): (DataFrame, Option[DataFrame]) = {
+                    runDate: String, hook: NotifyHook = NotifyHook.Log)
+      : (DataFrame, Option[DataFrame]) = {
     val fs = fsFor(spark, landingDir)
     import spark.implicits._
     // a missing landing dir is the nothing-new case, same as CsvIngest
@@ -400,7 +427,7 @@ object Warehouse {
       new org.apache.hadoop.fs.Path(landingDir, n))
     val staging = CsvIngest
       .ingestFiles(spark, files, ChurnSchema.staging).drop("src_file")
-    val clean = validateStaging(spark, staging, layers, runDate)
+    val clean = validateStaging(spark, staging, layers, runDate, hook = hook)
     // ST4 here too (same guard as run()): a new file with zero data
     // rows must not drive gold over a schemaless empty fact — but it
     // WAS processed, so the archive + ledger protocol below still
@@ -430,6 +457,9 @@ object Warehouse {
       .filter(col("file_name").isin(toProcess: _*))
       .select("file_name", "size_bytes", "checksum")
     Upsert.atomicOverwrite(Ledger.update(prior, processedRows), layers.ledger)
+    hook.send(Notify.BatchStats("warehouse_run_ledger", Map(
+      "files_processed" -> toProcess.size.toLong,
+      "clean_rows" -> (if (haveData) clean.count() else 0L))))
     (decisions, if (haveData) Some(Quality.runAll(spark, layers)) else None)
   }
 }
