@@ -118,6 +118,12 @@ object Multimodal {
                   batchSize: Int): Seq[Option[Array[Byte]]] = {
     require(contents.size <= batchSize,
       s"resizer contract: at most $batchSize images per call")
+    // caller bugs (0, negative, or >Int.MaxValue targets) must fail
+    // loudly here — inside the per-image try they would silently
+    // quarantine EVERY image as "undecodable"
+    require(width >= 1 && width <= Int.MaxValue &&
+        height >= 1 && height <= Int.MaxValue,
+      s"resize target must be in [1, ${Int.MaxValue}]: ${width}x$height")
     javax.imageio.ImageIO.setUseCache(false)
     contents.map { b =>
       try {
@@ -148,6 +154,10 @@ object Multimodal {
     * [[resizeBatch]] only. */
   def resizeDataset(images: DataFrame, width: Long, height: Long,
                     batchSize: Int = 64): DataFrame = {
+    // fail on a bad target at plan time, not per-task
+    require(width >= 1 && width <= Int.MaxValue &&
+        height >= 1 && height <= Int.MaxValue,
+      s"resize target must be in [1, ${Int.MaxValue}]: ${width}x$height")
     val spark = images.sparkSession
     import spark.implicits._
     images.select(col("file_name"), col("content"))

@@ -44,22 +44,37 @@ object Validate {
   /** Error-rate circuit breaker (reference: 10% threshold,
     * dags/DataWarehouse.py:456-482). Single-pass aggregate; the only
     * driver-side value is the tiny scalar. */
-  def errorRatePct(annotated: DataFrame): Double = {
+  /** One-pass (total, bad) counters over an annotated frame. */
+  def counts(annotated: DataFrame): (Long, Long) = {
     val r = annotated.agg(
       count(lit(1)).as("total"),
       count(when(col("error_details") =!= "", 1)).as("bad")).head()
-    val total = r.getLong(0)
-    if (total == 0) 0.0 else r.getLong(1) * 100.0 / total
+    (r.getLong(0), r.getLong(1))
+  }
+
+  def errorRatePct(annotated: DataFrame): Double = {
+    val (total, bad) = counts(annotated)
+    if (total == 0) 0.0 else bad * 100.0 / total
   }
 
   /** Halt-or-clean gate: error rate above threshold throws BEFORE any
     * destructive step (reference halt ordering, §7.4). */
-  def gate(annotated: DataFrame, thresholdPct: Double = 10.0): DataFrame = {
-    val rate = errorRatePct(annotated)
+  def gate(annotated: DataFrame, thresholdPct: Double = 10.0): DataFrame =
+    gateCounted(annotated, thresholdPct)._1
+
+  /** [[gate]], also returning THIS batch's bad-row count from the same
+    * single aggregate pass. Callers that branch on "did this batch
+    * reject anything" need this scalar — inferring it from quarantine
+    * directory contents is wrong, because a re-run of a previously
+    * rejecting run_date can still see the prior run's partition. */
+  def gateCounted(annotated: DataFrame,
+                  thresholdPct: Double = 10.0): (DataFrame, Long) = {
+    val (total, bad) = counts(annotated)
+    val rate = if (total == 0) 0.0 else bad * 100.0 / total
     if (rate > thresholdPct)
       throw new IllegalStateException(
         f"error rate $rate%.2f%% exceeds $thresholdPct%.1f%% — halting before cleanup")
-    good(annotated)
+    (good(annotated), bad)
   }
 
   /** A12: value-check assertion — the reference's SQLValueCheckOperator

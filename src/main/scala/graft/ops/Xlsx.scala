@@ -217,6 +217,12 @@ object Xlsx {
       case '<' => b.append("&lt;")
       case '>' => b.append("&gt;")
       case '"' => b.append("&quot;")
+      // control chars below 0x20 (other than tab/LF/CR) are invalid in
+      // XML 1.0 even escaped — and rejected rows are exactly where such
+      // garbage bytes show up. Substitute so the report stays readable
+      // by Excel and by parseRows.
+      case c if c < 0x20 && c != '\t' && c != '\n' && c != '\r' =>
+        b.append('�')
       case c => b.append(c)
     }
     b.toString

@@ -99,32 +99,44 @@ object Warehouse {
     val rules = ChurnSchema.stagingRules :+
       Validate.Rule("Duplicate ID", Validate.duplicatedAll(col("customer_id")))
     val annotated = Validate.annotate(staging, rules)
-    val clean =
-      try Validate.gate(annotated, thresholdPct)
+    // the gate's aggregate pass also yields THIS batch's bad count —
+    // the quarantine dir can't answer that (a clean re-run of a
+    // previously rejecting run_date still sees the old partition,
+    // because dynamic overwrite of an empty frame replaces nothing)
+    val (clean, nBad) =
+      try Validate.gateCounted(annotated, thresholdPct)
       catch { case e: IllegalStateException =>
         // the reference's on_failure_callback mail: alert, then halt
         hook.send(Notify.GateFailure("staging_validate", e.getMessage))
         throw e
       }
-    graft.ops.Partitioned.writeBy(
-      Validate.bad(annotated).withColumn("run_date", lit(runDate)),
-      layers.quarantine, "run_date")
-    Upsert.atomicOverwrite(clean.drop("error_details"), layers.staging)
-    // quarantine-preview notification from the PARTITION JUST WRITTEN
-    // (a small schema-pinned parquet read-back — never a recompute of
-    // the rule chain; schema-pinned because an all-clean batch leaves
-    // the quarantine dir empty, which breaks inference)
-    val qSchema = org.apache.spark.sql.types.StructType(
-      ChurnSchema.staging.fields.toIndexedSeq :+
-        org.apache.spark.sql.types.StructField("error_details",
-          org.apache.spark.sql.types.StringType) :+
-        org.apache.spark.sql.types.StructField("run_date",
-          org.apache.spark.sql.types.StringType))
-    val written = readOrEmpty(spark, layers.quarantine, qSchema)
-      .filter(col("run_date") === lit(runDate))
-    val nBad = written.count()
     if (nBad > 0)
+      graft.ops.Partitioned.writeBy(
+        Validate.bad(annotated).withColumn("run_date", lit(runDate)),
+        layers.quarantine, "run_date")
+    else {
+      // all-clean batch: clear any stale partition this run_date left
+      // behind, so analysts never see a previous run's rejects
+      val part = new org.apache.hadoop.fs.Path(
+        s"${layers.quarantine}/run_date=$runDate")
+      val fs = fsFor(spark, layers.quarantine)
+      if (fs.exists(part)) fs.delete(part, true)
+    }
+    Upsert.atomicOverwrite(clean.drop("error_details"), layers.staging)
+    if (nBad > 0) {
+      // quarantine-preview notification from the PARTITION JUST
+      // WRITTEN (a small schema-pinned parquet read-back — never a
+      // recompute of the rule chain)
+      val qSchema = org.apache.spark.sql.types.StructType(
+        ChurnSchema.staging.fields.toIndexedSeq :+
+          org.apache.spark.sql.types.StructField("error_details",
+            org.apache.spark.sql.types.StringType) :+
+          org.apache.spark.sql.types.StructField("run_date",
+            org.apache.spark.sql.types.StringType))
+      val written = readOrEmpty(spark, layers.quarantine, qSchema)
+        .filter(col("run_date") === lit(runDate))
       hook.send(Notify.preview(written, nBad, "staging_quarantine"))
+    }
     spark.read.schema(ChurnSchema.staging).parquet(layers.staging)
   }
 

@@ -124,4 +124,26 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("at most 8"))
   }
+
+  test("invalid resize targets fail loudly instead of quarantining everything") {
+    // a valid PNG: if the bad target leaked into the per-image try it
+    // would come back None (silently "undecodable")
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    for ((w, h) <- Seq((0L, 10L), (10L, -1L), (Int.MaxValue + 1L, 10L))) {
+      val e = intercept[IllegalArgumentException] {
+        Multimodal.resizeBatch(Seq(out.toByteArray), w, h, batchSize = 1)
+      }
+      assert(e.getMessage.contains("resize target"))
+    }
+    // and at plan time, before any job runs
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeDataset(
+        spark.emptyDataFrame
+          .selectExpr("'' as file_name", "cast(null as binary) as content"),
+        0L, 10L)
+    }
+  }
 }

@@ -74,6 +74,30 @@ class NotifySpec extends SparkSpec {
     assert(p.rows.length == Notify.PreviewRows, "rows cap at the preview bound")
   }
 
+  test("clean re-run of a rejecting run_date fires no preview and clears the partition") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nf_rerun").toString
+    val landing = s"$root/landing"
+    val layers = Warehouse.Layers(root)
+    // run 1: one reject lands in quarantine/run_date=2026-06-01
+    writeCsv(landing, "classic.csv", ClassicHeader +:
+      ((1 to 20).map(i => classicRow(f"C$i%03d")) :+
+        classicRow("C900", tenure = "-5")))
+    Warehouse.run(spark, landing, layers, "2026-06-01", new Recording)
+    // run 2: the operator fixed the batch; SAME run_date, all clean.
+    // Dynamic overwrite of an empty bad set replaces no partitions, so
+    // without the explicit clear the stale rejects would both survive
+    // and fire a false preview.
+    writeCsv(landing, "classic.csv", ClassicHeader +:
+      ((1 to 20).map(i => classicRow(f"C$i%03d")) :+ classicRow("C900")))
+    val hook = new Recording
+    Warehouse.run(spark, landing, layers, "2026-06-01", hook)
+    assert(!hook.events.exists(_.isInstanceOf[Notify.QuarantinePreview]),
+      "a clean batch must not alert with the previous run's rejects")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"${layers.quarantine}/run_date=2026-06-01")),
+      "the stale quarantine partition is cleared")
+  }
+
   test("gate failure fires the alert event, then the run still halts") {
     val root = java.nio.file.Files.createTempDirectory("graft_nf_gate").toString
     val landing = s"$root/landing"

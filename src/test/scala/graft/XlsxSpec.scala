@@ -205,4 +205,14 @@ class XlsxSpec extends SparkSpec {
     assert(parsed == Seq(header,
       Seq("A<1>", "5 & 6 \"quoted\"", "x"), Seq("B2")))
   }
+
+  test("writer substitutes XML-1.0-invalid control chars, keeps tab/LF/CR") {
+    // rejected correction rows are exactly where garbage bytes appear;
+    // a raw \u0001 would make the report unreadable by Excel AND by
+    // parseRows itself
+    val rows = Seq(Seq("bad\u0001\u0000byte", "tab\there", "nl\nthere"))
+    val bytes = Xlsx.workbookBytes(Seq("a", "b", "c"), rows)
+    val parsed = Xlsx.parseRows(bytes)
+    assert(parsed(1) == Seq("bad\ufffd\ufffdbyte", "tab\there", "nl\nthere"))
+  }
 }
