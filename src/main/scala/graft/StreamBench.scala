@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.streaming.Streams
+
+/** Streaming micro-bench — the measured evidence behind the
+  * state-store cost claims in `streaming/Streams.scala` (BASELINE.md
+  * §streaming records the numbers; the driver's timed bench covers
+  * batch queries only).
+  *
+  * Method: the sf events table is staged into `SPARK_GRAFT_STREAM_BATCHES`
+  * time-ordered slices (sequential writes → increasing mtimes → the
+  * file source replays them oldest-first), then each streaming
+  * operator runs with `maxFilesPerTrigger=1` + `Trigger.AvailableNow`
+  * — a genuine multi-micro-batch run where the watermark advances
+  * batch over batch and state is created, read back, and evicted
+  * across batches, not a single-batch drain. Time-ordered staging is
+  * deliberate: random slices would put most rows behind the watermark
+  * after batch 1, silently dropping them and under-exercising state.
+  *
+  * Prints ONE JSON line:
+  * {"metric":"stream_total","value":S,"unit":"sec","streams":{
+  *   name:{"sec":S,"rows":N,"rows_per_sec":R,"state_rows":K,"batches":B}},…}
+  */
+object StreamBench {
+
+  private final case class Run(sec: Double, rows: Long, stateRows: Long,
+                               batches: Int)
+
+  private def drain(q: StreamingQuery): (Long, Long, Int) = {
+    q.awaitTermination()
+    val progress = q.recentProgress
+    val rows = progress.map(_.numInputRows).sum
+    val stateRows = progress.reverseIterator
+      .flatMap(_.stateOperators.map(_.numRowsTotal))
+      .take(1).toSeq.headOption.getOrElse(0L)
+    (rows, stateRows, progress.count(_.numInputRows > 0))
+  }
+
+  private def timed(build: => StreamingQuery): Run = {
+    val t0 = System.nanoTime()
+    val (rows, state, batches) = drain(build)
+    Run((System.nanoTime() - t0) / 1e9, rows, state, batches)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val slices = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt
+    val spark = GraftSession.tune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_streambench").toString
+    val stage = s"$root/events"
+
+    // stage: time-ordered slices, one parquet file each, written
+    // sequentially so file-source mtime order == event-time order
+    // Tables.events converts the nanos-as-long parquet ts to timestamp
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    // untimed staging: single-partition ntile is fine at staging scale
+    val sliced = events.withColumn("_slice",
+      ntile(slices).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts")))).cache()
+    (1 to slices).foreach { i =>
+      sliced.filter(col("_slice") === i).drop("_slice")
+        .coalesce(1).write.parquet(s"$stage/slice_$i")
+      Thread.sleep(20) // distinct mtimes → deterministic replay order
+    }
+    sliced.unpersist()
+    val schema = events.schema
+    def readSliced(): DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/slice_*")
+
+    def noop(df: DataFrame, mode: OutputMode, ckpt: String): StreamingQuery =
+      df.writeStream.format("noop").outputMode(mode)
+        .option("checkpointLocation", s"$root/ckpt_$ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+
+    // untimed warmup: streaming engine + state store + codegen init
+    drain(noop(Streams.windowedCounts(readSliced()),
+      OutputMode.Update, "warmup"))
+
+    val runs = Seq[(String, () => Run)](
+      // watermarked tumbling-window agg: ~720 (window × 5 types) state rows
+      "windowed_counts" -> (() => timed(noop(
+        Streams.windowedCounts(readSliced(), "1 hour", "2 hours"),
+        OutputMode.Update, "window"))),
+      // within-watermark exact dedup: state = ids inside the horizon
+      "dedup_watermark" -> (() => timed(noop(
+        Streams.dedupWithinWatermark(readSliced(), "2 hours", Seq("event_id")),
+        OutputMode.Append, "dedup"))),
+      // flatMapGroupsWithState sessionization: state = open sessions/user
+      "sessionize" -> (() => timed(noop(
+        Streams.sessionize(readSliced().as[Streams.Event], 30).toDF(),
+        OutputMode.Append, "sess"))),
+      // stateless stream-static broadcast enrich: the no-state baseline
+      "enrich_static" -> (() => timed {
+        val dim = spark.range(1500).select(col("id").as("user_id"),
+          (col("id") % 7).as("cohort"))
+        noop(Streams.enrich(readSliced(), dim, Seq("user_id")),
+          OutputMode.Append, "enrich")
+      })
+    ).map { case (name, f) => name -> f() }
+
+    val js = runs.map { case (n, r) =>
+      val rps = if (r.sec > 0) (r.rows / r.sec).round else 0L
+      s""""$n":{"sec":${r.sec},"rows":${r.rows},"rows_per_sec":$rps,""" +
+        s""""state_rows":${r.stateRows},"batches":${r.batches}}"""
+    }.mkString("{", ",", "}")
+    val total = runs.map(_._2.sec).sum
+    println(s"""{"metric":"stream_total","value":$total,"unit":"sec","streams":$js,"sf":"$sfDir","slices":$slices}""")
+    spark.stop()
+  }
+}
