@@ -17,7 +17,8 @@ object SparkEntry {
     StarQueries, ValidateQueries, AggQueries, JoinQueries,
     WindowQueries, FuncQueries, UpsertQueries,
     DedupQueries, TextQueries, SimilarityQueries, CsvQueries,
-    PartitionQueries, BinaryQueries, SkewQueries, SampleQueries)
+    PartitionQueries, BinaryQueries, SkewQueries, SampleQueries,
+    TemporalQueries)
 
   private lazy val registry: Seq[GQuery] = packs.flatMap(_.all)
 

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for every left (probe) row, attach the single
+  * right (reference) row with the same key and the greatest right time
+  * at-or-before the probe time. The classic temporal-enrichment
+  * operator (trade→quote, event→latest-state) that Spark's join
+  * operators don't express directly: a plain range join explodes into
+  * per-pair candidates, and `orderBy ... limit 1` per probe row is a
+  * correlated loop.
+  *
+  * Shape (the 100 TB contract): union-tag both sides and run ONE
+  * running window per key —
+  *
+  *   union(left tagged, right tagged)
+  *     → shuffle once on the key
+  *     → per-partition sort by (time, side, tiebreak)
+  *     → running `last(payload, ignoreNulls)` over ROWS UNBOUNDED
+  *       PRECEDING .. CURRENT ROW
+  *     → keep left rows
+  *
+  * Cost is exactly a sort-merge join's shuffle+sort on the SAME key —
+  * no candidate explosion (never materializes per-pair rows the way a
+  * range join would), no per-key collect, and the running ROWS frame
+  * is streaming within the sort (WindowExec emits incrementally; no
+  * whole-partition buffering beyond spillable sort pages). Skewed keys
+  * concentrate like any keyed shuffle; if one key dominates, pre-split
+  * the probe side with [[Skew.salt]] and as-of per salt — valid
+  * because the reference side is replicated per salt, matches stay
+  * per-key.
+  *
+  * Determinism: rows are totally ordered by (time, side, tieBreak), so
+  * reruns and repartitionings pick the identical match. Callers must
+  * pass a `tieBreak` column that is unique per (key, time) on the
+  * right side — enforced semantics, not hope: with equal
+  * (time, tieBreak) duplicates the window's pick is tie-arbitrary.
+  *
+  * SQL-equality semantics for nulls: right rows with a null key or
+  * null time never match; left rows with a null key or null time get
+  * null payload (like the correlated `LEFT JOIN LATERAL` oracle form).
+  */
+object AsOf {
+
+  /** Backward as-of join (left join semantics: unmatched probe rows
+    * keep null payload).
+    *
+    * @param left         probe side, one output row per input row
+    * @param right        reference side
+    * @param leftKey      equi-key on the probe side
+    * @param rightKey     equi-key on the reference side
+    * @param leftTime     probe timestamp column (TimestampType)
+    * @param rightTime    reference timestamp column (TimestampType)
+    * @param rightPayload reference columns to surface (must not
+    *                     collide with left column names)
+    * @param tieBreak     reference column ordering ties at equal
+    *                     (key, time): the greatest value wins
+    * @param strict       false = match rightTime <= leftTime (default);
+    *                     true  = match rightTime <  leftTime
+    * @param toleranceSec max allowed (leftTime - rightTime) in whole
+    *                     seconds; older matches are nulled out
+    */
+  def backward(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               rightPayload: Seq[String],
+               tieBreak: String,
+               strict: Boolean = false,
+               toleranceSec: Option[Long] = None): DataFrame = {
+    val collisions = rightPayload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"rightPayload collides with probe columns: ${collisions.mkString(", ")}")
+
+    // Internal columns. _mt (matched time) always rides in the payload
+    // struct so tolerance filtering works even when the caller doesn't
+    // surface the reference time.
+    val payloadStruct = struct(
+      (col(rightTime).as("_mt") +: rightPayload.map(col)): _*)
+    val rTagged = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("_k"),
+        col(rightTime).as("_t"),
+        col(tieBreak).as("_tb"),
+        payloadStruct.as("_p"),
+        lit(true).as("_isRight"))
+    val payloadType =
+      rTagged.schema(rTagged.schema.fieldIndex("_p")).dataType
+
+    val lTagged = left.select(
+      (left.columns.map(col) :+
+        col(leftKey).as("_k") :+
+        col(leftTime).as("_t") :+
+        // left rows sort after right ties on _tb regardless of type
+        lit(null).cast(rTagged.schema("_tb").dataType).as("_tb") :+
+        lit(null).cast(payloadType).as("_p") :+
+        lit(false).as("_isRight")): _*)
+
+    // Sort order within a key: time ascending; at equal time the
+    // reference row is visible to the probe row iff the join is
+    // inclusive, so right sorts before left for <= and after for <.
+    // Among right ties, greatest tieBreak sorts last (wins the running
+    // `last`). Nulls-first on _tb keeps left rows (null _tb) from
+    // interleaving into right-tie runs.
+    val sideOrd =
+      if (strict) col("_isRight").asc // false (left) first at equal t
+      else col("_isRight").desc       // true (right) first at equal t
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t").asc, sideOrd, col("_tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched0 = lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(!col("_isRight"))
+
+    // Null-key/null-time probes never match; tolerance nulls out
+    // matches older than the horizon.
+    val withinTol = toleranceSec.fold(lit(true)) { tol =>
+      col("_match._mt").cast("long") >= col("_t").cast("long") - tol
+    }
+    val valid = col("_k").isNotNull && col("_t").isNotNull &&
+      col("_match").isNotNull && withinTol
+    val matched = matched0.withColumn("_match",
+      when(valid, col("_match")).otherwise(lit(null).cast(payloadType)))
+
+    matched.select(
+      (left.columns.map(col) ++
+        rightPayload.map(p => col(s"_match.$p").as(p))): _*)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketed interval×point range join — "which points fall inside
+  * which time intervals" without an equi-key. Spark plans a bare
+  * inequality join as BroadcastNestedLoopJoin (quadratic work even
+  * when one side broadcasts, a non-starter once both sides are big).
+  *
+  * Shape (the 100 TB contract): overlay a fixed bucket grid on the
+  * time axis and turn the range predicate into an equi-join —
+  *
+  *   points:    one row per point, bucket = its grid cell
+  *   intervals: exploded to one row per grid cell they overlap
+  *   join on the bucket cell, then re-check the exact range predicate
+  *
+  * Every true (interval, point) pair meets in EXACTLY one cell — the
+  * point's — so no dedup pass is needed. The shuffle key is the
+  * bucket cell: both sides distribute by time locality instead of a
+  * nested loop. Interval replication factor is len/bucketMicros + 1,
+  * so pick the grain near the typical interval length: too coarse
+  * re-creates per-cell mini nested loops, too fine explodes the
+  * interval side. (This is the same trade the Databricks range-join
+  * `bin` hint and the classic overlap-interval-join literature make.)
+  *
+  * Time axis is integer microseconds (`unix_micros`) end-to-end —
+  * bucket math is exact integer division, never a double floor.
+  * Intervals are half-open [start, end); callers with inclusive ends
+  * pass end + 1µs.
+  */
+object RangeJoin {
+
+  /** Inner range join of `intervals` × `points`: one output row per
+    * (interval row, point row) with start <= point < end. All columns
+    * of both inputs pass through (names must not collide).
+    *
+    * @param startCol/endCol interval bounds (TimestampType), half-open
+    * @param pointCol        point timestamp (TimestampType)
+    * @param bucketMicros    grid grain in microseconds (e.g. 1 hour =
+    *                        3_600_000_000L); choose near the typical
+    *                        interval length
+    */
+  def intervalPointJoin(intervals: DataFrame, points: DataFrame,
+                        startCol: String, endCol: String,
+                        pointCol: String,
+                        bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    val collisions = intervals.columns.toSet.intersect(points.columns.toSet)
+    require(collisions.isEmpty,
+      s"interval/point column collision: ${collisions.mkString(", ")}")
+
+    // floor-division in exact integer math (timestamps are positive
+    // micros here; `div` truncates toward zero = floor for them)
+    def cell(microsExpr: String) = expr(s"($microsExpr) div ${bucketMicros}L")
+
+    val iv = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(endCol) > col(startCol))
+      .withColumn("_cell", explode(sequence(
+        cell(s"unix_micros($startCol)"),
+        cell(s"unix_micros($endCol) - 1")))) // half-open end
+    val pt = points
+      .filter(col(pointCol).isNotNull)
+      .withColumn("_cell", cell(s"unix_micros($pointCol)"))
+
+    iv.join(pt, Seq("_cell"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("_cell")
+  }
+}

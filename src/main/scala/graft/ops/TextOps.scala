@@ -37,6 +37,24 @@ object TextOps {
   def wordCount(toks: Column, w: String): Column =
     size(filter(toks, t => t === lit(w)))
 
+  /** NON-distinct word bigrams, for frequency work (repetition
+    * metrics need counts; the dedup family's [[Dedup.shingles]] is
+    * distinct by design). Docs under 2 tokens yield an empty list. */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+  }
+
+  /** DuckDB mirror of [[bigrams]]. */
+  def bigramsSql(textExpr: String): String = {
+    val toks = s"string_split($textExpr, ' ')"
+    s"""CASE WHEN len($toks) < 2 THEN []
+        ELSE list_transform(generate_series(1, len($toks) - 1),
+          i -> array_to_string($toks[i:i+1], ' ')) END"""
+  }
+
   val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and")
 
   /** Per-mille ratios as exact integers: x*1000 DIV y. Floor of the

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{AsOf, RangeJoin}
+
+/** Temporal join operators — as-of enrichment and interval×point
+  * range join. Spark has no native operator for either; the engine
+  * supplies scale-shaped implementations ([[graft.ops.AsOf]],
+  * [[graft.ops.RangeJoin]]) and verifies them against independent
+  * DuckDB formulations (correlated LATERAL / plain inequality join)
+  * so the oracle never shares the engine's algorithm.
+  */
+object TemporalQueries extends QueryPack {
+
+  /** As-of join: every event picks its user's most recent order at or
+    * before the event time (orders all predate the event window, so
+    * this is "latest customer state as of the event"). Tie-break at
+    * equal order date: greatest o_orderkey — mirrored by the oracle's
+    * ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1. */
+  val asofJoin = GQuery(
+    "q_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val ord = Tables.orders(s, d)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      AsOf.backward(ev, ord,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightPayload = Seq("o_orderkey", "o_totalprice", "o_orderdate"),
+          tieBreak = "o_orderkey")
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("last_orderkey"),
+          col("o_totalprice").as("last_totalprice"),
+          datediff(to_date(col("ts")), to_date(col("o_orderdate")))
+            .cast("long").as("days_since"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT e.event_id, e.user_id,
+             o.o_orderkey AS last_orderkey,
+             o.o_totalprice AS last_totalprice,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(e.ts AS DATE)) AS days_since
+      FROM events e
+      LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+        LIMIT 1) o ON TRUE
+      ORDER BY event_id
+    """))
+
+  /** Range join: ~N/199 six-hour intervals (anchored at sampled
+    * events) × all event points, counted and summed per interval.
+    * Engine side goes through the bucketed equi-join (1 h grid);
+    * oracle is the direct inequality join. Empty intervals survive
+    * with n_events = 0 (left-join semantics at the aggregation edge,
+    * matching the oracle's COUNT over the outer join). */
+  val rangeJoin = GQuery(
+    "q_range_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val iv = ev.filter(col("event_id") % 199 === 0)
+        .select(col("event_id").as("interval_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 6 HOURS")).as("end_ts"))
+      val pts = ev.select(col("event_id").as("p_event_id"),
+        col("ts").as("p_ts"), col("value"))
+      val agg = RangeJoin.intervalPointJoin(iv, pts,
+          "start_ts", "end_ts", "p_ts",
+          bucketMicros = 3600L * 1000000L)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)"))
+            .cast("double").as("sum_value"))
+      iv.select("interval_id").join(agg, Seq("interval_id"), "left")
+        .select(col("interval_id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("sum_value"))
+        .orderBy("interval_id")
+    },
+    Some("""
+      WITH iv AS (
+        SELECT event_id AS interval_id, ts AS start_ts,
+               ts + INTERVAL 6 HOUR AS end_ts
+        FROM events WHERE event_id % 199 = 0)
+      SELECT iv.interval_id,
+             COUNT(e.event_id) AS n_events,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM iv LEFT JOIN events e
+        ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+      GROUP BY iv.interval_id
+      ORDER BY interval_id
+    """))
+
+  def all: Seq[GQuery] = Seq(asofJoin, rangeJoin)
+}

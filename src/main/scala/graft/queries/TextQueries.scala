@@ -217,7 +217,97 @@ object TextQueries extends QueryPack {
       GROUP BY pack_bucket, pack_id ORDER BY pack_bucket, pack_id
     """))
 
+  /** Benchmark-contamination detection ([[graft.ops.Contamination]]):
+    * eval set = every 37th doc (stands in for a held-out benchmark),
+    * probe = the rest; per probe doc the distinct word-5-gram overlap
+    * against the broadcast eval shingle set, flagged at 50%. On this
+    * corpus exactly the planted near-dup of an eval doc crosses the
+    * flag — the background is 5-gram-disjoint (30-word vocab, 30^5
+    * n-gram space vs ~700 eval shingles). */
+  val contamination = GQuery(
+    "q_contamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Contamination.overlapStats(
+          docs.filter(col("doc_id") % 37 =!= 0),
+          docs.filter(col("doc_id") % 37 === 0),
+          "doc_id", "text", k = 5, flagAtMille = 500)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT DISTINCT unnest(${graft.ops.Dedup.shinglesSql("text", 5)}) AS sh
+        FROM documents WHERE doc_id % 37 = 0),
+      d AS (
+        SELECT doc_id, unnest(${graft.ops.Dedup.shinglesSql("text", 5)}) AS sh
+        FROM documents WHERE doc_id % 37 <> 0)
+      SELECT d.doc_id,
+             COUNT(*) AS n_ngrams,
+             COUNT(ev.sh) AS n_hits,
+             COUNT(ev.sh) * 1000 // COUNT(*) AS contaminated_milli,
+             CAST(COUNT(ev.sh) * 1000 // COUNT(*) >= 500 AS INT)
+               AS is_contaminated
+      FROM d LEFT JOIN ev ON d.sh = ev.sh
+      GROUP BY d.doc_id ORDER BY doc_id
+    """))
+
+  /** Gopher-style repetition metrics: duplicate-token fraction and the
+    * most frequent word bigram's share of all bigrams (exact per-mille
+    * integers; bigram tie-break = lexicographic min among max-count,
+    * mirrored by both window specs). The distribution side of quality
+    * filtering that q_quality_score's per-row ratios can't see. */
+  val repetitionStats = GQuery(
+    "q_repetition_stats",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id"),
+        TextOps.tokens(col("text")).as("t"),
+        TextOps.bigrams(col("text")).as("bg"))
+      val stats = base.select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        expr("(size(t) - size(array_distinct(t))) * 1000 div size(t)")
+          .as("dup_token_milli"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("c").desc, col("bg").asc)
+      val top = base.select(col("doc_id"), explode(col("bg")).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("bg").as("top_bigram"), col("c"))
+      stats.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("dup_token_milli"),
+          col("top_bigram"),
+          expr("c * 1000 div (n_tokens - 1)").as("top_bigram_milli"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      stats AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               (len(t) - len(list_distinct(t))) * 1000 // len(t)
+                 AS dup_token_milli
+        FROM toks),
+      bg AS (
+        SELECT doc_id, unnest(${TextOps.bigramsSql("text")}) AS bg
+        FROM documents),
+      cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      top AS (
+        SELECT doc_id, bg AS top_bigram, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY c DESC, bg ASC) AS rn
+        FROM cnt)
+      SELECT s.doc_id, s.n_tokens,
+             CAST(s.dup_token_milli AS BIGINT) AS dup_token_milli,
+             t.top_bigram,
+             t.c * 1000 // (s.n_tokens - 1) AS top_bigram_milli
+      FROM stats s LEFT JOIN top t ON t.doc_id = s.doc_id AND t.rn = 1
+      ORDER BY s.doc_id
+    """))
+
   def all: Seq[GQuery] =
     Seq(tokenStats, qualityScore, langId, fingerprint, tfidfTopTerms,
-      piiRedact, tokenPacking)
+      piiRedact, tokenPacking, contamination, repetitionStats)
 }

@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.AsOf
+
+/** As-of join semantics: latest-at-or-before match, tie-break, strict
+  * inequality, tolerance horizon, null-key/no-match behavior — pinned
+  * against hand-computed expectations on a fixture small enough to
+  * reason about by eye.
+  */
+class AsOfSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // reference: per-key state changes
+  private lazy val quotes = {
+    val s = spark; import s.implicits._
+    Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1L, 100.0),
+      ("A", ts("2024-01-01 11:00:00"), 2L, 110.0),
+      ("A", ts("2024-01-01 11:00:00"), 3L, 111.0), // tie on time: id 3 wins
+      ("A", ts("2024-01-01 12:00:00"), 4L, 120.0),
+      ("B", ts("2024-01-01 10:30:00"), 5L, 200.0)
+    ).toDF("sym", "qts", "qid", "price")
+  }
+
+  // probe: trades
+  private lazy val trades = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "A", ts("2024-01-01 09:59:59")), // before any quote -> null
+      (2L, "A", ts("2024-01-01 10:00:00")), // exact hit -> qid 1
+      (3L, "A", ts("2024-01-01 11:00:00")), // tie on quote time -> qid 3
+      (4L, "A", ts("2024-01-01 11:30:00")), // between -> qid 3
+      (5L, "A", ts("2024-01-01 23:00:00")), // long after -> qid 4
+      (6L, "B", ts("2024-01-01 10:31:00")), // -> qid 5
+      (7L, "C", ts("2024-01-01 12:00:00")) // key with no quotes -> null
+    ).toDF("trade_id", "sym", "tts")
+  }
+
+  // distinct key names keep the probe's `sym` unambiguous in output
+  private lazy val quotesR = quotes.withColumnRenamed("sym", "sym2")
+
+  test("backward as-of picks latest at-or-before with tie-break") {
+    val got = AsOf.backward(trades, quotesR,
+        "sym", "sym2", "tts", "qts", Seq("qid", "price"), "qid")
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[Any]("qid"))).toMap
+    assert(got == Map(
+      1L -> None, 2L -> Some(1L), 3L -> Some(3L), 4L -> Some(3L),
+      5L -> Some(4L), 6L -> Some(5L), 7L -> None))
+  }
+
+  test("strict=true excludes equal-time reference rows") {
+    val got = AsOf.backward(trades, quotesR,
+        "sym", "sym2", "tts", "qts", Seq("qid"), "qid", strict = true)
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[Any]("qid"))).toMap
+    // trade 2 at exactly 10:00 must now see nothing; trade 3 at 11:00
+    // falls back to the 10:00 quote
+    assert(got(2L).isEmpty)
+    assert(got(3L).contains(1L))
+    assert(got(4L).contains(3L)) // unaffected
+  }
+
+  test("tolerance nulls out matches older than the horizon") {
+    val got = AsOf.backward(trades, quotesR,
+        "sym", "sym2", "tts", "qts", Seq("qid"), "qid",
+        toleranceSec = Some(3600L))
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[Any]("qid"))).toMap
+    assert(got(5L).isEmpty) // 23:00 probe vs 12:00 quote: 11 h > 1 h
+    assert(got(4L).contains(3L)) // 30 min gap survives
+    assert(got(2L).contains(1L)) // 0 s gap survives
+  }
+
+  test("probe row count is preserved exactly (left-join semantics)") {
+    val out = AsOf.backward(trades, quotesR,
+      "sym", "sym2", "tts", "qts", Seq("qid"), "qid")
+    assert(out.count() == trades.count())
+    assert(out.columns.toSeq ==
+      trades.columns.toSeq ++ Seq("qid"))
+  }
+
+  test("null probe keys and times yield null payload, never a match") {
+    val s = spark; import s.implicits._
+    val probes = Seq(
+      (1L, Option.empty[String], Option(ts("2024-01-01 12:00:00"))),
+      (2L, Option("A"), Option.empty[Timestamp])
+    ).toDF("trade_id", "sym", "tts")
+    val got = AsOf.backward(probes, quotesR,
+        "sym", "sym2", "tts", "qts", Seq("qid"), "qid")
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        r.isNullAt(r.fieldIndex("qid"))).toMap
+    assert(got == Map(1L -> true, 2L -> true))
+  }
+
+  test("result is identical under repartitioning (determinism)") {
+    val base = AsOf.backward(trades, quotesR,
+      "sym", "sym2", "tts", "qts", Seq("qid", "price"), "qid")
+    val shuffled = AsOf.backward(trades.repartition(7), quotesR.repartition(5),
+      "sym", "sym2", "tts", "qts", Seq("qid", "price"), "qid")
+    assert(rowsAsSet(base) == rowsAsSet(shuffled))
+  }
+}

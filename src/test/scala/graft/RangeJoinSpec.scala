@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.RangeJoin
+
+/** Bucketed range join: result must equal the naive inequality join
+  * on every grain, pairs must never duplicate (each pair meets in
+  * exactly one grid cell), and half-open boundaries must be exact.
+  */
+class RangeJoinSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val intervals = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      (2L, ts("2024-01-01 11:30:00"), ts("2024-01-01 11:45:00")), // overlaps 1
+      (3L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:00:01")), // 1s sliver
+      (4L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00")) // empty
+    ).toDF("iid", "start_ts", "end_ts")
+  }
+
+  private lazy val points = {
+    val s = spark; import s.implicits._
+    Seq(
+      (10L, ts("2024-01-01 10:00:00")), // == start of 1: inside
+      (11L, ts("2024-01-01 11:40:00")), // inside 1 and 2
+      (12L, ts("2024-01-01 12:00:00")), // == end of 1: OUTSIDE (half-open)
+      (13L, ts("2024-01-02 00:00:00")), // inside sliver 3
+      (14L, ts("2024-01-02 00:00:01")), // == end of 3: outside
+      (15L, ts("2023-12-31 23:59:59")) // before everything
+    ).toDF("pid", "pts")
+  }
+
+  private def naive = intervals.join(points,
+    col("pts") >= col("start_ts") && col("pts") < col("end_ts"))
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("iid", "pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("bucketed join ≡ naive inequality join, boundaries half-open") {
+    val got = RangeJoin.intervalPointJoin(intervals, points,
+      "start_ts", "end_ts", "pts", bucketMicros = 3600L * 1000000L)
+    assert(pairs(got) == pairs(naive))
+    assert(pairs(got) == Set((1L, 10L), (1L, 11L), (2L, 11L), (3L, 13L)))
+  }
+
+  test("result is grain-invariant (1 s, 7 min, 1 day)") {
+    val expect = pairs(naive)
+    for (grain <- Seq(1000000L, 7L * 60 * 1000000L, 86400L * 1000000L)) {
+      val got = RangeJoin.intervalPointJoin(intervals, points,
+        "start_ts", "end_ts", "pts", bucketMicros = grain)
+      assert(pairs(got) == expect, s"grain=$grain")
+      // no duplicate pairs even when intervals span many cells
+      assert(got.count() == expect.size, s"grain=$grain produced dups")
+    }
+  }
+
+  test("degenerate and null rows are dropped, not crashed on") {
+    val s = spark; import s.implicits._
+    val bad = Seq(
+      (9L, Option(ts("2024-01-01 10:00:00")), Option(ts("2024-01-01 09:00:00"))), // end<start
+      (8L, Option.empty[Timestamp], Option(ts("2024-01-01 10:00:00")))
+    ).toDF("iid", "start_ts", "end_ts")
+    val got = RangeJoin.intervalPointJoin(bad, points,
+      "start_ts", "end_ts", "pts", bucketMicros = 1000000L)
+    assert(got.count() == 0)
+  }
+}
