@@ -18,7 +18,7 @@ object SparkEntry {
     WindowQueries, FuncQueries, UpsertQueries,
     DedupQueries, TextQueries, SimilarityQueries, CsvQueries,
     PartitionQueries, BinaryQueries, SkewQueries, SampleQueries,
-    TemporalQueries)
+    TemporalQueries, SketchQueries)
 
   private lazy val registry: Seq[GQuery] = packs.flatMap(_.all)
 

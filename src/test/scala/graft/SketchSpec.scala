@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sketches
+
+/** HLL sketch monitoring: stored sketch profiles must merge into
+  * valid sketches (roll-up without rescan) and every estimate —
+  * whole-corpus, merged, or oddly partitioned — must stay inside the
+  * advertised error bound of the exact count. Estimates are NOT
+  * bit-stable across partitionings (mode-promotion order), so the
+  * contract tested is the bound, not equality — same contract the
+  * oracle-gated q_sketch_distinct encodes as a verdict column.
+  */
+class SketchSpec extends SparkSpec {
+
+  private lazy val li = Tables.lineitem(spark, TinySf)
+
+  private lazy val exact: Map[String, Long] =
+    li.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def ests(profiles: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    profiles.select(col("l_returnflag"),
+        Sketches.estimate(col("sketch")).as("est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def assertWithinBound(got: Map[String, Long],
+                                label: String): Unit =
+    exact.foreach { case (k, n) =>
+      val err = math.abs(got(k) - n) / n.toDouble
+      assert(err <= 0.05, s"$label group $k: est=${got(k)} exact=$n err=$err")
+    }
+
+  test("union of per-slice sketches is a valid roll-up (no rescan)") {
+    // four ingest batches sketched independently, merged later
+    val slices = (0L to 3L).map(i =>
+      Sketches.hllProfile(li.filter(col("l_orderkey") % 4 === i),
+        Seq("l_returnflag"), "l_orderkey"))
+    val merged = Sketches.mergeProfiles(
+      slices.reduce(_ unionByName _), Seq("l_returnflag"))
+    assertWithinBound(ests(merged), "merged")
+    // merged estimate tracks the whole-corpus sketch closely (they
+    // differ only by promotion history, well inside the error bound)
+    val whole = ests(Sketches.hllProfile(li, Seq("l_returnflag"), "l_orderkey"))
+    ests(merged).foreach { case (k, e) =>
+      assert(math.abs(e - whole(k)) / whole(k).toDouble <= 0.02,
+        s"merged vs whole drift at $k: $e vs ${whole(k)}")
+    }
+  }
+
+  test("estimate honors the bound under any partitioning") {
+    for (parts <- Seq(1, 13)) {
+      val prof = Sketches.hllProfile(li.repartition(parts),
+        Seq("l_returnflag"), "l_orderkey")
+      assertWithinBound(ests(prof), s"parts=$parts")
+    }
+  }
+}
