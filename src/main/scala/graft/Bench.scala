@@ -37,10 +37,16 @@ object Bench {
     // the sum of medians. Override with SPARK_GRAFT_BENCH_REPS=1 for a
     // quick smoke.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // dev lever: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
+    // queries (the driver never sets it; full registry is the default)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    def picked(name: String): Boolean = only.forall(_.contains(name))
     // sorted order: hash-map iteration order shifts when queries are
     // added, which moves JVM warmup/GC noise between queries and makes
     // round-over-round per-query comparison unnecessarily noisy
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter(p => picked(p._1)).map { case (name, fn) =>
       // Materialize through the noop sink: every projection/expression
       // is computed and serialized (a bare count() lets Catalyst prune
       // projections and eliminate result-edge sorts, under-measuring

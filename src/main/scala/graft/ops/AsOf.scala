@@ -4,13 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join — for every left (probe) row, attach the single
-  * right (reference) row with the same key and the greatest right time
-  * at-or-before the probe time. The classic temporal-enrichment
-  * operator (trade→quote, event→latest-state) that Spark's join
-  * operators don't express directly: a plain range join explodes into
-  * per-pair candidates, and `orderBy ... limit 1` per probe row is a
-  * correlated loop.
+/** As-of joins — for every left (probe) row, attach the single right
+  * (reference) row with the same key and the greatest right time
+  * at-or-before the probe time ([[backward]]), or the smallest right
+  * time at-or-after it ([[forward]]). The classic temporal-enrichment
+  * operators (trade→quote, event→latest-state, order→next-activity)
+  * that Spark's join operators don't express directly: a plain range
+  * join explodes into per-pair candidates, and `orderBy ... limit 1`
+  * per probe row is a correlated loop.
   *
   * Shape (the 100 TB contract): union-tag both sides and run ONE
   * running window per key —
@@ -68,7 +69,33 @@ object AsOf {
                rightPayload: Seq[String],
                tieBreak: String,
                strict: Boolean = false,
-               toleranceSec: Option[Long] = None): DataFrame = {
+               toleranceSec: Option[Long] = None): DataFrame =
+    joinImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightPayload, tieBreak, strict, toleranceSec, backwardDir = true)
+
+  /** Forward as-of join: the EARLIEST reference row at-or-after the
+    * probe time (attribution windows: "first activity after the
+    * order"). Same machinery as [[backward]] with the time axis
+    * reversed; `toleranceSec` bounds (rightTime - leftTime), and ties
+    * at the matched time still resolve to the greatest `tieBreak`. */
+  def forward(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftTime: String, rightTime: String,
+              rightPayload: Seq[String],
+              tieBreak: String,
+              strict: Boolean = false,
+              toleranceSec: Option[Long] = None): DataFrame =
+    joinImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightPayload, tieBreak, strict, toleranceSec, backwardDir = false)
+
+  private def joinImpl(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTime: String, rightTime: String,
+                       rightPayload: Seq[String],
+                       tieBreak: String,
+                       strict: Boolean,
+                       toleranceSec: Option[Long],
+                       backwardDir: Boolean): DataFrame = {
     val collisions = rightPayload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"rightPayload collides with probe columns: ${collisions.mkString(", ")}")
@@ -98,17 +125,20 @@ object AsOf {
         lit(null).cast(payloadType).as("_p") :+
         lit(false).as("_isRight")): _*)
 
-    // Sort order within a key: time ascending; at equal time the
-    // reference row is visible to the probe row iff the join is
-    // inclusive, so right sorts before left for <= and after for <.
-    // Among right ties, greatest tieBreak sorts last (wins the running
-    // `last`). Nulls-first on _tb keeps left rows (null _tb) from
-    // interleaving into right-tie runs.
+    // Sort order within a key: time ascending for backward (the
+    // running `last` then holds the latest at-or-before), descending
+    // for forward (it holds the earliest at-or-after). At equal time
+    // the reference row is visible to the probe row iff the join is
+    // inclusive, so right sorts before left for the inclusive bound
+    // and after for strict. Among right ties, greatest tieBreak sorts
+    // last (wins the running `last`). Nulls-first on _tb keeps left
+    // rows (null _tb) from interleaving into right-tie runs.
+    val timeOrd = if (backwardDir) col("_t").asc else col("_t").desc
     val sideOrd =
       if (strict) col("_isRight").asc // false (left) first at equal t
       else col("_isRight").desc       // true (right) first at equal t
     val w = Window.partitionBy("_k")
-      .orderBy(col("_t").asc, sideOrd, col("_tb").asc_nulls_first)
+      .orderBy(timeOrd, sideOrd, col("_tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched0 = lTagged.unionByName(rTagged, allowMissingColumns = true)
@@ -116,9 +146,13 @@ object AsOf {
       .filter(!col("_isRight"))
 
     // Null-key/null-time probes never match; tolerance nulls out
-    // matches older than the horizon.
+    // matches beyond the horizon (behind it for backward, ahead of it
+    // for forward).
     val withinTol = toleranceSec.fold(lit(true)) { tol =>
-      col("_match._mt").cast("long") >= col("_t").cast("long") - tol
+      if (backwardDir)
+        col("_match._mt").cast("long") >= col("_t").cast("long") - tol
+      else
+        col("_match._mt").cast("long") <= col("_t").cast("long") + tol
     }
     val valid = col("_k").isNotNull && col("_t").isNotNull &&
       col("_match").isNotNull && withinTol

@@ -255,6 +255,63 @@ object Dedup {
     verifyCandidatesByText(cands, docs, idCol, textCol, k, minMille)
   }
 
+  /** Per-document MinHash signatures straight from text — the
+    * persistable artifact for [[incrementalNearDupPairs]]: compute
+    * once per corpus generation, store as a small (id, sig) parquet
+    * next to the corpus, and every future batch probes against it
+    * without re-shingling a byte of historical text. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int, numHashes: Int): DataFrame =
+    minhashSignatures(
+      docs.select(col(idCol), explode(shingles(col(textCol), k)).as("sh")),
+      idCol, "sh", numHashes)
+
+  /** Incremental near-dup discovery — the operational shape at
+    * 100 TB: a full-corpus [[lshNearDupPairs]] re-shingles and
+    * re-hashes EVERYTHING per ingest, but a new batch only needs
+    * (a) its own signatures, (b) banding over stored + new signatures
+    * (a cheap projection of already-computed arrays), and (c) pairs
+    * where at least one side is new — old–old pairs were already
+    * found when the store was built, so they are filtered before the
+    * candidate verify, not recomputed.
+    *
+    * Signature/banding parameters must match the store's build
+    * parameters (same k, numHashes, bands, rowsPerBand) — enforced by
+    * the caller keeping them in one place; a mismatch makes buckets
+    * silently disjoint.
+    *
+    * @param store      stored (idCol, sig) signatures of the existing
+    *                   corpus (from [[signatures]], typically read
+    *                   back from parquet)
+    * @param newDocs    the incoming batch (idCol, textCol); ids must
+    *                   not collide with the store's
+    * @param corpusText (idCol, textCol) covering BOTH sides for the
+    *                   exact verify — candidate-bounded, so only
+    *                   colliding documents' text is ever re-read
+    */
+  def incrementalNearDupPairs(store: DataFrame, newDocs: DataFrame,
+                              corpusText: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int, numHashes: Int,
+                              bands: Int, rowsPerBand: Int,
+                              minMille: Int,
+                              maxBucket: Option[Int]): DataFrame = {
+    require(bands * rowsPerBand <= numHashes,
+      s"banding overruns the signature: $bands x $rowsPerBand > $numHashes")
+    val newSigs = signatures(newDocs, idCol, textCol, k, numHashes)
+    val banded =
+      bandRows(store, idCol, "sig", bands, rowsPerBand)
+        .withColumn("_new", lit(false))
+        .unionByName(
+          bandRows(newSigs, idCol, "sig", bands, rowsPerBand)
+            .withColumn("_new", lit(true)))
+    val cands = bucketPairs(banded, Seq("band", "bucket"),
+        struct(col(idCol), col("_new")), maxBucket)
+      .filter(col("a._new") || col("b._new")) // old–old: already known
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    verifyCandidatesByText(cands, corpusText, idCol, textCol, k, minMille)
+  }
+
   /** Connected components over near-dup pairs — the step that turns
     * pairwise discovery into actual deduplication: every document gets
     * a cluster id (the minimum doc id reachable through near-dup

@@ -59,6 +59,39 @@ object Sampling {
     df.filter(substring(md5(key.cast("string")), 1, 4) < thr)
   }
 
+  /** Exact per-domain cap: keep at most `cap` rows per domain, chosen
+    * deterministically by md5 priority (so reruns, retries, and
+    * corpus regrowth keep the SAME representatives — new arrivals
+    * only displace rows with worse priority, they never reshuffle the
+    * whole selection). The standard curation lever against one domain
+    * flooding a web corpus.
+    *
+    * Scale shape: one shuffle on the domain + a per-domain sorted
+    * window with a rank limit — Spark plans the `rn <= cap` filter as
+    * WindowGroupLimit, so each partition retains only `cap` rows
+    * per domain BEFORE the final window (no full-domain
+    * materialization). Caveat for the one-mega-domain extreme (a
+    * single domain that alone exceeds an executor): cap it first with
+    * a rate-based [[sample]] pre-filter, then exact-cap the
+    * remainder.
+    */
+  def domainCap(df: DataFrame, domain: Column, key: Column,
+                cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(domain)
+      .orderBy(md5(key.cast("string")).asc, key.asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+  }
+
+  /** DuckDB mirror of [[domainCap]]'s selection predicate (wrap the
+    * source in a subquery and filter on this computed rank). */
+  def domainCapRankSql(domainExpr: String, keyExpr: String): String =
+    s"ROW_NUMBER() OVER (PARTITION BY $domainExpr ORDER BY " +
+      s"md5(CAST($keyExpr AS VARCHAR)) ASC, $keyExpr ASC)"
+
   /** DuckDB mirror of [[sampledBy]]. */
   def sampledBySql(keyExpr: String, per65536: Int): String =
     s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4) < '${thresholdHex(per65536)}'"

@@ -188,6 +188,33 @@ object DedupQueries extends QueryPack {
       FROM reach GROUP BY src ORDER BY doc_id
     """))
 
+  /** Incremental near-dup: the corpus is split 80/20 into an existing
+    * store (signatures precomputed via [[Dedup.signatures]] — at
+    * production scale read back from parquet, never re-shingled) and
+    * a new batch; discovery emits only pairs touching the batch
+    * (old–old pairs are the store build's job). Oracle: the exact
+    * all-pairs Jaccard restricted to pairs with a new-side member —
+    * proving the filtered incremental path loses nothing the full
+    * recompute would have found. */
+  val incrementalNearDup = GQuery(
+    "q_incremental_neardup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val store = Dedup.signatures(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", K, NumHashes)
+      Dedup.incrementalNearDupPairs(
+          store, docs.filter(col("doc_id") % 5 === 0), docs,
+          "doc_id", "text", K, NumHashes, Bands, RowsPerBand,
+          minMille = 850, maxBucket = None)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      SELECT * FROM (${jaccardOracle(850)})
+      WHERE id_a % 5 = 0 OR id_b % 5 = 0
+      ORDER BY id_a, id_b
+    """))
+
   def all: Seq[GQuery] =
-    Seq(exactDedup, ngramJaccard, minhashLsh, simhashPairs, neardupClusters)
+    Seq(exactDedup, ngramJaccard, minhashLsh, simhashPairs,
+      neardupClusters, incrementalNearDup)
 }

@@ -46,5 +46,30 @@ object SampleQueries extends QueryPack {
       GROUP BY lang ORDER BY lang
     """))
 
-  def all: Seq[GQuery] = Seq(hashSample, stratifiedSample)
+  /** Exact per-domain cap at 10 docs/source (md5-priority selection —
+    * see [[Sampling.domainCap]] for why hash priority, not rand()).
+    * The aggregate compares the exact kept-set membership per domain
+    * (count + id-sum signature), not just sizes. */
+  val domainCap = GQuery(
+    "q_domain_cap",
+    (s, d) => Sampling
+      .domainCap(Tables.documents(s, d), col("source"), col("doc_id"),
+        cap = 10)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("doc_id").as("sum_ids"),
+        min("doc_id").as("min_id"))
+      .orderBy("source"),
+    Some(s"""
+      SELECT source, COUNT(*) AS n_kept,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+             CAST(MIN(doc_id) AS BIGINT) AS min_id
+      FROM (SELECT source, doc_id,
+              ${Sampling.domainCapRankSql("source", "doc_id")} AS rn
+            FROM documents)
+      WHERE rn <= 10
+      GROUP BY source ORDER BY source
+    """))
+
+  def all: Seq[GQuery] = Seq(hashSample, stratifiedSample, domainCap)
 }

@@ -21,11 +21,19 @@ object SketchQueries extends QueryPack {
   val sketchDistinct = GQuery(
     "q_sketch_distinct",
     (s, d) => {
-      val li = Tables.lineitem(s, d)
-      val prof = Sketches.hllProfile(li, Seq("l_returnflag"), "l_orderkey")
-      val exact = li.groupBy("l_returnflag")
-        .agg(countDistinct(col("l_orderkey")).as("n_exact"))
-      exact.join(prof, Seq("l_returnflag"))
+      // one scan, pre-distinct shape: dedupe (flag, key) first
+      // (map-side combinable exchange), then count + sketch the
+      // already-distinct keys per flag. HLL updates are idempotent so
+      // the sketch is identical to sketching the raw column — and the
+      // plan avoids both a second scan (self-join formulation) and
+      // countDistinct's Expand + object-hash fallback (measured 8.2 s
+      // vs 1.4 s at sf0.1)
+      Tables.lineitem(s, d).select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_exact"),
+          hll_sketch_agg(col("l_orderkey"), lit(Sketches.DefaultLgK))
+            .as("sketch"))
         .select(col("l_returnflag"), col("n_exact"),
           (abs(Sketches.estimate(col("sketch")) - col("n_exact")) * 1000 <=
             col("n_exact") * 50).cast("int").as("est_ok"))

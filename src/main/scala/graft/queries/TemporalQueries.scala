@@ -52,6 +52,47 @@ object TemporalQueries extends QueryPack {
       ORDER BY event_id
     """))
 
+  /** Forward as-of: every order picks its customer's FIRST event
+    * at-or-after the order date ("first post-order activity" — the
+    * attribution-window shape). Customers outside the event universe
+    * (o_custkey >= 150) stay unmatched, exercising the null path at
+    * volume. Tie-break at the matched time: greatest event_id. */
+  val asofForward = GQuery(
+    "q_asof_forward",
+    (s, d) => {
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      AsOf.forward(ord, ev,
+          leftKey = "o_custkey", rightKey = "user_id",
+          leftTime = "o_orderdate", rightTime = "ts",
+          rightPayload = Seq("event_id", "event_type", "ts"),
+          tieBreak = "event_id")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("event_id").as("first_event_id"),
+          col("event_type").as("first_event_type"),
+          datediff(to_date(col("ts")), to_date(col("o_orderdate")))
+            .cast("long").as("days_until"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o.o_orderkey, o.o_custkey,
+             e.event_id AS first_event_id,
+             e.event_type AS first_event_type,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(e.ts AS DATE)) AS days_until
+      FROM orders o
+      LEFT JOIN LATERAL (
+        SELECT event_id, event_type, ts
+        FROM events e
+        WHERE e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        ORDER BY e.ts ASC, e.event_id DESC
+        LIMIT 1) e ON TRUE
+      ORDER BY o_orderkey
+    """))
+
   /** Range join: ~N/199 six-hour intervals (anchored at sampled
     * events) × all event points, counted and summed per interval.
     * Engine side goes through the bucketed equi-join (1 h grid);
@@ -95,5 +136,5 @@ object TemporalQueries extends QueryPack {
       ORDER BY interval_id
     """))
 
-  def all: Seq[GQuery] = Seq(asofJoin, rangeJoin)
+  def all: Seq[GQuery] = Seq(asofJoin, asofForward, rangeJoin)
 }

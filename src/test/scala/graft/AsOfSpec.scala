@@ -96,6 +96,58 @@ class AsOfSpec extends SparkSpec {
     assert(got == Map(1L -> true, 2L -> true))
   }
 
+  test("matches a naive per-row reference on random data (seeded property)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(1234)
+    val keys = Vector("A", "B", "C", "D")
+    def rts(): Timestamp = new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L)
+    val refRows = (1L to 120L).map(i => (keys(rnd.nextInt(4)), rts(), i))
+    val probeRows = (1L to 150L).map(i => (i, keys(rnd.nextInt(4)), rts()))
+    val ref = refRows.toDF("sym2", "qts", "qid")
+    val probe = probeRows.toDF("trade_id", "sym", "tts")
+    val expected = probeRows.map { case (id, k, t) =>
+      val cands = refRows.filter(r => r._1 == k && !r._2.after(t))
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy(r => (r._2.getTime, r._3))._3))
+    }.toMap
+    val got = AsOf.backward(probe, ref,
+        "sym", "sym2", "tts", "qts", Seq("qid"), "qid")
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[Any]("qid")).map(_.asInstanceOf[Long])).toMap
+    assert(got == expected)
+  }
+
+  test("forward as-of picks earliest at-or-after with tie-break") {
+    val got = AsOf.forward(trades, quotesR,
+        "sym", "sym2", "tts", "qts", Seq("qid"), "qid")
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[Any]("qid"))).toMap
+    assert(got == Map(
+      1L -> Some(1L), // 09:59:59 -> first quote 10:00 (qid 1)
+      2L -> Some(1L), // exact hit at 10:00
+      3L -> Some(3L), // tie at 11:00: max qid among {2,3}
+      4L -> Some(4L), // 11:30 -> next is 12:00
+      5L -> None,     // 23:00: nothing after
+      6L -> None,     // B at 10:31: B's only quote was 10:30
+      7L -> None))    // key with no quotes
+  }
+
+  test("forward strict and tolerance behave symmetrically") {
+    val strict = AsOf.forward(trades, quotesR,
+        "sym", "sym2", "tts", "qts", Seq("qid"), "qid", strict = true)
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[Any]("qid"))).toMap
+    // equal-time qid 1 excluded -> next is 11:00, tie resolves to qid 3
+    assert(strict(2L).contains(3L))
+    val tol = AsOf.forward(trades, quotesR,
+        "sym", "sym2", "tts", "qts", Seq("qid"), "qid",
+        toleranceSec = Some(60L))
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[Any]("qid"))).toMap
+    assert(tol(1L).contains(1L)) // 1 s gap survives
+    assert(tol(4L).isEmpty)      // 30 min > 60 s horizon
+  }
+
   test("result is identical under repartitioning (determinism)") {
     val base = AsOf.backward(trades, quotesR,
       "sym", "sym2", "tts", "qts", Seq("qid", "price"), "qid")

@@ -54,6 +54,28 @@ class FunctionsSpec extends SparkSpec {
     assert(out.isNullAt(0))
   }
 
+  test("non-distinct mode keeps every occurrence in order") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    def ngrams(text: String, k: Int): Seq[String] =
+      Seq(text).toDF("t").select(Bridge.column(
+          graft.functions.WordShingles(Bridge.expression(col("t")), k,
+            distinct = false)).as("sh"))
+        .head().getSeq[String](0)
+    assert(ngrams("x x x x", 3) == Seq("x x x", "x x x"))
+    assert(ngrams("a b a b", 2) == Seq("a b", "b a", "a b"))
+    assert(ngrams("a b", 3) == Seq("a b")) // short-doc convention holds
+    // count parity with the distinct build's source positions
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      val toks = Seq.fill(2 + rnd.nextInt(8))(s"w${rnd.nextInt(3)}")
+      val text = toks.mkString(" ")
+      val got = ngrams(text, 2)
+      assert(got == toks.sliding(2).map(_.mkString(" ")).toSeq,
+        s"text='$text'")
+    }
+  }
+
   // ---- HyperplaneBuckets ----------------------------------------------
 
   /** Independent mirror of the plane-weight mix + sign packing. */

@@ -59,6 +59,27 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("matches the naive join on random intervals (seeded property)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(4321)
+    def rt(): Long = 1700000000000L + rnd.nextInt(500000) * 1000L
+    val iv = (1L to 60L).map { i =>
+      val start = rt()
+      (i, new Timestamp(start),
+        new Timestamp(start + (1 + rnd.nextInt(90000)) * 1000L))
+    }.toDF("iid", "start_ts", "end_ts")
+    val pts = (100L to 400L).map(i => (i, new Timestamp(rt())))
+      .toDF("pid", "pts")
+    val expect = pairs(iv.join(pts,
+      col("pts") >= col("start_ts") && col("pts") < col("end_ts")))
+    for (grain <- Seq(1000000L, 3600L * 1000000L)) {
+      val got = RangeJoin.intervalPointJoin(iv, pts,
+        "start_ts", "end_ts", "pts", bucketMicros = grain)
+      assert(pairs(got) == expect, s"grain=$grain")
+      assert(got.count() == expect.size, s"grain=$grain produced dups")
+    }
+  }
+
   test("degenerate and null rows are dropped, not crashed on") {
     val s = spark; import s.implicits._
     val bad = Seq(

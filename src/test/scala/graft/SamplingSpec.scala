@@ -57,4 +57,38 @@ class SamplingSpec extends SparkSpec {
       s"no filter in plan:\n${scan.take(800)}")
     assert(df.count() > 0)
   }
+
+  test("domainCap keeps at most cap rows per domain, deterministically") {
+    val s = spark; import s.implicits._
+    val df = (1L to 300L).map(i => (s"d${i % 3}", i)).toDF("dom", "id")
+    val capped = Sampling.domainCap(df, col("dom"), col("id"), cap = 7)
+    val perDom = capped.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDom.values.forall(_ == 7L), s"cap violated: $perDom")
+    // small domains pass through whole
+    val tiny = Sampling.domainCap(
+      Seq(("d0", 1L), ("d0", 2L)).toDF("dom", "id"),
+      col("dom"), col("id"), cap = 7)
+    assert(tiny.count() == 2)
+    // same selection on any partitioning
+    assert(rowsAsSet(capped) ==
+      rowsAsSet(Sampling.domainCap(df.repartition(11),
+        col("dom"), col("id"), cap = 7)))
+  }
+
+  test("domainCap selection is stable as the corpus grows") {
+    val s = spark; import s.implicits._
+    val before = (1L to 100L).map(i => ("d", i)).toDF("dom", "id")
+    val after = (1L to 200L).map(i => ("d", i)).toDF("dom", "id")
+    val keptBefore = Sampling.domainCap(before, col("dom"), col("id"), 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val keptAfter = Sampling.domainCap(after, col("dom"), col("id"), 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // hash-priority selection: new arrivals may displace old picks,
+    // but survivors of the grown corpus that existed before must be
+    // exactly the before-picks that still rank in the top cap — i.e.
+    // the selection never RESHUFFLES among the original rows
+    assert((keptAfter.filter(_ <= 100L) -- keptBefore).isEmpty,
+      "an originally-unpicked row displaced an originally-picked one")
+  }
 }
