@@ -71,6 +71,41 @@ object Streams {
              joinType: String = "left"): DataFrame =
     stream.join(broadcast(dim), keys, joinType)
 
+  /** Stream-stream interval join: correlate two live streams on a key
+    * where the right event lands within [leftTs + lowerSec,
+    * leftTs + upperSec] of the left event (e.g. click→purchase
+    * attribution). BOTH sides carry watermarks and the join condition
+    * carries explicit time bounds — that pair is what lets the state
+    * store evict: a buffered left row can be dropped once the right
+    * watermark passes leftTs + upperSec (and symmetrically), so state
+    * is bounded by watermark delay + interval width, never by stream
+    * length. Without the time bounds Spark must buffer both streams
+    * forever (it still runs, unbounded — the classic silent OOM at
+    * production volume).
+    *
+    * Columns are prefixed `l_`/`r_` before the join: stream-stream
+    * joins reject ambiguous self-join column references, and
+    * attribution joins are frequently self-joins of one event stream.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   lowerSec: Long, upperSec: Long,
+                   watermark: String = "2 hours",
+                   joinType: String = "inner"): DataFrame = {
+    require(lowerSec <= upperSec,
+      s"empty interval: [$lowerSec, $upperSec]")
+    val l = left.columns.foldLeft(left)((d, c) =>
+      d.withColumnRenamed(c, s"l_$c")).withWatermark(s"l_$leftTs", watermark)
+    val r = right.columns.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, s"r_$c")).withWatermark(s"r_$rightTs", watermark)
+    l.join(r,
+      col(s"l_$leftKey") === col(s"r_$rightKey") &&
+        col(s"r_$rightTs") >= col(s"l_$leftTs") + expr(s"INTERVAL $lowerSec SECONDS") &&
+        col(s"r_$rightTs") <= col(s"l_$leftTs") + expr(s"INTERVAL $upperSec SECONDS"),
+      joinType)
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

@@ -115,6 +115,34 @@ class StreamingSpec extends SparkSpec {
       cats.keySet.subsetOf(Set("click", "signup")))
   }
 
+  test("stream-stream interval join matches batch; bounds enforced") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    val header = "event_id,ts,user_id,event_type,value"
+    // clicks and purchases: purchase attributes to a click of the same
+    // user within [0, 30 min] AFTER the click
+    writeCsv(s"$root/clicks", "c.csv", Seq(header,
+      "1,2026-04-01 10:00:00,7,click,0",
+      "2,2026-04-01 11:00:00,7,click,0",
+      "3,2026-04-01 10:00:00,9,click,0"))
+    writeCsv(s"$root/buys", "b.csv", Seq(header,
+      "11,2026-04-01 10:10:00,7,purchase,5.0", // -> click 1
+      "12,2026-04-01 11:29:00,7,purchase,9.0", // -> click 2 (29 min)
+      "13,2026-04-01 11:31:00,9,purchase,2.0", // 91 min after click 3: out
+      "14,2026-04-01 10:20:00,8,purchase,1.0")) // no click for user 8
+    def src(dir: String) = spark.readStream.schema(eventsSchema)
+      .option("header", "true").csv(dir)
+    val q = Streams.intervalJoin(src(s"$root/clicks"), src(s"$root/buys"),
+        "user_id", "user_id", "ts", "ts",
+        lowerSec = 0L, upperSec = 1800L)
+      .writeStream.format("memory").queryName("ssj")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ssj")
+      .select("l_event_id", "r_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 11L), (2L, 12L)))
+  }
+
   test("sessionization state survives micro-batches; gap closes sessions") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_sess").toString
