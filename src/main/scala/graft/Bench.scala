@@ -10,6 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev lever: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
+    // queries (the driver never sets it; full registry is the default).
+    // Resolved BEFORE the warmup so the warmup warms the first query
+    // actually timed, and typos fail loudly instead of benching nothing.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.benchQueries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the registry: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
+    val selected = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter(p => only.forall(_.contains(p._1)))
     // untimed warmup: session/scheduler/parquet-reader/shuffle/codegen
     // init otherwise lands entirely on whichever query runs first
     // (alphabetically q_agg_pricing showed 7x its own cost in r4).
@@ -17,14 +31,16 @@ object Bench {
     // shape left its own expression codegen and sort edge cold (r5:
     // still 4x its record with a shape-alike warmup); running the real
     // body JITs precisely the paths the first measurement hits.
-    SparkEntry.benchQueries.toSeq.sortBy(_._1).headOption.foreach {
+    selected.headOption.foreach {
       case (_, fn) =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
     }
     // untimed fixture setup (e.g. the partitioned-fact layout for
     // q_runmonth_pruning): one-off write I/O must not pollute timings
-    SparkEntry.benchPrepares.foreach { case (name, prep) =>
+    val selectedNames = selected.map(_._1).toSet
+    SparkEntry.benchPrepares
+      .filter(p => selectedNames.contains(p._1)).foreach { case (name, prep) =>
       try prep(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] prepare $name FAILED: ${e.getMessage}")
@@ -37,16 +53,10 @@ object Bench {
     // the sum of medians. Override with SPARK_GRAFT_BENCH_REPS=1 for a
     // quick smoke.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    // dev lever: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
-    // queries (the driver never sets it; full registry is the default)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(',').map(_.trim).toSet)
-    def picked(name: String): Boolean = only.forall(_.contains(name))
     // sorted order: hash-map iteration order shifts when queries are
     // added, which moves JVM warmup/GC noise between queries and makes
     // round-over-round per-query comparison unnecessarily noisy
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
-      .filter(p => picked(p._1)).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       // Materialize through the noop sink: every projection/expression
       // is computed and serialized (a bare count() lets Catalyst prune
       // projections and eliminate result-edge sorts, under-measuring

@@ -64,7 +64,14 @@ object WordShingles {
       i += 1
     }
     val n = starts.length // number of tokens
-    if (n < k) return new GenericArrayData(Array[Any](text))
+    if (n < k) {
+      // distinct (dedup family): degenerate short doc IS its one
+      // shingle. Non-distinct (frequency work): a doc with fewer than
+      // k tokens has zero k-gram occurrences — an empty list, so
+      // callers need no external guard (and pay no second split).
+      return if (distinct) new GenericArrayData(Array[Any](text))
+      else new GenericArrayData(Array.empty[Any])
+    }
     def tokenEnd(t: Int): Int =
       if (t == n - 1) b.length else starts(t + 1) - 1
     if (distinct) {

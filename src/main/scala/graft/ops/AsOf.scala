@@ -99,6 +99,11 @@ object AsOf {
     val collisions = rightPayload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"rightPayload collides with probe columns: ${collisions.mkString(", ")}")
+    val reserved = Set("_k", "_t", "_tb", "_p", "_isRight", "_match")
+    val reservedHits =
+      (left.columns.toSet ++ right.columns.toSet).intersect(reserved)
+    require(reservedHits.isEmpty,
+      s"input columns collide with AsOf internals: ${reservedHits.mkString(", ")}")
 
     // Internal columns. _mt (matched time) always rides in the payload
     // struct so tolerance filtering works even when the caller doesn't
@@ -147,12 +152,15 @@ object AsOf {
 
     // Null-key/null-time probes never match; tolerance nulls out
     // matches beyond the horizon (behind it for backward, ahead of it
-    // for forward).
+    // for forward). Compared at full microsecond precision — a cast
+    // to long floors to whole seconds and would let matches up to
+    // ~1 s past the horizon survive on sub-second timestamps.
     val withinTol = toleranceSec.fold(lit(true)) { tol =>
+      val tolMicros = tol * 1000000L
       if (backwardDir)
-        col("_match._mt").cast("long") >= col("_t").cast("long") - tol
+        unix_micros(col("_match._mt")) >= unix_micros(col("_t")) - tolMicros
       else
-        col("_match._mt").cast("long") <= col("_t").cast("long") + tol
+        unix_micros(col("_match._mt")) <= unix_micros(col("_t")) + tolMicros
     }
     val valid = col("_k").isNotNull && col("_t").isNotNull &&
       col("_match").isNotNull && withinTol

@@ -28,16 +28,26 @@ object Contamination {
     * the eval set, exact per-mille ratio, and the contamination flag
     * at `flagAtMille`. Uses [[Dedup.shingles]] (distinct k-grams, same
     * degenerate-short-doc convention as the dedup family).
+    *
+    * Contract for NULL text: such documents carry no n-grams, so they
+    * are excluded from the stats output (filtered explicitly here,
+    * not dropped as an explode() side effect) and survive
+    * [[decontaminate]] unflagged — a null document cannot leak eval
+    * content. Callers joining stats back to the corpus must expect
+    * null-text ids to be absent.
     */
   def overlapStats(docs: DataFrame, evalDocs: DataFrame,
                    idCol: String, textCol: String,
                    k: Int, flagAtMille: Int): DataFrame = {
     val evalShingles = evalDocs
+      .filter(col(textCol).isNotNull)
       .select(explode(Dedup.shingles(col(textCol), k)).as("_sh"))
       .distinct()
       .withColumn("_hit", lit(1))
-    val docShingles = docs.select(col(idCol),
-      explode(Dedup.shingles(col(textCol), k)).as("_sh"))
+    val docShingles = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(Dedup.shingles(col(textCol), k)).as("_sh"))
     docShingles
       .join(broadcast(evalShingles), Seq("_sh"), "left")
       .groupBy(idCol)

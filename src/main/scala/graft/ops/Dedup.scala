@@ -245,9 +245,7 @@ object Dedup {
       s"banding overruns the signature: $bands bands x $rowsPerBand rows " +
         s"> $numHashes hashes (overflow bands would silently collapse " +
         "into one global bucket)")
-    val exploded = docs.select(col(idCol),
-      explode(shingles(col(textCol), k)).as("sh"))
-    val sigs = minhashSignatures(exploded, idCol, "sh", numHashes)
+    val sigs = signatures(docs, idCol, textCol, k, numHashes)
     val banded = bandRows(sigs, idCol, "sig", bands, rowsPerBand)
     val cands = bucketPairs(banded, Seq("band", "bucket"),
         struct(col(idCol)), maxBucket)

@@ -40,12 +40,24 @@ object RangeJoin {
     * @param bucketMicros    grid grain in microseconds (e.g. 1 hour =
     *                        3_600_000_000L); choose near the typical
     *                        interval length
+    * @param maxCellsPerInterval loud guard against pathological rows:
+    *                        ONE dirty interval (a '9999-12-31'
+    *                        open-end sentinel) would otherwise explode
+    *                        `sequence()` into tens of millions of
+    *                        in-memory elements and kill the job; an
+    *                        interval spanning more cells than this
+    *                        raises (same posture as BoundedDim — a
+    *                        row that wide is a caller data bug, not a
+    *                        row to silently drop)
     */
   def intervalPointJoin(intervals: DataFrame, points: DataFrame,
                         startCol: String, endCol: String,
                         pointCol: String,
-                        bucketMicros: Long): DataFrame = {
+                        bucketMicros: Long,
+                        maxCellsPerInterval: Long = 100000L): DataFrame = {
     require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    require(maxCellsPerInterval > 0,
+      s"maxCellsPerInterval must be positive: $maxCellsPerInterval")
     val collisions = intervals.columns.toSet.intersect(points.columns.toSet)
     require(collisions.isEmpty,
       s"interval/point column collision: ${collisions.mkString(", ")}")
@@ -57,6 +69,17 @@ object RangeJoin {
     val iv = intervals
       .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
         col(endCol) > col(startCol))
+      // in a filter, not a projected column: an unused projection
+      // would be pruned and the guard silently vanish
+      .filter(
+        when(cell(s"unix_micros($endCol) - 1") -
+            cell(s"unix_micros($startCol)") + 1 > maxCellsPerInterval,
+          raise_error(concat(
+            lit(s"interval spans more than $maxCellsPerInterval grid " +
+              s"cells (bucketMicros=$bucketMicros): ["),
+            col(startCol).cast("string"), lit(", "),
+            col(endCol).cast("string"), lit(")"))).cast("boolean"))
+          .otherwise(lit(true)))
       .withColumn("_cell", explode(sequence(
         cell(s"unix_micros($startCol)"),
         cell(s"unix_micros($endCol) - 1")))) // half-open end

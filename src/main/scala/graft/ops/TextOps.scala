@@ -39,19 +39,19 @@ object TextOps {
 
   /** NON-distinct word bigrams, for frequency work (repetition
     * metrics need counts; the dedup family's [[Dedup.shingles]] is
-    * distinct by design). Docs under 2 tokens yield an empty list.
-    * Built on the native [[graft.functions.WordShingles]] in
-    * non-distinct mode — the HOF build (`transform(sequence, i ->
-    * concat_ws(element_at, element_at))`) re-evaluates the inlined
-    * split per element, O(tokens²) per row (measured 8x on
-    * q_repetition_stats at sf0.1). */
+    * distinct by design). Docs under 2 tokens yield an empty list —
+    * handled inside the native expression, so there is no second
+    * tokenization for a guard. Built on
+    * [[graft.functions.WordShingles]] in non-distinct mode — the HOF
+    * build (`transform(sequence, i -> concat_ws(element_at,
+    * element_at))`) re-evaluates the inlined split per element,
+    * O(tokens²) per row (measured 8x on q_repetition_stats at
+    * sf0.1). */
   def bigrams(text: Column): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val ng = Bridge.column(
+    Bridge.column(
       graft.functions.WordShingles(Bridge.expression(text), 2,
         distinct = false))
-    when(size(tokens(text)) < 2, array().cast("array<string>"))
-      .otherwise(ng)
   }
 
   /** DuckDB mirror of [[bigrams]]. */

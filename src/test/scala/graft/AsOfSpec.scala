@@ -148,6 +148,31 @@ class AsOfSpec extends SparkSpec {
     assert(tol(4L).isEmpty)      // 30 min > 60 s horizon
   }
 
+  test("reserved internal column names are rejected up front") {
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.backward(trades.withColumn("_t", lit(1)), quotesR,
+        "sym", "sym2", "tts", "qts", Seq("qid"), "qid")
+    }
+    assert(ex.getMessage.contains("AsOf internals"))
+  }
+
+  test("tolerance horizon is exact at sub-second precision") {
+    val s = spark; import s.implicits._
+    val ref = Seq(("A", Timestamp.valueOf("2024-01-01 10:00:00.1"), 1L))
+      .toDF("sym2", "qts", "qid")
+    // probe 60.8 s after the reference: must NOT survive a 60 s horizon
+    val probe = Seq((1L, "A", Timestamp.valueOf("2024-01-01 10:01:00.9")),
+        (2L, "A", Timestamp.valueOf("2024-01-01 10:00:59.9"))) // 59.8 s: survives
+      .toDF("trade_id", "sym", "tts")
+    val got = AsOf.backward(probe, ref,
+        "sym", "sym2", "tts", "qts", Seq("qid"), "qid",
+        toleranceSec = Some(60L))
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[Any]("qid"))).toMap
+    assert(got(1L).isEmpty, "60.8 s gap must not survive a 60 s horizon")
+    assert(got(2L).contains(1L))
+  }
+
   test("result is identical under repartitioning (determinism)") {
     val base = AsOf.backward(trades, quotesR,
       "sym", "sym2", "tts", "qts", Seq("qid", "price"), "qid")

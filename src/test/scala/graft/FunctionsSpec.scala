@@ -64,7 +64,10 @@ class FunctionsSpec extends SparkSpec {
         .head().getSeq[String](0)
     assert(ngrams("x x x x", 3) == Seq("x x x", "x x x"))
     assert(ngrams("a b a b", 2) == Seq("a b", "b a", "a b"))
-    assert(ngrams("a b", 3) == Seq("a b")) // short-doc convention holds
+    // frequency semantics: a doc with < k tokens has ZERO k-gram
+    // occurrences (unlike the distinct/dedup convention of [text])
+    assert(ngrams("a b", 3) == Seq.empty)
+    assert(ngrams("solo", 2) == Seq.empty)
     // count parity with the distinct build's source positions
     val rnd = new scala.util.Random(7)
     (1 to 20).foreach { _ =>

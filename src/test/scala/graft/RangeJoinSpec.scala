@@ -80,6 +80,23 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("a pathological open-ended interval fails loudly, not with OOM") {
+    val s = spark; import s.implicits._
+    val sentinel = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00"))
+    ).toDF("iid", "start_ts", "end_ts")
+    val ex = intercept[Exception] {
+      RangeJoin.intervalPointJoin(sentinel, points,
+        "start_ts", "end_ts", "pts", bucketMicros = 3600L * 1000000L)
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("grid cells")),
+      s"expected the maxCellsPerInterval guard, got: ${ex.getMessage}")
+  }
+
   test("degenerate and null rows are dropped, not crashed on") {
     val s = spark; import s.implicits._
     val bad = Seq(
