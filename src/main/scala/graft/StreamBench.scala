@@ -105,6 +105,15 @@ object StreamBench {
       "sessionize" -> (() => timed(noop(
         Streams.sessionize(readSliced().as[Streams.Event], 30).toDF(),
         OutputMode.Append, "sess"))),
+      // stream-stream interval join (self-join: clicks×purchases shape
+      // on one stream): state = rows buffered inside watermark+interval
+      "interval_join" -> (() => timed(noop(
+        Streams.intervalJoin(
+          readSliced().filter(col("event_type") === "click"),
+          readSliced().filter(col("event_type") === "purchase"),
+          "user_id", "user_id", "ts", "ts",
+          lowerSec = 0L, upperSec = 1800L, watermark = "1 hour"),
+        OutputMode.Append, "ssjoin"))),
       // stateless stream-static broadcast enrich: the no-state baseline
       "enrich_static" -> (() => timed {
         val dim = spark.range(1500).select(col("id").as("user_id"),

@@ -47,5 +47,47 @@ object SketchQueries extends QueryPack {
       GROUP BY l_returnflag ORDER BY l_returnflag
     """))
 
-  def all: Seq[GQuery] = Seq(sketchDistinct)
+  /** Quantile monitoring: exact per-group count/min/max next to an
+    * approx-median RANK verdict. percentile_approx guarantees rank
+    * error <= 1/accuracy; the query re-ranks the estimate against the
+    * raw data (one broadcast join of the 6-row profile) and asserts
+    * the observed rank sits within 1% of the true median rank — loose
+    * against the 0.01% guarantee, so ties in the value distribution
+    * can't flip the verdict. Same contract shape as
+    * [[sketchDistinct]]: exact values compare exactly, the
+    * approximation compares as a bound the oracle asserts. */
+  val quantileProfile = GQuery(
+    "q_quantile_profile",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_returnflag", "l_extendedprice")
+      val prof = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("_p50"))
+      li.join(broadcast(prof), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(max("n").as("n"),
+          max("min_price").as("min_price"),
+          max("max_price").as("max_price"),
+          count(when(col("l_extendedprice") <= col("_p50"), 1))
+            .as("_n_le"))
+        .select(col("l_returnflag"), col("n"),
+          col("min_price"), col("max_price"),
+          (abs(col("_n_le") * 1000 - col("n") * 500) <= col("n") * 10)
+            .cast("int").as("median_rank_ok"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             MIN(l_extendedprice) AS min_price,
+             MAX(l_extendedprice) AS max_price,
+             CAST(1 AS INT) AS median_rank_ok
+      FROM lineitem
+      GROUP BY l_returnflag ORDER BY l_returnflag
+    """))
+
+  def all: Seq[GQuery] = Seq(sketchDistinct, quantileProfile)
 }

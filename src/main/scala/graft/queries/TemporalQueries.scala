@@ -93,6 +93,47 @@ object TemporalQueries extends QueryPack {
       ORDER BY o_orderkey
     """))
 
+  /** Self as-of with STRICT inequality and a tolerance horizon: each
+    * event finds the same user's immediately-preceding event, but only
+    * within the last hour — the "time since previous action" feature,
+    * exercising the strict (<) and tolerance paths cross-engine (they
+    * are spec-covered but otherwise outside the oracle gate). The gap
+    * is exact integer microseconds on both sides (DuckDB
+    * date_diff('second') counts boundary crossings, which disagrees
+    * with a floored micros difference on sub-second data). */
+  val asofSelf = GQuery(
+    "q_asof_self_prev",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val probe = ev.select("event_id", "user_id", "ts")
+      val ref = ev.select(col("user_id").as("r_user_id"),
+        col("ts").as("r_ts"), col("event_id").as("r_event_id"))
+      AsOf.backward(probe, ref,
+          leftKey = "user_id", rightKey = "r_user_id",
+          leftTime = "ts", rightTime = "r_ts",
+          rightPayload = Seq("r_event_id", "r_ts"),
+          tieBreak = "r_event_id",
+          strict = true, toleranceSec = Some(3600L))
+        .select(col("event_id"), col("user_id"),
+          col("r_event_id").as("prev_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("r_ts")))
+            .as("gap_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT e.event_id, e.user_id,
+             p.event_id AS prev_event_id,
+             epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+      FROM events e
+      LEFT JOIN LATERAL (
+        SELECT event_id, ts FROM events p
+        WHERE p.user_id = e.user_id AND p.ts < e.ts
+              AND p.ts >= e.ts - INTERVAL 1 HOUR
+        ORDER BY p.ts DESC, p.event_id DESC
+        LIMIT 1) p ON TRUE
+      ORDER BY e.event_id
+    """))
+
   /** Range join: ~N/199 six-hour intervals (anchored at sampled
     * events) × all event points, counted and summed per interval.
     * Engine side goes through the bucketed equi-join (1 h grid);
@@ -136,5 +177,5 @@ object TemporalQueries extends QueryPack {
       ORDER BY interval_id
     """))
 
-  def all: Seq[GQuery] = Seq(asofJoin, asofForward, rangeJoin)
+  def all: Seq[GQuery] = Seq(asofJoin, asofForward, asofSelf, rangeJoin)
 }
