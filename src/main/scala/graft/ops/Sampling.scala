@@ -59,6 +59,30 @@ object Sampling {
     df.filter(substring(md5(key.cast("string")), 1, 4) < thr)
   }
 
+  /** Per-row-rate ("weighted") deterministic sampling: each row
+    * carries its own keep-rate in per-65536 units — the curation
+    * shape where keep probability follows a quality/importance score
+    * rather than one global rate. Same md5-bucket decision as
+    * [[sampledBy]], so the same guarantees hold: retry-stable,
+    * partitioning-invariant, and raising a row's rate can only ever
+    * ADD it (never reshuffles the kept set). Rates >= 65536 keep the
+    * row unconditionally; rates <= 0 never keep it. */
+  def weightedBy(key: Column, ratePer65536: Column): Column = {
+    val thr = when(ratePer65536 >= Buckets, lit("g"))
+      .otherwise(lower(lpad(hex(greatest(ratePer65536, lit(0))), 4, "0")))
+    substring(md5(key.cast("string")), 1, 4) < thr
+  }
+
+  def weighted(df: DataFrame, key: Column,
+               ratePer65536: Column): DataFrame =
+    df.filter(weightedBy(key, ratePer65536))
+
+  /** DuckDB mirror of [[weightedBy]]. */
+  def weightedBySql(keyExpr: String, rateExpr: String): String =
+    s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4) < " +
+      s"(CASE WHEN ($rateExpr) >= $Buckets THEN 'g' ELSE " +
+      s"lower(lpad(to_hex(greatest($rateExpr, 0)), 4, '0')) END)"
+
   /** Exact per-domain cap: keep at most `cap` rows per domain, chosen
     * deterministically by md5 priority (so reruns, retries, and
     * corpus regrowth keep the SAME representatives — new arrivals

@@ -71,5 +71,26 @@ object SampleQueries extends QueryPack {
       GROUP BY source ORDER BY source
     """))
 
-  def all: Seq[GQuery] = Seq(hashSample, stratifiedSample, domainCap)
+  /** Per-row-rate sampling: keep probability follows document length
+    * (a stand-in for any quality score) — docs >= 437 chars always
+    * kept, shorter ones proportionally. The aggregate compares exact
+    * kept-set membership per lang. */
+  val weightedSample = GQuery(
+    "q_weighted_sample",
+    (s, d) => Sampling
+      .weighted(Tables.documents(s, d), col("doc_id"),
+        col("n_chars") * 150)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+      .orderBy("lang"),
+    Some(s"""
+      SELECT lang, COUNT(*) AS n_kept,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      FROM documents
+      WHERE ${Sampling.weightedBySql("doc_id", "n_chars * 150")}
+      GROUP BY lang ORDER BY lang
+    """))
+
+  def all: Seq[GQuery] =
+    Seq(hashSample, stratifiedSample, domainCap, weightedSample)
 }

@@ -58,6 +58,24 @@ class SamplingSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("weighted sampling: rate 0 drops, >=65536 keeps, monotone in rate") {
+    val s = spark; import s.implicits._
+    val df = (1L to 4000L).map(i => (i, (i % 40) * 2000)).toDF("id", "rate")
+    val kept = Sampling.weighted(df, col("id"), col("rate"))
+      .collect().map(_.getLong(0)).toSet
+    // rate 0 rows (id % 40 == 0) never kept; rate >= 65536 always kept
+    assert(kept.forall(_ % 40 != 0))
+    assert((1L to 4000L).filter(i => (i % 40) * 2000 >= 65536)
+      .forall(kept.contains), "rate >= 65536 must keep unconditionally")
+    // raising every rate only ADDS rows (nested samples per row)
+    val keptMore = Sampling.weighted(df, col("id"),
+      col("rate") + 8000).collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(keptMore))
+    // and the keep fraction tracks the rate roughly
+    val half = Sampling.weighted(df, col("id"), lit(32768)).count()
+    assert(math.abs(half / 4000.0 - 0.5) < 0.05, s"got $half/4000")
+  }
+
   test("domainCap keeps at most cap rows per domain, deterministically") {
     val s = spark; import s.implicits._
     val df = (1L to 300L).map(i => (s"d${i % 3}", i)).toDF("dom", "id")
