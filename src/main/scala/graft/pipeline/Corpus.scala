@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Contamination, Dedup, Sampling, TextOps}
 
 /** The training-data corpus pipeline — the LLM-data analogue of the
   * churn [[Warehouse]]: the standard pre-training cleanup funnel
@@ -15,13 +15,20 @@ import graft.ops.{Dedup, TextOps}
   *     this is the production path, so oversized buckets are dropped
   *     per the [[Dedup.bucketPairs]] contract) → connected components
   *     → cluster-survivor filter;
-  *  3. quality filter — per-mille heuristic scores, codegen'd
+  *  3. decontamination (when an eval set is supplied) — word-n-gram
+  *     overlap against the broadcast benchmark shingles;
+  *  4. quality filter — per-mille heuristic scores, codegen'd
   *     projection;
-  *  4. language filter — profile argmax against an allow-list.
+  *  5. language filter — profile argmax against an allow-list;
+  *  6. per-domain cap (when a domain column is supplied) —
+  *     hash-priority selection against domain flooding.
   *
   * Order matters and is the conventional one: exact first (cheapest,
   * biggest mass), then near-dup on the survivors (shrinks the LSH
-  * input), then row-local filters.
+  * input), then decontamination on the deduped set (shrinks the
+  * shingle explode), then row-local filters, then the cap on what
+  * actually survives (capping earlier would let later drops pull
+  * domains below their cap).
   *
   * Each stage output is materialized once (eager localCheckpoint):
   * the funnel counts, the next stage, and the returned frame all read
@@ -40,7 +47,11 @@ object Corpus {
           bands: Int = 16, rowsPerBand: Int = 4,
           nearDupMille: Int = 850, minQualityMilli: Long = 800L,
           langs: Seq[String] = Seq("en"),
-          maxBucket: Int = 10000): Result = {
+          maxBucket: Int = 10000,
+          evalDocs: Option[DataFrame] = None,
+          contaminationK: Int = 5,
+          contaminationMille: Int = 500,
+          domainCap: Option[(String, Int)] = None): Result = {
     val funnel = Seq.newBuilder[Funnel]
     var current = docs.localCheckpoint()
     var currentCount = current.count()
@@ -72,13 +83,26 @@ object Corpus {
       d.join(survivors, Seq("doc_id"), "left_semi")
     }
 
-    // 3. quality filter (row-local projection)
+    // 3. decontamination vs the supplied benchmark set
+    evalDocs.foreach { ev =>
+      staged("decontaminate")(d =>
+        Contamination.decontaminate(d, ev, "doc_id", "text",
+          contaminationK, contaminationMille))
+    }
+
+    // 4. quality filter (row-local projection)
     staged("quality_filter")(
       _.filter(TextOps.qualityMilli(col("text")) >= minQualityMilli))
 
-    // 4. language filter (row-local argmax vs allow-list)
+    // 5. language filter (row-local argmax vs allow-list)
     staged("lang_filter")(
       _.filter(TextOps.predictedLang(col("text")).isin(langs: _*)))
+
+    // 6. per-domain cap on the survivors
+    domainCap.foreach { case (domainCol, cap) =>
+      staged("domain_cap")(
+        Sampling.domainCap(_, col(domainCol), col("doc_id"), cap))
+    }
 
     Result(current, funnel.result())
   }

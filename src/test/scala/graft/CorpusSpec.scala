@@ -68,4 +68,27 @@ class CorpusSpec extends SparkSpec {
     assert(funnel("lang_filter").docs_out < funnel("lang_filter").docs_in)
     assert(strict.cleaned.count() == funnel("lang_filter").docs_out)
   }
+
+  test("decontamination and domain-cap stages compose into the funnel") {
+    val docs = Tables.documents(spark, TinySf)
+      .select("doc_id", "text", "source")
+    // benchmark = a near-dup partner's text verbatim: its surviving
+    // twin in the corpus must be decontaminated away
+    val evalSet = docs.filter(col("doc_id") === 0L)
+      .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+    val result = Corpus.run(spark, docs,
+      langs = Seq("en", "de", "fr", "es", "zh"), minQualityMilli = 0L,
+      evalDocs = Some(evalSet), domainCap = Some(("source", 2)))
+    val funnel = result.funnel.map(f => f.stage -> f).toMap
+    assert(funnel.contains("decontaminate") && funnel.contains("domain_cap"))
+    // doc 0 is a verbatim eval copy -> must be gone
+    assert(result.cleaned.filter(col("doc_id") === 0L).count() == 0)
+    assert(funnel("decontaminate").docs_out <
+      funnel("decontaminate").docs_in)
+    // no domain exceeds the cap in the final output
+    val maxPerDomain = result.cleaned.groupBy("source").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxPerDomain <= 2, s"domain cap violated: $maxPerDomain")
+    assert(result.cleaned.count() == funnel("domain_cap").docs_out)
+  }
 }
