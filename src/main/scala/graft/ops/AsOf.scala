@@ -88,6 +88,44 @@ object AsOf {
     joinImpl(left, right, leftKey, rightKey, leftTime, rightTime,
       rightPayload, tieBreak, strict, toleranceSec, backwardDir = false)
 
+  /** Hot-key variant of [[backward]]: spreads ONE dominant key across
+    * `factor` salt partitions. The probe side gets a deterministic
+    * per-row salt; the reference side is replicated into every salt
+    * (any probe row may need any reference row of its key), so the
+    * result is exactly [[backward]]'s — proven in AsOfSpec — at
+    * `factor`× the reference side's volume. That trade is right when
+    * the probe side dwarfs the reference side on the hot key (the
+    * typical telemetry shape: billions of probe events, thousands of
+    * reference states). The composite (key, salt) struct is the
+    * window partition key, so no single task sorts the whole hot key.
+    */
+  def backwardSalted(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTime: String, rightTime: String,
+                     rightPayload: Seq[String],
+                     tieBreak: String,
+                     factor: Int,
+                     strict: Boolean = false,
+                     toleranceSec: Option[Long] = None): DataFrame = {
+    require(factor > 0, s"salt factor must be positive: $factor")
+    val l = left.withColumn("_skey",
+      struct(col(leftKey).as("k"),
+        Skew.salt(col(leftTime), factor).as("s")))
+    // null reference keys/times must be dropped HERE: wrapped in a
+    // struct they would pass joinImpl's null checks and SQL-equality
+    // semantics would silently become null-safe
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .withColumn("_salt",
+        explode(sequence(lit(0), lit(factor - 1)).cast("array<int>")))
+      .withColumn("_skey",
+        struct(col(rightKey).as("k"), col("_salt").as("s")))
+      .drop("_salt")
+    joinImpl(l, r, "_skey", "_skey", leftTime, rightTime,
+      rightPayload, tieBreak, strict, toleranceSec, backwardDir = true)
+      .drop("_skey")
+  }
+
   private def joinImpl(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String,
                        leftTime: String, rightTime: String,

@@ -173,6 +173,32 @@ class AsOfSpec extends SparkSpec {
     assert(got(2L).contains(1L))
   }
 
+  test("salted as-of ≡ plain as-of on a hot-key distribution") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(99)
+    // 90% of probes share one hot key
+    val probe = (1L to 400L).map { i =>
+      val k = if (i % 10 == 0) s"k${i % 3}" else "hot"
+      (i, k, new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L))
+    }.toDF("trade_id", "sym", "tts")
+    val ref = (1L to 60L).map { i =>
+      val k = if (i % 4 == 0) s"k${i % 3}" else "hot"
+      (k, new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L), i)
+    }.toDF("sym2", "qts", "qid")
+    val plain = AsOf.backward(probe, ref,
+      "sym", "sym2", "tts", "qts", Seq("qid"), "qid")
+    val salted = AsOf.backwardSalted(probe, ref,
+      "sym", "sym2", "tts", "qts", Seq("qid"), "qid", factor = 8)
+    assert(rowsAsSet(salted) == rowsAsSet(plain))
+    // and with strict + tolerance engaged
+    val plainT = AsOf.backward(probe, ref, "sym", "sym2", "tts", "qts",
+      Seq("qid"), "qid", strict = true, toleranceSec = Some(7200L))
+    val saltedT = AsOf.backwardSalted(probe, ref, "sym", "sym2", "tts",
+      "qts", Seq("qid"), "qid", factor = 5,
+      strict = true, toleranceSec = Some(7200L))
+    assert(rowsAsSet(saltedT) == rowsAsSet(plainT))
+  }
+
   test("result is identical under repartitioning (determinism)") {
     val base = AsOf.backward(trades, quotesR,
       "sym", "sym2", "tts", "qts", Seq("qid", "price"), "qid")
