@@ -307,7 +307,46 @@ object TextQueries extends QueryPack {
       ORDER BY s.doc_id
     """))
 
+  /** Boilerplate scoring — the cross-document counterpart of
+    * q_repetition_stats: the fraction of a document's distinct word
+    * 3-grams that are corpus-common (document frequency >= 20),
+    * catching templated/boilerplate text that per-doc metrics can't
+    * see (every header looks fine inside its own doc). Scale shape:
+    * one shingle explode, one shuffle keyed on the shingle to count
+    * document frequency (map-side combinable), one join back on the
+    * same key, one per-doc agg — no self-join, no broadcast of the
+    * (potentially huge) shingle vocabulary. */
+  val boilerplateScore = GQuery(
+    "q_boilerplate_score",
+    (s, d) => {
+      val MinDf = 20
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+          count(when(col("df") >= MinDf, 1)).as("n_common"))
+        .select(col("doc_id"), col("n_ngrams"),
+          col("n_common"),
+          expr("n_common * 1000 div n_ngrams").as("boiler_milli"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id, unnest(${graft.ops.Dedup.shinglesSql("text", 3)}) AS sh
+        FROM documents),
+      dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+      SELECT s.doc_id, COUNT(*) AS n_ngrams,
+             COUNT(CASE WHEN d.df >= 20 THEN 1 END) AS n_common,
+             COUNT(CASE WHEN d.df >= 20 THEN 1 END) * 1000 // COUNT(*)
+               AS boiler_milli
+      FROM sh s JOIN dfreq d ON s.sh = d.sh
+      GROUP BY s.doc_id ORDER BY s.doc_id
+    """))
+
   def all: Seq[GQuery] =
     Seq(tokenStats, qualityScore, langId, fingerprint, tfidfTopTerms,
-      piiRedact, tokenPacking, contamination, repetitionStats)
+      piiRedact, tokenPacking, contamination, repetitionStats,
+      boilerplateScore)
 }
