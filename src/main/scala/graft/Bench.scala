@@ -62,6 +62,14 @@ object Bench {
       // projections and eliminate result-edge sorts, under-measuring
       // expression-heavy queries). Failures report as -1, not a timing.
       val times = (1 to reps).flatMap { _ =>
+        // block-manager hygiene: operators that localCheckpoint for
+        // lineage truncation (connected components) leave their final
+        // RDD pinned after the sink completes; in a 73-query shared
+        // JVM those accumulate across reps and tax later queries'
+        // memory. Evict BEFORE the timer so eviction cost isn't
+        // attributed to the measured query.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9) }
