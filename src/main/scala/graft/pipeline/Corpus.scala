@@ -34,13 +34,29 @@ import graft.ops.{Contamination, Dedup, Sampling, TextOps}
   * the funnel counts, the next stage, and the returned frame all read
   * the materialized result instead of replaying the upstream funnel
   * per consumer; the out-count of one stage IS the in-count of the
-  * next (one counting job per stage, not two).
+  * next (one counting job per stage, not two). A stage's checkpoint
+  * is EVICTED as soon as the next stage's is materialized — a
+  * checkpoint truncates lineage, so once stage N+1 is physical,
+  * stage N's blocks serve nobody, and leaving them pinned is the
+  * session-state leak the r7 bench measured (late queries taxed by
+  * accumulated block-manager residue). Only the final result's
+  * checkpoint survives the call; release it with [[Result.unpersist]]
+  * when done.
   */
 object Corpus {
 
   final case class Funnel(stage: String, docs_in: Long, docs_out: Long)
 
-  final case class Result(cleaned: DataFrame, funnel: Seq[Funnel])
+  final case class Result(cleaned: DataFrame, funnel: Seq[Funnel]) {
+    /** Release the final stage's pinned checkpoint blocks once
+      * `cleaned` has been written/consumed. */
+    def unpersist(): Unit = {
+      val sc = cleaned.sparkSession.sparkContext
+      cleanedRddIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+    private[Corpus] var cleanedRddIds: Set[Int] = Set.empty
+  }
 
   def run(spark: SparkSession, docs: DataFrame,
           shingleK: Int = 3, numHashes: Int = 64,
@@ -53,11 +69,23 @@ object Corpus {
           contaminationMille: Int = 500,
           domainCap: Option[(String, Int)] = None): Result = {
     val funnel = Seq.newBuilder[Funnel]
+    val sc = spark.sparkContext
+    // ids of block-manager entries THIS run created in the previous
+    // stage (never touches caller-persisted inputs): evicted as soon
+    // as the next stage's checkpoint is physical
+    var preexisting = sc.getPersistentRDDs.keySet.toSet
+    var ours: Set[Int] = Set.empty
     var current = docs.localCheckpoint()
     var currentCount = current.count()
+    ours = sc.getPersistentRDDs.keySet.toSet -- preexisting
     def staged(name: String)(f: DataFrame => DataFrame): Unit = {
       val out = f(current).localCheckpoint()
-      val outCount = out.count()
+      val outCount = out.count() // materializes the new checkpoint
+      // the new checkpoint is physical: evict everything this run
+      // pinned before it (previous stage's output + stage internals)
+      ours.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      ours = sc.getPersistentRDDs.keySet.toSet -- preexisting
       funnel += Funnel(name, currentCount, outCount)
       current = out
       currentCount = outCount
@@ -104,6 +132,8 @@ object Corpus {
         Sampling.domainCap(_, col(domainCol), col("doc_id"), cap))
     }
 
-    Result(current, funnel.result())
+    val result = Result(current, funnel.result())
+    result.cleanedRddIds = ours
+    result
   }
 }

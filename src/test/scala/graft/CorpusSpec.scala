@@ -69,6 +69,23 @@ class CorpusSpec extends SparkSpec {
     assert(strict.cleaned.count() == funnel("lang_filter").docs_out)
   }
 
+  test("intermediate stage checkpoints are evicted; unpersist() frees the rest") {
+    val docs = Tables.documents(spark, TinySf).select("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val result = Corpus.run(spark, docs,
+      langs = Seq("en", "de", "fr", "es", "zh"), minQualityMilli = 0L)
+    result.cleaned.count() // consume
+    val during = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    // only the final stage's blocks may remain pinned (final
+    // checkpoint + any last-stage internals), never one per stage
+    assert(during.size <= 2,
+      s"stage checkpoints leaked: ${during.size} persistent RDDs remain")
+    result.unpersist()
+    val after = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(after.isEmpty,
+      s"unpersist() left ${after.size} pinned RDDs")
+  }
+
   test("decontamination and domain-cap stages compose into the funnel") {
     val docs = Tables.documents(spark, TinySf)
       .select("doc_id", "text", "source")
