@@ -333,11 +333,19 @@ object Dedup {
     // materialize the edge list once: it is consumed EVERY round, and
     // its lineage is typically the whole LSH discovery pipeline —
     // re-evaluating that per round would multiply the dominant cost by
-    // the round count (eager localCheckpoint: no lingering cache)
+    // the round count. The checkpoint blocks are released on every
+    // exit path below (tracked by RDD-id diff — a checkpointed
+    // Dataset exposes no direct unpersist); leaving them pinned was
+    // the r7 session-residue finding.
+    val sc = pairs.sparkSession.sparkContext
+    val beforeEdges = sc.getPersistentRDDs.keySet.toSet
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
+    val edgeIds = sc.getPersistentRDDs.keySet.toSet -- beforeEdges
+    def releaseEdges(): Unit = edgeIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     var labels = nodes.select(col(idCol).as("node"),
       col(idCol).as("cluster_id"))
     var converged = false
@@ -370,6 +378,7 @@ object Dedup {
     // hitting the cap means pathological input or a parameter bug
     if (!converged) {
       labels.unpersist()
+      releaseEdges()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "component diameter exceeds the cap (raise maxIter or " +
@@ -381,6 +390,7 @@ object Dedup {
     // (the r3 cache-leak lesson)
     val result = labels.localCheckpoint()
     labels.unpersist()
+    releaseEdges()
     result.withColumn("is_survivor",
       (col("node") === col("cluster_id")).cast("int"))
       .select(col("node").as(idCol), col("cluster_id"), col("is_survivor"))
