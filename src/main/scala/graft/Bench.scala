@@ -66,10 +66,11 @@ object Bench {
         // lineage truncation (connected components) leave their final
         // RDD pinned after the sink completes; in a 73-query shared
         // JVM those accumulate across reps and tax later queries'
-        // memory. Evict BEFORE the timer so eviction cost isn't
-        // attributed to the measured query.
+        // memory. Evict BEFORE the timer, and BLOCKING — async
+        // removal would run its block deletes concurrently with the
+        // measured query, putting the cost inside the timer after all.
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9) }

@@ -108,6 +108,11 @@ object AsOf {
                      strict: Boolean = false,
                      toleranceSec: Option[Long] = None): DataFrame = {
     require(factor > 0, s"salt factor must be positive: $factor")
+    val saltReserved = Set("_skey", "_salt")
+      .intersect(left.columns.toSet ++ right.columns.toSet)
+    require(saltReserved.isEmpty,
+      s"input columns collide with backwardSalted internals: " +
+        saltReserved.mkString(", "))
     val l = left.withColumn("_skey",
       struct(col(leftKey).as("k"),
         Skew.salt(col(leftTime), factor).as("s")))

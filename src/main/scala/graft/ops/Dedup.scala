@@ -335,8 +335,9 @@ object Dedup {
     // re-evaluating that per round would multiply the dominant cost by
     // the round count. The checkpoint blocks are released on every
     // exit path below (tracked by RDD-id diff — a checkpointed
-    // Dataset exposes no direct unpersist); leaving them pinned was
-    // the r7 session-residue finding.
+    // Dataset exposes no direct unpersist; the diff assumes no other
+    // thread persists RDDs on this context inside the snapshot
+    // window); leaving them pinned was the r7 session-residue finding.
     val sc = pairs.sparkSession.sparkContext
     val beforeEdges = sc.getPersistentRDDs.keySet.toSet
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -350,6 +351,7 @@ object Dedup {
       col(idCol).as("cluster_id"))
     var converged = false
     var it = 0
+    try {
     while (!converged && it < maxIter) {
       val viaNeighbours = edges
         .join(labels.withColumnRenamed("node", "dst")
@@ -376,14 +378,11 @@ object Dedup {
     // as several, each with its own "survivor") — fail loudly rather
     // than silently under-dedupe; LSH clusters are small and dense, so
     // hitting the cap means pathological input or a parameter bug
-    if (!converged) {
-      labels.unpersist()
-      releaseEdges()
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "component diameter exceeds the cap (raise maxIter or " +
           "inspect the pair graph for chains)")
-    }
     // hand back a frame with TRUNCATED lineage (eager localCheckpoint)
     // and release the loop's cache: consumers neither replay the
     // O(rounds) join chain nor pin loop blocks in the block manager
@@ -394,6 +393,14 @@ object Dedup {
     result.withColumn("is_survivor",
       (col("node") === col("cluster_id")).cast("int"))
       .select(col("node").as(idCol), col("cluster_id"), col("is_survivor"))
+    } catch { case t: Throwable =>
+      // ANY failure (a round's Spark job, non-convergence, the final
+      // checkpoint) must not leave loop caches or the edge checkpoint
+      // pinned — there is no Result to release them through
+      labels.unpersist()
+      releaseEdges()
+      throw t
+    }
   }
 
   /** SimHash candidate pairs via pigeonhole chunking: split the b-bit

@@ -47,7 +47,11 @@ object Corpus {
 
   final case class Funnel(stage: String, docs_in: Long, docs_out: Long)
 
-  final case class Result(cleaned: DataFrame, funnel: Seq[Funnel]) {
+  /** Not a case class: the pinned-block ids must survive exactly as
+    * captured at construction — a `copy()` would silently reset them
+    * and turn [[unpersist]] into a no-op. */
+  final class Result(val cleaned: DataFrame, val funnel: Seq[Funnel],
+                     cleanedRddIds: Set[Int]) {
     /** Release the final stage's pinned checkpoint blocks once
       * `cleaned` has been written/consumed. */
     def unpersist(): Unit = {
@@ -55,7 +59,6 @@ object Corpus {
       cleanedRddIds.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     }
-    private[Corpus] var cleanedRddIds: Set[Int] = Set.empty
   }
 
   def run(spark: SparkSession, docs: DataFrame,
@@ -72,22 +75,47 @@ object Corpus {
     val sc = spark.sparkContext
     // ids of block-manager entries THIS run created in the previous
     // stage (never touches caller-persisted inputs): evicted as soon
-    // as the next stage's checkpoint is physical
-    var preexisting = sc.getPersistentRDDs.keySet.toSet
+    // as the next stage's checkpoint is physical. The id-diff
+    // attribution assumes no OTHER thread persists RDDs on this
+    // SparkContext while run() is between snapshots — concurrent
+    // persists landing in the window would be evicted as ours. Run
+    // the funnel from one thread (its stages are serial anyway).
+    val preexisting = sc.getPersistentRDDs.keySet.toSet
     var ours: Set[Int] = Set.empty
+    def evictOurs(): Unit = {
+      ours.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      ours = Set.empty
+    }
     var current = docs.localCheckpoint()
-    var currentCount = current.count()
+    var currentCount =
+      try current.count()
+      catch { case t: Throwable =>
+        ours = sc.getPersistentRDDs.keySet.toSet -- preexisting
+        evictOurs(); throw t
+      }
     ours = sc.getPersistentRDDs.keySet.toSet -- preexisting
     def staged(name: String)(f: DataFrame => DataFrame): Unit = {
-      val out = f(current).localCheckpoint()
-      val outCount = out.count() // materializes the new checkpoint
+      val outCount =
+        try {
+          val out = f(current).localCheckpoint()
+          val n = out.count() // materializes the new checkpoint
+          current = out
+          n
+        } catch { case t: Throwable =>
+          // a failed stage returns no Result, so nothing could ever
+          // release the pinned blocks — evict everything this run
+          // created (including the partial stage's) before rethrowing
+          ours = sc.getPersistentRDDs.keySet.toSet -- preexisting
+          evictOurs()
+          throw t
+        }
       // the new checkpoint is physical: evict everything this run
       // pinned before it (previous stage's output + stage internals)
       ours.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       ours = sc.getPersistentRDDs.keySet.toSet -- preexisting
       funnel += Funnel(name, currentCount, outCount)
-      current = out
       currentCount = outCount
     }
 
@@ -132,8 +160,6 @@ object Corpus {
         Sampling.domainCap(_, col(domainCol), col("doc_id"), cap))
     }
 
-    val result = Result(current, funnel.result())
-    result.cleanedRddIds = ours
-    result
+    new Result(current, funnel.result(), ours)
   }
 }

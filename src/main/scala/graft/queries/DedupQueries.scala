@@ -204,27 +204,13 @@ object DedupQueries extends QueryPack {
     * self-sufficient because the body ensures too. */
   private def ensureSigStore(s: SparkSession, d: String): Unit = {
     val path = sigStorePath(d)
-    val hconf = s.sparkContext.hadoopConfiguration
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_GRAFT_COMPLETE")
-    val fs = marker.getFileSystem(hconf)
-    val src = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-    val st = src.getFileSystem(hconf).getFileStatus(src)
-    val fingerprint =
-      s"v$SigStoreVersion:$K:$NumHashes:${st.getLen}:${st.getModificationTime}"
-    val current =
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
-      }
-    if (!current.contains(fingerprint)) {
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val fingerprint = s"v$SigStoreVersion:$K:$NumHashes:" +
+      Fixtures.sourceStamp(s, s"$d/documents.parquet")
+    Fixtures.ensure(s, path, fingerprint) {
       Dedup.signatures(
           Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0),
           "doc_id", "text", K, NumHashes)
         .write.parquet(s"$path/data")
-      val out = fs.create(marker, true)
-      try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
     }
   }
 

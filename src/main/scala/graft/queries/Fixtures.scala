@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Fingerprint-marker fixture protocol, shared by every derived
+  * on-disk fixture (partitioned fact, dedup signature store): a
+  * `_GRAFT_COMPLETE` marker inside the fixture dir records the
+  * FINGERPRINT of what built it (source file size+mtime + builder
+  * version/params), not mere existence — a regenerated sf dataset or
+  * a changed builder rebuilds instead of silently serving stale data
+  * against a fresh oracle. Idempotent re-calls cost two filesystem
+  * stats.
+  */
+private[queries] object Fixtures {
+
+  /** Size+mtime stamp of a source file/dir for fingerprints. */
+  def sourceStamp(spark: SparkSession, srcPath: String): String = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(srcPath)
+    val st = p.getFileSystem(hconf).getFileStatus(p)
+    s"${st.getLen}:${st.getModificationTime}"
+  }
+
+  /** Rebuild `path` via `build` unless its marker already records
+    * `fingerprint`; the stale dir is deleted first (dynamic-overwrite
+    * builders would otherwise leave mixed-generation partitions). */
+  def ensure(spark: SparkSession, path: String, fingerprint: String)
+            (build: => Unit): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_GRAFT_COMPLETE")
+    val fs = marker.getFileSystem(hconf)
+    val current =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+      }
+    if (!current.contains(fingerprint)) {
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      build
+      val out = fs.create(marker, true)
+      try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
+    }
+  }
+}

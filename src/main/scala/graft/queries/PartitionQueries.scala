@@ -22,43 +22,20 @@ object PartitionQueries extends QueryPack {
     * columns below change so stale fixtures rebuild. */
   private val FixtureVersion = 2
 
-  /** Idempotent fixture ensure: write the run-month-partitioned fact
-    * once per sf dir, skip when the completed marker already matches.
-    * The marker carries a FINGERPRINT (source file size+mtime +
-    * projection version), not mere existence — a regenerated sf
-    * dataset or a changed projection rebuilds instead of silently
-    * serving stale data against a fresh oracle. Bench calls this
+  /** Idempotent fixture ensure (shared [[Fixtures]] protocol): write
+    * the run-month-partitioned fact once per sf dir. Bench calls this
     * untimed via `prepare`; the query body calls it too so
-    * Verify/standalone runs stay self-sufficient — the repeat call is
-    * two filesystem stats. */
+    * Verify/standalone runs stay self-sufficient. */
   private def ensureFixture(s: org.apache.spark.sql.SparkSession,
                             d: String): Unit = {
     val path = fixturePath(d)
-    val hconf = s.sparkContext.hadoopConfiguration
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_GRAFT_COMPLETE")
-    val fs = marker.getFileSystem(hconf)
-    val src = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
-    val srcFs = src.getFileSystem(hconf)
-    val st = srcFs.getFileStatus(src)
-    val fingerprint = s"v$FixtureVersion:${st.getLen}:${st.getModificationTime}"
-    val current =
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
-      }
-    if (!current.contains(fingerprint)) {
-      // start from a clean directory: dynamic partition overwrite only
-      // replaces partitions present in the NEW write, so run_month
-      // partitions from an older source/projection would otherwise
-      // survive the rebuild as stale or mixed-schema data
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val fingerprint = s"v$FixtureVersion:" +
+      Fixtures.sourceStamp(s, s"$d/orders.parquet")
+    Fixtures.ensure(s, path, fingerprint) {
       val fact = Tables.orders(s, d).select(
         col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM").as("run_month"))
       Partitioned.writeBy(fact, path, "run_month")
-      val out = fs.create(marker, true)
-      try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
     }
   }
 

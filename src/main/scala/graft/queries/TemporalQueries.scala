@@ -13,6 +13,17 @@ import graft.ops.{AsOf, RangeJoin}
   */
 object TemporalQueries extends QueryPack {
 
+  /** events with ts floored to whole microseconds — the precision the
+    * engine computes at (`Tables.events` converts the nanos-grained
+    * parquet via integer `div 1000`). DuckDB reads the TIMESTAMP_NS
+    * column raw, so every oracle that COMPARES event timestamps must
+    * floor the same way or strict bounds / horizon edges can diverge
+    * on sub-microsecond neighbors. */
+  private val EventsMicrosSql =
+    """SELECT event_id, make_timestamp(epoch_us(ts)) AS ts,
+              user_id, event_type, value
+       FROM events"""
+
   /** As-of join: every event picks its user's most recent order at or
     * before the event time (orders all predate the event window, so
     * this is "latest customer state as of the event"). Tie-break at
@@ -36,13 +47,14 @@ object TemporalQueries extends QueryPack {
             .cast("long").as("days_since"))
         .orderBy("event_id")
     },
-    Some("""
+    Some(s"""
+      WITH e0 AS ($EventsMicrosSql)
       SELECT e.event_id, e.user_id,
              o.o_orderkey AS last_orderkey,
              o.o_totalprice AS last_totalprice,
              date_diff('day', CAST(o.o_orderdate AS DATE),
                        CAST(e.ts AS DATE)) AS days_since
-      FROM events e
+      FROM e0 e
       LEFT JOIN LATERAL (
         SELECT o_orderkey, o_totalprice, o_orderdate
         FROM orders o
@@ -77,7 +89,8 @@ object TemporalQueries extends QueryPack {
             .cast("long").as("days_until"))
         .orderBy("o_orderkey")
     },
-    Some("""
+    Some(s"""
+      WITH e0 AS ($EventsMicrosSql)
       SELECT o.o_orderkey, o.o_custkey,
              e.event_id AS first_event_id,
              e.event_type AS first_event_type,
@@ -86,7 +99,7 @@ object TemporalQueries extends QueryPack {
       FROM orders o
       LEFT JOIN LATERAL (
         SELECT event_id, event_type, ts
-        FROM events e
+        FROM e0 e
         WHERE e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         ORDER BY e.ts ASC, e.event_id DESC
         LIMIT 1) e ON TRUE
@@ -120,13 +133,14 @@ object TemporalQueries extends QueryPack {
             .as("gap_us"))
         .orderBy("event_id")
     },
-    Some("""
+    Some(s"""
+      WITH e0 AS ($EventsMicrosSql)
       SELECT e.event_id, e.user_id,
              p.event_id AS prev_event_id,
              epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
-      FROM events e
+      FROM e0 e
       LEFT JOIN LATERAL (
-        SELECT event_id, ts FROM events p
+        SELECT event_id, ts FROM e0 p
         WHERE p.user_id = e.user_id AND p.ts < e.ts
               AND p.ts >= e.ts - INTERVAL 1 HOUR
         ORDER BY p.ts DESC, p.event_id DESC
@@ -163,15 +177,16 @@ object TemporalQueries extends QueryPack {
           col("sum_value"))
         .orderBy("interval_id")
     },
-    Some("""
-      WITH iv AS (
+    Some(s"""
+      WITH e0 AS ($EventsMicrosSql),
+      iv AS (
         SELECT event_id AS interval_id, ts AS start_ts,
                ts + INTERVAL 6 HOUR AS end_ts
-        FROM events WHERE event_id % 199 = 0)
+        FROM e0 WHERE event_id % 199 = 0)
       SELECT iv.interval_id,
              COUNT(e.event_id) AS n_events,
              CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-      FROM iv LEFT JOIN events e
+      FROM iv LEFT JOIN e0 e
         ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
       GROUP BY iv.interval_id
       ORDER BY interval_id

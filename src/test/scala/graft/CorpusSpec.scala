@@ -86,6 +86,20 @@ class CorpusSpec extends SparkSpec {
       s"unpersist() left ${after.size} pinned RDDs")
   }
 
+  test("a failing stage evicts this run's checkpoints before rethrowing") {
+    val docs = Tables.documents(spark, TinySf).select("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    intercept[Exception] {
+      // domain column does not exist -> the domain_cap stage fails
+      Corpus.run(spark, docs,
+        langs = Seq("en", "de", "fr", "es", "zh"), minQualityMilli = 0L,
+        domainCap = Some(("no_such_column", 2)))
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty,
+      s"failed run left ${leaked.size} pinned RDDs")
+  }
+
   test("decontamination and domain-cap stages compose into the funnel") {
     val docs = Tables.documents(spark, TinySf)
       .select("doc_id", "text", "source")
