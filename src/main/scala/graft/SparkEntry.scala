@@ -18,9 +18,9 @@ object SparkEntry {
     WindowQueries, FuncQueries, UpsertQueries,
     DedupQueries, TextQueries, SimilarityQueries, CsvQueries,
     PartitionQueries, BinaryQueries, SkewQueries, SampleQueries,
-    TemporalQueries, SketchQueries)
+    TemporalQueries, SketchQueries, CorpusQueries)
 
-  private lazy val registry: Seq[GQuery] = packs.flatMap(_.all)
+  private[graft] lazy val registry: Seq[GQuery] = packs.flatMap(_.all)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -116,8 +116,10 @@ object TextOps {
       .getOrElse(throw new IllegalStateException(
         s"qualityCols no longer emits $QualityKey"))
 
-  /** Identical formula as DuckDB SQL, for the oracle. */
-  def qualitySql(textExpr: String): String = {
+  /** The component expressions of the quality formula as DuckDB SQL:
+    * (n_tokens, stop_milli, uniq_milli, len_milli, quality_milli). */
+  private def qualityExprsSql(textExpr: String)
+      : (String, String, String, String, String) = {
     val toks = s"string_split($textExpr, ' ')"
     val nTok = s"CAST(len($toks) AS BIGINT)"
     val stopCnt = Stopwords
@@ -131,6 +133,18 @@ object TextOps {
            ELSE $uniqMilli * 2 - $stopMilli +
                 CASE WHEN $lenMilli BETWEEN 3000 AND 8000 THEN 500 ELSE 0 END
            END)"""
+    (nTok, stopMilli, uniqMilli, lenMilli, quality)
+  }
+
+  /** DuckDB mirror of [[qualityMilli]] alone — the threshold
+    * expression for funnel-style quality filters. */
+  def qualityMilliSql(textExpr: String): String =
+    qualityExprsSql(textExpr)._5
+
+  /** Identical formula as DuckDB SQL, for the oracle. */
+  def qualitySql(textExpr: String): String = {
+    val (nTok, stopMilli, uniqMilli, lenMilli, quality) =
+      qualityExprsSql(textExpr)
     s"""$nTok AS n_tokens, $stopMilli AS stop_milli,
        $uniqMilli AS uniq_milli, $lenMilli AS len_milli,
        $quality AS quality_milli,
@@ -187,7 +201,8 @@ object TextOps {
     } // foldRight ⇒ the FIRST matching profile wins
   }
 
-  def langSql(textExpr: String): String = {
+  /** (lang, score-expression) pairs as DuckDB SQL. */
+  private def langScoresSql(textExpr: String): Seq[(String, String)] = {
     val lt = s"lower($textExpr)"
     def cnt(g: String) =
       s"((length($lt) - length(replace($lt, '$g', ''))) // 3)"
@@ -196,13 +211,23 @@ object TextOps {
       trigs.zipWithIndex.map { case (g, i) => s"${n - i} * ${cnt(g)}" }
         .mkString("(", " + ", ")")
     }
-    val scores = LangProfiles.map { case (l, gs) => l -> score(gs) }
+    LangProfiles.map { case (l, gs) => l -> score(gs) }
+  }
+
+  /** DuckDB mirror of [[predictedLang]] alone — the argmax expression
+    * for funnel-style language filters. */
+  def predictedLangSql(textExpr: String): String = {
+    val scores = langScoresSql(textExpr)
     val best = scores.map(_._2).reduceRight((a, b) => s"GREATEST($a, $b)")
-    val pred = scores.foldRight("NULL") { case ((l, s), acc) =>
+    scores.foldRight("NULL") { case ((l, s), acc) =>
       s"CASE WHEN $s = $best THEN '$l' ELSE $acc END"
     }
+  }
+
+  def langSql(textExpr: String): String = {
+    val scores = langScoresSql(textExpr)
     val cols = scores.map { case (l, s) => s"$s AS score_$l" }.mkString(", ")
-    s"$cols, $pred AS predicted_lang"
+    s"$cols, ${predictedLangSql(textExpr)} AS predicted_lang"
   }
 
   /** PII redaction — the scrub step every training corpus runs before

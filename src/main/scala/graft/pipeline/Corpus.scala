@@ -45,7 +45,13 @@ import graft.ops.{Contamination, Dedup, Sampling, TextOps}
   */
 object Corpus {
 
-  final case class Funnel(stage: String, docs_in: Long, docs_out: Long)
+  /** Per-stage drop accounting. `out_id_sum` is the sum of surviving
+    * doc_ids — a membership signature, so an audit (and the funnel's
+    * DuckDB oracle) can tell "right count, wrong survivors" from a
+    * genuine match; it rides the same single aggregate job as the
+    * count. */
+  final case class Funnel(stage: String, docs_in: Long, docs_out: Long,
+                          out_id_sum: Long)
 
   /** Not a case class: the pinned-block ids must survive exactly as
     * captured at construction — a `copy()` would silently reset them
@@ -87,6 +93,12 @@ object Corpus {
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       ours = Set.empty
     }
+    // count + membership signature in ONE aggregate job per stage
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(col("doc_id")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     var current = docs.localCheckpoint()
     var currentCount =
       try current.count()
@@ -96,12 +108,12 @@ object Corpus {
       }
     ours = sc.getPersistentRDDs.keySet.toSet -- preexisting
     def staged(name: String)(f: DataFrame => DataFrame): Unit = {
-      val outCount =
+      val (outCount, outIdSum) =
         try {
           val out = f(current).localCheckpoint()
-          val n = out.count() // materializes the new checkpoint
+          val s = stats(out) // materializes the new checkpoint
           current = out
-          n
+          s
         } catch { case t: Throwable =>
           // a failed stage returns no Result, so nothing could ever
           // release the pinned blocks — evict everything this run
@@ -115,7 +127,7 @@ object Corpus {
       ours.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       ours = sc.getPersistentRDDs.keySet.toSet -- preexisting
-      funnel += Funnel(name, currentCount, outCount)
+      funnel += Funnel(name, currentCount, outCount, outIdSum)
       currentCount = outCount
     }
 

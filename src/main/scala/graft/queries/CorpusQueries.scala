@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dedup, Sampling, TextOps}
+import graft.pipeline.Corpus
+
+/** Oracle gate for the corpus-funnel COMPOSITION. Every stage of
+  * [[Corpus.run]] is individually oracle-gated (q_exact_dedup,
+  * q_neardup_clusters, q_contamination, q_quality_score, q_lang_id,
+  * q_domain_cap); this query gates what none of them can — the stage
+  * ORDERING and the funnel accounting: each stage consumes exactly
+  * the previous stage's survivors, and the per-stage (docs_in,
+  * docs_out, out_id_sum) triples match a DuckDB oracle that rebuilds
+  * the whole funnel as one CTE chain (each CTE the already-proven SQL
+  * form of its stage). The id-sum is a membership signature: equal
+  * counts with different survivors cannot pass.
+  *
+  * Funnel configuration mirrors the production defaults with the
+  * oracle-gated dedup banding from [[DedupQueries]]. The production
+  * maxBucket skew cap (10000) is kept as-is: an LSH bucket can never
+  * exceed the corpus row count, and every gate corpus (sf0.001 spec,
+  * sf0.01 verify, sf0.1 bench: ≤ ~5.6k docs with injected dups) sits
+  * far under the cap, so the cap provably cannot bite and oracle
+  * parity is exact while exercising the production posture.
+  */
+object CorpusQueries extends QueryPack {
+
+  import DedupQueries.{K, NumHashes, Bands, RowsPerBand}
+
+  private val NearDupMille = 850
+  private val QualityMin = 800L
+  private val Langs = Seq("en")
+  private val ContamK = 5
+  private val ContamMille = 500
+  private val Cap = 10
+
+  /** Exact-dup injection: every 7th doc appears twice (id+1000000) so
+    * the exact stage has real work — same convention as
+    * [[DedupQueries]]'s dup corpus. Eval set = every 37th doc (the
+    * q_contamination convention); eval members sit IN the corpus, so
+    * the decontaminate stage must drop them (and any near-dup twin
+    * that survived clustering). */
+  val corpusFunnel = GQuery(
+    "q_corpus_funnel",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("source")))
+      val evalDocs = docs.filter(col("doc_id") % 37 === 0)
+      val result = Corpus.run(s, corpus,
+        shingleK = K, numHashes = NumHashes,
+        bands = Bands, rowsPerBand = RowsPerBand,
+        nearDupMille = NearDupMille, minQualityMilli = QualityMin,
+        langs = Langs, evalDocs = Some(evalDocs),
+        contaminationK = ContamK, contaminationMille = ContamMille,
+        domainCap = Some(("source", Cap)))
+      val rows = result.funnel.zipWithIndex.map { case (f, i) =>
+        (i + 1, f.stage, f.docs_in, f.docs_out, f.out_id_sum)
+      }
+      result.unpersist()
+      rows.toDF("stage_idx", "stage", "docs_in", "docs_out", "out_id_sum")
+        .orderBy("stage_idx")
+    },
+    Some(s"""
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, source FROM documents
+        WHERE doc_id % 7 = 0),
+      keep1 AS (
+        SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+      s1 AS (SELECT c.* FROM corpus c JOIN keep1 USING (doc_id)),
+      sh AS (
+        SELECT doc_id, unnest(${Dedup.shinglesSql("text", K)}) AS sh
+        FROM s1),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE inter * 1000 // (na.n + nb.n - inter) >= $NearDupMille),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM s1
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+      survivors AS (
+        SELECT src AS doc_id FROM reach GROUP BY src HAVING src = MIN(node)),
+      s2 AS (SELECT s1.* FROM s1 JOIN survivors USING (doc_id)),
+      ev AS (
+        SELECT DISTINCT unnest(${Dedup.shinglesSql("text", ContamK)}) AS sh
+        FROM documents WHERE doc_id % 37 = 0),
+      dsh AS (
+        SELECT doc_id, unnest(${Dedup.shinglesSql("text", ContamK)}) AS sh
+        FROM s2),
+      cont AS (
+        SELECT d.doc_id FROM dsh d LEFT JOIN ev ON d.sh = ev.sh
+        GROUP BY d.doc_id
+        HAVING COUNT(ev.sh) * 1000 // COUNT(*) >= $ContamMille),
+      s3 AS (SELECT * FROM s2
+             WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      s4 AS (SELECT * FROM s3
+             WHERE ${TextOps.qualityMilliSql("text")} >= $QualityMin),
+      s5 AS (SELECT * FROM s4
+             WHERE ${TextOps.predictedLangSql("text")} IN
+               (${Langs.map(l => s"'$l'").mkString(", ")})),
+      ranked AS (
+        SELECT doc_id,
+               ${Sampling.domainCapRankSql("source", "doc_id")} AS rn
+        FROM s5),
+      s6 AS (SELECT doc_id FROM ranked WHERE rn <= $Cap),
+      funnel(stage_idx, stage, docs_in, docs_out, out_id_sum) AS (
+        SELECT 1, 'exact_dedup',
+          (SELECT COUNT(*) FROM corpus), (SELECT COUNT(*) FROM s1),
+          (SELECT COALESCE(SUM(doc_id), 0) FROM s1)
+        UNION ALL SELECT 2, 'neardup_dedup',
+          (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2),
+          (SELECT COALESCE(SUM(doc_id), 0) FROM s2)
+        UNION ALL SELECT 3, 'decontaminate',
+          (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s3),
+          (SELECT COALESCE(SUM(doc_id), 0) FROM s3)
+        UNION ALL SELECT 4, 'quality_filter',
+          (SELECT COUNT(*) FROM s3), (SELECT COUNT(*) FROM s4),
+          (SELECT COALESCE(SUM(doc_id), 0) FROM s4)
+        UNION ALL SELECT 5, 'lang_filter',
+          (SELECT COUNT(*) FROM s4), (SELECT COUNT(*) FROM s5),
+          (SELECT COALESCE(SUM(doc_id), 0) FROM s5)
+        UNION ALL SELECT 6, 'domain_cap',
+          (SELECT COUNT(*) FROM s5), (SELECT COUNT(*) FROM s6),
+          (SELECT COALESCE(SUM(doc_id), 0) FROM s6))
+      SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+             CAST(docs_in AS BIGINT) AS docs_in,
+             CAST(docs_out AS BIGINT) AS docs_out,
+             CAST(out_id_sum AS BIGINT) AS out_id_sum
+      FROM funnel ORDER BY stage_idx
+    """))
+
+  def all: Seq[GQuery] = Seq(corpusFunnel)
+}

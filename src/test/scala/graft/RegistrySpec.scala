@@ -9,22 +9,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("query names are unique across all packs") {
-    val names = SparkEntry.queries.keys.toSeq
-    // SparkEntry.queries is already a Map; recount from the packs
-    val fromPacks = Seq(
-      graft.queries.StarQueries, graft.queries.ValidateQueries,
-      graft.queries.AggQueries, graft.queries.JoinQueries,
-      graft.queries.WindowQueries, graft.queries.FuncQueries,
-      graft.queries.UpsertQueries, graft.queries.DedupQueries,
-      graft.queries.TextQueries, graft.queries.SimilarityQueries,
-      graft.queries.CsvQueries, graft.queries.PartitionQueries,
-      graft.queries.BinaryQueries, graft.queries.SkewQueries,
-      graft.queries.SampleQueries, graft.queries.TemporalQueries,
-      graft.queries.SketchQueries).flatMap(_.all.map(_.name))
+    // recount from the registry Seq itself (the pre-Map source), so a
+    // duplicate name in ANY pack — current or future — is caught
+    val fromPacks = SparkEntry.registry.map(_.name)
     val dups = fromPacks.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
-    assert(names.size == fromPacks.size,
-      s"Map collapsed ${fromPacks.size - names.size} shadowed queries")
+    assert(SparkEntry.queries.size == fromPacks.size,
+      s"Map collapsed ${fromPacks.size - SparkEntry.queries.size} shadowed queries")
   }
 
   test("every oracle belongs to a registered query") {
