@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths, StandardOpenOption}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,6 +37,11 @@ object Bench {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
     }
+    // sweep whatever the warmup pinned (e.g. a lineage-truncation
+    // checkpoint) BEFORE the prepares run, so the protected-fixture
+    // snapshot below can never protect warmup residue
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
     // untimed fixture setup (e.g. the partitioned-fact layout for
     // q_runmonth_pruning): one-off write I/O must not pollute timings
     val selectedNames = selected.map(_._1).toSet
@@ -46,6 +52,10 @@ object Bench {
         System.err.println(s"[bench] prepare $name FAILED: ${e.getMessage}")
       }
     }
+    // anything a prepare intentionally persisted is a cross-rep fixture
+    // and must SURVIVE the per-rep hygiene eviction below (the warmup's
+    // leftovers were already swept above, so nothing stale is protected)
+    val protectedIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     // median-of-3 is the artifact of record: single-rep runs showed
     // 15-40% machine-load + first-execution JIT/planning swings (r4/r5
     // spent judge time chasing phantom regressions on 8 sub-second
@@ -69,8 +79,12 @@ object Bench {
         // memory. Evict BEFORE the timer, and BLOCKING — async
         // removal would run its block deletes concurrently with the
         // measured query, putting the cost inside the timer after all.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        // Evict the DIFF only: prepare-persisted cross-rep fixtures
+        // (protectedIds) stay cached, same protocol as Corpus.run.
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) =>
+            if (!protectedIds.contains(id)) rdd.unpersist(blocking = true)
+          }
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9) }
@@ -83,7 +97,30 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // self-preserving artifact of record: the driver captures stdout
+    // through a tail window that has truncated the per-query map before
+    // (r7: BENCH_r07.json lost its total and 12 entries), so every
+    // FULL-registry run also lands the complete JSON in the repo —
+    // bench/latest.json (current) + bench/history.jsonl (append-only,
+    // timestamped, one line per run). Partial SPARK_GRAFT_BENCH_ONLY
+    // dev runs are interactive and write nothing.
+    if (only.isEmpty) {
+      try {
+        val dir = Paths.get("bench")
+        Files.createDirectories(dir)
+        val stamped =
+          s"""{"ts":${System.currentTimeMillis()},"reps":$reps,""" +
+            line.stripPrefix("{")
+        Files.writeString(dir.resolve("latest.json"), stamped + "\n")
+        Files.writeString(dir.resolve("history.jsonl"), stamped + "\n",
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }
