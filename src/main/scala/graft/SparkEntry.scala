@@ -42,4 +42,10 @@ object SparkEntry {
   /** Untimed fixture setup for benched queries (run before timing). */
   def benchPrepares: Map[String, (SparkSession, String) => Unit] =
     registry.filter(_.bench).flatMap(q => q.prepare.map(q.name -> _)).toMap
+
+  /** Every query's prepare, including bench=false evidence fixtures —
+    * for SPARK_GRAFT_BENCH_ONLY solo measurement of any registry
+    * query. */
+  def allPrepares: Map[String, (SparkSession, String) => Unit] =
+    registry.flatMap(q => q.prepare.map(q.name -> _)).toMap
 }

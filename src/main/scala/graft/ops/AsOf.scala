@@ -70,7 +70,7 @@ object AsOf {
                tieBreak: String,
                strict: Boolean = false,
                toleranceSec: Option[Long] = None): DataFrame =
-    joinImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+    joinImpl(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime,
       rightPayload, tieBreak, strict, toleranceSec, backwardDir = true)
 
   /** Forward as-of join: the EARLIEST reference row at-or-after the
@@ -85,7 +85,7 @@ object AsOf {
               tieBreak: String,
               strict: Boolean = false,
               toleranceSec: Option[Long] = None): DataFrame =
-    joinImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+    joinImpl(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime,
       rightPayload, tieBreak, strict, toleranceSec, backwardDir = false)
 
   /** Hot-key variant of [[backward]]: spreads ONE dominant key across
@@ -96,8 +96,13 @@ object AsOf {
     * `factor`× the reference side's volume. That trade is right when
     * the probe side dwarfs the reference side on the hot key (the
     * typical telemetry shape: billions of probe events, thousands of
-    * reference states). The composite (key, salt) struct is the
-    * window partition key, so no single task sorts the whole hot key.
+    * reference states). The composite (key, salt) pair is the window
+    * partition key, so no single task sorts the whole hot key — as
+    * FLAT columns, not a struct: WindowExec's required sort leads
+    * with the partition key, and a leading struct has no sort-prefix
+    * comparator (every comparison falls back to full records —
+    * measured ~40% overhead on a 2.4M-row probe), while a flat
+    * leading column keeps the radix/prefix sort path.
     */
   def backwardSalted(left: DataFrame, right: DataFrame,
                      leftKey: String, rightKey: String,
@@ -108,41 +113,38 @@ object AsOf {
                      strict: Boolean = false,
                      toleranceSec: Option[Long] = None): DataFrame = {
     require(factor > 0, s"salt factor must be positive: $factor")
-    val saltReserved = Set("_skey", "_salt")
+    val saltReserved = Set("_salt")
       .intersect(left.columns.toSet ++ right.columns.toSet)
     require(saltReserved.isEmpty,
       s"input columns collide with backwardSalted internals: " +
         saltReserved.mkString(", "))
-    val l = left.withColumn("_skey",
-      struct(col(leftKey).as("k"),
-        Skew.salt(col(leftTime), factor).as("s")))
-    // null reference keys/times must be dropped HERE: wrapped in a
-    // struct they would pass joinImpl's null checks and SQL-equality
-    // semantics would silently become null-safe
-    val r = right
-      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
-      .withColumn("_salt",
-        explode(sequence(lit(0), lit(factor - 1)).cast("array<int>")))
-      .withColumn("_skey",
-        struct(col(rightKey).as("k"), col("_salt").as("s")))
-      .drop("_salt")
-    joinImpl(l, r, "_skey", "_skey", leftTime, rightTime,
+    val l = left.withColumn("_salt", Skew.salt(col(leftTime), factor))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(factor - 1)).cast("array<int>")))
+    joinImpl(l, r, Seq(leftKey, "_salt"), Seq(rightKey, "_salt"),
+      leftTime, rightTime,
       rightPayload, tieBreak, strict, toleranceSec, backwardDir = true)
-      .drop("_skey")
+      .drop("_salt")
   }
 
   private def joinImpl(left: DataFrame, right: DataFrame,
-                       leftKey: String, rightKey: String,
+                       leftKeys: Seq[String], rightKeys: Seq[String],
                        leftTime: String, rightTime: String,
                        rightPayload: Seq[String],
                        tieBreak: String,
                        strict: Boolean,
                        toleranceSec: Option[Long],
                        backwardDir: Boolean): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"key arity mismatch: $leftKeys vs $rightKeys")
     val collisions = rightPayload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"rightPayload collides with probe columns: ${collisions.mkString(", ")}")
-    val reserved = Set("_k", "_t", "_tb", "_p", "_isRight", "_match")
+    // flat _k0.._kN key columns (never a struct): the window's
+    // required sort leads with the partition key, and only flat
+    // leading columns get a sort-prefix comparator
+    val kCols = leftKeys.indices.map(i => s"_k$i")
+    val reserved = kCols.toSet ++ Set("_t", "_tb", "_p", "_isRight", "_match")
     val reservedHits =
       (left.columns.toSet ++ right.columns.toSet).intersect(reserved)
     require(reservedHits.isEmpty,
@@ -154,24 +156,25 @@ object AsOf {
     val payloadStruct = struct(
       (col(rightTime).as("_mt") +: rightPayload.map(col)): _*)
     val rTagged = right
-      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .filter(rightKeys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(rightTime).isNotNull)
       .select(
-        col(rightKey).as("_k"),
-        col(rightTime).as("_t"),
-        col(tieBreak).as("_tb"),
-        payloadStruct.as("_p"),
-        lit(true).as("_isRight"))
+        rightKeys.zip(kCols).map { case (k, a) => col(k).as(a) } ++ Seq(
+          col(rightTime).as("_t"),
+          col(tieBreak).as("_tb"),
+          payloadStruct.as("_p"),
+          lit(true).as("_isRight")): _*)
     val payloadType =
       rTagged.schema(rTagged.schema.fieldIndex("_p")).dataType
 
     val lTagged = left.select(
-      (left.columns.map(col) :+
-        col(leftKey).as("_k") :+
-        col(leftTime).as("_t") :+
+      (left.columns.map(col) ++
+        leftKeys.zip(kCols).map { case (k, a) => col(k).as(a) } ++ Seq(
+        col(leftTime).as("_t"),
         // left rows sort after right ties on _tb regardless of type
-        lit(null).cast(rTagged.schema("_tb").dataType).as("_tb") :+
-        lit(null).cast(payloadType).as("_p") :+
-        lit(false).as("_isRight")): _*)
+        lit(null).cast(rTagged.schema("_tb").dataType).as("_tb"),
+        lit(null).cast(payloadType).as("_p"),
+        lit(false).as("_isRight"))): _*)
 
     // Sort order within a key: time ascending for backward (the
     // running `last` then holds the latest at-or-before), descending
@@ -185,7 +188,7 @@ object AsOf {
     val sideOrd =
       if (strict) col("_isRight").asc // false (left) first at equal t
       else col("_isRight").desc       // true (right) first at equal t
-    val w = Window.partitionBy("_k")
+    val w = Window.partitionBy(kCols.map(col): _*)
       .orderBy(timeOrd, sideOrd, col("_tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -197,16 +200,19 @@ object AsOf {
     // matches beyond the horizon (behind it for backward, ahead of it
     // for forward). Compared at full microsecond precision — a cast
     // to long floors to whole seconds and would let matches up to
-    // ~1 s past the horizon survive on sub-second timestamps.
+    // ~1 s past the horizon survive on sub-second timestamps. The
+    // explicit timestamp casts make tolerance work when either time
+    // column is a DATE (unix_micros rejects DateType; a DATE reads as
+    // midnight, the standard date→timestamp promotion).
     val withinTol = toleranceSec.fold(lit(true)) { tol =>
       val tolMicros = tol * 1000000L
-      if (backwardDir)
-        unix_micros(col("_match._mt")) >= unix_micros(col("_t")) - tolMicros
-      else
-        unix_micros(col("_match._mt")) <= unix_micros(col("_t")) + tolMicros
+      val mt = unix_micros(col("_match._mt").cast("timestamp"))
+      val t = unix_micros(col("_t").cast("timestamp"))
+      if (backwardDir) mt >= t - tolMicros
+      else mt <= t + tolMicros
     }
-    val valid = col("_k").isNotNull && col("_t").isNotNull &&
-      col("_match").isNotNull && withinTol
+    val valid = kCols.map(col(_).isNotNull).reduce(_ && _) &&
+      col("_t").isNotNull && col("_match").isNotNull && withinTol
     val matched = matched0.withColumn("_match",
       when(valid, col("_match")).otherwise(lit(null).cast(payloadType)))
 

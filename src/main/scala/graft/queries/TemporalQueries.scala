@@ -192,5 +192,125 @@ object TemporalQueries extends QueryPack {
       ORDER BY interval_id
     """))
 
-  def all: Seq[GQuery] = Seq(asofJoin, asofForward, asofSelf, rangeJoin)
+  /** Replication factor for the evidence-probe fixture (≈2.4M probes
+    * at sf0.1) — sized so the hot key's single-task window cost
+    * dominates the fixed per-query cost and the salting delta clears
+    * run-to-run noise. */
+  private val ProbeRep = 24
+
+  /** Probe fixture for the as-of salting evidence pairs: the events
+    * table exploded ×ProbeRep; in the `hot` shape ~90% of probes are
+    * re-keyed onto user 7 — the telemetry skew shape
+    * [[AsOf.backwardSalted]] exists for — and in the uniform shape
+    * they keep their original user. Timestamps are jittered per
+    * replica so the hot key's window isn't one giant tie run. */
+  private def evidenceProbe(s: org.apache.spark.sql.SparkSession,
+                            d: String, hot: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val pid = col("event_id") * ProbeRep + col("i")
+    Tables.events(s, d).select("event_id", "user_id", "ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        explode(sequence(lit(0), lit(ProbeRep - 1))).as("i"))
+      .select(
+        pid.as("probe_id"),
+        (if (hot) when(pid % 10 =!= 0, lit(7L)).otherwise(col("user_id"))
+         else col("user_id")).as("user_id"),
+        timestamp_micros(unix_micros(col("ts")) + col("i") * lit(1000000L))
+          .as("ts"))
+  }
+
+  private def evidenceSql(hot: Boolean): String = {
+    val key =
+      if (hot) s"""CASE WHEN (e.event_id * $ProbeRep + i) % 10 <> 0 THEN 7
+                       ELSE e.user_id END"""
+      else "e.user_id"
+    s"""
+      WITH e0 AS ($EventsMicrosSql),
+      probe AS (
+        SELECT e.event_id * $ProbeRep + i AS probe_id,
+               $key AS user_id,
+               make_timestamp(epoch_us(e.ts) + i * 1000000) AS ts
+        FROM e0 e CROSS JOIN generate_series(0, ${ProbeRep - 1}) AS t(i)),
+      matched AS (
+        SELECT p.user_id, o.o_orderkey
+        FROM probe p
+        LEFT JOIN LATERAL (
+          SELECT o_orderkey FROM orders o
+          WHERE o.o_custkey = p.user_id AND o.o_orderdate <= p.ts
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+          LIMIT 1) o ON TRUE)
+      SELECT user_id, COUNT(*) AS n_probes,
+             COUNT(o_orderkey) AS n_matched,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_matched_key
+      FROM matched GROUP BY user_id ORDER BY user_id
+    """
+  }
+
+  private def skewAggregate(joined: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    joined.groupBy("user_id")
+      .agg(count(lit(1)).as("n_probes"),
+        count(col("o_orderkey")).as("n_matched"),
+        sum("o_orderkey").as("sum_matched_key"))
+      .orderBy("user_id")
+
+  /** Reference side for the skew pair: only the matchable universe
+    * (events users are 0-149, so orders of custkeys >= 150 can never
+    * match a probe — dropping them changes nothing semantically).
+    * This is also the operator's contract shape: backwardSalted is
+    * for probe sides that DWARF the reference side (billions of
+    * telemetry events vs thousands of reference states); replicating
+    * a reference as large as the probe side is the documented
+    * anti-case and measurably loses (first-cut fixture: salted 4.4 s
+    * vs plain 1.9 s with the full 150k-row orders table replicated
+    * x16 — kept here as the negative result). */
+  private def skewRef(s: org.apache.spark.sql.SparkSession,
+                      d: String): org.apache.spark.sql.DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 150)
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+
+  /** EVIDENCE PAIR (like the skew-join pair in SkewQueries): same
+    * hot-key as-of through [[AsOf.backward]] (one window partition
+    * carries ~90% of 1.2M probes) vs [[AsOf.backwardSalted]] (the hot
+    * key spread over 16 salt partitions, the small reference
+    * replicated ×16). Both share one oracle — equivalence by hash.
+    * bench=false: the pair is measured by the solo protocol pinned in
+    * BASELINE.md ("Evidence pairs"), not by the in-sequence headline
+    * run. */
+  private def evidenceQuery(name: String, hot: Boolean,
+                            saltFactor: Option[Int]): GQuery = GQuery(
+    name,
+    (s, d) => skewAggregate(saltFactor match {
+      case Some(f) => AsOf.backwardSalted(
+        evidenceProbe(s, d, hot), skewRef(s, d),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey"), tieBreak = "o_orderkey",
+        factor = f)
+      case None => AsOf.backward(
+        evidenceProbe(s, d, hot), skewRef(s, d),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey"), tieBreak = "o_orderkey")
+    }),
+    Some(evidenceSql(hot)),
+    bench = false)
+
+  val asofSkewPlain = evidenceQuery("q_asof_skew_plain",
+    hot = true, saltFactor = None)
+  val asofSkewSalted = evidenceQuery("q_asof_skew_salted",
+    hot = true, saltFactor = Some(16))
+  /** The "loses nothing on uniform keys" half of the salting
+    * evidence: identical probe volume with the original (uniform)
+    * keys — salting here buys nothing, so its measured cost IS the
+    * overhead of salting when you shouldn't (reference replication;
+    * small by the contract shape above). */
+  val asofUniformPlain = evidenceQuery("q_asof_uniform_plain",
+    hot = false, saltFactor = None)
+  val asofUniformSalted = evidenceQuery("q_asof_uniform_salted",
+    hot = false, saltFactor = Some(16))
+
+  def all: Seq[GQuery] = Seq(asofJoin, asofForward, asofSelf, rangeJoin,
+    asofSkewPlain, asofSkewSalted, asofUniformPlain, asofUniformSalted)
 }

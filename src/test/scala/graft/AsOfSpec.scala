@@ -199,6 +199,27 @@ class AsOfSpec extends SparkSpec {
     assert(rowsAsSet(saltedT) == rowsAsSet(plainT))
   }
 
+  test("tolerance works with a DATE reference time (q_asof_join's shape)") {
+    val s = spark; import s.implicits._
+    // DATE rightTime is legal without tolerance (q_asof_join uses it);
+    // tolerance must not fail analysis on it (r7 advisory: unix_micros
+    // rejects DateType) and must measure from the date's midnight
+    val ref = Seq(("A", java.sql.Date.valueOf("2024-01-01"), 1L),
+        ("A", java.sql.Date.valueOf("2024-03-01"), 2L))
+      .toDF("sym2", "qdate", "qid")
+    val probe = Seq(
+        (1L, "A", ts("2024-01-02 00:00:00")), // 1 day after qid 1: survives
+        (2L, "A", ts("2024-02-20 00:00:00")), // 50 days after qid 1: nulled
+        (3L, "A", ts("2024-03-02 12:00:00"))  // 1.5 days after qid 2: survives
+      ).toDF("trade_id", "sym", "tts")
+    val got = AsOf.backward(probe, ref,
+        "sym", "sym2", "tts", "qdate", Seq("qid"), "qid",
+        toleranceSec = Some(7L * 86400L))
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[Any]("qid"))).toMap
+    assert(got == Map(1L -> Some(1L), 2L -> None, 3L -> Some(2L)))
+  }
+
   test("result is identical under repartitioning (determinism)") {
     val base = AsOf.backward(trades, quotesR,
       "sym", "sym2", "tts", "qts", Seq("qid", "price"), "qid")
