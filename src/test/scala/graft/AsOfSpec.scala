@@ -227,4 +227,36 @@ class AsOfSpec extends SparkSpec {
       "sym", "sym2", "tts", "qts", Seq("qid", "price"), "qid")
     assert(rowsAsSet(base) == rowsAsSet(shuffled))
   }
+
+  test("plan contract: exactly ONE keyed Exchange (the 100 TB claim)") {
+    // the scaladoc's cost claim — "exactly a sort-merge join's
+    // shuffle+sort on the same key" — as a plan assertion, so a
+    // Catalyst change that slips a second shuffle (or a sort per
+    // side) under the union can't regress silently while results
+    // stay right
+    val plan = AsOf.backward(trades, quotesR,
+        "sym", "sym2", "tts", "qts", Seq("qid", "price"), "qid")
+      .queryExecution.executedPlan.toString()
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"expected exactly 1 Exchange, found $exchanges:\n${plan.take(2000)}")
+    val sorts = plan.linesIterator.count(_.contains("Sort "))
+    assert(sorts == 1,
+      s"expected exactly 1 Sort (under the window), found $sorts:\n" +
+        plan.take(2000))
+  }
+
+  test("plan contract: salted variant stays one Exchange, flat sort keys") {
+    val plan = AsOf.backwardSalted(trades, quotesR,
+        "sym", "sym2", "tts", "qts", Seq("qid", "price"), "qid",
+        factor = 4)
+      .queryExecution.executedPlan.toString()
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"expected exactly 1 Exchange, found $exchanges:\n${plan.take(2000)}")
+    // the window partition key must be the flat (_k0, _k1) pair — a
+    // struct key loses the sort-prefix comparator (see BASELINE.md)
+    assert(plan.contains("_k0") && plan.contains("_k1"),
+      s"flat salt key columns missing from plan:\n${plan.take(2000)}")
+  }
 }

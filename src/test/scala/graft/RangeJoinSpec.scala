@@ -97,6 +97,25 @@ class RangeJoinSpec extends SparkSpec {
       s"expected the maxCellsPerInterval guard, got: ${ex.getMessage}")
   }
 
+  test("plan contract: equi-join on the grid cell, never BNLJ/cartesian") {
+    // the whole point of the bucket grid is turning the inequality
+    // into an equi-join; if Catalyst ever planned the cell join as
+    // BroadcastNestedLoopJoin or CartesianProduct the operator would
+    // still be CORRECT but quadratic — the 100 TB contract is the
+    // plan shape, so pin it
+    val plan = RangeJoin.intervalPointJoin(intervals, points,
+        "start_ts", "end_ts", "pts", bucketMicros = 3600L * 1000000L)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join planned as BNLJ:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"range join planned as cartesian:\n${plan.take(2000)}")
+    assert(
+      plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+        plan.contains("ShuffledHashJoin"),
+      s"expected a hash/merge equi-join on the grid cell:\n${plan.take(2000)}")
+  }
+
   test("degenerate and null rows are dropped, not crashed on") {
     val s = spark; import s.implicits._
     val bad = Seq(
