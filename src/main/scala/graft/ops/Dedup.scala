@@ -264,6 +264,31 @@ object Dedup {
       docs.select(col(idCol), explode(shingles(col(textCol), k)).as("sh")),
       idCol, "sh", numHashes)
 
+  /** Append a processed batch's signatures to a persisted store —
+    * the write half of the incremental loop: after
+    * [[incrementalNearDupPairs]] clears a batch, its signatures
+    * become history so the NEXT batch never re-shingles them.
+    *
+    * Layout: one store directory partitioned by `batch_id`. Writes
+    * use dynamic partition overwrite, so re-running a batch's update
+    * (a retried job) rewrites exactly its own partition — idempotent,
+    * never duplicated, and never touching other batches' files. The
+    * caller owns batch-id assignment (a ledger, an ingest sequence);
+    * ids must be stable across retries for the idempotency to hold.
+    */
+  def updateSignatureStore(sigs: DataFrame, path: String,
+                           batchId: Long): Unit =
+    sigs.withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(path)
+
+  /** Read the full signature store back ((id, sig) across all
+    * batches; `batch_id` rides along for audits). */
+  def readSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Incremental near-dup discovery — the operational shape at
     * 100 TB: a full-corpus [[lshNearDupPairs]] re-shingles and
     * re-hashes EVERYTHING per ingest, but a new batch only needs

@@ -106,7 +106,7 @@ object DedupQueries extends QueryPack {
     (s, d) => Dedup
       .lshNearDupPairs(Tables.documents(s, d), "doc_id", "text",
         K, NumHashes, Bands, RowsPerBand, minMille = 850,
-        maxBucket = None) // oracle-gated: exact parity, no skew cap
+        maxBucket = CapNoBite) // production posture; cap can't bite
       .orderBy("id_a", "id_b"),
     Some(jaccardOracle(850)))
 
@@ -167,7 +167,7 @@ object DedupQueries extends QueryPack {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.lshNearDupPairs(docs, "doc_id", "text",
         K, NumHashes, Bands, RowsPerBand, minMille = 850,
-        maxBucket = None) // oracle-gated: exact parity, no skew cap
+        maxBucket = CapNoBite) // production posture; cap can't bite
       Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
           pairs, "id_a", "id_b")
         .orderBy("doc_id")
@@ -192,8 +192,18 @@ object DedupQueries extends QueryPack {
     s"/tmp/graft_fixtures/sigstore_${new java.io.File(d).getName}/sigs"
 
   /** Bump when the signature parameters or the store split change so
-    * stale stores rebuild. */
-  private val SigStoreVersion = 1
+    * stale stores rebuild. (v2: batch_id-partitioned layout via
+    * [[Dedup.updateSignatureStore]].) */
+  private val SigStoreVersion = 2
+
+  /** Production skew-cap posture for the LSH discovery queries, at a
+    * value that provably cannot bite on any gate corpus: an LSH
+    * bucket holds at most one entry per document (payload is a set),
+    * so bucket size is bounded by the corpus row count — ≤ ~5.6k docs
+    * at the largest gate scale (sf0.1 + injected dups), far under the
+    * cap. Oracle parity is therefore exact while the query exercises
+    * the capped production path (same posture as Corpus.run). */
+  private val CapNoBite = Some(10000)
 
   /** Idempotent signature-store ensure (same fingerprint-marker
     * protocol as the partitioned-fact fixture): persist the "existing
@@ -207,10 +217,11 @@ object DedupQueries extends QueryPack {
     val fingerprint = s"v$SigStoreVersion:$K:$NumHashes:" +
       Fixtures.sourceStamp(s, s"$d/documents.parquet")
     Fixtures.ensure(s, path, fingerprint) {
-      Dedup.signatures(
+      Dedup.updateSignatureStore(
+        Dedup.signatures(
           Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0),
-          "doc_id", "text", K, NumHashes)
-        .write.parquet(s"$path/data")
+          "doc_id", "text", K, NumHashes),
+        s"$path/data", batchId = 0L)
     }
   }
 
@@ -227,11 +238,11 @@ object DedupQueries extends QueryPack {
     (s, d) => {
       ensureSigStore(s, d)
       val docs = Tables.documents(s, d)
-      val store = s.read.parquet(s"${sigStorePath(d)}/data")
+      val store = Dedup.readSignatureStore(s, s"${sigStorePath(d)}/data")
       Dedup.incrementalNearDupPairs(
           store, docs.filter(col("doc_id") % 5 === 0), docs,
           "doc_id", "text", K, NumHashes, Bands, RowsPerBand,
-          minMille = 850, maxBucket = None)
+          minMille = 850, maxBucket = CapNoBite)
         .orderBy("id_a", "id_b")
     },
     Some(s"""
