@@ -114,6 +114,18 @@ object StreamBench {
           "user_id", "user_id", "ts", "ts",
           lowerSec = 0L, upperSec = 1800L, watermark = "1 hour"),
         OutputMode.Append, "ssjoin"))),
+      // LEFT-OUTER interval join: same state machinery plus the
+      // null-padded emission path — an unmatched left row emits only
+      // once the watermark proves no match can still arrive, so the
+      // outer path is where eviction-timing bugs would surface
+      "interval_join_outer" -> (() => timed(noop(
+        Streams.intervalJoin(
+          readSliced().filter(col("event_type") === "click"),
+          readSliced().filter(col("event_type") === "purchase"),
+          "user_id", "user_id", "ts", "ts",
+          lowerSec = 0L, upperSec = 1800L, watermark = "1 hour",
+          joinType = "leftOuter"),
+        OutputMode.Append, "ssjoin_outer"))),
       // stateless stream-static broadcast enrich: the no-state baseline
       "enrich_static" -> (() => timed {
         val dim = spark.range(1500).select(col("id").as("user_id"),

@@ -143,6 +143,68 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 11L), (2L, 12L)))
   }
 
+  test("left-outer interval join: null padding emits exactly at watermark expiry") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ssjo").toString
+    val header = "event_id,ts,user_id,event_type,value"
+    val ckpt = s"$root/ckpt"
+    writeCsv(s"$root/clicks", "c.csv", Seq(header,
+      "1,2026-04-01 10:00:00,7,click,0", // matched by buy 11
+      "2,2026-04-01 10:00:00,8,click,0", // never matched -> null pad
+      "3,2026-04-01 13:00:00,9,click,0")) // never matched, stays open
+    writeCsv(s"$root/buys", "b1.csv", Seq(header,
+      "11,2026-04-01 10:10:00,7,purchase,5.0"))
+    // maxFilesPerTrigger=1: watermark advancement acts on the NEXT
+    // micro-batch, so the expiry-emission batch needs a successor —
+    // one file per trigger makes phase 2's two files two batches
+    def src(dir: String) = spark.readStream.schema(eventsSchema)
+      .option("header", "true").option("maxFilesPerTrigger", "1").csv(dir)
+    // file sink: supports checkpoint recovery (memory sink does not)
+    // and its metadata log makes the emitted-row history inspectable
+    def run(): Seq[(Long, Option[Long])] = {
+      val q = Streams.intervalJoin(src(s"$root/clicks"), src(s"$root/buys"),
+          "user_id", "user_id", "ts", "ts",
+          lowerSec = 0L, upperSec = 1800L, watermark = "10 minutes",
+          joinType = "leftOuter")
+        .select("l_event_id", "r_event_id")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$root/out").collect().toSeq
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    }
+
+    // phase 1: the GLOBAL watermark is min over both inputs — buys
+    // max ts is 10:10, so the watermark (10:00) has NOT passed click
+    // 2's match horizon (10:30). The unmatched row must NOT emit yet:
+    // a match could still arrive. Only the inner match appears.
+    val phase1 = run()
+    assert(phase1.toSet == Set(1L -> Some(11L)),
+      s"click 2 null-padded before its horizon expired: $phase1")
+
+    // phase 2 (same checkpoint, sink accumulates): later events on
+    // BOTH sides lift the global watermark (min across inputs; a side
+    // with no new data holds it down — the operational reason quiet
+    // streams delay outer emission) to 12:50 — past click 2's horizon,
+    // so its null-padded row must now emit; clicks 3/4 (13:00) are
+    // still inside their horizon and must stay buffered, not padded.
+    writeCsv(s"$root/clicks", "c2.csv", Seq(header,
+      "4,2026-04-01 13:00:00,6,click,0")) // advances the clicks watermark
+    writeCsv(s"$root/buys", "b2.csv", Seq(header,
+      "12,2026-04-01 13:05:00,5,purchase,1.0")) // user 5: matches nothing
+    writeCsv(s"$root/buys", "b3.csv", Seq(header,
+      "13,2026-04-01 13:06:00,5,purchase,1.0")) // drives the post-advance batch
+    val phase2 = run()
+    assert(phase2.contains(2L -> None),
+      s"click 2 not null-padded after watermark expiry: $phase2")
+    assert(!phase2.exists(p => p._1 == 3L || p._1 == 4L),
+      s"open-horizon click emitted before its horizon expired: $phase2")
+    assert(phase2.count(_ == (1L -> Some(11L))) == 1,
+      s"exactly-once violated: phase 1's match re-emitted: $phase2")
+  }
+
   test("sessionization state survives micro-batches; gap closes sessions") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_sess").toString
