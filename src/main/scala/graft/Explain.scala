@@ -25,7 +25,16 @@ object Explain {
     val picked = if (names.isEmpty) qs.keys.toSeq.sorted else names.toSeq
     picked.foreach { n =>
       println(s"\n========== $n ==========")
-      qs(n)(spark, sfDir).explain("formatted")
+      qs.get(n) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None =>
+          val near = qs.keys.toSeq.sorted
+            .filter(k => k.contains(n.stripPrefix("q_")) ||
+              n.contains(k.stripPrefix("q_")))
+          sys.error(s"unknown query '$n'." + (
+            if (near.nonEmpty) s" Did you mean: ${near.mkString(", ")}?"
+            else s" Known queries: ${qs.keys.toSeq.sorted.mkString(", ")}"))
+      }
     }
     spark.stop()
   }

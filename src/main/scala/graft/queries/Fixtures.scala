@@ -23,23 +23,41 @@ private[queries] object Fixtures {
 
   /** Rebuild `path` via `build` unless its marker already records
     * `fingerprint`; the stale dir is deleted first (dynamic-overwrite
-    * builders would otherwise leave mixed-generation partitions). */
+    * builders would otherwise leave mixed-generation partitions).
+    *
+    * Cross-process safe: two JVMs racing through the same sf dir's
+    * fixture (e.g. verify and bench) would interleave delete/build/
+    * marker and leave a corrupt fixture, so the whole check-and-build
+    * runs under an OS file lock next to the fixture dir; the loser
+    * blocks, re-reads the fresh marker, and skips. (Local-filesystem
+    * lock — fixtures live under /tmp by convention.) */
   def ensure(spark: SparkSession, path: String, fingerprint: String)
             (build: => Unit): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_GRAFT_COMPLETE")
-    val fs = marker.getFileSystem(hconf)
-    val current =
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    val lockPath = java.nio.file.Paths.get(s"$path.lock")
+    java.nio.file.Files.createDirectories(lockPath.getParent)
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = ch.lock() // blocks until a racing builder finishes
+    try {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_GRAFT_COMPLETE")
+      val fs = marker.getFileSystem(hconf)
+      val current =
+        if (!fs.exists(marker)) None
+        else {
+          val in = fs.open(marker)
+          try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+        }
+      if (!current.contains(fingerprint)) {
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        build
+        val out = fs.create(marker, true)
+        try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
       }
-    if (!current.contains(fingerprint)) {
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      build
-      val out = fs.create(marker, true)
-      try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
+    } finally {
+      lock.release()
+      ch.close()
     }
   }
 }
