@@ -67,46 +67,45 @@ object Corpus {
     }
   }
 
-  def run(spark: SparkSession, docs: DataFrame,
-          shingleK: Int = 3, numHashes: Int = 64,
-          bands: Int = 16, rowsPerBand: Int = 4,
-          nearDupMille: Int = 850, minQualityMilli: Long = 800L,
-          langs: Seq[String] = Seq("en"),
-          maxBucket: Int = 10000,
-          evalDocs: Option[DataFrame] = None,
-          contaminationK: Int = 5,
-          contaminationMille: Int = 500,
-          domainCap: Option[(String, Int)] = None): Result = {
-    val funnel = Seq.newBuilder[Funnel]
-    val sc = spark.sparkContext
-    // ids of block-manager entries THIS run created in the previous
-    // stage (never touches caller-persisted inputs): evicted as soon
-    // as the next stage's checkpoint is physical. The id-diff
-    // attribution assumes no OTHER thread persists RDDs on this
-    // SparkContext while run() is between snapshots — concurrent
-    // persists landing in the window would be evicted as ours. Run
-    // the funnel from one thread (its stages are serial anyway).
-    val preexisting = sc.getPersistentRDDs.keySet.toSet
-    var ours: Set[Int] = Set.empty
-    def evictOurs(): Unit = {
+  /** Shared stage machinery for [[run]] and [[runBatch]]: per-stage
+    * eager localCheckpoint + one (count, id-sum) aggregate job, with
+    * the eviction discipline the r7 leak hunt established — a stage's
+    * checkpoint blocks are released the moment the next stage's are
+    * physical, and EVERY failure path evicts everything this runner
+    * created before rethrowing.
+    *
+    * The RDD-id-diff attribution assumes no OTHER thread persists
+    * RDDs on this SparkContext between snapshots — concurrent
+    * persists landing in the window would be evicted as ours. Run a
+    * funnel from one thread (its stages are serial anyway). */
+  private final class StageRunner(spark: SparkSession, docs: DataFrame) {
+    private val sc = spark.sparkContext
+    private val preexisting = sc.getPersistentRDDs.keySet.toSet
+    private var ours: Set[Int] = Set.empty
+    private val funnel = Seq.newBuilder[Funnel]
+
+    /** Evict every block this runner created; call before rethrowing
+      * on any failure after the stages (e.g. a failed store write). */
+    def failCleanup(): Unit = {
+      ours = sc.getPersistentRDDs.keySet.toSet -- preexisting
       ours.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       ours = Set.empty
     }
+
     // count + membership signature in ONE aggregate job per stage
-    def stats(df: DataFrame): (Long, Long) = {
+    private def stats(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
         coalesce(sum(col("doc_id")), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    var current = docs.localCheckpoint()
-    var currentCount =
+
+    var current: DataFrame = docs.localCheckpoint()
+    private var currentCount =
       try current.count()
-      catch { case t: Throwable =>
-        ours = sc.getPersistentRDDs.keySet.toSet -- preexisting
-        evictOurs(); throw t
-      }
+      catch { case t: Throwable => failCleanup(); throw t }
     ours = sc.getPersistentRDDs.keySet.toSet -- preexisting
+
     def staged(name: String)(f: DataFrame => DataFrame): Unit = {
       val (outCount, outIdSum) =
         try {
@@ -118,8 +117,7 @@ object Corpus {
           // a failed stage returns no Result, so nothing could ever
           // release the pinned blocks — evict everything this run
           // created (including the partial stage's) before rethrowing
-          ours = sc.getPersistentRDDs.keySet.toSet -- preexisting
-          evictOurs()
+          failCleanup()
           throw t
         }
       // the new checkpoint is physical: evict everything this run
@@ -130,6 +128,22 @@ object Corpus {
       funnel += Funnel(name, currentCount, outCount, outIdSum)
       currentCount = outCount
     }
+
+    def result(): Result = new Result(current, funnel.result(), ours)
+  }
+
+  def run(spark: SparkSession, docs: DataFrame,
+          shingleK: Int = 3, numHashes: Int = 64,
+          bands: Int = 16, rowsPerBand: Int = 4,
+          nearDupMille: Int = 850, minQualityMilli: Long = 800L,
+          langs: Seq[String] = Seq("en"),
+          maxBucket: Int = 10000,
+          evalDocs: Option[DataFrame] = None,
+          contaminationK: Int = 5,
+          contaminationMille: Int = 500,
+          domainCap: Option[(String, Int)] = None): Result = {
+    val runner = new StageRunner(spark, docs)
+    import runner.staged
 
     // 1. exact dedup: survivors carry the min id per content hash
     staged("exact_dedup") { d =>
@@ -172,6 +186,117 @@ object Corpus {
         Sampling.domainCap(_, col(domainCol), col("doc_id"), cap))
     }
 
-    new Result(current, funnel.result(), ours)
+    runner.result()
+  }
+
+  /** One operational ingest tick — the incremental twin of [[run]]:
+    * clean a NEW batch against the corpus's persisted signature store
+    * ([[Dedup.updateSignatureStore]] layout) instead of re-shingling
+    * history, then append the batch's signatures so the NEXT tick
+    * treats this one as history.
+    *
+    * Stage semantics vs the full funnel:
+    *  - exact dedup runs within the batch (cross-batch exact dups are
+    *    jaccard-1000 near-dups and drop in the next stage);
+    *  - near-dup discovery goes through
+    *    [[Dedup.incrementalNearDupPairs]] — only the batch is
+    *    shingled; history text (`historyText`) is touched only for
+    *    candidate verifies and must cover every id the store has
+    *    EVER been fed (raw batches, not just survivors — the store
+    *    keeps dropped docs' signatures; see the store-update note).
+    *    A batch doc drops if its near-dup cluster
+    *    contains ANY history doc ("history wins" — with monotone ids
+    *    across batches that is exactly the full funnel's min-id
+    *    survivor rule), else the cluster minimum survives;
+    *  - the row-local stages (decontaminate/quality/lang) and the cap
+    *    are unchanged — note a per-batch domain cap bounds each batch,
+    *    not the historical total (a global cap needs a count store —
+    *    out of scope here);
+    *  - the store update appends signatures of the RAW batch, not
+    *    just the final survivors: the full funnel clusters FIRST and
+    *    filters later, so a future doc near-dupping a quality- or
+    *    dedup-dropped doc must still drop — storing pre-filter
+    *    signatures preserves that transitivity (chains through
+    *    dropped docs resolve exactly as one big run would; exact dups
+    *    contribute identical signatures, redundant but harmless).
+    *    Sequential runBatch ticks ≡ one full run on the union — the
+    *    equivalence CorpusSpec pins.
+    *
+    * Crash safety: the store update is the LAST step; a crash before
+    * it leaves the store untouched, and the retried tick recomputes
+    * the same survivors (everything is deterministic) and overwrites
+    * its own `batchId` partition idempotently.
+    */
+  def runBatch(spark: SparkSession, newDocs: DataFrame,
+               historyText: DataFrame,
+               storePath: String, batchId: Long,
+               shingleK: Int = 3, numHashes: Int = 64,
+               bands: Int = 16, rowsPerBand: Int = 4,
+               nearDupMille: Int = 850, minQualityMilli: Long = 800L,
+               langs: Seq[String] = Seq("en"),
+               maxBucket: Int = 10000,
+               evalDocs: Option[DataFrame] = None,
+               contaminationK: Int = 5,
+               contaminationMille: Int = 500,
+               domainCap: Option[(String, Int)] = None): Result = {
+    val runner = new StageRunner(spark, newDocs)
+    import runner.staged
+
+    staged("exact_dedup") { d =>
+      val keep = Dedup.exact(d, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      d.join(keep, Seq("doc_id"), "left_semi")
+    }
+
+    staged("neardup_vs_history") { d =>
+      val store = Dedup.readSignatureStore(spark, storePath)
+      val pairs = Dedup.incrementalNearDupPairs(
+        store, d, historyText.select("doc_id", "text")
+          .unionByName(d.select("doc_id", "text")),
+        "doc_id", "text", shingleK, numHashes, bands, rowsPerBand,
+        nearDupMille, maxBucket = Some(maxBucket))
+      // components over batch ids + every history id the pairs touch
+      // (history singletons don't affect batch survivorship)
+      val batchIds = d.select("doc_id")
+      val nodes = batchIds
+        .unionByName(pairs.select(col("id_a").as("doc_id")))
+        .unionByName(pairs.select(col("id_b").as("doc_id")))
+        .distinct()
+      val comp = Dedup.connectedComponents(nodes, "doc_id",
+        pairs, "id_a", "id_b")
+      val flagged = comp.join(
+        batchIds.withColumn("_b", lit(true)), Seq("doc_id"), "left")
+      val clusterHasHistory = flagged.groupBy("cluster_id")
+        .agg(max(when(col("_b").isNull, 1).otherwise(0)).as("_hh"))
+      val keep = flagged.filter(col("_b").isNotNull)
+        .join(clusterHasHistory, Seq("cluster_id"))
+        .filter(col("_hh") === 0 && col("is_survivor") === 1)
+        .select("doc_id")
+      d.join(keep, Seq("doc_id"), "left_semi")
+    }
+
+    evalDocs.foreach { ev =>
+      staged("decontaminate")(d =>
+        Contamination.decontaminate(d, ev, "doc_id", "text",
+          contaminationK, contaminationMille))
+    }
+    staged("quality_filter")(
+      _.filter(TextOps.qualityMilli(col("text")) >= minQualityMilli))
+    staged("lang_filter")(
+      _.filter(TextOps.predictedLang(col("text")).isin(langs: _*)))
+    domainCap.foreach { case (domainCol, cap) =>
+      staged("domain_cap")(
+        Sampling.domainCap(_, col(domainCol), col("doc_id"), cap))
+    }
+
+    // LAST step, and built from the caller's `newDocs` lineage (the
+    // runner's stage checkpoints are evicted by now and could not be
+    // re-read): a crash before this leaves the store untouched
+    try Dedup.updateSignatureStore(
+      Dedup.signatures(newDocs, "doc_id", "text", shingleK, numHashes),
+      storePath, batchId)
+    catch { case t: Throwable => runner.failCleanup(); throw t }
+
+    runner.result()
   }
 }

@@ -100,6 +100,70 @@ class CorpusSpec extends SparkSpec {
       s"failed run left ${leaked.size} pinned RDDs")
   }
 
+  test("sequential runBatch ticks ≡ one full run; chains through dropped docs resolve") {
+    val s = spark; import s.implicits._
+    val docs = Tables.documents(spark, TinySf).select("doc_id", "text")
+    val allLangs = Seq("en", "de", "fr", "es", "zh")
+    // synthetic novel vocab (disjoint from the corpus) — a 3-step
+    // near-dup CHAIN A~B~C where A!~C: 30-word A, B = A + 3 words
+    // (3-gram jaccard 28/31 ≈ .90 ≥ .85), C = B + 3 words (31/34 ≈
+    // .91 ≥ .85) but C vs A = 28/34 ≈ .82 < .85. The full funnel
+    // clusters {A,B,C} → only A survives; the incremental path only
+    // gets that right because the store keeps DROPPED docs'
+    // signatures (store-all): C never pairs with A directly.
+    val wordsA = (1 to 30).map(i => s"zqx$i")
+    val textA = wordsA.mkString(" ")
+    val textB = (wordsA ++ Seq("qqa1", "qqa2", "qqa3")).mkString(" ")
+    val textC = (wordsA ++ Seq("qqa1", "qqa2", "qqa3", "qqb1", "qqb2",
+      "qqb3")).mkString(" ")
+    val textT2 = (1 to 30).map(i => s"vwy$i").mkString(" ")
+    val batch1 = Seq(
+      1000L -> docs.filter(col("doc_id") === 0L).head().getString(1),
+      1001L -> textA, // novel: survives
+      1002L -> textB  // near-dup of A within the batch: drops
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      2000L -> textC, // near-dup ONLY of dropped B: must still drop
+      2001L -> textT2 // novel: survives
+    ).toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_inc")
+      .toString + "/store"
+    // bootstrap: the base corpus generation stores its RAW signatures
+    graft.ops.Dedup.updateSignatureStore(
+      graft.ops.Dedup.signatures(docs, "doc_id", "text", 3, 64), dir, 0L)
+    val baseRun = Corpus.run(spark, docs, langs = allLangs,
+      minQualityMilli = 0L)
+
+    val tick1 = Corpus.runBatch(spark, batch1, historyText = docs,
+      storePath = dir, batchId = 1L, langs = allLangs,
+      minQualityMilli = 0L)
+    val tick2 = Corpus.runBatch(spark, batch2,
+      historyText = docs.unionByName(batch1),
+      storePath = dir, batchId = 2L, langs = allLangs,
+      minQualityMilli = 0L)
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val sequential = ids(baseRun.cleaned) ++ ids(tick1.cleaned) ++
+      ids(tick2.cleaned)
+
+    val full = Corpus.run(spark,
+      docs.unionByName(batch1).unionByName(batch2),
+      langs = allLangs, minQualityMilli = 0L)
+    assert(sequential == ids(full.cleaned),
+      "sequential ticks diverged from the one-shot funnel")
+    // the named behaviors, explicitly
+    assert(!sequential.contains(1000L), "verbatim history copy kept")
+    assert(sequential.contains(1001L), "novel batch-1 doc lost")
+    assert(!sequential.contains(1002L), "in-batch near-dup kept")
+    assert(!sequential.contains(2000L),
+      "chain through a DROPPED doc not resolved (store-all violated)")
+    assert(sequential.contains(2001L), "novel batch-2 doc lost")
+
+    baseRun.unpersist(); tick1.unpersist(); tick2.unpersist()
+  }
+
   test("decontamination and domain-cap stages compose into the funnel") {
     val docs = Tables.documents(spark, TinySf)
       .select("doc_id", "text", "source")
