@@ -146,5 +146,127 @@ object CorpusQueries extends QueryPack {
       FROM funnel ORDER BY stage_idx
     """))
 
-  def all: Seq[GQuery] = Seq(corpusFunnel)
+  /** Oracle gate for the INCREMENTAL funnel composition
+    * ([[Corpus.runBatch]]): batch = every 5th doc (+ in-batch exact
+    * dups every 15th at id+1000000), history = the rest. The oracle
+    * encodes runBatch's specified semantics directly — within-batch
+    * exact dedup, near-dup pairs restricted to batch-touching,
+    * components over the touched subgraph, HISTORY-WINS survivorship
+    * (a batch doc in any cluster containing a history doc drops;
+    * batch-only clusters keep their minimum), then the row-local
+    * filters — so the gate is independent of the CorpusSpec
+    * equivalence proof. The store is bootstrapped fresh per run into
+    * a temp dir (isolation: runBatch APPENDS to its store, and a
+    * shared fixture would accrete batch partitions); bench=false —
+    * correctness surface, the perf story is q_incremental_neardup's.
+    */
+  val corpusBatch = GQuery(
+    "q_corpus_batch",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val history = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .unionByName(docs.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_qbatch").toString + "/store"
+      graft.ops.Dedup.updateSignatureStore(
+        graft.ops.Dedup.signatures(history, "doc_id", "text", K, NumHashes),
+        store, 0L)
+      val result = Corpus.runBatch(s, batch, historyText = history,
+        storePath = store, batchId = 1L,
+        shingleK = K, numHashes = NumHashes,
+        bands = Bands, rowsPerBand = RowsPerBand,
+        nearDupMille = NearDupMille, minQualityMilli = QualityMin,
+        langs = Langs)
+      val rows = result.funnel.zipWithIndex.map { case (f, i) =>
+        (i + 1, f.stage, f.docs_in, f.docs_out, f.out_id_sum)
+      }
+      result.unpersist()
+      rows.toDF("stage_idx", "stage", "docs_in", "docs_out", "out_id_sum")
+        .orderBy("stage_idx")
+    },
+    Some(s"""
+      WITH RECURSIVE hist AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 15 = 0),
+      keep1 AS (
+        SELECT MIN(doc_id) AS doc_id FROM batch GROUP BY md5(text)),
+      s1 AS (SELECT b.* FROM batch b JOIN keep1 USING (doc_id)),
+      uni AS (SELECT * FROM hist UNION ALL SELECT * FROM s1),
+      sh AS (
+        SELECT doc_id, unnest(${Dedup.shinglesSql("text", K)}) AS sh
+        FROM uni),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE inter * 1000 // (na.n + nb.n - inter) >= $NearDupMille
+          AND (id_a IN (SELECT doc_id FROM s1)
+               OR id_b IN (SELECT doc_id FROM s1))),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      nodes AS (
+        SELECT doc_id FROM s1
+        UNION SELECT id_a FROM pairs
+        UNION SELECT id_b FROM pairs),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+      clus AS (
+        SELECT src AS doc_id, MIN(node) AS cluster_id
+        FROM reach GROUP BY src),
+      member AS (
+        SELECT c.doc_id, c.cluster_id,
+               c.doc_id IN (SELECT doc_id FROM s1) AS is_b
+        FROM clus c),
+      hh AS (
+        SELECT cluster_id,
+               MAX(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS has_hist,
+               MIN(doc_id) AS cmin
+        FROM member GROUP BY cluster_id),
+      s2 AS (
+        SELECT s1.* FROM s1
+        JOIN member m USING (doc_id)
+        JOIN hh ON hh.cluster_id = m.cluster_id
+        WHERE hh.has_hist = 0 AND s1.doc_id = hh.cmin),
+      s3 AS (SELECT * FROM s2
+             WHERE ${TextOps.qualityMilliSql("text")} >= $QualityMin),
+      s4 AS (SELECT * FROM s3
+             WHERE ${TextOps.predictedLangSql("text")} IN
+               (${Langs.map(l => s"'$l'").mkString(", ")})),
+      funnel(stage_idx, stage, docs_in, docs_out, out_id_sum) AS (
+        SELECT 1, 'exact_dedup',
+          (SELECT COUNT(*) FROM batch), (SELECT COUNT(*) FROM s1),
+          (SELECT COALESCE(SUM(doc_id), 0) FROM s1)
+        UNION ALL SELECT 2, 'neardup_vs_history',
+          (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2),
+          (SELECT COALESCE(SUM(doc_id), 0) FROM s2)
+        UNION ALL SELECT 3, 'quality_filter',
+          (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s3),
+          (SELECT COALESCE(SUM(doc_id), 0) FROM s3)
+        UNION ALL SELECT 4, 'lang_filter',
+          (SELECT COUNT(*) FROM s3), (SELECT COUNT(*) FROM s4),
+          (SELECT COALESCE(SUM(doc_id), 0) FROM s4))
+      SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+             CAST(docs_in AS BIGINT) AS docs_in,
+             CAST(docs_out AS BIGINT) AS docs_out,
+             CAST(out_id_sum AS BIGINT) AS out_id_sum
+      FROM funnel ORDER BY stage_idx
+    """),
+    bench = false)
+
+  def all: Seq[GQuery] = Seq(corpusFunnel, corpusBatch)
 }
