@@ -31,8 +31,21 @@ private[queries] object Fixtures {
     * runs under an OS file lock next to the fixture dir; the loser
     * blocks, re-reads the fresh marker, and skips. (Local-filesystem
     * lock — fixtures live under /tmp by convention.) */
+  /** Same-JVM serialization per path: OS file locks are held per
+    * JVM, so a second THREAD hitting the same fixture would get
+    * OverlappingFileLockException instead of blocking — take a
+    * process-local monitor first. */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def ensure(spark: SparkSession, path: String, fingerprint: String)
-            (build: => Unit): Unit = {
+            (build: => Unit): Unit =
+    jvmLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      ensureLocked(spark, path, fingerprint)(build)
+    }
+
+  private def ensureLocked(spark: SparkSession, path: String,
+                           fingerprint: String)(build: => Unit): Unit = {
     val lockPath = java.nio.file.Paths.get(s"$path.lock")
     java.nio.file.Files.createDirectories(lockPath.getParent)
     val ch = java.nio.channels.FileChannel.open(lockPath,
