@@ -264,6 +264,45 @@ object Dedup {
       docs.select(col(idCol), explode(shingles(col(textCol), k)).as("sh")),
       idCol, "sh", numHashes)
 
+  /** Append a processed batch's content FINGERPRINTS (md5, the
+    * [[exact]] group key) to a persisted store — the exact-dedup twin
+    * of [[updateSignatureStore]], same batch_id-partitioned layout
+    * and dynamic-overwrite idempotency. At 100 TB this is the cheap
+    * first line of incremental dedup: a new batch drops its exact
+    * re-ingests with one fixed-width anti-join before the (heavier)
+    * MinHash path ever sees them. */
+  def updateFingerprintStore(docs: DataFrame, textCol: String,
+                             idCol: String, path: String,
+                             batchId: Long): Unit =
+    exact(docs, textCol, idCol)
+      .select(col("fp"), col("keep_id"))
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(path)
+
+  /** Incremental exact dedup: collapse within-batch copies to the
+    * min-id survivor, then drop every batch doc whose content
+    * fingerprint already exists in the history store (history wins —
+    * the content is already in the corpus under its original id).
+    * One md5 projection + one fp-keyed aggregate + one fp-keyed
+    * anti-join; no text ever shuffles and history text is never
+    * read. Returns surviving batch rows unchanged. */
+  def incrementalExact(fpStore: DataFrame, newDocs: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val withinBatch = exact(newDocs, textCol, idCol)
+      .select(col("fp"), col("keep_id").as(idCol))
+    val fresh = withinBatch
+      .join(fpStore.select("fp").distinct(), Seq("fp"), "left_anti")
+      .select(idCol)
+    newDocs.join(fresh, Seq(idCol), "left_semi")
+  }
+
+  /** Read the fingerprint store back ((fp, keep_id, batch_id)). */
+  def readFingerprintStore(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Append a processed batch's signatures to a persisted store —
     * the write half of the incremental loop: after
     * [[incrementalNearDupPairs]] clears a batch, its signatures

@@ -238,7 +238,8 @@ object Corpus {
                evalDocs: Option[DataFrame] = None,
                contaminationK: Int = 5,
                contaminationMille: Int = 500,
-               domainCap: Option[(String, Int)] = None): Result = {
+               domainCap: Option[(String, Int)] = None,
+               fpStorePath: Option[String] = None): Result = {
     val runner = new StageRunner(spark, newDocs)
     import runner.staged
 
@@ -246,6 +247,22 @@ object Corpus {
       val keep = Dedup.exact(d, "text", "doc_id")
         .select(col("keep_id").as("doc_id"))
       d.join(keep, Seq("doc_id"), "left_semi")
+    }
+
+    // optional cheap pre-filter ([[Dedup.incrementalExact]]'s history
+    // half): exact re-ingests of corpus content drop on one
+    // fixed-width fp anti-join before the MinHash path prices them.
+    // Pure optimization — the near-dup stage would drop the same docs
+    // (a jaccard-1000 pair to stored history), so survivors are
+    // unchanged with or without the fp store; transitive chains stay
+    // intact because the HISTORY copy's signature is still in the
+    // signature store.
+    fpStorePath.foreach { fp =>
+      staged("exact_vs_history") { d =>
+        val known = Dedup.readFingerprintStore(spark, fp)
+          .select(col("fp").as("_hfp")).distinct()
+        d.join(known, md5(col("text")) === col("_hfp"), "left_anti")
+      }
     }
 
     staged("neardup_vs_history") { d =>
@@ -291,11 +308,14 @@ object Corpus {
 
     // LAST step, and built from the caller's `newDocs` lineage (the
     // runner's stage checkpoints are evicted by now and could not be
-    // re-read): a crash before this leaves the store untouched
-    try Dedup.updateSignatureStore(
-      Dedup.signatures(newDocs, "doc_id", "text", shingleK, numHashes),
-      storePath, batchId)
-    catch { case t: Throwable => runner.failCleanup(); throw t }
+    // re-read): a crash before this leaves the stores untouched
+    try {
+      Dedup.updateSignatureStore(
+        Dedup.signatures(newDocs, "doc_id", "text", shingleK, numHashes),
+        storePath, batchId)
+      fpStorePath.foreach(fp =>
+        Dedup.updateFingerprintStore(newDocs, "text", "doc_id", fp, batchId))
+    } catch { case t: Throwable => runner.failCleanup(); throw t }
 
     runner.result()
   }

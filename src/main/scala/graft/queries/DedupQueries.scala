@@ -252,7 +252,53 @@ object DedupQueries extends QueryPack {
     """),
     prepare = Some(ensureSigStore))
 
+  /** Incremental EXACT dedup against a persisted fingerprint store
+    * ([[Dedup.incrementalExact]]): batch = every 5th doc, plus
+    * in-batch copies (every 15th at +1000000) and verbatim re-ingests
+    * of history content (every 5%5==1 doc at +2000000). Within-batch
+    * copies collapse to the min id; history re-ingests drop entirely
+    * on the fp anti-join — no shingling, no text shuffle. The store
+    * is bootstrapped fresh per run into a temp dir (one md5 pass over
+    * history — cheap; isolation from the shared fixtures, same
+    * convention as q_corpus_batch). bench=false: correctness
+    * surface. */
+  val incrementalExactQ = GQuery(
+    "q_incremental_exact",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val history = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .unionByName(docs.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fpq").toString + "/fps"
+      Dedup.updateFingerprintStore(history, "text", "doc_id", dir, 0L)
+      Dedup.incrementalExact(
+          Dedup.readFingerprintStore(s, dir), batch, "text", "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH hist AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents
+        WHERE doc_id % 5 <> 0),
+      batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 15 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 1),
+      keep AS (SELECT MIN(doc_id) AS doc_id FROM batch GROUP BY md5(text)),
+      s1 AS (SELECT b.* FROM batch b JOIN keep USING (doc_id))
+      SELECT doc_id, md5(text) AS fp FROM s1
+      WHERE md5(text) NOT IN (SELECT fp FROM hist)
+      ORDER BY doc_id
+    """),
+    bench = false)
+
   def all: Seq[GQuery] =
     Seq(exactDedup, ngramJaccard, minhashLsh, simhashPairs,
-      neardupClusters, incrementalNearDup)
+      neardupClusters, incrementalNearDup, incrementalExactQ)
 }

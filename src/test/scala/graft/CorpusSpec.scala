@@ -127,21 +127,26 @@ class CorpusSpec extends SparkSpec {
       2001L -> textT2 // novel: survives
     ).toDF("doc_id", "text")
 
-    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_inc")
-      .toString + "/store"
+    val root = java.nio.file.Files.createTempDirectory("graft_corpus_inc")
+      .toString
+    val dir = s"$root/store"
+    val fpDir = s"$root/fps"
     // bootstrap: the base corpus generation stores its RAW signatures
+    // and fingerprints
     graft.ops.Dedup.updateSignatureStore(
       graft.ops.Dedup.signatures(docs, "doc_id", "text", 3, 64), dir, 0L)
+    graft.ops.Dedup.updateFingerprintStore(docs, "text", "doc_id",
+      fpDir, 0L)
     val baseRun = Corpus.run(spark, docs, langs = allLangs,
       minQualityMilli = 0L)
 
     val tick1 = Corpus.runBatch(spark, batch1, historyText = docs,
       storePath = dir, batchId = 1L, langs = allLangs,
-      minQualityMilli = 0L)
+      minQualityMilli = 0L, fpStorePath = Some(fpDir))
     val tick2 = Corpus.runBatch(spark, batch2,
       historyText = docs.unionByName(batch1),
       storePath = dir, batchId = 2L, langs = allLangs,
-      minQualityMilli = 0L)
+      minQualityMilli = 0L, fpStorePath = Some(fpDir))
 
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
@@ -160,6 +165,13 @@ class CorpusSpec extends SparkSpec {
     assert(!sequential.contains(2000L),
       "chain through a DROPPED doc not resolved (store-all violated)")
     assert(sequential.contains(2001L), "novel batch-2 doc lost")
+    // with the fp store engaged, the verbatim history copy must drop
+    // at the CHEAP stage (fp anti-join), never reaching the MinHash
+    // path — and the near-dup stage's conclusions are unchanged
+    val t1 = tick1.funnel.map(f => f.stage -> f).toMap
+    assert(t1("exact_vs_history").docs_in -
+      t1("exact_vs_history").docs_out == 1,
+      "history re-ingest did not drop at the fp stage")
 
     baseRun.unpersist(); tick1.unpersist(); tick2.unpersist()
   }
