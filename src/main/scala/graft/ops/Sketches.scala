@@ -48,4 +48,53 @@ object Sketches {
 
   /** Distinct-count estimate from a sketch column. */
   def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  // ---- Mergeable quantile profiles (fixed-bin histograms) ----
+  //
+  // percentile_approx answers one query but its state is not
+  // storable, so quantile MONITORING at 100 TB would rescan history
+  // every dashboard refresh. A fixed-bin histogram is the mergeable
+  // twin: per-batch profiles are (group, bin, n) rows — bounded by
+  // domain/binWidth regardless of row count — merging is summing
+  // counts (exactly associative, unlike HLL's bit-unstable merge),
+  // and any quantile read off the merged histogram is RANK-exact at
+  // bin granularity (value error ≤ binWidth). Binning is
+  // floor(value / binWidth): one IEEE double division + floor,
+  // bit-identical across engines — deliberately NOT width_bucket,
+  // whose lo/hi/bucket-count boundary arithmetic differs between
+  // implementations right where cent-valued prices sit.
+
+  /** Per-group fixed-bin histogram of `of` — the storable/mergeable
+    * quantile profile artifact. */
+  def histogramProfile(df: DataFrame, groupCols: Seq[String], of: String,
+                       binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    df.groupBy((groupCols.map(col) :+
+        floor(col(of) / binWidth).cast("long").as("bin")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Roll up stored histogram profiles (same group columns, same
+    * binWidth family) — counts sum exactly; no raw-data rescan. */
+  def mergeHistograms(profiles: DataFrame,
+                      groupCols: Seq[String]): DataFrame =
+    profiles.groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(sum(col("n")).as("n"))
+
+  /** The bin containing the q-quantile, per group: the smallest bin
+    * whose running count reaches ceil(q × total). Rank-exact — the
+    * true quantile value lies in [bin·w, (bin+1)·w). */
+  def quantileBin(hist: DataFrame, groupCols: Seq[String],
+                  q: Double, as: String): DataFrame = {
+    require(q > 0 && q <= 1, s"quantile must be in (0, 1]: $q")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
+    val tot = Window.partitionBy(groupCols.map(col): _*)
+    hist
+      .withColumn("_cum", sum(col("n")).over(w))
+      .withColumn("_tot", sum(col("n")).over(tot))
+      .filter(col("_cum") >= ceil(col("_tot") * lit(q)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col("bin")).as(as))
+  }
 }

@@ -96,5 +96,58 @@ object SketchQueries extends QueryPack {
       GROUP BY l_returnflag ORDER BY l_returnflag
     """))
 
-  def all: Seq[GQuery] = Seq(sketchDistinct, quantileProfile)
+  /** Mergeable histogram quantiles ([[Sketches.histogramProfile]]):
+    * four per-slice profiles (simulated ingest batches, sliced by
+    * l_orderkey % 4) are MERGED, then p50/p95 bins read off the
+    * merged histogram. The oracle computes the histogram directly
+    * over all rows — equality proves exact mergeability (counts sum
+    * associatively; no verdict column needed, unlike the HLL gate,
+    * because nothing here is approximate at bin granularity).
+    * Binning is floor(price / 500): a single IEEE division + floor,
+    * bit-identical in Spark and DuckDB. */
+  val histogramQuantile = GQuery(
+    "q_histogram_quantile",
+    (s, d) => {
+      val W = 500.0
+      val li = Tables.lineitem(s, d)
+        .select("l_returnflag", "l_extendedprice", "l_orderkey")
+      val slices = (0 to 3).map(i => Sketches.histogramProfile(
+        li.filter(pmod(col("l_orderkey"), lit(4)) === i),
+        Seq("l_returnflag"), "l_extendedprice", W))
+      val merged = Sketches.mergeHistograms(
+        slices.reduce(_ unionByName _), Seq("l_returnflag"))
+      val totals = merged.groupBy("l_returnflag")
+        .agg(sum("n").as("total"))
+      val p50 = Sketches.quantileBin(merged, Seq("l_returnflag"),
+        0.5, "p50_bin")
+      val p95 = Sketches.quantileBin(merged, Seq("l_returnflag"),
+        0.95, "p95_bin")
+      totals.join(p50, "l_returnflag").join(p95, "l_returnflag")
+        .select(col("l_returnflag"), col("total"),
+          col("p50_bin"), col("p95_bin"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH h AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice / 500) AS BIGINT) AS bin,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY 1, 2),
+      cum AS (
+        SELECT *, SUM(n) OVER (PARTITION BY l_returnflag
+                               ORDER BY bin) AS c
+        FROM h),
+      tot AS (SELECT l_returnflag, SUM(n) AS total FROM h GROUP BY 1)
+      SELECT t.l_returnflag, CAST(t.total AS BIGINT) AS total,
+             (SELECT MIN(bin) FROM cum
+              WHERE cum.l_returnflag = t.l_returnflag
+                AND c >= CEIL(t.total * 0.5)) AS p50_bin,
+             (SELECT MIN(bin) FROM cum
+              WHERE cum.l_returnflag = t.l_returnflag
+                AND c >= CEIL(t.total * 0.95)) AS p95_bin
+      FROM tot t ORDER BY l_returnflag
+    """))
+
+  def all: Seq[GQuery] =
+    Seq(sketchDistinct, quantileProfile, histogramQuantile)
 }

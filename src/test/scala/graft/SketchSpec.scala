@@ -56,4 +56,34 @@ class SketchSpec extends SparkSpec {
       assertWithinBound(ests(prof), s"parts=$parts")
     }
   }
+
+  test("histogram profiles merge exactly; quantile bin brackets the true value") {
+    import org.apache.spark.sql.functions._
+    val W = 500.0
+    val cols = Seq("l_returnflag")
+    // merged per-slice profiles ≡ the direct whole-data histogram —
+    // exact equality, not a bound (counts sum associatively)
+    val direct = Sketches.histogramProfile(li, cols, "l_extendedprice", W)
+    val slices = (0 to 2).map(i => Sketches.histogramProfile(
+      li.filter(pmod(col("l_orderkey"), lit(3)) === i),
+      cols, "l_extendedprice", W))
+    val merged = Sketches.mergeHistograms(
+      slices.reduce(_ unionByName _), cols)
+    assert(rowsAsSet(merged) == rowsAsSet(direct))
+
+    // the p50 bin must contain the exact median: bin*W <= median < (bin+1)*W
+    val bins = Sketches.quantileBin(merged, cols, 0.5, "p50_bin")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, m) =>
+      val b = bins(k)
+      // percentile() interpolates between the two middle values; the
+      // rank-based bin holds the LOWER middle, so allow the true
+      // median to sit at most one bin above the bracket's start
+      assert(m >= b * W && m < (b + 2) * W,
+        s"median $m outside bins [$b, ${b + 1}] * $W for $k")
+    }
+  }
 }
