@@ -176,6 +176,31 @@ class CorpusSpec extends SparkSpec {
     baseRun.unpersist(); tick1.unpersist(); tick2.unpersist()
   }
 
+  test("an empty ingest tick is a no-op, not a crash") {
+    val s = spark; import s.implicits._
+    val docs = Tables.documents(spark, TinySf).select("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_empty_tick")
+      .toString
+    graft.ops.Dedup.updateSignatureStore(
+      graft.ops.Dedup.signatures(docs, "doc_id", "text", 3, 64),
+      s"$root/store", 0L)
+    graft.ops.Dedup.updateFingerprintStore(docs, "text", "doc_id",
+      s"$root/fps", 0L)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val tick = Corpus.runBatch(spark, empty, historyText = docs,
+      storePath = s"$root/store", batchId = 1L,
+      langs = Seq("en", "de", "fr", "es", "zh"), minQualityMilli = 0L,
+      fpStorePath = Some(s"$root/fps"))
+    assert(tick.cleaned.count() == 0)
+    tick.funnel.foreach(f => assert(f.docs_in == 0 && f.docs_out == 0,
+      s"stage ${f.stage} invented rows from an empty batch"))
+    // the store is untouched in CONTENT by an empty batch (an empty
+    // batch partition may exist; what matters is no signature rows)
+    assert(graft.ops.Dedup.readSignatureStore(spark, s"$root/store")
+      .count() == docs.count())
+    tick.unpersist()
+  }
+
   test("decontamination and domain-cap stages compose into the funnel") {
     val docs = Tables.documents(spark, TinySf)
       .select("doc_id", "text", "source")
