@@ -22,7 +22,20 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val qs = SparkEntry.queries
-    val picked = if (names.isEmpty) qs.keys.toSeq.sorted else names.toSeq
+    // the default sweep skips EAGER queries (funnel accounting bodies
+    // execute whole pipelines at construction time and return a
+    // LocalTableScan — minutes of jobs for zero plan insight); name
+    // one explicitly to run it anyway
+    val eager = SparkEntry.registry.filter(_.eager).map(_.name).toSet
+    val picked =
+      if (names.nonEmpty) names.toSeq
+      else {
+        val skipped = qs.keys.toSeq.sorted.filter(eager)
+        if (skipped.nonEmpty)
+          println(s"[explain] skipping eager queries " +
+            s"(name explicitly to run): ${skipped.mkString(", ")}")
+        qs.keys.toSeq.sorted.filterNot(eager)
+      }
     picked.foreach { n =>
       println(s"\n========== $n ==========")
       qs.get(n) match {

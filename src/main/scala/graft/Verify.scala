@@ -15,9 +15,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // local-iteration filter (comma-separated names); the driver sets
-    // no env and always gets the full dump
+    // no env and always gets the full dump. Typos fail loudly — a
+    // silent no-match would exit 0 having verified nothing (and
+    // clobber oracle_sql.json with an empty map).
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names not in the registry: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     def selected(name: String) = only.forall(_.contains(name))
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -31,12 +31,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** THE content fingerprint — the single definition every exact-
+    * dedup surface derives from (the [[exact]] group key, the
+    * fingerprint store's `fp` column, and the history probe in the
+    * corpus tick). One definition, or a future hash change would
+    * silently desynchronize the store from its probes: the anti-join
+    * would stop matching and the (masked, far costlier) near-dup
+    * path would quietly absorb the work. */
+  def fingerprint(text: Column): Column = md5(text)
+
   /** Exact dedup: one row per distinct content, keeping the smallest
     * id as the canonical survivor plus the copy count. Group key is
-    * md5(text) (fixed-width shuffle key); collision risk 2^-64-ish is
-    * the standard accepted trade for content-hash dedup. */
+    * [[fingerprint]] (fixed-width shuffle key); collision risk
+    * 2^-64-ish is the standard accepted trade for content-hash
+    * dedup. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("fp"))
+    df.groupBy(fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
   /** Distinct word k-gram shingles of a single-space-tokenized text.
@@ -357,10 +367,28 @@ object Dedup {
                               k: Int, numHashes: Int,
                               bands: Int, rowsPerBand: Int,
                               minMille: Int,
-                              maxBucket: Option[Int]): DataFrame = {
+                              maxBucket: Option[Int]): DataFrame =
+    incrementalNearDupPairsFromSigs(store,
+      signatures(newDocs, idCol, textCol, k, numHashes), corpusText,
+      idCol, textCol, k, bands, rowsPerBand, minMille, maxBucket,
+      numHashes)
+
+  /** [[incrementalNearDupPairs]] over PRE-COMPUTED new-side
+    * signatures — for callers that already hold the batch's
+    * signatures (e.g. the corpus tick, which computes them once and
+    * both probes and persists them; shingling the batch twice was
+    * the cost this variant removes). */
+  def incrementalNearDupPairsFromSigs(store: DataFrame,
+                                      newSigs: DataFrame,
+                                      corpusText: DataFrame,
+                                      idCol: String, textCol: String,
+                                      k: Int,
+                                      bands: Int, rowsPerBand: Int,
+                                      minMille: Int,
+                                      maxBucket: Option[Int],
+                                      numHashes: Int): DataFrame = {
     require(bands * rowsPerBand <= numHashes,
       s"banding overruns the signature: $bands x $rowsPerBand > $numHashes")
-    val newSigs = signatures(newDocs, idCol, textCol, k, numHashes)
     val banded =
       bandRows(store, idCol, "sig", bands, rowsPerBand)
         .withColumn("_new", lit(false))

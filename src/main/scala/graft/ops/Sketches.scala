@@ -65,11 +65,15 @@ object Sketches {
   // implementations right where cent-valued prices sit.
 
   /** Per-group fixed-bin histogram of `of` — the storable/mergeable
-    * quantile profile artifact. */
+    * quantile profile artifact. Null measurements are EXCLUDED: a
+    * null carries no rank, and a null bin would otherwise inflate
+    * [[quantileBin]]'s totals while sorting before every real bin,
+    * skewing every quantile low. */
   def histogramProfile(df: DataFrame, groupCols: Seq[String], of: String,
                        binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive: $binWidth")
-    df.groupBy((groupCols.map(col) :+
+    df.filter(col(of).isNotNull)
+      .groupBy((groupCols.map(col) :+
         floor(col(of) / binWidth).cast("long").as("bin")): _*)
       .agg(count(lit(1)).as("n"))
   }

@@ -240,6 +240,21 @@ object Corpus {
                contaminationMille: Int = 500,
                domainCap: Option[(String, Int)] = None,
                fpStorePath: Option[String] = None): Result = {
+    // ONE signature pass over the batch per tick: the near-dup probe
+    // and the end-of-tick store write both read this checkpoint
+    // (shingle-explode + numHashes aggregation is the tick's dominant
+    // per-row cost — recomputing it for the store write would double
+    // it). Checkpointed BEFORE the StageRunner exists so the runner's
+    // per-stage eviction never touches it; released in the finally.
+    val sc = spark.sparkContext
+    val beforeSigs = sc.getPersistentRDDs.keySet.toSet
+    val batchSigs = Dedup
+      .signatures(newDocs, "doc_id", "text", shingleK, numHashes)
+      .localCheckpoint()
+    val sigIds = sc.getPersistentRDDs.keySet.toSet -- beforeSigs
+    def releaseSigs(): Unit = sigIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    try {
     val runner = new StageRunner(spark, newDocs)
     import runner.staged
 
@@ -259,19 +274,35 @@ object Corpus {
     // signature store.
     fpStorePath.foreach { fp =>
       staged("exact_vs_history") { d =>
+        // exclude THIS tick's batch_id: a retry after a crashed
+        // attempt's store write must not read its own fingerprints as
+        // history (it would anti-join the ENTIRE batch away)
         val known = Dedup.readFingerprintStore(spark, fp)
+          .filter(col("batch_id") =!= lit(batchId))
           .select(col("fp").as("_hfp")).distinct()
-        d.join(known, md5(col("text")) === col("_hfp"), "left_anti")
+        d.join(known, Dedup.fingerprint(col("text")) === col("_hfp"),
+          "left_anti")
       }
     }
 
     staged("neardup_vs_history") { d =>
+      // same retry shield as the fp stage: never read this tick's own
+      // (possibly crashed-attempt) partition as history — its
+      // signatures would flag in-batch clusters as history-containing
+      // and silently drop legitimate survivors
       val store = Dedup.readSignatureStore(spark, storePath)
-      val pairs = Dedup.incrementalNearDupPairs(
-        store, d, historyText.select("doc_id", "text")
+        .filter(col("batch_id") =!= lit(batchId))
+      // probe with the precomputed signatures of the docs still in
+      // play (exact/fp drops carry identical or already-known content
+      // — their signatures add nothing to discovery)
+      val probeSigs = batchSigs
+        .join(d.select("doc_id"), Seq("doc_id"), "left_semi")
+      val pairs = Dedup.incrementalNearDupPairsFromSigs(
+        store, probeSigs, historyText.select("doc_id", "text")
           .unionByName(d.select("doc_id", "text")),
-        "doc_id", "text", shingleK, numHashes, bands, rowsPerBand,
-        nearDupMille, maxBucket = Some(maxBucket))
+        "doc_id", "text", shingleK, bands, rowsPerBand,
+        nearDupMille, maxBucket = Some(maxBucket),
+        numHashes = numHashes)
       // components over batch ids + every history id the pairs touch
       // (history singletons don't affect batch survivorship)
       val batchIds = d.select("doc_id")
@@ -306,17 +337,15 @@ object Corpus {
         Sampling.domainCap(_, col(domainCol), col("doc_id"), cap))
     }
 
-    // LAST step, and built from the caller's `newDocs` lineage (the
-    // runner's stage checkpoints are evicted by now and could not be
-    // re-read): a crash before this leaves the stores untouched
+    // LAST step: a crash before this leaves the stores untouched
+    // (and the retry shield above makes a crash AFTER it harmless)
     try {
-      Dedup.updateSignatureStore(
-        Dedup.signatures(newDocs, "doc_id", "text", shingleK, numHashes),
-        storePath, batchId)
+      Dedup.updateSignatureStore(batchSigs, storePath, batchId)
       fpStorePath.foreach(fp =>
         Dedup.updateFingerprintStore(newDocs, "text", "doc_id", fp, batchId))
     } catch { case t: Throwable => runner.failCleanup(); throw t }
 
     runner.result()
+    } finally releaseSigs()
   }
 }

@@ -144,7 +144,8 @@ object CorpusQueries extends QueryPack {
              CAST(docs_out AS BIGINT) AS docs_out,
              CAST(out_id_sum AS BIGINT) AS out_id_sum
       FROM funnel ORDER BY stage_idx
-    """))
+    """),
+    eager = true)
 
   /** Oracle gate for the INCREMENTAL funnel composition
     * ([[Corpus.runBatch]]): batch = every 5th doc (+ in-batch exact
@@ -266,7 +267,7 @@ object CorpusQueries extends QueryPack {
              CAST(out_id_sum AS BIGINT) AS out_id_sum
       FROM funnel ORDER BY stage_idx
     """),
-    bench = false)
+    bench = false, eager = true)
 
   def all: Seq[GQuery] = Seq(corpusFunnel, corpusBatch)
 }

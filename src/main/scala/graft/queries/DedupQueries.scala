@@ -296,7 +296,7 @@ object DedupQueries extends QueryPack {
       WHERE md5(text) NOT IN (SELECT fp FROM hist)
       ORDER BY doc_id
     """),
-    bench = false)
+    bench = false, eager = true)
 
   def all: Seq[GQuery] =
     Seq(exactDedup, ngramJaccard, minhashLsh, simhashPairs,

@@ -24,7 +24,13 @@ final case class GQuery(
       * one-off fixture I/O (e.g. the partitioned-fact write) doesn't
       * pollute the query's measurement; `run` must still be
       * self-sufficient (idempotent ensure) for Verify/standalone use */
-    prepare: Option[(SparkSession, String) => Unit] = None)
+    prepare: Option[(SparkSession, String) => Unit] = None,
+    /** true when `run` EXECUTES Spark jobs at DataFrame-construction
+      * time (funnel accounting queries collect per-stage counts, store
+      * bootstraps write to disk) — the returned frame's plan is then a
+      * LocalTableScan with zero insight, so Explain's default sweep
+      * skips these (explicit-name requests still run them) */
+    eager: Boolean = false)
 
 trait QueryPack {
   def all: Seq[GQuery]

@@ -176,6 +176,51 @@ class CorpusSpec extends SparkSpec {
     baseRun.unpersist(); tick1.unpersist(); tick2.unpersist()
   }
 
+  test("a retried tick ignores its own crashed attempt's store partitions") {
+    val s = spark; import s.implicits._
+    val docs = Tables.documents(spark, TinySf).select("doc_id", "text")
+    val allLangs = Seq("en", "de", "fr", "es", "zh")
+    val batch = Seq(
+      5000L -> (1 to 30).map(i => s"rty$i").mkString(" "), // novel: survives
+      5001L -> (1 to 30).map(i => s"rty$i").mkString(" ")  // in-batch exact dup
+    ).toDF("doc_id", "text")
+    def bootstrap(): String = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_retry").toString
+      graft.ops.Dedup.updateSignatureStore(
+        graft.ops.Dedup.signatures(docs, "doc_id", "text", 3, 64),
+        s"$root/store", 0L)
+      graft.ops.Dedup.updateFingerprintStore(docs, "text", "doc_id",
+        s"$root/fps", 0L)
+      root
+    }
+    def tick(root: String): Set[Long] = {
+      val r = Corpus.runBatch(spark, batch, historyText = docs,
+        storePath = s"$root/store", batchId = 7L, langs = allLangs,
+        minQualityMilli = 0L, fpStorePath = Some(s"$root/fps"))
+      val ids = r.cleaned.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      r.unpersist(); ids
+    }
+    // clean tick: the survivor set of record
+    val clean = tick(bootstrap())
+    assert(clean == Set(5000L), s"unexpected clean survivors: $clean")
+    // crashed attempt: both store writes landed (batch_id=7 exists),
+    // then the tick died before its output was consumed — the retry
+    // must produce the SAME survivors, not anti-join the batch away
+    // against its own fingerprints or flag its own signatures as
+    // history
+    val root2 = bootstrap()
+    graft.ops.Dedup.updateSignatureStore(
+      graft.ops.Dedup.signatures(batch, "doc_id", "text", 3, 64),
+      s"$root2/store", 7L)
+    graft.ops.Dedup.updateFingerprintStore(batch, "text", "doc_id",
+      s"$root2/fps", 7L)
+    val retried = tick(root2)
+    assert(retried == clean,
+      s"retry after a crashed store write changed survivors: $retried != $clean")
+  }
+
   test("an empty ingest tick is a no-op, not a crash") {
     val s = spark; import s.implicits._
     val docs = Tables.documents(spark, TinySf).select("doc_id", "text")

@@ -86,4 +86,21 @@ class SketchSpec extends SparkSpec {
         s"median $m outside bins [$b, ${b + 1}] * $W for $k")
     }
   }
+
+  test("null measurements carry no rank: excluded from bins and totals") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 10 nulls + 1000..10000 step 1000: the median of the VALUES is
+    // 5000-6000 (bins 10/11 at W=500); counting nulls toward the rank
+    // target would report bin 2 (~1000) — the skew the filter prevents
+    val rows = (Seq.fill(10)(Option.empty[Double]) ++
+      (1 to 10).map(i => Some(i * 1000.0))).map(("g", _))
+    val df = rows.toDF("g", "v")
+    val hist = Sketches.histogramProfile(df, Seq("g"), "v", 500.0)
+    assert(hist.agg(sum("n")).head().getLong(0) == 10,
+      "nulls leaked into the histogram")
+    val b = Sketches.quantileBin(hist, Seq("g"), 0.5, "p50_bin")
+      .head().getLong(1)
+    assert(b == 10, s"null-skewed median bin: $b (expected 10)")
+  }
 }
