@@ -18,7 +18,7 @@ object SparkEntry {
     WindowQueries, FuncQueries, UpsertQueries,
     DedupQueries, TextQueries, SimilarityQueries, CsvQueries,
     PartitionQueries, BinaryQueries, SkewQueries, SampleQueries,
-    TemporalQueries, SketchQueries, CorpusQueries)
+    TemporalQueries, SketchQueries, CorpusQueries, ScdQueries)
 
   private[graft] lazy val registry: Seq[GQuery] = packs.flatMap(_.all)
 
