@@ -116,6 +116,103 @@ object Sampling {
     s"ROW_NUMBER() OVER (PARTITION BY $domainExpr ORDER BY " +
       s"md5(CAST($keyExpr AS VARCHAR)) ASC, $keyExpr ASC)"
 
+  /** Deterministic train/val/test (or any n-way) split assignment:
+    * the md5 bucket of `key` is carved into consecutive ranges, one
+    * per named split, remainder to `default`. Same hash discipline as
+    * [[sampledBy]], so assignment is retry-stable and partitioning-
+    * invariant — and growing one split's share only MOVES keys into
+    * it from the default, never reshuffles the others.
+    *
+    * Leakage control is the caller's key choice: hashing the row id
+    * splits rows independently, so near-duplicate documents can
+    * straddle train/test (contaminating evaluation); hashing the
+    * near-dup CLUSTER id puts every member of a cluster in the same
+    * split by construction. See q_leakage_safe_split. */
+  def assignSplit(key: Column, splits: Seq[(String, Int)],
+                  default: String = "train"): Column = {
+    val total = splits.map(_._2).sum
+    require(total <= Buckets,
+      s"split shares exceed $Buckets: $total")
+    require(splits.map(_._1).distinct.size == splits.size &&
+      !splits.exists(_._1 == default), "split names must be unique")
+    val bucket = substring(md5(key.cast("string")), 1, 4)
+    val (cases, _) = splits.foldLeft((lit(default), 0)) {
+      case ((acc, cum), (name, share)) =>
+        (when(bucket < lit(thresholdHex(cum + share)) &&
+          bucket >= lit(thresholdHex(cum)), lit(name)).otherwise(acc),
+          cum + share)
+    }
+    cases
+  }
+
+  /** DuckDB mirror of [[assignSplit]]. */
+  def assignSplitSql(keyExpr: String, splits: Seq[(String, Int)],
+                     default: String = "train"): String = {
+    val bucket = s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4)"
+    val whens = splits.foldLeft((List.empty[String], 0)) {
+      case ((acc, cum), (name, share)) =>
+        (acc :+ (s"WHEN $bucket >= '${thresholdHex(cum)}' AND " +
+          s"$bucket < '${thresholdHex(cum + share)}' THEN '$name'"),
+          cum + share)
+    }._1.mkString(" ")
+    s"(CASE $whens ELSE '$default' END)"
+  }
+
+  /** Seeded per-row shuffle priority: md5 of "seed:key". Training
+    * pipelines need a DETERMINISTIC global permutation of the corpus
+    * (epoch ordering must be reproducible across reruns and resumes,
+    * and re-seedable per epoch without rewriting data) — `rand()`
+    * gives neither. Lexicographic order of this hash IS the
+    * permutation; changing the seed re-permutes. */
+  def shufflePriority(key: Column, seed: String): Column =
+    md5(concat_ws(":", lit(seed), key.cast("string")))
+
+  /** Which of `numShards` training shards a key lands in: the top 16
+    * bits of [[shufflePriority]] scaled into shard space, so shard
+    * membership AND in-shard order derive from one hash. Shards are
+    * balanced to ±(corpus/65536) and stable under reruns. */
+  def shardOf(key: Column, seed: String, numShards: Int): Column = {
+    require(numShards > 0 && numShards <= Buckets,
+      s"numShards must be in [1, $Buckets]: $numShards")
+    (conv(substring(shufflePriority(key, seed), 1, 4), 16, 10)
+      .cast("long") * numShards / Buckets).cast("int")
+  }
+
+  /** The seeded global shuffle, materialization-shaped: ONE shuffle
+    * (hash-repartition on the shard id) + an in-partition sort on
+    * (shard, priority, key) — never a global range sort. Downstream
+    * per-shard windows and aggregations reuse both the partitioning
+    * and the sort order (plan-asserted in SamplingSpec), and
+    * [[writeShards]] streams each sorted shard straight to its
+    * directory. The tie-break on `key` pins the order even if two
+    * keys ever collided in the hash. */
+  def globalShuffle(df: DataFrame, key: Column, seed: String,
+                    numShards: Int): DataFrame =
+    df.withColumn("shard", shardOf(key, seed, numShards))
+      .withColumn("_pri", shufflePriority(key, seed))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("_pri"), key)
+      .drop("_pri")
+
+  /** Export the shuffled corpus as one directory per shard (the
+    * training-consumption layout: readers stream shards
+    * independently, in priority order). Exactly [[globalShuffle]]'s
+    * one shuffle; `partitionBy` only splits the already-sorted
+    * partitions into per-shard files. */
+  def writeShards(df: DataFrame, key: Column, seed: String,
+                  numShards: Int, path: String): Unit =
+    globalShuffle(df, key, seed, numShards)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** DuckDB mirror of [[shufflePriority]]. */
+  def shufflePrioritySql(keyExpr: String, seed: String): String =
+    s"md5('$seed:' || CAST($keyExpr AS VARCHAR))"
+
+  /** DuckDB mirror of [[shardOf]] (hex-prefix parse via the 0x cast). */
+  def shardOfSql(keyExpr: String, seed: String, numShards: Int): String =
+    s"CAST(CAST('0x' || substr(${shufflePrioritySql(keyExpr, seed)}, 1, 4) " +
+      s"AS BIGINT) * $numShards // $Buckets AS INT)"
+
   /** DuckDB mirror of [[sampledBy]]. */
   def sampledBySql(keyExpr: String, per65536: Int): String =
     s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4) < '${thresholdHex(per65536)}'"

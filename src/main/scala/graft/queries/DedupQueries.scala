@@ -188,6 +188,69 @@ object DedupQueries extends QueryPack {
       FROM reach GROUP BY src ORDER BY doc_id
     """))
 
+  /** 10% test / 10% val / 80% train. */
+  private val SplitShares = Seq("test" -> 6554, "val" -> 6554)
+
+  /** Leakage-safe train/val/test split: the split key is the NEAR-DUP
+    * CLUSTER id, not the document id — hashing doc ids independently
+    * lets two near-duplicates land in train and test (the classic
+    * eval-contamination leak); hashing the cluster id puts every
+    * member of a cluster in the same split by construction
+    * ([[graft.ops.Sampling.assignSplit]]). The result aggregates
+    * exact membership per split ((cluster, docs, id-sum) signatures,
+    * pre-grouped per cluster so the distinct-cluster count never
+    * plans an Expand — see the countDistinct note in Registry).
+    * Scale shape: LSH discovery + O(diameter) components + a pure
+    * per-row hash assignment; no new shuffles beyond the clusters
+    * query this composes. */
+  val leakageSafeSplit = GQuery(
+    "q_leakage_safe_split",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.lshNearDupPairs(docs, "doc_id", "text",
+        K, NumHashes, Bands, RowsPerBand, minMille = 850,
+        maxBucket = CapNoBite)
+      val clusters = Dedup.connectedComponents(docs.select("doc_id"),
+        "doc_id", pairs, "id_a", "id_b")
+      clusters
+        .withColumn("split",
+          graft.ops.Sampling.assignSplit(col("cluster_id"), SplitShares))
+        .groupBy("split", "cluster_id")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sids"))
+        .groupBy("split")
+        .agg(sum("n").cast("long").as("n_docs"),
+          count(lit(1)).as("n_clusters"),
+          sum("sids").cast("long").as("sum_ids"))
+        .orderBy("split")
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM (${jaccardOracle(850)})),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+      clusters AS (
+        SELECT src AS doc_id, MIN(node) AS cluster_id
+        FROM reach GROUP BY src),
+      assigned AS (
+        SELECT doc_id, cluster_id,
+               ${graft.ops.Sampling.assignSplitSql("cluster_id", SplitShares)}
+                 AS split
+        FROM clusters),
+      per_cluster AS (
+        SELECT split, cluster_id, COUNT(*) AS n, SUM(doc_id) AS sids
+        FROM assigned GROUP BY split, cluster_id)
+      SELECT split, CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(sids) AS BIGINT) AS sum_ids
+      FROM per_cluster GROUP BY split ORDER BY split
+    """))
+
   private def sigStorePath(d: String): String =
     s"/tmp/graft_fixtures/sigstore_${new java.io.File(d).getName}/sigs"
 
@@ -300,5 +363,6 @@ object DedupQueries extends QueryPack {
 
   def all: Seq[GQuery] =
     Seq(exactDedup, ngramJaccard, minhashLsh, simhashPairs,
-      neardupClusters, incrementalNearDup, incrementalExactQ)
+      neardupClusters, leakageSafeSplit, incrementalNearDup,
+      incrementalExactQ)
 }

@@ -91,6 +91,56 @@ object SampleQueries extends QueryPack {
       GROUP BY lang ORDER BY lang
     """))
 
+  private val ShuffleSeed = "epoch-0"
+  private val NumShards = 16
+
+  /** Deterministic global corpus shuffle into training shards
+    * ([[Sampling.globalShuffle]]): seeded md5 priority gives the
+    * permutation, its top 16 bits give the shard — one hash decides
+    * both, one shuffle materializes them. The result is an
+    * ORDER-SENSITIVE per-shard signature (rank-weighted id checksum +
+    * the first doc in shard order), so the oracle proves the exact
+    * permutation, not just shard membership. The per-shard window and
+    * aggregate reuse the shuffle's partitioning and sort — the query
+    * plans exactly one Exchange (plan-asserted in SamplingSpec). */
+  val corpusShards = GQuery(
+    "q_corpus_shards",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val shuffled = Sampling.globalShuffle(
+        Tables.documents(s, d).select("doc_id"),
+        col("doc_id"), ShuffleSeed, NumShards)
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(Sampling.shufflePriority(col("doc_id"), ShuffleSeed).asc,
+          col("doc_id").asc)
+      shuffled
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          max(when(col("rn") === 1L, col("doc_id"))).as("first_doc"),
+          sum(col("doc_id") * col("rn")).as("ordered_checksum"))
+        .orderBy("shard")
+    },
+    Some(s"""
+      WITH pri AS (
+        SELECT doc_id,
+               ${Sampling.shufflePrioritySql("doc_id", ShuffleSeed)} AS p,
+               ${Sampling.shardOfSql("doc_id", ShuffleSeed, NumShards)}
+                 AS shard
+        FROM documents),
+      ranked AS (
+        SELECT shard, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY p, doc_id)
+                 AS rn
+        FROM pri)
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+               AS first_doc,
+             CAST(SUM(doc_id * rn) AS BIGINT) AS ordered_checksum
+      FROM ranked GROUP BY shard ORDER BY shard
+    """))
+
   def all: Seq[GQuery] =
-    Seq(hashSample, stratifiedSample, domainCap, weightedSample)
+    Seq(hashSample, stratifiedSample, domainCap, weightedSample,
+      corpusShards)
 }

@@ -109,4 +109,126 @@ class SamplingSpec extends SparkSpec {
     assert((keptAfter.filter(_ <= 100L) -- keptBefore).isEmpty,
       "an originally-unpicked row displaced an originally-picked one")
   }
+
+  test("assignSplit: exhaustive, deterministic, shares near target") {
+    val base = spark.range(20000).toDF("id")
+    val splits = Seq("test" -> 6554, "val" -> 6554)
+    val counts = base
+      .withColumn("split", Sampling.assignSplit(col("id"), splits))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("test", "val", "train"),
+      s"splits not exhaustive: $counts")
+    assert(counts.values.sum == 20000L)
+    assert(math.abs(counts("test") / 20000.0 - 0.1) < 0.02, s"$counts")
+    assert(math.abs(counts("val") / 20000.0 - 0.1) < 0.02, s"$counts")
+    // partitioning-invariant, like every hash decision here
+    val again = base.repartition(13)
+      .withColumn("split", Sampling.assignSplit(col("id"), splits))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
+  test("assignSplit: growing a share only moves keys from the default") {
+    val base = spark.range(20000).toDF("id")
+    def sets(splits: Seq[(String, Int)]) = base
+      .withColumn("split", Sampling.assignSplit(col("id"), splits))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSet }
+    val small = sets(Seq("test" -> 6554, "val" -> 6554))
+    val grown = sets(Seq("test" -> 6554, "val" -> 13107))
+    assert(small("test") == grown("test"),
+      "growing val must not touch the test set")
+    assert(small("val").subsetOf(grown("val")),
+      "growing val must only ADD to it")
+    assert((grown("val") -- small("val")).subsetOf(small("train")),
+      "val grew from somewhere other than the default")
+  }
+
+  test("assignSplit rejects overlapping names and oversized shares") {
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(col("id"), Seq("a" -> 1, "a" -> 2)))
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(col("id"), Seq("a" -> 1, "train" -> 2)))
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(col("id"), Seq("a" -> 40000, "b" -> 40000)))
+  }
+
+  test("cluster-keyed split never separates near-duplicates; id-keyed can") {
+    val s = spark; import s.implicits._
+    // two-doc clusters whose member ids hash to DIFFERENT splits when
+    // keyed by doc id — the leakage the cluster key prevents
+    val members = (0L until 2000L).map(i => (i, i / 2)) // pairs share cluster
+      .toDF("doc_id", "cluster_id")
+    val splits = Seq("test" -> 6554, "val" -> 6554)
+    val byDoc = members.withColumn("split",
+      Sampling.assignSplit(col("doc_id"), splits))
+    val straddlingByDoc = byDoc.groupBy("cluster_id")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
+    assert(straddlingByDoc > 0,
+      "fixture too small to demonstrate doc-keyed leakage")
+    val byCluster = members.withColumn("split",
+      Sampling.assignSplit(col("cluster_id"), splits))
+    val straddlingByCluster = byCluster.groupBy("cluster_id")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
+    assert(straddlingByCluster == 0,
+      "cluster-keyed assignment split a cluster across splits")
+  }
+
+  test("globalShuffle: a seeded, rerun-stable permutation into balanced shards") {
+    val base = spark.range(8000).toDF("id")
+    def perm(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Sampling.globalShuffle(df, col("id"), seed, 8)
+        .orderBy(col("shard"), Sampling.shufflePriority(col("id"), seed))
+        .select("id").collect().map(_.getLong(0)).toSeq
+    val a = perm(base, "epoch-0")
+    assert(a == perm(base.repartition(13), "epoch-0"),
+      "permutation must not depend on input partitioning")
+    assert(a.toSet == (0L until 8000L).toSet, "shuffle lost or duped rows")
+    assert(a != (0L until 8000L).toSeq, "permutation left input order intact")
+    val b = perm(base, "epoch-1")
+    assert(a != b, "different seeds must permute differently")
+    assert(a.toSet == b.toSet)
+    // shard bounds and rough balance
+    val sizes = Sampling.globalShuffle(base, col("id"), "epoch-0", 8)
+      .groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet.forall(s => s >= 0 && s < 8), s"shard ids: $sizes")
+    assert(sizes.size == 8 && sizes.values.forall(n =>
+      math.abs(n - 1000L) < 200), s"unbalanced shards: $sizes")
+  }
+
+  test("the shard signature query plans exactly one Exchange (sort reused)") {
+    val base = spark.range(4000).toDF("id")
+    import org.apache.spark.sql.expressions.Window
+    val shuffled = Sampling.globalShuffle(base, col("id"), "e", 8)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(Sampling.shufflePriority(col("id"), "e").asc, col("id").asc)
+    val agg = shuffled.withColumn("rn", row_number().over(w))
+      .groupBy("shard").agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString()
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"window+agg must reuse the shuffle's partitioning:\n${plan.take(2500)}")
+  }
+
+  test("writeShards lands one sorted directory per shard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val base = spark.range(2000).toDF("id")
+    Sampling.writeShards(base, col("id"), "epoch-0", 4, s"$dir/out")
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.select("id").collect().map(_.getLong(0)).toSet ==
+      (0L until 2000L).toSet, "read-back lost rows")
+    assert(back.select("shard").distinct().count() == 4)
+    // each shard directory's files hold rows in priority order
+    val shard0 = spark.read
+      .parquet(s"$dir/out/shard=0").select("id")
+      .collect().map(_.getLong(0)).toSeq
+    val expected = Sampling.globalShuffle(base, col("id"), "epoch-0", 4)
+      .filter(col("shard") === 0)
+      .orderBy(Sampling.shufflePriority(col("id"), "epoch-0"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(shard0 == expected, "shard 0 not in priority order on disk")
+  }
 }
