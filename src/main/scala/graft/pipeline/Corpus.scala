@@ -277,7 +277,9 @@ object Corpus {
         // exclude THIS tick's batch_id: a retry after a crashed
         // attempt's store write must not read its own fingerprints as
         // history (it would anti-join the ENTIRE batch away)
-        val known = Dedup.readFingerprintStore(spark, fp)
+        val known = storeOrEmpty(spark, fp,
+            Dedup.exact(d.limit(0), "text", "doc_id")
+              .select(col("fp"), col("keep_id")))
           .filter(col("batch_id") =!= lit(batchId))
           .select(col("fp").as("_hfp")).distinct()
         d.join(known, Dedup.fingerprint(col("text")) === col("_hfp"),
@@ -290,7 +292,7 @@ object Corpus {
       // (possibly crashed-attempt) partition as history — its
       // signatures would flag in-batch clusters as history-containing
       // and silently drop legitimate survivors
-      val store = Dedup.readSignatureStore(spark, storePath)
+      val store = storeOrEmpty(spark, storePath, batchSigs.limit(0))
         .filter(col("batch_id") =!= lit(batchId))
       // probe with the precomputed signatures of the docs still in
       // play (exact/fp drops carry identical or already-known content
@@ -347,5 +349,82 @@ object Corpus {
 
     runner.result()
     } finally releaseSigs()
+  }
+
+  /** Read a batch-partitioned store, or a schema-correct empty frame
+    * when the path doesn't exist yet — the first tick of a fresh
+    * ingest loop runs against no history and bootstraps the store
+    * itself; demanding a pre-seeded store would push a second,
+    * different bootstrap code path onto every operator. */
+  private def storeOrEmpty(spark: SparkSession, path: String,
+                           empty: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path)
+    else empty.withColumn("batch_id", lit(-1L))
+  }
+
+  /** Continuous corpus ingest: every micro-batch of `docsStream`
+    * (columns `doc_id`, `text` — wire any source: file sensor, Kafka,
+    * a CDC feed) runs one [[runBatch]] tick against the accumulated
+    * history, then appends the tick's survivors to `corpusPath` and
+    * its raw input to `rawPath`, both as `batch_id=<id>` partitions.
+    *
+    * Exactly-once corpus growth over at-least-once replays, with the
+    * streaming batch id as the idempotency key end to end:
+    *  - the signature/fingerprint store updates inside [[runBatch]]
+    *    dynamic-overwrite their own partition and the history reads
+    *    exclude it (the retry shield), so a replayed tick never sees
+    *    its crashed attempt;
+    *  - the corpus/raw appends here are dynamic partition overwrites
+    *    of the SAME batch id — a replay rewrites, never duplicates;
+    *  - the history read takes `batch_id < id` (strict), so a replay
+    *    whose raw append already landed still excludes itself.
+    * A crash at ANY point therefore converges on the clean tick's
+    * output when the stream restarts from its checkpoint.
+    *
+    * The per-stage [[Funnel]] accounting goes to `onTick` (default:
+    * discarded) — wire it to a ledger sink for curation audits.
+    */
+  def ingestStream(docsStream: DataFrame,
+                   rawPath: String, corpusPath: String,
+                   storePath: String, fpStorePath: String,
+                   checkpointDir: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                   langs: Seq[String] = Seq("en"),
+                   minQualityMilli: Long = 800L,
+                   nearDupMille: Int = 850,
+                   onTick: (Long, Seq[Funnel]) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docsStream.sparkSession
+    val tick: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      Long) => Unit = { (batch, bid) =>
+      val docs = batch.select("doc_id", "text")
+      val history = storeOrEmpty(spark, rawPath, docs.limit(0))
+        .filter(col("batch_id") < lit(bid))
+        .select("doc_id", "text")
+      val res = runBatch(spark, docs, history, storePath, bid,
+        nearDupMille = nearDupMille, langs = langs,
+        minQualityMilli = minQualityMilli,
+        fpStorePath = Some(fpStorePath))
+      try {
+        res.cleaned.select("doc_id", "text")
+          .withColumn("batch_id", lit(bid))
+          .write.partitionBy("batch_id").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(corpusPath)
+        docs.withColumn("batch_id", lit(bid))
+          .write.partitionBy("batch_id").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(rawPath)
+        onTick(bid, res.funnel)
+      } finally res.unpersist()
+    }
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(tick)
+      .start()
   }
 }

@@ -26,14 +26,17 @@ object ScdQueries extends QueryPack {
 
   /** Shared oracle CTE: the SCD2 history of each user's event_type
     * transitions — LAG detects changes, LEAD closes intervals, both
-    * ordered by (micros, event_id) exactly like the engine's window. */
-  private val HistCte = s"""
+    * ordered by (micros, event_id) exactly like the engine's window.
+    * `chgFilter` restricts which events count as state transitions
+    * (the fact-join query builds the dimension from non-purchase
+    * events only). */
+  private def histCte(chgFilter: String = "TRUE") = s"""
     ev AS ($EvSql),
     m AS (
       SELECT user_id, event_id, tsu, event_type,
              LAG(event_type) OVER
                (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
-      FROM ev),
+      FROM ev WHERE $chgFilter),
     ch AS (
       SELECT user_id, event_id, tsu, event_type FROM m
       WHERE event_type IS DISTINCT FROM prev),
@@ -66,7 +69,7 @@ object ScdQueries extends QueryPack {
         col("is_current"))
       .orderBy("user_id", "version"),
     Some(s"""
-      WITH $HistCte
+      WITH ${histCte()}
       SELECT user_id, event_type, version,
              CAST(valid_from AS BIGINT) AS valid_from,
              CAST(valid_to AS BIGINT) AS valid_to,
@@ -85,7 +88,7 @@ object ScdQueries extends QueryPack {
         unix_micros(col("valid_from")).as("valid_from"))
       .orderBy("user_id"),
     Some(s"""
-      WITH $HistCte
+      WITH ${histCte()}
       SELECT user_id, event_type, version,
              CAST(valid_from AS BIGINT) AS valid_from
       FROM hist
@@ -185,5 +188,55 @@ object ScdQueries extends QueryPack {
       FROM outrows ORDER BY c_custkey, version
     """))
 
-  def all: Seq[GQuery] = Seq(scd2History, scd2Snapshot, scd2Apply)
+  /** Fact rows joined to the dimension version valid at fact time —
+    * SCD2's consumption pattern. Dimension: each user's state built
+    * from NON-purchase events; facts: the purchases. The engine runs
+    * [[graft.ops.AsOf.backward]] on `valid_from` with the version as
+    * tie-break — because a key's intervals partition the timeline,
+    * "latest valid_from at-or-before ts" IS interval containment
+    * (the zero-length versions equal-instant supersession creates
+    * lose every tie-break by construction). The oracle proves that
+    * equivalence with a literal containment join, a genuinely
+    * different formulation. Purchases before a user's first state
+    * null-pad, left-join style. Scale shape: one keyed shuffle for
+    * the as-of (AsOfSpec's plan contract), one for the history
+    * build. */
+  val scd2FactJoin = GQuery(
+    "q_scd2_fact_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "ts", "event_type")
+      val hist = Scd.fromChangeLog(
+          ev.filter(col("event_type") =!= "purchase"),
+          keys = Seq("user_id"), ts = "ts", attrs = Seq("event_type"),
+          tieBreak = Seq("event_id"))
+        .withColumnRenamed("event_type", "state")
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOf.backward(facts, hist,
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "valid_from",
+          rightPayload = Seq("state", "version"),
+          tieBreak = "version")
+        .select(col("event_id"), col("user_id"), col("state"),
+          col("version"))
+        .orderBy("event_id")
+    },
+    Some(s"""
+      WITH ${histCte("event_type <> 'purchase'")},
+      facts AS (
+        SELECT event_id, user_id, tsu FROM ev
+        WHERE event_type = 'purchase')
+      SELECT f.event_id, f.user_id,
+             h.event_type AS state, h.version
+      FROM facts f
+      LEFT JOIN hist h
+        ON h.user_id = f.user_id
+       AND h.valid_from <= f.tsu
+       AND (h.valid_to IS NULL OR f.tsu < h.valid_to)
+      ORDER BY f.event_id
+    """))
+
+  def all: Seq[GQuery] =
+    Seq(scd2History, scd2Snapshot, scd2Apply, scd2FactJoin)
 }

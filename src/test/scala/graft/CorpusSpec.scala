@@ -268,4 +268,67 @@ class CorpusSpec extends SparkSpec {
     assert(maxPerDomain <= 2, s"domain cap violated: $maxPerDomain")
     assert(result.cleaned.count() == funnel("domain_cap").docs_out)
   }
+
+  test("streaming ingest: ticks accrue exactly-once across restarts") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest").toString
+    val landing = s"$root/landing"
+    def writeCsv(name: String, lines: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(landing)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    def words(prefix: String, n: Int) =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val docA = words("aa", 60)
+    val docB = words("bb", 60)
+    // docB with its first word changed: 57/59 shingles shared,
+    // jaccard ≈ 966 per-mille — well over the 850 near-dup bar
+    val docBnear = ("zz0" +: (2 to 60).map(i => s"bb$i")).mkString(" ")
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("doc_id LONG, text STRING")
+    val funnels = collection.mutable.Map.empty[Long, Seq[Corpus.Funnel]]
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("header", "true").csv(landing)
+      Corpus.ingestStream(src, s"$root/raw", s"$root/corpus",
+          s"$root/store", s"$root/fps", s"$root/ckpt",
+          langs = Seq("en", "de", "fr", "es", "zh"),
+          minQualityMilli = 0L,
+          onTick = (bid, f) => funnels(bid) = f)
+        .awaitTermination()
+    }
+    def corpusIds = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // tick 0 against NO stores (bootstrap-free): in-batch exact dup
+    // collapses, both novel docs survive
+    writeCsv("b1.csv", Seq("doc_id,text",
+      s"1001,$docA", s"1002,$docA", s"1003,$docB"))
+    runOnce()
+    assert(corpusIds == Set(1001L, 1003L), s"tick 0: $corpusIds")
+
+    // tick 1 (a RESTARTED query on the same checkpoint): a verbatim
+    // re-ingest drops on the fingerprint store, a near-dup of history
+    // drops on the signature store, the novel doc survives
+    writeCsv("b2.csv", Seq("doc_id,text",
+      s"2001,$docA", s"2002,$docBnear", s"2003,${words("cc", 60)}"))
+    runOnce()
+    assert(corpusIds == Set(1001L, 1003L, 2003L), s"tick 1: $corpusIds")
+    val f1 = funnels(1L).map(f => f.stage -> f).toMap
+    assert(f1("exact_vs_history").docs_in == 3 &&
+      f1("exact_vs_history").docs_out == 2, s"fp drop missing: $f1")
+    assert(f1("neardup_vs_history").docs_out == 1, s"sig drop missing: $f1")
+
+    // both store halves carry one partition per tick
+    val sigBatches = spark.read.parquet(s"$root/store")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(sigBatches == Set(0L, 1L), s"store partitions: $sigBatches")
+
+    // an idle restart is a no-op
+    runOnce()
+    assert(corpusIds == Set(1001L, 1003L, 2003L))
+  }
 }
