@@ -101,8 +101,10 @@ object SampleQueries extends QueryPack {
     * ORDER-SENSITIVE per-shard signature (rank-weighted id checksum +
     * the first doc in shard order), so the oracle proves the exact
     * permutation, not just shard membership. The per-shard window and
-    * aggregate reuse the shuffle's partitioning and sort — the query
-    * plans exactly one Exchange (plan-asserted in SamplingSpec). */
+    * aggregate reuse the shuffle's hash partitioning — the query
+    * plans exactly one Exchange (plan-asserted in SamplingSpec; the
+    * window re-sorts in-partition because the priority column is
+    * recomputed, a per-partition cost that never re-shuffles). */
   val corpusShards = GQuery(
     "q_corpus_shards",
     (s, d) => {
