@@ -130,11 +130,7 @@ object Sampling {
     * split by construction. See q_leakage_safe_split. */
   def assignSplit(key: Column, splits: Seq[(String, Int)],
                   default: String = "train"): Column = {
-    val total = splits.map(_._2).sum
-    require(total <= Buckets,
-      s"split shares exceed $Buckets: $total")
-    require(splits.map(_._1).distinct.size == splits.size &&
-      !splits.exists(_._1 == default), "split names must be unique")
+    validateSplits(splits, default)
     val bucket = substring(md5(key.cast("string")), 1, 4)
     val (cases, _) = splits.foldLeft((lit(default), 0)) {
       case ((acc, cum), (name, share)) =>
@@ -145,9 +141,25 @@ object Sampling {
     cases
   }
 
+  /** Shared validation for [[assignSplit]] and its SQL mirror: a
+    * NEGATIVE share would make later ranges overlap earlier ones —
+    * and the two implementations would then disagree on the overlap
+    * (the Column fold is last-when-wins, the SQL CASE first-WHEN-
+    * wins), a silent engine/oracle divergence. */
+  private def validateSplits(splits: Seq[(String, Int)],
+                             default: String): Unit = {
+    require(splits.forall(_._2 >= 0),
+      s"split shares must be non-negative: $splits")
+    require(splits.map(_._2).sum <= Buckets,
+      s"split shares exceed $Buckets: ${splits.map(_._2).sum}")
+    require(splits.map(_._1).distinct.size == splits.size &&
+      !splits.exists(_._1 == default), "split names must be unique")
+  }
+
   /** DuckDB mirror of [[assignSplit]]. */
   def assignSplitSql(keyExpr: String, splits: Seq[(String, Int)],
                      default: String = "train"): String = {
+    validateSplits(splits, default)
     val bucket = s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4)"
     val whens = splits.foldLeft((List.empty[String], 0)) {
       case ((acc, cum), (name, share)) =>
@@ -163,9 +175,13 @@ object Sampling {
     * (epoch ordering must be reproducible across reruns and resumes,
     * and re-seedable per epoch without rewriting data) — `rand()`
     * gives neither. Lexicographic order of this hash IS the
-    * permutation; changing the seed re-permutes. */
+    * permutation; changing the seed re-permutes. Null keys yield a
+    * NULL priority (concat propagates null — matching the SQL
+    * mirror's `||`, where concat_ws would silently collapse every
+    * null key onto md5(seed), piling them into one shard); shuffle
+    * keys are row identities, fix them upstream if nullable. */
   def shufflePriority(key: Column, seed: String): Column =
-    md5(concat_ws(":", lit(seed), key.cast("string")))
+    md5(concat(lit(seed), lit(":"), key.cast("string")))
 
   /** Which of `numShards` training shards a key lands in: the top 16
     * bits of [[shufflePriority]] scaled into shard space, so shard
@@ -187,12 +203,16 @@ object Sampling {
     * directory. The tie-break on `key` pins the order even if two
     * keys ever collided in the hash. */
   def globalShuffle(df: DataFrame, key: Column, seed: String,
-                    numShards: Int): DataFrame =
+                    numShards: Int): DataFrame = {
+    require(!df.columns.contains("_pri") && !df.columns.contains("shard"),
+      "globalShuffle reserves the column names 'shard' and '_pri'; " +
+        "rename them on the input first")
     df.withColumn("shard", shardOf(key, seed, numShards))
       .withColumn("_pri", shufflePriority(key, seed))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("_pri"), key)
       .drop("_pri")
+  }
 
   /** Export the shuffled corpus as one directory per shard (the
     * training-consumption layout: readers stream shards

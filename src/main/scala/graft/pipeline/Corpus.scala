@@ -240,22 +240,27 @@ object Corpus {
                contaminationMille: Int = 500,
                domainCap: Option[(String, Int)] = None,
                fpStorePath: Option[String] = None): Result = {
-    // ONE signature pass over the batch per tick: the near-dup probe
-    // and the end-of-tick store write both read this checkpoint
+    // ONE source scan and ONE signature pass over the batch per
+    // tick: the batch checkpoint feeds the signature build, the
+    // funnel, AND the end-of-tick fingerprint-store write (which
+    // would otherwise re-scan the source lineage — a full re-read of
+    // a streaming micro-batch); the signature checkpoint feeds both
+    // the near-dup probe and the signature-store write
     // (shingle-explode + numHashes aggregation is the tick's dominant
-    // per-row cost — recomputing it for the store write would double
-    // it). Checkpointed BEFORE the StageRunner exists so the runner's
-    // per-stage eviction never touches it; released in the finally.
+    // per-row cost). Both checkpointed BEFORE the StageRunner exists
+    // so the runner's per-stage eviction never touches them; both
+    // released in the finally.
     val sc = spark.sparkContext
     val beforeSigs = sc.getPersistentRDDs.keySet.toSet
+    val batchDocs = newDocs.localCheckpoint()
     val batchSigs = Dedup
-      .signatures(newDocs, "doc_id", "text", shingleK, numHashes)
+      .signatures(batchDocs, "doc_id", "text", shingleK, numHashes)
       .localCheckpoint()
     val sigIds = sc.getPersistentRDDs.keySet.toSet -- beforeSigs
     def releaseSigs(): Unit = sigIds.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     try {
-    val runner = new StageRunner(spark, newDocs)
+    val runner = new StageRunner(spark, batchDocs)
     import runner.staged
 
     staged("exact_dedup") { d =>
@@ -344,7 +349,7 @@ object Corpus {
     try {
       Dedup.updateSignatureStore(batchSigs, storePath, batchId)
       fpStorePath.foreach(fp =>
-        Dedup.updateFingerprintStore(newDocs, "text", "doc_id", fp, batchId))
+        Dedup.updateFingerprintStore(batchDocs, "text", "doc_id", fp, batchId))
     } catch { case t: Throwable => runner.failCleanup(); throw t }
 
     runner.result()
@@ -352,15 +357,25 @@ object Corpus {
   }
 
   /** Read a batch-partitioned store, or a schema-correct empty frame
-    * when the path doesn't exist yet — the first tick of a fresh
-    * ingest loop runs against no history and bootstraps the store
-    * itself; demanding a pre-seeded store would push a second,
-    * different bootstrap code path onto every operator. */
+    * when the path holds no COMMITTED data yet — the first tick of a
+    * fresh ingest loop runs against no history and bootstraps the
+    * store itself; demanding a pre-seeded store would push a second,
+    * different bootstrap code path onto every operator.
+    *
+    * "Committed" means a `batch_id=` partition directory exists: a
+    * crash DURING the first-ever store write leaves the path with
+    * only staging residue (`_temporary`), and a bare existence check
+    * would then throw unable-to-infer-schema on every replay —
+    * wedging the exactly-once loop on precisely the crash it
+    * promises to absorb. Partition dirs only appear at job commit,
+    * so their presence is the commit marker. */
   private def storeOrEmpty(spark: SparkSession, path: String,
                            empty: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(path)
+    val committed = fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    if (committed) spark.read.parquet(path)
     else empty.withColumn("batch_id", lit(-1L))
   }
 

@@ -331,4 +331,26 @@ class CorpusSpec extends SparkSpec {
     runOnce()
     assert(corpusIds == Set(1001L, 1003L, 2003L))
   }
+
+  test("a store path holding only crash residue reads as empty, not a wedge") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_residue").toString
+    // simulate a crash DURING the first-ever store write: the path
+    // exists but holds only the committer's staging dir — no
+    // batch_id= partition ever committed
+    for (p <- Seq(s"$root/store/_temporary", s"$root/fps/_temporary"))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+    val batch = Seq(
+      9001L -> (1 to 30).map(i => s"res$i").mkString(" ")
+    ).toDF("doc_id", "text")
+    val r = Corpus.runBatch(spark, batch,
+      historyText = batch.limit(0), storePath = s"$root/store",
+      batchId = 0L, langs = Seq("en", "de", "fr", "es", "zh"),
+      minQualityMilli = 0L, fpStorePath = Some(s"$root/fps"))
+    val ids = r.cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    r.unpersist()
+    assert(ids == Set(9001L),
+      s"replay over crash residue lost the batch: $ids")
+  }
 }

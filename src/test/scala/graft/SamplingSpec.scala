@@ -146,13 +146,36 @@ class SamplingSpec extends SparkSpec {
       "val grew from somewhere other than the default")
   }
 
-  test("assignSplit rejects overlapping names and oversized shares") {
+  test("assignSplit rejects overlapping names and bad shares, both forms") {
     intercept[IllegalArgumentException](
       Sampling.assignSplit(col("id"), Seq("a" -> 1, "a" -> 2)))
     intercept[IllegalArgumentException](
       Sampling.assignSplit(col("id"), Seq("a" -> 1, "train" -> 2)))
     intercept[IllegalArgumentException](
       Sampling.assignSplit(col("id"), Seq("a" -> 40000, "b" -> 40000)))
+    // a negative share would make later ranges overlap earlier ones —
+    // where the Column fold and the SQL CASE resolve DIFFERENTLY
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(col("id"), Seq("a" -> 100, "b" -> -50)))
+    intercept[IllegalArgumentException](
+      Sampling.assignSplitSql("id", Seq("a" -> 100, "b" -> -50)))
+  }
+
+  test("globalShuffle guards its reserved columns; null keys stay null") {
+    val s = spark; import s.implicits._
+    intercept[IllegalArgumentException](Sampling.globalShuffle(
+      Seq((1L, "x")).toDF("id", "shard"), col("id"), "e", 4))
+    intercept[IllegalArgumentException](Sampling.globalShuffle(
+      Seq((1L, "x")).toDF("id", "_pri"), col("id"), "e", 4))
+    // null key → null priority/shard (matches the SQL mirror's ||
+    // semantics; concat_ws would pile every null key into ONE shard)
+    val r = Seq(Option(7L), Option.empty[Long]).toDF("id")
+      .select(Sampling.shufflePriority(col("id"), "e").as("p"),
+        Sampling.shardOf(col("id"), "e", 4).as("sh"))
+      .collect()
+    assert(r.exists(row => row.isNullAt(0) && row.isNullAt(1)),
+      "null key must yield null priority and shard")
+    assert(r.exists(row => !row.isNullAt(0) && !row.isNullAt(1)))
   }
 
   test("cluster-keyed split never separates near-duplicates; id-keyed can") {
