@@ -224,6 +224,45 @@ object Sampling {
     globalShuffle(df, key, seed, numShards)
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Budgeted best-first selection — the dataset-MIXING primitive:
+    * per group (language, source, domain), take rows in descending
+    * `score` order until the group's `budget` of `cost` units
+    * (tokens, chars, bytes) is spent. Passing a per-group `budget`
+    * expression IS the mixing ratio: "30M tokens of en, 15M of
+    * everything else" is one call.
+    *
+    * A row is kept iff the cost spent on strictly-better rows is
+    * still under budget — so the first row to cross the line is
+    * INCLUDED (guaranteed progress when a single document exceeds
+    * the whole budget) and everything after it is not. Ordering ties
+    * break on `key`, so selection is deterministic and, like every
+    * op here, retry-stable: raising a group's budget only ADDS rows.
+    *
+    * Scale shape: one shuffle on the group + a per-group running sum
+    * over a ROWS window — no global sort, no collect. The window
+    * sorts each group; for a group so large its sort is the
+    * bottleneck, pre-thin with [[weighted]]/[[sample]] first (the
+    * usual two-phase curation), or bound the group with
+    * [[domainCap]]. */
+  def selectToBudget(df: DataFrame, group: Column, score: Column,
+                     cost: Column, key: Column,
+                     budget: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(score.desc, key.asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_spent", sum(cost).over(w))
+      .filter(coalesce(col("_spent"), lit(0L)) < budget)
+      .drop("_spent")
+  }
+
+  /** DuckDB mirror of [[selectToBudget]]'s spent-so-far expression
+    * (filter `coalesce(<this>, 0) < budget` in a wrapping query). */
+  def spentBeforeSql(groupExpr: String, scoreExpr: String,
+                     costExpr: String, keyExpr: String): String =
+    s"SUM($costExpr) OVER (PARTITION BY $groupExpr " +
+      s"ORDER BY $scoreExpr DESC, $keyExpr ASC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+
   /** DuckDB mirror of [[shufflePriority]]. */
   def shufflePrioritySql(keyExpr: String, seed: String): String =
     s"md5('$seed:' || CAST($keyExpr AS VARCHAR))"

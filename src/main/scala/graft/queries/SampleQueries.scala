@@ -142,7 +142,38 @@ object SampleQueries extends QueryPack {
       FROM ranked GROUP BY shard ORDER BY shard
     """))
 
+  /** Budgeted best-first selection with per-group budgets — the
+    * dataset-mixing shape ([[Sampling.selectToBudget]]): fill each
+    * language's character budget (en gets 2×) with the longest
+    * documents first. First-overrun row included; membership
+    * compared exactly via (count, cost-sum, id-sum) per lang. */
+  val budgetSelect = GQuery(
+    "q_budget_select",
+    (s, d) => Sampling
+      .selectToBudget(Tables.documents(s, d),
+        group = col("lang"), score = col("n_chars"),
+        cost = col("n_chars"), key = col("doc_id"),
+        budget = when(col("lang") === "en", 40000L).otherwise(20000L))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("chars_kept"),
+        sum("doc_id").as("sum_ids"))
+      .orderBy("lang"),
+    Some(s"""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      FROM (
+        SELECT lang, doc_id, n_chars,
+               ${Sampling.spentBeforeSql("lang", "n_chars", "n_chars",
+                 "doc_id")} AS spent
+        FROM documents)
+      WHERE COALESCE(spent, 0) <
+            (CASE WHEN lang = 'en' THEN 40000 ELSE 20000 END)
+      GROUP BY lang ORDER BY lang
+    """))
+
   def all: Seq[GQuery] =
     Seq(hashSample, stratifiedSample, domainCap, weightedSample,
-      corpusShards)
+      corpusShards, budgetSelect)
 }

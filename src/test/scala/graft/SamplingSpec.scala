@@ -199,6 +199,31 @@ class SamplingSpec extends SparkSpec {
       "cluster-keyed assignment split a cluster across splits")
   }
 
+  test("selectToBudget: best-first fill, first overrun included, monotone") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("en", 1L, 50L, 900), ("en", 2L, 60L, 800), ("en", 3L, 70L, 700),
+      ("de", 4L, 200L, 999), // single doc larger than the whole budget
+      ("fr", 5L, 40L, 500), ("fr", 6L, 40L, 500) // score tie -> key order
+    ).toDF("lang", "id", "toks", "score")
+    def kept(budget: Long) = Sampling.selectToBudget(df, col("lang"),
+        col("score"), col("toks"), col("id"), lit(budget))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // budget 100: en takes 900(50) then 800(60) overruns -> included,
+    // 700 excluded; de's first doc overruns alone -> included;
+    // fr tie at 500 breaks by id: 5 then 6 (overrun, included)
+    assert(kept(100L) == Set(1L, 2L, 4L, 5L, 6L))
+    // a tighter budget keeps a subset (monotone in budget)
+    assert(kept(40L) == Set(1L, 4L, 5L))
+    assert(kept(40L).subsetOf(kept(100L)))
+    // per-group budgets via an expression
+    val mixed = Sampling.selectToBudget(df, col("lang"), col("score"),
+        col("toks"), col("id"),
+        when(col("lang") === "en", 200L).otherwise(10L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(mixed == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("globalShuffle: a seeded, rerun-stable permutation into balanced shards") {
     val base = spark.range(8000).toDF("id")
     def perm(df: org.apache.spark.sql.DataFrame, seed: String) =
