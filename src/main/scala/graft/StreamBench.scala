@@ -132,6 +132,33 @@ object StreamBench {
           (col("id") % 7).as("cohort"))
         noop(Streams.enrich(readSliced(), dim, Seq("user_id")),
           OutputMode.Append, "enrich")
+      }),
+      // the continuous corpus-ingest loop: 4 document micro-batches,
+      // each running one full funnel tick (shingle + probe the
+      // ACCUMULATED signature/fingerprint stores + store append) —
+      // "state" here is the on-disk store, so state_rows reads 0;
+      // the per-tick cost growing with history is what's measured
+      "corpus_ingest" -> (() => timed {
+        val docsStage = s"$root/docs_landing"
+        val docs = Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+        (0 to 3).foreach { i =>
+          docs.filter(col("doc_id") % 4 === i)
+            .coalesce(1).write.parquet(s"$docsStage/slice_$i")
+          Thread.sleep(20)
+        }
+        val src = spark.readStream
+          .schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$docsStage/slice_*")
+        graft.pipeline.Corpus.ingestStream(src,
+          rawPath = s"$root/ingest/raw",
+          corpusPath = s"$root/ingest/corpus",
+          storePath = s"$root/ingest/store",
+          fpStorePath = s"$root/ingest/fps",
+          checkpointDir = s"$root/ckpt_ingest",
+          langs = Seq("en", "de", "fr", "es", "zh"),
+          minQualityMilli = 0L)
       })
     ).map { case (name, f) => name -> f() }
 
