@@ -31,15 +31,19 @@ object CsvQueries extends QueryPack {
   private def landingDir(sfDir: String): String =
     s"/tmp/graft_fixtures/csv_ingest_${new java.io.File(sfDir).getName}/landing"
 
-  /** Deterministic single-file CSV write: ordered coalesce(1) write to
-    * a scratch dir, then the part file is moved to `landing/name`.
-    * Fixture scaffolding only — the engine path is [[CsvIngest]]. */
-  private def writeOne(df: DataFrame, landing: String, name: String): Unit = {
+  /** Deterministic single-file write (csv with header, or raw text
+    * for the JSONL fixture): ordered coalesce(1) write to a scratch
+    * dir, then the part file is moved to `landing/name`. Fixture
+    * scaffolding only — the engine paths are [[CsvIngest]] /
+    * [[graft.ops.JsonlIngest]]. */
+  private def writeOne(df: DataFrame, landing: String, name: String,
+                       format: String = "csv"): Unit = {
     val spark = df.sparkSession
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val scratch = new Path(landing + "_scratch_" + name)
-    df.coalesce(1).write.mode("overwrite")
-      .option("header", "true").csv(scratch.toString)
+    val w = df.coalesce(1).write.mode("overwrite")
+    if (format == "csv") w.option("header", "true").csv(scratch.toString)
+    else w.text(scratch.toString)
     val part = fs.listStatus(scratch).map(_.getPath)
       .find(_.getName.startsWith("part-")).get
     val dest = new Path(landing, name)
@@ -110,5 +114,70 @@ object CsvQueries extends QueryPack {
       ) ORDER BY customer_id
     """})
 
-  def all: Seq[GQuery] = Seq(csvIngest)
+  private def jsonlDir(sfDir: String): String =
+    s"/tmp/graft_fixtures/jsonl_ingest_${new java.io.File(sfDir).getName}/landing"
+
+  /** JSONL corpus fixture: every 4th document as a one-line JSON
+    * object with NESTED metadata ({doc_id, text, meta:{lang,source}}),
+    * plus three injected malformed lines (truncated object, bare
+    * garbage, unterminated value) — the shapes a real crawl dump
+    * carries. Every VALID line carries doc_id, which is what lets the
+    * oracle identify quarantined lines (all-null rows) without
+    * Spark's corrupt-record channel. */
+  def writeJsonlFixture(s: SparkSession, sfDir: String): String = {
+    import s.implicits._
+    val landing = jsonlDir(sfDir)
+    val docs = Tables.documents(s, sfDir)
+      .filter(col("doc_id") % 4 === 0).orderBy("doc_id")
+    val lines = docs.select(to_json(struct(col("doc_id"), col("text"),
+        struct(col("lang"), col("source")).as("meta"))).as("value"))
+      .unionByName(Seq("{\"doc_id\": 123, \"text\": \"trunca",
+        "definitely not json",
+        "{\"doc_id\":").toDF("value"))
+    writeOne(lines, landing, "docs.jsonl", format = "text")
+    landing
+  }
+
+  /** JSONL ingestion with explicit nested schema + malformed-line
+    * quarantine ([[graft.ops.JsonlIngest]]): clean lines flatten
+    * their nested meta and aggregate per language; malformed lines
+    * land in a '__corrupt__' accounting group instead of crashing the
+    * job (FAILFAST) or silently vanishing (DROPMALFORMED). The oracle
+    * reads the same file with DuckDB's newline-delimited reader,
+    * where unparseable lines surface as all-null rows — a genuinely
+    * different malformed-line channel proving the same split. */
+  val jsonlIngest = GQuery(
+    "q_jsonl_ingest",
+    (s, d) => {
+      val landing = writeJsonlFixture(s, d)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("meta", StructType(Seq(
+          StructField("lang", StringType),
+          StructField("source", StringType))))))
+      graft.ops.JsonlIngest.read(s, s"$landing/docs.jsonl", schema)
+        .groupBy(when(col("_corrupt").isNotNull, lit("__corrupt__"))
+          .otherwise(col("meta.lang")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(length(col("text"))).as("sum_chars"))
+        .orderBy("lang")
+    },
+    Some {
+      val landing01 = jsonlDir("/root/testdata/sf0.01")
+      s"""
+      SELECT CASE WHEN doc_id IS NULL THEN '__corrupt__'
+                  ELSE meta.lang END AS lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+             CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+      FROM read_json('$landing01/docs.jsonl',
+                     format='newline_delimited', ignore_errors=true,
+                     columns={'doc_id':'BIGINT','text':'VARCHAR',
+                              'meta':'STRUCT(lang VARCHAR, source VARCHAR)'})
+      GROUP BY 1 ORDER BY lang
+    """})
+
+  def all: Seq[GQuery] = Seq(csvIngest, jsonlIngest)
 }
