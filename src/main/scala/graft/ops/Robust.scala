@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust (median / MAD) distribution profiling — the outlier gate a
+  * training-data pipeline wants where mean/stddev checks break: one
+  * corrupt feed of 1e9-valued prices moves a mean arbitrarily but
+  * moves the median not at all, so "|x − median| > k · MAD" keeps
+  * flagging exactly the bad rows while the z-score equivalent flags
+  * nothing (the outliers inflated the stddev themselves).
+  *
+  * Determinism discipline: the median here is DISCRETE — the value at
+  * rank ceil(n/2) under an explicit (value, tieBreak) total order —
+  * never an interpolated midpoint. An interpolated median is one
+  * float add+divide computed by two engines in possibly different
+  * association order; the discrete median is a VALUE THAT EXISTS IN
+  * THE DATA, so the cross-engine comparison is byte-exact, and the
+  * MAD (discrete median of |x − med|) stays exact because IEEE
+  * subtraction of identical inputs is identical everywhere.
+  *
+  * Scale shape: ONE Exchange on the group columns; the two rank
+  * passes (by value, then by deviation) and the final aggregate are
+  * in-partition sorts/windows over the same partitioning — asserted
+  * in RobustSpec. Group count is the monitoring dimensionality
+  * (priorities, domains, days) — per-group row counts can be huge,
+  * group counts are not; a single group bounded by one partition's
+  * memory is the same contract every sort-based window op carries.
+  * For quantiles over UNGROUPED billions use the mergeable
+  * [[Sketches.histogramProfile]] family instead — this op is the
+  * exact-arithmetic contract.
+  */
+object Robust {
+
+  /** ceil(n/2) rank — the discrete median position. */
+  private def medRank: Column = expr("(_cnt + 1) DIV 2")
+
+  /** Per-group robust profile: n, discrete median `med`, discrete
+    * MAD `mad`, and `n_outliers` = rows with |x − med| > k · mad.
+    * `tieBreak` must totally order rows within a group (a key
+    * column) so both rank passes are deterministic. */
+  def outlierProfile(df: DataFrame, groupCols: Seq[String], of: String,
+                     tieBreak: String, k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "outlierProfile needs group columns")
+    require(k > 0, s"k must be positive: $k")
+    val g = groupCols.map(col)
+    val part = Window.partitionBy(g: _*)
+    val byVal = part.orderBy(col(of), col(tieBreak))
+    val withMed = df
+      .withColumn("_rn", row_number().over(byVal))
+      .withColumn("_cnt", count(lit(1)).over(part))
+      .withColumn("_med",
+        max(when(col("_rn") === medRank, col(of))).over(part))
+      .withColumn("_dev", abs(col(of) - col("_med")))
+    val byDev = part.orderBy(col("_dev"), col(tieBreak))
+    withMed
+      .withColumn("_rn2", row_number().over(byDev))
+      .withColumn("_mad",
+        max(when(col("_rn2") === medRank, col("_dev"))).over(part))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        max(col("_med")).as("med"),
+        max(col("_mad")).as("mad"),
+        count(when(col("_dev") > col("_mad") * k, 1)).as("n_outliers"))
+  }
+
+  /** DuckDB mirror of [[outlierProfile]] — same discrete ranks, same
+    * arithmetic; emits a full SELECT over `table` grouped by
+    * `groupExpr`, aliasing the group as `groupAs`. */
+  def outlierProfileSql(table: String, groupExpr: String, groupAs: String,
+                        ofExpr: String, tieBreakExpr: String,
+                        k: Int): String = s"""
+    WITH r1 AS (
+      SELECT $groupExpr AS g, $ofExpr AS x, $tieBreakExpr AS tb,
+             ROW_NUMBER() OVER (PARTITION BY $groupExpr
+               ORDER BY $ofExpr, $tieBreakExpr) AS rn,
+             COUNT(*) OVER (PARTITION BY $groupExpr) AS cnt
+      FROM $table),
+    m AS (
+      SELECT *, MAX(CASE WHEN rn = (cnt + 1) // 2 THEN x END)
+                  OVER (PARTITION BY g) AS med
+      FROM r1),
+    dv AS (SELECT *, abs(x - med) AS dev FROM m),
+    r2 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+                  ORDER BY dev, tb) AS rn2
+      FROM dv),
+    mm AS (
+      SELECT *, MAX(CASE WHEN rn2 = (cnt + 1) // 2 THEN dev END)
+                  OVER (PARTITION BY g) AS mad
+      FROM r2)
+    SELECT g AS $groupAs, CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(med) AS med, MAX(mad) AS mad,
+           CAST(COUNT(CASE WHEN dev > mad * $k THEN 1 END) AS BIGINT)
+             AS n_outliers
+    FROM mm GROUP BY g"""
+}

@@ -101,4 +101,91 @@ object Sketches {
       .groupBy(groupCols.map(col): _*)
       .agg(min(col("bin")).as(as))
   }
+
+  // ---- Mergeable Count–Min frequency profiles ----
+  //
+  // Per-item frequency MONITORING (heavy hitters, hot-key detection,
+  // vocabulary drift) at 100 TB: exact per-item counts over a
+  // billions-cardinality domain shuffle every distinct item; the
+  // Count–Min sketch replaces that with depth × width cells total.
+  // Represented relationally as (d, bucket, n) rows — the same
+  // storable shape as the histogram profile — so merging stored
+  // profiles is summing cells (exactly associative, unlike HLL's
+  // bit-unstable union), and every piece is plain codegen'd
+  // expressions: no UDF, no binary blob, no driver round-trip.
+  //
+  // The bucket hash is the first 4 hex chars of md5(value ':' row)
+  // (the repo-wide cross-engine convention — see Sampling's scaladoc):
+  // md5 emits identical lowercase hex in Spark and DuckDB, so a
+  // different engine can rebuild the IDENTICAL sketch and the oracle
+  // contract is exact cell/estimate parity — stronger than the HLL
+  // error-bound verdict.
+  //
+  // est(v) = min over rows d of cell[d][h_d(v)]. Structurally
+  // est ≥ true(v) always (every occurrence of v lands in its cell);
+  // est ≤ true(v) + e·N/width with probability 1 − e^(−depth) per
+  // item (the classic CMS bound). Width is capped at 65536 (= 16^4,
+  // the 4-hex-digit bucket space).
+
+  val CmsDepth = 3
+
+  /** The depth-d bucket of a value — pure per-row expressions, the
+    * identical arithmetic the DuckDB mirror [[cmsBucketSql]] runs. */
+  def cmsBucket(v: Column, d: Column, width: Int): Column =
+    pmod(conv(substring(
+      md5(concat(v.cast("string"), lit(":"), d.cast("string"))),
+      1, 4), 16, 10).cast("int"), lit(width))
+
+  /** DuckDB mirror of [[cmsBucket]]. */
+  def cmsBucketSql(vExpr: String, dExpr: String, width: Int): String =
+    s"CAST(('0x' || substr(md5(CAST($vExpr AS VARCHAR) || ':' || " +
+      s"CAST($dExpr AS VARCHAR)), 1, 4)) AS INT) % $width"
+
+  private def depthRows(depth: Int): Column =
+    explode(array((0 until depth).map(lit): _*))
+
+  /** CMS profile of `of` as (d, bucket, n) rows — the storable/
+    * mergeable frequency artifact, bounded by depth×width regardless
+    * of row count. Null values are excluded (a null carries no
+    * frequency). The explode costs depth× rows BEFORE the exchange,
+    * but map-side combine collapses each partition to ≤ depth×width
+    * cells, so the shuffle is sketch-sized, not data-sized. */
+  def cmsProfile(df: DataFrame, of: String,
+                 depth: Int = CmsDepth, width: Int): DataFrame = {
+    require(depth > 0, s"depth must be positive: $depth")
+    require(width > 0 && width <= 65536,
+      s"width must be in [1, 65536]: $width")
+    df.filter(col(of).isNotNull)
+      .select(col(of).as("_v"), depthRows(depth).as("d"))
+      .groupBy(col("d"), cmsBucket(col("_v"), col("d"), width).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Roll up stored CMS profiles (same depth/width family) — cells
+    * sum exactly; no raw-data rescan. */
+  def mergeCms(profiles: DataFrame): DataFrame =
+    profiles.groupBy(col("d"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+
+  /** Point-estimate each item row's frequency from a sketch: the min
+    * over depth rows of the item's cell (absent cell = 0). The sketch
+    * is depth×width rows, so it broadcasts; the probe side stays
+    * partitioned — estimating a billion candidates is a map-side
+    * join. Sketch columns are re-aliased internally, so `items` may
+    * carry any non-underscore-prefixed names. */
+  def cmsEstimate(items: DataFrame, itemCol: String, cms: DataFrame,
+                  width: Int, as: String,
+                  depth: Int = CmsDepth): DataFrame = {
+    val itemCols = items.columns.toSeq
+    val sk = cms.select(col("d").as("_cms_d"),
+      col("bucket").as("_cms_b"), col("n").as("_cms_n"))
+    items
+      .withColumn("_d", depthRows(depth))
+      .withColumn("_b", cmsBucket(col(itemCol), col("_d"), width))
+      .join(broadcast(sk),
+        col("_d") === col("_cms_d") && col("_b") === col("_cms_b"),
+        "left")
+      .groupBy(itemCols.map(col): _*)
+      .agg(min(coalesce(col("_cms_n"), lit(0L))).as(as))
+  }
 }

@@ -37,6 +37,23 @@ object TextOps {
   def wordCount(toks: Column, w: String): Column =
     size(filter(toks, t => t === lit(w)))
 
+  /** Canonical form for normalization-aware dedup: casefold, then
+    * collapse every run of non-alphanumerics (punctuation, extra
+    * whitespace, line breaks) to one space, then trim. Two documents
+    * that differ only in case/punctuation/whitespace — the classic
+    * scrape-twice shape (same article, different boilerplate
+    * rendering) — canonicalize to identical bytes, so the plain
+    * exact-dedup machinery (md5 fingerprint anti-join) removes them
+    * without any MinHash work. Pure codegen'd per-row expressions;
+    * the character class is shared verbatim with the RE2-compatible
+    * DuckDB mirror [[canonicalizeSql]]. */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** DuckDB mirror of [[canonicalize]]. */
+  def canonicalizeSql(textExpr: String): String =
+    s"trim(regexp_replace(lower($textExpr), '[^a-z0-9]+', ' ', 'g'))"
+
   /** NON-distinct word bigrams, for frequency work (repetition
     * metrics need counts; the dedup family's [[Dedup.shingles]] is
     * distinct by design). Docs under 2 tokens yield an empty list —

@@ -166,7 +166,26 @@ object AggQueries extends QueryPack {
       FROM events
     """))
 
+  /** Robust outlier profile ([[graft.ops.Robust.outlierProfile]]):
+    * per-priority discrete median / MAD over order totals + the
+    * |x − med| > 5·MAD outlier count. The oracle runs the mirrored
+    * rank arithmetic — every output value is either a value present
+    * in the data or an IEEE subtraction of two such values, so the
+    * double columns compare byte-exactly (see Robust's determinism
+    * scaladoc). Plan: ONE Exchange on the group key; both rank
+    * passes and the final aggregate reuse it (RobustSpec asserts). */
+  val robustOutliers = GQuery(
+    "q_robust_outliers",
+    (s, d) => graft.ops.Robust.outlierProfile(
+      Tables.orders(s, d), Seq("o_orderpriority"), "o_totalprice",
+      "o_orderkey", k = 5)
+      .orderBy("o_orderpriority"),
+    Some(graft.ops.Robust.outlierProfileSql(
+      "orders", "o_orderpriority", "o_orderpriority",
+      "o_totalprice", "o_orderkey", k = 5) + " ORDER BY 1"))
+
   def all: Seq[GQuery] = Seq(
     pricingSummary, conditionalAudit, dupHaving, countDistinctCheck,
-    minmaxProfile, distribution, distinctDims, unionSummary, batchStats)
+    minmaxProfile, distribution, distinctDims, unionSummary, batchStats,
+    robustOutliers)
 }

@@ -55,6 +55,43 @@ object DedupQueries extends QueryPack {
       FROM corpus GROUP BY md5(text) ORDER BY keep_id
     """))
 
+  /** Canonical-form dedup: exact dedup AFTER
+    * [[graft.ops.TextOps.canonicalize]] (casefold + punctuation/
+    * whitespace collapse) — catches the scrape-twice shape where the
+    * same content re-renders with different case or boilerplate
+    * punctuation, which raw exact dedup misses and MinHash would pay
+    * full shingling cost to find. The corpus is injected with
+    * canonical-only twins (every 11th doc re-appears UPPERCASED with
+    * trailing punctuation, id+2000000): raw md5 sees distinct texts,
+    * the canonical fingerprint folds each twin onto its original.
+    * Same scale shape as [[exactDedup]]: one per-row codegen'd
+    * projection, then a fixed-width-key groupBy with map-side
+    * combine. */
+  val canonicalDedup = GQuery(
+    "q_canonical_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(upper(col("text")), lit(" !!")).as("text")))
+      Dedup.exact(
+        corpus.withColumn("canon",
+          graft.ops.TextOps.canonicalize(col("text"))),
+        "canon", "doc_id")
+        .orderBy("keep_id")
+    },
+    Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000, upper(text) || ' !!'
+        FROM documents WHERE doc_id % 11 = 0)
+      SELECT md5(${graft.ops.TextOps.canonicalizeSql("text")}) AS fp,
+             MIN(doc_id) AS keep_id, COUNT(*) AS copies
+      FROM corpus GROUP BY 1 ORDER BY keep_id
+    """))
+
   /** Exact n-gram Jaccard pairs (ground truth for the LSH path):
     * explode distinct shingles, equi-join on the shingle, inclusion-
     * exclusion union. Quadratic in per-shingle doc frequency — the
@@ -362,7 +399,7 @@ object DedupQueries extends QueryPack {
     bench = false, eager = true)
 
   def all: Seq[GQuery] =
-    Seq(exactDedup, ngramJaccard, minhashLsh, simhashPairs,
-      neardupClusters, leakageSafeSplit, incrementalNearDup,
-      incrementalExactQ)
+    Seq(exactDedup, canonicalDedup, ngramJaccard, minhashLsh,
+      simhashPairs, neardupClusters, leakageSafeSplit,
+      incrementalNearDup, incrementalExactQ)
 }

@@ -148,6 +148,54 @@ object SketchQueries extends QueryPack {
       FROM tot t ORDER BY l_returnflag
     """))
 
+  /** Mergeable Count–Min heavy hitters ([[Sketches.cmsProfile]]):
+    * four per-slice CMS profiles (simulated ingest batches, sliced by
+    * event_id % 4) are MERGED, then heavy users (exact count ≥ 80)
+    * are point-estimated off the merged sketch. The oracle rebuilds
+    * the IDENTICAL sketch directly over all rows — the md5-derived
+    * bucket hash is engine-portable — so the estimate column compares
+    * EXACTLY (equality proves both cell-exact mergeability and the
+    * probe arithmetic), a stronger contract than the HLL error
+    * verdict. Width 64 ≪ 150+ users forces real collisions: est > n
+    * for most rows, est ≥ n for all (the structural CMS guarantee,
+    * also pinned in SketchSpec). */
+  val cmsHeavyHitters = GQuery(
+    "q_cms_heavy_hitters",
+    (s, d) => {
+      val W = 64
+      val ev = Tables.events(s, d).select("event_id", "user_id")
+      val slices = (0 to 3).map(i => Sketches.cmsProfile(
+        ev.filter(pmod(col("event_id"), lit(4)) === i),
+        "user_id", width = W))
+      val merged = Sketches.mergeCms(slices.reduce(_ unionByName _))
+      val heavy = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 80)
+      Sketches.cmsEstimate(heavy, "user_id", merged, W, "est")
+        .select(col("user_id"), col("n"),
+          col("est").cast("long").as("est"))
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH dd AS (SELECT * FROM (VALUES (0), (1), (2)) t(d)),
+      cells AS (
+        SELECT dd.d AS d,
+               ${Sketches.cmsBucketSql("e.user_id", "dd.d", 64)} AS bucket,
+               COUNT(*) AS n
+        FROM events e CROSS JOIN dd GROUP BY 1, 2),
+      heavy AS (
+        SELECT user_id, COUNT(*) AS n FROM events
+        GROUP BY 1 HAVING COUNT(*) >= 80),
+      est AS (
+        SELECT h.user_id, h.n, MIN(coalesce(c.n, 0)) AS est
+        FROM heavy h CROSS JOIN dd
+        LEFT JOIN cells c ON c.d = dd.d
+          AND c.bucket = ${Sketches.cmsBucketSql("h.user_id", "dd.d", 64)}
+        GROUP BY 1, 2)
+      SELECT user_id, CAST(n AS BIGINT) AS n, CAST(est AS BIGINT) AS est
+      FROM est ORDER BY user_id
+    """))
+
   def all: Seq[GQuery] =
-    Seq(sketchDistinct, quantileProfile, histogramQuantile)
+    Seq(sketchDistinct, quantileProfile, histogramQuantile,
+      cmsHeavyHitters)
 }

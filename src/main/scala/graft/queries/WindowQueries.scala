@@ -136,7 +136,64 @@ object WindowQueries extends QueryPack {
       ORDER BY user_id, session_id
     """))
 
+  /** Rolling-window feature extraction — the per-entity sliding-frame
+    * features (trailing-3-order spend, momentum flags) a churn/LTV
+    * training set is built from. Determinism discipline: money is
+    * converted to integer CENTS before any frame aggregation —
+    * sliding-frame float sums are engine-implementation-defined
+    * association order (Spark recomputes per frame, DuckDB segment-
+    * trees), so a double sum could drift in the last ulp; integer
+    * sums cannot. Scale shape: one hash Exchange on the entity key;
+    * the ordered frame walk, the lag pass, and the final per-entity
+    * aggregate all reuse that partitioning (no second shuffle —
+    * RobustSpec asserts the single-Exchange plan). */
+  val rollingFeatures = GQuery(
+    "q_rolling_features",
+    (s, d) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val byTime = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val frame3 = byTime.rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("_cents", cents)
+        .withColumn("_sum3", sum(col("_cents")).over(frame3))
+        .withColumn("_prev3", lag(col("_sum3"), 1).over(byTime))
+        .withColumn("_rn", row_number().over(byTime))
+        .withColumn("_cnt",
+          count(lit(1)).over(Window.partitionBy("o_custkey")))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          max(when(col("_rn") === col("_cnt"), col("_sum3")))
+            .as("last3_cents"),
+          max(col("_sum3")).as("max3_cents"),
+          count(when(col("_sum3") > col("_prev3"), 1)).as("n_rising"))
+        .orderBy("o_custkey")
+    },
+    Some("""
+      WITH b AS (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS sum3,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+        FROM orders),
+      f AS (
+        SELECT *, LAG(sum3) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS prev3
+        FROM b)
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             MAX(CASE WHEN rn = cnt THEN sum3 END) AS last3_cents,
+             MAX(sum3) AS max3_cents,
+             CAST(COUNT(CASE WHEN sum3 > prev3 THEN 1 END) AS BIGINT)
+               AS n_rising
+      FROM f GROUP BY o_custkey ORDER BY o_custkey
+    """))
+
   def all: Seq[GQuery] =
     Seq(dupWindowMark, latestPerKey, surrogateKeys, topkOrders,
-      sessionizeBatch)
+      sessionizeBatch, rollingFeatures)
 }

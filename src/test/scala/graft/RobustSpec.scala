@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Robust
+
+/** Robust median/MAD profiling: hand-checked values on a seeded frame
+  * (including the degenerate MAD=0 group), and the single-Exchange
+  * plan contract both it and the rolling-features query rely on —
+  * the rank passes and the final aggregate must all reuse the one
+  * hash partitioning on the group key.
+  */
+class RobustSpec extends SparkSpec {
+
+  test("outlierProfile matches hand-computed median/MAD/outliers") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      // group a: 5 values, one wild outlier
+      ("a", 10.0, 1L), ("a", 11.0, 2L), ("a", 12.0, 3L),
+      ("a", 13.0, 4L), ("a", 1000.0, 5L),
+      // group b: ties at the median, MAD degenerates to 0 — any
+      // nonzero deviation is then an "outlier" (the documented
+      // behavior of the k·MAD gate on ultra-concentrated data)
+      ("b", 5.0, 6L), ("b", 5.0, 7L), ("b", 6.0, 8L)
+    ).toDF("g", "x", "id")
+    val out = Robust.outlierProfile(df, Seq("g"), "x", "id", k = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("med"),
+          r.getAs[Double]("mad"), r.getAs[Long]("n_outliers"))).toMap
+    // a: med = rank-3 of (10,11,12,13,1000) = 12; devs sorted
+    // (0,1,1,2,988) → mad = rank-3 = 1; only 988 > 5·1
+    assert(out("a") == ((5L, 12.0, 1.0, 1L)), s"group a: ${out("a")}")
+    // b: med = rank-2 of (5,5,6) = 5; devs (0,0,1) → mad = 0;
+    // the 6 has dev 1 > 0
+    assert(out("b") == ((3L, 5.0, 0.0, 1L)), s"group b: ${out("b")}")
+  }
+
+  test("the mean/stddev gate breaks where the median gate holds") {
+    val s = spark; import s.implicits._
+    // a corrupt feed of NINE 1e9-valued rows masks itself: the
+    // outliers inflate the stddev until their own z ≈ √(n/m) < 5 and
+    // the z-score gate flags NOTHING; the median/MAD gate is immune
+    // (9 of 109 rows move neither) and flags exactly the nine
+    val vals = (1 to 100).map(i => ("g", 100.0 + (i % 7), i.toLong)) ++
+      (101 to 109).map(i => ("g", 1e9, i.toLong))
+    val df = vals.toDF("g", "x", "id")
+    val stats = df.agg(avg("x").as("mu"), stddev_pop("x").as("sd")).head()
+    val (mu, sd) = (stats.getDouble(0), stats.getDouble(1))
+    val zFlagged = df.filter(abs(col("x") - mu) > sd * 5).count()
+    assert(zFlagged == 0, s"z-score gate unexpectedly flagged $zFlagged")
+    val madFlagged = Robust.outlierProfile(df, Seq("g"), "x", "id", 5)
+      .head().getAs[Long]("n_outliers")
+    assert(madFlagged == 9, s"MAD gate flagged $madFlagged (expected 9)")
+  }
+
+  test("plan contract: outlierProfile is exactly ONE hash Exchange") {
+    val ev = Tables.events(spark, TinySf)
+    val plan = Robust.outlierProfile(ev, Seq("event_type"), "value",
+        "event_id", 5)
+      .queryExecution.executedPlan.toString()
+    val hashEx = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"expected exactly 1 hash Exchange, found $hashEx:\n${plan.take(2000)}")
+  }
+
+  test("plan contract: rolling features reuse one hash Exchange") {
+    val plan = graft.queries.WindowQueries.rollingFeatures
+      .run(spark, TinySf)
+      .queryExecution.executedPlan.toString()
+    val hashEx = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    // the trailing ORDER BY adds a range Exchange (verification edge
+    // only); the engine work itself must share ONE hash Exchange
+    assert(hashEx == 1,
+      s"expected exactly 1 hash Exchange, found $hashEx:\n${plan.take(2000)}")
+  }
+}

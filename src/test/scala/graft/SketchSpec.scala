@@ -103,4 +103,43 @@ class SketchSpec extends SparkSpec {
       .head().getLong(1)
     assert(b == 10, s"null-skewed median bin: $b (expected 10)")
   }
+
+  test("CMS profiles merge cell-exactly; estimates never undercount") {
+    val W = 8 // << distinct users at TinySf, so collisions are real
+    val ev = Tables.events(spark, TinySf).select("event_id", "user_id")
+    val slices = (0 to 3).map(i => Sketches.cmsProfile(
+      ev.filter(pmod(col("event_id"), lit(4)) === i),
+      "user_id", width = W))
+    val merged = Sketches.mergeCms(slices.reduce(_ unionByName _))
+    val direct = Sketches.cmsProfile(ev, "user_id", width = W)
+    // counts sum associatively: merged slices ≡ one pass, cell for cell
+    assert(rowsAsSet(merged) == rowsAsSet(direct),
+      "merged CMS cells differ from the direct sketch")
+    val n = ev.count()
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val rows = Sketches.cmsEstimate(exact, "user_id", merged, W, "est")
+      .collect()
+    rows.foreach { r =>
+      val (cnt, est) = (r.getAs[Long]("cnt"), r.getAs[Long]("est"))
+      assert(est >= cnt, s"CMS undercounted ${r.get(0)}: $est < $cnt")
+      assert(est <= n, s"CMS cell exceeds total mass: $est > $n")
+    }
+    // width 8 forces collisions — at least one estimate must overcount,
+    // or the test is vacuously passing on a too-wide sketch
+    assert(rows.exists(r => r.getAs[Long]("est") > r.getAs[Long]("cnt")),
+      "no collisions at width 8 — sketch not exercised")
+  }
+
+  test("CMS estimate is partitioning-invariant (pure hash structure)") {
+    val W = 8
+    val ev = Tables.events(spark, TinySf).select("event_id", "user_id")
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val a = Sketches.cmsEstimate(exact,
+      "user_id", Sketches.cmsProfile(ev, "user_id", width = W), W, "est")
+    val b = Sketches.cmsEstimate(exact,
+      "user_id", Sketches.cmsProfile(ev.repartition(13), "user_id",
+        width = W), W, "est")
+    assert(rowsAsSet(a) == rowsAsSet(b),
+      "CMS estimates drifted under repartitioning")
+  }
 }
