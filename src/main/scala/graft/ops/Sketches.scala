@@ -167,6 +167,65 @@ object Sketches {
     profiles.groupBy(col("d"), col("bucket"))
       .agg(sum(col("n")).as("n"))
 
+  // ---- Mergeable Bloom membership profiles ----
+  //
+  // Set-membership MONITORING ("was this id ever ingested?", "is this
+  // fingerprint in the blocklist?") completes the mergeable-profile
+  // family: HLL answers how-many-distinct, CMS how-often, histograms
+  // where-in-the-distribution, Bloom is-it-present. Represented as
+  // DISTINCT (d, bucket) rows — a set bit is a row — so merging
+  // stored profiles is a distinct union (exactly idempotent and
+  // associative, the same storable-relational shape as the rest of
+  // the family) and the same md5 bucket arithmetic as the CMS gives
+  // cross-engine bit-for-bit parity: the oracle rebuilds the
+  // IDENTICAL filter and the membership verdicts compare exactly.
+  //
+  // Contract: NO false negatives ever (every present value set its
+  // `depth` bits); false positives at the classic (1−e^(−n/w))^depth
+  // rate. Bits are ≤ depth × width rows regardless of row count —
+  // the filter broadcasts, so probing a billion candidates is a
+  // map-side join, same shape as [[cmsEstimate]].
+
+  /** Bloom profile of `of` as distinct set-bit rows (d, bucket).
+    * Nulls carry no membership and are excluded. The distinct is a
+    * map-side-combinable exchange bounded by depth×width cells. */
+  def bloomProfile(df: DataFrame, of: String, width: Int,
+                   depth: Int = CmsDepth): DataFrame = {
+    require(depth > 0, s"depth must be positive: $depth")
+    require(width > 0 && width <= 65536,
+      s"width must be in [1, 65536]: $width")
+    df.filter(col(of).isNotNull)
+      .select(col(of).as("_v"), depthRows(depth).as("d"))
+      .select(col("d"), cmsBucket(col("_v"), col("d"), width).as("bucket"))
+      .distinct()
+  }
+
+  /** Roll up stored Bloom profiles (same depth/width family): set
+    * bits union — distinct rows. Idempotent, so re-merging a profile
+    * already folded in changes nothing. */
+  def mergeBloom(profiles: DataFrame): DataFrame =
+    profiles.select(col("d"), col("bucket")).distinct()
+
+  /** Probe each item row against a filter: `as` = true iff ALL depth
+    * bits for the item are set (the no-false-negative membership
+    * verdict). The filter is ≤ depth×width rows, so it broadcasts and
+    * the probe side never shuffles. */
+  def bloomMightContain(items: DataFrame, itemCol: String,
+                        bloom: DataFrame, width: Int, as: String,
+                        depth: Int = CmsDepth): DataFrame = {
+    val itemCols = items.columns.toSeq
+    val bits = bloom.select(col("d").as("_bf_d"),
+      col("bucket").as("_bf_b"))
+    items
+      .withColumn("_d", depthRows(depth))
+      .withColumn("_b", cmsBucket(col(itemCol), col("_d"), width))
+      .join(broadcast(bits),
+        col("_d") === col("_bf_d") && col("_b") === col("_bf_b"),
+        "left")
+      .groupBy(itemCols.map(col): _*)
+      .agg((count(col("_bf_d")) === depth).as(as))
+  }
+
   /** Point-estimate each item row's frequency from a sketch: the min
     * over depth rows of the item's cell (absent cell = 0). The sketch
     * is depth×width rows, so it broadcasts; the probe side stays

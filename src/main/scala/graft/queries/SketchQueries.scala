@@ -195,7 +195,54 @@ object SketchQueries extends QueryPack {
       FROM est ORDER BY user_id
     """))
 
+  /** Mergeable Bloom membership ([[Sketches.bloomProfile]]): four
+    * per-slice profiles (orders sliced by o_orderkey % 4) merge by
+    * distinct union, then EVERY customer is probed for "has ordered"
+    * next to the exact semi-join verdict. The oracle rebuilds the
+    * identical bit set, so both booleans compare exactly — the gate
+    * proves bit-exact mergeability, the no-false-negative invariant
+    * (every ordered=true row must be bloom_hit=true), and the
+    * expected ~1% false-positive band at width 4096 vs ~1000 distinct
+    * buyers, all in one artifact. */
+  val bloomMembership = GQuery(
+    "q_bloom_membership",
+    (s, d) => {
+      val W = 4096
+      val ord = Tables.orders(s, d).select("o_custkey", "o_orderkey")
+      val slices = (0 to 3).map(i => Sketches.bloomProfile(
+        ord.filter(pmod(col("o_orderkey"), lit(4)) === i),
+        "o_custkey", width = W))
+      val merged = Sketches.mergeBloom(slices.reduce(_ unionByName _))
+      val buyers = ord.select(col("o_custkey")).distinct()
+      Sketches.bloomMightContain(
+        Tables.customer(s, d).select("c_custkey"),
+        "c_custkey", merged, W, "bloom_hit")
+        .join(buyers.withColumn("_o", lit(true)),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("_o"), lit(false)).as("ordered"),
+          col("bloom_hit"))
+        .orderBy("c_custkey")
+    },
+    Some(s"""
+      WITH dd AS (SELECT * FROM (VALUES (0), (1), (2)) t(d)),
+      bits AS (
+        SELECT DISTINCT dd.d AS d,
+               ${Sketches.cmsBucketSql("o.o_custkey", "dd.d", 4096)} AS bucket
+        FROM orders o CROSS JOIN dd),
+      probe AS (
+        SELECT c.c_custkey, (COUNT(b.d) = 3) AS bloom_hit
+        FROM customer c CROSS JOIN dd
+        LEFT JOIN bits b ON b.d = dd.d
+          AND b.bucket = ${Sketches.cmsBucketSql("c.c_custkey", "dd.d", 4096)}
+        GROUP BY 1)
+      SELECT p.c_custkey,
+             (p.c_custkey IN (SELECT o_custkey FROM orders)) AS ordered,
+             p.bloom_hit
+      FROM probe p ORDER BY p.c_custkey
+    """))
+
   def all: Seq[GQuery] =
     Seq(sketchDistinct, quantileProfile, histogramQuantile,
-      cmsHeavyHitters)
+      cmsHeavyHitters, bloomMembership)
 }

@@ -217,6 +217,22 @@ object TextQueries extends QueryPack {
       GROUP BY pack_bucket, pack_id ORDER BY pack_bucket, pack_id
     """))
 
+  /** Sliding-window chunking ([[graft.ops.Chunking]]): every document
+    * split into 64-token windows with 16-token overlap — full chunk
+    * TEXT compared byte-exactly (split / slice / re-join round-trips
+    * identically in both engines under the single-space layer
+    * contract), so every boundary decision is oracle-checked, not
+    * just counts. */
+  val chunkWindows = GQuery(
+    "q_chunk_windows",
+    (s, d) => graft.ops.Chunking.chunk(
+      Tables.documents(s, d).select("doc_id", "text"),
+      "text", Seq("doc_id"), size = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id"),
+    Some(graft.ops.Chunking.chunkSql(
+      "documents", "text", Seq("doc_id"), size = 64, overlap = 16) +
+      " ORDER BY doc_id, chunk_id"))
+
   /** Benchmark-contamination detection ([[graft.ops.Contamination]]):
     * eval set = every 37th doc (stands in for a held-out benchmark),
     * probe = the rest; per probe doc the distinct word-5-gram overlap
@@ -347,6 +363,6 @@ object TextQueries extends QueryPack {
 
   def all: Seq[GQuery] =
     Seq(tokenStats, qualityScore, langId, fingerprint, tfidfTopTerms,
-      piiRedact, tokenPacking, contamination, repetitionStats,
-      boilerplateScore)
+      piiRedact, tokenPacking, chunkWindows, contamination,
+      repetitionStats, boilerplateScore)
 }

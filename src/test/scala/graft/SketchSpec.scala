@@ -130,6 +130,43 @@ class SketchSpec extends SparkSpec {
       "no collisions at width 8 — sketch not exercised")
   }
 
+  test("Bloom: merged slices ≡ direct filter; never a false negative") {
+    val W = 64
+    val ev = Tables.events(spark, TinySf).select("event_id", "user_id")
+    val slices = (0 to 3).map(i => Sketches.bloomProfile(
+      ev.filter(pmod(col("event_id"), lit(4)) === i),
+      "user_id", width = W))
+    val merged = Sketches.mergeBloom(slices.reduce(_ unionByName _))
+    val direct = Sketches.bloomProfile(ev, "user_id", width = W)
+    // set-bit union is exactly the one-pass filter, bit for bit —
+    // and re-merging the merge changes nothing (idempotent)
+    assert(rowsAsSet(merged) == rowsAsSet(direct),
+      "merged Bloom bits differ from the direct filter")
+    assert(rowsAsSet(Sketches.mergeBloom(merged.unionByName(merged)))
+      == rowsAsSet(direct), "Bloom merge is not idempotent")
+    val present = ev.select(col("user_id")).distinct()
+    val misses = Sketches.bloomMightContain(
+      present, "user_id", merged, W, "hit")
+      .filter(!col("hit")).count()
+    assert(misses == 0, s"Bloom false-negatived $misses present keys")
+  }
+
+  test("Bloom: false positives exist at small width (filter exercised)") {
+    val W = 16 // TinySf has only 15 distinct users — pack the filter
+    val ev = Tables.events(spark, TinySf).select("event_id", "user_id")
+    val bloom = Sketches.bloomProfile(ev, "user_id", width = W)
+    // 1000 absent probes (event ids shifted far past any user id):
+    // at ~60% fill the all-3-bits-set FP rate is ~20%, so a zero FP
+    // count would mean the probe path is broken, not bad luck
+    val absent = ev
+      .select((col("event_id") + 10000000L).as("user_id")).distinct()
+    val fps = Sketches.bloomMightContain(
+      absent, "user_id", bloom, W, "hit")
+      .filter(col("hit")).count()
+    assert(fps > 0,
+      "no false positives at width 16 over 1000 absent probes")
+  }
+
   test("CMS estimate is partitioning-invariant (pure hash structure)") {
     val W = 8
     val ev = Tables.events(spark, TinySf).select("event_id", "user_id")
