@@ -65,6 +65,71 @@ object Robust {
         count(when(col("_dev") > col("_mad") * k, 1)).as("n_outliers"))
   }
 
+  /** Per-row winsorization: clamp `of` into the per-group robust band
+    * `[med − k·mad, med + k·mad]` as new column `as`, keeping every
+    * row — the feature-preprocessing companion to [[outlierProfile]]
+    * (profile tells you HOW MANY rows are wild; winsorize caps them
+    * so a downstream sum/mean/model isn't dragged by one corrupt
+    * feed). Same determinism contract: med/mad are discrete rank
+    * values, the band edges are single IEEE ops on them, and the
+    * clamp either returns the original value or an edge — so results
+    * compare byte-exactly cross-engine. Same scale shape: the two
+    * rank passes and the clamp share ONE hash Exchange on the group
+    * key (plan-asserted in RobustSpec); no join back. */
+  def winsorize(df: DataFrame, groupCols: Seq[String], of: String,
+                tieBreak: String, k: Int, as: String): DataFrame = {
+    require(groupCols.nonEmpty, "winsorize needs group columns")
+    require(k > 0, s"k must be positive: $k")
+    val g = groupCols.map(col)
+    val part = Window.partitionBy(g: _*)
+    val byVal = part.orderBy(col(of), col(tieBreak))
+    val withMed = df
+      .withColumn("_rn", row_number().over(byVal))
+      .withColumn("_cnt", count(lit(1)).over(part))
+      .withColumn("_med",
+        max(when(col("_rn") === medRank, col(of))).over(part))
+      .withColumn("_dev", abs(col(of) - col("_med")))
+    val byDev = part.orderBy(col("_dev"), col(tieBreak))
+    withMed
+      .withColumn("_rn2", row_number().over(byDev))
+      .withColumn("_mad",
+        max(when(col("_rn2") === medRank, col("_dev"))).over(part))
+      .withColumn(as, least(
+        greatest(col(of), col("_med") - col("_mad") * k),
+        col("_med") + col("_mad") * k))
+      .drop("_rn", "_cnt", "_med", "_dev", "_rn2", "_mad")
+  }
+
+  /** DuckDB mirror of [[winsorize]]'s band arithmetic: the shared CTE
+    * chain, then the clamp per row. Emits columns: every expr in
+    * `keepExprs` (qualified against the chain's row alias) plus the
+    * clamped value as `$as`. */
+  def winsorizeSql(table: String, groupExpr: String, ofExpr: String,
+                   tieBreakExpr: String, k: Int,
+                   keepSelect: String, as: String): String = s"""
+    WITH r1 AS (
+      SELECT *, $groupExpr AS g, $ofExpr AS x, $tieBreakExpr AS tb,
+             ROW_NUMBER() OVER (PARTITION BY $groupExpr
+               ORDER BY $ofExpr, $tieBreakExpr) AS rn,
+             COUNT(*) OVER (PARTITION BY $groupExpr) AS cnt
+      FROM $table),
+    m AS (
+      SELECT *, MAX(CASE WHEN rn = (cnt + 1) // 2 THEN x END)
+                  OVER (PARTITION BY g) AS med
+      FROM r1),
+    dv AS (SELECT *, abs(x - med) AS dev FROM m),
+    r2 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+                  ORDER BY dev, tb) AS rn2
+      FROM dv),
+    mm AS (
+      SELECT *, MAX(CASE WHEN rn2 = (cnt + 1) // 2 THEN dev END)
+                  OVER (PARTITION BY g) AS mad
+      FROM r2)
+    SELECT $keepSelect,
+           least(greatest(x, med - mad * $k), med + mad * $k) AS $as
+    FROM mm"""
+
   /** DuckDB mirror of [[outlierProfile]] — same discrete ranks, same
     * arithmetic; emits a full SELECT over `table` grouped by
     * `groupExpr`, aliasing the group as `groupAs`. */

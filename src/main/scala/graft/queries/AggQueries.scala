@@ -184,8 +184,27 @@ object AggQueries extends QueryPack {
       "orders", "o_orderpriority", "o_orderpriority",
       "o_totalprice", "o_orderkey", k = 5) + " ORDER BY 1"))
 
+  /** Robust winsorization ([[graft.ops.Robust.winsorize]]): every
+    * order's total clamped into its priority's med ± 5·MAD band —
+    * per-row output, so every clamp decision is oracle-checked
+    * byte-exactly (the band edges are IEEE ops on discrete rank
+    * values; see Robust's determinism scaladoc). */
+  val robustWinsorize = GQuery(
+    "q_robust_winsorize",
+    (s, d) => graft.ops.Robust.winsorize(
+      Tables.orders(s, d)
+        .select("o_orderpriority", "o_totalprice", "o_orderkey"),
+      Seq("o_orderpriority"), "o_totalprice", "o_orderkey",
+      k = 5, as = "win_total")
+      .select("o_orderkey", "o_totalprice", "win_total")
+      .orderBy("o_orderkey"),
+    Some(graft.ops.Robust.winsorizeSql(
+      "orders", "o_orderpriority", "o_totalprice", "o_orderkey", k = 5,
+      keepSelect = "tb AS o_orderkey, x AS o_totalprice",
+      as = "win_total") + " ORDER BY 1"))
+
   def all: Seq[GQuery] = Seq(
     pricingSummary, conditionalAudit, dupHaving, countDistinctCheck,
     minmaxProfile, distribution, distinctDims, unionSummary, batchStats,
-    robustOutliers)
+    robustOutliers, robustWinsorize)
 }

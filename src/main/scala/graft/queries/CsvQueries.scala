@@ -179,5 +179,53 @@ object CsvQueries extends QueryPack {
       GROUP BY 1 ORDER BY lang
     """})
 
-  def all: Seq[GQuery] = Seq(csvIngest, jsonlIngest)
+  private def jsonlExportDir(sfDir: String): String =
+    s"/tmp/graft_fixtures/jsonl_export_${new java.io.File(sfDir).getName}/out"
+
+  /** JSONL corpus export ([[graft.ops.JsonlExport]]): the documents
+    * table written as sharded newline-delimited JSON, then verified
+    * through TWO INDEPENDENT stacks — the Spark side digests the
+    * SOURCE parquet (per-lang counts, id sums, md5-prefix content
+    * hashes of text and source fields), the oracle computes the same
+    * digest from what DuckDB's `read_json` parses OUT OF THE WRITTEN
+    * FILES. Equality proves every row was written exactly once and
+    * every field survived JSON escaping byte-for-byte — the actual
+    * interchange contract, not a same-parser round-trip. */
+  val jsonlExport = GQuery(
+    "q_jsonl_export",
+    (s, d) => {
+      val out = jsonlExportDir(d)
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source")
+      Fixtures.ensure(s, out,
+        Fixtures.sourceStamp(s, s"$d/documents.parquet") +
+          ":jsonl_export:v1:shards4") {
+        graft.ops.JsonlExport.write(docs, out, shards = 4,
+          shardBy = "doc_id")
+      }
+      def h(c: String) =
+        sum(conv(substring(md5(col(c)), 1, 8), 16, 10).cast("long"))
+      docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          h("text").as("sum_text_h"),
+          h("source").as("sum_src_h"))
+        .orderBy("lang")
+    },
+    Some {
+      val out01 = jsonlExportDir("/root/testdata/sf0.01")
+      def h(c: String) =
+        s"CAST(SUM(CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)) AS BIGINT)"
+      s"""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+             ${h("text")} AS sum_text_h,
+             ${h("source")} AS sum_src_h
+      FROM read_json('$out01/part-*', format='newline_delimited',
+                     columns={'doc_id':'BIGINT','text':'VARCHAR',
+                              'lang':'VARCHAR','source':'VARCHAR'})
+      GROUP BY 1 ORDER BY lang
+    """})
+
+  def all: Seq[GQuery] = Seq(csvIngest, jsonlIngest, jsonlExport)
 }

@@ -52,6 +52,29 @@ class RobustSpec extends SparkSpec {
     assert(madFlagged == 9, s"MAD gate flagged $madFlagged (expected 9)")
   }
 
+  test("winsorize clamps to the band, keeps every row, touches nothing in-band") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("a", 10.0, 1L), ("a", 11.0, 2L), ("a", 12.0, 3L),
+      ("a", 13.0, 4L), ("a", 1000.0, 5L)
+    ).toDF("g", "x", "id")
+    // med 12, mad 1, k=5 → band [7, 17]: only the 1000 moves
+    val out = Robust.winsorize(df, Seq("g"), "x", "id", 5, "w")
+      .orderBy("id").collect().map(r => r.getAs[Double]("w")).toSeq
+    assert(out == Seq(10.0, 11.0, 12.0, 13.0, 17.0), s"clamped: $out")
+  }
+
+  test("plan contract: winsorize is exactly ONE hash Exchange") {
+    val ev = Tables.events(spark, TinySf)
+    val plan = Robust.winsorize(ev, Seq("event_type"), "value",
+        "event_id", 5, "w")
+      .queryExecution.executedPlan.toString()
+    val hashEx = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"expected exactly 1 hash Exchange, found $hashEx:\n${plan.take(2000)}")
+  }
+
   test("plan contract: outlierProfile is exactly ONE hash Exchange") {
     val ev = Tables.events(spark, TinySf)
     val plan = Robust.outlierProfile(ev, Seq("event_type"), "value",

@@ -167,6 +167,28 @@ class SketchSpec extends SparkSpec {
       "no false positives at width 16 over 1000 absent probes")
   }
 
+  test("plan contract: sketch probes broadcast — no sort-merge join") {
+    // the 100 TB claim for both probe ops is "the filter/sketch
+    // broadcasts, the candidate side never shuffles for the join";
+    // a silent fallback to SortMergeJoin would shuffle a billion
+    // probes on the join key
+    val W = 64
+    val ev = Tables.events(spark, TinySf).select("event_id", "user_id")
+    val items = ev.select(col("user_id")).distinct()
+    val probes = Seq(
+      Sketches.cmsEstimate(items, "user_id",
+        Sketches.cmsProfile(ev, "user_id", width = W), W, "est"),
+      Sketches.bloomMightContain(items, "user_id",
+        Sketches.bloomProfile(ev, "user_id", width = W), W, "hit"))
+    probes.foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("BroadcastHashJoin"),
+        s"probe join is not broadcast:\n${plan.take(2000)}")
+      assert(!plan.contains("SortMergeJoin"),
+        s"probe join fell back to sort-merge:\n${plan.take(2000)}")
+    }
+  }
+
   test("CMS estimate is partitioning-invariant (pure hash structure)") {
     val W = 8
     val ev = Tables.events(spark, TinySf).select("event_id", "user_id")
