@@ -269,5 +269,84 @@ object CorpusQueries extends QueryPack {
     """),
     bench = false, eager = true)
 
-  def all: Seq[GQuery] = Seq(corpusFunnel, corpusBatch)
+  private def exportDir(sfDir: String): String =
+    s"/tmp/graft_fixtures/training_export_${new java.io.File(sfDir).getName}/out"
+
+  private val ExpQuality = 800L
+  private val ExpLangs = Seq("en")
+  private val ExpChunk = 64
+  private val ExpOverlap = 16
+  private val ExpSeed = "epoch-0"
+  private val ExpShards = 4
+
+  /** End-to-end gate for the LAST MILE composition
+    * ([[graft.pipeline.TrainingExport.run]]): clean → chunk → seeded
+    * shuffle → shard → sharded JSONL files. The Spark side digests
+    * what it READS BACK from the files it wrote (its own JSON reader);
+    * the oracle RECOMPUTES the entire pipeline from the source
+    * parquet as one CTE chain (quality/lang mirrors → chunk mirror →
+    * shard-hash mirror) and digests per shard. Equality proves chunk
+    * boundaries, shard routing, membership, and on-disk write
+    * fidelity in one artifact — no stage can silently drift from its
+    * proven form without the digest moving. Digest = per shard
+    * (n_chunks, Σ chunk key, Σ md5-prefix of chunk text): a
+    * membership-and-content signature, order-free (within-shard
+    * ORDER is q_corpus_shards' gated contract). */
+  val trainingExport = GQuery(
+    "q_training_export",
+    (s, d) => {
+      val out = exportDir(d)
+      Fixtures.ensure(s, out,
+        Fixtures.sourceStamp(s, s"$d/documents.parquet") +
+          s":training_export:v1:$ExpQuality:${ExpLangs.mkString("+")}" +
+          s":$ExpChunk:$ExpOverlap:$ExpSeed:$ExpShards") {
+        graft.pipeline.TrainingExport.run(s,
+          Tables.documents(s, d).select("doc_id", "text"), out,
+          minQualityMilli = ExpQuality, langs = ExpLangs,
+          chunkSize = ExpChunk, overlap = ExpOverlap,
+          seed = ExpSeed, numShards = ExpShards)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("chunk_id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("chunk_text",
+          org.apache.spark.sql.types.StringType)))
+      graft.ops.JsonlIngest.read(s, s"$out/shard_dir=*", schema)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("doc_id") * graft.pipeline.TrainingExport.KeyStride +
+            col("chunk_id")).as("sum_keys"),
+          sum(conv(substring(md5(col("chunk_text")), 1, 8), 16, 10)
+            .cast("long")).as("sum_text_h"))
+        .orderBy("shard")
+    },
+    Some(s"""
+      WITH clean AS (
+        SELECT doc_id, text FROM documents
+        WHERE ${TextOps.qualityMilliSql("text")} >= $ExpQuality
+          AND ${TextOps.predictedLangSql("text")} IN
+            (${ExpLangs.map(l => s"'$l'").mkString(", ")})),
+      chunks AS (${graft.ops.Chunking.chunkSql(
+        "clean", "text", Seq("doc_id"), ExpChunk, ExpOverlap)}),
+      keyed AS (
+        SELECT doc_id, chunk_id, chunk_text,
+               doc_id * ${graft.pipeline.TrainingExport.KeyStride}
+                 + chunk_id AS k
+        FROM chunks),
+      sharded AS (
+        SELECT *, ${Sampling.shardOfSql("k", ExpSeed, ExpShards)} AS shard
+        FROM keyed)
+      SELECT shard, COUNT(*) AS n_chunks,
+             CAST(SUM(k) AS BIGINT) AS sum_keys,
+             CAST(SUM(CAST(('0x' || substr(md5(chunk_text), 1, 8))
+               AS BIGINT)) AS BIGINT) AS sum_text_h
+      FROM sharded GROUP BY shard ORDER BY shard
+    """),
+    eager = true)
+
+  def all: Seq[GQuery] = Seq(corpusFunnel, corpusBatch, trainingExport)
 }
