@@ -242,7 +242,28 @@ object SketchQueries extends QueryPack {
       FROM probe p ORDER BY p.c_custkey
     """))
 
+  /** Categorical drift monitor ([[graft.ops.Drift]]): the full event
+    * stream vs a biased slice that silently sheds a third of one
+    * event type — the "new crawl changed the mix" shape. Exact
+    * integer milli-proportions, so the profile (including the
+    * squared-difference drift signal) compares byte-exactly. */
+  val categoricalDrift = GQuery(
+    "q_categorical_drift",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      graft.ops.Drift.categoricalProfile(
+        ev,
+        ev.filter(!(col("event_type") === "click" &&
+          pmod(col("event_id"), lit(3)) === 0)),
+        "event_type")
+        .orderBy("category")
+    },
+    Some(graft.ops.Drift.categoricalProfileSql(
+      "SELECT * FROM events",
+      "SELECT * FROM events WHERE NOT (event_type = 'click' AND event_id % 3 = 0)",
+      "event_type") + " ORDER BY category"))
+
   def all: Seq[GQuery] =
     Seq(sketchDistinct, quantileProfile, histogramQuantile,
-      cmsHeavyHitters, bloomMembership)
+      cmsHeavyHitters, bloomMembership, categoricalDrift)
 }
