@@ -233,6 +233,22 @@ object TextQueries extends QueryPack {
       "documents", "text", Seq("doc_id"), size = 64, overlap = 16) +
       " ORDER BY doc_id, chunk_id"))
 
+  /** Vocabulary build + OOV coverage ([[graft.ops.Vocab]]): top-50
+    * corpus vocabulary (deterministic tie-break), every document
+    * scored for out-of-vocabulary rate against it. The oracle builds
+    * its OWN vocab with the same ordering, so equality proves the
+    * ranking boundary, not just the per-doc arithmetic. */
+  val vocabOov = GQuery(
+    "q_vocab_oov",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Vocab.oovStats(docs, "text", "doc_id",
+        graft.ops.Vocab.topWords(docs, "text", 50))
+        .orderBy("doc_id")
+    },
+    Some(graft.ops.Vocab.oovStatsSql(
+      "documents", "text", "doc_id", 50) + " ORDER BY doc_id"))
+
   /** Benchmark-contamination detection ([[graft.ops.Contamination]]):
     * eval set = every 37th doc (stands in for a held-out benchmark),
     * probe = the rest; per probe doc the distinct word-5-gram overlap
@@ -363,6 +379,6 @@ object TextQueries extends QueryPack {
 
   def all: Seq[GQuery] =
     Seq(tokenStats, qualityScore, langId, fingerprint, tfidfTopTerms,
-      piiRedact, tokenPacking, chunkWindows, contamination,
+      piiRedact, tokenPacking, chunkWindows, vocabOov, contamination,
       repetitionStats, boilerplateScore)
 }

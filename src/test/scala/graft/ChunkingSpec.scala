@@ -80,6 +80,20 @@ class ChunkingSpec extends SparkSpec {
       s"chunking plan shuffles:\n${plan.take(2000)}")
   }
 
+  test("a 100k-token document chunks by arithmetic, not by memory") {
+    val s = spark; import s.implicits._
+    val doc = Seq((1L, (1 to 100000).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = Chunking.chunk(doc, "text", Seq("doc_id"), 4096, 128)
+      .agg(count(lit(1)).as("n"), sum(col("chunk_tokens")).as("tok"))
+      .head()
+    // stride 3968: 1 + ceil((100000-4096)/3968) = 1 + 25 = 26 chunks;
+    // token sum = 25 full strides re-counted once each in overlap:
+    // 100000 + 25*128 = 103200
+    assert(ch.getLong(0) == 26, s"chunks: ${ch.getLong(0)}")
+    assert(ch.getLong(1) == 103200L, s"token sum: ${ch.getLong(1)}")
+  }
+
   test("guards: overlap must leave a positive stride") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
