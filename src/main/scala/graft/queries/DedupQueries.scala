@@ -92,6 +92,36 @@ object DedupQueries extends QueryPack {
       FROM corpus GROUP BY 1 ORDER BY keep_id
     """))
 
+  /** Corpus snapshot diff ([[graft.ops.CorpusDiff]]): v2 of the
+    * documents corpus drops every 13th doc, rewrites every 11th
+    * (non-13th) text, and adds clones at id+3000000 — the diff must
+    * classify every id into exactly one status with the membership
+    * id-sum signature intact. */
+  val corpusDiffQ = GQuery(
+    "q_corpus_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      graft.ops.CorpusDiff.summarize(
+        graft.ops.CorpusDiff.diff(docs, v2, "doc_id", "text"), "doc_id")
+        .orderBy("status")
+    },
+    Some(graft.ops.CorpusDiff.summarizeSql(
+      "SELECT doc_id, text FROM documents",
+      """SELECT doc_id,
+                CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                     ELSE text END AS text
+         FROM documents WHERE doc_id % 13 <> 0
+         UNION ALL
+         SELECT doc_id + 3000000, text FROM documents
+         WHERE doc_id % 17 = 0""",
+      "doc_id", "text") + " ORDER BY status"))
+
   /** Exact n-gram Jaccard pairs (ground truth for the LSH path):
     * explode distinct shingles, equi-join on the shingle, inclusion-
     * exclusion union. Quadratic in per-shingle doc frequency — the
@@ -399,7 +429,7 @@ object DedupQueries extends QueryPack {
     bench = false, eager = true)
 
   def all: Seq[GQuery] =
-    Seq(exactDedup, canonicalDedup, ngramJaccard, minhashLsh,
-      simhashPairs, neardupClusters, leakageSafeSplit,
+    Seq(exactDedup, canonicalDedup, corpusDiffQ, ngramJaccard,
+      minhashLsh, simhashPairs, neardupClusters, leakageSafeSplit,
       incrementalNearDup, incrementalExactQ)
 }
