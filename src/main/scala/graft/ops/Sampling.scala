@@ -286,4 +286,105 @@ object Sampling {
     s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4) < " +
       s"(CASE $cases ELSE '${thresholdHex(defaultPer65536)}' END)"
   }
+
+  // ----- temperature rebalancing ------------------------------------
+
+  /** Temperature-based group rebalancing with EXACT integer
+    * arithmetic — the multilingual/multi-domain mixing knob: keep
+    * each group at rate `(n_min / n_group)^(1 - alpha)` for a
+    * rational temperature exponent `alpha = p/q` (alpha=0 equalizes
+    * expected group sizes; alpha=1/2 and 2/3 are the standard partial
+    * rebalances; the smallest group is always kept whole). The usual
+    * implementation computes `pow()` in floating point and rounds to
+    * a rate — two engines can disagree by an ulp exactly at a bucket
+    * boundary, which is the kind of silent cross-engine drift this
+    * repo bans. Instead the keep decision is the INTEGER comparison
+    *
+    *   u^q * n_group^(q-p)  <=  65536^q * n_min^(q-p)
+    *
+    * (u = the row's md5 bucket in [0, 65536)), which is algebraically
+    * `u/65536 <= (n_min/n_group)^((q-p)/q)` with no floats anywhere —
+    * bit-identical in Spark and DuckDB, retry-stable, partitioning-
+    * invariant, and nested exactly like [[sampledBy]] (shrinking
+    * alpha only removes rows from big groups, never reshuffles).
+    *
+    * The digit budget keeps every product exact inside DECIMAL(38,0)
+    * / HUGEINT: 5 digits per u/65536 factor, 19 per count factor —
+    * `5q + 19(q-p) <= 38` admits alpha in {0, 1/2, 2/3}, which
+    * validateTemperature enforces loudly. Arbitrary float-derived
+    * rates stay available via [[weighted]]; this path is for the
+    * count-driven rebalance where exactness is the contract.
+    *
+    * Scale shape: group counts are group-cardinality-sized metadata
+    * (languages, sources) — one tiny aggregate, broadcast back; the
+    * data itself never shuffles, and the keep predicate is per-row
+    * codegen next to the scan. Feed stored profile counts via
+    * [[temperatureWithCounts]] to skip even the counting scan (the
+    * same stored-profile posture as Drift.countedDrift). */
+  def temperatureKeep(key: Column, nGroup: Column, nMin: Column,
+                      p: Int, q: Int): Column = {
+    validateTemperature(p, q)
+    val u = conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("decimal(5,0)")
+    val lhs = (Seq.fill(q)(u) ++
+      Seq.fill(q - p)(nGroup.cast("decimal(19,0)"))).reduce(_ * _)
+    val rhs = (Seq.fill(q)(lit(Buckets).cast("decimal(5,0)")) ++
+      Seq.fill(q - p)(nMin.cast("decimal(19,0)"))).reduce(_ * _)
+    lhs <= rhs
+  }
+
+  /** 5 digits per 65536-bucket factor, 19 per count factor: the
+    * product of declared precisions must stay inside DECIMAL(38,0),
+    * or Spark's capped-precision arithmetic could round — silently
+    * breaking the exactness contract. */
+  private def validateTemperature(p: Int, q: Int): Unit = {
+    require(p >= 0 && p < q,
+      s"temperature exponent must satisfy 0 <= p < q: alpha=$p/$q")
+    require(5 * q + 19 * (q - p) <= 38,
+      s"alpha=$p/$q needs ${5 * q + 19 * (q - p)} exact decimal digits" +
+        " > 38; supported exponents: 0, 1/2, 2/3")
+  }
+
+  /** [[temperatureKeep]] against caller-supplied group counts — a
+    * two-column frame (group value, count) from a stored profile, so
+    * rebalancing a 100 TB corpus reads counts instead of rescanning
+    * it. Counts are matched positionally: first column joins the
+    * group, second is the count. */
+  def temperatureWithCounts(df: DataFrame, counts: DataFrame,
+                            group: Column, key: Column,
+                            p: Int, q: Int): DataFrame = {
+    require(counts.columns.length == 2,
+      s"counts must be (group, n): got ${counts.columns.mkString(", ")}")
+    Seq("_grp", "_n", "_nmin").foreach(c => require(
+      !df.columns.contains(c),
+      s"temperature reserves the column name '$c'; rename it first"))
+    val c = counts.toDF("_grp", "_n")
+    val nMin = c.agg(min(col("_n")).as("_nmin"))
+    df.join(broadcast(c), group === col("_grp"))
+      .crossJoin(broadcast(nMin))
+      .filter(temperatureKeep(key, col("_n"), col("_nmin"), p, q))
+      .drop("_grp", "_n", "_nmin")
+  }
+
+  /** Temperature rebalance computing the group counts itself (one
+    * group-cardinality-sized aggregate over `df`). */
+  def temperature(df: DataFrame, group: Column, key: Column,
+                  p: Int, q: Int): DataFrame =
+    temperatureWithCounts(df,
+      df.groupBy(group.as("_tgrp")).agg(count(lit(1)).as("_tn")),
+      group, key, p, q)
+
+  /** DuckDB mirror of [[temperatureKeep]] (HUGEINT is exact through
+    * the same digit budget). */
+  def temperatureKeepSql(keyExpr: String, nExpr: String,
+                         nMinExpr: String, p: Int, q: Int): String = {
+    validateTemperature(p, q)
+    val u = s"CAST(CAST('0x' || substr(md5(CAST($keyExpr AS VARCHAR))," +
+      s" 1, 4) AS BIGINT) AS HUGEINT)"
+    val lhs = (Seq.fill(q)(u) ++
+      Seq.fill(q - p)(s"CAST($nExpr AS HUGEINT)")).mkString(" * ")
+    val rhs = (Seq.fill(q)(s"CAST($Buckets AS HUGEINT)") ++
+      Seq.fill(q - p)(s"CAST($nMinExpr AS HUGEINT)")).mkString(" * ")
+    s"(($lhs) <= ($rhs))"
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.Dedup
+import graft.ops.{Dedup, Fuzzy}
 
 /** Deduplication queries over `documents` — exact, n-gram Jaccard
   * ground truth, MinHash+LSH, SimHash. The corpus plants ~25 near-dup
@@ -428,8 +428,28 @@ object DedupQueries extends QueryPack {
     """),
     bench = false, eager = true)
 
+  /** Blocked edit-distance near-dup pairs ([[Fuzzy]]): Levenshtein on
+    * a 64-char canonical prefix, candidates blocked on (length band,
+    * first token) — the character-level fuzzy family the token-set
+    * dedups are blind to. Oracle mirrors the blocking and the
+    * unthresholded distance; the Spark side uses the thresholded
+    * banded-DP variant (same result by definition, early-exit cost).
+    * Production posture: the same can't-bite bucket cap as LSH. */
+  val fuzzyDedupPairs = GQuery(
+    "q_fuzzy_dedup_pairs",
+    (s, d) => Fuzzy
+      .editDistancePairs(Tables.documents(s, d), col("doc_id"),
+        col("text"), prefixLen = 64, lenBand = 16, maxDist = 8,
+        maxBucket = CapNoBite)
+      .orderBy("id_a", "id_b"),
+    Some(s"""
+      ${Fuzzy.editDistancePairsSql("documents", "doc_id", "text",
+        prefixLen = 64, lenBand = 16, maxDist = 8)}
+      ORDER BY id_a, id_b
+    """))
+
   def all: Seq[GQuery] =
     Seq(exactDedup, canonicalDedup, corpusDiffQ, ngramJaccard,
       minhashLsh, simhashPairs, neardupClusters, leakageSafeSplit,
-      incrementalNearDup, incrementalExactQ)
+      incrementalNearDup, incrementalExactQ, fuzzyDedupPairs)
 }

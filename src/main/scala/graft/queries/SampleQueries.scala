@@ -173,7 +173,46 @@ object SampleQueries extends QueryPack {
       GROUP BY lang ORDER BY lang
     """))
 
+  /** Temperature rebalancing at alpha = 1/2 over languages
+    * ([[Sampling.temperature]]): dominant en is downsampled toward
+    * sqrt-proportional, the smallest language is kept whole — with
+    * the keep decision an exact integer comparison in BOTH engines
+    * (no pow(), no float rounding; see the op's scaladoc). The result
+    * compares exact kept-set membership per lang (count + id-sum)
+    * against the full before-counts, so a one-row drift anywhere
+    * fails the hash. */
+  val temperatureSample = GQuery(
+    "q_temperature_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = Sampling
+        .temperature(docs, col("lang"), col("doc_id"), p = 1, q = 2)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+      docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_before"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+        .orderBy("lang")
+    },
+    Some {
+      val keep = Sampling.temperatureKeepSql("doc_id", "n", "nmin", 1, 2)
+      s"""
+      WITH w AS (
+        SELECT doc_id, lang, COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents),
+      w2 AS (SELECT *, MIN(n) OVER () AS nmin FROM w)
+      SELECT lang, COUNT(*) AS n_before,
+             CAST(COALESCE(SUM(CASE WHEN $keep THEN 1 END), 0) AS BIGINT)
+               AS n_kept,
+             CAST(COALESCE(SUM(CASE WHEN $keep THEN doc_id END), 0)
+               AS BIGINT) AS id_sum
+      FROM w2 GROUP BY lang ORDER BY lang
+    """
+    })
+
   def all: Seq[GQuery] =
     Seq(hashSample, stratifiedSample, domainCap, weightedSample,
-      corpusShards, budgetSelect)
+      corpusShards, budgetSelect, temperatureSample)
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Fuzzy
+
+/** Blocked-Levenshtein semantics: exact distances inside a block, the
+  * documented blocking contract at its boundaries, the prefix bound,
+  * and the skew cap. */
+class FuzzySpec extends SparkSpec {
+
+  private def pairs(rows: Seq[(Long, String)],
+                    prefixLen: Int = 64, lenBand: Int = 16,
+                    maxDist: Int = 8, maxBucket: Option[Int] = None) = {
+    val s = spark; import s.implicits._
+    Fuzzy.editDistancePairs(rows.toDF("id", "text"), col("id"),
+        col("text"), prefixLen, lenBand, maxDist, maxBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+  }
+
+  test("finds in-block pairs with the exact edit distance") {
+    val out = pairs(Seq(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma delte",   // 1 substitution
+      3L -> "alpha beta gXmma dYlta",   // 2 substitutions vs doc 1
+      4L -> "totally different words here"))
+    assert(out.contains((1L, 2L, 1)), s"missing the distance-1 pair: $out")
+    assert(out.contains((1L, 3L, 2)), s"missing the distance-2 pair: $out")
+    assert(out.contains((2L, 3L, 3)), s"missing the 2-vs-3 pair: $out")
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not pair")
+  }
+
+  test("pairs beyond maxDist are excluded via the thresholded variant") {
+    val out = pairs(Seq(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha AAAA BBBB CCCCC"),   // same band+token, distance > 8
+      maxDist = 8)
+    assert(out.isEmpty, s"far pair leaked through the threshold: $out")
+  }
+
+  test("blocking contract: a changed first token or a crossed length " +
+    "band is not discovered") {
+    // first token differs -> different block, despite distance 1
+    val tok = pairs(Seq(
+      1L -> "alpha beta gamma delta",
+      2L -> "Alpha beta gamma delta x"))  // canonicalizes same token...
+    assert(tok.nonEmpty, "case folding must not split the block")
+    val tok2 = pairs(Seq(
+      1L -> "alpha beta gamma delta",
+      2L -> "alphX beta gamma delta"))
+    assert(tok2.isEmpty, "first-token edit must fall outside the block")
+    // length band: same first token, lengths 22 vs 47 chars at band 16
+    val band = pairs(Seq(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma delta plus a long long tail"))
+    assert(band.isEmpty, "cross-band pair must fall outside the block")
+  }
+
+  test("distance is measured on the canonical prefix only") {
+    // identical first 64 canonical chars, huge difference after
+    val head = "alpha " + ("x" * 58)
+    val out = pairs(Seq(
+      1L -> (head + " tail one"),
+      2L -> (head + " completely different ending Z")),
+      prefixLen = 64, lenBand = 64)  // wide band so lengths co-block
+    assert(out == Set((1L, 2L, 0)),
+      s"prefix-identical docs must pair at distance 0: $out")
+  }
+
+  test("maxBucket drops degenerate blocks instead of fanning out") {
+    val crowd = (0L until 50L).map(i => i -> "alpha beta gamma delta")
+    assert(pairs(crowd, maxBucket = Some(10)).isEmpty,
+      "a block over the cap must contribute no pairs")
+    assert(pairs(crowd, maxBucket = Some(64)).size == 50 * 49 / 2,
+      "an in-cap block must contribute all its pairs")
+  }
+}

@@ -279,4 +279,69 @@ class SamplingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(shard0 == expected, "shard 0 not in priority order on disk")
   }
+
+  // ----- temperature rebalancing ------------------------------------
+
+  /** 3 groups with counts 400 / 1600 / 6400: exact 1:4:16 ratios so
+    * the alpha=1/2 target rates are clean (1, 1/2, 1/4). */
+  private def tempFixture = {
+    val s = spark; import s.implicits._
+    (0L until 8400L).map { i =>
+      val g = if (i < 400) "small" else if (i < 2000) "mid" else "big"
+      (i, g)
+    }.toDF("id", "grp")
+  }
+
+  test("temperature keeps the smallest group whole and downsamples " +
+    "larger groups toward the alpha rate") {
+    val kept = Sampling.temperature(tempFixture, col("grp"), col("id"),
+        p = 1, q = 2)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 400L,
+      "n = n_min group must be kept whole (rate exactly 1)")
+    // target rates: mid sqrt(400/1600)=1/2, big sqrt(400/6400)=1/4
+    assert(math.abs(kept("mid") / 1600.0 - 0.5) < 0.05,
+      s"mid kept ${kept("mid")}/1600, want ~1/2")
+    assert(math.abs(kept("big") / 6400.0 - 0.25) < 0.05,
+      s"big kept ${kept("big")}/6400, want ~1/4")
+  }
+
+  test("temperature alpha=0 equalizes expected group sizes and nests " +
+    "inside alpha=1/2") {
+    def ids(p: Int, q: Int) =
+      Sampling.temperature(tempFixture, col("grp"), col("id"), p, q)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val eq = ids(0, 1); val half = ids(1, 2)
+    val byGrp = tempFixture.filter(col("id").isInCollection(eq))
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("small", "mid", "big").foreach { g =>
+      assert(math.abs(byGrp(g) - 400.0) < 60,
+        s"alpha=0 should equalize to ~400 per group; $g got ${byGrp(g)}")
+    }
+    assert(eq.subsetOf(half),
+      "lowering alpha must only REMOVE rows (nested selections)")
+  }
+
+  test("temperatureWithCounts on a stored profile matches the " +
+    "self-counting path exactly") {
+    val df = tempFixture
+    val profile = df.groupBy(col("grp")).count()
+    val a = Sampling.temperature(df, col("grp"), col("id"), 1, 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling
+      .temperatureWithCounts(df, profile, col("grp"), col("id"), 1, 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "profile-fed path diverged from self-counting path")
+  }
+
+  test("temperature rejects exponents outside the exact-digit budget") {
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureKeep(col("id"), col("n"), col("m"), 3, 10)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureKeep(col("id"), col("n"), col("m"), 2, 2)
+    }
+  }
 }
