@@ -377,8 +377,57 @@ object TextQueries extends QueryPack {
       GROUP BY s.doc_id ORDER BY s.doc_id
     """))
 
+  /** Corpus diversity (distinct-n): per language, total vs distinct
+    * unigram and bigram counts plus the milli distinct-2 ratio — the
+    * standard degenerate-corpus gate (a synthetic or template-heavy
+    * slice shows a collapsing distinct-n long before per-doc metrics
+    * notice, because every doc looks fine inside itself).
+    *
+    * Scale shape: dedup-then-count — explode grams, ONE map-side-
+    * combinable agg on (lang, gram), then a language-cardinality agg.
+    * Never count(DISTINCT) mixed with count(*) in one agg: that plans
+    * an Expand that doubles the exploded input (the q_sketch_distinct
+    * lesson, 8.2→1.4 s). Integer milli ratio, no floats. */
+  val distinctNgrams = GQuery(
+    "q_distinct_ngrams",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def level(gram: org.apache.spark.sql.Column, name: String) =
+        docs.select(col("lang"), explode(gram).as("g"))
+          .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+          .groupBy("lang")
+          .agg(sum("c").as(s"${name}_total"),
+            count(lit(1)).as(s"${name}_distinct"))
+      level(TextOps.tokens(col("text")), "unigrams")
+        .join(level(TextOps.bigrams(col("text")), "bigrams"), Seq("lang"))
+        .withColumn("distinct2_milli",
+          expr("bigrams_distinct * 1000 div bigrams_total"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH uni AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS g FROM documents),
+      uc AS (SELECT lang, g, COUNT(*) AS c FROM uni GROUP BY 1, 2),
+      u AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS unigrams_total,
+                   COUNT(*) AS unigrams_distinct
+            FROM uc GROUP BY lang),
+      bi AS (
+        SELECT lang, unnest(${TextOps.bigramsSql("text")}) AS g
+        FROM documents),
+      bc AS (SELECT lang, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+      b AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS bigrams_total,
+                   COUNT(*) AS bigrams_distinct
+            FROM bc GROUP BY lang)
+      SELECT u.lang, u.unigrams_total, u.unigrams_distinct,
+             b.bigrams_total, b.bigrams_distinct,
+             b.bigrams_distinct * 1000 // b.bigrams_total
+               AS distinct2_milli
+      FROM u JOIN b ON u.lang = b.lang
+      ORDER BY u.lang
+    """))
+
   def all: Seq[GQuery] =
     Seq(tokenStats, qualityScore, langId, fingerprint, tfidfTopTerms,
       piiRedact, tokenPacking, chunkWindows, vocabOov, contamination,
-      repetitionStats, boilerplateScore)
+      repetitionStats, boilerplateScore, distinctNgrams)
 }
