@@ -62,6 +62,22 @@ object Drift {
           (col("milli_a") - col("milli_b")))
   }
 
+  /** Associative merge of stored (category, cnt) profiles — the
+    * maintenance half of the stored-profile story: count each
+    * ingest batch once, append its profile, and fold profiles
+    * instead of ever rescanning the corpus ([[countedDrift]] then
+    * consumes the fold). Plain union + sum: exactly associative and
+    * commutative (integer addition), so profiles can merge in any
+    * order, any grouping, on any schedule — the same contract as
+    * [[Sketches]] merges, but exact. Scale shape: inputs are
+    * category-cardinality-sized; the merge never touches raw rows. */
+  def mergeCounts(profiles: Seq[DataFrame]): DataFrame = {
+    require(profiles.nonEmpty, "mergeCounts needs at least one profile")
+    profiles.map(_.select(col("category"), col("cnt")))
+      .reduce(_ unionByName _)
+      .groupBy("category").agg(sum("cnt").as("cnt"))
+  }
+
   /** DuckDB mirror of [[categoricalProfile]]. */
   def categoricalProfileSql(aSelect: String, bSelect: String,
                             ofExpr: String): String = s"""

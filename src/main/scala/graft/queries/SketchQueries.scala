@@ -263,7 +263,31 @@ object SketchQueries extends QueryPack {
       "SELECT * FROM events WHERE NOT (event_type = 'click' AND event_id % 3 = 0)",
       "event_type") + " ORDER BY category"))
 
+  /** Stored-profile maintenance ([[graft.ops.Drift.mergeCounts]]):
+    * three disjoint ingest-batch profiles (doc_id mod 3 slices of
+    * documents, counted per source) folded WITHOUT rescanning, with
+    * the direct whole-corpus recount as the oracle — the cross-engine
+    * proof that incremental profile maintenance loses nothing vs a
+    * full recount, which is the entire point of keeping profiles. */
+  val profileMerge = GQuery(
+    "q_profile_merge",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def prof(m: Int) = docs
+        .filter(pmod(col("doc_id"), lit(3)) === m)
+        .select(coalesce(col("source").cast("string"), lit("__null__"))
+          .as("category"))
+        .groupBy("category").agg(count(lit(1)).as("cnt"))
+      graft.ops.Drift.mergeCounts(Seq(prof(0), prof(1), prof(2)))
+        .orderBy("category")
+    },
+    Some("""
+      SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS category,
+             COUNT(*) AS cnt
+      FROM documents GROUP BY 1 ORDER BY 1
+    """))
+
   def all: Seq[GQuery] =
     Seq(sketchDistinct, quantileProfile, histogramQuantile,
-      cmsHeavyHitters, bloomMembership, categoricalDrift)
+      cmsHeavyHitters, bloomMembership, categoricalDrift, profileMerge)
 }

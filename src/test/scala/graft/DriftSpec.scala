@@ -57,4 +57,25 @@ class DriftSpec extends SparkSpec {
     assert(rows("click") == rows.values.max,
       s"drift should peak on the shed category: $rows")
   }
+
+  test("mergeCounts: any grouping of batch profiles equals the full " +
+    "recount, overlapping categories included") {
+    val ev = Tables.events(spark, TinySf)
+    def prof(df: org.apache.spark.sql.DataFrame) = df
+      .select(coalesce(col("event_type").cast("string"), lit("__null__"))
+        .as("category"))
+      .groupBy("category").agg(count(lit(1)).as("cnt"))
+    // overlapping slices on purpose: every batch carries every category
+    val batches = (0 to 3).map(m =>
+      prof(ev.filter(pmod(col("event_id"), lit(4)) === m)))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getAs[Long]("cnt")).toMap
+    val full = toMap(prof(ev))
+    assert(toMap(Drift.mergeCounts(batches)) == full,
+      "flat merge diverged from the full recount")
+    val nested = Drift.mergeCounts(Seq(
+      Drift.mergeCounts(batches.take(2)), Drift.mergeCounts(batches.drop(2))))
+    assert(toMap(nested) == full,
+      "nested merge grouping diverged — the merge is not associative")
+  }
 }
