@@ -32,6 +32,32 @@ import org.apache.spark.sql.functions._
   */
 object Fuzzy {
 
+  /** `(_id, _sig, _len, _tok)` projection shared by both bandings. */
+  private def sigBase(df: DataFrame, id: Column, text: Column,
+                      prefixLen: Int): DataFrame =
+    df.select(id.cast("long").as("_id"),
+        TextOps.canonicalize(text).as("_norm"))
+      .select(col("_id"),
+        substring(col("_norm"), 1, prefixLen).as("_sig"),
+        length(col("_norm")).cast("long").as("_len"),
+        element_at(split(col("_norm"), " "), 1).as("_tok"))
+
+  private def bandedPairs(base: DataFrame, offset: Int, lenBand: Int,
+                          maxDist: Int,
+                          maxBucket: Option[Int]): DataFrame =
+    Dedup
+      .bucketPairs(
+        // integer band arithmetic (Spark's `/` is double division —
+        // a double key would split bands the SQL mirror's `//` keeps)
+        base.withColumn("_band",
+          floor((col("_len") + offset) / lenBand).cast("long")),
+        Seq("_band", "_tok"),
+        struct(col("_id"), col("_sig")), maxBucket)
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        levenshtein(col("a._sig"), col("b._sig"), maxDist).as("dist"))
+      .filter(col("dist") =!= -1) // thresholded variant: -1 = "beyond"
+      .select("id_a", "id_b", "dist")
+
   /** Blocked Levenshtein pairs: `(id_a, id_b, dist)` with
     * `id_a < id_b` and `dist <= maxDist`, distance measured on the
     * first `prefixLen` chars of [[TextOps.canonicalize]]d text,
@@ -42,24 +68,60 @@ object Fuzzy {
                         prefixLen: Int = 64, lenBand: Int = 16,
                         maxDist: Int = 8,
                         maxBucket: Option[Int] = None): DataFrame = {
+    validateParams(prefixLen, lenBand, maxDist)
+    bandedPairs(sigBase(df, id, text, prefixLen), 0, lenBand, maxDist,
+      maxBucket)
+  }
+
+  /** Recall-widened variant: the union of the base banding and a
+    * HALF-BAND-SHIFTED banding, distinct'd. Covering guarantee
+    * (`lenBand` even): two docs with the same first token whose
+    * canonical lengths differ by LESS than `lenBand / 2` share a band
+    * in at least one of the two bandings — the two boundary grids
+    * interleave every half band, so a pair closer than a half band
+    * straddles at most one grid's boundary and the other grid's band
+    * around that boundary contains both. Upgrades the base variant's
+    * "maybe co-blocked" into a quantified contract at exactly 2× the
+    * discovery cost (still bucketed, still capped — never quadratic);
+    * first-token edits remain out of scope by design. */
+  def editDistancePairsWide(df: DataFrame, id: Column, text: Column,
+                            prefixLen: Int = 64, lenBand: Int = 16,
+                            maxDist: Int = 8,
+                            maxBucket: Option[Int] = None): DataFrame = {
+    validateParams(prefixLen, lenBand, maxDist)
+    require(lenBand % 2 == 0,
+      s"the covering guarantee needs an even lenBand: $lenBand")
+    val base = sigBase(df, id, text, prefixLen)
+    bandedPairs(base, 0, lenBand, maxDist, maxBucket)
+      .unionByName(
+        bandedPairs(base, lenBand / 2, lenBand, maxDist, maxBucket))
+      .distinct()
+  }
+
+  private def validateParams(prefixLen: Int, lenBand: Int,
+                             maxDist: Int): Unit =
     require(prefixLen > 0 && lenBand > 0 && maxDist >= 0,
       s"invalid fuzzy parameters: prefixLen=$prefixLen " +
         s"lenBand=$lenBand maxDist=$maxDist")
-    val base = df
-      .select(id.cast("long").as("_id"),
-        TextOps.canonicalize(text).as("_norm"))
-      .select(col("_id"),
-        substring(col("_norm"), 1, prefixLen).as("_sig"),
-        (length(col("_norm")) / lenBand).cast("long").as("_band"),
-        element_at(split(col("_norm"), " "), 1).as("_tok"))
-    Dedup
-      .bucketPairs(base, Seq("_band", "_tok"),
-        struct(col("_id"), col("_sig")), maxBucket)
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
-        levenshtein(col("a._sig"), col("b._sig"), maxDist).as("dist"))
-      .filter(col("dist") =!= -1) // thresholded variant: -1 = "beyond"
-      .select("id_a", "id_b", "dist")
-  }
+
+  private def baseCte(table: String, idExpr: String, textExpr: String,
+                      prefixLen: Int, lenBand: Int): String =
+    s"""WITH _fz_base AS (
+      SELECT CAST($idExpr AS BIGINT) AS _id,
+             substr(_norm, 1, $prefixLen) AS _sig,
+             CAST(length(_norm) // $lenBand AS BIGINT) AS _band,
+             CAST((length(_norm) + ${lenBand / 2}) // $lenBand AS BIGINT)
+               AS _band2,
+             split_part(_norm, ' ', 1) AS _tok
+      FROM (SELECT $idExpr, ${TextOps.canonicalizeSql(textExpr)} AS _norm
+            FROM $table))"""
+
+  private def pairSelect(bandCol: String, maxDist: Int): String =
+    s"""SELECT a._id AS id_a, b._id AS id_b,
+           CAST(levenshtein(a._sig, b._sig) AS INT) AS dist
+    FROM _fz_base a JOIN _fz_base b
+      ON a.$bandCol = b.$bandCol AND a._tok = b._tok AND a._id < b._id
+    WHERE levenshtein(a._sig, b._sig) <= $maxDist"""
 
   /** DuckDB mirror of [[editDistancePairs]] (no maxBucket — oracle
     * callers pass a cap that cannot bite, same posture as LSH).
@@ -69,16 +131,17 @@ object Fuzzy {
   def editDistancePairsSql(table: String, idExpr: String,
                            textExpr: String, prefixLen: Int = 64,
                            lenBand: Int = 16, maxDist: Int = 8): String =
-    s"""WITH _fz_base AS (
-      SELECT CAST($idExpr AS BIGINT) AS _id,
-             substr(_norm, 1, $prefixLen) AS _sig,
-             CAST(length(_norm) // $lenBand AS BIGINT) AS _band,
-             split_part(_norm, ' ', 1) AS _tok
-      FROM (SELECT $idExpr, ${TextOps.canonicalizeSql(textExpr)} AS _norm
-            FROM $table))
-    SELECT a._id AS id_a, b._id AS id_b,
-           CAST(levenshtein(a._sig, b._sig) AS INT) AS dist
-    FROM _fz_base a JOIN _fz_base b
-      ON a._band = b._band AND a._tok = b._tok AND a._id < b._id
-    WHERE levenshtein(a._sig, b._sig) <= $maxDist"""
+    s"""${baseCte(table, idExpr, textExpr, prefixLen, lenBand)}
+    ${pairSelect("_band", maxDist)}"""
+
+  /** DuckDB mirror of [[editDistancePairsWide]]. */
+  def editDistancePairsWideSql(table: String, idExpr: String,
+                               textExpr: String, prefixLen: Int = 64,
+                               lenBand: Int = 16,
+                               maxDist: Int = 8): String =
+    s"""${baseCte(table, idExpr, textExpr, prefixLen, lenBand)}
+    SELECT DISTINCT * FROM (
+      ${pairSelect("_band", maxDist)}
+      UNION ALL
+      ${pairSelect("_band2", maxDist)})"""
 }

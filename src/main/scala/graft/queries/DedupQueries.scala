@@ -448,8 +448,28 @@ object DedupQueries extends QueryPack {
       ORDER BY id_a, id_b
     """))
 
+  /** Recall-widened fuzzy pairs ([[Fuzzy.editDistancePairsWide]]):
+    * base + half-band-shifted banding, distinct'd — upgrading the
+    * blocking contract to "same first token and length gap under
+    * lenBand/2 is ALWAYS co-blocked" (covering proof in the op's
+    * scaladoc, boundary case pinned in FuzzySpec) at 2× discovery
+    * cost. Oracle mirrors the two-banding union. */
+  val fuzzyDedupWide = GQuery(
+    "q_fuzzy_wide",
+    (s, d) => Fuzzy
+      .editDistancePairsWide(Tables.documents(s, d), col("doc_id"),
+        col("text"), prefixLen = 64, lenBand = 16, maxDist = 8,
+        maxBucket = CapNoBite)
+      .orderBy("id_a", "id_b"),
+    Some(s"""
+      ${Fuzzy.editDistancePairsWideSql("documents", "doc_id", "text",
+        prefixLen = 64, lenBand = 16, maxDist = 8)}
+      ORDER BY id_a, id_b
+    """))
+
   def all: Seq[GQuery] =
     Seq(exactDedup, canonicalDedup, corpusDiffQ, ngramJaccard,
       minhashLsh, simhashPairs, neardupClusters, leakageSafeSplit,
-      incrementalNearDup, incrementalExactQ, fuzzyDedupPairs)
+      incrementalNearDup, incrementalExactQ, fuzzyDedupPairs,
+      fuzzyDedupWide)
 }

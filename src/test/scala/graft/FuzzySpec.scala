@@ -68,6 +68,29 @@ class FuzzySpec extends SparkSpec {
       s"prefix-identical docs must pair at distance 0: $out")
   }
 
+  test("wide variant: a cross-band pair under half a band is found; " +
+    "the base variant's miss is exactly the boundary case") {
+    val s = spark; import s.implicits._
+    // canonical lengths 15 and 18 straddle the 16-boundary, gap 3 < 16/2
+    val rows = Seq(1L -> "alpha beta gamm", 2L -> "alpha beta gamma d")
+    assert(rows.map(_._2.length) == Seq(15, 18))
+    val df = rows.toDF("id", "text")
+    val base = Fuzzy.editDistancePairs(df, col("id"), col("text"))
+    val wide = Fuzzy.editDistancePairsWide(df, col("id"), col("text"))
+    assert(base.count() == 0, "boundary pair should be the base miss")
+    val got = wide.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)),
+      s"wide banding must recover the boundary pair: ${got.toSeq}")
+  }
+
+  test("wide variant never double-reports a pair found by both bandings") {
+    val s = spark; import s.implicits._
+    val df = Seq(1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma delte").toDF("id", "text")
+    val wide = Fuzzy.editDistancePairsWide(df, col("id"), col("text"))
+    assert(wide.count() == 1, "distinct must collapse the two bandings")
+  }
+
   test("maxBucket drops degenerate blocks instead of fanning out") {
     val crowd = (0L until 50L).map(i => i -> "alpha beta gamma delta")
     assert(pairs(crowd, maxBucket = Some(10)).isEmpty,
