@@ -168,6 +168,57 @@ object Multimodal {
       }).toDF("file_name", "content")
   }
 
+  // ----- audio (RIFF/WAV) — the little-endian leg ------------------
+
+  /** Little-endian unsigned ints at a 1-based byte offset: RIFF/WAV
+    * metadata is little-endian where PNG's is big-endian, so the
+    * bytes are hex'd individually and re-concatenated reversed —
+    * still pure codegen'd Column arithmetic, no decode. */
+  def leUint16(content: Column, offset: Int): Column =
+    conv(concat(hex(substring(content, offset + 1, 1)),
+      hex(substring(content, offset, 1))), 16, 10).cast("long")
+
+  def leUint32(content: Column, offset: Int): Column =
+    conv(concat(hex(substring(content, offset + 3, 1)),
+      hex(substring(content, offset + 2, 1)),
+      hex(substring(content, offset + 1, 1)),
+      hex(substring(content, offset, 1))), 16, 10).cast("long")
+
+  /** Canonical 44-byte PCM WAV header layout (1-based offsets):
+    * "RIFF" at 1, "WAVE" at 9, channels 23-24 (LE16), sample rate
+    * 25-28 (LE32), byte rate 29-32 (LE32), bits/sample 35-36 (LE16),
+    * "data" + LE32 payload size at 37/41. */
+  val RiffMagicHex = "52494646"
+  val WaveMagicHex = "57415645"
+  def isWav(content: Column): Column =
+    hex(substring(content, 1, 4)) === RiffMagicHex &&
+      hex(substring(content, 9, 4)) === WaveMagicHex
+  def wavChannels(content: Column): Column = leUint16(content, 23)
+  def wavSampleRate(content: Column): Column = leUint32(content, 25)
+  def wavByteRate(content: Column): Column = leUint32(content, 29)
+  def wavBitsPerSample(content: Column): Column = leUint16(content, 35)
+  def wavDataBytes(content: Column): Column = leUint32(content, 41)
+
+  /** Integer duration in milliseconds: payload bytes scaled by the
+    * header's byte rate — integer division, exact in both engines. */
+  def wavDurationMs(content: Column): Column =
+    ((wavDataBytes(content) * 1000L) / wavByteRate(content))
+      .cast("long")
+
+  /** DuckDB mirrors (hex-slice convention of [[beUint32Sql]], with
+    * the byte order reversed before the parse). */
+  private def leHex(contentExpr: String, offset: Int, n: Int): String =
+    (offset + n - 1).to(offset, -1)
+      .map(o => s"substring(hex($contentExpr), ${2 * o - 1}, 2)")
+      .mkString(" || ")
+  def leUint16Sql(contentExpr: String, offset: Int): String =
+    s"CAST(('0x' || ${leHex(contentExpr, offset, 2)}) AS BIGINT)"
+  def leUint32Sql(contentExpr: String, offset: Int): String =
+    s"CAST(('0x' || ${leHex(contentExpr, offset, 4)}) AS BIGINT)"
+  def isWavSql(contentExpr: String): String =
+    s"(substring(hex($contentExpr), 1, 8) = '$RiffMagicHex' AND " +
+      s"substring(hex($contentExpr), 17, 8) = '$WaveMagicHex')"
+
   /** Deterministic frame-index sampling for video-shaped rows: an
     * even stride over [0, n_frames) yielding ≤ `maxFrames` indexes,
     * exploded to one row per sampled frame. Pure Column arithmetic —

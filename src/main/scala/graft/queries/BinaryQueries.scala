@@ -194,6 +194,89 @@ object BinaryQueries extends QueryPack {
       FROM meta ORDER BY file_name, frame_idx
     """))
 
+  // ---------------------------------------------------------------
+  // WAV fixture: canonical 44-byte PCM headers with k-dependent
+  // channels/rate/bits/payload, plus one corrupt file (bad RIFF
+  // magic) that the isWav gate must quarantine — the audio twin of
+  // the PNG fixture; header-only metadata, no sample decode.
+  // ---------------------------------------------------------------
+
+  val NumWavs = 24
+  val AudioDir = "/tmp/graft_fixtures/binmm/audio"
+
+  def wavBytes(k: Int): Array[Byte] = {
+    val channels = 1 + (k % 2)
+    val rate = Seq(8000, 16000, 44100)(k % 3)
+    val bits = Seq(8, 16)(k % 2)
+    val nSamples = 100 + 17 * k
+    val blockAlign = channels * bits / 8
+    val dataBytes = nSamples * blockAlign
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit =
+      out.write(Array(v.toByte, (v >> 8).toByte), 0, 2)
+    def le32(v: Int): Unit =
+      out.write(Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+        (v >> 24).toByte), 0, 4)
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4)
+    le32(36 + dataBytes)
+    out.write("WAVEfmt ".getBytes("US-ASCII"), 0, 8)
+    le32(16); le16(1)                    // PCM fmt chunk
+    le16(channels); le32(rate)
+    le32(rate * blockAlign)              // byte rate
+    le16(blockAlign); le16(bits)
+    out.write("data".getBytes("US-ASCII"), 0, 4)
+    le32(dataBytes)
+    out.write(Array.fill(dataBytes)((k % 113).toByte), 0, dataBytes)
+    out.toByteArray
+  }
+
+  def wavName(k: Int): String = f"clip_$k%03d.wav"
+
+  def writeWavFixture(): String = {
+    val dir = java.nio.file.Paths.get(AudioDir)
+    java.nio.file.Files.createDirectories(dir)
+    (0 until NumWavs).foreach { k =>
+      java.nio.file.Files.write(dir.resolve(wavName(k)), wavBytes(k))
+    }
+    val corrupt = wavBytes(0); corrupt(0) = 'X'.toByte
+    java.nio.file.Files.write(dir.resolve("corrupt.wav"), corrupt)
+    dir.toString
+  }
+
+  /** Audio metadata from the binaryFile source: RIFF/WAV header
+    * fields as pure little-endian Column arithmetic
+    * ([[Multimodal.leUint32]] and friends — no decode, whole-stage
+    * codegen), integer-exact duration_ms, and the isWav gate
+    * quarantining the planted corrupt file. The DuckDB oracle
+    * re-parses the same bytes via read_blob hex slices. */
+  val audioMeta = GQuery(
+    "q_audio_meta",
+    (s, d) => {
+      val dir = writeWavFixture()
+      Multimodal.readBinaryDir(s, dir, "*.wav")
+        .filter(Multimodal.isWav(col("content")))
+        .select(col("file_name"), col("size_bytes"),
+          Multimodal.wavChannels(col("content")).as("channels"),
+          Multimodal.wavSampleRate(col("content")).as("sample_rate"),
+          Multimodal.wavBitsPerSample(col("content")).as("bits"),
+          Multimodal.wavDataBytes(col("content")).as("data_bytes"),
+          Multimodal.wavDurationMs(col("content")).as("duration_ms"))
+        .orderBy("file_name")
+    },
+    Some(s"""
+      SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+             size AS size_bytes,
+             ${Multimodal.leUint16Sql("content", 23)} AS channels,
+             ${Multimodal.leUint32Sql("content", 25)} AS sample_rate,
+             ${Multimodal.leUint16Sql("content", 35)} AS bits,
+             ${Multimodal.leUint32Sql("content", 41)} AS data_bytes,
+             ${Multimodal.leUint32Sql("content", 41)} * 1000
+               // ${Multimodal.leUint32Sql("content", 29)} AS duration_ms
+      FROM read_blob('$AudioDir/*.wav')
+      WHERE ${Multimodal.isWavSql("content")}
+      ORDER BY file_name
+    """))
+
   /** Planted ledger state: every k≡0 (mod 3) file carries its TRUE
     * byte checksum (→ unchanged), k≡1 a stale checksum (→ changed),
     * k≡2 is absent (→ new), and one ghost row has no file on disk
@@ -239,5 +322,5 @@ object BinaryQueries extends QueryPack {
     """))
 
   def all: Seq[GQuery] =
-    Seq(binaryMeta, fileLedger, imageDecode, imageResize)
+    Seq(binaryMeta, fileLedger, imageDecode, imageResize, audioMeta)
 }

@@ -146,4 +146,28 @@ class MultimodalSpec extends SparkSpec {
         0L, 10L)
     }
   }
+
+  test("WAV header parse: little-endian fields exact, corrupt magic " +
+    "gated out") {
+    val s = spark; import s.implicits._
+    val good = graft.queries.BinaryQueries.wavBytes(5) // ch=2 r=44100 b=16
+    val bad = good.clone(); bad(0) = 'X'.toByte
+    val df = Seq(("good", good), ("bad", bad)).toDF("name", "content")
+    val rows = df.filter(Multimodal.isWav(col("content")))
+      .select(col("name"),
+        Multimodal.wavChannels(col("content")),
+        Multimodal.wavSampleRate(col("content")),
+        Multimodal.wavBitsPerSample(col("content")),
+        Multimodal.wavDataBytes(col("content")),
+        Multimodal.wavDurationMs(col("content")))
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("good"),
+      "corrupt RIFF magic must be gated out")
+    val r = rows.head
+    val nSamples = 100 + 17 * 5
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 44100L, 16L)))
+    assert(r.getLong(4) == nSamples * 4L, "data bytes (LE32) wrong")
+    assert(r.getLong(5) == nSamples * 4L * 1000L / (44100L * 4L),
+      "integer duration_ms wrong")
+  }
 }
