@@ -91,6 +91,30 @@ class FuzzySpec extends SparkSpec {
     assert(wide.count() == 1, "distinct must collapse the two bandings")
   }
 
+  test("plan contract: discovery is groupBy-explode — one Exchange " +
+    "per banding plus the distinct, and never a join node") {
+    val s = spark; import s.implicits._
+    val df = (0L until 100L).map(i => i -> s"alpha doc number $i")
+      .toDF("id", "text")
+    def planOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.toString()
+    val base = planOf(Fuzzy.editDistancePairs(df, col("id"), col("text")))
+    val wide = planOf(Fuzzy.editDistancePairsWide(df, col("id"), col("text")))
+    Seq("base" -> base, "wide" -> wide).foreach { case (n, p) =>
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+        && !p.contains("BroadcastNestedLoopJoin")
+        && !p.contains("CartesianProduct"),
+        s"$n discovery must never plan a join:\n${p.take(2500)}")
+    }
+    // bucket groupBy + bucketPairs' pair-distinct = 2 per banding
+    val baseEx = base.linesIterator.count(_.contains("Exchange"))
+    val wideEx = wide.linesIterator.count(_.contains("Exchange"))
+    assert(baseEx == 2,
+      s"base = bucket groupBy + pair distinct: $baseEx")
+    assert(wideEx <= 5,
+      s"wide = two bandings + the union distinct at most: $wideEx")
+  }
+
   test("maxBucket drops degenerate blocks instead of fanning out") {
     val crowd = (0L until 50L).map(i => i -> "alpha beta gamma delta")
     assert(pairs(crowd, maxBucket = Some(10)).isEmpty,

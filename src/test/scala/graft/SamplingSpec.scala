@@ -336,6 +336,23 @@ class SamplingSpec extends SparkSpec {
     assert(a == b, "profile-fed path diverged from self-counting path")
   }
 
+  test("temperature plan contract: the data path never shuffles — " +
+    "only the two category-sized count aggregates exchange, and " +
+    "both joins broadcast") {
+    val plan = Sampling.temperature(tempFixture, col("grp"), col("id"),
+      1, 2).queryExecution.executedPlan.toString()
+    // 3 category-sized exchanges: the counts aggregate, its recompute
+    // under the one-row min, and the min's single-partition gather —
+    // none of them carries data rows
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges <= 3,
+      s"expected only category-sized aggregates to exchange:\n${plan.take(2500)}")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"count joins must broadcast, never shuffle the data:\n${plan.take(2500)}")
+  }
+
   test("temperature rejects exponents outside the exact-digit budget") {
     intercept[IllegalArgumentException] {
       Sampling.temperatureKeep(col("id"), col("n"), col("m"), 3, 10)
