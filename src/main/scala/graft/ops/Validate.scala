@@ -94,4 +94,26 @@ object Validate {
       throw new IllegalStateException(
         s"$name failed: got $actual, expected $expected ± $allowed")
   }
+
+  /** Functional-dependency violation audit: keys of `df` where
+    * `key → attr` does NOT hold — i.e. one key maps to more than one
+    * distinct attr value (the classic conformed-dimension corruption:
+    * one customer id with two countries, one order with two ship
+    * dates). Emits (key, n_values, min/max attr as the violation
+    * evidence pair). Nulls count as a value: a key mapping to both
+    * 'x' and NULL IS a violation, surfaced via the `__null__`
+    * sentinel (the Drift convention).
+    *
+    * Scale shape: dedup-then-count — one map-side-combinable agg on
+    * (key, attr), then a key-sized agg with a HAVING; no
+    * count(DISTINCT) Expand, no join. Output is violation-sized. */
+  def fdViolations(df: DataFrame, key: Column, attr: Column): DataFrame =
+    df.select(key.as("fd_key"),
+        coalesce(attr.cast("string"), lit("__null__")).as("_attr"))
+      .groupBy("fd_key", "_attr").agg(count(lit(1)).as("_n"))
+      .groupBy("fd_key")
+      .agg(count(lit(1)).as("n_values"),
+        min(col("_attr")).as("min_attr"),
+        max(col("_attr")).as("max_attr"))
+      .filter(col("n_values") > 1)
 }

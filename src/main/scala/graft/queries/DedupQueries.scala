@@ -467,9 +467,61 @@ object DedupQueries extends QueryPack {
       ORDER BY id_a, id_b
     """))
 
+  /** Golden-record survivorship ([[Survivorship.goldenRecord]]) — the
+    * step after clustering: every c_custkey % 50 == 0 customer gets
+    * two newer partial versions (v2: fresher balance, null name/
+    * segment; v3: freshest segment, null balance/name), and the merge
+    * must take each FIELD from its latest non-null version — name
+    * from v1, balance from v2, segment from v3 — which no
+    * latest-whole-row pick can produce. Oracle mirrors per-field
+    * arg_max with the same null-masked priority. */
+  val goldenRecord = GQuery(
+    "q_golden_record",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+      val v1 = c.select(col("c_custkey"), lit(1L).as("pri"),
+        col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      val dups = c.filter(col("c_custkey") % 50 === 0)
+      val v2 = dups.select(col("c_custkey"), lit(2L).as("pri"),
+        lit(null).cast("string").as("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"),
+        lit(null).cast("string").as("c_mktsegment"))
+      val v3 = dups.select(col("c_custkey"), lit(3L).as("pri"),
+        lit(null).cast("string").as("c_name"),
+        lit(null).cast("double").as("c_acctbal"),
+        concat(lit("SEG"), pmod(col("c_custkey"), lit(5)).cast("string"))
+          .as("c_mktsegment"))
+      graft.ops.Survivorship.goldenRecord(
+          v1.unionByName(v2).unionByName(v3),
+          col("c_custkey"), col("pri"),
+          Seq("c_name", "c_acctbal", "c_mktsegment"))
+        .orderBy("cluster_key")
+    },
+    Some {
+      def g(f: String) = graft.ops.Survivorship.goldenFieldSql(f, "pri")
+      s"""
+      WITH dups AS (SELECT * FROM customer WHERE c_custkey % 50 = 0),
+      versions AS (
+        SELECT c_custkey, 1 AS pri, c_name, c_acctbal, c_mktsegment
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 2, NULL, c_acctbal + 100.0, NULL FROM dups
+        UNION ALL
+        SELECT c_custkey, 3, NULL, NULL,
+               'SEG' || CAST(c_custkey % 5 AS VARCHAR) FROM dups)
+      SELECT c_custkey AS cluster_key,
+             ${g("c_name")} AS c_name,
+             ${g("c_acctbal")} AS c_acctbal,
+             ${g("c_mktsegment")} AS c_mktsegment
+      FROM versions GROUP BY c_custkey ORDER BY cluster_key
+    """
+    })
+
   def all: Seq[GQuery] =
     Seq(exactDedup, canonicalDedup, corpusDiffQ, ngramJaccard,
       minhashLsh, simhashPairs, neardupClusters, leakageSafeSplit,
       incrementalNearDup, incrementalExactQ, fuzzyDedupPairs,
-      fuzzyDedupWide)
+      fuzzyDedupWide, goldenRecord)
 }

@@ -97,6 +97,47 @@ object ValidateQueries extends QueryPack {
       FROM events ORDER BY event_id
     """))
 
+  /** Functional-dependency audit ([[Validate.fdViolations]]): the
+    * user_id → country dependency over a feed derived from events,
+    * with planted corruption — every event_id % 997 == 0 row reports
+    * a shifted country, every % 1009 == 0 row a NULL (a null-vs-value
+    * split IS a violation, surfaced as `__null__`). The audit emits
+    * only the violating keys with their evidence pair; clean keys —
+    * the overwhelming majority — never leave the aggregate. */
+  val fdViolations = GQuery(
+    "q_fd_violations",
+    (s, d) => Validate
+      .fdViolations(
+        Tables.events(s, d).select(col("user_id"),
+          when(pmod(col("event_id"), lit(1009)) === 0, lit(null))
+            .when(pmod(col("event_id"), lit(997)) === 0,
+              concat(lit("C"),
+                pmod(col("user_id") + 1, lit(7)).cast("string")))
+            .otherwise(concat(lit("C"),
+              pmod(col("user_id"), lit(7)).cast("string")))
+            .as("country")),
+        col("user_id"), col("country"))
+      .orderBy("fd_key"),
+    Some("""
+      WITH feed AS (
+        SELECT user_id,
+               CASE WHEN event_id % 1009 = 0 THEN NULL
+                    WHEN event_id % 997 = 0
+                      THEN 'C' || CAST((user_id + 1) % 7 AS VARCHAR)
+                    ELSE 'C' || CAST(user_id % 7 AS VARCHAR) END
+                 AS country
+        FROM events),
+      pairs AS (
+        SELECT user_id AS fd_key,
+               coalesce(CAST(country AS VARCHAR), '__null__') AS attr
+        FROM feed GROUP BY 1, 2)
+      SELECT fd_key, COUNT(*) AS n_values,
+             MIN(attr) AS min_attr, MAX(attr) AS max_attr
+      FROM pairs GROUP BY fd_key HAVING COUNT(*) > 1
+      ORDER BY fd_key
+    """))
+
   def all: Seq[GQuery] =
-    Seq(errorAnnotation, quarantineStats, domainWhitelist, coerceNumeric)
+    Seq(errorAnnotation, quarantineStats, domainWhitelist, coerceNumeric,
+      fdViolations)
 }

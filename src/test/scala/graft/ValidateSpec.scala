@@ -76,4 +76,22 @@ class ValidateSpec extends SparkSpec {
     val annotated = Validate.annotate(churnish(Nil), rules)
     assert(Validate.errorRatePct(annotated) === 0.0)
   }
+
+  test("fdViolations: only violating keys surface; null-vs-value is " +
+    "a violation; clean keys never appear") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Option("x")), (1L, Option("x")),          // clean
+      (2L, Option("x")), (2L, Option("y")),          // two values
+      (3L, Option("x")), (3L, None),                 // null split
+      (4L, None), (4L, None))                        // consistently null
+      .toDF("k", "v")
+    val out = Validate.fdViolations(df, col("k"), col("v"))
+      .orderBy("fd_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (2L, 2L, "x", "y"),
+      (3L, 2L, "__null__", "x")),
+      s"unexpected violation set: ${out.toSeq}")
+  }
 }
