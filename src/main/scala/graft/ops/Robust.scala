@@ -160,4 +160,27 @@ object Robust {
            CAST(COUNT(CASE WHEN dev > mad * $k THEN 1 END) AS BIGINT)
              AS n_outliers
     FROM mm GROUP BY g"""
+
+  /** Equal-frequency (quantile) discretization per group: `nBins`
+    * ntile buckets under the explicit (value, tieBreak) total order —
+    * the standard feature-binning prep (decile features, rank
+    * normalization) with the same determinism discipline as the
+    * median above: ntile over a TOTAL order is pure integer rank
+    * arithmetic, identical in both engines, no interpolated
+    * boundaries. Scale shape: one Exchange on the group + an
+    * in-partition sort — per-GROUP binning by design; for ungrouped
+    * global binning at corpus scale use [[Sketches]] histogram
+    * thresholds instead (a global ntile would single-partition the
+    * sort). */
+  def equalFrequencyBins(df: DataFrame, groupCols: Seq[String],
+                         of: String, tieBreak: String,
+                         nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    require(groupCols.nonEmpty,
+      "per-group binning needs group columns (global ntile would " +
+        "single-partition the sort; use histogram thresholds instead)")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(of).asc, col(tieBreak).asc)
+    df.withColumn("bin", ntile(nBins).over(w))
+  }
 }

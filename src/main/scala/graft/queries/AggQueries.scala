@@ -203,8 +203,38 @@ object AggQueries extends QueryPack {
       keepSelect = "tb AS o_orderkey, x AS o_totalprice",
       as = "win_total") + " ORDER BY 1"))
 
+  /** Equal-frequency decile binning per segment
+    * ([[graft.ops.Robust.equalFrequencyBins]]): customer balances
+    * discretized into 10 per-mktsegment buckets under the explicit
+    * (acctbal, custkey) total order. The per-bin aggregate makes the
+    * equal-frequency property AND the exact boundaries the compared
+    * surface — ntile's integer rank arithmetic must agree between
+    * engines down to the bucket split of non-divisible groups. */
+  val featureBinning = GQuery(
+    "q_feature_binning",
+    (s, d) => graft.ops.Robust.equalFrequencyBins(
+      Tables.customer(s, d)
+        .select("c_mktsegment", "c_acctbal", "c_custkey"),
+      Seq("c_mktsegment"), "c_acctbal", "c_custkey", nBins = 10)
+      .groupBy("c_mktsegment", "bin")
+      .agg(count(lit(1)).as("n"),
+        min("c_acctbal").as("lo"), max("c_acctbal").as("hi"),
+        sum("c_custkey").as("id_sum"))
+      .orderBy("c_mktsegment", "bin"),
+    Some("""
+      SELECT c_mktsegment, bin, COUNT(*) AS n,
+             MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi,
+             CAST(SUM(c_custkey) AS BIGINT) AS id_sum
+      FROM (
+        SELECT c_mktsegment, c_acctbal, c_custkey,
+               ntile(10) OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey) AS bin
+        FROM customer)
+      GROUP BY c_mktsegment, bin ORDER BY c_mktsegment, bin
+    """))
+
   def all: Seq[GQuery] = Seq(
     pricingSummary, conditionalAudit, dupHaving, countDistinctCheck,
     minmaxProfile, distribution, distinctDims, unionSummary, batchStats,
-    robustOutliers, robustWinsorize)
+    robustOutliers, robustWinsorize, featureBinning)
 }

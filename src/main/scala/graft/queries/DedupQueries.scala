@@ -519,9 +519,71 @@ object DedupQueries extends QueryPack {
     """
     })
 
+  /** Entity resolution end to end: [[Fuzzy.editDistancePairsWide]]
+    * pairs as edges → [[Dedup.connectedComponents]] → one surviving
+    * record per cluster via [[Survivorship.goldenRecord]] (priority =
+    * doc_id, standing in for updated_at). The three operators compose
+    * with no new shuffles beyond their own; the oracle recomputes the
+    * whole chain — two-banding union edges, recursive-CTE reachability
+    * (the q_leakage_safe_split precedent), arg_max survivorship — so
+    * stage wiring, not just stages, is gated. Singleton clusters pass
+    * through untouched (the audit surface keeps them: a resolution
+    * run that invents or drops entities must fail the hash). */
+  val entityResolution = GQuery(
+    "q_entity_resolution",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Fuzzy.editDistancePairsWide(docs, col("doc_id"),
+        col("text"), prefixLen = 64, lenBand = 16, maxDist = 8,
+        maxBucket = CapNoBite)
+      val clusters = Dedup.connectedComponents(docs.select("doc_id"),
+        "doc_id", pairs, "id_a", "id_b")
+      val members = docs.join(clusters, "doc_id")
+      graft.ops.Survivorship.goldenRecord(members, col("cluster_id"),
+          col("doc_id"), Seq("lang", "source", "n_chars"))
+        .join(members.groupBy("cluster_id")
+            .agg(count(lit(1)).as("n_members"),
+              sum("doc_id").as("id_sum")),
+          col("cluster_key") === col("cluster_id"))
+        .select("cluster_key", "n_members", "id_sum", "lang", "source",
+          "n_chars")
+        .orderBy("cluster_key")
+    },
+    Some(s"""
+      WITH RECURSIVE fpairs AS (
+        SELECT id_a, id_b FROM (
+          ${Fuzzy.editDistancePairsWideSql("documents", "doc_id", "text",
+            prefixLen = 64, lenBand = 16, maxDist = 8)})),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM fpairs
+        UNION
+        SELECT id_b, id_a FROM fpairs),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+      clusters AS (
+        SELECT src AS doc_id, MIN(node) AS cluster_id
+        FROM reach GROUP BY src),
+      members AS (
+        SELECT d.doc_id, c.cluster_id, d.lang, d.source, d.n_chars
+        FROM documents d JOIN clusters c ON d.doc_id = c.doc_id)
+      SELECT cluster_id AS cluster_key,
+             COUNT(*) AS n_members,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             ${graft.ops.Survivorship.goldenFieldSql("lang", "doc_id")}
+               AS lang,
+             ${graft.ops.Survivorship.goldenFieldSql("source", "doc_id")}
+               AS source,
+             ${graft.ops.Survivorship.goldenFieldSql("n_chars", "doc_id")}
+               AS n_chars
+      FROM members GROUP BY cluster_id ORDER BY cluster_key
+    """),
+    eager = true)
+
   def all: Seq[GQuery] =
     Seq(exactDedup, canonicalDedup, corpusDiffQ, ngramJaccard,
       minhashLsh, simhashPairs, neardupClusters, leakageSafeSplit,
       incrementalNearDup, incrementalExactQ, fuzzyDedupPairs,
-      fuzzyDedupWide, goldenRecord)
+      fuzzyDedupWide, goldenRecord, entityResolution)
 }

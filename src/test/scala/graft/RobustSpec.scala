@@ -75,6 +75,32 @@ class RobustSpec extends SparkSpec {
       s"expected exactly 1 hash Exchange, found $hashEx:\n${plan.take(2000)}")
   }
 
+  test("equalFrequencyBins: bin sizes differ by at most 1 per group, " +
+    "order respected, ONE hash Exchange") {
+    val ev = Tables.events(spark, TinySf)
+    val binned = Robust.equalFrequencyBins(ev, Seq("event_type"),
+      "value", "event_id", nBins = 7)
+    val sizes = binned.groupBy("event_type", "bin").count()
+      .groupBy("event_type")
+      .agg(max("count").as("mx"), min("count").as("mn"))
+      .collect()
+    assert(sizes.nonEmpty)
+    sizes.foreach(r => assert(r.getLong(1) - r.getLong(2) <= 1,
+      s"${r.getString(0)}: bins not equal-frequency ($r)"))
+    // bin is monotone in the (value, tieBreak) order within a group
+    val viol = binned.groupBy("event_type", "bin")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .selectExpr("event_type", "bin", "hi",
+        "lead(lo) OVER (PARTITION BY event_type ORDER BY bin) AS nxt")
+      .filter(col("nxt").isNotNull && col("hi") > col("nxt"))
+    assert(viol.count() == 0, "bin boundaries overlap out of order")
+    val hashEx = Robust.equalFrequencyBins(ev, Seq("event_type"),
+        "value", "event_id", 7)
+      .queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 hash Exchange, found $hashEx")
+  }
+
   test("plan contract: outlierProfile is exactly ONE hash Exchange") {
     val ev = Tables.events(spark, TinySf)
     val plan = Robust.outlierProfile(ev, Seq("event_type"), "value",
