@@ -133,6 +133,25 @@ object StreamBench {
         noop(Streams.enrich(readSliced(), dim, Seq("user_id")),
           OutputMode.Append, "enrich")
       }),
+      // point-in-time SCD2 enrichment: same no-state broadcast shape
+      // as enrich_static but with the validity-interval predicate —
+      // measures what leakage-correctness costs over the naive join
+      "enrich_point_in_time" -> (() => timed {
+        val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+        val cut = java.sql.Timestamp.valueOf("2026-04-01 12:00:00")
+        val hist = spark.range(1500).select(col("id").as("user_id"),
+            (col("id") % 7).as("cohort"))
+          .select(col("user_id"),
+            explode(array(
+              struct(col("cohort"), lit(t0).as("valid_from"),
+                lit(cut).as("valid_to")),
+              struct((col("cohort") + 100).as("cohort"),
+                lit(cut).as("valid_from"),
+                lit(null).cast("timestamp").as("valid_to")))).as("v"))
+          .select(col("user_id"), col("v.*"))
+        noop(Streams.enrichPointInTime(readSliced(), hist,
+          "user_id", "ts"), OutputMode.Append, "pit")
+      }),
       // the continuous corpus-ingest loop: 4 document micro-batches,
       // each running one full funnel tick (shingle + probe the
       // ACCUMULATED signature/fingerprint stores + store append) —

@@ -71,6 +71,34 @@ object Streams {
              joinType: String = "left"): DataFrame =
     stream.join(broadcast(dim), keys, joinType)
 
+  /** Point-in-time-correct enrichment against an SCD2 history
+    * dimension ([[graft.ops.Scd]] layout): each event joins the dim
+    * VERSION whose validity interval contains the event time —
+    * `valid_from <= ts < valid_to` (open `valid_to` = current). This
+    * is the feature-LEAKAGE guard: the obvious `is_current` join
+    * stamps past events with future attribute values, and a model
+    * trained on that beats production for exactly as long as it takes
+    * to ship (the spec pins the divergence). Static side broadcasts
+    * and is re-read per micro-batch, so slowly-changing updates are
+    * picked up without restarting the stream; at most one version
+    * matches per event by the SCD2 non-overlap invariant, so the join
+    * never fans out. Dim columns come back `d_`-prefixed (the key
+    * twice would collide; events keep their names). */
+  def enrichPointInTime(stream: DataFrame, history: DataFrame,
+                        key: String, eventTs: String,
+                        validFrom: String = "valid_from",
+                        validTo: String = "valid_to",
+                        joinType: String = "left"): DataFrame = {
+    val h = history.columns.foldLeft(history)((d, c) =>
+      d.withColumnRenamed(c, s"d_$c"))
+    stream.join(broadcast(h),
+      col(key) === col(s"d_$key") &&
+        col(s"d_$validFrom") <= col(eventTs) &&
+        (col(s"d_$validTo").isNull ||
+          col(eventTs) < col(s"d_$validTo")),
+      joinType)
+  }
+
   /** Stream-stream interval join: correlate two live streams on a key
     * where the right event lands within [leftTs + lowerSec,
     * leftTs + upperSec] of the left event (e.g. click→purchase

@@ -115,6 +115,45 @@ class StreamingSpec extends SparkSpec {
       cats.keySet.subsetOf(Set("click", "signup")))
   }
 
+  test("point-in-time enrichment picks the version valid AT the event " +
+    "— where the is_current join would leak future attributes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pit").toString
+    val s = spark; import s.implicits._
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-04-01 10:00:00"), 7L),
+      (2L, java.sql.Timestamp.valueOf("2026-04-03 10:00:00"), 7L),
+      (3L, java.sql.Timestamp.valueOf("2026-04-01 10:00:00"), 8L))
+      .toDF("event_id", "ts", "user_id")
+    events.write.parquet(s"$root/events")
+    val history = Seq(
+      (7L, "basic",
+        java.sql.Timestamp.valueOf("2026-03-01 00:00:00"),
+        Option(java.sql.Timestamp.valueOf("2026-04-02 00:00:00")), 0),
+      (7L, "premium",
+        java.sql.Timestamp.valueOf("2026-04-02 00:00:00"), None, 1),
+      (8L, "basic",
+        java.sql.Timestamp.valueOf("2026-03-01 00:00:00"), None, 1))
+      .toDF("user_id", "plan", "valid_from", "valid_to", "is_current")
+    val stream = spark.readStream.schema(events.schema)
+      .parquet(s"$root/events")
+    val q = Streams.enrichPointInTime(stream, history, "user_id", "ts")
+      .writeStream.format("memory").queryName("pit")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val plans = spark.table("pit").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("d_plan"))
+      .toMap
+    assert(plans == Map(1L -> "basic", 2L -> "premium", 3L -> "basic"),
+      s"point-in-time versions wrong: $plans")
+    // the leak the operator exists to prevent: is_current stamps the
+    // 2026-04-01 event with the plan the user only adopted on 04-02
+    val leaked = events
+      .join(history.filter(col("is_current") === 1), "user_id")
+      .filter(col("event_id") === 1L).head().getAs[String]("plan")
+    assert(leaked == "premium",
+      "fixture no longer demonstrates the is_current leak")
+  }
+
   test("stream-stream interval join matches batch; bounds enforced") {
     val root = java.nio.file.Files.createTempDirectory("graft_ssj").toString
     val header = "event_id,ts,user_id,event_type,value"
