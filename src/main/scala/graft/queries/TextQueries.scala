@@ -426,8 +426,54 @@ object TextQueries extends QueryPack {
       ORDER BY u.lang
     """))
 
+  /** Padding-efficiency audit for length-bucketed batching: docs
+    * grouped into token-length buckets (width 64); per bucket, the
+    * milli fraction of compute wasted on padding if batches pad to
+    * the bucket max — plus the corpus-wide waste if padded to the
+    * GLOBAL max, the number bucketing exists to beat. All integer
+    * arithmetic (counts, maxes, integer division); one
+    * map-side-combinable agg keyed on the bucket. */
+  val paddingEfficiency = GQuery(
+    "q_padding_efficiency",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      val buckets = docs
+        .groupBy((col("n_tok") / 64).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          max("n_tok").as("max_tok"), sum("n_tok").as("sum_tok"))
+        .withColumn("waste_milli",
+          expr("(n_docs * max_tok - sum_tok) * 1000 div (n_docs * max_tok)"))
+      val global = docs.agg(count(lit(1)).as("n_docs"),
+          max("n_tok").as("max_tok"), sum("n_tok").as("sum_tok"))
+        .select(lit(-1L).as("bucket"), col("n_docs"), col("max_tok"),
+          col("sum_tok"),
+          expr("(n_docs * max_tok - sum_tok) * 1000 div (n_docs * max_tok)")
+            .as("waste_milli"))
+      buckets.unionByName(global).orderBy("bucket")
+    },
+    Some("""
+      WITH t AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      b AS (
+        SELECT n_tok // 64 AS bucket, COUNT(*) AS n_docs,
+               MAX(n_tok) AS max_tok, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        FROM t GROUP BY 1),
+      g AS (
+        SELECT CAST(-1 AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+               MAX(n_tok) AS max_tok, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        FROM t)
+      SELECT bucket, n_docs, max_tok, sum_tok,
+             (n_docs * max_tok - sum_tok) * 1000 // (n_docs * max_tok)
+               AS waste_milli
+      FROM (SELECT * FROM b UNION ALL SELECT * FROM g)
+      ORDER BY bucket
+    """))
+
   def all: Seq[GQuery] =
     Seq(tokenStats, qualityScore, langId, fingerprint, tfidfTopTerms,
       piiRedact, tokenPacking, chunkWindows, vocabOov, contamination,
-      repetitionStats, boilerplateScore, distinctNgrams)
+      repetitionStats, boilerplateScore, distinctNgrams,
+      paddingEfficiency)
 }
