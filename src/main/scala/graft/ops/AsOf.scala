@@ -220,4 +220,91 @@ object AsOf {
       (left.columns.map(col) ++
         rightPayload.map(p => col(s"_match.$p").as(p))): _*)
   }
+
+  /** Nearest-match as-of — the sensor-fusion / log-alignment variant:
+    * each probe takes the reference row minimizing |leftTime −
+    * rightTime| (microsecond-exact integer distance), from EITHER
+    * direction. Equal distance prefers the backward match (an
+    * at-or-before fact beats a future one for training-feature
+    * correctness); within the winning side, ties follow that side's
+    * directional rule — backward takes the greatest `tieBreak`
+    * (matching [[backward]]), forward the smallest. `toleranceSec`
+    * bounds the ABSOLUTE distance symmetrically; probes with no
+    * in-horizon reference on either side emit null payloads.
+    *
+    * Scale shape: the same union-tag frame as the directional joins,
+    * but BOTH candidates come out of ONE keyed Exchange — the
+    * backward running-`last` and the strict-after `first` are two
+    * frames over the same partitioning AND the same sort, so Spark
+    * plans a single Window (no second shuffle, no re-sort; asserted
+    * in AsOfSpec). An equal-time reference lands in the backward
+    * window (distance 0), so the forward frame being strict loses
+    * nothing. */
+  def nearest(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftTime: String, rightTime: String,
+              rightPayload: Seq[String], tieBreak: String,
+              toleranceSec: Option[Long] = None): DataFrame = {
+    val reserved = Set("_k0", "_t", "_tb", "_p", "_isRight",
+      "_back", "_fwd", "_match")
+    val reservedHits =
+      (left.columns.toSet ++ right.columns.toSet).intersect(reserved)
+    require(reservedHits.isEmpty,
+      s"input columns collide with AsOf internals: ${reservedHits.mkString(", ")}")
+    val collisions = rightPayload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"rightPayload collides with probe columns: ${collisions.mkString(", ")}")
+
+    val payloadStruct = struct(
+      (col(rightTime).as("_mt") +: rightPayload.map(col)): _*)
+    val rTagged = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(col(rightKey).as("_k0"), col(rightTime).as("_t"),
+        col(tieBreak).as("_tb"), payloadStruct.as("_p"),
+        lit(true).as("_isRight"))
+    val payloadType =
+      rTagged.schema(rTagged.schema.fieldIndex("_p")).dataType
+    val lTagged = left.select(
+      (left.columns.map(col) ++ Seq(
+        col(leftKey).as("_k0"), col(leftTime).as("_t"),
+        lit(null).cast(rTagged.schema("_tb").dataType).as("_tb"),
+        lit(null).cast(payloadType).as("_p"),
+        lit(false).as("_isRight"))): _*)
+
+    // one sort serves both frames: time asc, right-before-left at
+    // equal time (inclusive backward), tieBreak asc (backward's
+    // running last then takes the greatest tb; forward's first takes
+    // the smallest)
+    val ord = Seq(col("_t").asc, col("_isRight").desc,
+      col("_tb").asc_nulls_first)
+    val part = Window.partitionBy(col("_k0"))
+    val wBack = part.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = part.orderBy(ord: _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+
+    val matched = lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("_back", last(col("_p"), ignoreNulls = true).over(wBack))
+      .withColumn("_fwd", first(col("_p"), ignoreNulls = true).over(wFwd))
+      .filter(!col("_isRight"))
+
+    def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+    val t = micros(col("_t"))
+    val db = t - micros(col("_back._mt"))
+    val df = micros(col("_fwd._mt")) - t
+    val horizon = toleranceSec.map(_ * 1000000L)
+    val backOk = col("_back").isNotNull &&
+      horizon.fold(lit(true))(h => db <= h)
+    val fwdOk = col("_fwd").isNotNull &&
+      horizon.fold(lit(true))(h => df <= h)
+    val pick = when(col("_k0").isNull || col("_t").isNull,
+        lit(null).cast(payloadType))
+      .when(backOk && (!fwdOk || db <= df), col("_back"))
+      .when(fwdOk, col("_fwd"))
+      .otherwise(lit(null).cast(payloadType))
+
+    matched.withColumn("_match", pick).select(
+      (left.columns.map(col) ++
+        rightPayload.map(p => col(s"_match.$p").as(p))): _*)
+  }
 }

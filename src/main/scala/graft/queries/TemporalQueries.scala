@@ -311,6 +311,54 @@ object TemporalQueries extends QueryPack {
   val asofUniformSalted = evidenceQuery("q_asof_uniform_salted",
     hot = false, saltFactor = Some(16))
 
+  /** Nearest-match as-of ([[AsOf.nearest]]): every event takes its
+    * user's closest order in TIME, either direction — microsecond-
+    * exact integer distance, equal distance prefers the backward
+    * match, side-internal ties per the op's documented rule (backward
+    * greatest key, forward smallest). The oracle is an independent
+    * LATERAL formulation ordering by absolute distance with the same
+    * preferences — including the sign-trick tie key. */
+  val asofNearest = GQuery(
+    "q_asof_nearest",
+    (s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val ord = Tables.orders(s, d)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+      AsOf.nearest(ev, ord,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightPayload = Seq("o_orderkey", "o_orderdate"),
+          tieBreak = "o_orderkey")
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("nearest_orderkey"),
+          datediff(to_date(col("ts")), to_date(col("o_orderdate")))
+            .cast("long").as("days_signed"))
+        .orderBy("event_id")
+    },
+    Some(s"""
+      WITH e0 AS ($EventsMicrosSql)
+      SELECT e.event_id, e.user_id,
+             o.o_orderkey AS nearest_orderkey,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(e.ts AS DATE)) AS days_signed
+      FROM e0 e
+      LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_orderdate
+        FROM orders o
+        WHERE o.o_custkey = e.user_id
+        ORDER BY
+          abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+              - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) ASC,
+          (CAST(o.o_orderdate AS TIMESTAMP)
+             > CAST(e.ts AS TIMESTAMP)) ASC,
+          CASE WHEN CAST(o.o_orderdate AS TIMESTAMP)
+                 <= CAST(e.ts AS TIMESTAMP)
+               THEN -o.o_orderkey ELSE o.o_orderkey END ASC
+        LIMIT 1) o ON TRUE
+      ORDER BY event_id
+    """))
+
   def all: Seq[GQuery] = Seq(asofJoin, asofForward, asofSelf, rangeJoin,
-    asofSkewPlain, asofSkewSalted, asofUniformPlain, asofUniformSalted)
+    asofSkewPlain, asofSkewSalted, asofUniformPlain, asofUniformSalted,
+    asofNearest)
 }

@@ -228,6 +228,48 @@ class AsOfSpec extends SparkSpec {
     assert(rowsAsSet(base) == rowsAsSet(shuffled))
   }
 
+  test("nearest: closer side wins; equal distance prefers backward; " +
+    "tolerance bounds |distance|; unmatched keys null") {
+    def run(tol: Option[Long] = None) = AsOf.nearest(trades, quotesR,
+        "sym", "sym2", "tts", "qts", Seq("qid", "price"), "qid", tol)
+      .orderBy("trade_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None
+        else Some(r.getLong(3)))).toMap
+    val got = run()
+    // trade 1 (09:59:59): 1 s before qid 1 vs hours after -> forward qid 1
+    // trade 2 (10:00:00): exact hit -> backward qid 1 (distance 0)
+    // trade 3 (11:00:00): tie run at distance 0 -> backward rule, qid 3
+    // trade 4 (11:30:00): 30 min back to 11:00 vs 30 min fwd to 12:00
+    //                     — EQUAL distance -> backward preference, qid 3
+    // trade 5 (23:00:00): nothing after -> backward qid 4
+    // trade 6 (B 10:31): backward qid 5
+    // trade 7 (C): no quotes -> null
+    assert(got == Map(1L -> Some(1L), 2L -> Some(1L), 3L -> Some(3L),
+      4L -> Some(3L), 5L -> Some(4L), 6L -> Some(5L), 7L -> None),
+      s"nearest picks wrong: $got")
+    // symmetric horizon: 1 s keeps only exact/1-s matches
+    val tight = run(tol = Some(1L))
+    assert(tight == Map(1L -> Some(1L), 2L -> Some(1L), 3L -> Some(3L),
+      4L -> None, 5L -> None, 6L -> None, 7L -> None),
+      s"tolerance horizon wrong: $tight")
+  }
+
+  test("plan contract: nearest stays ONE Exchange, one Window pass") {
+    val plan = AsOf.nearest(trades, quotesR,
+        "sym", "sym2", "tts", "qts", Seq("qid", "price"), "qid")
+      .queryExecution.executedPlan.toString()
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"expected exactly 1 Exchange, found $exchanges:\n${plan.take(2000)}")
+    val windows = plan.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1,
+      s"both frames must share one Window operator, found $windows:\n" +
+        plan.take(2000))
+    val sorts = plan.linesIterator.count(_.contains("Sort "))
+    assert(sorts == 1,
+      s"expected exactly 1 Sort, found $sorts:\n${plan.take(2000)}")
+  }
+
   test("plan contract: exactly ONE keyed Exchange (the 100 TB claim)") {
     // the scaladoc's cost claim — "exactly a sort-merge join's
     // shuffle+sort on the same key" — as a plan assertion, so a
