@@ -91,4 +91,52 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_cell")
   }
+
+  /** Bucketed interval×interval OVERLAP join: pairs with
+    * `lStart < rEnd AND rStart < lEnd` (half-open on both sides).
+    * Same grid shape as [[intervalPointJoin]], with the overlap
+    * twist: an overlapping pair shares EVERY cell both intervals
+    * span, so the join would emit it once per shared cell — instead
+    * of a distinct pass (a second corpus-sized shuffle), each pair is
+    * kept only in its FIRST shared cell, which is exactly the cell
+    * where the later-starting interval begins (both intervals
+    * provably span it). Dedup becomes a per-row predicate; the plan
+    * stays one equi-shuffle plus filters, never a
+    * BroadcastNestedLoopJoin and never a distinct.
+    *
+    * Both sides replicate by len/bucketMicros + 1 — pick the grain
+    * near the typical interval length of the DENSER side; the
+    * `maxCellsPerInterval` sentinel guard applies to both inputs. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          bucketMicros: Long,
+                          maxCellsPerInterval: Long = 100000L): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    val collisions = left.columns.toSet.intersect(right.columns.toSet)
+    require(collisions.isEmpty,
+      s"left/right column collision: ${collisions.mkString(", ")}")
+
+    def cell(microsExpr: String) = expr(s"($microsExpr) div ${bucketMicros}L")
+    def cells(df: DataFrame, s: String, e: String) = df
+      .filter(col(s).isNotNull && col(e).isNotNull && col(e) > col(s))
+      .filter(
+        when(cell(s"unix_micros($e) - 1") - cell(s"unix_micros($s)") + 1
+            > maxCellsPerInterval,
+          raise_error(concat(
+            lit(s"interval spans more than $maxCellsPerInterval grid " +
+              s"cells (bucketMicros=$bucketMicros): ["),
+            col(s).cast("string"), lit(", "),
+            col(e).cast("string"), lit(")"))).cast("boolean"))
+          .otherwise(lit(true)))
+      .withColumn("_cell", explode(sequence(
+        cell(s"unix_micros($s)"), cell(s"unix_micros($e) - 1"))))
+
+    cells(left, lStart, lEnd).join(cells(right, rStart, rEnd), Seq("_cell"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      // first-shared-cell predicate: emit the pair exactly once
+      .filter(col("_cell") ===
+        greatest(cell(s"unix_micros($lStart)"), cell(s"unix_micros($rStart)")))
+      .drop("_cell")
+  }
 }

@@ -358,7 +358,52 @@ object TemporalQueries extends QueryPack {
       ORDER BY event_id
     """))
 
+  /** Interval×interval overlap join ([[RangeJoin.intervalOverlapJoin]]):
+    * activity windows derived from two event slices (start = event ts,
+    * length = 10–59 min from the id — exact integer micros end to
+    * end), overlap pairs with their overlap duration. The oracle is
+    * the plain inequality join DuckDB plans as IEJoin — a genuinely
+    * different algorithm; the engine's first-shared-cell dedup must
+    * produce exactly its pair set, once each. */
+  val intervalOverlap = GQuery(
+    "q_interval_overlap",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def win(m: Int, tag: String) = ev
+        .filter(pmod(col("event_id"), lit(m)) === 0)
+        .select(col("event_id").as(s"${tag}_id"),
+          col("ts").as(s"${tag}_start"),
+          timestamp_micros(unix_micros(col("ts")) +
+            (pmod(col("event_id"), lit(50)) + 10L) * 60000000L)
+            .as(s"${tag}_end"))
+      RangeJoin.intervalOverlapJoin(win(37, "a"), win(41, "b"),
+          "a_start", "a_end", "b_start", "b_end",
+          bucketMicros = 3600000000L)
+        .select(col("a_id"), col("b_id"),
+          (least(unix_micros(col("a_end")), unix_micros(col("b_end"))) -
+            greatest(unix_micros(col("a_start")),
+              unix_micros(col("b_start")))).as("overlap_micros"))
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""
+      WITH e0 AS ($EventsMicrosSql),
+      a AS (SELECT event_id AS a_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS a_s,
+                   epoch_us(CAST(ts AS TIMESTAMP))
+                     + (event_id % 50 + 10) * 60000000 AS a_e
+            FROM e0 WHERE event_id % 37 = 0),
+      b AS (SELECT event_id AS b_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS b_s,
+                   epoch_us(CAST(ts AS TIMESTAMP))
+                     + (event_id % 50 + 10) * 60000000 AS b_e
+            FROM e0 WHERE event_id % 41 = 0)
+      SELECT a_id, b_id,
+             least(a_e, b_e) - greatest(a_s, b_s) AS overlap_micros
+      FROM a JOIN b ON a_s < b_e AND b_s < a_e
+      ORDER BY a_id, b_id
+    """))
+
   def all: Seq[GQuery] = Seq(asofJoin, asofForward, asofSelf, rangeJoin,
     asofSkewPlain, asofSkewSalted, asofUniformPlain, asofUniformSalted,
-    asofNearest)
+    asofNearest, intervalOverlap)
 }

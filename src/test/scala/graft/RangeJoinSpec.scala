@@ -126,4 +126,52 @@ class RangeJoinSpec extends SparkSpec {
       "start_ts", "end_ts", "pts", bucketMicros = 1000000L)
     assert(got.count() == 0)
   }
+
+  // ----- interval×interval overlap --------------------------------
+
+  private lazy val rIntervals = {
+    val s = spark; import s.implicits._
+    Seq(
+      // spans MANY shared cells with iid 1 at a 1-min grain — must
+      // still emit the pair exactly once
+      (21L, ts("2024-01-01 10:30:00"), ts("2024-01-01 11:50:00")),
+      (22L, ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00")), // abuts 1
+      (23L, ts("2024-06-01 00:00:00"), ts("2024-06-01 01:00:00"))  // far away
+    ).toDF("rid", "r_start", "r_end")
+  }
+
+  test("overlap join ≡ naive inequality join; multi-cell pairs emit " +
+    "exactly once; abutting half-open intervals do NOT overlap") {
+    val naiveOv = intervals.join(rIntervals,
+        col("start_ts") < col("r_end") && col("r_start") < col("end_ts"))
+      .select("iid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    Seq(60L * 1000000L, 3600L * 1000000L, 86400L * 1000000L).foreach { g =>
+      val got = RangeJoin.intervalOverlapJoin(intervals, rIntervals,
+          "start_ts", "end_ts", "r_start", "r_end", bucketMicros = g)
+        .select("iid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet == naiveOv, s"grain $g: ${got.toSet} != $naiveOv")
+      assert(got.length == got.toSet.size,
+        s"grain $g emitted duplicate pairs")
+    }
+    assert(!naiveOv.contains((1L, 22L)),
+      "fixture must exercise the abutting half-open case")
+    assert(naiveOv.contains((1L, 21L)) && naiveOv.contains((2L, 21L)))
+  }
+
+  test("overlap plan contract: equi-join on the cell, no distinct " +
+    "aggregate, never BNLJ") {
+    val plan = RangeJoin.intervalOverlapJoin(intervals, rIntervals,
+        "start_ts", "end_ts", "r_start", "r_end",
+        bucketMicros = 3600L * 1000000L)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"overlap join planned quadratic:\n${plan.take(2000)}")
+    // the first-shared-cell predicate replaces a distinct: no
+    // aggregate may appear in this plan at all
+    assert(!plan.contains("HashAggregate"),
+      s"overlap dedup must be a predicate, not an aggregate:\n${plan.take(2000)}")
+  }
 }
