@@ -403,7 +403,45 @@ object TemporalQueries extends QueryPack {
       ORDER BY a_id, b_id
     """))
 
+  /** Interval coalescing ([[graft.ops.Intervals.coalesce]]): each
+    * user's activity windows (same micros-exact derivation as the
+    * overlap query, all events this time) merged into maximal
+    * disjoint islands. Result edge projects integer micros, not
+    * timestamps — fractional-second string formatting is an
+    * engine-specific surface the compare must not depend on. */
+  val intervalCoalesce = GQuery(
+    "q_interval_coalesce",
+    (s, d) => {
+      val win = Tables.events(s, d)
+        .select(col("user_id"), col("ts").as("w_start"),
+          timestamp_micros(unix_micros(col("ts")) +
+            (pmod(col("event_id"), lit(50)) + 10L) * 60000000L)
+            .as("w_end"))
+      graft.ops.Intervals.coalesce(win, Seq("user_id"),
+          "w_start", "w_end")
+        .select(col("user_id"),
+          unix_micros(col("island_start")).as("island_start_us"),
+          unix_micros(col("island_end")).as("island_end_us"),
+          col("n_merged"))
+        .orderBy("user_id", "island_start_us")
+    },
+    Some(s"""
+      WITH e0 AS ($EventsMicrosSql),
+      win AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS w_start,
+               make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))
+                 + (event_id % 50 + 10) * 60000000) AS w_end
+        FROM e0),
+      isl AS (${graft.ops.Intervals.coalesceSql("win", "user_id",
+        "user_id", "w_start", "w_end")})
+      SELECT user_id,
+             epoch_us(island_start) AS island_start_us,
+             epoch_us(island_end) AS island_end_us,
+             n_merged
+      FROM isl ORDER BY user_id, island_start_us
+    """))
+
   def all: Seq[GQuery] = Seq(asofJoin, asofForward, asofSelf, rangeJoin,
     asofSkewPlain, asofSkewSalted, asofUniformPlain, asofUniformSalted,
-    asofNearest, intervalOverlap)
+    asofNearest, intervalOverlap, intervalCoalesce)
 }
