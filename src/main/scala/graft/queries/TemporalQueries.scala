@@ -441,7 +441,59 @@ object TemporalQueries extends QueryPack {
       FROM isl ORDER BY user_id, island_start_us
     """))
 
+  /** Gap extraction — the downtime report: the complement of
+    * [[graft.ops.Intervals.coalesce]]'s islands per key. Gaps are a
+    * lead() pass over the ISLAND frame (already reduced — orders of
+    * magnitude smaller than the input), reusing the same key
+    * partitioning; only gaps of at least 4 hours surface (the
+    * report's noise floor), with their integer-micros bounds and
+    * duration. */
+  val intervalGaps = GQuery(
+    "q_interval_gaps",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val win = Tables.events(s, d)
+        .select(col("user_id"), col("ts").as("w_start"),
+          timestamp_micros(unix_micros(col("ts")) +
+            (pmod(col("event_id"), lit(50)) + 10L) * 60000000L)
+            .as("w_end"))
+      val isl = graft.ops.Intervals.coalesce(win, Seq("user_id"),
+          "w_start", "w_end")
+        .select(col("user_id"),
+          unix_micros(col("island_start")).as("s_us"),
+          unix_micros(col("island_end")).as("e_us"))
+      val w = Window.partitionBy("user_id").orderBy("s_us")
+      isl.withColumn("next_s", lead(col("s_us"), 1).over(w))
+        .filter(col("next_s").isNotNull &&
+          col("next_s") - col("e_us") >= 4L * 3600L * 1000000L)
+        .select(col("user_id"), col("e_us").as("gap_start_us"),
+          col("next_s").as("gap_end_us"),
+          (col("next_s") - col("e_us")).as("gap_micros"))
+        .orderBy("user_id", "gap_start_us")
+    },
+    Some(s"""
+      WITH e0 AS ($EventsMicrosSql),
+      win AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS w_start,
+               make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))
+                 + (event_id % 50 + 10) * 60000000) AS w_end
+        FROM e0),
+      isl AS (${graft.ops.Intervals.coalesceSql("win", "user_id",
+        "user_id", "w_start", "w_end")}),
+      led AS (
+        SELECT user_id, epoch_us(island_end) AS e_us,
+               LEAD(epoch_us(island_start), 1)
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(island_start))
+                 AS next_s
+        FROM isl)
+      SELECT user_id, e_us AS gap_start_us, next_s AS gap_end_us,
+             next_s - e_us AS gap_micros
+      FROM led
+      WHERE next_s IS NOT NULL AND next_s - e_us >= ${4L * 3600L * 1000000L}
+      ORDER BY user_id, gap_start_us
+    """))
+
   def all: Seq[GQuery] = Seq(asofJoin, asofForward, asofSelf, rangeJoin,
     asofSkewPlain, asofSkewSalted, asofUniformPlain, asofUniformSalted,
-    asofNearest, intervalOverlap, intervalCoalesce)
+    asofNearest, intervalOverlap, intervalCoalesce, intervalGaps)
 }
