@@ -161,6 +161,58 @@ object Robust {
              AS n_outliers
     FROM mm GROUP BY g"""
 
+  /** EXACT global top-fraction selection WITHOUT a global sort — the
+    * quality-gate shape ("keep the best 10% of the corpus by score")
+    * at 100 TB, where `orderBy(score).limit(k)` is a per-partition
+    * heap of k elements (k = billions for a corpus-sized fraction)
+    * and a global range sort shuffles everything.
+    *
+    * Histogram refinement instead: one counting pass bins the scores
+    * ([[Sketches.histogramProfile]] shape); the bin histogram is
+    * bounded driver metadata (the IVF-codebook posture), so the
+    * driver walks it top-down to find the BOUNDARY bin — every row
+    * above it is in by count alone, and only the boundary bin itself
+    * needs exact ordering, via TakeOrderedAndProject bounded by
+    * `need <= that bin's population`. Total cost: two scans + a heap
+    * over one bin, zero global sorts, zero corpus-wide shuffles.
+    *
+    * Selection is the exact top `ceil(n * keepMille / 1000)` rows
+    * under (`of` DESC, `tieBreak` ASC) — the same set any rank-based
+    * definition yields (bins partition the order, so binning cannot
+    * change membership), which is what the oracle checks with an
+    * independent full-rank formulation. Null scores never select.
+    * Choose `binWidth` so a single bin stays heap-friendly; a
+    * degenerate all-one-value bin still resolves exactly through the
+    * tieBreak heap. */
+  def topFraction(df: DataFrame, of: String, tieBreak: String,
+                  keepMille: Int, binWidth: Double): DataFrame = {
+    require(keepMille > 0 && keepMille <= 1000,
+      s"keepMille must be in (0, 1000]: $keepMille")
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val scored = df.filter(col(of).isNotNull)
+    val binCol = floor(col(of) / binWidth).cast("long")
+    val hist = scored.groupBy(binCol.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(-_._1) // highest bin first
+    val n = hist.map(_._2).sum
+    if (n == 0) return scored
+    val k = (n * keepMille + 999) / 1000
+    // walk bins top-down: everything above the boundary bin is in
+    var above = 0L
+    var i = 0
+    while (i < hist.length && above + hist(i)._2 < k) {
+      above += hist(i)._2; i += 1
+    }
+    val boundaryBin = hist(i)._1
+    val need = (k - above).toInt
+    val wholeBins = scored.filter(binCol > boundaryBin)
+    val boundary = scored.filter(binCol === boundaryBin)
+      .orderBy(col(of).desc, col(tieBreak).asc)
+      .limit(need)
+    wholeBins.unionByName(boundary)
+  }
+
   /** Equal-frequency (quantile) discretization per group: `nBins`
     * ntile buckets under the explicit (value, tieBreak) total order —
     * the standard feature-binning prep (decile features, rank

@@ -233,8 +233,31 @@ object AggQueries extends QueryPack {
       GROUP BY c_mktsegment, bin ORDER BY c_mktsegment, bin
     """))
 
+  /** Exact global top-10% by balance via histogram refinement
+    * ([[graft.ops.Robust.topFraction]]): membership must equal the
+    * oracle's independent full-rank formulation exactly — including
+    * the boundary-bin tie resolution — while the engine never sorts
+    * more than one bin. */
+  val topFraction = GQuery(
+    "q_top_fraction",
+    (s, d) => graft.ops.Robust.topFraction(
+      Tables.customer(s, d).select("c_custkey", "c_acctbal"),
+      "c_acctbal", "c_custkey", keepMille = 100, binWidth = 500.0)
+      .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey, c_acctbal FROM (
+        SELECT c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
+                 AS rn,
+               COUNT(*) OVER () AS n
+        FROM customer WHERE c_acctbal IS NOT NULL)
+      WHERE rn <= (n * 100 + 999) // 1000
+      ORDER BY c_custkey
+    """),
+    eager = true)
+
   def all: Seq[GQuery] = Seq(
     pricingSummary, conditionalAudit, dupHaving, countDistinctCheck,
     minmaxProfile, distribution, distinctDims, unionSummary, batchStats,
-    robustOutliers, robustWinsorize, featureBinning)
+    robustOutliers, robustWinsorize, featureBinning, topFraction)
 }

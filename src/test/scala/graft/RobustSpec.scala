@@ -101,6 +101,27 @@ class RobustSpec extends SparkSpec {
     assert(hashEx == 1, s"expected 1 hash Exchange, found $hashEx")
   }
 
+  test("topFraction: exact k with boundary ties, equals the rank " +
+    "definition, never plans a global range sort") {
+    val s = spark; import s.implicits._
+    // 100 rows, heavy ties across the 10-wide bin boundary
+    val df = (1L to 100L).map(i => (i, (i % 20).toDouble))
+      .toDF("id", "score")
+    val keep = Robust.topFraction(df, "score", "id",
+      keepMille = 250, binWidth = 10.0)
+    val got = keep.select("id").collect().map(_.getLong(0)).toSet
+    assert(got.size == 25, s"must keep exactly ceil(100*0.25)=25: ${got.size}")
+    val expected = df.orderBy(col("score").desc, col("id").asc)
+      .limit(25).select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      "histogram refinement diverged from the rank definition")
+    val plan = keep.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"topFraction must never global-sort:\n${plan.take(2000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"boundary bin should resolve via a bounded heap:\n${plan.take(2000)}")
+  }
+
   test("plan contract: outlierProfile is exactly ONE hash Exchange") {
     val ev = Tables.events(spark, TinySf)
     val plan = Robust.outlierProfile(ev, Seq("event_type"), "value",
