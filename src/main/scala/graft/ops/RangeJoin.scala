@@ -113,6 +113,8 @@ object RangeJoin {
                           bucketMicros: Long,
                           maxCellsPerInterval: Long = 100000L): DataFrame = {
     require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    require(maxCellsPerInterval > 0,
+      s"maxCellsPerInterval must be positive: $maxCellsPerInterval")
     val collisions = left.columns.toSet.intersect(right.columns.toSet)
     require(collisions.isEmpty,
       s"left/right column collision: ${collisions.mkString(", ")}")

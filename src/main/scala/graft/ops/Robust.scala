@@ -205,6 +205,12 @@ object Robust {
       above += hist(i)._2; i += 1
     }
     val boundaryBin = hist(i)._1
+    // a boundary bin needing more than Int.MaxValue rows would
+    // silently truncate through limit(); that means the binning is
+    // far too coarse for the data — fail with the remedy
+    require(k - above <= Int.MaxValue,
+      s"boundary bin needs ${k - above} rows (> Int.MaxValue); " +
+        s"narrow binWidth=$binWidth so bins stay heap-sized")
     val need = (k - above).toInt
     val wholeBins = scored.filter(binCol > boundaryBin)
     val boundary = scored.filter(binCol === boundaryBin)

@@ -360,7 +360,10 @@ object Sampling {
       s"temperature reserves the column name '$c'; rename it first"))
     val c = counts.toDF("_grp", "_n")
     val nMin = c.agg(min(col("_n")).as("_nmin"))
-    df.join(broadcast(c), group === col("_grp"))
+    // null-safe: a null group is a real group (the Drift convention) —
+    // plain === would silently DROP every null-group row from the
+    // rebalanced corpus
+    df.join(broadcast(c), group <=> col("_grp"))
       .crossJoin(broadcast(nMin))
       .filter(temperatureKeep(key, col("_n"), col("_nmin"), p, q))
       .drop("_grp", "_n", "_nmin")

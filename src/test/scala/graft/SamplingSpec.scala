@@ -353,6 +353,18 @@ class SamplingSpec extends SparkSpec {
       s"count joins must broadcast, never shuffle the data:\n${plan.take(2500)}")
   }
 
+  test("temperature: a null group is a real group, never silently " +
+    "dropped") {
+    val s = spark; import s.implicits._
+    val df = (0L until 600L)
+      .map(i => (i, if (i < 100) None else Some("big")))
+      .toDF("id", "grp")
+    val kept = Sampling.temperature(df, col("grp"), col("id"), 1, 2)
+    val nullKept = kept.filter(col("grp").isNull).count()
+    assert(nullKept == 100L,
+      s"null group is n_min (100 of 600) and must be kept whole: $nullKept")
+  }
+
   test("temperature rejects exponents outside the exact-digit budget") {
     intercept[IllegalArgumentException] {
       Sampling.temperatureKeep(col("id"), col("n"), col("m"), 3, 10)
