@@ -256,8 +256,70 @@ object AggQueries extends QueryPack {
     """),
     eager = true)
 
+  /** OLAP rollup hierarchy in one pass: (priority, status) revenue
+    * with subtotal and grand-total rows via ROLLUP — the report shape
+    * the reference built as separate GROUP BY queries. Rollup nulls
+    * are disambiguated from data nulls through grouping() sentinels
+    * in BOTH engines; money goes through the DECIMAL(18,4) exact-sum
+    * convention. Catalyst plans rollup as one Expand + aggregate —
+    * one pass over the fact, not one query per level. */
+  val rollupReport = GQuery(
+    "q_rollup_report",
+    (s, d) => Tables.orders(s, d)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(Exact.fixedSum(col("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        // grouping() is only legal inside the rollup aggregate
+        grouping(col("o_orderpriority")).as("_gp"),
+        grouping(col("o_orderstatus")).as("_gs"))
+      .select(
+        when(col("_gp") === 1, lit("<all>"))
+          .otherwise(col("o_orderpriority")).as("priority"),
+        when(col("_gs") === 1, lit("<all>"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        col("revenue"), col("n_orders"))
+      .orderBy("priority", "status"),
+    Some(s"""
+      SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN '<all>'
+                  ELSE o_orderpriority END AS priority,
+             CASE WHEN GROUPING(o_orderstatus) = 1 THEN '<all>'
+                  ELSE o_orderstatus END AS status,
+             ${Exact.fixedSumSql("o_totalprice", 2)} AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      ORDER BY priority, status
+    """))
+
+  /** Pivot report: priority rows × status columns, exact-decimal
+    * revenue per cell (empty cells null in both engines). Spark's
+    * `pivot` with EXPLICIT values keeps the plan a single aggregate
+    * (no distinct-values pre-query); the oracle is the portable
+    * SUM(CASE) formulation. */
+  val pivotReport = GQuery(
+    "q_pivot_report",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(Exact.fixedSum(col("o_totalprice"), 2))
+      .orderBy("priority"),
+    Some(s"""
+      SELECT o_orderpriority AS priority,
+             ${Exact.fixedSumSql(
+               "CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", 2)}
+               AS "F",
+             ${Exact.fixedSumSql(
+               "CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", 2)}
+               AS "O",
+             ${Exact.fixedSumSql(
+               "CASE WHEN o_orderstatus = 'P' THEN o_totalprice END", 2)}
+               AS "P"
+      FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """))
+
   def all: Seq[GQuery] = Seq(
     pricingSummary, conditionalAudit, dupHaving, countDistinctCheck,
     minmaxProfile, distribution, distinctDims, unionSummary, batchStats,
-    robustOutliers, robustWinsorize, featureBinning, topFraction)
+    robustOutliers, robustWinsorize, featureBinning, topFraction,
+    rollupReport, pivotReport)
 }
