@@ -18,14 +18,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet — surfaced as epoch-nanos
-    * long via spark.sql.legacy.parquet.nanosAsLong (GraftSession), then
-    * converted here with exact integer division (a double division
-    * would lose precision above 2^53 ns ≈ 104 days). */
+  /** events.ts has shipped in two physical forms across testdata
+    * generations: TIMESTAMP(NANOS) parquet (surfaced as an epoch-nanos
+    * long via spark.sql.legacy.parquet.nanosAsLong in GraftSession) and
+    * plain micros TIMESTAMP/TIMESTAMP_NTZ. Normalize both to a micros
+    * TimestampType so every downstream operator sees one shape. The
+    * nanos branch floors with exact integer division (a double division
+    * would lose precision above 2^53 ns ≈ 104 days); the NTZ cast is
+    * value-preserving because the session timezone is pinned UTC. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    t(s, d, "events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
