@@ -18,7 +18,8 @@ object SparkEntry {
     WindowQueries, FuncQueries, UpsertQueries,
     DedupQueries, TextQueries, SimilarityQueries, CsvQueries,
     PartitionQueries, BinaryQueries, SkewQueries, SampleQueries,
-    TemporalQueries, SketchQueries, CorpusQueries, ScdQueries)
+    TemporalQueries, SketchQueries, CorpusQueries, ScdQueries,
+    LayoutQueries)
 
   private[graft] lazy val registry: Seq[GQuery] = packs.flatMap(_.all)
 

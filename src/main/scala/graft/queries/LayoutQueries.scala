@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Layout
+
+/** Z-order layout clustering + multi-dimensional skipping evidence
+  * (SURVEY.md §7.5 beyond-reference; `ops/Layout.scala`).
+  *
+  * The compared surface is ALL integer: normalized 10-bit dimensions,
+  * the 20-bit Morton interleave (generated term-by-term in both
+  * engines), equal-z-range file ids by top-bit shift, per-file raw
+  * min/max stats, and a 4×4 probe grid with integer-division
+  * boundaries. The oracle rebuilds the entire construction from the
+  * parquet source — no engine value is trusted.
+  *
+  * Two queries: [[zorderKey]] pins the per-row z-value itself (sum is
+  * order-free and row-exact); [[zorderSkipping]] pins the operational
+  * claim — on two-dimensional probes a z-clustered layout touches
+  * fewer files/rows than a one-dimensional layout, measured with the
+  * footer-min/max pruning model actual parquet readers use.
+  */
+object LayoutQueries extends QueryPack {
+
+  private val Bits = 10     // per-dimension grid: [0, 1024)
+  private val FileBits = 5  // 32 equal-z-range files
+
+  /** DuckDB mirror of [[Layout.zValue]] over already-normalized
+    * expressions — one `(bit << pos)` term per bit, OR-folded. */
+  private def interleaveSql(a: String, b: String): String =
+    (0 until Bits).map { i =>
+      s"(((($a >> $i) & 1) << ${2 * i + 1}) | ((($b >> $i) & 1) << ${2 * i}))"
+    }.mkString(" | ")
+
+  /** Shared oracle scaffolding: normalized dims + z per lineitem row.
+    * `// (ma + 1)` is DuckDB integer division — exact, like the
+    * engine's mod-subtract floor division in [[Layout.normalize]]. */
+  private def zCte: String = s"""
+    WITH mx AS (
+      SELECT MAX(l_orderkey) AS ma, MAX(l_partkey) AS mb FROM lineitem),
+    nrm AS (
+      SELECT l_orderkey AS a, l_partkey AS b,
+             (l_orderkey * ${1 << Bits}) // (ma + 1) AS an,
+             (l_partkey * ${1 << Bits}) // (mb + 1) AS bn
+      FROM lineitem, mx),
+    zz AS (SELECT a, b, an, bn, (${interleaveSql("an", "bn")}) AS z
+           FROM nrm)"""
+
+  /** Engine scaffolding twin: lineitem with an/bn/z columns. The two
+    * max values are tiny gate scalars (one 2-column agg row), same
+    * driver-metadata posture as the IVF codebook. */
+  private def withZ(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey").cast("long").as("a"),
+      col("l_partkey").cast("long").as("b"))
+    val r = li.agg(max("a"), max("b")).head()
+    val (maxA, maxB) = (r.getLong(0), r.getLong(1))
+    val z = li
+      .withColumn("an", Layout.normalize(col("a"), maxA, Bits))
+      .withColumn("bn", Layout.normalize(col("b"), maxB, Bits))
+      .withColumn("z", Layout.zValue(col("an"), col("bn"), Bits))
+    (z, maxA, maxB)
+  }
+
+  /** Per-file z digest: row-exact pin of the interleave expression
+    * (SUM(z) is order-free and catches any single-bit divergence) and
+    * of the equal-range file split. */
+  val zorderKey = GQuery(
+    "q_zorder_key",
+    (s, d) => {
+      val (z, _, _) = withZ(s, d)
+      z.withColumn("file_id", Layout.fileOf(col("z"), 2 * Bits, FileBits))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n"), sum("z").as("z_sum"),
+          min("z").as("z_min"), max("z").as("z_max"))
+        .orderBy("file_id")
+    },
+    Some(s"""
+      $zCte
+      SELECT (z >> ${2 * Bits - FileBits}) AS file_id, COUNT(*) AS n,
+             CAST(SUM(z) AS BIGINT) AS z_sum,
+             MIN(z) AS z_min, MAX(z) AS z_max
+      FROM zz GROUP BY file_id ORDER BY file_id
+    """),
+    eager = true)
+
+  /** Files/rows touched by each probe of a 4×4 grid under the two
+    * layouts. The pruning model is the parquet footer's: a file is
+    * touched iff its [min,max] box overlaps the probe box on EVERY
+    * probed column. The z layout must win on two-dimensional probes
+    * (asserted in LayoutSpec; the oracle pins the exact counts). */
+  val zorderSkipping = GQuery(
+    "q_zorder_skipping",
+    (s, d) => {
+      val (z, maxA, maxB) = withZ(s, d)
+      val zFiles = z
+        .withColumn("file_id", Layout.fileOf(col("z"), 2 * Bits, FileBits))
+        .withColumn("layout", lit("zorder"))
+      val linFiles = z
+        .withColumn("file_id", Layout.fileOf(col("an"), Bits, FileBits))
+        .withColumn("layout", lit("linear"))
+      val stats = zFiles.unionByName(linFiles)
+        .groupBy("layout", "file_id")
+        .agg(min("a").as("mina"), max("a").as("maxa"),
+          min("b").as("minb"), max("b").as("maxb"),
+          count(lit(1)).as("n"))
+      val probes = s.range(16).toDF("probe_id")
+        .withColumn("loa", expr(s"((probe_id % 4) * ${maxA + 1}) div 4"))
+        .withColumn("hia", expr(s"((probe_id % 4 + 1) * ${maxA + 1}) div 4 - 1"))
+        .withColumn("lob", expr(s"((probe_id div 4) * ${maxB + 1}) div 4"))
+        .withColumn("hib", expr(s"((probe_id div 4 + 1) * ${maxB + 1}) div 4 - 1"))
+      val hit = col("maxa") >= col("loa") && col("mina") <= col("hia") &&
+        col("maxb") >= col("lob") && col("minb") <= col("hib")
+      stats.crossJoin(broadcast(probes))
+        .groupBy("layout", "probe_id")
+        .agg(sum(when(hit, 1L).otherwise(0L)).as("files_touched"),
+          sum(when(hit, col("n")).otherwise(0L)).as("rows_scanned"))
+        .orderBy("layout", "probe_id")
+    },
+    Some(s"""
+      $zCte,
+      files AS (
+        SELECT 'zorder' AS layout, (z >> ${2 * Bits - FileBits}) AS file_id,
+               MIN(a) AS mina, MAX(a) AS maxa,
+               MIN(b) AS minb, MAX(b) AS maxb, COUNT(*) AS n
+        FROM zz GROUP BY 1, 2
+        UNION ALL
+        SELECT 'linear', (an >> ${Bits - FileBits}),
+               MIN(a), MAX(a), MIN(b), MAX(b), COUNT(*)
+        FROM zz GROUP BY 1, 2),
+      probes AS (
+        SELECT p AS probe_id,
+               ((p % 4) * (ma + 1)) // 4 AS loa,
+               ((p % 4 + 1) * (ma + 1)) // 4 - 1 AS hia,
+               ((p // 4) * (mb + 1)) // 4 AS lob,
+               ((p // 4 + 1) * (mb + 1)) // 4 - 1 AS hib
+        FROM range(16) t(p), mx)
+      SELECT layout, probe_id,
+             CAST(SUM(CASE WHEN maxa >= loa AND mina <= hia
+                            AND maxb >= lob AND minb <= hib
+                      THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+             CAST(SUM(CASE WHEN maxa >= loa AND mina <= hia
+                            AND maxb >= lob AND minb <= hib
+                      THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+      FROM files CROSS JOIN probes
+      GROUP BY layout, probe_id
+      ORDER BY layout, probe_id
+    """),
+    eager = true)
+
+  def all: Seq[GQuery] = Seq(zorderKey, zorderSkipping)
+}
