@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -295,5 +295,51 @@ object TextOps {
     s"""CAST(list_sum(list_transform($toks, (t, i) ->
           (CAST(ascii(t) AS BIGINT) + 7 * length(t)) *
           ((CAST(i AS BIGINT) * 131071) % 1000003))) % 1000000007 AS BIGINT)"""
+  }
+
+  /** Integer unigram-surprisal scoring: per-doc mean of
+    * `bitlen(N) - bitlen(count(term))` over the doc's token instances
+    * (milli, floored), where `count` is the CORPUS frequency and N the
+    * corpus token total.
+    *
+    * This is the floor-log2 surrogate of unigram cross-entropy
+    * `-log2(count/N)` — the standard language-model quality signal
+    * (rare-token-heavy docs score high, boilerplate scores low) — in
+    * the engine's integer-contract form: `length(bin(x))` is exact in
+    * both engines, where `ln()`'s last-ulp differences across libm
+    * implementations would break a float hash compare (the same rule
+    * that put milli-proportions where PSI would go).
+    *
+    * Scale shape (the boilerplateScore pattern): per-doc term
+    * frequencies first (one (doc,term) shuffle, map-side combinable),
+    * corpus counts re-aggregated FROM the tf frame, and the tf⋈count
+    * join keyed on the term — AQE skew-split absorbs hot terms there,
+    * which is why this is a join and NOT a term-partitioned window
+    * (windows materialize the whole hot-term partition; partial
+    * aggregation doesn't). The corpus token total N is a tiny eager
+    * scalar from a scan-level size() aggregate — no explode, no third
+    * branch over the corpus (the Robust.topFraction driver-metadata
+    * posture), folded in as the constant `bitlen(N)`.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val n = docs
+      .agg(sum(tokenCount(col(textCol)).cast("long")).cast("long"))
+      .head().getLong(0)
+    require(n > 0, "unigramSurprisal: empty corpus")
+    val bitlenN = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("term").agg(sum("tf").as("c"))
+    tf.join(cnt, "term")
+      .withColumn("s",
+        (lit(bitlenN.toLong) - length(bin(col("c")))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        sum(col("s") * col("tf")).cast("long").as("s_sum"))
+      .select(col(idCol), col("n_tokens"),
+        expr("(1000 * s_sum) div n_tokens").as("surprisal_milli"))
   }
 }

@@ -471,9 +471,37 @@ object TextQueries extends QueryPack {
       ORDER BY bucket
     """))
 
+  /** Integer unigram-surprisal quality scoring
+    * ([[TextOps.unigramSurprisal]]): the floor-log2 surrogate of
+    * unigram cross-entropy, per doc, in milli. The oracle rebuilds the
+    * corpus unigram model and the bitlen arithmetic from scratch over
+    * token INSTANCES (unnest) where the engine works tf-weighted —
+    * equal by construction, so the formulation difference is itself
+    * part of the check. */
+  val unigramSurprisal = GQuery(
+    "q_unigram_surprisal",
+    (s, d) => TextOps.unigramSurprisal(
+      Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+      sc AS (
+        SELECT t.doc_id, (length(bin(n)) - length(bin(c))) AS s
+        FROM tok t JOIN cnt USING (term) CROSS JOIN tot)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST((1000 * CAST(SUM(s) AS BIGINT)) // COUNT(*) AS BIGINT)
+               AS surprisal_milli
+      FROM sc GROUP BY doc_id ORDER BY doc_id
+    """),
+    eager = true) // N is a construct-time scalar (topFraction posture)
+
   def all: Seq[GQuery] =
     Seq(tokenStats, qualityScore, langId, fingerprint, tfidfTopTerms,
       piiRedact, tokenPacking, chunkWindows, vocabOov, contamination,
       repetitionStats, boilerplateScore, distinctNgrams,
-      paddingEfficiency)
+      paddingEfficiency, unigramSurprisal)
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+/** Unigram-surprisal scoring: hand-computed integer values, the
+  * rare-vs-boilerplate ordering the score exists to produce, and the
+  * Expand-free plan shape (the q_sketch_distinct lesson: never let a
+  * mixed distinct/non-distinct aggregate double the input).
+  */
+class SurprisalSpec extends SparkSpec {
+
+  test("hand-computed bitlen arithmetic on a tiny corpus") {
+    val s = spark; import s.implicits._
+    // corpus: a:1, b:3, c:1 -> N=5, bitlen(5)=3
+    // s(a)=3-1=2 (bitlen 1 = 1), s(b)=3-2=1 (bitlen 3 = 2), s(c)=2
+    val docs = Seq((1L, "a b b"), (2L, "b c")).toDF("id", "text")
+    val out = TextOps.unigramSurprisal(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // doc1: (2+1+1)*1000 div 3 = 1333 ; doc2: (1+2)*1000 div 2 = 1500
+    assert(out(1L) == ((3L, 1333L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((2L, 1500L)), s"doc2: ${out(2L)}")
+  }
+
+  test("boilerplate scores below rare-token docs") {
+    val s = spark; import s.implicits._
+    val boiler = Seq.fill(20)("same same same same")
+    val rare = "zq xv jk wq"
+    val docs = (boiler :+ rare).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = TextOps.unigramSurprisal(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rareId = 20L
+    assert((0L until 20L).forall(b => out(b) < out(rareId)),
+      s"rare doc must outscore boilerplate: $out")
+  }
+
+  test("plan: no Expand, no global-N branch — at most the " +
+    "boilerplateScore two-branch explode shape") {
+    val df = TextOps.unigramSurprisal(
+      Tables.documents(spark, TinySf), "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Expand"), plan.take(1500))
+    // N is folded in as a literal: no third corpus branch, and no
+    // one-row cross join in the plan at all
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    val generates = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(generates <= 2, s"expected the two-branch tf/cnt shape, " +
+      s"found $generates explodes:\n${plan.take(2500)}")
+  }
+}
