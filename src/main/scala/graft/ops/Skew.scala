@@ -44,4 +44,35 @@ object Skew {
     val s = smallHint.fold(s0)(s0.hint(_))
     b.join(s, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** Join-key skew diagnostics — the DECISION INPUT for the salted
+    * path: before shipping a pipeline that joins on `key`, measure how
+    * concentrated the key actually is. Top-`topK` keys by row count
+    * with integer milli shares, plus the corpus-level constants
+    * (`n_keys`, `total_rows`) replicated onto every row so one frame
+    * carries the whole verdict (a 900-milli top-1 share says salt; a
+    * flat profile says don't pay the replication).
+    *
+    * Scale shape: per-key counts are ONE map-side-combinable
+    * aggregate; the top-K cut plans as TakeOrderedAndProject
+    * (per-partition heaps — never a global sort of the key space);
+    * the totals fold is a second aggregate over the key-cardinality-
+    * sized count frame; the final rank window runs on ≤ topK rows
+    * (the BoundedDim posture: a bounded frame may sit in one task).
+    */
+  def keyProfile(df: DataFrame, key: String, topK: Int): DataFrame = {
+    require(topK >= 1 && topK <= 10000,
+      s"keyProfile topK must be in [1, 10000]: $topK")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum("n").cast("long").as("total_rows"),
+      count(lit(1)).cast("long").as("n_keys"))
+    counts.orderBy(col("n").desc, col(key).asc).limit(topK)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n").desc, col(key).asc)).cast("long"))
+      .crossJoin(broadcast(totals))
+      .select(col("rank"), col(key), col("n"),
+        expr("(1000 * n) div total_rows").as("share_milli"),
+        col("n_keys"), col("total_rows"))
+  }
 }

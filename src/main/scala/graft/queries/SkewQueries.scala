@@ -102,5 +102,37 @@ object SkewQueries extends QueryPack {
         factor = Factor, smallHint = Some("merge"))),
     Some(oracle))
 
-  def all: Seq[GQuery] = Seq(naive, salted)
+  /** Skew diagnostics over the same planted-90%-hot fixture the
+    * evidence pair joins ([[Skew.keyProfile]]): the profile that tells
+    * an operator to take the salted path BEFORE paying for either
+    * join. The hot key must surface at rank 1 with its ~900-milli
+    * share; the oracle rebuilds counts, shares, rank and the corpus
+    * constants from scratch. */
+  val profile = GQuery(
+    "q_skew_profile",
+    (s, d) => Skew.keyProfile(bigSide(s, d), "skew_key", topK = 10)
+      .orderBy("rank"),
+    Some(s"""
+      WITH big AS (
+        SELECT CASE WHEN l_orderkey % 10 = 0
+                 THEN 'k' || CAST(CAST(floor(l_orderkey / 10) AS BIGINT) % 50 AS VARCHAR)
+                 ELSE 'hot' END AS skew_key
+        FROM lineitem CROSS JOIN generate_series(1, $Mult) reps(rep)),
+      cnt AS (SELECT skew_key, CAST(COUNT(*) AS BIGINT) AS n
+              FROM big GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+                     CAST(COUNT(*) AS BIGINT) AS n_keys FROM cnt),
+      top AS (SELECT skew_key, n,
+                     CAST(ROW_NUMBER() OVER (ORDER BY n DESC, skew_key ASC)
+                       AS BIGINT) AS rank
+              FROM cnt)
+      SELECT rank, skew_key, n,
+             CAST((1000 * n) // total_rows AS BIGINT) AS share_milli,
+             n_keys, total_rows
+      FROM top CROSS JOIN tot
+      WHERE rank <= 10
+      ORDER BY rank
+    """))
+
+  def all: Seq[GQuery] = Seq(naive, salted, profile)
 }

@@ -79,6 +79,36 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("keyProfile: hand-checked ranks, shares and corpus constants") {
+    val s = spark; import s.implicits._
+    // 12 rows: hot×8, a×3, b×1 -> shares 666/250/83 milli, 3 keys
+    val df = (Seq.fill(8)("hot") ++ Seq.fill(3)("a") ++ Seq("b"))
+      .toDF("k")
+    val out = Skew.keyProfile(df, "k", topK = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSet == Set(
+      (1L, "hot", 8L, 666L, 3L, 12L),
+      (2L, "a", 3L, 250L, 3L, 12L)), out.mkString(", "))
+  }
+
+  test("keyProfile ties break on the key; topK cuts exactly") {
+    val s = spark; import s.implicits._
+    val df = Seq("z", "z", "y", "y", "x").toDF("k")
+    val out = Skew.keyProfile(df, "k", topK = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "y"), (2L, "z")), out.mkString(", "))
+  }
+
+  test("keyProfile plan: bounded top-K heap, never a global sort of " +
+    "the key space") {
+    val plan = Skew.keyProfile(
+      Tables.lineitem(spark, TinySf), "l_orderkey", topK = 10)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
+  }
+
   test("salt is deterministic across evaluations") {
     val s = spark; import s.implicits._
     val df = (1L to 100L).toDF("id")
