@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-entity time-series resampling onto a regular grid with
+  * forward fill — the feature-extraction primitive that turns an
+  * irregular event stream into the fixed-interval matrix sequence
+  * models train on (sensor feeds, metrics, account balances: "the
+  * value AS OF each tick").
+  *
+  * Semantics: per key, ticks run from `floor(min_ts / step) * step`
+  * (the first tick at-or-before the first observation, grid-aligned
+  * in absolute epoch micros so ticks agree ACROSS keys) up to the
+  * last observation; each tick carries the latest observed value
+  * at-or-before it (ties at one timestamp resolved by a caller-named
+  * tiebreak column FIRST — the grid must never depend on row order).
+  *
+  * Scale shape (the AsOf union-tag discipline, `ops/AsOf.scala`):
+  * same-ts observations collapse in one keyed aggregate, per-key
+  * bounds are a second map-side-combinable aggregate, the grid is an
+  * explode of a bounded integer sequence off the one-row-per-key
+  * bounds frame (guarded: a sentinel timestamp would otherwise
+  * explode the grid — the RangeJoin maxCells lesson, enforced in a
+  * filter so pruning can't drop it), and the fill is ONE keyed
+  * shuffle: observations and ticks union-tagged into a single
+  * running `last(ignoreNulls)` ROWS window. No per-tick join, no
+  * candidate explosion, no global sort.
+  */
+object Resample {
+
+  /** Forward-filled regular grid of `valueCol` per `keys`.
+    * Output: keys ++ (tick TIMESTAMP, valueCol) — value is null for
+    * ticks before the key's first observation (only the aligned
+    * tick-0 can be such a tick here, by the bounds construction).
+    *
+    * A NULL observation VALUE is a gap, not a reset: `last(ignoreNulls)`
+    * carries the previous non-null value across it. Callers that want
+    * null-as-reset should map nulls to a sentinel first.
+    */
+  def ffill(df: DataFrame, keys: Seq[String], timeCol: String,
+            valueCol: String, tiebreakCol: String, stepMicros: Long,
+            maxTicksPerKey: Long = 100000L): DataFrame = {
+    require(keys.nonEmpty, "ffill needs at least one key column")
+    require(stepMicros > 0, s"stepMicros must be positive: $stepMicros")
+    require(maxTicksPerKey > 0,
+      s"maxTicksPerKey must be positive: $maxTicksPerKey")
+    val kCols = keys.map(col)
+
+    // one value per (key, instant): latest by the tiebreak — the grid
+    // must be a function of the DATA, never of partition row order
+    val obs = df
+      .filter(kCols.map(_.isNotNull).reduce(_ && _) &&
+        col(timeCol).isNotNull)
+      .groupBy(kCols :+ unix_micros(col(timeCol)).as("_mt"): _*)
+      .agg(max_by(col(valueCol), col(tiebreakCol)).as("_v"))
+
+    val bounds = obs.groupBy(kCols: _*)
+      .agg(min("_mt").as("_mn"), max("_mt").as("_mx"))
+      .withColumn("_t0", expr(s"(_mn div ${stepMicros}L) * ${stepMicros}L"))
+      // in a filter, not a projection: pruning can't drop the guard
+      .filter(
+        when(expr(s"(_mx - _t0) div ${stepMicros}L + 1") > maxTicksPerKey,
+          raise_error(concat(
+            lit(s"resample grid exceeds $maxTicksPerKey ticks " +
+              s"(stepMicros=$stepMicros) for key: "),
+            concat_ws("|", kCols: _*))).cast("boolean"))
+          .otherwise(lit(true)))
+
+    val ticks = bounds.select(
+      kCols :+ explode(sequence(col("_t0"), col("_mx"),
+        lit(stepMicros))).as("_mt"): _*)
+      .withColumn("_isTick", lit(true))
+      .withColumn("_v", lit(null).cast(obs.schema("_v").dataType))
+
+    // observation sorts BEFORE the tick at the same micros (false <
+    // true), so a tick includes a same-instant observation
+    val w = Window.partitionBy(kCols: _*)
+      .orderBy(col("_mt").asc, col("_isTick").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    obs.withColumn("_isTick", lit(false))
+      .unionByName(ticks)
+      .withColumn("_f", last(col("_v"), ignoreNulls = true).over(w))
+      .filter(col("_isTick"))
+      .select(kCols :+ timestamp_micros(col("_mt")).as("tick") :+
+        col("_f").as(valueCol): _*)
+  }
+}

@@ -493,7 +493,42 @@ object TemporalQueries extends QueryPack {
       ORDER BY user_id, gap_start_us
     """))
 
+  /** Daily forward-filled resample of each user's value series
+    * ([[graft.ops.Resample.ffill]]): the irregular event stream onto
+    * an absolute-aligned day grid, each tick carrying the value as of
+    * that instant. The oracle is a genuinely different algorithm —
+    * DuckDB's ASOF LEFT JOIN from an independently built grid —
+    * against the engine's union-tag running-last window; the aligned
+    * tick-0 before each user's first observation must surface as NULL
+    * in both. Values pass through untouched (no float arithmetic —
+    * the fill picks one observed double), so the hash compare is
+    * exact. */
+  val resampleFfill = GQuery(
+    "q_resample_ffill",
+    (s, d) => graft.ops.Resample.ffill(
+      Tables.events(s, d), Seq("user_id"), "ts", "value",
+      tiebreakCol = "event_id", stepMicros = 86400000000L)
+      .orderBy("user_id", "tick"),
+    Some("""
+      WITH obs AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS mt,
+               arg_max(value, event_id) AS v
+        FROM events GROUP BY 1, 2),
+      bounds AS (
+        SELECT user_id, (MIN(mt) // 86400000000) * 86400000000 AS t0,
+               MAX(mt) AS mx
+        FROM obs GROUP BY 1),
+      grid AS (
+        SELECT user_id, unnest(range(t0, mx + 1, 86400000000)) AS mt
+        FROM bounds)
+      SELECT g.user_id, make_timestamp(g.mt) AS tick, o.v AS value
+      FROM grid g ASOF LEFT JOIN obs o
+        ON g.user_id = o.user_id AND g.mt >= o.mt
+      ORDER BY g.user_id, tick
+    """))
+
   def all: Seq[GQuery] = Seq(asofJoin, asofForward, asofSelf, rangeJoin,
     asofSkewPlain, asofSkewSalted, asofUniformPlain, asofUniformSalted,
-    asofNearest, intervalOverlap, intervalCoalesce, intervalGaps)
+    asofNearest, intervalOverlap, intervalCoalesce, intervalGaps,
+    resampleFfill)
 }
