@@ -227,5 +227,59 @@ object CsvQueries extends QueryPack {
       GROUP BY 1 ORDER BY lang
     """})
 
-  def all: Seq[GQuery] = Seq(csvIngest, jsonlIngest, jsonlExport)
+  private def orcDir(sfDir: String): String =
+    s"/tmp/graft_fixtures/orc_export_${new java.io.File(sfDir).getName}/out"
+
+  /** ORC interchange round trip ([[graft.ops.Orc]]): documents written
+    * as sharded ORC, read back through Spark's ORC stack with an
+    * explicit schema, and digested; the oracle computes the same
+    * digest from the SOURCE parquet through DuckDB. Two independent
+    * stacks, two different physical files — digest equality proves
+    * every row was written exactly once and every field survived the
+    * columnar round trip (the q_training_export contract shape;
+    * DuckDB reads no ORC, so the parquet source is the independent
+    * truth). */
+  val orcRoundtrip = GQuery(
+    "q_orc_roundtrip",
+    (s, d) => {
+      val out = orcDir(d)
+      val src = Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source")
+      Fixtures.ensure(s, out,
+        Fixtures.sourceStamp(s, s"$d/documents.parquet") +
+          ":orc_export:v1:shards4") {
+        graft.ops.Orc.write(src, out, shards = 4, shardBy = "doc_id")
+      }
+      def h(c: String) =
+        sum(conv(substring(md5(col(c)), 1, 8), 16, 10).cast("long"))
+      graft.ops.Orc.read(s, out, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType))))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          h("text").as("sum_text_h"),
+          h("source").as("sum_src_h"))
+        .orderBy("lang")
+    },
+    Some {
+      def h(c: String) =
+        s"CAST(SUM(CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)) AS BIGINT)"
+      s"""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+             ${h("text")} AS sum_text_h,
+             ${h("source")} AS sum_src_h
+      FROM documents
+      GROUP BY 1 ORDER BY lang
+    """})
+
+  def all: Seq[GQuery] = Seq(csvIngest, jsonlIngest, jsonlExport,
+    orcRoundtrip)
 }
