@@ -144,4 +144,93 @@ object Fuzzy {
       ${pairSelect("_band", maxDist)}
       UNION ALL
       ${pairSelect("_band2", maxDist)})"""
+
+  /** Blocking-quality audit — the TUNING INPUT for lenBand/prefixLen
+    * on a 100 TB dedup: pairs completeness (what fraction of TRUE
+    * fuzzy pairs the blocking discovers) and reduction ratio (what
+    * fraction of the quadratic pair space it never prices), measured
+    * on a bounded labeled sample (`id < sampleMaxId`).
+    *
+    * The truth side is deliberately QUADRATIC over the sample — the
+    * point is to price what blocking misses, so the truth cannot
+    * block (the n-gram Jaccard ground-truth posture: verifier shape,
+    * bounded by the sample, never the production path). Discovery is
+    * the production [[editDistancePairsWide]]. Candidates pass the
+    * same distance filter as the truth, so candidates ⊆ truth and
+    * `n_hit = n_candidates` — the semi-join count is kept anyway as
+    * the subset-property check rather than assumed.
+    *
+    * One row: n_docs, all_pairs, n_truth, n_candidates, n_hit,
+    * completeness_milli (null if the sample holds no true pairs),
+    * reduction_milli. All integer.
+    */
+  def blockingQuality(df: DataFrame, id: Column, text: Column,
+                      sampleMaxId: Long, prefixLen: Int = 64,
+                      lenBand: Int = 16, maxDist: Int = 8): DataFrame = {
+    validateParams(prefixLen, lenBand, maxDist)
+    val sample = df.filter(id.cast("long") < sampleMaxId)
+    val base = sigBase(sample, id, text, prefixLen)
+    val a = base.select(col("_id").as("_ta"), col("_sig").as("_sa"))
+    val b = base.select(col("_id").as("_tb"), col("_sig").as("_sb"))
+    val truth = a.join(b, col("_ta") < col("_tb"))
+      .filter(levenshtein(col("_sa"), col("_sb"), maxDist) =!= -1)
+      .select(col("_ta"), col("_tb"))
+    val cand = editDistancePairsWide(sample, id, text, prefixLen,
+      lenBand, maxDist, maxBucket = None)
+    val hit = cand.join(truth,
+      cand("id_a") === truth("_ta") && cand("id_b") === truth("_tb"),
+      "left_semi")
+    val nDocs = base.agg(count(lit(1)).cast("long").as("n_docs"))
+    val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    val nCand = cand.agg(count(lit(1)).cast("long").as("n_candidates"))
+    val nHit = hit.agg(count(lit(1)).cast("long").as("n_hit"))
+    nDocs.crossJoin(broadcast(nTruth))
+      .crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nHit))
+      .select(col("n_docs"),
+        expr("n_docs * (n_docs - 1) div 2").as("all_pairs"),
+        col("n_truth"), col("n_candidates"), col("n_hit"),
+        expr("(1000 * n_hit) div nullif(n_truth, 0)")
+          .as("completeness_milli"),
+        expr("(1000 * (n_docs * (n_docs - 1) div 2 - n_candidates)) " +
+          "div nullif(n_docs * (n_docs - 1) div 2, 0)")
+          .as("reduction_milli"))
+  }
+
+  /** DuckDB mirror of [[blockingQuality]]. */
+  def blockingQualitySql(table: String, idExpr: String,
+                         textExpr: String, sampleMaxId: Long,
+                         prefixLen: Int = 64, lenBand: Int = 16,
+                         maxDist: Int = 8): String = {
+    val sampled =
+      s"(SELECT * FROM $table WHERE CAST($idExpr AS BIGINT) < $sampleMaxId)"
+    s"""${baseCte(sampled, idExpr, textExpr, prefixLen, lenBand)},
+    _bq_truth AS (
+      SELECT a._id AS ta, b._id AS tb
+      FROM _fz_base a JOIN _fz_base b ON a._id < b._id
+      WHERE levenshtein(a._sig, b._sig) <= $maxDist),
+    _bq_cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        ${pairSelect("_band", maxDist)}
+        UNION ALL
+        ${pairSelect("_band2", maxDist)})),
+    _bq_hit AS (
+      SELECT c.id_a, c.id_b FROM _bq_cand c
+      JOIN _bq_truth t ON c.id_a = t.ta AND c.id_b = t.tb),
+    _bq_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM _fz_base)
+    SELECT n_docs,
+           n_docs * (n_docs - 1) // 2 AS all_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM _bq_truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM _bq_cand)
+             AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM _bq_hit) AS n_hit,
+           (1000 * (SELECT COUNT(*) FROM _bq_hit))
+             // nullif((SELECT COUNT(*) FROM _bq_truth), 0)
+             AS completeness_milli,
+           (1000 * (n_docs * (n_docs - 1) // 2 -
+                    (SELECT COUNT(*) FROM _bq_cand)))
+             // nullif(n_docs * (n_docs - 1) // 2, 0)
+             AS reduction_milli
+    FROM _bq_n"""
+  }
 }

@@ -467,6 +467,21 @@ object DedupQueries extends QueryPack {
       ORDER BY id_a, id_b
     """))
 
+  /** Blocking-quality audit ([[Fuzzy.blockingQuality]]): pairs
+    * completeness and reduction ratio of the production blocking,
+    * measured against a deliberately quadratic truth on a bounded
+    * 500-doc labeled sample (the ground-truth verifier posture — the
+    * sample, not the corpus, bounds the quadratic side at every sf).
+    * The oracle rebuilds truth, candidates, the subset check and both
+    * milli ratios from scratch. */
+  val blockingQuality = GQuery(
+    "q_blocking_quality",
+    (s, d) => Fuzzy.blockingQuality(Tables.documents(s, d),
+      col("doc_id"), col("text"), sampleMaxId = 500L,
+      prefixLen = 64, lenBand = 16, maxDist = 8),
+    Some(Fuzzy.blockingQualitySql("documents", "doc_id", "text",
+      sampleMaxId = 500L, prefixLen = 64, lenBand = 16, maxDist = 8)))
+
   /** Golden-record survivorship ([[Survivorship.goldenRecord]]) — the
     * step after clustering: every c_custkey % 50 == 0 customer gets
     * two newer partial versions (v2: fresher balance, null name/
@@ -585,5 +600,5 @@ object DedupQueries extends QueryPack {
     Seq(exactDedup, canonicalDedup, corpusDiffQ, ngramJaccard,
       minhashLsh, simhashPairs, neardupClusters, leakageSafeSplit,
       incrementalNearDup, incrementalExactQ, fuzzyDedupPairs,
-      fuzzyDedupWide, goldenRecord, entityResolution)
+      fuzzyDedupWide, blockingQuality, goldenRecord, entityResolution)
 }

@@ -115,6 +115,48 @@ class FuzzySpec extends SparkSpec {
       s"wide = two bandings + the union distinct at most: $wideEx")
   }
 
+  test("blockingQuality: hand-built corpus — the first-token-edit " +
+    "pair is priced as missed recall, candidates stay a truth subset") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      // true pair, co-blocked (same first token, tiny edit)
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delra"),
+      // true pair, NOT co-blocked: the edit hits the first token —
+      // the documented blocking blind spot, which completeness must
+      // surface as a miss
+      (3L, "omega common tail words"),
+      (4L, "omeja common tail words"),
+      // unrelated filler
+      (5L, "entirely different text body here"),
+      (6L, "another unrelated document body"))
+      .toDF("doc_id", "text")
+    val r = Fuzzy.blockingQuality(docs, col("doc_id"), col("text"),
+      sampleMaxId = 100L, prefixLen = 64, lenBand = 16, maxDist = 8)
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 6L)
+    assert(r.getAs[Long]("all_pairs") == 15L)
+    val truth = r.getAs[Long]("n_truth")
+    val cand = r.getAs[Long]("n_candidates")
+    assert(r.getAs[Long]("n_hit") == cand, "candidates must be ⊆ truth")
+    assert(truth == cand + 1,
+      s"exactly the first-token pair should be missed: truth=$truth cand=$cand")
+    assert(r.getAs[Long]("completeness_milli") == 1000L * cand / truth)
+    assert(r.getAs[Long]("reduction_milli") ==
+      1000L * (15L - cand) / 15L)
+  }
+
+  test("blockingQuality on an empty-truth sample yields null " +
+    "completeness, not a crash") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "aaaaaaaaaaaaaaaa"), (2L, "bbbbbbbbbbbbbbbb"))
+      .toDF("doc_id", "text")
+    val r = Fuzzy.blockingQuality(docs, col("doc_id"), col("text"),
+      sampleMaxId = 100L).collect().head
+    assert(r.getAs[Long]("n_truth") == 0L)
+    assert(r.isNullAt(r.fieldIndex("completeness_milli")))
+  }
+
   test("maxBucket drops degenerate blocks instead of fanning out") {
     val crowd = (0L until 50L).map(i => i -> "alpha beta gamma delta")
     assert(pairs(crowd, maxBucket = Some(10)).isEmpty,
