@@ -287,7 +287,57 @@ object SketchQueries extends QueryPack {
       FROM documents GROUP BY 1 ORDER BY 1
     """))
 
+  /** Mergeable second-order sufficient statistics
+    * ([[graft.ops.SuffStats]]): three batch profiles of
+    * (quantity, extendedprice) per returnflag folded into one, vs the
+    * oracle's direct single-pass recount — exact moment parity
+    * (int64-overflowing second moments as integer strings) plus the
+    * integer micro regression slope with sign factored out of the
+    * division (Spark `div` truncates, DuckDB `//` floors; they agree
+    * only on non-negatives). */
+  val suffStatsMerge = GQuery(
+    "q_suffstats_merge",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val batches = (0 until 3).map(i =>
+        graft.ops.SuffStats.profile(
+          li.filter(pmod(col("l_linenumber"), lit(3)) === i),
+          Seq("l_returnflag"), "l_quantity", "l_extendedprice", 2, 2))
+      graft.ops.SuffStats.finalize(
+        graft.ops.SuffStats.merge(batches.reduce(_ unionByName _),
+          Seq("l_returnflag")),
+        Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH s AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(l_quantity * 1e2) AS BIGINT) AS xi,
+               CAST(ROUND(l_extendedprice * 1e2) AS BIGINT) AS yi
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      p AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xi) AS BIGINT) AS sx,
+               CAST(SUM(yi) AS BIGINT) AS sy,
+               SUM(xi * xi) AS sxx, SUM(yi * yi) AS syy,
+               SUM(xi * yi) AS sxy
+        FROM s GROUP BY g)
+      SELECT g AS l_returnflag, n, sx, sy,
+             CAST(sxx AS VARCHAR) AS sxx_s,
+             CAST(syy AS VARCHAR) AS syy_s,
+             CAST(sxy AS VARCHAR) AS sxy_s,
+             CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+                  ELSE CAST(
+                    (CASE WHEN (n * sxy - sx * sy) < 0 THEN -1 ELSE 1 END)
+                    * ((abs(n * sxy - sx * sy) * 1000000)
+                       // abs(n * sxx - sx * sx)) AS BIGINT)
+             END AS slope_micro
+      FROM p ORDER BY l_returnflag
+    """))
+
   def all: Seq[GQuery] =
     Seq(sketchDistinct, quantileProfile, histogramQuantile,
-      cmsHeavyHitters, bloomMembership, categoricalDrift, profileMerge)
+      cmsHeavyHitters, bloomMembership, categoricalDrift, profileMerge,
+      suffStatsMerge)
 }
