@@ -50,6 +50,57 @@ object Similarity {
     s"""CAST(list_sum(list_transform(list_zip($aExpr, $bExpr),
         p -> CAST(ROUND(p[1] * 1e6) AS BIGINT) * CAST(ROUND(p[2] * 1e6) AS BIGINT))) AS BIGINT)"""
 
+  /** Per-vector max-abs scale for int8 quantization. Double, but
+    * DETERMINISTIC cross-engine: float→double widening, abs and max
+    * are all exact IEEE operations. */
+  def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double"))))
+
+  /** Symmetric int8 quantization of a float-vector column:
+    * `q_i = floor(v_i · 127 / scale)` with `scale = max|v_i|` — the
+    * storage shape ANN fleets ship (4× smaller than float32, integer
+    * dot on SIMD). Exact cross-engine CONTRACT despite the doubles:
+    * widening, multiply, divide and floor are all correctly-rounded
+    * IEEE ops evaluated in the same order in both engines, so the
+    * quantized integers are bit-identical — the reason this is
+    * `floor(v·127/s)` and not `round(...)`: round-half-even vs
+    * half-away is an engine coin-flip at exact halves; floor is not.
+    * A zero vector (scale 0) quantizes to all zeros.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val s = int8Scale(v)
+    transform(v, x =>
+      when(s === 0.0, lit(0))
+        .otherwise(floor(x.cast("double") * lit(127.0) / s).cast("int")))
+  }
+
+  /** Max per-component reconstruction error of [[quantizeInt8]], in
+    * floor'd micro units: `max_i |q_i·s/127 − v_i| · 10^6`. Same
+    * determinism argument; the int8 contract `err ≤ s/127` is pinned
+    * in SimilaritySpec. */
+  def int8ErrMicro(v: Column): Column = {
+    val s = int8Scale(v)
+    floor(array_max(zip_with(quantizeInt8(v), v, (q, x) =>
+      abs(q.cast("double") * s / lit(127.0) - x.cast("double"))))
+      * lit(1000000.0)).cast("long")
+  }
+
+  /** DuckDB mirrors of the int8 family (same operand order). */
+  def int8ScaleSql(vExpr: String): String =
+    s"list_max(list_transform($vExpr, x -> abs(CAST(x AS DOUBLE))))"
+
+  def quantizeInt8Sql(vExpr: String): String =
+    s"""list_transform($vExpr, x -> CASE
+          WHEN ${int8ScaleSql(vExpr)} = 0.0 THEN 0
+          ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+                    ${int8ScaleSql(vExpr)}) AS INTEGER) END)"""
+
+  def int8ErrMicroSql(vExpr: String): String =
+    s"""CAST(floor(list_max(list_transform(
+          list_zip(${quantizeInt8Sql(vExpr)}, $vExpr),
+          p -> abs(CAST(p[1] AS DOUBLE) * ${int8ScaleSql(vExpr)} / 127.0
+                   - CAST(p[2] AS DOUBLE)))) * 1000000.0) AS BIGINT)"""
+
   /** Bounded top-k accumulator: keeps the k best (sim desc, id asc)
     * pairs. As a registered UDAF it aggregates with map-side partial
     * aggregation, so each partition ships AT MOST k entries per query

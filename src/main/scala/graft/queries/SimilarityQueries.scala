@@ -227,6 +227,42 @@ object SimilarityQueries extends QueryPack {
       ORDER BY query_id, rank
     """})
 
+  /** Int8 embedding quantization ([[Similarity.quantizeInt8]]): the
+    * 4×-smaller ANN storage shape, gated per vector — quantized-value
+    * digest (sum/min/max over the int8 components) and the floor'd
+    * micro reconstruction error, both bit-identical cross-engine
+    * because every double op in the chain (widen, multiply, divide,
+    * floor) is correctly-rounded IEEE evaluated in the same order.
+    * The `err ≤ scale/127` bound itself is pinned in
+    * SimilaritySpec. */
+  val embedQuantize = GQuery(
+    "q_embed_quantize",
+    (s, d) => {
+      val q = Similarity.quantizeInt8(col("embedding"))
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(q).cast("long").as("q_min"),
+        array_max(q).cast("long").as("q_max"),
+        Similarity.int8ErrMicro(col("embedding")).as("err_micro"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      SELECT vec_id,
+             CAST(len(embedding) AS BIGINT) AS n_dims,
+             CAST(list_sum(${Similarity.quantizeInt8Sql("embedding")})
+               AS BIGINT) AS q_sum,
+             CAST(list_min(${Similarity.quantizeInt8Sql("embedding")})
+               AS BIGINT) AS q_min,
+             CAST(list_max(${Similarity.quantizeInt8Sql("embedding")})
+               AS BIGINT) AS q_max,
+             ${Similarity.int8ErrMicroSql("embedding")} AS err_micro
+      FROM embeddings
+      ORDER BY vec_id
+    """))
+
   def all: Seq[GQuery] =
-    Seq(cosineTopK, annTopK, embeddingStats, embeddingNearDup, ivfTopK)
+    Seq(cosineTopK, annTopK, embeddingStats, embeddingNearDup, ivfTopK,
+      embedQuantize)
 }

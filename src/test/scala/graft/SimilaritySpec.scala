@@ -138,6 +138,64 @@ class SimilaritySpec extends SparkSpec {
       == cb.map(_.map(_ + 1L)), "crashed save must not be 'latest'")
   }
 
+  test("int8 quantization: hand-checked values, zero vector, and the " +
+    "err <= scale/127 contract on the real corpus") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val out = df.select(col("id"),
+      graft.ops.Similarity.quantizeInt8(col("v")).as("q"),
+      graft.ops.Similarity.int8ErrMicro(col("v")).as("e"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1), r.getLong(2))).toMap
+    // scale 1.0: q = floor(127*v) = [127, -64, 31, 0]
+    assert(out(1L)._1 == Seq(127, -64, 31, 0), out(1L))
+    // worst component: |31/127 - 0.25| = 0.0059055... -> 5905 micro
+    assert(out(1L)._2 == 5905L, out(1L))
+    assert(out(2L)._1 == Seq(0, 0, 0, 0) && out(2L)._2 == 0L, out(2L))
+
+    // the contract on every real vector: err <= scale/127
+    val bad = Tables.embeddings(spark, TinySf).select(
+      graft.ops.Similarity.int8ErrMicro(col("embedding")).as("e"),
+      floor(graft.ops.Similarity.int8Scale(col("embedding"))
+        * lit(1000000.0) / lit(127.0)).cast("long").as("bound"))
+      .filter(col("e") > col("bound")).count()
+    assert(bad == 0L, s"$bad vectors violate the int8 error bound")
+  }
+
+  test("int8 integer-dot ranking preserves exact cosine top-10 well " +
+    "on unit vectors") {
+    val s = spark
+    val emb = Tables.embeddings(s, TinySf)
+    val q = emb.filter(expr("vec_id % 100 = 3"))
+    val exact = graft.ops.Similarity.bruteTopK(
+      q, "vec_id", "embedding", emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbour_id")
+    // quantized twin: rank by the exact integer dot of int8 vectors
+    val qq = q.select(col("vec_id").as("qid"),
+      graft.ops.Similarity.quantizeInt8(col("embedding")).as("qv"))
+    val cc = emb.select(col("vec_id").as("cid"),
+      graft.ops.Similarity.quantizeInt8(col("embedding")).as("cv"))
+    val scored = cc.crossJoin(broadcast(qq))
+      .select(col("qid"), col("cid"),
+        aggregate(zip_with(col("qv"), col("cv"),
+          (a, b) => a.cast("long") * b.cast("long")),
+          lit(0L), (acc, x) => acc + x).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dot").desc, col("cid").asc)
+    val quant = scored
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("qid").as("query_id"), col("cid").as("neighbour_id"))
+    val overlap = exact.join(quant, Seq("query_id", "neighbour_id"))
+      .count()
+    val total = exact.count()
+    assert(total > 0)
+    // int8 on unit vectors: expect most of the exact list to survive
+    assert(overlap * 10 >= total * 8,
+      s"int8 recall too low: $overlap / $total")
+  }
+
   test("scaled dot product is exact and symmetric") {
     val s = spark; import s.implicits._
     val df = Seq((Array(0.5f, -0.25f), Array(0.1f, 0.4f)))
