@@ -60,6 +60,30 @@ object Skew {
     * sized count frame; the final rank window runs on ≤ topK rows
     * (the BoundedDim posture: a bounded frame may sit in one task).
     */
+  /** Inner-equi-join row-count FORECAST from two key-count profiles —
+    * the other half of the join-planning diagnostics next to
+    * [[keyProfile]]: `|A ⋈ B on k| = Σ_k cA(k)·cB(k)` exactly, so the
+    * cost of a candidate join (and whether its output explodes) is
+    * known from profile-sized inputs BEFORE any payload moves. Null
+    * keys are excluded on both sides, matching `=` join semantics.
+    *
+    * One row: shared_keys, n_pred. Scale shape: two map-side-
+    * combinable counts, one key-cardinality-sized profile join, one
+    * fold — the fact tables' payload columns never enter the plan
+    * (scan pruning down to the key column, plan-asserted in
+    * SkewSpec).
+    */
+  def joinForecast(a: DataFrame, aKey: String,
+                   b: DataFrame, bKey: String): DataFrame = {
+    val pa = a.filter(col(aKey).isNotNull)
+      .groupBy(col(aKey).as("_k")).agg(count(lit(1)).as("_ca"))
+    val pb = b.filter(col(bKey).isNotNull)
+      .groupBy(col(bKey).as("_k")).agg(count(lit(1)).as("_cb"))
+    pa.join(pb, "_k")
+      .agg(count(lit(1)).cast("long").as("shared_keys"),
+        sum(col("_ca") * col("_cb")).cast("long").as("n_pred"))
+  }
+
   def keyProfile(df: DataFrame, key: String, topK: Int): DataFrame = {
     require(topK >= 1 && topK <= 10000,
       s"keyProfile topK must be in [1, 10000]: $topK")

@@ -134,5 +134,35 @@ object SkewQueries extends QueryPack {
       ORDER BY rank
     """))
 
-  def all: Seq[GQuery] = Seq(naive, salted, profile)
+  /** Join-size forecast vs reality ([[Skew.joinForecast]]) on a
+    * genuinely many-to-many join (events self-joined on user_id): the
+    * profile identity `Σ cA·cB` must equal the actual join count
+    * exactly — the planning tool and its proof in one row. The
+    * actual-count branch exists for the gate; production use is the
+    * forecast alone, which never moves payload. */
+  val joinForecast = GQuery(
+    "q_join_forecast",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val f = Skew.joinForecast(e, "user_id", e, "user_id")
+      val e2 = e.select(col("user_id").as("u2"))
+      val actual = e.join(e2, col("user_id") === col("u2"))
+        .agg(count(lit(1)).cast("long").as("n_actual"))
+      f.crossJoin(broadcast(actual))
+    },
+    Some("""
+      WITH pa AS (
+        SELECT user_id AS k, COUNT(*) AS ca FROM events
+        WHERE user_id IS NOT NULL GROUP BY 1),
+      f AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS shared_keys,
+               CAST(SUM(ca * cb) AS BIGINT) AS n_pred
+        FROM pa a JOIN (SELECT k, ca AS cb FROM pa) b USING (k)),
+      act AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_actual
+        FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id)
+      SELECT shared_keys, n_pred, n_actual FROM f CROSS JOIN act
+    """))
+
+  def all: Seq[GQuery] = Seq(naive, salted, profile, joinForecast)
 }

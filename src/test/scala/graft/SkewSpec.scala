@@ -109,6 +109,31 @@ class SkewSpec extends SparkSpec {
     assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
   }
 
+  test("joinForecast: hand-checked many-to-many counts; null keys " +
+    "never forecast") {
+    val s = spark; import s.implicits._
+    val a = Seq("x", "x", "y", "z", null).toDF("k")
+    val b = Seq("x", "y", "y", null, null).toDF("k")
+    val r = Skew.joinForecast(a, "k", b, "k").collect().head
+    // x: 2*1, y: 1*2 -> pred 4; z unmatched; nulls excluded
+    assert(r.getAs[Long]("shared_keys") == 2L)
+    assert(r.getAs[Long]("n_pred") == 4L)
+    val actual = a.join(b.select(col("k").as("k2")),
+      col("k") === col("k2")).count()
+    assert(r.getAs[Long]("n_pred") == actual)
+  }
+
+  test("joinForecast plan prunes the scan to the key column") {
+    val plan = Skew.joinForecast(
+      Tables.orders(spark, TinySf), "o_custkey",
+      Tables.customer(spark, TinySf), "c_custkey")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("ReadSchema: struct<o_custkey:bigint>"),
+      plan.take(1500))
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint>"),
+      plan.take(1500))
+  }
+
   test("salt is deterministic across evaluations") {
     val s = spark; import s.implicits._
     val df = (1L to 100L).toDF("id")
