@@ -41,6 +41,48 @@ object CorpusDiff {
     d.groupBy("status")
       .agg(count(lit(1)).as("n"), sum(col(idCol)).as("id_sum"))
 
+  /** Column-attributed diff — the CDC shape: per key, not just THAT a
+    * row changed but WHICH columns did (`changed_cols` is the
+    * comma-joined subset, in caller column order — deterministic).
+    * Null-safe per-column compare (`<=>`-negation), so value→null and
+    * null→value transitions attribute correctly; presence flags
+    * rather than key-null checks decide added/removed, so an all-null
+    * payload row still classifies by membership. Output is
+    * violation-sized (unchanged rows never leave the join — the
+    * FD-audit lesson).
+    *
+    * Scale shape: one full-outer keyed join over keys + compared
+    * columns only (the scan prunes to exactly those), per-row string
+    * assembly, no second pass.
+    */
+  def diffColumns(oldV: DataFrame, newV: DataFrame, keys: Seq[String],
+                  cols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && cols.nonEmpty,
+      "diffColumns needs keys and compared columns")
+    require(keys.intersect(cols).isEmpty,
+      s"keys and cols overlap: ${keys.intersect(cols).mkString(", ")}")
+    def side(df: DataFrame, p: String, flag: String) =
+      df.select((keys ++ cols).map(c => col(c).as(s"$p$c")) :+
+        lit(true).as(flag): _*)
+    val o = side(oldV, "_o_", "_in_old")
+    val n = side(newV, "_n_", "_in_new")
+    val j = o.join(n,
+      keys.map(k => col(s"_o_$k") === col(s"_n_$k")).reduce(_ && _),
+      "full_outer")
+    val changed = concat_ws(",",
+      cols.map(c => when(!(col(s"_o_$c") <=> col(s"_n_$c")), lit(c))): _*)
+    val status = when(col("_in_old").isNull, lit("added"))
+      .when(col("_in_new").isNull, lit("removed"))
+      .when(changed =!= "", lit("changed"))
+      .otherwise(lit("unchanged"))
+    j.select(
+      keys.map(k => coalesce(col(s"_o_$k"), col(s"_n_$k")).as(k)) ++
+        Seq(status.as("status"),
+          when(status === "changed", changed)
+            .otherwise(lit(null)).as("changed_cols")): _*)
+      .filter(col("status") =!= "unchanged")
+  }
+
   /** DuckDB mirror of diff + summarize over two SELECTs. */
   def summarizeSql(oldSelect: String, newSelect: String,
                    idExpr: String, contentExpr: String): String = s"""

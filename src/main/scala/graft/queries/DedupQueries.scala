@@ -122,6 +122,73 @@ object DedupQueries extends QueryPack {
          WHERE doc_id % 17 = 0""",
       "doc_id", "text") + " ORDER BY status"))
 
+  /** Column-attributed CDC diff ([[graft.ops.CorpusDiff.diffColumns]]):
+    * v2 of the customer dim plants a balance change (every 97th key),
+    * a segment value→null transition (every 89th), removals (101st)
+    * and additions (103rd clones at +1000000) — the diff must name
+    * exactly the mutated COLUMNS per key, null transitions included,
+    * with unchanged rows never surfacing. The oracle rebuilds the
+    * mutation, the full-outer membership logic and the concat_ws
+    * column attribution from scratch. */
+  val cdcColumns = GQuery(
+    "q_cdc_columns",
+    (s, d) => {
+      val old = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val v2 = old.filter(col("c_custkey") % 101 =!= 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 97 === 0, col("c_acctbal") + 1000.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          when(col("c_custkey") % 89 === 0, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+        .unionByName(old.filter(col("c_custkey") % 103 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_name"), col("c_acctbal"), col("c_mktsegment")))
+      graft.ops.CorpusDiff.diffColumns(old, v2, Seq("c_custkey"),
+        Seq("c_name", "c_acctbal", "c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH o AS (
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+      n AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 97 = 0 THEN c_acctbal + 1000.0
+                    ELSE c_acctbal END AS c_acctbal,
+               CASE WHEN c_custkey % 89 = 0 THEN NULL
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 101 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 103 = 0),
+      j AS (
+        SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+               CASE WHEN o.c_custkey IS NULL THEN 'added'
+                    WHEN n.c_custkey IS NULL THEN 'removed'
+                    WHEN concat_ws(',',
+                      CASE WHEN o.c_name IS DISTINCT FROM n.c_name
+                           THEN 'c_name' END,
+                      CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                           THEN 'c_acctbal' END,
+                      CASE WHEN o.c_mktsegment IS DISTINCT FROM
+                                n.c_mktsegment
+                           THEN 'c_mktsegment' END) <> ''
+                      THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               concat_ws(',',
+                 CASE WHEN o.c_name IS DISTINCT FROM n.c_name
+                      THEN 'c_name' END,
+                 CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                      THEN 'c_acctbal' END,
+                 CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                      THEN 'c_mktsegment' END) AS cc
+        FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey)
+      SELECT c_custkey, status,
+             CASE WHEN status = 'changed' THEN cc END AS changed_cols
+      FROM j WHERE status <> 'unchanged'
+      ORDER BY c_custkey
+    """))
+
   /** Exact n-gram Jaccard pairs (ground truth for the LSH path):
     * explode distinct shingles, equi-join on the shingle, inclusion-
     * exclusion union. Quadratic in per-shingle doc frequency — the
@@ -597,7 +664,7 @@ object DedupQueries extends QueryPack {
     eager = true)
 
   def all: Seq[GQuery] =
-    Seq(exactDedup, canonicalDedup, corpusDiffQ, ngramJaccard,
+    Seq(exactDedup, canonicalDedup, corpusDiffQ, cdcColumns, ngramJaccard,
       minhashLsh, simhashPairs, neardupClusters, leakageSafeSplit,
       incrementalNearDup, incrementalExactQ, fuzzyDedupPairs,
       fuzzyDedupWide, blockingQuality, goldenRecord, entityResolution)
