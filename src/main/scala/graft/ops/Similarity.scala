@@ -66,23 +66,37 @@ object Similarity {
     * `floor(v·127/s)` and not `round(...)`: round-half-even vs
     * half-away is an engine coin-flip at exact halves; floor is not.
     * A zero vector (scale 0) quantizes to all zeros.
+    *
+    * `scale` MUST be a cheap reference (a projected column or
+    * literal): array HOF lambdas are interpreted per ELEMENT, so an
+    * aggregate expression nested here re-evaluates per component —
+    * the first cut embedded [[int8Scale]] directly and cost 6 s at
+    * sf0.1 vs ~0.3 s with the scale bound once (the element_at
+    * re-evaluation lesson from the TextOps scaladoc, again).
     */
-  def quantizeInt8(v: Column): Column = {
-    val s = int8Scale(v)
+  def quantizeInt8With(v: Column, scale: Column): Column =
     transform(v, x =>
-      when(s === 0.0, lit(0))
-        .otherwise(floor(x.cast("double") * lit(127.0) / s).cast("int")))
-  }
+      when(scale === 0.0, lit(0))
+        .otherwise(floor(x.cast("double") * lit(127.0) / scale)
+          .cast("int")))
 
-  /** Max per-component reconstruction error of [[quantizeInt8]], in
-    * floor'd micro units: `max_i |q_i·s/127 − v_i| · 10^6`. Same
-    * determinism argument; the int8 contract `err ≤ s/127` is pinned
-    * in SimilaritySpec. */
+  /** Convenience form for one-shot use; hot paths should bind
+    * [[int8Scale]] to a column once and use [[quantizeInt8With]]. */
+  def quantizeInt8(v: Column): Column = quantizeInt8With(v, int8Scale(v))
+
+  /** Max per-component reconstruction error in floor'd micro units:
+    * `max_i |q_i·s/127 − v_i| · 10^6`, from an already-quantized
+    * column and its bound scale. Same determinism argument; the int8
+    * contract `err ≤ s/127` is pinned in SimilaritySpec. */
+  def int8ErrMicroWith(v: Column, q: Column, scale: Column): Column =
+    floor(array_max(zip_with(q, v, (qi, x) =>
+      abs(qi.cast("double") * scale / lit(127.0) - x.cast("double"))))
+      * lit(1000000.0)).cast("long")
+
+  /** Convenience form; see [[quantizeInt8With]] for the hot-path rule. */
   def int8ErrMicro(v: Column): Column = {
     val s = int8Scale(v)
-    floor(array_max(zip_with(quantizeInt8(v), v, (q, x) =>
-      abs(q.cast("double") * s / lit(127.0) - x.cast("double"))))
-      * lit(1000000.0)).cast("long")
+    int8ErrMicroWith(v, quantizeInt8With(v, s), s)
   }
 
   /** DuckDB mirrors of the int8 family (same operand order). */

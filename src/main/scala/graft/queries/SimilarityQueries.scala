@@ -238,14 +238,20 @@ object SimilarityQueries extends QueryPack {
   val embedQuantize = GQuery(
     "q_embed_quantize",
     (s, d) => {
-      val q = Similarity.quantizeInt8(col("embedding"))
-      Tables.embeddings(s, d).select(
-        col("vec_id"),
-        size(col("embedding")).cast("long").as("n_dims"),
-        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
-        array_min(q).cast("long").as("q_min"),
-        array_max(q).cast("long").as("q_max"),
-        Similarity.int8ErrMicro(col("embedding")).as("err_micro"))
+      // bind scale and q ONCE as columns — HOF lambdas re-evaluate
+      // nested aggregates per element (see quantizeInt8With scaladoc)
+      Tables.embeddings(s, d)
+        .withColumn("_s", Similarity.int8Scale(col("embedding")))
+        .withColumn("_q",
+          Similarity.quantizeInt8With(col("embedding"), col("_s")))
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          aggregate(col("_q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("_q")).cast("long").as("q_min"),
+          array_max(col("_q")).cast("long").as("q_max"),
+          Similarity.int8ErrMicroWith(col("embedding"), col("_q"),
+            col("_s")).as("err_micro"))
         .orderBy("vec_id")
     },
     Some(s"""
