@@ -30,27 +30,37 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Interleave the low `bits` bits of two non-negative longs:
-    * bit i of `a` lands at z-bit 2i+1, bit i of `b` at 2i (a is the
-    * major dimension). Out-of-range inputs raise rather than silently
-    * alias distant rows into one cell (the TrainingExport in-
-    * expression-assert precedent: a pruned guard is no guard).
+  /** N-dimensional Morton interleave of the low `bits` bits of each
+    * column: bit i of dimension j (j = 0 is the MAJOR dimension)
+    * lands at z-bit `i·D + (D−1−j)`. Out-of-range inputs raise rather
+    * than silently alias distant rows into one cell (the
+    * TrainingExport in-expression-assert precedent: a pruned guard is
+    * no guard). `D·bits ≤ 62` keeps the z inside a signed long.
     */
-  def zValue(a: Column, b: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"zValue bits must be in [1,31]: $bits")
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val d = cols.length
+    require(d >= 2, s"zValueN needs at least 2 dimensions: $d")
+    require(bits >= 1 && d * bits <= 62,
+      s"zValueN needs 1 <= bits and dims*bits <= 62: $d * $bits")
     val lim = 1L << bits
-    def guarded(c: Column, name: String): Column =
+    val guarded = cols.zipWithIndex.map { case (c, j) =>
       when(c.isNull || c < 0 || c >= lim,
         raise_error(concat(
-          lit(s"zValue: $name outside [0, $lim): "), c.cast("string"))))
+          lit(s"zValueN: dim $j outside [0, $lim): "), c.cast("string"))))
         .otherwise(c)
-    val ga = guarded(a, "a")
-    val gb = guarded(b, "b")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(ga, i).bitwiseAND(lit(1L)), 2 * i + 1)
-        .bitwiseOR(shiftleft(shiftright(gb, i).bitwiseAND(lit(1L)), 2 * i))
-    }.reduce(_.bitwiseOR(_))
+    }
+    (for {
+      i <- 0 until bits
+      (g, j) <- guarded.zipWithIndex
+    } yield shiftleft(shiftright(g, i).bitwiseAND(lit(1L)),
+      i * d + (d - 1 - j)))
+      .reduce(_.bitwiseOR(_))
   }
+
+  /** Two-dimensional form: bit i of `a` lands at z-bit 2i+1, bit i of
+    * `b` at 2i (`a` is the major dimension). */
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    zValueN(Seq(a, b), bits)
 
   /** Normalize a value in [0, maxV] onto the dense [0, 2^bits) grid:
     * `v * 2^bits div (maxV+1)`. Interleaving RAW values with unequal

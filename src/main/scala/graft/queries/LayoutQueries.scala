@@ -25,12 +25,20 @@ object LayoutQueries extends QueryPack {
   private val Bits = 10     // per-dimension grid: [0, 1024)
   private val FileBits = 5  // 32 equal-z-range files
 
-  /** DuckDB mirror of [[Layout.zValue]] over already-normalized
-    * expressions — one `(bit << pos)` term per bit, OR-folded. */
+  /** DuckDB mirror of [[Layout.zValueN]] over already-normalized
+    * expressions — one `(bit << pos)` term per (bit, dim), OR-folded;
+    * dim 0 is the major dimension, matching the engine's layout. */
+  private def interleaveSqlN(exprs: Seq[String], bits: Int): String = {
+    val d = exprs.length
+    (for {
+      i <- 0 until bits
+      (e, j) <- exprs.zipWithIndex
+    } yield s"((($e >> $i) & 1) << ${i * d + (d - 1 - j)})")
+      .mkString(" | ")
+  }
+
   private def interleaveSql(a: String, b: String): String =
-    (0 until Bits).map { i =>
-      s"(((($a >> $i) & 1) << ${2 * i + 1}) | ((($b >> $i) & 1) << ${2 * i}))"
-    }.mkString(" | ")
+    interleaveSqlN(Seq(a, b), Bits)
 
   /** Shared oracle scaffolding: normalized dims + z per lineitem row.
     * `// (ma + 1)` is DuckDB integer division — exact, like the
@@ -148,5 +156,50 @@ object LayoutQueries extends QueryPack {
     """),
     eager = true)
 
-  def all: Seq[GQuery] = Seq(zorderKey, zorderSkipping)
+  /** Three-dimensional z digest ([[Layout.zValueN]]): lineitem's
+    * (orderkey, partkey, suppkey) each normalized to a 6-bit grid and
+    * interleaved into an 18-bit z, per-file sums/extremes pinned
+    * row-exactly — the N-dim generalization gated with the same
+    * order-free digest contract as the 2-D key. */
+  val zorder3Key = GQuery(
+    "q_zorder3_key",
+    (s, d) => {
+      val B3 = 6
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("a"),
+        col("l_partkey").cast("long").as("b"),
+        col("l_suppkey").cast("long").as("c"))
+      val r = li.agg(max("a"), max("b"), max("c")).head()
+      val z3 = li
+        .withColumn("an", Layout.normalize(col("a"), r.getLong(0), B3))
+        .withColumn("bn", Layout.normalize(col("b"), r.getLong(1), B3))
+        .withColumn("cn", Layout.normalize(col("c"), r.getLong(2), B3))
+        .withColumn("z", Layout.zValueN(
+          Seq(col("an"), col("bn"), col("cn")), B3))
+      z3.withColumn("file_id", Layout.fileOf(col("z"), 3 * B3, FileBits))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n"), sum("z").as("z_sum"),
+          min("z").as("z_min"), max("z").as("z_max"))
+        .orderBy("file_id")
+    },
+    Some(s"""
+      WITH mx AS (
+        SELECT MAX(l_orderkey) AS ma, MAX(l_partkey) AS mb,
+               MAX(l_suppkey) AS mc
+        FROM lineitem),
+      nrm AS (
+        SELECT (l_orderkey * 64) // (ma + 1) AS an,
+               (l_partkey * 64) // (mb + 1) AS bn,
+               (l_suppkey * 64) // (mc + 1) AS cn
+        FROM lineitem, mx),
+      zz AS (SELECT (${interleaveSqlN(Seq("an", "bn", "cn"), 6)}) AS z
+             FROM nrm)
+      SELECT (z >> ${3 * 6 - FileBits}) AS file_id, COUNT(*) AS n,
+             CAST(SUM(z) AS BIGINT) AS z_sum,
+             MIN(z) AS z_min, MAX(z) AS z_max
+      FROM zz GROUP BY file_id ORDER BY file_id
+    """),
+    eager = true)
+
+  def all: Seq[GQuery] = Seq(zorderKey, zorderSkipping, zorder3Key)
 }

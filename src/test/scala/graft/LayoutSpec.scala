@@ -54,6 +54,46 @@ class LayoutSpec extends SparkSpec {
     assert(got((max, max)) == (1L << (2 * bits)) - 1) // all bits set
   }
 
+  test("zValueN: 3-dim interleave matches an independent reference " +
+    "on a dense sweep; dim order is major-first") {
+    val s = spark; import s.implicits._
+    val bits = 3
+    def ref(vs: Seq[Long]): Long = {
+      val d = vs.length
+      var z = 0L
+      for (i <- 0 until bits; j <- 0 until d)
+        z |= ((vs(j) >> i) & 1L) << (i * d + (d - 1 - j))
+      z
+    }
+    val triples = for (a <- 0L until 8L; b <- 0L until 8L;
+                       c <- 0L until 8L) yield (a, b, c)
+    val got = triples.toDF("a", "b", "c")
+      .withColumn("z", Layout.zValueN(
+        Seq(col("a"), col("b"), col("c")), bits))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    triples.foreach { case t @ (a, b, c) =>
+      assert(got(t) == ref(Seq(a, b, c)), s"z$t")
+    }
+    // major dimension owns the top bit: (4,0,0) > any (0,b,c)
+    assert(got((4L, 0L, 0L)) > got((0L, 7L, 7L)))
+    // 2-dim form is the N-dim form at D=2
+    val two = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 3).as("z1"),
+        Layout.zValueN(Seq(col("a"), col("b")), 3).as("z2"))
+      .head()
+    assert(two.getLong(0) == two.getLong(1))
+  }
+
+  test("zValueN rejects dims*bits beyond a signed long") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 1L, 1L)).toDF("a", "b", "c")
+    intercept[IllegalArgumentException] {
+      Layout.zValueN(Seq(col("a"), col("b"), col("c")), 21) // 63 > 62
+    }
+  }
+
   test("zValue raises on out-of-range and null inputs") {
     val s = spark; import s.implicits._
     def run(a: java.lang.Long, b: java.lang.Long): Unit =
