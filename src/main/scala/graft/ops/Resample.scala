@@ -87,4 +87,31 @@ object Resample {
       .select(kCols :+ timestamp_micros(col("_mt")).as("tick") :+
         col("_f").as(valueCol): _*)
   }
+
+  /** Downsampling complement of [[ffill]]: aggregate observations
+    * into half-open absolute-aligned buckets `[tick, tick+step)` —
+    * the OHLC/metrics-rollup shape. Only buckets that contain
+    * observations appear (downsampling reports what happened; the
+    * dense-grid view is [[ffill]]'s job). Exact: count/min/max pass
+    * values through untouched and the sum goes through the
+    * [[Exact.fixedSum]] scaled-integer convention, so the result is
+    * bit-stable at any parallelism. ONE map-side-combinable
+    * aggregate — no window, no grid explode, no union.
+    */
+  def aggregate(df: DataFrame, keys: Seq[String], timeCol: String,
+                valueCol: String, stepMicros: Long,
+                valueDecimals: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "aggregate needs at least one key column")
+    require(stepMicros > 0, s"stepMicros must be positive: $stepMicros")
+    val kCols = keys.map(col)
+    df.filter(kCols.map(_.isNotNull).reduce(_ && _) &&
+        col(timeCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("_tick", timestamp_micros(
+        expr(s"(unix_micros($timeCol) div ${stepMicros}L) * ${stepMicros}L")))
+      .groupBy(kCols :+ col("_tick").as("tick"): _*)
+      .agg(count(lit(1)).as("n_obs"),
+        min(col(valueCol)).as("v_min"),
+        max(col(valueCol)).as("v_max"),
+        Exact.fixedSum(col(valueCol), valueDecimals).as("v_sum"))
+  }
 }

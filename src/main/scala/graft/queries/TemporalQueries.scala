@@ -527,8 +527,35 @@ object TemporalQueries extends QueryPack {
       ORDER BY g.user_id, tick
     """))
 
+  /** Daily downsample of each user's value series
+    * ([[graft.ops.Resample.aggregate]]): half-open absolute-aligned
+    * day buckets with count/min/max and the fixed-point exact sum —
+    * the rollup complement of the forward-filled grid. Only buckets
+    * with observations appear, exactly as the oracle's GROUP BY
+    * produces. */
+  val resampleAgg = GQuery(
+    "q_resample_agg",
+    (s, d) => graft.ops.Resample.aggregate(
+      Tables.events(s, d), Seq("user_id"), "ts", "value",
+      stepMicros = 86400000000L)
+      .orderBy("user_id", "tick"),
+    Some(s"""
+      SELECT user_id,
+             make_timestamp((epoch_us(CAST(ts AS TIMESTAMP))
+               // 86400000000) * 86400000000) AS tick,
+             COUNT(*) AS n_obs,
+             MIN(value) AS v_min,
+             MAX(value) AS v_max,
+             ${graft.ops.Exact.fixedSumSql("value", 2)} AS v_sum
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY 1, 2
+      ORDER BY user_id, tick
+    """))
+
   def all: Seq[GQuery] = Seq(asofJoin, asofForward, asofSelf, rangeJoin,
     asofSkewPlain, asofSkewSalted, asofUniformPlain, asofUniformSalted,
     asofNearest, intervalOverlap, intervalCoalesce, intervalGaps,
-    resampleFfill)
+    resampleFfill, resampleAgg)
 }

@@ -72,6 +72,31 @@ class ResampleSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("aggregate: half-open bucket edges, exact sum, empty buckets " +
+    "absent") {
+    val s = spark; import s.implicits._
+    val sec = 1000000L
+    val df = Seq(
+      ("a", 100 * sec, 1.5, 1L),   // exactly on the bucket edge
+      ("a", 199 * sec, 2.25, 2L),  // last instant of the same bucket
+      ("a", 200 * sec, 4.0, 3L),   // next bucket
+      ("a", 500 * sec, 8.0, 4L))   // gap: buckets 300/400 must be absent
+      .toDF("k", "mt", "v", "id")
+      .select(col("k"), timestamp_micros(col("mt")).as("ts"),
+        col("v"), col("id"))
+    val out = graft.ops.Resample.aggregate(df, Seq("k"), "ts", "v",
+      Step).collect()
+      .map(r => unix_micros_of(r.getTimestamp(1)) ->
+        (r.getAs[Long]("n_obs"), r.getAs[Double]("v_min"),
+          r.getAs[Double]("v_max"), r.getAs[Double]("v_sum"))).toMap
+    assert(out.keySet == Set(100 * sec, 200 * sec, 500 * sec), out)
+    assert(out(100 * sec) == ((2L, 1.5, 2.25, 3.75)), out)
+    assert(out(200 * sec) == ((1L, 4.0, 4.0, 4.0)), out)
+  }
+
+  private def unix_micros_of(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   test("plan contract: three hash Exchanges — instant dedup, " +
     "per-key bounds, one fill window; never a range partition") {
     val df = Resample.ffill(Tables.events(spark, TinySf),
