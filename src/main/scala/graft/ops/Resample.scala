@@ -36,8 +36,11 @@ object Resample {
     * tick-0 can be such a tick here, by the bounds construction).
     *
     * A NULL observation VALUE is a gap, not a reset: `last(ignoreNulls)`
-    * carries the previous non-null value across it. Callers that want
-    * null-as-reset should map nulls to a sentinel first.
+    * carries the previous non-null value across it. Ties at one
+    * instant resolve by the tiebreak among NON-NULL values (arg_max
+    * semantics); an instant whose values are all null is a gap.
+    * Callers that want null-as-reset should map nulls to a sentinel
+    * first.
     */
   def ffill(df: DataFrame, keys: Seq[String], timeCol: String,
             valueCol: String, tiebreakCol: String, stepMicros: Long,
@@ -48,17 +51,25 @@ object Resample {
       s"maxTicksPerKey must be positive: $maxTicksPerKey")
     val kCols = keys.map(col)
 
-    // one value per (key, instant): latest by the tiebreak — the grid
-    // must be a function of the DATA, never of partition row order
+    // one value per (key, instant): latest by the tiebreak AMONG
+    // NON-NULL values (null tiebreak keys are ignored by max_by, so
+    // this matches DuckDB's arg_max skip-null-args semantics when a
+    // null value ties at an instant) — the grid must be a function of
+    // the DATA, never of partition row order
     val obs = df
       .filter(kCols.map(_.isNotNull).reduce(_ && _) &&
         col(timeCol).isNotNull)
       .groupBy(kCols :+ unix_micros(col(timeCol)).as("_mt"): _*)
-      .agg(max_by(col(valueCol), col(tiebreakCol)).as("_v"))
+      .agg(max_by(col(valueCol),
+        when(col(valueCol).isNotNull, col(tiebreakCol))).as("_v"))
 
+    // pmod, not div: `div` truncates toward zero, so a pre-epoch _mn
+    // would land tick-0 AFTER the first observation (and _t0 > _mx
+    // would make sequence() throw). `_mn - pmod(_mn, step)` is a true
+    // floor for any sign.
     val bounds = obs.groupBy(kCols: _*)
       .agg(min("_mt").as("_mn"), max("_mt").as("_mx"))
-      .withColumn("_t0", expr(s"(_mn div ${stepMicros}L) * ${stepMicros}L"))
+      .withColumn("_t0", expr(s"_mn - pmod(_mn, ${stepMicros}L)"))
       // in a filter, not a projection: pruning can't drop the guard
       .filter(
         when(expr(s"(_mx - _t0) div ${stepMicros}L + 1") > maxTicksPerKey,
@@ -106,8 +117,9 @@ object Resample {
     val kCols = keys.map(col)
     df.filter(kCols.map(_.isNotNull).reduce(_ && _) &&
         col(timeCol).isNotNull && col(valueCol).isNotNull)
-      .withColumn("_tick", timestamp_micros(
-        expr(s"(unix_micros($timeCol) div ${stepMicros}L) * ${stepMicros}L")))
+      // floor-align via pmod for the same pre-epoch reason as ffill
+      .withColumn("_tick", timestamp_micros(expr(
+        s"unix_micros($timeCol) - pmod(unix_micros($timeCol), ${stepMicros}L)")))
       .groupBy(kCols :+ col("_tick").as("tick"): _*)
       .agg(count(lit(1)).as("n_obs"),
         min(col(valueCol)).as("v_min"),

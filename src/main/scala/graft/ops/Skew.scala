@@ -45,6 +45,53 @@ object Skew {
     b.join(s, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
+  /** Inner-equi-join row-count FORECAST from two key-count profiles —
+    * the other half of the join-planning diagnostics next to
+    * [[keyProfile]]: `|A ⋈ B on k| = Σ_k cA(k)·cB(k)` exactly, so the
+    * cost of a candidate join (and whether its output explodes) is
+    * known from profile-sized inputs BEFORE any payload moves. Null
+    * keys are excluded on both sides, matching `=` join semantics.
+    *
+    * One row: shared_keys, n_pred. The per-key products and their sum
+    * accumulate in DECIMAL(38,0) (the SuffStats convention) — hot-key
+    * cardinalities are exactly what this diagnostic exists to catch,
+    * and a long·long product silently wraps in non-ANSI Spark right
+    * when the forecast matters most. The surfaced n_pred stays LONG
+    * for schema stability, with a loud raise_error if the true count
+    * exceeds Long.MaxValue (a 9.2e18-row join forecast is itself the
+    * verdict).
+    *
+    * Scale shape: two map-side-combinable counts, one
+    * key-cardinality-sized profile join, one fold — the fact tables'
+    * payload columns never enter the plan (scan pruning down to the
+    * key column, plan-asserted in SkewSpec).
+    */
+  def joinForecast(a: DataFrame, aKey: String,
+                   b: DataFrame, bKey: String): DataFrame = {
+    val pa = a.filter(col(aKey).isNotNull)
+      .groupBy(col(aKey).as("_k")).agg(count(lit(1)).as("_ca"))
+    val pb = b.filter(col(bKey).isNotNull)
+      .groupBy(col(bKey).as("_k")).agg(count(lit(1)).as("_cb"))
+    forecastFromProfiles(pa, pb)
+  }
+
+  /** [[joinForecast]] from PRE-COMPUTED key-count profiles
+    * (`_k`, `_ca`) × (`_k`, `_cb`) — the stored-profile form (the
+    * SuffStats count-once-fold-forever convention): profiles persisted
+    * by a monitoring pass can forecast any candidate join without
+    * rescanning the facts. */
+  def forecastFromProfiles(pa: DataFrame, pb: DataFrame): DataFrame =
+    pa.join(pb, "_k")
+      .agg(count(lit(1)).cast("long").as("shared_keys"),
+        sum(col("_ca").cast("decimal(19,0)") *
+          col("_cb").cast("decimal(19,0)")).as("_p"))
+      .select(col("shared_keys"),
+        when(col("_p") <= lit(Long.MaxValue).cast("decimal(38,0)"),
+          col("_p").cast("long"))
+          .otherwise(raise_error(concat(
+            lit("joinForecast n_pred overflows long: "),
+            col("_p").cast("string"))).cast("long")).as("n_pred"))
+
   /** Join-key skew diagnostics — the DECISION INPUT for the salted
     * path: before shipping a pipeline that joins on `key`, measure how
     * concentrated the key actually is. Top-`topK` keys by row count
@@ -60,30 +107,6 @@ object Skew {
     * sized count frame; the final rank window runs on ≤ topK rows
     * (the BoundedDim posture: a bounded frame may sit in one task).
     */
-  /** Inner-equi-join row-count FORECAST from two key-count profiles —
-    * the other half of the join-planning diagnostics next to
-    * [[keyProfile]]: `|A ⋈ B on k| = Σ_k cA(k)·cB(k)` exactly, so the
-    * cost of a candidate join (and whether its output explodes) is
-    * known from profile-sized inputs BEFORE any payload moves. Null
-    * keys are excluded on both sides, matching `=` join semantics.
-    *
-    * One row: shared_keys, n_pred. Scale shape: two map-side-
-    * combinable counts, one key-cardinality-sized profile join, one
-    * fold — the fact tables' payload columns never enter the plan
-    * (scan pruning down to the key column, plan-asserted in
-    * SkewSpec).
-    */
-  def joinForecast(a: DataFrame, aKey: String,
-                   b: DataFrame, bKey: String): DataFrame = {
-    val pa = a.filter(col(aKey).isNotNull)
-      .groupBy(col(aKey).as("_k")).agg(count(lit(1)).as("_ca"))
-    val pb = b.filter(col(bKey).isNotNull)
-      .groupBy(col(bKey).as("_k")).agg(count(lit(1)).as("_cb"))
-    pa.join(pb, "_k")
-      .agg(count(lit(1)).cast("long").as("shared_keys"),
-        sum(col("_ca") * col("_cb")).cast("long").as("n_pred"))
-  }
-
   def keyProfile(df: DataFrame, key: String, topK: Int): DataFrame = {
     require(topK >= 1 && topK <= 10000,
       s"keyProfile topK must be in [1, 10000]: $topK")

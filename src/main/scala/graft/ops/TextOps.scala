@@ -323,9 +323,12 @@ object TextOps {
     */
   def unigramSurprisal(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
-    val n = docs
+    // sum() over zero rows is null — read through Option so the
+    // empty-corpus case hits the documented require, not an NPE
+    val nRow = docs
       .agg(sum(tokenCount(col(textCol)).cast("long")).cast("long"))
-      .head().getLong(0)
+      .head()
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     require(n > 0, "unigramSurprisal: empty corpus")
     val bitlenN = 64 - java.lang.Long.numberOfLeadingZeros(n)
     val tf = docs

@@ -513,7 +513,9 @@ object TemporalQueries extends QueryPack {
       WITH obs AS (
         SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS mt,
                arg_max(value, event_id) AS v
-        FROM events GROUP BY 1, 2),
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2),
       bounds AS (
         SELECT user_id, (MIN(mt) // 86400000000) * 86400000000 AS t0,
                MAX(mt) AS mx

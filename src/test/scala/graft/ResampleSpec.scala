@@ -57,6 +57,37 @@ class ResampleSpec extends SparkSpec {
       ("a", 100 * sec, None), ("a", 200 * sec, Some(1.0))), out)
   }
 
+  test("pre-epoch series floor-aligns (truncation would land tick-0 " +
+    "after the first observation and blow up sequence())") {
+    val sec = 1000000L
+    // obs at -150 s and -20 s: floor(-150s/100s)=-2 -> t0 = -200 s;
+    // truncation toward zero would give -100 s > first obs
+    val out = run(Seq(("a", -150 * sec, 1.0, 1L), ("a", -20 * sec, 2.0, 2L)))
+    assert(out == Set(
+      ("a", -200 * sec, None),
+      ("a", -100 * sec, Some(1.0))), out)
+  }
+
+  test("null-value tie at an instant resolves to the non-null value " +
+    "(arg_max semantics); an all-null instant is a gap") {
+    val s = spark; import s.implicits._
+    val sec = 1000000L
+    val df = Seq(
+      ("a", 100 * sec, Some(1.0), 1L),
+      ("a", 200 * sec, Some(5.0), 2L),
+      ("a", 200 * sec, None, 3L),      // null wins the tiebreak id...
+      ("a", 300 * sec, None, 4L))      // ...and an all-null instant
+      .toDF("k", "mt", "v", "id")
+      .select(col("k"), timestamp_micros(col("mt")).as("ts"),
+        col("v"), col("id"))
+    val out = Resample.ffill(df, Seq("k"), "ts", "v", "id", Step)
+      .select(unix_micros(col("tick")).as("mt"), col("v"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(out(200 * sec) == Some(5.0), out) // non-null beats the tie
+    assert(out(300 * sec) == Some(5.0), out) // gap carries forward
+  }
+
   test("a sentinel timestamp trips the grid guard loudly") {
     val s = spark; import s.implicits._
     val df = Seq(

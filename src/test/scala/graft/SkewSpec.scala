@@ -123,6 +123,26 @@ class SkewSpec extends SparkSpec {
     assert(r.getAs[Long]("n_pred") == actual)
   }
 
+  test("joinForecast accumulates hot-key products in DECIMAL — no " +
+    "silent long wrap; past Long.MaxValue it fails loudly") {
+    val s = spark; import s.implicits._
+    // 4e9 × 4e9 per key wraps a long (1.6e19 > 9.2e18); two such keys
+    // exercise both the product and the sum accumulation
+    val big = Seq(("x", 4000000000L), ("y", 4000000000L))
+    val pa = big.toDF("_k", "_ca")
+    val pb = big.toDF("_k", "_cb")
+    val e = intercept[Exception] {
+      Skew.forecastFromProfiles(pa, pb).collect()
+    }
+    assert(e.getMessage.contains("overflows long"), e.getMessage)
+    // just under the guard: products sum exactly, no wrap, no error
+    val ok = Skew.forecastFromProfiles(
+      Seq(("x", 3000000000L), ("y", 5L)).toDF("_k", "_ca"),
+      Seq(("x", 3000000000L), ("y", 7L)).toDF("_k", "_cb"))
+      .collect().head
+    assert(ok.getAs[Long]("n_pred") == 9000000000000000000L + 35L, ok)
+  }
+
   test("joinForecast plan prunes the scan to the key column") {
     val plan = Skew.joinForecast(
       Tables.orders(spark, TinySf), "o_custkey",

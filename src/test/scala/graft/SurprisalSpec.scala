@@ -23,6 +23,15 @@ class SurprisalSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1500L)), s"doc2: ${out(2L)}")
   }
 
+  test("empty corpus fails with the documented message, not an NPE") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.unigramSurprisal(empty, "id", "text")
+    }
+    assert(e.getMessage.contains("empty corpus"), e.getMessage)
+  }
+
   test("boilerplate scores below rare-token docs") {
     val s = spark; import s.implicits._
     val boiler = Seq.fill(20)("same same same same")
