@@ -94,19 +94,25 @@ object Layout {
     shiftright(key, totalBits - fileBits)
   }
 
-  /** Production layout write: cluster parquet files by z. One range
-    * Exchange (sampled boundaries) + in-partition sort + write — the
-    * plan a lakehouse OPTIMIZE-by-curve runs; never a single-partition
-    * global sort. Files then carry tight min/max on every interleaved
-    * dimension.
+  /** Production layout write: cluster parquet files by the N-dim z.
+    * One range Exchange (sampled boundaries) + in-partition sort +
+    * write — the plan a lakehouse OPTIMIZE-by-curve runs; never a
+    * single-partition global sort. Files then carry tight min/max on
+    * every interleaved dimension. `zCols` are already-normalized grid
+    * coordinates (see [[normalize]]); the first is the major dimension.
     */
-  def writeZOrdered(df: DataFrame, path: String, aCol: String, bCol: String,
-                    bits: Int, numFiles: Int): Unit = {
+  def writeZOrderedN(df: DataFrame, path: String, zCols: Seq[String],
+                     bits: Int, numFiles: Int): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
-    df.withColumn("_z", zValue(col(aCol), col(bCol), bits))
+    df.withColumn("_z", zValueN(zCols.map(col), bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Two-dimensional [[writeZOrderedN]], kept for the common case. */
+  def writeZOrdered(df: DataFrame, path: String, aCol: String, bCol: String,
+                    bits: Int, numFiles: Int): Unit =
+    writeZOrderedN(df, path, Seq(aCol, bCol), bits, numFiles)
 }

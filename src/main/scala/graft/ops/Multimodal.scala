@@ -219,6 +219,68 @@ object Multimodal {
     s"(substring(hex($contentExpr), 1, 8) = '$RiffMagicHex' AND " +
       s"substring(hex($contentExpr), 17, 8) = '$WaveMagicHex')"
 
+  // ----- image (JPEG) — the segment-walk leg ----------------------
+
+  /** JPEG signature: SOI immediately followed by a marker byte
+    * (FF D8 FF). */
+  val JpegMagicHex = "FFD8FF"
+  def isJpeg(content: Column): Column =
+    hex(substring(content, 1, 3)) === JpegMagicHex
+  def isJpegSql(contentExpr: String): String =
+    s"substring(hex($contentExpr), 1, 6) = '$JpegMagicHex'"
+
+  private def byteAt(content: Column, off: Column): Column =
+    conv(hex(content.substr(off.cast("int"), lit(1))), 16, 10).cast("long")
+  private def beU16At(content: Column, off: Column): Column =
+    conv(hex(content.substr(off.cast("int"), lit(2))), 16, 10).cast("long")
+
+  /** JPEG dimensions need a SEGMENT WALK — unlike PNG/WAV there is no
+    * fixed header offset: the frame header (SOF0 baseline / SOF2
+    * progressive) sits after a variable prefix of APPn/COM/DQT/DHT
+    * segments, each self-describing via a big-endian 16-bit length.
+    * The walk is a bounded fold over at most `maxSegs` segments —
+    * state (offset, status, w, h, sof-code) threaded through a HOF
+    * `aggregate` lambda, NOT an unrolled when-chain: each unrolled
+    * step would re-inline the whole prior state expression (the
+    * exponential-tree twin of the per-element re-evaluation rule), and
+    * the fold keeps the state a bounded reference. Still pure Column
+    * arithmetic over byte peeks — no decode, no UDF.
+    *
+    * Returns struct(width, height, progressive) or NULL for anything
+    * that isn't a walkable JPEG (bad magic, truncated stream,
+    * SOS/EOI before any SOF, > maxSegs prefix segments) — the same
+    * quarantine posture as [[pngHeaderStruct]]/[[isWav]]. */
+  def jpegSofStruct(content: Column, maxSegs: Int = 16): Column = {
+    require(maxSegs >= 1 && maxSegs <= 64,
+      s"jpegSofStruct maxSegs must be in [1, 64]: $maxSegs")
+    // st: 0 = walking, 1 = SOF found, 2 = dead
+    def st(off: Column, s: Column, w: Column, h: Column, c: Column) =
+      struct(off.as("off"), s.as("st"), w.as("w"), h.as("h"), c.as("c"))
+    val init = st(lit(3L), lit(0L), lit(0L), lit(0L), lit(0L))
+    val walked = aggregate(
+      sequence(lit(1), lit(maxSegs)), init,
+      (acc, _) => {
+        val off = acc.getField("off")
+        val mark = byteAt(content, off)
+        val code = byteAt(content, off + 1L)
+        val isSof = code === 0xC0L || code === 0xC2L
+        when(acc.getField("st") =!= 0L, acc).otherwise(
+          when(mark =!= 0xFFL || code === 0xDAL || code === 0xD9L,
+            st(off, lit(2L), lit(0L), lit(0L), lit(0L)))
+            .when(isSof, st(off, lit(1L),
+              beU16At(content, off + 7L),   // [len 2][prec 1][h 2][w 2]
+              beU16At(content, off + 5L), code))
+            .otherwise(st(off + 2L + beU16At(content, off + 2L),
+              lit(0L), lit(0L), lit(0L), lit(0L))))
+      })
+    when(isJpeg(content) && walked.getField("st") === 1L,
+      struct(
+        walked.getField("w").as("width"),
+        walked.getField("h").as("height"),
+        (walked.getField("c") === 0xC2L).as("progressive")))
+      .otherwise(lit(null))
+  }
+
   /** Deterministic frame-index sampling for video-shaped rows: an
     * even stride over [0, n_frames) yielding ≤ `maxFrames` indexes,
     * exploded to one row per sampled frame. Pure Column arithmetic —

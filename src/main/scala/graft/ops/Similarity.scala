@@ -427,6 +427,88 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Exact int8 dot product of two quantized int vectors (int64 sum —
+    * 64·127² peaks ≈ 1e6, far inside range). */
+  def dotInt8(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Rescale an int8 dot back to micro-cosine:
+    * `floor(dot · sA · sB / 127² · 10^6)`. Left-associated double
+    * chain, each op correctly-rounded IEEE — mirrored operand-for-
+    * operand by [[int8SimMicroSql]], so the integer result is
+    * bit-identical cross-engine (the quantizeInt8 determinism
+    * argument). */
+  def int8SimMicro(dot: Column, sA: Column, sB: Column): Column =
+    floor(dot.cast("double") * sA * sB / lit(16129.0) * lit(1000000.0))
+      .cast("long")
+
+  def int8SimMicroSql(dotExpr: String, sAExpr: String,
+                      sBExpr: String): String =
+    s"""CAST(floor(CAST($dotExpr AS DOUBLE) * $sAExpr * $sBExpr
+        / 16129.0 * 1000000.0) AS BIGINT)"""
+
+  /** ANN top-k over INT8-QUANTIZED vectors through the IVF index —
+    * the end-to-end production shape: the index (codebook +
+    * cell assignment + probe selection) runs on full-precision scaled
+    * vectors exactly as [[ivfTopK]] (an index is built once; its
+    * quality shouldn't pay the storage quantization), while candidate
+    * SCORING runs on the 4×-smaller int8 codes with the per-vector
+    * scales folded back in ([[int8SimMicro]]) — the memory-bound scan
+    * over probed cells is where int8 pays at 100 TB. Rank ties (coarser
+    * after quantization) break on neighbour id, deterministically.
+    *
+    * Recall vs the exact float baseline is the operator's contract —
+    * gated with a verdict column in q_ann_int8_topk and pinned in
+    * SimilaritySpec. */
+  def ivfTopKInt8(queries: DataFrame, qId: String, qVec: String,
+                  corpus: DataFrame, cId: String, cVec: String,
+                  k: Int, numCentroids: Int, nProbe: Int,
+                  trainedCodebook: Option[Seq[Seq[Long]]] = None): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebook: Seq[Seq[Long]] = trainedCodebook.getOrElse(corpus
+      .select(col(cId).as("id"), scaledVec(col(cVec)).as("sv"))
+      .orderBy("id").limit(numCentroids)
+      .collect().toIndexedSeq.map(_.getSeq[Long](1).toIndexedSeq))
+    val centLit = typedLit(codebook)
+    def assign(v: Column): Column =
+      Bridge.column(graft.functions.NearestCentroid(
+        Bridge.expression(v), Bridge.expression(centLit)))
+
+    val c = corpus
+      .withColumn("_cs", int8Scale(col(cVec)))
+      .select(col(cId).as("neighbour_id"), col("_cs"),
+        quantizeInt8With(col(cVec), col("_cs")).as("_cq"),
+        assign(scaledVec(col(cVec))).as("cent_idx"))
+    val centDf = codebook.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("cent_idx", "_cent")
+    val probes = broadcast(
+      queries
+        .withColumn("_qs", int8Scale(col(qVec)))
+        .select(col(qId).as("query_id"), col("_qs"),
+          quantizeInt8With(col(qVec), col("_qs")).as("_qq"),
+          scaledVec(col(qVec)).as("_qv"))
+        .crossJoin(broadcast(centDf))
+        .withColumn("_d", dotScaled(col("_qv"), col("_cent")))
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("_d").desc, col("cent_idx"))))
+        .filter(col("_rn") <= nProbe)
+        .select("query_id", "_qs", "_qq", "cent_idx"))
+    val scored = c.join(probes, "cent_idx")
+      .withColumn("sim_scaled", int8SimMicro(
+        dotInt8(col("_qq"), col("_cq")), col("_qs"), col("_cs")))
+      .select("query_id", "neighbour_id", "sim_scaled")
+    topKPerQuery(scored, k)
+  }
+
+  /** DuckDB mirror of [[dotInt8]] over two int-list expressions. */
+  def dotInt8Sql(aExpr: String, bExpr: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($aExpr, $bExpr),
+        p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT)"""
+
   /** DuckDB mirror of [[scaledVec]]. */
   def scaledVecSql(vecExpr: String): String =
     s"list_transform($vecExpr, x -> CAST(ROUND(x * 1e6) AS BIGINT))"

@@ -277,6 +277,130 @@ object BinaryQueries extends QueryPack {
       ORDER BY file_name
     """))
 
+  // ---------------------------------------------------------------
+  // JPEG fixture: structurally-valid JPEG streams with a k-dependent
+  // variable segment prefix (JFIF APP0, 0-2 COM segments of varying
+  // length, DQT) before the SOF marker — the shape that forces a real
+  // segment walk; fixed offsets cannot find JPEG dimensions. Plus two
+  // planted quarantine cases: a bad-magic file and an SOS-before-SOF
+  // stream (the walk must die, not misparse).
+  // ---------------------------------------------------------------
+
+  val NumJpegs = 24
+  val JpegDir = "/tmp/graft_fixtures/binmm/jpeg"
+
+  def jpegDims(k: Int): (Int, Int) = (64 + 9 * k, 48 + 5 * k)
+
+  def jpegBytes(k: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def m(code: Int): Unit = { out.write(0xFF); out.write(code) }
+    def seg(code: Int, payload: Array[Byte]): Unit = {
+      m(code)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    m(0xD8)                                        // SOI
+    seg(0xE0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 2, 0, 0, 1, 0, 1, 0, 0))  // APP0
+    (0 until k % 3).foreach { j =>                 // variable COM prefix
+      seg(0xFE, Array.fill(5 + 7 * j + k)((k % 97).toByte))
+    }
+    seg(0xDB, Array.fill(65)((k % 251).toByte))    // DQT
+    val (w, h) = jpegDims(k)
+    seg(if (k % 2 == 0) 0xC0 else 0xC2,            // SOF0 / SOF2
+      Array[Byte](8,
+        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+        ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+        3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    seg(0xC4, Array.fill(16 + k)((k % 31).toByte)) // DHT
+    seg(0xDA, Array[Byte](1, 1, 0, 0, 63, 0))      // SOS
+    val payload = Array.fill(40 + 3 * k)((k % 199).toByte)
+    out.write(payload, 0, payload.length)          // entropy data
+    m(0xD9)                                        // EOI
+    out.toByteArray
+  }
+
+  def jpegName(k: Int): String = f"pic_$k%03d.jpg"
+
+  def writeJpegFixture(): String = {
+    val dir = java.nio.file.Paths.get(JpegDir)
+    java.nio.file.Files.createDirectories(dir)
+    (0 until NumJpegs).foreach { k =>
+      java.nio.file.Files.write(dir.resolve(jpegName(k)), jpegBytes(k))
+    }
+    val badMagic = jpegBytes(0); badMagic(0) = 'X'.toByte
+    java.nio.file.Files.write(dir.resolve("notjpeg.jpg"), badMagic)
+    // SOS directly after APP0: the walk must terminate dead, never
+    // read dimensions from entropy-coded bytes
+    val sosFirst = new java.io.ByteArrayOutputStream()
+    sosFirst.write(Array(0xFF, 0xD8, 0xFF, 0xE0, 0, 4, 0, 0,
+      0xFF, 0xDA, 0, 4, 1, 0).map(_.toByte), 0, 14)
+    sosFirst.write(Array.fill(32)(7.toByte), 0, 32)
+    java.nio.file.Files.write(dir.resolve("headless.jpg"),
+      sosFirst.toByteArray)
+    dir.toString
+  }
+
+  /** JPEG metadata via the bounded segment walk
+    * ([[Multimodal.jpegSofStruct]]): dimensions + the progressive flag
+    * from SOF0/SOF2, pure Column byte arithmetic over the binaryFile
+    * source. The DuckDB oracle re-walks the same bytes with a
+    * RECURSIVE CTE over read_blob hex slices — a genuinely different
+    * control-flow formulation of the same walk — and both engines must
+    * quarantine the planted bad-magic and SOS-before-SOF files. */
+  val jpegMeta = GQuery(
+    "q_jpeg_meta",
+    (s, d) => {
+      val dir = writeJpegFixture()
+      Multimodal.readBinaryDir(s, dir, "*.jpg")
+        .withColumn("_m", Multimodal.jpegSofStruct(col("content")))
+        .filter(col("_m").isNotNull)
+        .select(col("file_name"), col("size_bytes"),
+          col("_m.width").as("width"), col("_m.height").as("height"),
+          col("_m.progressive").as("progressive"))
+        .orderBy("file_name")
+    },
+    Some(s"""
+      WITH RECURSIVE jb AS (
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+               size AS size_bytes, hex(content) AS hx
+        FROM read_blob('$JpegDir/*.jpg')
+        WHERE ${Multimodal.isJpegSql("content")}),
+      walk AS (
+        SELECT file_name, size_bytes, hx, CAST(3 AS BIGINT) AS off,
+               0 AS st, CAST(0 AS BIGINT) AS w, CAST(0 AS BIGINT) AS h,
+               0 AS prog, 0 AS steps
+        FROM jb
+        UNION ALL
+        SELECT file_name, size_bytes, hx,
+               CASE WHEN mark <> 'FF' OR code IN ('DA', 'D9') THEN off
+                    WHEN code IN ('C0', 'C2') THEN off
+                    ELSE off + 2 + seglen END,
+               CASE WHEN mark <> 'FF' OR code IN ('DA', 'D9') THEN 2
+                    WHEN code IN ('C0', 'C2') THEN 1
+                    ELSE 0 END,
+               CASE WHEN code IN ('C0', 'C2') THEN
+                 CAST(('0x' || substring(hx, 2 * (off + 7) - 1, 4)) AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END,
+               CASE WHEN code IN ('C0', 'C2') THEN
+                 CAST(('0x' || substring(hx, 2 * (off + 5) - 1, 4)) AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END,
+               CASE WHEN code = 'C2' THEN 1 ELSE 0 END,
+               steps + 1
+        FROM (
+          SELECT file_name, size_bytes, hx, off, st, steps,
+                 substring(hx, 2 * off - 1, 2) AS mark,
+                 substring(hx, 2 * off + 1, 2) AS code,
+                 CAST(('0x' || substring(hx, 2 * (off + 2) - 1, 4))
+                   AS BIGINT) AS seglen
+          FROM walk WHERE st = 0 AND steps < 16))
+      SELECT file_name, size_bytes, w AS width, h AS height,
+             prog = 1 AS progressive
+      FROM walk WHERE st = 1
+      ORDER BY file_name
+    """))
+
   /** Planted ledger state: every k≡0 (mod 3) file carries its TRUE
     * byte checksum (→ unchanged), k≡1 a stale checksum (→ changed),
     * k≡2 is absent (→ new), and one ghost row has no file on disk
@@ -322,5 +446,6 @@ object BinaryQueries extends QueryPack {
     """))
 
   def all: Seq[GQuery] =
-    Seq(binaryMeta, fileLedger, imageDecode, imageResize, audioMeta)
+    Seq(binaryMeta, fileLedger, imageDecode, imageResize, audioMeta,
+      jpegMeta)
 }

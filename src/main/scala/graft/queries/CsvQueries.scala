@@ -280,6 +280,66 @@ object CsvQueries extends QueryPack {
       GROUP BY 1 ORDER BY lang
     """})
 
+  private def compactDir(sfDir: String): String =
+    s"/tmp/graft_fixtures/compaction_${new java.io.File(sfDir).getName}/layer"
+
+  /** Small-file compaction gate ([[graft.ops.Compaction]]) — the
+    * `q_orc_roundtrip` two-stack pattern: the fixture writes orders as
+    * a deliberately fragmented 50-file layer, compacts it in place,
+    * and asserts the file-count contract (post-compaction file count
+    * == the returned n == ceil(fragmented bytes / targetBytes));
+    * the timed/gated body then digests the COMPACTED read-back while
+    * DuckDB digests the same projection straight from the source
+    * parquet — any row lost, duplicated, or mutated by the rewrite
+    * breaks the hash. Build+compact runs inside the fixture lock (one
+    * marker records the compacted state), so verify/bench re-runs pay
+    * two filesystem stats, and a regenerated sf dataset rebuilds. */
+  val compaction = GQuery(
+    "q_compaction",
+    (s, d) => {
+      val layer = compactDir(d)
+      Fixtures.ensure(s, layer,
+        Fixtures.sourceStamp(s, s"$d/orders.parquet") +
+          ":compaction:v1:frag50:target1m") {
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority")
+          .repartition(50)
+          .write.mode("overwrite").parquet(layer)
+        val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+        val bytes = fs.getContentSummary(new Path(layer)).getLength
+        val target = 1L << 20
+        val expected = math.max(1L, (bytes + target - 1) / target).toInt
+        val n = graft.ops.Compaction.compact(s, layer, target)
+        require(n == expected,
+          s"compaction file-count contract: returned $n, " +
+            s"expected ceil($bytes/$target) = $expected")
+        val actual = fs.listStatus(new Path(layer))
+          .count(_.getPath.getName.startsWith("part-"))
+        require(actual == n,
+          s"compaction wrote $actual part files, planned $n")
+        require(actual < 50, s"layer not actually compacted: $actual files")
+      }
+      def h(c: String) =
+        sum(conv(substring(md5(col(c)), 1, 8), 16, 10).cast("long"))
+      s.read.parquet(layer)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_keys"),
+          h("o_orderpriority").as("sum_prio_h"),
+          graft.ops.Exact.fixedSum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+             CAST(SUM(CAST(('0x' || substr(md5(o_orderpriority), 1, 8))
+               AS BIGINT)) AS BIGINT) AS sum_prio_h,
+             ${graft.ops.Exact.fixedSumSql("o_totalprice", 2)} AS sum_price
+      FROM orders
+      GROUP BY 1 ORDER BY o_orderstatus
+    """))
+
   def all: Seq[GQuery] = Seq(csvIngest, jsonlIngest, jsonlExport,
-    orcRoundtrip)
+    orcRoundtrip, compaction)
 }

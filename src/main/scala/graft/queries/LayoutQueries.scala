@@ -201,5 +201,104 @@ object LayoutQueries extends QueryPack {
     """),
     eager = true)
 
-  def all: Seq[GQuery] = Seq(zorderKey, zorderSkipping, zorder3Key)
+  /** Files/rows touched by each probe of a 2×2×2 grid under a 3-D
+    * z-clustered layout vs a one-dimensional layout — the operational
+    * evidence for [[Layout.writeZOrderedN]] beyond two dimensions,
+    * with the same footer-min/max pruning model: a file is touched iff
+    * its [min,max] box overlaps the probe box on EVERY probed column.
+    * LayoutSpec asserts the win; the oracle pins the exact counts. */
+  val zorder3Skipping = GQuery(
+    "q_zorder3_skipping",
+    (s, d) => {
+      val B3 = 6
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("a"),
+        col("l_partkey").cast("long").as("b"),
+        col("l_suppkey").cast("long").as("c"))
+      val r = li.agg(max("a"), max("b"), max("c")).head()
+      val (maxA, maxB, maxC) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val z3 = li
+        .withColumn("an", Layout.normalize(col("a"), maxA, B3))
+        .withColumn("bn", Layout.normalize(col("b"), maxB, B3))
+        .withColumn("cn", Layout.normalize(col("c"), maxC, B3))
+        .withColumn("z", Layout.zValueN(
+          Seq(col("an"), col("bn"), col("cn")), B3))
+      val zFiles = z3
+        .withColumn("file_id", Layout.fileOf(col("z"), 3 * B3, FileBits))
+        .withColumn("layout", lit("zorder"))
+      val linFiles = z3
+        .withColumn("file_id", Layout.fileOf(col("an"), B3, 5))
+        .withColumn("layout", lit("linear"))
+      val stats = zFiles.unionByName(linFiles)
+        .groupBy("layout", "file_id")
+        .agg(min("a").as("mina"), max("a").as("maxa"),
+          min("b").as("minb"), max("b").as("maxb"),
+          min("c").as("minc"), max("c").as("maxc"),
+          count(lit(1)).as("n"))
+      val probes = s.range(8).toDF("probe_id")
+        .withColumn("loa", expr(s"((probe_id % 2) * ${maxA + 1}) div 2"))
+        .withColumn("hia", expr(s"((probe_id % 2 + 1) * ${maxA + 1}) div 2 - 1"))
+        .withColumn("lob", expr(s"((probe_id div 2 % 2) * ${maxB + 1}) div 2"))
+        .withColumn("hib", expr(s"((probe_id div 2 % 2 + 1) * ${maxB + 1}) div 2 - 1"))
+        .withColumn("loc", expr(s"((probe_id div 4) * ${maxC + 1}) div 2"))
+        .withColumn("hic", expr(s"((probe_id div 4 + 1) * ${maxC + 1}) div 2 - 1"))
+      val hit = col("maxa") >= col("loa") && col("mina") <= col("hia") &&
+        col("maxb") >= col("lob") && col("minb") <= col("hib") &&
+        col("maxc") >= col("loc") && col("minc") <= col("hic")
+      stats.crossJoin(broadcast(probes))
+        .groupBy("layout", "probe_id")
+        .agg(sum(when(hit, 1L).otherwise(0L)).as("files_touched"),
+          sum(when(hit, col("n")).otherwise(0L)).as("rows_scanned"))
+        .orderBy("layout", "probe_id")
+    },
+    Some(s"""
+      WITH mx AS (
+        SELECT MAX(l_orderkey) AS ma, MAX(l_partkey) AS mb,
+               MAX(l_suppkey) AS mc
+        FROM lineitem),
+      nrm AS (
+        SELECT l_orderkey AS a, l_partkey AS b, l_suppkey AS c,
+               (l_orderkey * 64) // (ma + 1) AS an,
+               (l_partkey * 64) // (mb + 1) AS bn,
+               (l_suppkey * 64) // (mc + 1) AS cn
+        FROM lineitem, mx),
+      zz AS (SELECT a, b, c, an,
+                    (${interleaveSqlN(Seq("an", "bn", "cn"), 6)}) AS z
+             FROM nrm),
+      files AS (
+        SELECT 'zorder' AS layout, (z >> ${3 * 6 - FileBits}) AS file_id,
+               MIN(a) AS mina, MAX(a) AS maxa,
+               MIN(b) AS minb, MAX(b) AS maxb,
+               MIN(c) AS minc, MAX(c) AS maxc, COUNT(*) AS n
+        FROM zz GROUP BY 1, 2
+        UNION ALL
+        SELECT 'linear', (an >> 1),
+               MIN(a), MAX(a), MIN(b), MAX(b), MIN(c), MAX(c), COUNT(*)
+        FROM zz GROUP BY 1, 2),
+      probes AS (
+        SELECT p AS probe_id,
+               ((p % 2) * (ma + 1)) // 2 AS loa,
+               ((p % 2 + 1) * (ma + 1)) // 2 - 1 AS hia,
+               ((p // 2 % 2) * (mb + 1)) // 2 AS lob,
+               ((p // 2 % 2 + 1) * (mb + 1)) // 2 - 1 AS hib,
+               ((p // 4) * (mc + 1)) // 2 AS loc,
+               ((p // 4 + 1) * (mc + 1)) // 2 - 1 AS hic
+        FROM range(8) t(p), mx)
+      SELECT layout, probe_id,
+             CAST(SUM(CASE WHEN maxa >= loa AND mina <= hia
+                            AND maxb >= lob AND minb <= hib
+                            AND maxc >= loc AND minc <= hic
+                      THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+             CAST(SUM(CASE WHEN maxa >= loa AND mina <= hia
+                            AND maxb >= lob AND minb <= hib
+                            AND maxc >= loc AND minc <= hic
+                      THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+      FROM files CROSS JOIN probes
+      GROUP BY layout, probe_id
+      ORDER BY layout, probe_id
+    """),
+    eager = true)
+
+  def all: Seq[GQuery] = Seq(zorderKey, zorderSkipping, zorder3Key,
+    zorder3Skipping)
 }

@@ -268,7 +268,150 @@ object SimilarityQueries extends QueryPack {
       ORDER BY vec_id
     """))
 
+  /** Per-query recall floor vs the exact float baseline (milli).
+    * Bounded by the IVF probe fraction on this uniform (LSH-
+    * adversarial) corpus — nProbe/C = 4/16 of the corpus scanned puts
+    * exact-baseline recall near 0.5 REGARDLESS of scoring precision
+    * (the float IVF measures the same; see q_ann_ivf_topk's analysis),
+    * so the floor documents the index's honest recall, not the
+    * quantization. */
+  val Int8RecallFloorMilli = 400L
+  /** Per-query agreement floor between the int8-scored and the
+    * float-scored IVF top-k (milli) — THE quantization contract:
+    * scoring on 4×-smaller codes must reproduce the full-precision
+    * index's answers (measured: ≥ 9 of 10 agree). */
+  val Int8AgreeFloorMilli = 800L
+
+  /** Int8 ANN end to end ([[Similarity.ivfTopKInt8]]): IVF probe with
+    * candidate scoring on int8 codes + per-vector scales, judged per
+    * query two ways — recall vs the exact float cosine top-k (the
+    * index quality, threshold [[Int8RecallFloorMilli]]) and agreement
+    * vs the float-scored IVF top-k (the quantization cost in
+    * isolation, threshold [[Int8AgreeFloorMilli]]). Everything the
+    * hash compares is integer or boolean; the oracle rebuilds ALL
+    * THREE stacks (int8 IVF, float IVF, exact baseline) from the raw
+    * parquet and re-derives both verdicts, so a divergence in
+    * quantization, rescale order, probe choice, tie-break, or the
+    * accounting all break the gate. */
+  val annInt8TopK = GQuery(
+    "q_ann_int8_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(expr(QueryPred))
+      val approx = Similarity.ivfTopKInt8(
+        q, "vec_id", "embedding", emb, "vec_id", "embedding",
+        TopK, NumCentroids, NProbe)
+      val floatIvf = Similarity.ivfTopK(
+        q, "vec_id", "embedding", emb, "vec_id", "embedding",
+        TopK, NumCentroids, NProbe)
+      val exact = Similarity.bruteTopK(
+        q, "vec_id", "embedding", emb, "vec_id", "embedding", TopK)
+      val hits = approx
+        .join(exact.select("query_id", "neighbour_id"),
+          Seq("query_id", "neighbour_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      val agree = approx
+        .join(floatIvf.select("query_id", "neighbour_id"),
+          Seq("query_id", "neighbour_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("agree_hits"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .join(agree, Seq("query_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("agree_hits", coalesce(col("agree_hits"), lit(0L)))
+        .withColumn("recall_milli", expr(s"(1000 * n_hits) div $TopK"))
+        .withColumn("agree_milli", expr(s"(1000 * agree_hits) div $TopK"))
+        .withColumn("recall_ok",
+          col("recall_milli") >= Int8RecallFloorMilli)
+        .withColumn("quant_ok",
+          col("agree_milli") >= Int8AgreeFloorMilli)
+        .orderBy("query_id")
+    },
+    Some {
+      val sv = Similarity.scaledVecSql("embedding")
+      val s8 = Similarity.int8ScaleSql("embedding")
+      val q8 = Similarity.quantizeInt8Sql("embedding")
+      s"""
+      WITH qi AS (
+        SELECT vec_id, $sv AS sv, $s8 AS s8, $q8 AS q8 FROM embeddings),
+      cents AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_idx,
+               $sv AS cent
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $NumCentroids)),
+      assign AS (
+        SELECT vec_id AS neighbour_id, sv, s8, q8, cent_idx FROM (
+          SELECT c.vec_id, c.sv, c.s8, c.q8, ct.cent_idx,
+                 ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                   ORDER BY ${Similarity.dotPreScaledSql("c.sv", "ct.cent")} DESC,
+                            ct.cent_idx) AS rn
+          FROM qi c CROSS JOIN cents ct)
+        WHERE rn = 1),
+      q0 AS (SELECT vec_id AS query_id, sv, s8, q8 FROM qi
+             WHERE $QueryPred),
+      probes AS (
+        SELECT query_id, sv, s8, q8, cent_idx FROM (
+          SELECT q.query_id, q.sv, q.s8, q.q8, ct.cent_idx,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY ${Similarity.dotPreScaledSql("q.sv", "ct.cent")} DESC,
+                            ct.cent_idx) AS rn
+          FROM q0 q CROSS JOIN cents ct)
+        WHERE rn <= $NProbe),
+      i8ranked AS (
+        SELECT query_id, neighbour_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY sim_scaled DESC, neighbour_id) AS rank
+        FROM (
+          SELECT p.query_id, a.neighbour_id,
+                 ${Similarity.int8SimMicroSql(
+                   Similarity.dotInt8Sql("p.q8", "a.q8"),
+                   "p.s8", "a.s8")} AS sim_scaled
+          FROM probes p JOIN assign a USING (cent_idx))),
+      i8top AS (SELECT query_id, neighbour_id FROM i8ranked
+                WHERE rank <= $TopK),
+      fvranked AS (
+        SELECT query_id, neighbour_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY sim_scaled DESC, neighbour_id) AS rank
+        FROM (
+          SELECT p.query_id, a.neighbour_id,
+                 ${Similarity.dotPreScaledSql("p.sv", "a.sv")} AS sim_scaled
+          FROM probes p JOIN assign a USING (cent_idx))),
+      fvtop AS (SELECT query_id, neighbour_id FROM fvranked
+                WHERE rank <= $TopK),
+      xranked AS (
+        SELECT query_id, neighbour_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY sim_scaled DESC, neighbour_id) AS rank
+        FROM (
+          SELECT q.query_id, c.vec_id AS neighbour_id,
+                 ${Similarity.dotPreScaledSql("q.sv", "c.sv")} AS sim_scaled
+          FROM q0 q CROSS JOIN qi c)),
+      xtop AS (SELECT query_id, neighbour_id FROM xranked
+               WHERE rank <= $TopK),
+      hits AS (
+        SELECT i.query_id, COUNT(*) AS n_hits
+        FROM i8top i JOIN xtop x USING (query_id, neighbour_id)
+        GROUP BY 1),
+      agr AS (
+        SELECT i.query_id, COUNT(*) AS agree_hits
+        FROM i8top i JOIN fvtop f USING (query_id, neighbour_id)
+        GROUP BY 1)
+      SELECT q.query_id,
+             CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+             CAST(COALESCE(a.agree_hits, 0) AS BIGINT) AS agree_hits,
+             (1000 * COALESCE(h.n_hits, 0)) // $TopK AS recall_milli,
+             (1000 * COALESCE(a.agree_hits, 0)) // $TopK AS agree_milli,
+             ((1000 * COALESCE(h.n_hits, 0)) // $TopK)
+               >= $Int8RecallFloorMilli AS recall_ok,
+             ((1000 * COALESCE(a.agree_hits, 0)) // $TopK)
+               >= $Int8AgreeFloorMilli AS quant_ok
+      FROM (SELECT DISTINCT query_id FROM xtop) q
+      LEFT JOIN hits h USING (query_id)
+      LEFT JOIN agr a USING (query_id)
+      ORDER BY query_id
+    """})
+
   def all: Seq[GQuery] =
     Seq(cosineTopK, annTopK, embeddingStats, embeddingNearDup, ivfTopK,
-      embedQuantize)
+      embedQuantize, annInt8TopK)
 }

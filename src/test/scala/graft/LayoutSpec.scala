@@ -159,6 +159,47 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrderedN: 3-dim clustered write keeps disjoint z-ranges") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw3").toString
+    val df = Tables.lineitem(s, TinySf).select(
+      col("l_orderkey").cast("long").as("a"),
+      col("l_partkey").cast("long").as("b"),
+      col("l_suppkey").cast("long").as("c"))
+    val r = df.agg(max("a"), max("b"), max("c")).head()
+    val norm = df
+      .withColumn("an", Layout.normalize(col("a"), r.getLong(0), 6))
+      .withColumn("bn", Layout.normalize(col("b"), r.getLong(1), 6))
+      .withColumn("cn", Layout.normalize(col("c"), r.getLong(2), 6))
+    Layout.writeZOrderedN(norm, s"$dir/z3", Seq("an", "bn", "cn"),
+      bits = 6, numFiles = 8)
+    val back = spark.read.parquet(s"$dir/z3")
+      .withColumn("z", Layout.zValueN(
+        Seq(col("an"), col("bn"), col("cn")), 6))
+      .withColumn("f", input_file_name())
+    val ranges = back.groupBy("f")
+      .agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(ranges.length >= 2 && ranges.length <= 8,
+      s"unexpected file count ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping z-ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+  }
+
+  test("the 3-D skipping win: z layout scans fewer rows than the " +
+    "1-D layout over the 2x2x2 probe grid") {
+    val rows = LayoutQueriesAccess.skipping3(spark, TinySf).collect()
+    val byLayout = rows.groupBy(_.getString(0)).map { case (l, rs) =>
+      l -> rs.map(_.getAs[Long]("rows_scanned")).sum
+    }
+    assert(byLayout("zorder") < byLayout("linear"),
+      s"z layout must win on 3-D probes: $byLayout")
+  }
+
   test("the 2-D skipping win: z layout scans fewer rows than the " +
     "1-D layout over the probe grid") {
     val rows = LayoutQueriesAccess.skipping(spark, TinySf).collect()
@@ -193,4 +234,6 @@ class LayoutSpec extends SparkSpec {
 object LayoutQueriesAccess {
   def skipping(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.queries.LayoutQueries.zorderSkipping.run(s, d)
+  def skipping3(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.queries.LayoutQueries.zorder3Skipping.run(s, d)
 }

@@ -147,6 +147,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JPEG segment walk: dims + progressive flag through a variable " +
+    "prefix; bad magic, SOS-before-SOF and walk-bound all quarantine") {
+    val s = spark; import s.implicits._
+    import graft.queries.BinaryQueries
+    // k=2 → two COM segments before SOF0; k=1 → one COM, SOF2
+    val badMagic = BinaryQueries.jpegBytes(0).clone()
+    badMagic(0) = 'X'.toByte
+    // a JPEG whose SOF sits past the walk bound: 20 COM segments
+    val deep = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0xFF, 0xD8).map(_.toByte), 0, 2)
+      (0 until 20).foreach { _ =>
+        out.write(Array(0xFF, 0xFE, 0, 4, 0, 0).map(_.toByte), 0, 6)
+      }
+      out.write(Array(0xFF, 0xC0, 0, 8, 8, 0, 48, 0, 64, 0)
+        .map(_.toByte), 0, 10)
+      out.toByteArray
+    }
+    val df = Seq(
+      ("base", BinaryQueries.jpegBytes(2)),
+      ("prog", BinaryQueries.jpegBytes(1)),
+      ("bad", badMagic), ("deep", deep)).toDF("name", "content")
+    val rows = df
+      .withColumn("m", Multimodal.jpegSofStruct(col("content")))
+      .filter(col("m").isNotNull)
+      .select(col("name"), col("m.width"), col("m.height"),
+        col("m.progressive"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows.keySet == Set("base", "prog"),
+      s"quarantine failed: ${rows.keySet}")
+    val (w2, h2) = BinaryQueries.jpegDims(2)
+    val (w1, h1) = BinaryQueries.jpegDims(1)
+    assert(rows("base") == ((w2.toLong, h2.toLong, false)), rows("base"))
+    assert(rows("prog") == ((w1.toLong, h1.toLong, true)), rows("prog"))
+    // the same deep file IS parseable with a wider bound — proves the
+    // quarantine above was the bound, not a parse failure
+    val wide = df.filter(col("name") === "deep")
+      .select(Multimodal.jpegSofStruct(col("content"), maxSegs = 32))
+      .collect().head
+    assert(!wide.isNullAt(0), "deep file must parse at maxSegs=32")
+  }
+
   test("WAV header parse: little-endian fields exact, corrupt magic " +
     "gated out") {
     val s = spark; import s.implicits._

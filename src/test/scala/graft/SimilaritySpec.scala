@@ -196,6 +196,27 @@ class SimilaritySpec extends SparkSpec {
       s"int8 recall too low: $overlap / $total")
   }
 
+  test("ivfTopKInt8 agrees with the float-scored IVF top-10 (the " +
+    "quantization contract) and returns k ranked rows per query") {
+    val s = spark
+    val emb = Tables.embeddings(s, TinySf)
+    val q = emb.filter(expr("vec_id % 100 = 3"))
+    val i8 = graft.ops.Similarity.ivfTopKInt8(
+      q, "vec_id", "embedding", emb, "vec_id", "embedding",
+      10, 16, 4)
+    val fv = graft.ops.Similarity.ivfTopK(
+      q, "vec_id", "embedding", emb, "vec_id", "embedding",
+      10, 16, 4)
+    val perQuery = i8.groupBy("query_id").count().collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) == 10L))
+    val agree = i8.select("query_id", "neighbour_id")
+      .join(fv.select("query_id", "neighbour_id"),
+        Seq("query_id", "neighbour_id")).count()
+    val total = fv.count()
+    assert(agree * 10 >= total * 8,
+      s"int8 IVF diverges from float IVF: $agree / $total")
+  }
+
   test("scaled dot product is exact and symmetric") {
     val s = spark; import s.implicits._
     val df = Seq((Array(0.5f, -0.25f), Array(0.1f, 0.4f)))
