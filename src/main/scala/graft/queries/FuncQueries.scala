@@ -105,7 +105,13 @@ object FuncQueries extends QueryPack {
         month(col("l_shipdate")).as("ship_month"),
         greatest(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
           .as("latest_date"))
-      .orderBy("l_orderkey", "l_linenumber"),
+      // ship_delay_days tie-break: (orderkey, linenumber) is not
+      // unique in lineitem (planted dup lines with different
+      // shipdates); every output column is a function of (order,
+      // ship date), and delay_days pins the ship date given the
+      // order — total ordering up to identical rows (the
+      // q_star_fact_load sf1 finding).
+      .orderBy("l_orderkey", "l_linenumber", "ship_delay_days"),
     Some("""
       SELECT l.l_orderkey, l.l_linenumber,
              datediff('day', CAST(o.o_orderdate AS DATE),
@@ -115,7 +121,7 @@ object FuncQueries extends QueryPack {
              GREATEST(CAST(l.l_shipdate AS DATE),
                       CAST(o.o_orderdate AS DATE)) AS latest_date
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      ORDER BY l_orderkey, l_linenumber
+      ORDER BY l_orderkey, l_linenumber, ship_delay_days
     """))
 
   /** F13: tenure-in-months with Postgres age() month-borrow semantics

@@ -60,7 +60,15 @@ object StarQueries extends QueryPack {
             .as("priority_num"),
           (col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("net_price"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // net_price tie-break: (orderkey, linenumber) is NOT unique in
+        // the generated data (planted dup lines), and every other
+        // output column is order/customer-derived — identical across
+        // the tie — so adding the one lineitem-derived column makes
+        // the oracle-surface ordering total up to full-row duplicates.
+        // Without it the gate was passing on both engines' stable
+        // sorts happening to read the same file order (exposed by the
+        // sf1 spot-check, where multi-file scan order diverged).
+        .orderBy("l_orderkey", "l_linenumber", "net_price")
     },
     Some("""
       WITH dim_segment AS (
@@ -80,7 +88,7 @@ object StarQueries extends QueryPack {
       LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
       LEFT JOIN dim_segment ds
         ON UPPER(TRIM(c.c_mktsegment)) = UPPER(TRIM(ds.seg_value))
-      ORDER BY l.l_orderkey, l.l_linenumber
+      ORDER BY l.l_orderkey, l.l_linenumber, net_price
     """))
 
   /** Service-combo columns with planted NULLs — the shape of the

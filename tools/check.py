@@ -14,9 +14,13 @@ def _feq(a, b):
 
 sf, out = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+import os
 for p in glob.glob(f"{sf}/*.parquet"):
     name = p.split("/")[-1].removesuffix(".parquet")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # driver testdata ships one file per table; builder-synthesized
+    # scale data (GenScale) writes Spark directories — accept both
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
