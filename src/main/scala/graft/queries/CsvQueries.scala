@@ -340,6 +340,64 @@ object CsvQueries extends QueryPack {
       GROUP BY 1 ORDER BY o_orderstatus
     """))
 
+  private def xlsxDir(sfDir: String): String =
+    s"/tmp/graft_fixtures/xlsx_report_${new java.io.File(sfDir).getName}"
+
+  /** Xlsx report-sink round trip — the last spec-only sink gains an
+    * oracle gate: the quarantine-preview frame (deterministic ordered
+    * top-500 of the negative-balance customers) goes out through
+    * [[graft.ops.Xlsx.writeReport]] (JDK-only zip+XML writer), comes
+    * back through [[graft.ops.Xlsx.ingestDir]] (the StAX reader), and
+    * the digest of the round-tripped rows must equal what DuckDB
+    * predicts straight from the customer parquet. DuckDB cannot read
+    * xlsx, so the wire format itself is exercised engine-side both
+    * ways while the CONTENT contract is still independently verified —
+    * a writer or reader divergence (cell refs, shared strings, escape
+    * handling, the maxRows cap) breaks the hash. Integer/string
+    * columns only: the report stringifies cells, and float formatting
+    * is not part of this contract. */
+  val xlsxReport = GQuery(
+    "q_xlsx_report",
+    (s, d) => {
+      val dest = s"${xlsxDir(d)}/report.xlsx"
+      val preview = Tables.customer(s, d)
+        .filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("customer_id"),
+          col("c_mktsegment").as("market_segment"),
+          col("c_nationkey").cast("long").as("nationkey"))
+        .orderBy("customer_id")
+      graft.ops.Xlsx.writeReport(preview, dest, maxRows = 500)
+      val target2 = StructType(Seq(
+        StructField("customer_id", LongType),
+        StructField("market_segment", StringType),
+        StructField("nationkey", LongType)))
+      def h(c: String) =
+        sum(conv(substring(md5(col(c)), 1, 8), 16, 10).cast("long"))
+      graft.ops.Xlsx.ingestDir(s, xlsxDir(d), target2)
+        .agg(count(lit(1)).as("n_rows"),
+          sum("customer_id").as("sum_ids"),
+          min("customer_id").as("min_id"),
+          max("customer_id").as("max_id"),
+          h("market_segment").as("sum_seg_h"),
+          sum("nationkey").as("sum_nation"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(customer_id) AS BIGINT) AS sum_ids,
+             MIN(customer_id) AS min_id,
+             MAX(customer_id) AS max_id,
+             CAST(SUM(CAST(('0x' || substr(md5(market_segment), 1, 8))
+               AS BIGINT)) AS BIGINT) AS sum_seg_h,
+             CAST(SUM(nationkey) AS BIGINT) AS sum_nation
+      FROM (
+        SELECT c_custkey AS customer_id,
+               c_mktsegment AS market_segment,
+               CAST(c_nationkey AS BIGINT) AS nationkey
+        FROM customer WHERE c_acctbal < 0
+        ORDER BY c_custkey LIMIT 500)
+    """),
+    eager = true)
+
   def all: Seq[GQuery] = Seq(csvIngest, jsonlIngest, jsonlExport,
-    orcRoundtrip, compaction)
+    orcRoundtrip, compaction, xlsxReport)
 }

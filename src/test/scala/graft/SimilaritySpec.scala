@@ -217,6 +217,19 @@ class SimilaritySpec extends SparkSpec {
       s"int8 IVF diverges from float IVF: $agree / $total")
   }
 
+  test("ivfTopKInt8 plan: broadcast probes, no sort-merge join, " +
+    "TopKAgg partial aggregation (bounded pre-shuffle prune)") {
+    val s = spark
+    val emb = Tables.embeddings(s, TinySf)
+    val q = emb.filter(expr("vec_id % 100 = 3"))
+    val plan = graft.ops.Similarity.ivfTopKInt8(
+      q, "vec_id", "embedding", emb, "vec_id", "embedding", 10, 16, 4)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+  }
+
   test("scaled dot product is exact and symmetric") {
     val s = spark; import s.implicits._
     val df = Seq((Array(0.5f, -0.25f), Array(0.1f, 0.4f)))
