@@ -254,9 +254,15 @@ object TemporalQueries extends QueryPack {
         sum("o_orderkey").as("sum_matched_key"))
       .orderBy("user_id")
 
-  /** Reference side for the skew pair: only the matchable universe
-    * (events users are 0-149, so orders of custkeys >= 150 can never
-    * match a probe — dropping them changes nothing semantically).
+  /** Reference side for the skew pair: only the matchable universe —
+    * orders whose custkey exceeds the probe side's maximum user can
+    * never match, so dropping them changes nothing semantically. The
+    * bound is read from the events table (one tiny eager scalar, the
+    * driver-metadata posture), NOT hard-coded: the original `< 150`
+    * literal encoded the sf0.01 user range and silently diverged from
+    * the full-orders oracle on any dataset with more users (caught by
+    * the r9 sf1 gate run — the correctness gate at sf0.01 could never
+    * see it).
     * This is also the operator's contract shape: backwardSalted is
     * for probe sides that DWARF the reference side (billions of
     * telemetry events vs thousands of reference states); replicating
@@ -265,10 +271,13 @@ object TemporalQueries extends QueryPack {
     * vs plain 1.9 s with the full 150k-row orders table replicated
     * x16 — kept here as the negative result). */
   private def skewRef(s: org.apache.spark.sql.SparkSession,
-                      d: String): org.apache.spark.sql.DataFrame =
+                      d: String): org.apache.spark.sql.DataFrame = {
+    val maxUser = Tables.events(s, d)
+      .agg(max(col("user_id"))).head().getLong(0)
     Tables.orders(s, d)
-      .filter(col("o_custkey") < 150)
+      .filter(col("o_custkey") <= maxUser)
       .select("o_custkey", "o_orderkey", "o_orderdate")
+  }
 
   /** EVIDENCE PAIR (like the skew-join pair in SkewQueries): same
     * hot-key as-of through [[AsOf.backward]] (one window partition
