@@ -327,11 +327,18 @@ object SketchQueries extends QueryPack {
              CAST(sxx AS VARCHAR) AS sxx_s,
              CAST(syy AS VARCHAR) AS syy_s,
              CAST(sxy AS VARCHAR) AS sxy_s,
-             CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+             -- sx is widened to HUGEINT BEFORE the products: sx*sx is
+             -- BIGINT*BIGINT in DuckDB (errors on overflow, no auto-
+             -- promote) and Σx² exceeds int64 once row counts grow —
+             -- the engine side is DECIMAL(38) throughout (caught by
+             -- the r9 sf1 gate run; the sums themselves were always
+             -- HUGEINT)
+             CASE WHEN (n * sxx - CAST(sx AS HUGEINT) * sx) = 0 THEN NULL
                   ELSE CAST(
-                    (CASE WHEN (n * sxy - sx * sy) < 0 THEN -1 ELSE 1 END)
-                    * ((abs(n * sxy - sx * sy) * 1000000)
-                       // abs(n * sxx - sx * sx)) AS BIGINT)
+                    (CASE WHEN (n * sxy - CAST(sx AS HUGEINT) * sy) < 0
+                          THEN -1 ELSE 1 END)
+                    * ((abs(n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
+                       // abs(n * sxx - CAST(sx AS HUGEINT) * sx)) AS BIGINT)
              END AS slope_micro
       FROM p ORDER BY l_returnflag
     """))
