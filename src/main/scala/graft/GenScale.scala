@@ -51,9 +51,15 @@ object GenScale {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: GenScale <inSfDir> <outDir> [replicas]")
-    val (in, out) = (args(0), args(1))
     val replicas = if (args.length > 2) args(2).toInt else 10
     val spark = GraftSession.local("graft-genscale")
+    build(spark, args(0), args(1), replicas)
+    spark.stop()
+  }
+
+  def build(spark: SparkSession, in: String, out: String,
+            replicas: Int): Unit = {
+    require(replicas >= 1, s"replicas must be >= 1: $replicas")
 
     def mx(df: DataFrame, c: String): Long =
       df.agg(max(col(c)).cast("long")).head().getLong(0) + 1L
@@ -110,7 +116,5 @@ object GenScale {
         slice(col("embedding"), i + 1, 64 - i),
         slice(col("embedding"), 1, i)))
     })
-
-    spark.stop()
   }
 }
