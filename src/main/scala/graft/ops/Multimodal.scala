@@ -297,6 +297,91 @@ object Multimodal {
       .otherwise(array().cast("array<long>")))
   }
 
+  /** Average-hash (aHash) perceptual fingerprint: decode, bin pixels
+    * into an 8×8 grid by integer floor boundaries (`cell = x·8/w` —
+    * true area averaging, NOT an interpolating resize whose boundary
+    * sampling is codec-dependent), then bit i is set iff cell i's
+    * mean luma STRICTLY exceeds the global mean. The comparison is
+    * cross-multiplied exact integer arithmetic over milli-luma sums
+    * (`sum_i · N > total · n_i`) — no float mean, no rounding ties —
+    * which is what lets a SQL oracle predict the hash analytically
+    * for block-structured fixtures. Near-identical images (re-encodes,
+    * minor edits) land at small Hamming distance; pair discovery
+    * composes with [[graft.ops.Dedup.bucketPairs]] exactly like
+    * SimHash.
+    *
+    * Returns (hash, n_set_bits) per image; None for undecodable
+    * inputs (quarantine convention) and for images beyond 2^24 pixels
+    * (the exact-compare products stay inside int64: 255000 ·
+    * 2^24/64 · 2^24 < 2^63). */
+  def aHashBatch(contents: Seq[Array[Byte]],
+                 batchSize: Int): Seq[Option[(Long, Int)]] = {
+    require(contents.size <= batchSize,
+      s"hasher contract: at most $batchSize images per call")
+    javax.imageio.ImageIO.setUseCache(false)
+    contents.map { b =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          if (w < 8 || h < 8 || w.toLong * h > (1L << 24)) None
+          else {
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            val sums = new Array[Long](64)
+            val cnts = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              val cy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val c = cy * 8 + x * 8 / w
+                sums(c) += lumaMilli(px(y * w + x))
+                cnts(c) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            var total = 0L; var i = 0
+            while (i < 64) { total += sums(i); i += 1 }
+            val n = w.toLong * h
+            var hash = 0L; var nset = 0
+            i = 0
+            while (i < 64) {
+              if (sums(i) * n > total * cnts(i)) {
+                hash |= 1L << i; nset += 1
+              }
+              i += 1
+            }
+            Some((hash, nset))
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+  }
+
+  final case class HashedImage(file_name: String, phash: Long,
+                               n_set_bits: Int)
+
+  /** Batched aHash over a (file_name, content) frame — the same
+    * mapPartitions plumbing as [[decodeDataset]]. */
+  def aHashDataset(images: DataFrame,
+                   batchSize: Int = 64): Dataset[HashedImage] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap { batch =>
+        batch.zip(aHashBatch(batch.map(_._2), batchSize)).collect {
+          case ((name, _), Some((hash, nset))) =>
+            HashedImage(name, hash, nset)
+        }
+      })
+  }
+
   /** Per-partition batch decode — the Spark-side plumbing of a
     * vectorized decoder: rows stream through `mapPartitions` in
     * bounded batches (executor-local, no shuffle; memory bounded by

@@ -278,6 +278,119 @@ object BinaryQueries extends QueryPack {
     """))
 
   // ---------------------------------------------------------------
+  // Block-PNG fixture for the perceptual hash: each 32×24 image is a
+  // 2×2 grid of quadrant colors derived from k. Dimensions divide the
+  // 8×8 aHash grid exactly, so every hash cell lies inside one
+  // quadrant and the whole 64-bit hash is an analytic function of the
+  // four quadrant lumas — which the filename's k encodes. The oracle
+  // never decodes a pixel; it re-derives the colors, the four
+  // strict-majority bits, and composes the hash from quadrant bit
+  // masks.
+  // ---------------------------------------------------------------
+
+  val NumBlocks = 24
+  val BlockDir = "/tmp/graft_fixtures/binmm/blocks"
+
+  def blockColor(k: Int, q: Int): (Int, Int, Int) =
+    ((k * 37 + 11 + 17 * q) % 256,
+      (k * 59 + 5 + 29 * q) % 256,
+      (k * 83 + 7 + 41 * q) % 256)
+
+  def blockName(k: Int): String = f"blk_$k%03d.png"
+
+  def blockPng(k: Int): Array[Byte] = {
+    val (w, h) = (32, 24)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val q = (if (y >= h / 2) 2 else 0) + (if (x >= w / 2) 1 else 0)
+      val (r, g, b) = blockColor(k, q)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  def writeBlockFixture(): String = {
+    val dir = java.nio.file.Paths.get(BlockDir)
+    java.nio.file.Files.createDirectories(dir)
+    (0 until NumBlocks).foreach { k =>
+      val p = dir.resolve(blockName(k))
+      if (!java.nio.file.Files.exists(p))
+        java.nio.file.Files.write(p, blockPng(k))
+    }
+    java.nio.file.Files.write(dir.resolve("corrupt.png"),
+      "not an image at all".getBytes("UTF-8"))
+    dir.toString
+  }
+
+  /** Quadrant bit mask over the 8×8 cell grid (row-major bit = 8r+c):
+    * q0 = top-left, q1 = top-right, q2 = bottom-left, q3 =
+    * bottom-right. Disjoint masks sum without carries, so the oracle
+    * composes the hash arithmetically (bit 63 makes q3's mask a
+    * negative BIGINT literal — exact two's complement either way). */
+  private def quadMask(q: Int): Long = {
+    var m = 0L
+    for (r <- 0 until 8; c <- 0 until 8) {
+      val qq = (if (r >= 4) 2 else 0) + (if (c >= 4) 1 else 0)
+      if (qq == q) m |= 1L << (8 * r + c)
+    }
+    m
+  }
+
+  /** Perceptual-hash image fingerprinting
+    * ([[Multimodal.aHashBatch]]): REAL pixel decode → exact 8×8
+    * area-average aHash, the raw-image leg of the near-dup family
+    * (SimHash for text, cosine for embeddings, aHash for pixels —
+    * re-encoded or lightly edited images collide at small Hamming
+    * distance, which no byte checksum can see). The oracle predicts
+    * every 64-bit hash analytically from the filename-encoded
+    * quadrant colors — strict integer majority bits composed through
+    * literal quadrant masks — so a single mis-binned pixel or a
+    * float mean anywhere breaks the match. The planted corrupt file
+    * must quarantine-drop. */
+  val imagePhash = GQuery(
+    "q_image_phash",
+    (s, d) => {
+      val dir = writeBlockFixture()
+      Multimodal.aHashDataset(
+        Multimodal.readBinaryDir(s, dir, "*.png"), batchSize = 8)
+        .toDF()
+        .select(col("file_name"), col("phash"),
+          col("n_set_bits").cast("long").as("n_set_bits"))
+        .orderBy("file_name")
+    },
+    Some {
+      def lum(j: Int) =
+        s"(299 * ((k * 37 + 11 + ${17 * j}) % 256) + " +
+          s"587 * ((k * 59 + 5 + ${29 * j}) % 256) + " +
+          s"114 * ((k * 83 + 7 + ${41 * j}) % 256))"
+      def bit(j: Int) =
+        s"(CASE WHEN 4 * l$j > (l0 + l1 + l2 + l3) THEN 1 ELSE 0 END)"
+      s"""
+      WITH f AS (
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+               CAST(regexp_extract(filename, 'blk_(\\d+)\\.png', 1)
+                 AS INT) AS k
+        FROM read_blob('$BlockDir/blk_*.png')),
+      lums AS (
+        SELECT file_name, ${lum(0)} AS l0, ${lum(1)} AS l1,
+               ${lum(2)} AS l2, ${lum(3)} AS l3
+        FROM f),
+      bits AS (
+        SELECT file_name, ${bit(0)} AS b0, ${bit(1)} AS b1,
+               ${bit(2)} AS b2, ${bit(3)} AS b3
+        FROM lums)
+      SELECT file_name,
+             CAST(b0 * ${quadMask(0)} + b1 * ${quadMask(1)}
+                + b2 * ${quadMask(2)} + b3 * (${quadMask(3)})
+               AS BIGINT) AS phash,
+             CAST(16 * (b0 + b1 + b2 + b3) AS BIGINT) AS n_set_bits
+      FROM bits ORDER BY file_name
+    """})
+
+  // ---------------------------------------------------------------
   // JPEG fixture: structurally-valid JPEG streams with a k-dependent
   // variable segment prefix (JFIF APP0, 0-2 COM segments of varying
   // length, DQT) before the SOF marker — the shape that forces a real
@@ -447,5 +560,5 @@ object BinaryQueries extends QueryPack {
 
   def all: Seq[GQuery] =
     Seq(binaryMeta, fileLedger, imageDecode, imageResize, audioMeta,
-      jpegMeta)
+      jpegMeta, imagePhash)
 }

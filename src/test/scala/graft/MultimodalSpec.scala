@@ -190,6 +190,34 @@ class MultimodalSpec extends SparkSpec {
     assert(!wide.isNullAt(0), "deep file must parse at maxSegs=32")
   }
 
+  test("aHash: hand-checked half-split hash; robust to a single-pixel " +
+    "edit; corrupt bytes quarantine") {
+    def img(w: Int, h: Int)(color: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, color(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", out)
+      out.toByteArray
+    }
+    // left half black, right half white: bits set exactly on cells
+    // with cx >= 4 (strictly-above-mean contract)
+    val split = img(16, 16)((x, _) => if (x < 8) 0x000000 else 0xFFFFFF)
+    val rightMask = (for (r <- 0 until 8; c <- 4 until 8)
+      yield 1L << (8 * r + c)).reduce(_ | _)
+    // same image with ONE bright pixel flipped dark: cell means move
+    // by 1/32, nowhere near the half-range margin — hash unchanged
+    val edited = img(16, 16)((x, y) =>
+      if (x == 12 && y == 3) 0x000000
+      else if (x < 8) 0x000000 else 0xFFFFFF)
+    val out = graft.ops.Multimodal.aHashBatch(
+      Seq(split, edited, "garbage".getBytes("UTF-8")), batchSize = 8)
+    assert(out(0).contains((rightMask, 32)), s"split: ${out(0)}")
+    assert(out(1).map(_._1) == Some(rightMask),
+      "single-pixel edit must not move the hash")
+    assert(out(2).isEmpty, "corrupt bytes must quarantine")
+  }
+
   test("WAV header parse: little-endian fields exact, corrupt magic " +
     "gated out") {
     val s = spark; import s.implicits._
