@@ -312,6 +312,10 @@ object BinaryQueries extends QueryPack {
     out.toByteArray
   }
 
+  /** Every 4th block gets a byte-identical twin under a dup_ name —
+    * the planted near-dup population for q_image_neardup (exact
+    * copies hash identically by construction; the single-pixel-edit
+    * robustness case lives in MultimodalSpec where it's provable). */
   def writeBlockFixture(): String = {
     val dir = java.nio.file.Paths.get(BlockDir)
     java.nio.file.Files.createDirectories(dir)
@@ -319,8 +323,13 @@ object BinaryQueries extends QueryPack {
       val p = dir.resolve(blockName(k))
       if (!java.nio.file.Files.exists(p))
         java.nio.file.Files.write(p, blockPng(k))
+      if (k % 4 == 0) {
+        val d = dir.resolve(f"dup_$k%03d.png")
+        if (!java.nio.file.Files.exists(d))
+          java.nio.file.Files.write(d, blockPng(k))
+      }
     }
-    java.nio.file.Files.write(dir.resolve("corrupt.png"),
+    java.nio.file.Files.write(dir.resolve("blk_corrupt.png"),
       "not an image at all".getBytes("UTF-8"))
     dir.toString
   }
@@ -355,7 +364,7 @@ object BinaryQueries extends QueryPack {
     (s, d) => {
       val dir = writeBlockFixture()
       Multimodal.aHashDataset(
-        Multimodal.readBinaryDir(s, dir, "*.png"), batchSize = 8)
+        Multimodal.readBinaryDir(s, dir, "blk_*.png"), batchSize = 8)
         .toDF()
         .select(col("file_name"), col("phash"),
           col("n_set_bits").cast("long").as("n_set_bits"))
@@ -373,7 +382,8 @@ object BinaryQueries extends QueryPack {
         SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
                CAST(regexp_extract(filename, 'blk_(\\d+)\\.png', 1)
                  AS INT) AS k
-        FROM read_blob('$BlockDir/blk_*.png')),
+        FROM read_blob('$BlockDir/blk_*.png')
+        WHERE regexp_matches(filename, 'blk_\\d+\\.png')),
       lums AS (
         SELECT file_name, ${lum(0)} AS l0, ${lum(1)} AS l1,
                ${lum(2)} AS l2, ${lum(3)} AS l3
@@ -388,6 +398,67 @@ object BinaryQueries extends QueryPack {
                AS BIGINT) AS phash,
              CAST(16 * (b0 + b1 + b2 + b3) AS BIGINT) AS n_set_bits
       FROM bits ORDER BY file_name
+    """})
+
+  /** Image near-dup pair discovery — aHash banded into 4×16-bit
+    * chunks (the SimHash machinery verbatim: bucket collisions only,
+    * never all-pairs), exact Hamming verify at ≤ 6 bits. On the block
+    * fixture the hash space is the 16 quadrant-bit patterns, so every
+    * equal-pattern file pair — the planted byte-identical dup_ twins
+    * AND the organic k-collisions — must surface at Hamming 0, and
+    * nothing else can pass the threshold (patterns differ by whole
+    * 16-bit quadrants). The oracle derives each file's pattern
+    * analytically from its filename k and emits equal-pattern pairs
+    * under the same lexicographic ordering bucketPairs produces. The
+    * corrupt file must quarantine out of discovery entirely. */
+  val imageNearDup = GQuery(
+    "q_image_neardup",
+    (s, d) => {
+      val dir = writeBlockFixture()
+      val hashed = Multimodal.aHashDataset(
+        Multimodal.readBinaryDir(s, dir, "*.png"), batchSize = 8).toDF()
+      val chunkRows = hashed.select(col("file_name"), col("phash"),
+        explode(array((0 until 4).map(ci => struct(lit(ci).as("ci"),
+          shiftright(col("phash"), ci * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("ch"))
+        .select(col("file_name"), col("phash"),
+          col("ch.ci"), col("ch.cv"))
+      graft.ops.Dedup.bucketPairs(chunkRows, Seq("ci", "cv"),
+          struct(col("file_name"), col("phash")))
+        .select(col("a.file_name").as("id_a"),
+          col("b.file_name").as("id_b"),
+          graft.ops.Dedup.hammingDistance(col("a.phash"), col("b.phash"))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      def lum(j: Int) =
+        s"(299 * ((k * 37 + 11 + ${17 * j}) % 256) + " +
+          s"587 * ((k * 59 + 5 + ${29 * j}) % 256) + " +
+          s"114 * ((k * 83 + 7 + ${41 * j}) % 256))"
+      def bit(j: Int) =
+        s"(CASE WHEN 4 * l$j > (l0 + l1 + l2 + l3) THEN 1 ELSE 0 END)"
+      s"""
+      WITH f AS (
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+               CAST(regexp_extract(filename, '(?:blk|dup)_(\\d+)\\.png', 1)
+                 AS INT) AS k
+        FROM read_blob('$BlockDir/*.png')
+        WHERE regexp_matches(filename, '(?:blk|dup)_\\d+\\.png')),
+      lums AS (
+        SELECT file_name, ${lum(0)} AS l0, ${lum(1)} AS l1,
+               ${lum(2)} AS l2, ${lum(3)} AS l3
+        FROM f),
+      pat AS (
+        SELECT file_name, ${bit(0)} AS b0, ${bit(1)} AS b1,
+               ${bit(2)} AS b2, ${bit(3)} AS b3
+        FROM lums)
+      SELECT a.file_name AS id_a, b.file_name AS id_b,
+             CAST(0 AS BIGINT) AS hamming
+      FROM pat a JOIN pat b ON a.file_name < b.file_name
+      WHERE a.b0 = b.b0 AND a.b1 = b.b1 AND a.b2 = b.b2 AND a.b3 = b.b3
+      ORDER BY id_a, id_b
     """})
 
   // ---------------------------------------------------------------
@@ -560,5 +631,5 @@ object BinaryQueries extends QueryPack {
 
   def all: Seq[GQuery] =
     Seq(binaryMeta, fileLedger, imageDecode, imageResize, audioMeta,
-      jpegMeta, imagePhash)
+      jpegMeta, imagePhash, imageNearDup)
 }
