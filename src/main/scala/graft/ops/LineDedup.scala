@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-document boilerplate (line-level) deduplication — the
+  * C4/CCNet cleaning step: segment every document into fixed-width
+  * token windows, count each segment's document frequency across the
+  * corpus, and strip segments that recur in too many distinct
+  * documents (navigation chrome, license headers, cookie banners).
+  * The reference corpus has no newline structure, so the "line" unit
+  * here is a deterministic fixed-`w`-token window — the same operator
+  * shape with a segmentation both engines can replay exactly.
+  *
+  * Scale shape at 100 TB:
+  *  - ONE explode of (doc_id, ord, seg); the document-frequency
+  *    aggregate is map-side combinable (partial countDistinct) and
+  *    shuffles only (seg, doc_id) pairs, never full bodies;
+  *  - the frequent-segment set is a small fraction of the corpus by
+  *    construction (only segments shared by >= minDocs documents);
+  *    AQE converts the scrub join to broadcast when it fits, and the
+  *    fallback is a plain shuffled hash join keyed on the segment —
+  *    at petabyte scale you'd key this on a 128-bit fingerprint of
+  *    the segment instead of the string to narrow the shuffle;
+  *  - reassembly is one groupBy(doc_id): collect_list over an
+  *    already-doc-partitioned frame, sorted in-memory per doc by the
+  *    bounded segment ordinal (docs are bounded; corpora are not).
+  *
+  * Determinism: segment boundaries depend only on `w` and the token
+  * stream; reassembly orders by the explicit per-doc ordinal, never
+  * by collection order.
+  */
+object LineDedup {
+
+  /** Fixed-width token segmentation: ceil(n/w) windows of w tokens
+    * (last window ragged), each re-joined with single spaces. */
+  def segments(text: Column, w: Int): Column = {
+    require(w >= 1, s"segment width must be >= 1, got $w")
+    val tk = split(text, " ")
+    transform(
+      sequence(lit(1), ceil(size(tk) / lit(w.toDouble)).cast("int")),
+      g => array_join(slice(tk, (g - lit(1)) * lit(w) + lit(1), lit(w)), " "))
+  }
+
+  /** One row per (doc, segment) with the 1-based in-doc ordinal. */
+  def explodeSegments(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int): DataFrame =
+    docs.select(
+      col(idCol),
+      posexplode(segments(col(textCol), w)).as(Seq("_ord0", "seg")))
+      .withColumn("ord", col("_ord0") + lit(1)).drop("_ord0")
+
+  /** Segments appearing in >= minDocs DISTINCT documents, with their
+    * document frequency. Within-doc repeats count once. */
+  def boilerplate(segs: DataFrame, idCol: String, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 marks unique text boilerplate: $minDocs")
+    segs.groupBy("seg")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs)
+  }
+
+  /** Strip boilerplate segments and summarize per document: total
+    * segments, kept segments, and the md5 of the scrubbed text
+    * (kept segments re-joined in ordinal order; empty docs hash ""). */
+  def scrub(docs: DataFrame, idCol: String, textCol: String,
+            w: Int, minDocs: Int): DataFrame = {
+    val ex = explodeSegments(docs, idCol, textCol, w)
+    val bp = boilerplate(ex, idCol, minDocs)
+      .select(col("seg"), lit(true).as("_bp"))
+    ex.join(bp, Seq("seg"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("_bp").isNull, 1L).otherwise(0L)).as("kept_segs"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_bp").isNull, struct(col("ord"), col("seg"))))),
+            x => x.getField("seg")),
+          " ")).as("new_md5"))
+  }
+}

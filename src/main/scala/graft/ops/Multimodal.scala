@@ -297,6 +297,75 @@ object Multimodal {
       .otherwise(array().cast("array<long>")))
   }
 
+  // ----- video (MP4 / ISO-BMFF) — the box-walk leg ----------------
+
+  /** ISO-BMFF signature: an `ftyp` box leads the file (fourcc at
+    * bytes 5-8; the first four bytes are its size). */
+  val Mp4FtypHex = "66747970"
+  def isMp4(content: Column): Column =
+    hex(substring(content, 5, 4)) === Mp4FtypHex
+  def isMp4Sql(contentExpr: String): String =
+    s"substring(hex($contentExpr), 9, 8) = '$Mp4FtypHex'"
+
+  private def beU32At(content: Column, off: Column): Column =
+    conv(hex(content.substr(off.cast("int"), lit(4))), 16, 10).cast("long")
+
+  /** Bounded sibling-box scan: walk `[size(BE32)][fourcc]` boxes from
+    * `start` (1-based) until `end`, returning the offset of the first
+    * box whose fourcc hex equals `fourCcHex`, else NULL. Same fold
+    * discipline as [[jpegSofStruct]] (HOF aggregate, bounded steps,
+    * state by reference). Extended (size==1) and to-end (size==0)
+    * boxes quarantine as unwalkable — `size < 8` is dead. */
+  private def boxOffset(content: Column, start: Column, end: Column,
+                        fourCcHex: String, maxBoxes: Int): Column = {
+    def st(off: Column, s: Column) = struct(off.as("off"), s.as("st"))
+    val walked = aggregate(
+      sequence(lit(1), lit(maxBoxes)), st(start, lit(0L)),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val size = beU32At(content, off)
+        val typ = hex(content.substr((off + 4L).cast("int"), lit(4)))
+        when(acc.getField("st") =!= 0L, acc).otherwise(
+          when(off >= end || size < 8L, st(off, lit(2L)))
+            .when(typ === lit(fourCcHex), st(off, lit(1L)))
+            .otherwise(st(off + size, lit(0L))))
+      })
+    when(walked.getField("st") === 1L, walked.getField("off"))
+      .otherwise(lit(null).cast("long"))
+  }
+
+  /** MP4 movie-header metadata without a decoder: locate `moov` among
+    * the top-level boxes, then `mvhd` among moov's children (each a
+    * bounded [[boxOffset]] scan — the two-level analogue of the JPEG
+    * segment walk), and read version, timescale, and duration at
+    * their version-dependent offsets (v1 carries 64-bit times; its
+    * duration reassembles from two BE32 reads). duration_ms is
+    * truncated integer scaling, the [[wavDurationMs]] convention.
+    *
+    * Returns struct(version, timescale, duration, duration_ms) or
+    * NULL for anything unwalkable (bad magic, missing moov/mvhd,
+    * extended-size boxes, zero timescale) — the shared quarantine
+    * posture of this family. */
+  def mp4MvhdStruct(content: Column, maxBoxes: Int = 16): Column = {
+    require(maxBoxes >= 1 && maxBoxes <= 64,
+      s"mp4MvhdStruct maxBoxes must be in [1, 64]: $maxBoxes")
+    val fileEnd = length(content).cast("long") + 1L
+    val moov = boxOffset(content, lit(1L), fileEnd, "6D6F6F76", maxBoxes)
+    val moovEnd = moov + beU32At(content, moov)
+    val mvhd = boxOffset(content, moov + 8L, moovEnd, "6D766864", maxBoxes)
+    val ver = byteAt(content, mvhd + 8L)
+    val ts = when(ver === 1L, beU32At(content, mvhd + 28L))
+      .otherwise(beU32At(content, mvhd + 20L))
+    val dur = when(ver === 1L,
+      beU32At(content, mvhd + 32L) * 4294967296L +
+        beU32At(content, mvhd + 36L))
+      .otherwise(beU32At(content, mvhd + 24L))
+    when(isMp4(content) && mvhd.isNotNull && ts > 0L,
+      struct(ver.as("version"), ts.as("timescale"), dur.as("duration"),
+        ((dur * 1000L) / ts).cast("long").as("duration_ms")))
+      .otherwise(lit(null))
+  }
+
   /** Average-hash (aHash) perceptual fingerprint: decode, bin pixels
     * into an 8×8 grid by integer floor boundaries (`cell = x·8/w` —
     * true area averaging, NOT an interpolating resize whose boundary

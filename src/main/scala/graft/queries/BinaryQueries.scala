@@ -629,7 +629,142 @@ object BinaryQueries extends QueryPack {
       ) ORDER BY file_name
     """))
 
+  // ---------------------------------------------------------------
+  // MP4 fixture: structurally-valid ISO-BMFF files — ftyp, a free box
+  // whose k-dependent size SHIFTS moov (so a fixed-offset read cannot
+  // pass), then moov with a leading udta child the inner walk must
+  // skip before mvhd. k%3==0 files carry a version-1 mvhd whose
+  // 64-bit duration has a NONZERO high word (the BE64 reassembly is
+  // exercised, not just compiled). Plus a bad-magic corrupt file and
+  // a moov-less truncated file, both of which the parser must
+  // quarantine. The oracle never walks a box: it re-derives every
+  // field analytically from the filename's k (the block-PNG aHash
+  // convention), so the two sides agree only if the walk really
+  // landed on mvhd.
+  // ---------------------------------------------------------------
+
+  val NumMp4s = 18
+  val VideoDir = "/tmp/graft_fixtures/binmm/video"
+  /** v1 durations get 2^33 added: forces the BE64 high word. */
+  val V1DurationHigh = 8589934592L
+
+  def mp4Bytes(k: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = out.write(Array((v >> 24).toByte,
+      (v >> 16).toByte, (v >> 8).toByte, v.toByte), 0, 4)
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    def pad(n: Int): Unit = out.write(Array.fill(n)(0.toByte), 0, n)
+    be32(20); tag("ftyp"); tag("isom"); be32(0x200); tag("mp41")
+    val freePad = (k % 5) * 4
+    be32(8 + freePad); tag("free"); pad(freePad)
+    val version = if (k % 3 == 0) 1 else 0
+    val timescale = 600L * (1 + k % 4)
+    val duration = 3600L * (k + 1) + 13L * k +
+      (if (version == 1) V1DurationHigh else 0L)
+    val mvhdSize = if (version == 1) 120 else 108
+    be32(8 + 12 + mvhdSize); tag("moov")
+    be32(12); tag("udta"); be32(0)
+    be32(mvhdSize); tag("mvhd")
+    out.write(Array[Byte](version.toByte, 0, 0, 0), 0, 4)
+    if (version == 1) {
+      pad(16)                            // 64-bit ctime + mtime
+      be32(timescale)
+      be32(duration >> 32); be32(duration & 0xFFFFFFFFL)
+      pad(120 - 40)
+    } else {
+      pad(8)                             // 32-bit ctime + mtime
+      be32(timescale); be32(duration)
+      pad(108 - 28)
+    }
+    out.toByteArray
+  }
+
+  def mp4Name(k: Int): String = f"vid_$k%03d.mp4"
+
+  def writeMp4Fixture(): String = {
+    val dir = java.nio.file.Paths.get(VideoDir)
+    java.nio.file.Files.createDirectories(dir)
+    (0 until NumMp4s).foreach { k =>
+      java.nio.file.Files.write(dir.resolve(mp4Name(k)), mp4Bytes(k))
+    }
+    val corrupt = mp4Bytes(0); corrupt(4) = 'X'.toByte
+    java.nio.file.Files.write(dir.resolve("corrupt.mp4"), corrupt)
+    // structurally valid boxes but no moov: walk must die at EOF
+    java.nio.file.Files.write(dir.resolve("nomoov.mp4"),
+      mp4Bytes(1).take(28))
+    dir.toString
+  }
+
+  /** Video metadata from the two-level MP4 box walk
+    * ([[Multimodal.mp4MvhdStruct]] — bounded HOF folds, no decode,
+    * no UDF): version, timescale, version-width duration, and the
+    * truncated-integer duration_ms. The corrupt and moov-less files
+    * must quarantine to NULL and vanish from the result. */
+  val videoMeta = GQuery(
+    "q_video_meta",
+    (s, d) => {
+      val dir = writeMp4Fixture()
+      Multimodal.readBinaryDir(s, dir, "*.mp4")
+        .withColumn("m", Multimodal.mp4MvhdStruct(col("content")))
+        .filter(col("m").isNotNull)
+        .select(col("file_name"), col("size_bytes"),
+          col("m.version").as("version"),
+          col("m.timescale").as("timescale"),
+          col("m.duration").as("duration"),
+          col("m.duration_ms").as("duration_ms"))
+        .orderBy("file_name")
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT CAST(regexp_extract(filename, 'vid_(\\d+)\\.mp4', 1) AS INT)
+                 AS k,
+               regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+               size AS size_bytes
+        FROM read_blob('$VideoDir/*.mp4')
+        WHERE ${Multimodal.isMp4Sql("content")}
+          AND regexp_matches(filename, 'vid_\\d+\\.mp4$$')),
+      g AS (
+        SELECT file_name, size_bytes,
+               CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS version,
+               600 * (1 + k % 4) AS timescale,
+               3600 * (k + 1) + 13 * k +
+                 CASE WHEN k % 3 = 0 THEN $V1DurationHigh ELSE 0 END
+                 AS duration
+        FROM f)
+      SELECT file_name, size_bytes,
+             CAST(version AS BIGINT) AS version,
+             CAST(timescale AS BIGINT) AS timescale,
+             CAST(duration AS BIGINT) AS duration,
+             duration * 1000 // timescale AS duration_ms
+      FROM g ORDER BY file_name
+    """))
+
+  /** Frame-sampling plumbing over video-shaped rows: even-stride
+    * index fan-out ([[Multimodal.sampleFrameIdx]]) — <= 16 sampled
+    * frames per clip regardless of length, zero rows for empty clips.
+    * The per-frame decode plugs in downstream (stubbed per the
+    * multimodal contract); this gates the distributed fan-out shape. */
+  val frameSample = GQuery(
+    "q_frame_sample",
+    (s, d) => graft.Tables.documents(s, d)
+      .select(col("doc_id").as("video_id"),
+        (col("n_chars") % 97).cast("long").as("n_frames"))
+      .select(col("video_id"), col("n_frames"),
+        Multimodal.sampleFrameIdx(col("n_frames"), maxFrames = 16)
+          .as("frame_idx"))
+      .orderBy("video_id", "frame_idx"),
+    Some("""
+      WITH v AS (
+        SELECT doc_id AS video_id, CAST(n_chars % 97 AS BIGINT) AS n_frames
+        FROM documents)
+      SELECT video_id, n_frames,
+             unnest(generate_series(0, n_frames - 1,
+               greatest((n_frames + 15) // 16, 1))) AS frame_idx
+      FROM v WHERE n_frames > 0
+      ORDER BY video_id, frame_idx
+    """))
+
   def all: Seq[GQuery] =
     Seq(binaryMeta, fileLedger, imageDecode, imageResize, audioMeta,
-      jpegMeta, imagePhash, imageNearDup)
+      jpegMeta, imagePhash, imageNearDup, videoMeta, frameSample)
 }

@@ -499,9 +499,74 @@ object TextQueries extends QueryPack {
     """),
     eager = true) // N is a construct-time scalar (topFraction posture)
 
+  /** C4-style cross-document boilerplate removal: strip 4-token
+    * segments shared by >= 3 distinct docs, re-hash the scrubbed
+    * text. The oracle recomputes segmentation, document frequency,
+    * scrub, and ordinal-ordered reassembly independently (list
+    * comprehension + zipped unnest vs transform/sequence +
+    * posexplode). */
+  val lineDedup = GQuery(
+    "q_line_dedup",
+    (s, d) => graft.ops.LineDedup
+      .scrub(Tables.documents(s, d), "doc_id", "text", w = 4, minDocs = 3)
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      segd AS (
+        SELECT doc_id,
+               [array_to_string(tk[(g-1)*4+1:g*4], ' ')
+                FOR g IN generate_series(1, CAST(ceil(len(tk)/4.0) AS INT))]
+                 AS segs
+        FROM toks),
+      ex AS (
+        SELECT doc_id, unnest(segs) AS seg,
+               unnest(generate_series(1, len(segs))) AS ord
+        FROM segd),
+      freq AS (
+        SELECT seg FROM ex GROUP BY seg
+        HAVING count(DISTINCT doc_id) >= 3)
+      SELECT e.doc_id,
+             CAST(count(*) AS BIGINT) AS n_segs,
+             CAST(count(*) FILTER (WHERE f.seg IS NULL) AS BIGINT)
+               AS kept_segs,
+             md5(coalesce(string_agg(
+               CASE WHEN f.seg IS NULL THEN e.seg END, ' '
+               ORDER BY e.ord), '')) AS new_md5
+      FROM ex e LEFT JOIN freq f ON e.seg = f.seg
+      GROUP BY e.doc_id ORDER BY e.doc_id
+    """))
+
+  /** The boilerplate lexicon itself: top segments by document
+    * frequency (TakeOrderedAndProject — the bounded report the
+    * operator's threshold is tuned from). */
+  val segmentDfTop = GQuery(
+    "q_segment_df_top",
+    (s, d) => {
+      val ex = graft.ops.LineDedup
+        .explodeSegments(Tables.documents(s, d), "doc_id", "text", w = 4)
+      graft.ops.LineDedup.boilerplate(ex, "doc_id", minDocs = 3)
+        .select(col("seg"), col("df").cast("long").as("df"))
+        .orderBy(col("df").desc, col("seg")).limit(40)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      segd AS (
+        SELECT doc_id,
+               [array_to_string(tk[(g-1)*4+1:g*4], ' ')
+                FOR g IN generate_series(1, CAST(ceil(len(tk)/4.0) AS INT))]
+                 AS segs
+        FROM toks),
+      ex AS (SELECT doc_id, unnest(segs) AS seg FROM segd)
+      SELECT seg, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM ex GROUP BY seg HAVING count(DISTINCT doc_id) >= 3
+      ORDER BY df DESC, seg LIMIT 40
+    """))
+
   def all: Seq[GQuery] =
     Seq(tokenStats, qualityScore, langId, fingerprint, tfidfTopTerms,
       piiRedact, tokenPacking, chunkWindows, vocabOov, contamination,
       repetitionStats, boilerplateScore, distinctNgrams,
-      paddingEfficiency, unigramSurprisal)
+      paddingEfficiency, unigramSurprisal, lineDedup, segmentDfTop)
 }

@@ -193,7 +193,25 @@ object WindowQueries extends QueryPack {
       FROM f GROUP BY o_custkey ORDER BY o_custkey
     """))
 
+  /** Scalable global row numbering over a unique key: value-range
+    * bucketing + per-bucket offsets instead of the single-partition
+    * ORDER BY window (see GlobalIndex.scala for the one-Exchange
+    * contract). The oracle is the thing the operator refuses to run:
+    * a plain global row_number — identical answers, opposite plans. */
+  val globalIndex = GQuery(
+    "q_global_index",
+    (s, d) => graft.ops.GlobalIndex
+      .withGlobalIndex(
+        Tables.orders(s, d).select("o_orderkey"),
+        "o_orderkey", "global_idx", buckets = 64)
+      .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_orderkey) AS global_idx
+      FROM orders ORDER BY o_orderkey
+    """))
+
   def all: Seq[GQuery] =
     Seq(dupWindowMark, latestPerKey, surrogateKeys, topkOrders,
-      sessionizeBatch, rollingFeatures)
+      sessionizeBatch, rollingFeatures, globalIndex)
 }

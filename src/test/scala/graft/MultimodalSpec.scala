@@ -241,4 +241,37 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(5) == nSamples * 4L * 1000L / (44100L * 4L),
       "integer duration_ms wrong")
   }
+
+  test("MP4 box walk: v0/v1 mvhd through shifted moov; corrupt, " +
+    "moov-less, and extended-size files quarantine") {
+    val s = spark; import s.implicits._
+    import graft.queries.BinaryQueries
+    // k=2: v0 mvhd behind an 8-byte free pad; k=3: v1 with the 2^33
+    // duration high word
+    val v0 = BinaryQueries.mp4Bytes(2)
+    val v1 = BinaryQueries.mp4Bytes(3)
+    val corrupt = BinaryQueries.mp4Bytes(2).clone()
+    corrupt(4) = 'X'.toByte
+    val nomoov = BinaryQueries.mp4Bytes(2).take(28)
+    // extended-size (size==1) top-level box: must die, not misparse
+    val ext = BinaryQueries.mp4Bytes(2).clone()
+    ext(20) = 0; ext(21) = 0; ext(22) = 0; ext(23) = 1
+    val rows = Seq(("v0", v0), ("v1", v1), ("corrupt", corrupt),
+      ("nomoov", nomoov), ("ext", ext))
+      .toDF("name", "content")
+      .select(col("name"),
+        Multimodal.mp4MvhdStruct(col("content")).as("m"))
+      .collect().map(r => r.getString(0) -> Option(r.getStruct(1))).toMap
+    assert(rows("corrupt").isEmpty && rows("nomoov").isEmpty &&
+      rows("ext").isEmpty)
+    val m0 = rows("v0").get
+    assert(m0.getLong(0) == 0L)
+    assert(m0.getLong(1) == 600L * 3)          // timescale, k=2
+    assert(m0.getLong(2) == 3600L * 3 + 26L)   // duration
+    assert(m0.getLong(3) == (3600L * 3 + 26L) * 1000L / 1800L)
+    val m1 = rows("v1").get
+    assert(m1.getLong(0) == 1L)
+    assert(m1.getLong(2) == 3600L * 4 + 39L + BinaryQueries.V1DurationHigh,
+      "BE64 duration high word lost")
+  }
 }
