@@ -119,7 +119,14 @@ object Bench {
         val stamped =
           s"""{"ts":${System.currentTimeMillis()},"reps":$reps,""" +
             line.stripPrefix("{")
-        Files.writeString(dir.resolve("latest.json"), stamped + "\n")
+        // latest.json is the sf0.1 artifact of record; a full-registry
+        // smoke at another SF must not stomp it (it did once: an
+        // sf0.001 run overwrote the r9 record mid-round) — those land
+        // in latest_<sf>.json, and history.jsonl keeps every run.
+        val sfName = Paths.get(sfDir).getFileName.toString
+        val latest =
+          if (sfName == "sf0.1") "latest.json" else s"latest_$sfName.json"
+        Files.writeString(dir.resolve(latest), stamped + "\n")
         Files.writeString(dir.resolve("history.jsonl"), stamped + "\n",
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       } catch { case e: Throwable =>

@@ -33,13 +33,16 @@ import org.apache.spark.sql.functions._
 object LineDedup {
 
   /** Fixed-width token segmentation: ceil(n/w) windows of w tokens
-    * (last window ragged), each re-joined with single spaces. */
+    * (last window ragged), each a zero-copy slice of the input —
+    * [[graft.functions.TokenSegments]], one codegen'd pass. (The HOF
+    * formulation — transform over sequence with split inlined into
+    * the lambda — re-evaluated the split per element after
+    * CollapseProject: O(segs·tokens) per row, measured 12×/decade
+    * superlinear at sf1 before the replacement.) */
   def segments(text: Column, w: Int): Column = {
     require(w >= 1, s"segment width must be >= 1, got $w")
-    val tk = split(text, " ")
-    transform(
-      sequence(lit(1), ceil(size(tk) / lit(w.toDouble)).cast("int")),
-      g => array_join(slice(tk, (g - lit(1)) * lit(w) + lit(1), lit(w)), " "))
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.TokenSegments(Bridge.expression(text), w))
   }
 
   /** One row per (doc, segment) with the 1-based in-doc ordinal. */
