@@ -37,14 +37,18 @@ object GlobalIndex {
                       buckets: Int = 64): DataFrame = {
     require(buckets >= 1 && buckets <= (1 << 20),
       s"buckets out of range: $buckets")
-    val k = col(key).cast("long")
+    // DECIMAL(38,0) + `div`, not long `*`/double `/`: long
+    // (k−mn)·buckets overflows once the key range exceeds 2^63/B —
+    // KernelPropertySpec caught exactly that on a ±Long.MaxValue/4
+    // span (the smallest key landed in a wrapped-negative bucket) —
+    // and Divide's double rounding could break the bucket-order ==
+    // key-order invariant the offsets depend on. Decimal is exact at
+    // any long range, IntegralDivide truncates exactly.
+    val k = col(key).cast("decimal(38,0)")
     val mm = df.agg(min(k).as("_mn"), max(k).as("_mx"))
-    // `div`, not `/`: Spark's Divide is double-valued, and a rounding
-    // wobble at 2^53-scale keys could break the bucket-order == key-
-    // order invariant the offsets depend on. Integer div is exact.
     val b = df.crossJoin(broadcast(mm))
-      .withColumn("_num", (k - col("_mn")) * lit(buckets.toLong))
-      .withColumn("_den", col("_mx") - col("_mn") + lit(1L))
+      .withColumn("_num", (k - col("_mn")) * lit(buckets))
+      .withColumn("_den", col("_mx") - col("_mn") + lit(1))
       .withColumn("_bkt", expr("cast(_num div _den as int)"))
       .drop("_mn", "_mx", "_num", "_den")
     val offs = b.groupBy("_bkt").agg(count(lit(1)).as("_cnt"))

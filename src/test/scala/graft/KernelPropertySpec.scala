@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.{TokenSegments, WordShingles}
+import graft.ops.Layout
+
+/** Property-based checks for the pure computation kernels, against
+  * independent reference implementations. Two execution shapes:
+  * JVM-level kernels (TokenSegments, WordShingles) run hundreds of
+  * ScalaCheck cases directly; Column-level kernels (Morton
+  * interleave) evaluate MANY random rows through ONE Spark job and
+  * compare against a per-row Scala reference — property coverage
+  * without paying job latency per sample.
+  */
+class KernelPropertySpec extends SparkSpec {
+
+  private def check(name: String, p: Prop, minOk: Int = 300): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minOk), p)
+    assert(res.passed, s"$name failed: $res")
+  }
+
+  // text with runs of spaces, empties, unicode multi-byte chars, and
+  // punctuation — the token-boundary edge cases
+  private val genText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      3 -> Gen.const(' '),
+      6 -> Gen.alphaNumChar,
+      1 -> Gen.oneOf('é', '中', 'ß', '€', '!', '\t'))).map(_.mkString)
+
+  test("TokenSegments == split/grouped/mkString reference for all inputs") {
+    check("TokenSegments", Prop.forAll(genText, Gen.choose(1, 7)) {
+      (s, w) =>
+        val got = TokenSegments.compute(UTF8String.fromString(s), w)
+          .array.map(_.toString).toSeq
+        val ref = s.split(" ", -1).toSeq.grouped(w)
+          .map(_.mkString(" ")).toSeq
+        got == ref
+    })
+  }
+
+  test("WordShingles == sliding-window reference, both modes") {
+    check("WordShingles", Prop.forAll(
+      genText, Gen.choose(1, 5), Gen.oneOf(true, false)) {
+      (s, k, distinct) =>
+        val got = WordShingles.compute(UTF8String.fromString(s), k, distinct)
+          .array.map(_.toString).toSeq
+        val toks = s.split(" ", -1).toSeq
+        val ref0 =
+          if (toks.length < k) { if (distinct) Seq(s) else Seq.empty }
+          else toks.sliding(k).map(_.mkString(" ")).toSeq
+        val ref = if (distinct) ref0.distinct else ref0
+        got == ref
+    })
+  }
+
+  test("Morton zValueN == bit-interleave reference over random grids " +
+    "(one job, 500 rows, 2-4 dims)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    for (d <- 2 to 4) {
+      val bits = Seq(8, 6, 4)(d - 2) // keep d*bits well under 62
+      val lim = 1L << bits
+      val rows = Seq.fill(500)(Seq.fill(d)(rnd.nextLong().abs % lim))
+      val df = rows.map(r => (r.head, r(1), if (d > 2) r(2) else 0L,
+        if (d > 3) r(3) else 0L)).toDF("a", "b", "c", "e")
+      val cols = Seq(col("a"), col("b"), col("c"), col("e")).take(d)
+      val got = df.select(Layout.zValueN(cols, bits).as("z"))
+        .as[Long].collect().toSeq
+      def refZ(vals: Seq[Long]): Long =
+        (for { i <- 0 until bits; j <- vals.indices }
+          yield ((vals(j) >> i) & 1L) << (i * d + (d - 1 - j)))
+          .foldLeft(0L)(_ | _)
+      val ref = rows.map(refZ)
+      assert(got == ref, s"zValueN mismatch at d=$d")
+      // z-order locality invariant: distinct inputs -> distinct z
+      assert(ref.distinct.size == rows.distinct.size)
+    }
+  }
+
+  test("GlobalIndex density holds across random key sets and bucket " +
+    "counts (one job per draw, 6 draws)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 6) {
+      val n = 50 + rnd.nextInt(300)
+      // hostile ranges: negatives, far outliers, dense runs
+      val keys = scala.util.Random.shuffle(
+        (Seq.fill(n)(rnd.nextLong() % 100000L) ++
+          Seq(Long.MinValue / 4, Long.MaxValue / 4)).distinct)
+      val buckets = 1 + rnd.nextInt(32)
+      val out = graft.ops.GlobalIndex
+        .withGlobalIndex(keys.toDF("k"), "k", "idx", buckets)
+        .select("k", "idx").as[(Long, Long)].collect().toSeq
+      val sorted = out.sortBy(_._1)
+      assert(sorted.map(_._2) == (1L to keys.length.toLong),
+        s"trial $trial (n=${keys.length}, buckets=$buckets) not dense")
+    }
+  }
+}
