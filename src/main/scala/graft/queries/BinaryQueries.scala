@@ -764,7 +764,71 @@ object BinaryQueries extends QueryPack {
       ORDER BY video_id, frame_idx
     """))
 
+  // ---------------------------------------------------------------
+  // Binary COLUMNS in a parquet table — the other multimodal storage
+  // shape (the brief's "treat image/audio/video as opaque binary
+  // columns with typed metadata"): not a binaryFile directory but a
+  // normal table whose `content` column carries the bytes. Fixture
+  // content is sf-independent (deterministic PNGs + one corrupt row),
+  // so no sf-keyed path is needed.
+  // ---------------------------------------------------------------
+
+  val BinTableDir = "/tmp/graft_fixtures/binmm/bintable"
+
+  def writeBinaryTableFixture(s: org.apache.spark.sql.SparkSession): String = {
+    import s.implicits._
+    val rows = (0 until NumFiles).map { k =>
+      (k.toLong, "image/png", pngBytes(k))
+    } :+ {
+      val corrupt = pngBytes(0); corrupt(0) = 'X'.toByte
+      (NumFiles.toLong, "application/octet-stream", corrupt)
+    }
+    rows.toDF("img_id", "mime", "content")
+      .repartition(2)
+      .write.mode("overwrite").parquet(BinTableDir)
+    BinTableDir
+  }
+
+  /** Multimodal bytes as a TABLE COLUMN: checksum + header parse over
+    * `content BINARY` read from parquet — same Column expressions as
+    * the binaryFile leg, different storage shape (the one a 100 TB
+    * corpus actually uses: bytes co-located with their typed metadata
+    * row, partition-prunable, no tiny-file listing). The corrupt row
+    * stays IN the result with NULL dims — column-shape quarantine is
+    * per-value, not per-file. The oracle re-reads the same parquet
+    * with DuckDB and re-parses the same offsets over the BLOB. */
+  val binaryColumn = GQuery(
+    "q_binary_column",
+    (s, d) => {
+      val dir = writeBinaryTableFixture(s)
+      s.read.parquet(dir).select(
+        col("img_id"), col("mime"),
+        length(col("content")).cast("long").as("n_bytes"),
+        // md5 over the HEX of the bytes: DuckDB's md5 is
+        // VARCHAR-only, and a blob->varchar cast would choke on
+        // non-UTF8 bytes; hex is uppercase in both engines
+        md5(hex(col("content"))).as("content_md5"),
+        when(Multimodal.isPng(col("content")),
+          Multimodal.pngWidth(col("content"))).as("img_width"),
+        when(Multimodal.isPng(col("content")),
+          Multimodal.pngHeight(col("content"))).as("img_height"))
+        .orderBy("img_id")
+    },
+    Some(s"""
+      SELECT img_id, mime,
+             CAST(octet_length(content) AS BIGINT) AS n_bytes,
+             md5(hex(content)) AS content_md5,
+             CASE WHEN ${Multimodal.isPngSql("content")}
+               THEN ${Multimodal.beUint32Sql("content", 17)} END AS img_width,
+             CASE WHEN ${Multimodal.isPngSql("content")}
+               THEN ${Multimodal.beUint32Sql("content", 21)} END AS img_height
+      FROM read_parquet('$BinTableDir/*.parquet')
+      ORDER BY img_id
+    """),
+    eager = true)
+
   def all: Seq[GQuery] =
     Seq(binaryMeta, fileLedger, imageDecode, imageResize, audioMeta,
-      jpegMeta, imagePhash, imageNearDup, videoMeta, frameSample)
+      jpegMeta, imagePhash, imageNearDup, videoMeta, frameSample,
+      binaryColumn)
 }

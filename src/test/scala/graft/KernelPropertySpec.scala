@@ -80,6 +80,46 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  private def longArray(xs: Seq[Long]) =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(xs.toArray)
+
+  test("SimHashBits == per-bit vote reference; permutation- and " +
+    "duplication-invariant") {
+    val genHashes = Gen.listOf(Gen.choose(0L, (1L << 60) - 1))
+    check("SimHashBits", Prop.forAll(genHashes, Gen.choose(1, 62)) {
+      (hs, bits) =>
+        val got = graft.functions.SimHashBits.compute(longArray(hs), bits)
+        val ref = (0 until bits).map { j =>
+          val v = hs.map(h => if (((h >> j) & 1L) != 0L) 1 else -1).sum
+          if (v > 0) 1L << j else 0L
+        }.foldLeft(0L)(_ | _)
+        val perm = graft.functions.SimHashBits.compute(
+          longArray(scala.util.Random.shuffle(hs)), bits)
+        val dup = graft.functions.SimHashBits.compute(
+          longArray(hs ++ hs), bits)
+        got == ref && perm == got && dup == got
+    }, minOk = 200)
+  }
+
+  test("NearestCentroid == argmax-dot reference with first-wins ties") {
+    val genVec = Gen.choose(2, 8).flatMap(d =>
+      Gen.listOfN(d, Gen.choose(-1000L, 1000L)))
+    check("NearestCentroid", Prop.forAll(genVec, Gen.choose(1, 6)) {
+      (v, c) =>
+        val rnd = new scala.util.Random(v.hashCode * 31 + c)
+        val cents = Seq.fill(c)(Seq.fill(v.length)(
+          rnd.nextLong() % 1000L))
+        val centsData = new org.apache.spark.sql.catalyst.util
+          .GenericArrayData(cents.map(x => longArray(x): Any).toArray)
+        val got = graft.functions.NearestCentroid.compute(
+          longArray(v), centsData)
+        val dots = cents.map(ct => v.zip(ct).map { case (a, b) => a * b }.sum)
+        val ref = dots.indexOf(dots.max)
+        got == ref
+    }, minOk = 200)
+  }
+
   test("GlobalIndex density holds across random key sets and bucket " +
     "counts (one job per draw, 6 draws)") {
     val s = spark; import s.implicits._
