@@ -66,6 +66,19 @@ class LineDedupSpec extends SparkSpec {
     assert(out(2).getAs[Long]("kept_segs") == 1L)
   }
 
+  test("plan: scrub join is hash-based (never nested-loop) and the " +
+    "DF aggregate is two-phase partial") {
+    val docs = mk((1L, "a b c d"), (2L, "a b e f"), (3L, "a b g h"))
+    val plan = LineDedup.scrub(docs, "doc_id", "text", 2, 3)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"scrub must join on the segment key, not loop:\n$plan")
+    // partial countDistinct: two HashAggregate pairs around Exchanges,
+    // never a single-node distinct
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("reassembly orders by ordinal even when collection order differs") {
     // many segments per doc so collect_list arrival order is unlikely
     // to accidentally equal ordinal order across 4 shuffle partitions
