@@ -350,9 +350,17 @@ object Multimodal {
     require(maxBoxes >= 1 && maxBoxes <= 64,
       s"mp4MvhdStruct maxBoxes must be in [1, 64]: $maxBoxes")
     val fileEnd = length(content).cast("long") + 1L
-    val moov = boxOffset(content, lit(1L), fileEnd, "6D6F6F76", maxBoxes)
+    val moov = boxOffset(content, lit(1L), fileEnd, MoovHex, maxBoxes)
     val moovEnd = moov + beU32At(content, moov)
-    val mvhd = boxOffset(content, moov + 8L, moovEnd, "6D766864", maxBoxes)
+    val mvhd = boxOffset(content, moov + 8L, moovEnd, MvhdHex, maxBoxes)
+    mvhdAt(content, mvhd)
+  }
+
+  private val MoovHex = "6D6F6F76"
+  private val MvhdHex = "6D766864"
+
+  /** Read the mvhd fields at a RESOLVED offset column. */
+  private def mvhdAt(content: Column, mvhd: Column): Column = {
     val ver = byteAt(content, mvhd + 8L)
     val ts = when(ver === 1L, beU32At(content, mvhd + 28L))
       .otherwise(beU32At(content, mvhd + 20L))
@@ -364,6 +372,31 @@ object Multimodal {
       struct(ver.as("version"), ts.as("timescale"), dur.as("duration"),
         ((dur * 1000L) / ts).cast("long").as("duration_ms")))
       .otherwise(lit(null))
+  }
+
+  /** [[mp4MvhdStruct]] with PROJECTION BOUNDARIES between the two
+    * fold stages — the form query paths must use. As one composed
+    * Column, each reference to the moov fold re-inlines the whole
+    * 16-step aggregate (moov appears in three places, mvhd in six:
+    * the generated code explodes combinatorially and janino pays for
+    * it — q_video_meta measured 3.96 s vs 0.39 s for the same-shape
+    * JPEG walk). Staging each fold as a withColumn keeps it a slot
+    * read: CollapseProject cannot merge the projections because the
+    * folds are non-cheap and multiply referenced — the same binding
+    * discipline as the int8 scale (r8) and TokenSegments (r9). */
+  def withMp4Mvhd(df: DataFrame, contentCol: String, outCol: String,
+                  maxBoxes: Int = 16): DataFrame = {
+    require(maxBoxes >= 1 && maxBoxes <= 64,
+      s"withMp4Mvhd maxBoxes must be in [1, 64]: $maxBoxes")
+    val content = col(contentCol)
+    val fileEnd = length(content).cast("long") + 1L
+    df.withColumn("_moov",
+        boxOffset(content, lit(1L), fileEnd, MoovHex, maxBoxes))
+      .withColumn("_mvhd",
+        boxOffset(content, col("_moov") + 8L,
+          col("_moov") + beU32At(content, col("_moov")), MvhdHex, maxBoxes))
+      .withColumn(outCol, mvhdAt(content, col("_mvhd")))
+      .drop("_moov", "_mvhd")
   }
 
   /** Average-hash (aHash) perceptual fingerprint: decode, bin pixels

@@ -704,8 +704,8 @@ object BinaryQueries extends QueryPack {
     "q_video_meta",
     (s, d) => {
       val dir = writeMp4Fixture()
-      Multimodal.readBinaryDir(s, dir, "*.mp4")
-        .withColumn("m", Multimodal.mp4MvhdStruct(col("content")))
+      Multimodal.withMp4Mvhd(
+        Multimodal.readBinaryDir(s, dir, "*.mp4"), "content", "m")
         .filter(col("m").isNotNull)
         .select(col("file_name"), col("size_bytes"),
           col("m.version").as("version"),

@@ -256,12 +256,19 @@ class MultimodalSpec extends SparkSpec {
     // extended-size (size==1) top-level box: must die, not misparse
     val ext = BinaryQueries.mp4Bytes(2).clone()
     ext(20) = 0; ext(21) = 0; ext(22) = 0; ext(23) = 1
-    val rows = Seq(("v0", v0), ("v1", v1), ("corrupt", corrupt),
-      ("nomoov", nomoov), ("ext", ext))
-      .toDF("name", "content")
+    val df = Seq(("v0", v0), ("v1", v1), ("corrupt", corrupt),
+      ("nomoov", nomoov), ("ext", ext)).toDF("name", "content")
+    val rows = df
       .select(col("name"),
         Multimodal.mp4MvhdStruct(col("content")).as("m"))
       .collect().map(r => r.getString(0) -> Option(r.getStruct(1))).toMap
+    // the staged (projection-boundary) form must agree exactly with
+    // the composed Column form
+    val staged = Multimodal.withMp4Mvhd(df, "content", "m")
+      .select(col("name"), col("m"))
+      .collect().map(r => r.getString(0) -> Option(r.getStruct(1))).toMap
+    assert(staged.view.mapValues(_.map(_.toString)).toMap ==
+      rows.view.mapValues(_.map(_.toString)).toMap)
     assert(rows("corrupt").isEmpty && rows("nomoov").isEmpty &&
       rows("ext").isEmpty)
     val m0 = rows("v0").get
