@@ -62,15 +62,13 @@ object LineDedup {
       .filter(col("df") >= minDocs)
   }
 
-  /** Strip boilerplate segments and summarize per document: total
-    * segments, kept segments, and the md5 of the scrubbed text
-    * (kept segments re-joined in ordinal order; empty docs hash ""). */
-  def scrub(docs: DataFrame, idCol: String, textCol: String,
-            w: Int, minDocs: Int): DataFrame = {
-    val ex = explodeSegments(docs, idCol, textCol, w)
-    val bp = boilerplate(ex, idCol, minDocs)
-      .select(col("seg"), lit(true).as("_bp"))
-    ex.join(bp, Seq("seg"), "left")
+  /** Scrub exploded segments against a boilerplate lexicon `bp`
+    * ((seg) rows) and summarize per doc: total segments, kept
+    * segments, md5 of the rebuilt text (kept segments re-joined in
+    * ordinal order; fully-scrubbed docs hash ""). */
+  private def scrubAgainst(ex: DataFrame, bp: DataFrame,
+                           idCol: String): DataFrame =
+    ex.join(bp.select(col("seg"), lit(true).as("_bp")), Seq("seg"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_segs"),
@@ -81,5 +79,59 @@ object LineDedup {
               when(col("_bp").isNull, struct(col("ord"), col("seg"))))),
             x => x.getField("seg")),
           " ")).as("new_md5"))
+
+  /** Strip boilerplate segments and summarize per document. */
+  def scrub(docs: DataFrame, idCol: String, textCol: String,
+            w: Int, minDocs: Int): DataFrame = {
+    val ex = explodeSegments(docs, idCol, textCol, w)
+    scrubAgainst(ex, boilerplate(ex, idCol, minDocs), idCol)
+  }
+
+  // ----- incremental loop: the per-batch segment-DF store ----------
+  //
+  // Same operational contract as Dedup's fingerprint/signature
+  // stores: one directory partitioned by batch_id, dynamic-overwrite
+  // writes so a retried batch rewrites exactly its own partition;
+  // the caller owns batch-id assignment, doc ids must be disjoint
+  // across batches and each doc arrives in exactly one batch (the
+  // per-batch distinct counts sum to corpus document frequency only
+  // under that contract).
+
+  /** Append a batch's per-segment distinct-doc counts to the store. */
+  def updateSegmentStore(docs: DataFrame, idCol: String, textCol: String,
+                         w: Int, path: String, batchId: Long): Unit =
+    explodeSegments(docs, idCol, textCol, w)
+      .groupBy("seg").agg(countDistinct(col(idCol)).as("n_docs"))
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(path)
+
+  def readSegmentStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Incremental scrub: clean a NEW batch against corpus-wide
+    * document frequency = stored history counts + the batch's own —
+    * without re-segmenting one byte of history (history text is
+    * never read; only its profile-sized (seg, n_docs) rows). The
+    * lexicon a batch sees is the corpus DF as of its ingest — the
+    * operational semantics of a monotone boilerplate lexicon; the
+    * one-shot [[scrub]] over the same union sees the identical
+    * lexicon, so batch outputs agree exactly (chain-equivalence
+    * spec-pinned). */
+  def incrementalScrub(store: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       w: Int, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 marks unique text boilerplate: $minDocs")
+    val ex = explodeSegments(batch, idCol, textCol, w)
+    val dfBatch = ex.groupBy("seg")
+      .agg(countDistinct(col(idCol)).as("_nb"))
+    val dfHist = store.groupBy("seg").agg(sum(col("n_docs")).as("_nh"))
+    val bp = dfBatch.join(dfHist, Seq("seg"), "full_outer")
+      .filter(coalesce(col("_nb"), lit(0L)) +
+        coalesce(col("_nh"), lit(0L)) >= minDocs)
+      .select("seg")
+    scrubAgainst(ex, bp, idCol)
   }
 }

@@ -564,9 +564,64 @@ object TextQueries extends QueryPack {
       ORDER BY df DESC, seg LIMIT 40
     """))
 
+  /** Incremental boilerplate scrub ([[graft.ops.LineDedup
+    * .incrementalScrub]]): two history batches land their
+    * profile-sized (seg, n_docs) partitions in a per-run store; the
+    * new batch is scrubbed against stored + own document frequency
+    * without re-segmenting history text. The oracle recomputes corpus
+    * DF from ALL raw docs and scrubs the batch — equal because doc
+    * sets are disjoint across batches, so per-batch distinct counts
+    * sum to corpus DF. bench=false: correctness surface (store
+    * bootstrap dominates the timing). */
+  val incrementalLineDedup = GQuery(
+    "q_incremental_line_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_segdf").toString + "/segdf"
+      graft.ops.LineDedup.updateSegmentStore(
+        docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", 4, dir, 0L)
+      graft.ops.LineDedup.updateSegmentStore(
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", 4, dir, 1L)
+      graft.ops.LineDedup.incrementalScrub(
+          graft.ops.LineDedup.readSegmentStore(s, dir),
+          docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", w = 4, minDocs = 3)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      segd AS (
+        SELECT doc_id,
+               [array_to_string(tk[(g-1)*4+1:g*4], ' ')
+                FOR g IN generate_series(1, CAST(ceil(len(tk)/4.0) AS INT))]
+                 AS segs
+        FROM toks),
+      ex AS (
+        SELECT doc_id, unnest(segs) AS seg,
+               unnest(generate_series(1, len(segs))) AS ord
+        FROM segd),
+      freq AS (
+        SELECT seg FROM ex GROUP BY seg
+        HAVING count(DISTINCT doc_id) >= 3)
+      SELECT e.doc_id,
+             CAST(count(*) AS BIGINT) AS n_segs,
+             CAST(count(*) FILTER (WHERE f.seg IS NULL) AS BIGINT)
+               AS kept_segs,
+             md5(coalesce(string_agg(
+               CASE WHEN f.seg IS NULL THEN e.seg END, ' '
+               ORDER BY e.ord), '')) AS new_md5
+      FROM ex e LEFT JOIN freq f ON e.seg = f.seg
+      WHERE e.doc_id % 3 = 0
+      GROUP BY e.doc_id ORDER BY e.doc_id
+    """),
+    bench = false, eager = true)
+
   def all: Seq[GQuery] =
     Seq(tokenStats, qualityScore, langId, fingerprint, tfidfTopTerms,
       piiRedact, tokenPacking, chunkWindows, vocabOov, contamination,
       repetitionStats, boilerplateScore, distinctNgrams,
-      paddingEfficiency, unigramSurprisal, lineDedup, segmentDfTop)
+      paddingEfficiency, unigramSurprisal, lineDedup, segmentDfTop,
+      incrementalLineDedup)
 }

@@ -66,6 +66,52 @@ class LineDedupSpec extends SparkSpec {
     assert(out(2).getAs[Long]("kept_segs") == 1L)
   }
 
+  test("chain equivalence: incremental scrub over a segment store == " +
+    "one-shot scrub of the union, restricted to the batch") {
+    val all = mk(
+      (1L, "the cookie banner alpha beta gamma"),
+      (2L, "the cookie banner delta epsilon zeta"),
+      (4L, "the cookie banner eta theta iota"),
+      (5L, "unique one two three four five"),
+      (3L, "the cookie banner kappa lambda mu"),
+      (6L, "the cookie banner nu xi omicron"))
+    val hist0 = all.filter(col("doc_id") % 3 === 1)
+    val hist1 = all.filter(col("doc_id") % 3 === 2)
+    val batch = all.filter(col("doc_id") % 3 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_segdf_spec").toString + "/segdf"
+    LineDedup.updateSegmentStore(hist0, "doc_id", "text", 3, dir, 0L)
+    LineDedup.updateSegmentStore(hist1, "doc_id", "text", 3, dir, 1L)
+    val inc = LineDedup.incrementalScrub(
+        LineDedup.readSegmentStore(spark, dir), batch,
+        "doc_id", "text", w = 3, minDocs = 3)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val oneShot = LineDedup.scrub(all, "doc_id", "text", 3, 3)
+      .filter(col("doc_id") % 3 === 0)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(inc == oneShot)
+    // and the store really fed the lexicon: the batch alone has only
+    // 2 "the cookie banner" docs, under minDocs - without history the
+    // segment would survive
+    val noHist = LineDedup.scrub(batch, "doc_id", "text", 3, 3)
+      .orderBy("doc_id").collect()
+    assert(noHist.forall(_.getAs[Long]("kept_segs") == 2L))
+    assert(inc.forall(r => r(2) == 1L), s"history DF must scrub: $inc")
+  }
+
+  test("retried store batch is idempotent (dynamic partition overwrite)") {
+    val docs = mk((1L, "x y z w"), (2L, "x y q r"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_segdf_retry").toString + "/segdf"
+    LineDedup.updateSegmentStore(docs, "doc_id", "text", 2, dir, 7L)
+    LineDedup.updateSegmentStore(docs, "doc_id", "text", 2, dir, 7L)
+    val store = LineDedup.readSegmentStore(spark, dir)
+    assert(store.count() == store.select("seg").distinct().count(),
+      "replayed batch must not duplicate its partition")
+    assert(store.filter(col("seg") === "x y")
+      .head().getAs[Long]("n_docs") == 2L)
+  }
+
   test("plan: scrub join is hash-based (never nested-loop) and the " +
     "DF aggregate is two-phase partial") {
     val docs = mk((1L, "a b c d"), (2L, "a b e f"), (3L, "a b g h"))
