@@ -827,8 +827,158 @@ object BinaryQueries extends QueryPack {
     """),
     eager = true)
 
+  // ---------------------------------------------------------------
+  // Content-defined chunking fixture: deterministic LCG byte blobs.
+  // Files 9-11 are files 0-2 with a 101-byte random prefix INSERTED —
+  // the shift-resistance scenario fixed-offset chunking destroys:
+  // every boundary after the insertion re-synchronizes because the
+  // cut rule sees only the last `window` bytes, so the copies share
+  // almost all their chunk hashes at different offsets. Plus a
+  // sub-minLen file (single tail chunk) and an empty file (no rows).
+  // ---------------------------------------------------------------
+
+  val BlobDir = "/tmp/graft_fixtures/binmm/blobs"
+  val CdcWindow = 16
+  val CdcDivisor = 256
+  val CdcMin = 64
+  val CdcMax = 1024
+
+  def blobBytes(k: Int, n: Int): Array[Byte] = {
+    val a = new Array[Byte](n)
+    var x = 123456789L + k * 987654321L
+    var i = 0
+    while (i < n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      a(i) = (x >>> 33).toByte
+      i += 1
+    }
+    a
+  }
+
+  def writeBlobFixture(): String = {
+    val dir = java.nio.file.Paths.get(BlobDir)
+    java.nio.file.Files.createDirectories(dir)
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    (0 until 9).foreach { k =>
+      put(f"blob_$k%02d.bin", blobBytes(k, 1500 + 317 * k))
+    }
+    (9 until 12).foreach { k =>
+      put(f"blob_$k%02d.bin",
+        blobBytes(1000 + k, 101) ++ blobBytes(k - 9, 1500 + 317 * (k - 9)))
+    }
+    put("tiny.bin", blobBytes(99, 40))
+    put("empty.bin", Array.empty[Byte])
+    dir.toString
+  }
+
+  private def cdcChunkFrame(s: org.apache.spark.sql.SparkSession) = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val dir = writeBlobFixture()
+    Multimodal.readBinaryDir(s, dir, "*.bin")
+      .select(col("file_name"),
+        explode(Bridge.column(graft.functions.RollingChunks(
+          Bridge.expression(col("content")),
+          CdcWindow, CdcDivisor, CdcMin, CdcMax))).as("c"))
+      .select(col("file_name"), col("c.offset").as("chunk_offset"),
+        col("c.len").as("len"), col("c.chunk_md5").as("chunk_md5"))
+  }
+
+  /** The oracle re-walks the same bytes: a recursive CTE advances one
+    * byte per step carrying (h, chunk_start) — the exact mod-1e9+7
+    * rolling hash and min/max cut rule of [[graft.functions
+    * .RollingChunks]] — then hashes each chunk's hex slice. A
+    * genuinely different control flow (sequential recursion vs one
+    * imperative pass) over identical arithmetic. */
+  private def cdcWalkSql: String = {
+    val pow = BigInt(graft.functions.RollingChunks.A)
+      .modPow(CdcWindow - 1, graft.functions.RollingChunks.M)
+    val A = graft.functions.RollingChunks.A
+    val M = graft.functions.RollingChunks.M
+    def byteAt(pos: String) =
+      s"CAST(('0x' || substring(f.hx, 2*($pos)+1, 2)) AS BIGINT)"
+    s"""
+      WITH RECURSIVE fx AS (
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+               hex(content) AS hx, size AS n
+        FROM read_blob('$BlobDir/*.bin')
+        WHERE size > 0),
+      walk AS (
+        SELECT file_name, -1 AS i, CAST(0 AS BIGINT) AS h,
+               CAST(0 AS BIGINT) AS cstart, FALSE AS cut,
+               CAST(0 AS BIGINT) AS cut_start, CAST(0 AS BIGINT) AS cut_len
+        FROM fx
+        UNION ALL
+        SELECT file_name, j, h2,
+               CASE WHEN (j - cstart + 1 >= $CdcMin AND h2 % $CdcDivisor = 0)
+                      OR (j - cstart + 1 >= $CdcMax)
+                 THEN j + 1 ELSE cstart END,
+               (j - cstart + 1 >= $CdcMin AND h2 % $CdcDivisor = 0)
+                 OR (j - cstart + 1 >= $CdcMax),
+               cstart, j - cstart + 1
+        FROM (
+          SELECT w.file_name, w.i + 1 AS j, w.cstart,
+                 ((CASE WHEN w.i + 1 >= $CdcWindow
+                     THEN (w.h - ${byteAt(s"w.i + 1 - $CdcWindow")} * $pow % $M
+                           + $M) % $M
+                     ELSE w.h END) * $A
+                   + ${byteAt("w.i + 1")}) % $M AS h2
+          FROM walk w JOIN fx f USING (file_name)
+          WHERE w.i + 1 < f.n) t),
+      chunks AS (
+        SELECT file_name, cut_start AS offset, cut_len AS len
+        FROM walk WHERE cut
+        UNION ALL
+        SELECT w.file_name, w.cstart, f.n - w.cstart
+        FROM walk w JOIN fx f USING (file_name)
+        WHERE w.i = f.n - 1 AND w.cstart < f.n)
+    """
+  }
+
+  /** CDC chunk inventory: every (file, offset, len, content hash). */
+  val cdcChunks = GQuery(
+    "q_cdc_chunks",
+    (s, d) => cdcChunkFrame(s).orderBy("file_name", "chunk_offset"),
+    Some(s"""
+      $cdcWalkSql
+      SELECT c.file_name, CAST(c.offset AS BIGINT) AS chunk_offset,
+             CAST(c.len AS BIGINT) AS len,
+             md5(substring(f.hx, 2*c.offset+1, 2*c.len)) AS chunk_md5
+      FROM chunks c JOIN fx f USING (file_name)
+      ORDER BY file_name, chunk_offset
+    """))
+
+  /** Chunk-level dedup discovery: content hashes shared by >= 2
+    * distinct files — the bytes a chunk store would keep once. The
+    * prefix-inserted copies surface here despite having NO equal
+    * whole-file checksum and NO aligned offsets. */
+  val cdcSharedChunks = GQuery(
+    "q_cdc_shared_chunks",
+    (s, d) => cdcChunkFrame(s)
+      .groupBy("chunk_md5")
+      .agg(countDistinct(col("file_name")).cast("long").as("n_files"),
+        count(lit(1)).cast("long").as("n_copies"),
+        max(col("len")).cast("long").as("len"))
+      .filter(col("n_files") >= 2)
+      .orderBy("chunk_md5"),
+    Some(s"""
+      $cdcWalkSql,
+      hashed AS (
+        SELECT c.file_name,
+               md5(substring(f.hx, 2*c.offset+1, 2*c.len)) AS chunk_md5,
+               c.len
+        FROM chunks c JOIN fx f USING (file_name))
+      SELECT chunk_md5,
+             CAST(count(DISTINCT file_name) AS BIGINT) AS n_files,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(max(len) AS BIGINT) AS len
+      FROM hashed GROUP BY chunk_md5
+      HAVING count(DISTINCT file_name) >= 2
+      ORDER BY chunk_md5
+    """))
+
   def all: Seq[GQuery] =
     Seq(binaryMeta, fileLedger, imageDecode, imageResize, audioMeta,
       jpegMeta, imagePhash, imageNearDup, videoMeta, frameSample,
-      binaryColumn)
+      binaryColumn, cdcChunks, cdcSharedChunks)
 }
