@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Fixed-iteration PageRank over a link graph — the web-corpus
+  * quality-weighting primitive (centrality-weighted sampling of a
+  * crawled corpus; Common-Crawl-style curation ranks hosts/pages by
+  * link centrality before quality filtering). Reference scope: none —
+  * training-data extension family.
+  *
+  * Arithmetic contract: ranks live in integer MICRO units
+  * (`r0 = 1 000 000` per node) and every update is BIGINT with
+  * integral `div`:
+  *
+  *   `r'(v) = 150000 + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100`
+  *
+  * i.e. damping 0.85 with the per-node base convention (ranks sum to
+  * ≈ N·1e6). Integer div makes the fixed-point value bit-identical
+  * cross-engine — floats would drift in the 5th iteration's last ulp.
+  *
+  * Scale shape: each iteration is exactly ONE shuffle — the
+  * contribution aggregate keyed on dst (map-side combinable) — plus a
+  * broadcast-or-shuffle join back to the node list for the base term.
+  * The edge frame (with outdeg folded in, so the per-iteration join
+  * multiplies no aggregates) is persisted once and reused by every
+  * iteration; each rank frame is persisted and the previous one
+  * evicted as soon as its successor materializes (the
+  * connected-components loop discipline, `ops/Dedup.scala`). Lineage
+  * is truncated by the persist, so iteration count never compounds
+  * the plan. At 1000 executors the edges partition by src once and
+  * stay put; only the (dst, contribution) pairs move per round.
+  */
+object Graph {
+
+  /** Deterministic synthetic link graph over a contiguous id space
+    * [0, N): node d links to `(d·31+7) mod N`, `(d·17+3) mod N`,
+    * `(d·101+11) mod N`, self-loops dropped (so outdeg ∈ {2,3}).
+    * Stands in for a crawl's hyperlink extraction, which this corpus
+    * does not carry; N is computed from the node frame (one-row
+    * aggregate, auto-broadcast on the cross join). */
+  def syntheticEdges(nodes: DataFrame, idCol: String): DataFrame = {
+    val n = nodes.agg(count(lit(1)).cast("long").as("_n"))
+    val base = nodes.select(col(idCol).cast("long").as("src")).crossJoin(n)
+    Seq((31L, 7L), (17L, 3L), (101L, 11L))
+      .map { case (a, b) =>
+        base.select(col("src"),
+          pmod(col("src") * a + b, col("_n")).as("dst"))
+      }
+      .reduce(_ unionByName _)
+      .filter(col("dst") =!= col("src"))
+  }
+
+  /** `iters` rounds of integer PageRank; returns
+    * (node, rank_micro) for every node in `nodes` (nodes with no
+    * in-edges settle at the 150000 base). The edge frame (outdeg
+    * folded in) is checkpointed once and read by every round; the
+    * loop's caches and the edge checkpoint are released on every exit
+    * path, and the result hands back TRUNCATED lineage (the
+    * connectedComponents discipline, `ops/Dedup.scala:424-498`). */
+  def pagerank(nodes: DataFrame, idCol: String, edges: DataFrame,
+               iters: Int): DataFrame = {
+    require(iters >= 1, s"pagerank needs iters >= 1, got $iters")
+    val sc = nodes.sparkSession.sparkContext
+    val beforeEdges = sc.getPersistentRDDs.keySet.toSet
+    val outdeg = edges.groupBy("src")
+      .agg(count(lit(1)).cast("long").as("_deg"))
+    val e = edges.join(outdeg, "src").localCheckpoint()
+    val edgeIds = sc.getPersistentRDDs.keySet.toSet -- beforeEdges
+    def releaseEdges(): Unit = edgeIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    val nodeIds = nodes.select(col(idCol).cast("long").as("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodeIds.select(col("node"), lit(1000000L).as("rank_micro"))
+    try {
+      for (_ <- 1 to iters) {
+        val contrib = e
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("rank_micro div _deg")).cast("long").as("_in"))
+        val next = nodeIds
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(150000L) + expr("(85 * coalesce(_in, 0L)) div 100"))
+              .cast("long").as("rank_micro"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before evicting the predecessor
+        ranks.unpersist()
+        ranks = next
+      }
+      val result = ranks.localCheckpoint()
+      ranks.unpersist()
+      nodeIds.unpersist()
+      releaseEdges()
+      result
+    } catch { case t: Throwable =>
+      ranks.unpersist(); nodeIds.unpersist(); releaseEdges()
+      throw t
+    }
+  }
+
+  /** DuckDB mirror: the same graph and `iters` update rounds as
+    * explicitly chained CTE levels (aggregation per round is not
+    * expressible inside a recursive CTE), each level one join +
+    * group-by over its predecessor. */
+  def pagerankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+        SELECT n.node,
+               150000 + (85 * COALESCE(c.s, 0)) // 100 AS rank_micro
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, CAST(SUM(r.rank_micro // e.outdeg) AS BIGINT) AS s
+          FROM e JOIN r${i - 1} r ON e.src = r.node
+          GROUP BY e.dst) c USING (node))"""
+    }.mkString(",\n")
+    s"""
+      WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      e0 AS (
+        SELECT doc_id AS src, (doc_id * 31 + 7) % n AS dst FROM documents, s
+        UNION ALL
+        SELECT doc_id, (doc_id * 17 + 3) % n FROM documents, s
+        UNION ALL
+        SELECT doc_id, (doc_id * 101 + 11) % n FROM documents, s),
+      e1 AS (SELECT src, dst FROM e0 WHERE dst <> src),
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+              FROM e1 GROUP BY src),
+      e AS (SELECT e1.src, e1.dst, deg.outdeg FROM e1 JOIN deg USING (src)),
+      nodes AS (SELECT doc_id AS node FROM documents),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+      $rounds
+      SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro
+      FROM r$iters ORDER BY node
+    """
+  }
+}
