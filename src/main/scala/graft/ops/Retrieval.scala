@@ -64,7 +64,13 @@ object Retrieval {
         .as("_tot"))
     val qt = broadcast(
       queryTerms.select(col("term").cast("string").as("_qterm")).distinct())
-    // dl rides the explode as a per-row projection — no doc-keyed join
+    // dl rides the explode as a per-row projection — no doc-keyed join.
+    // The matched tf frame is consumed TWICE (df re-aggregation +
+    // scoring join); without materialization each consumer replays the
+    // full corpus scan+explode — the dominant cost at scale. Its size
+    // is |matching docs| × |query terms| (corpus-independent for a
+    // fixed workload), so an eager localCheckpoint is cheap and makes
+    // the corpus text read happen exactly once.
     val matched = docs
       .select(col(idCol).as("_doc"),
         TextOps.tokenCount(col(textCol)).cast("long").as("_dl"),
@@ -72,6 +78,7 @@ object Retrieval {
       .join(qt, col("_term") === col("_qterm"))
       .groupBy("_doc", "_dl", "_term")
       .agg(count(lit(1)).cast("long").as("_tf"))
+      .localCheckpoint()
     val df = matched.groupBy("_term")
       .agg(count(lit(1)).cast("long").as("_df"))
     val q = broadcast(queryTerms.select(

@@ -30,7 +30,8 @@ object RetrievalQueries extends QueryPack {
       Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text", q, k = 5)
         .orderBy("query_id", "rank")
     },
-    Some(Retrieval.bm25TopKSql(bmValues, k = 5)))
+    Some(Retrieval.bm25TopKSql(bmValues, k = 5)),
+    eager = true) // matched-tf localCheckpoint runs jobs at construction
 
   /** 5 damped rounds over the deterministic synthetic link graph
     * (outdeg ∈ {2,3} permutation edges over the contiguous doc-id
