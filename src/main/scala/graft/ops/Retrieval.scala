@@ -105,6 +105,73 @@ object Retrieval {
         col("sim_scaled").as("score_milli"), col("rank"))
   }
 
+  /** Inverted-index construction: for every corpus term, document
+    * frequency plus the first `cap` postings (doc ascending) in
+    * relational form — (term, df, rank, doc_id, tf). The capped
+    * posting shape is the search-index build step; df rides along as
+    * the scoring metadata.
+    *
+    * Scale shape: one (doc, term) tf aggregation (map-side
+    * combinable), then the cap via the bounded [[Similarity.TopKAgg]]
+    * partial aggregate — ≤ cap postings per term per partition enter
+    * the term-keyed exchange, so a hot stopword term ships `cap·P`
+    * rows, not its full posting list (a window row_number would
+    * materialize the whole hot-term partition before ranking — the
+    * exact hot-key failure the bounded heap exists to avoid). df is
+    * re-aggregated from the tf frame (no second corpus scan) and
+    * joined at vocabulary width.
+    *
+    * The heap element is (sort key, doc id) only, so tf is re-joined
+    * from the tf frame at (term, doc) — posting-width, not
+    * corpus-width, because the heap already capped the left side. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    cap: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).cast("long").as("_doc"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "_doc")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .localCheckpoint() // consumed by df, the heap, and the tf join
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    // ascending doc order through the (desc, asc)-ordered heap:
+    // negate the doc id for the sort slot
+    val postings = Similarity.topKPerQuery(
+      tf.select(col("term").as("query_id"), col("_doc").as("neighbour_id"),
+        (-col("_doc")).as("sim_scaled")), cap)
+      .select(col("query_id").as("term"), col("rank"),
+        col("neighbour_id").as("doc_id"))
+    postings
+      .join(df, "term")
+      .join(tf.select(col("term"), col("_doc").as("doc_id"), col("tf")),
+        Seq("term", "doc_id"))
+      .select(col("term"), col("df"), col("rank"), col("doc_id"), col("tf"))
+      .orderBy("term", "rank")
+  }
+
+  /** DuckDB mirror of [[invertedIndex]] (window rank vs the engine's
+    * bounded heap). */
+  def invertedIndexSql(cap: Int): String =
+    s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tf AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE term <> '' GROUP BY term, doc_id),
+      dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      ranked AS (
+        SELECT term, doc_id, tf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id)
+                 AS INT) AS rank
+        FROM tf)
+      SELECT r.term, d.df, r.rank, r.doc_id, r.tf
+      FROM ranked r JOIN dfreq d USING (term)
+      WHERE r.rank <= $cap
+      ORDER BY r.term, r.rank
+    """
+
   /** DuckDB mirror of [[bm25TopK]] over `documents`; `queryValues` is
     * the literal VALUES body, e.g. `(1,'hash'),(2,'scan')`. */
   def bm25TopKSql(queryValues: String, k: Int): String =

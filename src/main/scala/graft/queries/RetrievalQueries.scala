@@ -56,5 +56,28 @@ object RetrievalQueries extends QueryPack {
       Tables.documents(s, d), "text", minCount = 5, k = 40),
     Some(Collocations.topPmiSql(minCount = 5, k = 40)))
 
-  def all: Seq[GQuery] = Seq(bm25, pagerank, pmi)
+  /** Capped posting lists (first 8 docs per term) + df, relational
+    * form — the bounded-heap cap ships ≤ cap·partitions rows per hot
+    * term where a window rank would materialize the full posting.
+    * Eager: the tf localCheckpoint runs jobs at construction. */
+  val index = GQuery(
+    "q_inverted_index",
+    (s, d) => Retrieval.invertedIndex(
+      Tables.documents(s, d), "doc_id", "text", cap = 8),
+    Some(Retrieval.invertedIndexSql(cap = 8)),
+    eager = true)
+
+  /** Triangle census of the synthetic link graph via degree-ordered
+    * orientation (each triangle counted once; out-degree bounded by
+    * O(√m) on skew-free orientation). The oracle recomputes triangles
+    * by the independent a<b<c canonical triple join. Eager: the
+    * counts collect at construction. */
+  val triangles = GQuery(
+    "q_triangle_count",
+    (s, d) => Graph.triangleCount(
+      Graph.syntheticEdges(Tables.documents(s, d), "doc_id")),
+    Some(Graph.triangleCountSql),
+    eager = true)
+
+  def all: Seq[GQuery] = Seq(bm25, pagerank, pmi, index, triangles)
 }

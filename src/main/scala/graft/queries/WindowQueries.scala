@@ -211,7 +211,29 @@ object WindowQueries extends QueryPack {
       FROM orders ORDER BY o_orderkey
     """))
 
+  /** Ordered view→click→purchase funnel within a 7-day span:
+    * chained first-eligible-step windows on ONE user-keyed exchange
+    * (the per-step-join formulation — which the oracle uses — would
+    * shuffle the event table once per step). */
+  val eventFunnel = GQuery(
+    "q_event_funnel",
+    (s, d) => graft.ops.Funnel.funnel(
+      Tables.events(s, d), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), spanDays = 7),
+    Some(graft.ops.Funnel.funnelSql(
+      Seq("view", "click", "purchase"), spanDays = 7)))
+
+  /** Weekly cohort retention (cohort = Monday week of first event),
+    * offsets 0..4: window cohort derivation on the same user-keyed
+    * exchange; the output is weeks² cells, not rows. */
+  val cohortRetention = GQuery(
+    "q_cohort_retention",
+    (s, d) => graft.ops.Funnel.cohortRetention(
+      Tables.events(s, d), "user_id", "ts", maxOffset = 4),
+    Some(graft.ops.Funnel.cohortRetentionSql(maxOffset = 4)))
+
   def all: Seq[GQuery] =
     Seq(dupWindowMark, latestPerKey, surrogateKeys, topkOrders,
-      sessionizeBatch, rollingFeatures, globalIndex)
+      sessionizeBatch, rollingFeatures, globalIndex, eventFunnel,
+      cohortRetention)
 }
