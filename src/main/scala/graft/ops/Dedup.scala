@@ -94,6 +94,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard_milli"))
   }
 
+  /** Asymmetric shingle CONTAINMENT `|A∩B| / |A|` over pre-exploded
+    * (id, shingle) pairs — the quote/subset detector Jaccard cannot
+    * express: a short doc fully quoted inside a long aggregator page
+    * has tiny Jaccard (union is the long doc) but containment ≈ 1.
+    * Output is DIRECTED (id_a contained-in id_b), per-mille exact.
+    *
+    * Scale note: same ground-truth posture as [[jaccardPairs]] — the
+    * shingle equi-join is the truth tool and the LSH-candidate
+    * verifier; whole-corpus discovery goes through the banded
+    * candidates (with the CapNoBite bucket cap) and scores ONLY the
+    * candidate pairs with this exact formula. */
+  def containmentPairs(docShingles: DataFrame, idCol: String,
+                       shingleCol: String, minMille: Int): DataFrame = {
+    val sizes = docShingles.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sh"))
+    val a = docShingles.select(col(idCol).as("id_a"), col(shingleCol).as("sh"))
+    val b = docShingles.select(col(idCol).as("id_b"), col(shingleCol).as("sh"))
+    val inter = a.join(b, Seq("sh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .withColumn("containment_milli",
+        expr("inter * 1000 DIV n_a"))
+      .filter(col("containment_milli") >= minMille)
+      .select(col("id_a"), col("id_b"), col("containment_milli"))
+  }
+
   /** MinHash signatures over pre-exploded (id, shingle) rows: numHashes
     * independent min-hashes, hash family = xxhash64 with the hash index
     * as a leading salt (a keyed 64-bit hash; distinct salts give

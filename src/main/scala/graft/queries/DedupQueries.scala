@@ -207,6 +207,36 @@ object DedupQueries extends QueryPack {
     Some(jaccardOracle(500)),
     bench = false)
 
+  /** Directed shingle-containment pairs (quote/subset detection —
+    * the asymmetric signal Jaccard can't see: a doc fully quoted
+    * inside a longer page). Same ground-truth posture (and bench
+    * exclusion rationale) as q_ngram_jaccard_pairs; production
+    * discovery scores LSH candidates with the same formula. */
+  val containment = GQuery(
+    "q_containment_pairs",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val exploded = docs.select(col("doc_id"),
+          explode(Dedup.shingles(col("text"), K)).as("sh"))
+      Dedup.containmentPairs(exploded, "doc_id", "sh", minMille = 600)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id, unnest(${Dedup.shinglesSql("text", K)}) AS sh
+        FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, inter * 1000 // na.n AS containment_milli
+      FROM inter JOIN sizes na ON na.doc_id = id_a
+      WHERE inter * 1000 // na.n >= 600
+      ORDER BY id_a, id_b
+    """),
+    bench = false)
+
   private def jaccardOracle(minMille: Int): String = s"""
       WITH sh AS (
         SELECT doc_id, unnest(${Dedup.shinglesSql("text", K)}) AS sh
@@ -715,7 +745,8 @@ object DedupQueries extends QueryPack {
 
   def all: Seq[GQuery] =
     Seq(exactDedup, canonicalDedup, corpusDiffQ, cdcColumns, ngramJaccard,
-      minhashLsh, simhashPairs, neardupClusters, leakageSafeSplit,
-      incrementalNearDup, incrementalExactQ, fuzzyDedupPairs,
-      fuzzyDedupWide, blockingQuality, goldenRecord, entityResolution)
+      containment, minhashLsh, simhashPairs, neardupClusters,
+      leakageSafeSplit, incrementalNearDup, incrementalExactQ,
+      fuzzyDedupPairs, fuzzyDedupWide, blockingQuality, goldenRecord,
+      entityResolution)
 }

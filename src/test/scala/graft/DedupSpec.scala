@@ -90,4 +90,28 @@ class DedupSpec extends SparkSpec {
     // exactly one survivor per cluster
     assert(out.filter(col("is_survivor") === 1).count() == 4)
   }
+
+  test("containment is directed: the quoted short doc scores high, " +
+    "the quoting long doc low, and Jaccard misses the pair") {
+    val s = spark; import s.implicits._
+    // doc 1 = 6 tokens fully quoted inside doc 2's 18 tokens
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "intro words here alpha beta gamma delta epsilon zeta " +
+        "and twelve more unrelated filler tokens follow now")
+    ).toDF("doc_id", "text")
+    val exploded = docs.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 3)).as("sh"))
+    val cont = Dedup.containmentPairs(exploded, "doc_id", "sh",
+      minMille = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc1 has 4 3-shingles, all inside doc2 -> containment 1000
+    assert(cont((1L, 2L)) == 1000L, cont.toString)
+    // reverse direction is the small fraction of doc2's shingles
+    assert(cont((2L, 1L)) < 300L, cont.toString)
+    // Jaccard on the same pair stays below every dedup threshold
+    val jac = Dedup.jaccardPairs(exploded, "doc_id", "sh", minMille = 0)
+      .head().getLong(2)
+    assert(jac < 300L, s"jaccard: $jac")
+  }
 }
