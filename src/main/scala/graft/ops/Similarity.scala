@@ -517,4 +517,85 @@ object Similarity {
   def dotPreScaledSql(aExpr: String, bExpr: String): String =
     s"""CAST(list_sum(list_transform(list_zip($aExpr, $bExpr),
         p -> p[1] * p[2])) AS BIGINT)"""
+
+  /** Semantic (embedding-space) deduplication, SemDeDup-shaped:
+    * assign every vector to its nearest centroid cell, then WITHIN
+    * each cell drop any vector whose cosine to an EARLIER-id
+    * cell-mate reaches `thresholdScaled` (cosine·10¹² on unit
+    * vectors). The earliest-dominator rule is deliberately
+    * non-greedy — "dominated by any earlier near-neighbour in the
+    * cell", not "by an earlier KEPT one" — because it is
+    * iteration-free and therefore expressible identically in both
+    * engines; at dedup-grade thresholds the two rules coincide (the
+    * near-dup relation is transitive well above the natural-pair
+    * band). Returns (id, cent_idx, is_kept) for every corpus row.
+    *
+    * Scale shape: the quadratic pair scoring is confined WITHIN
+    * cells — the SemDeDup bargain: numCentroids grows with the
+    * corpus so cell population stays bounded, and the self-join's
+    * shuffle key is the cell id (the bucketed-discovery posture
+    * shared with LSH/fuzzy). Assignment is a broadcast of the C-row
+    * codebook through the codegen'd [[graft.functions.NearestCentroid]]
+    * expression; the only wide exchange is the cell-keyed join. */
+  def semanticDedup(corpus: DataFrame, cId: String, cVec: String,
+                    numCentroids: Int, thresholdScaled: Long): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebook: Seq[Seq[Long]] = corpus
+      .select(col(cId).as("id"), scaledVec(col(cVec)).as("sv"))
+      .orderBy("id").limit(numCentroids)
+      .collect().toIndexedSeq.map(_.getSeq[Long](1).toIndexedSeq)
+    val centLit = typedLit(codebook)
+    val assigned = corpus
+      .select(col(cId).as("id"), scaledVec(col(cVec)).as("_v"))
+      .withColumn("cent_idx", Bridge.column(graft.functions.NearestCentroid(
+        Bridge.expression(col("_v")), Bridge.expression(centLit))))
+    val a = assigned.select(col("id").as("_ida"), col("cent_idx"),
+      col("_v").as("_va"))
+    val b = assigned.select(col("id").as("_idb"), col("cent_idx"),
+      col("_v").as("_vb"))
+    val dropped = a.join(b, Seq("cent_idx"))
+      .filter(col("_idb") < col("_ida"))
+      .filter(dotScaled(col("_va"), col("_vb")) >= thresholdScaled)
+      .select(col("_ida").as("id")).distinct()
+      .withColumn("_drop", lit(1))
+    assigned
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cent_idx"),
+        when(col("_drop").isNull, 1).otherwise(0).cast("int").as("is_kept"))
+      .orderBy("id")
+  }
+
+  /** DuckDB mirror of [[semanticDedup]] over `embeddings` (same
+    * first-N codebook, same argmax tie-break, EXISTS formulation for
+    * the earliest-dominator rule). */
+  def semanticDedupSql(numCentroids: Int, thresholdScaled: Long): String = {
+    val sv = scaledVecSql("embedding")
+    s"""
+      WITH cents AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                 AS cent_idx,
+               $sv AS cent
+        FROM (SELECT * FROM embeddings ORDER BY vec_id
+              LIMIT $numCentroids)),
+      corpus AS (SELECT vec_id AS id, $sv AS v FROM embeddings),
+      assign AS (
+        SELECT id, v, cent_idx FROM (
+          SELECT c.id, c.v, ct.cent_idx,
+                 ROW_NUMBER() OVER (PARTITION BY c.id
+                   ORDER BY ${dotPreScaledSql("c.v", "ct.cent")} DESC,
+                            ct.cent_idx) AS rn
+          FROM corpus c CROSS JOIN cents ct)
+        WHERE rn = 1)
+      SELECT a.id AS vec_id, a.cent_idx,
+             CAST(NOT EXISTS (
+               SELECT 1 FROM assign b
+               WHERE b.cent_idx = a.cent_idx AND b.id < a.id
+                 AND ${dotPreScaledSql("a.v", "b.v")} >= $thresholdScaled)
+               AS INT) AS is_kept
+      FROM assign a
+      ORDER BY a.id
+    """
+  }
 }

@@ -411,7 +411,47 @@ object SimilarityQueries extends QueryPack {
       ORDER BY query_id
     """})
 
+  /** SemDeDup-style semantic dedup over the natural corpus: IVF-cell
+    * assignment (first-16 codebook, the ivfTopK convention) + within-
+    * cell earliest-dominator drop at cosine 0.40 — a band the natural
+    * corpus genuinely crosses (max pair ≈ 0.51), so kept/dropped is
+    * data-driven and the oracle recomputes the whole decision (cells,
+    * pair dots, EXISTS rule) from raw floats. Quadratic scoring stays
+    * inside cells (the SemDeDup bargain). Eager: the codebook
+    * collect runs at construction. */
+  val semanticDedup = GQuery(
+    "q_semantic_dedup",
+    (s, d) => Similarity.semanticDedup(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      NumCentroids, thresholdScaled = 400000000000L)
+      .select(col("id").as("vec_id"), col("cent_idx"), col("is_kept")),
+    Some(Similarity.semanticDedupSql(NumCentroids,
+      thresholdScaled = 400000000000L)),
+    eager = true)
+
+  /** Production posture of semantic dedup: numCentroids = √n (cells
+    * stay ~√n wide, so within-cell pair work stays ~n^1.5 total
+    * instead of n²/C — the knob the fixed-C gate freezes for oracle
+    * parity). No SQL oracle (C is data-dependent); the OPERATOR's
+    * correctness is carried by q_semantic_dedup, this entry is the
+    * scale-posture measurement. Output is the summary triple so the
+    * rows-only check still sees a stable shape. */
+  val semanticDedupScaled = GQuery(
+    "q_semantic_dedup_scaled",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val c = math.max(NumCentroids,
+        math.sqrt(emb.count().toDouble).toInt)
+      Similarity.semanticDedup(emb, "vec_id", "embedding", c,
+          thresholdScaled = 400000000000L)
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("is_kept")).cast("long").as("n_kept"),
+          countDistinct(col("cent_idx")).cast("long").as("n_cells"))
+    },
+    None,
+    eager = true)
+
   def all: Seq[GQuery] =
     Seq(cosineTopK, annTopK, embeddingStats, embeddingNearDup, ivfTopK,
-      embedQuantize, annInt8TopK)
+      embedQuantize, annInt8TopK, semanticDedup, semanticDedupScaled)
 }

@@ -255,4 +255,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("neighbour_id")).toSeq === (1L to 5L))
     assert(out.map(_.getAs[Int]("rank")).toSeq === (1 to 5))
   }
+
+  test("semanticDedup: earliest cell-mate above threshold survives, " +
+    "later ones drop, per cell") {
+    val s = spark; import s.implicits._
+    // 2-d unit-ish vectors; centroids = first 2 rows (x-axis, y-axis).
+    // ids 10/11 are near-identical x-ish vectors (same cell as id 0);
+    // id 12 is y-ish (other cell), nearly parallel to nothing there.
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f)),
+      (10L, Seq(0.9999f, 0.0141f)),
+      (11L, Seq(0.9998f, 0.0200f)),
+      (12L, Seq(0.0141f, 0.9999f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      numCentroids = 2, thresholdScaled = 950000000000L)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2)))
+      .toMap
+    assert(out(0L)._2 == 1)              // earliest in its cell: kept
+    assert(out(10L)._2 == 0)             // dominated by id 0 (cos≈1)
+    assert(out(11L)._2 == 0)             // dominated by 0 and 10
+    assert(out(1L)._2 == 1 && out(12L)._2 == 0) // y-cell: 12 ~ 1
+    // cells: x-ish together, y-ish together
+    assert(out(0L)._1 == out(10L)._1 && out(10L)._1 == out(11L)._1)
+    assert(out(1L)._1 == out(12L)._1)
+    assert(out(0L)._1 != out(1L)._1)
+  }
 }
