@@ -379,6 +379,101 @@ object Sampling {
 
   /** DuckDB mirror of [[temperatureKeep]] (HUGEINT is exact through
     * the same digit budget). */
+  /** Exact-integer data-mixture plan by LARGEST-REMAINDER (Hamilton)
+    * apportionment: split a token `budget` across domains proportional
+    * to integer weights, with every allocation decision exact —
+    * `base = (budget·w) div W`, the `budget − Σbase` leftover units
+    * going one each to the largest fractional remainders
+    * (`(budget·w) mod W`, ties on domain ascending). This is THE
+    * standard way to turn float mixture weights into an integer token
+    * ledger that sums exactly to the budget — iterative rounding
+    * drifts, floor-only under-allocates.
+    *
+    * Allocations above a domain's available supply are CAPPED and
+    * FLAGGED (`capped = 1`, shortfall reported); re-spreading the
+    * surplus is a planner-loop decision (re-run with the flagged
+    * domain's weight zeroed), deliberately not hidden inside one
+    * call — silent redistribution would misreport the requested mix.
+    *
+    * Scale shape: the per-domain count aggregate is the only corpus
+    * pass (map-side combinable, domain-width output); the
+    * apportionment itself runs on the domain-width frame (a window
+    * over remainders of a vocabulary-sized list — driver-safe at any
+    * corpus scale because domains are bounded by design).
+    *
+    * Overflow: `budget·w ≤ Long.Max` requires `budget < 2^63/W`; with
+    * milli weights (W ≤ ~10⁶) that is ~9·10¹² tokens — beyond that,
+    * widen to DECIMAL(38) (the joinForecast posture). */
+  def mixturePlan(avail: DataFrame, domainCol: String, nCol: String,
+                  weights: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val w = weights.select(col("domain"),
+      col("weight_milli").cast("long").as("weight_milli"))
+    val joined = avail
+      .select(col(domainCol).as("domain"), col(nCol).cast("long").as("n_avail"))
+      .join(w, Seq("domain"), "inner")
+      .crossJoin(broadcast(
+        w.agg(sum("weight_milli").cast("long").as("_W"))))
+      .withColumn("_base", expr(s"($budget * weight_milli) div _W"))
+      .withColumn("_rem", expr(s"($budget * weight_milli) % _W"))
+      // consumed twice (leftover total + allocation); checkpoint the
+      // domain-width frame so the corpus-side count aggregate under
+      // `avail` runs once
+      .localCheckpoint()
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_rem").desc, col("domain").asc)
+    joined
+      .crossJoin(broadcast(joined.agg(
+        (lit(budget) - sum("_base")).cast("long").as("_leftover"))))
+      .withColumn("_rank", row_number().over(win))
+      .withColumn("_alloc",
+        col("_base") + when(col("_rank") <= col("_leftover"), 1L)
+          .otherwise(0L))
+      .withColumn("alloc_tokens",
+        least(col("_alloc"), col("n_avail")).cast("long"))
+      .withColumn("capped",
+        (col("_alloc") > col("n_avail")).cast("int"))
+      .withColumn("keep_milli",
+        expr("CASE WHEN n_avail = 0 THEN 0 " +
+          "ELSE (1000 * alloc_tokens) div n_avail END").cast("long"))
+      .select(col("domain"), col("n_avail"), col("weight_milli"),
+        col("alloc_tokens"), col("capped"), col("keep_milli"))
+      .orderBy("domain")
+  }
+
+  /** DuckDB mirror of [[mixturePlan]]; `weightValues` is the literal
+    * VALUES body `('src0',100),…`. */
+  def mixturePlanSql(availSql: String, weightValues: String,
+                     budget: Long): String =
+    s"""
+      WITH w(domain, weight_milli) AS (VALUES $weightValues),
+      avail AS ($availSql),
+      tot AS (SELECT CAST(SUM(weight_milli) AS BIGINT) AS W FROM w),
+      base AS (
+        SELECT a.domain, a.n_avail,
+               CAST(w.weight_milli AS BIGINT) AS weight_milli,
+               ($budget * w.weight_milli) // t.W AS b,
+               ($budget * w.weight_milli) % t.W AS rem
+        FROM avail a JOIN w ON a.domain = w.domain CROSS JOIN tot t),
+      lo AS (SELECT CAST($budget - SUM(b) AS BIGINT) AS leftover
+             FROM base),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, domain) AS rk
+        FROM base)
+      SELECT r.domain, r.n_avail, r.weight_milli,
+             CAST(LEAST(r.b + CASE WHEN r.rk <= l.leftover THEN 1
+                                   ELSE 0 END, r.n_avail) AS BIGINT)
+               AS alloc_tokens,
+             CAST(r.b + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+                  > r.n_avail AS INT) AS capped,
+             CAST(CASE WHEN r.n_avail = 0 THEN 0
+               ELSE (1000 * LEAST(r.b + CASE WHEN r.rk <= l.leftover
+                 THEN 1 ELSE 0 END, r.n_avail)) // r.n_avail END
+               AS BIGINT) AS keep_milli
+      FROM ranked r CROSS JOIN lo l
+      ORDER BY r.domain
+    """
+
   def temperatureKeepSql(keyExpr: String, nExpr: String,
                          nMinExpr: String, p: Int, q: Int): String = {
     validateTemperature(p, q)

@@ -212,7 +212,41 @@ object SampleQueries extends QueryPack {
     """
     })
 
+  /** Mixture weights: source k gets 10·(k+1) milli — a sloped mix so
+    * remainders differ — with a 20k-token budget chosen so the
+    * heaviest few domains CAP at sf0.01 supply (~1.2k tokens each)
+    * while the light ones allocate freely: both branches of the flag
+    * are exercised where the oracle can see them. */
+  private val MixWeights: Seq[(String, Long)] =
+    (0 until 20).map(k => s"src$k" -> (10L * (k + 1)))
+  private val MixBudget = 20000L
+
+  /** Largest-remainder token apportionment across sources
+    * ([[Sampling.mixturePlan]]): allocations sum exactly to the
+    * budget, remainders ranked deterministically, supply caps
+    * flagged. Eager: the domain-width frame checkpoints at
+    * construction. */
+  val mixturePlan = GQuery(
+    "q_mixture_plan",
+    (s, d) => {
+      import s.implicits._
+      val avail = Tables.documents(s, d)
+        .groupBy(col("source").as("domain"))
+        .agg(sum(graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+          .cast("long").as("n_tokens"))
+      val weights = MixWeights.toDF("domain", "weight_milli")
+      Sampling.mixturePlan(avail, "domain", "n_tokens", weights,
+        MixBudget)
+    },
+    Some(Sampling.mixturePlanSql(
+      """SELECT source AS domain,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_avail
+         FROM documents GROUP BY source""",
+      MixWeights.map { case (dm, w) => s"('$dm',$w)" }.mkString(","),
+      MixBudget)),
+    eager = true)
+
   def all: Seq[GQuery] =
     Seq(hashSample, stratifiedSample, domainCap, weightedSample,
-      corpusShards, budgetSelect, temperatureSample)
+      corpusShards, budgetSelect, temperatureSample, mixturePlan)
 }

@@ -373,4 +373,29 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureKeep(col("id"), col("n"), col("m"), 2, 2)
     }
   }
+
+  test("mixturePlan: allocations sum exactly to the budget, leftover " +
+    "units go to the largest remainders, caps flag and bind") {
+    val s = spark; import s.implicits._
+    // weights 1:1:1 over budget 100 -> base 33 each, leftover 1 to the
+    // largest remainder (all tied at 1 -> domain asc wins: 'a')
+    val avail = Seq(("a", 1000L), ("b", 1000L), ("c", 1000L))
+      .toDF("domain", "n")
+    val w = Seq(("a", 10L), ("b", 10L), ("c", 10L))
+      .toDF("domain", "weight_milli")
+    val r = Sampling.mixturePlan(avail, "domain", "n", w, budget = 100L)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(r == Map("a" -> 34L, "b" -> 33L, "c" -> 33L), r.toString)
+
+    // capping: 'b' can only supply 10 of its ideal 50; the surplus is
+    // NOT silently re-spread (sum < budget, capped flagged)
+    val avail2 = Seq(("a", 1000L), ("b", 10L)).toDF("domain", "n")
+    val w2 = Seq(("a", 10L), ("b", 10L)).toDF("domain", "weight_milli")
+    val rows = Sampling.mixturePlan(avail2, "domain", "n", w2,
+      budget = 100L).collect()
+    val byDom = rows.map(x =>
+      x.getString(0) -> (x.getLong(3), x.getInt(4))).toMap
+    assert(byDom("a") == (50L, 0))
+    assert(byDom("b") == (10L, 1))
+  }
 }
