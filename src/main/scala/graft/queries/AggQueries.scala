@@ -317,9 +317,40 @@ object AggQueries extends QueryPack {
       FROM orders GROUP BY o_orderpriority ORDER BY priority
     """))
 
+  /** CUBE report: all four grouping combinations (both dims, each
+    * alone, grand total) in ONE Expand + aggregate pass — the rollup
+    * gate's lattice completion. Same grouping-sentinel and
+    * DECIMAL-money conventions. */
+  val cubeReport = GQuery(
+    "q_cube_report",
+    (s, d) => Tables.orders(s, d)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(Exact.fixedSum(col("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping(col("o_orderpriority")).as("_gp"),
+        grouping(col("o_orderstatus")).as("_gs"))
+      .select(
+        when(col("_gp") === 1, lit("<all>"))
+          .otherwise(col("o_orderpriority")).as("priority"),
+        when(col("_gs") === 1, lit("<all>"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        col("revenue"), col("n_orders"))
+      .orderBy("priority", "status"),
+    Some(s"""
+      SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN '<all>'
+                  ELSE o_orderpriority END AS priority,
+             CASE WHEN GROUPING(o_orderstatus) = 1 THEN '<all>'
+                  ELSE o_orderstatus END AS status,
+             ${Exact.fixedSumSql("o_totalprice", 2)} AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      ORDER BY priority, status
+    """))
+
   def all: Seq[GQuery] = Seq(
     pricingSummary, conditionalAudit, dupHaving, countDistinctCheck,
     minmaxProfile, distribution, distinctDims, unionSummary, batchStats,
     robustOutliers, robustWinsorize, featureBinning, topFraction,
-    rollupReport, pivotReport)
+    rollupReport, pivotReport, cubeReport)
 }
