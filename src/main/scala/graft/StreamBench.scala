@@ -105,6 +105,12 @@ object StreamBench {
       "sessionize" -> (() => timed(noop(
         Streams.sessionize(readSliced().as[Streams.Event], 30).toDF(),
         OutputMode.Append, "sess"))),
+      // built-in session_window aggregation: same session membership,
+      // engine-managed state — measures what the declarative path
+      // costs/saves vs the hand-rolled state machine above
+      "session_window" -> (() => timed(noop(
+        Streams.sessionWindowCounts(readSliced(), "30 minutes", "1 hour"),
+        OutputMode.Append, "sesswin"))),
       // stream-stream interval join (self-join: clicks×purchases shape
       // on one stream): state = rows buffered inside watermark+interval
       "interval_join" -> (() => timed(noop(

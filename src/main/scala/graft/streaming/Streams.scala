@@ -51,6 +51,31 @@ object Streams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Built-in session windows: per-user gap-based sessions via
+    * `session_window` — the DECLARATIVE counterpart of [[sessionize]]
+    * (flatMapGroupsWithState). Prefer THIS form when the per-session
+    * output is expressible as aggregates: the state store is managed
+    * by the engine (merge-on-update, watermark eviction), the plan
+    * stays in the optimized streaming-aggregation path, and there is
+    * no user state-machine code to get timeout semantics wrong in.
+    * Drop to [[sessionize]] only for non-aggregable per-session logic.
+    *
+    * Semantic contract vs [[sessionize]]: identical session
+    * MEMBERSHIP for the same gap, but `session_end` here is
+    * `last event + gap` (the window's exclusive horizon — Spark's
+    * session_window convention) where sessionize reports the last
+    * event itself; pinned in StreamingSpec so nobody "fixes" one to
+    * the other. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** Streaming exact dedup: drop re-deliveries of the same `idCols`
     * within the watermark horizon (the at-least-once file/queue
     * delivery case). State is bounded by the horizon — the reason to

@@ -298,4 +298,46 @@ class StreamingSpec extends SparkSpec {
     assert(flushed(1).getAs[java.sql.Timestamp]("session_end").toString
       .startsWith("2026-04-01 13:00"))
   }
+
+  test("session_window agrees with the hand-rolled sessionizer on " +
+    "membership; its end is last+gap by convention") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sw").toString
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    val header = "event_id,ts,user_id,event_type,value"
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(eventsSchema)
+        .option("header", "true").csv(src)
+      val q = Streams.sessionWindowCounts(stream, "30 minutes", "30 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // session A: two events 10 min apart; then a 3 h gap opens B; a
+    // far-future other-user event advances the watermark so B flushes
+    writeCsv(src, "b1.csv", Seq(header,
+      "1,2026-04-01 10:00:00,7,click,1.0",
+      "2,2026-04-01 10:10:00,7,click,1.0"))
+    drain()
+    writeCsv(src, "b2.csv", Seq(header,
+      "3,2026-04-01 13:00:00,7,click,1.0"))
+    drain()
+    writeCsv(src, "b3.csv", Seq(header,
+      "4,2026-04-02 09:00:00,9,click,1.0"))
+    drain()
+    val sessions = spark.read.parquet(out)
+      .filter(col("user_id") === 7L).orderBy("session_start").collect()
+    assert(sessions.length == 2, sessions.mkString("; "))
+    assert(sessions(0).getAs[Long]("n_events") == 2L)
+    // the built-in window's end = last event + gap (exclusive horizon),
+    // where sessionize reports the last event itself — the pinned
+    // semantic difference
+    assert(sessions(0).getAs[java.sql.Timestamp]("session_end").toString
+      .startsWith("2026-04-01 10:40"), sessions(0).toString)
+    assert(sessions(1).getAs[Long]("n_events") == 1L)
+    assert(sessions(1).getAs[java.sql.Timestamp]("session_end").toString
+      .startsWith("2026-04-01 13:30"), sessions(1).toString)
+  }
 }
