@@ -345,4 +345,70 @@ object TextOps {
       .select(col(idCol), col("n_tokens"),
         expr("(1000 * s_sum) div n_tokens").as("surprisal_milli"))
   }
+
+  /** Bigram-CONDITIONAL surprisal: per-doc mean of
+    * `bitlen(c(prev)) − bitlen(c(prev, w))` over the doc's bigram
+    * instances (milli, floored) — the floor-log2 surrogate of
+    * `−log2 p(w | prev)` under the corpus bigram LM. The local-
+    * predictability signal the unigram score can't see: a
+    * shuffled-word salad keeps its unigram distribution (identical
+    * [[unigramSurprisal]]) while every bigram becomes corpus-rare —
+    * this score spikes. Docs with fewer than 2 tokens carry no
+    * bigram and are absent from the output (both engines).
+    *
+    * Scale shape mirrors [[unigramSurprisal]] one level up: per-doc
+    * bigram frequencies (one (doc, bigram) map-side-combinable
+    * shuffle), corpus bigram counts and left-margin context counts
+    * BOTH re-aggregated from that tf frame (no second corpus scan —
+    * the Collocations margin convention: c(prev) = Σ_w c(prev, w)
+    * over the pair frame's left slot), then two vocabulary-width
+    * joins keyed on the bigram / the context token (AQE absorbs hot
+    * contexts). */
+  def bigramSurprisal(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(bigrams(col(textCol))).as("_bg"))
+      .groupBy(col(idCol), col("_bg"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val cAb = tf.groupBy("_bg").agg(sum("tf").cast("long").as("c_ab"))
+    val cA = cAb
+      .withColumn("_ctx", split(col("_bg"), " ").getItem(0))
+      .groupBy("_ctx").agg(sum("c_ab").cast("long").as("c_a"))
+    tf.join(cAb, "_bg")
+      .withColumn("_ctx", split(col("_bg"), " ").getItem(0))
+      .join(cA, "_ctx")
+      .withColumn("s",
+        (length(bin(col("c_a"))) - length(bin(col("c_ab")))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        sum(col("s") * col("tf")).cast("long").as("s_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("(1000 * s_sum) div n_bigrams").as("surprisal2_milli"))
+  }
+
+  /** DuckDB mirror of [[bigramSurprisal]]. */
+  def bigramSurprisalSql: String =
+    s"""
+      WITH bg AS (
+        SELECT doc_id, unnest(${bigramsSql("text")}) AS bg
+        FROM documents),
+      tf AS (
+        SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM bg GROUP BY doc_id, bg),
+      cab AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS c_ab
+              FROM tf GROUP BY bg),
+      ca AS (SELECT string_split(bg, ' ')[1] AS ctx,
+                    CAST(SUM(c_ab) AS BIGINT) AS c_a
+             FROM cab GROUP BY 1),
+      sc AS (
+        SELECT t.doc_id, t.tf,
+               (length(bin(ca.c_a)) - length(bin(cab.c_ab))) AS s
+        FROM tf t
+        JOIN cab USING (bg)
+        JOIN ca ON ca.ctx = string_split(t.bg, ' ')[1])
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+             CAST((1000 * CAST(SUM(s * tf) AS BIGINT))
+               // CAST(SUM(tf) AS BIGINT) AS BIGINT) AS surprisal2_milli
+      FROM sc GROUP BY doc_id ORDER BY doc_id
+    """
 }

@@ -618,10 +618,21 @@ object TextQueries extends QueryPack {
     """),
     bench = false, eager = true)
 
+  /** Bigram-conditional surprisal ([[TextOps.bigramSurprisal]]): the
+    * local-predictability quality signal — a shuffled-word salad keeps
+    * its unigram surprisal but spikes here. Counts and margins
+    * re-aggregated from one (doc, bigram) pass. */
+  val bigramSurprisal = GQuery(
+    "q_bigram_surprisal",
+    (s, d) => TextOps.bigramSurprisal(
+      Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(TextOps.bigramSurprisalSql))
+
   def all: Seq[GQuery] =
     Seq(tokenStats, qualityScore, langId, fingerprint, tfidfTopTerms,
       piiRedact, tokenPacking, chunkWindows, vocabOov, contamination,
       repetitionStats, boilerplateScore, distinctNgrams,
-      paddingEfficiency, unigramSurprisal, lineDedup, segmentDfTop,
-      incrementalLineDedup)
+      paddingEfficiency, unigramSurprisal, bigramSurprisal, lineDedup,
+      segmentDfTop, incrementalLineDedup)
 }

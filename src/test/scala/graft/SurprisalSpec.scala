@@ -58,4 +58,40 @@ class SurprisalSpec extends SparkSpec {
     assert(generates <= 2, s"expected the two-branch tf/cnt shape, " +
       s"found $generates explodes:\n${plan.take(2500)}")
   }
+
+  test("bigram surprisal spikes on a shuffled-word salad that the " +
+    "unigram score cannot distinguish") {
+    val s = spark; import s.implicits._
+    // 8 fluent docs establish the bigram LM; doc 100 is doc 1's exact
+    // words shuffled — same unigram profile, broken bigrams
+    val fluent = "the quick brown fox jumps over the lazy dog"
+    val salad = "fox the dog quick over jumps brown lazy the"
+    val docs = ((1L to 8L).map(i => (i, fluent)) :+ (100L, salad))
+      .toDF("doc_id", "text")
+    val uni = TextOps.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uni(1L) == uni(100L),
+      s"unigram must be blind to order: ${uni(1L)} vs ${uni(100L)}")
+    val bi = TextOps.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bi(100L) > bi(1L),
+      s"salad must score higher: fluent=${bi(1L)} salad=${bi(100L)}")
+  }
+
+  test("bigram surprisal: hand-computed on a two-doc corpus; " +
+    "single-token docs are absent") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    // bigrams: doc1 = [a b, b a, a b], doc2 = [a b]
+    // c(a b)=4? no: doc1 contributes 2×"a b"+1×"b a"; doc2 1×"a b"
+    // c_ab: "a b"=3, "b a"=1; c_a: a=3, b=1
+    // s("a b") = bitlen(3)-bitlen(3) = 0; s("b a") = bitlen(1)-bitlen(1) = 0
+    val r = TextOps.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    assert(r(1L) == (3L, 0L), r.toString)
+    assert(r(2L) == (1L, 0L), r.toString)
+    assert(!r.contains(3L), "a 1-token doc has no bigram row")
+  }
 }
