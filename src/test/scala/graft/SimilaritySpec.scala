@@ -256,6 +256,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("rank")).toSeq === (1 to 5))
   }
 
+  test("native DotScaled equals the HOF formulation element for element") {
+    val s = spark; import s.implicits._
+    val rows = (1L to 200L).map { i =>
+      (i, (0 until 64).map(d => (((i * 31 + d * 17) % 2001) - 1000) * 0.001f),
+        (0 until 64).map(d => (((i * 13 + d * 7) % 2001) - 1000) * 0.001f))
+    }
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"), Similarity.scaledVec(col("a")).as("sa"),
+        Similarity.scaledVec(col("b")).as("sb"))
+    val hof = aggregate(zip_with(col("sa"), col("sb"),
+      (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val diff = df
+      .select(Similarity.dotScaled(col("sa"), col("sb")).as("native"),
+        hof.as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(diff == 0L)
+  }
+
   test("semanticDedup: earliest cell-mate above threshold survives, " +
     "later ones drop, per cell") {
     val s = spark; import s.implicits._
