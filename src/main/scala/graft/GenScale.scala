@@ -111,10 +111,18 @@ object GenScale {
 
     replicate(spark, out, "embeddings", emb, replicas, i => d => {
       val shifted = offset(d, "vec_id" -> kVec)(i)
-      if (i == 0) shifted
-      else shifted.withColumn("embedding", concat(
-        slice(col("embedding"), i + 1, 64 - i),
-        slice(col("embedding"), 1, i)))
+      // rotation repeats every 64 replicas (dim = 64); the second
+      // 64-block negates components so replicas 64..127 stay distinct
+      // from 0..63 (both transforms are norm-preserving + bit-exact)
+      val r = i % 64
+      val rotated =
+        if (r == 0) shifted
+        else shifted.withColumn("embedding", concat(
+          slice(col("embedding"), r + 1, 64 - r),
+          slice(col("embedding"), 1, r)))
+      if ((i / 64) % 2 == 0) rotated
+      else rotated.withColumn("embedding",
+        transform(col("embedding"), x => -x))
     })
   }
 }

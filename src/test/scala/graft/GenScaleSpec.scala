@@ -93,4 +93,22 @@ class GenScaleSpec extends SparkSpec {
         s"rotation changed the element multiset for vec $id")
     }
   }
+
+  test("embeddings: replicas past the 64-dim rotation period stay " +
+    "distinct via the negation block (the 100-replica fix)") {
+    // replica 64 would repeat replica 0's rotation; the second
+    // 64-block negates components, so |x| multisets match while the
+    // signed vectors differ — and no slice() length can go negative
+    val dir = java.nio.file.Files.createTempDirectory("graft_gs66").toString
+    GenScale.build(spark, TinySf, dir, replicas = 66)
+    val s = spark
+    val nVec = Tables.embeddings(s, TinySf).count()
+    val gen = Tables.embeddings(s, dir)
+    assert(gen.count() == 66 * nVec)
+    val pair = gen.filter(col("vec_id").isin(0L, 64L * nVec))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val base = pair(0L); val r64 = pair(64L * nVec)
+    assert(base.map(-_) == r64,
+      "replica 64 must be the negation of replica 0 (rotation wrapped)")
+  }
 }
