@@ -451,7 +451,31 @@ object SimilarityQueries extends QueryPack {
     None,
     eager = true)
 
+  /** Production posture of IVF ANN: numCentroids = √n (the
+    * q_semantic_dedup_scaled rule applied to retrieval — with C
+    * frozen, nProbe/C is a constant corpus FRACTION per query and
+    * query count grows with the corpus, so scan work goes quadratic;
+    * √n cells keep per-query candidate work ~√n·nProbe). No oracle —
+    * correctness carried by the fixed-C q_ann_ivf_topk gate; output
+    * is the per-query-count summary so rows stay stable. Eager:
+    * the codebook collect runs at construction. */
+  val ivfTopKScaled = GQuery(
+    "q_ann_ivf_scaled",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val c = math.max(NumCentroids,
+        math.sqrt(emb.count().toDouble).toInt)
+      Similarity.ivfTopK(
+          emb.filter(expr(QueryPred)), "vec_id", "embedding",
+          emb, "vec_id", "embedding", TopK, c, NProbe)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          countDistinct(col("query_id")).cast("long").as("n_queries"))
+    },
+    None,
+    eager = true)
+
   def all: Seq[GQuery] =
     Seq(cosineTopK, annTopK, embeddingStats, embeddingNearDup, ivfTopK,
-      embedQuantize, annInt8TopK, semanticDedup, semanticDedupScaled)
+      embedQuantize, annInt8TopK, semanticDedup, semanticDedupScaled,
+      ivfTopKScaled)
 }
