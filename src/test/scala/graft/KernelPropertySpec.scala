@@ -139,4 +139,87 @@ class KernelPropertySpec extends SparkSpec {
         s"trial $trial (n=${keys.length}, buckets=$buckets) not dense")
     }
   }
+
+  // scaled components are bounded by construction (|x| ≤ 10^6 in the
+  // engine; widened here to 10^9 to stress the accumulator) — the
+  // BigInt reference proves no intermediate overflows in-domain
+  private val genScaledVec: Gen[List[Long]] =
+    Gen.choose(1, 128).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-1000000000L, 1000000000L)))
+
+  test("DotScaled == BigInt reference over the scaled domain, " +
+    "including unequal lengths (truncation contract)") {
+    check("DotScaled", Prop.forAll(genScaledVec, genScaledVec) { (a, b) =>
+      val got = graft.functions.DotScaled.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.toArray),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b.toArray))
+      val ref = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      BigInt(got) == ref
+    })
+  }
+
+  test("DotInt8 == BigInt reference over the code domain") {
+    val genCodes = Gen.choose(1, 128).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-127, 127)))
+    check("DotInt8", Prop.forAll(genCodes, genCodes) { (a, b) =>
+      val got = graft.functions.DotInt8.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.toArray),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b.toArray))
+      val ref = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      BigInt(got) == ref
+    })
+  }
+
+  test("groupedAuc == per-group Scala reference across random tied " +
+    "score sets (one job, 40 groups)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    // small score alphabets force heavy ties — the hard case
+    val rows = (1 to 40).flatMap { g =>
+      val n = 5 + rnd.nextInt(60)
+      (1 to n).map(_ => (g, rnd.nextInt(1 + rnd.nextInt(8)).toDouble,
+        rnd.nextBoolean()))
+    }
+    val got = graft.ops.Eval.groupedAuc(
+      rows.toDF("g", "s", "y"), col("g"), col("s"), col("y"))
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    // reference: pairwise U with half-credit ties, floor to milli
+    val ref = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val pos = rs.filter(_._3).map(_._2); val neg = rs.filterNot(_._3).map(_._2)
+      if (pos.isEmpty || neg.isEmpty) None
+      else {
+        val u2 = (for (p <- pos; q <- neg) yield
+          if (p > q) 2L else if (p == q) 1L else 0L).sum
+        Some(g -> (1000L * u2) / (2L * pos.size * neg.size))
+      }
+    }
+    assert(got == ref, s"AUC mismatch: ${got.toSeq.sorted.take(5)} vs " +
+      s"${ref.toSeq.sorted.take(5)}")
+  }
+
+  test("mixturePlan invariants hold across random scenarios " +
+    "(8 draws, one job each)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 8) {
+      val nDom = 2 + rnd.nextInt(10)
+      val avail = (0 until nDom).map(k =>
+        (s"d$k", rnd.nextInt(5000).toLong))
+      val weights = (0 until nDom).map(k =>
+        (s"d$k", 1L + rnd.nextInt(500)))
+      val budget = rnd.nextInt(20000).toLong
+      val out = graft.ops.Sampling.mixturePlan(
+        avail.toDF("domain", "n"), "domain", "n",
+        weights.toDF("domain", "weight_milli"), budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+          r.getInt(4))).toSeq
+      val total = out.map(_._3).sum
+      assert(out.forall(r => r._3 <= r._2), s"trial $trial: alloc > avail")
+      assert(total <= budget, s"trial $trial: over budget")
+      // exactness: if nothing capped, allocations sum EXACTLY to budget
+      if (out.forall(_._4 == 0))
+        assert(total == budget,
+          s"trial $trial: uncapped plan must sum to budget ($total != $budget)")
+    }
+  }
 }
