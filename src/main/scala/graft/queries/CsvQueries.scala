@@ -398,6 +398,75 @@ object CsvQueries extends QueryPack {
     """),
     eager = true)
 
+  private def evoDir(sfDir: String): String =
+    s"/tmp/graft_fixtures/schema_evo_${new java.io.File(sfDir).getName}/layer"
+
+  /** Schema-evolution read ([[graft.ops.SchemaEvolution]]): the layer
+    * holds two batches written under DIFFERENT schema versions —
+    * batch 1 (even doc_ids) predates the `source`/`quality_milli`
+    * columns, batch 2 (odd) carries them in a different column order.
+    * The engine reads the files back under ONE explicit target schema
+    * (by-name parquet resolution nulls the missing columns), applies
+    * declared backfill defaults, and aggregates; the oracle never
+    * sees the files — it recomputes the expected result analytically
+    * from the source table (the q_orc_roundtrip two-stack shape), so
+    * a by-name-resolution or null-fill bug diverges the compare. */
+  val schemaEvolution = GQuery(
+    "q_schema_evolution",
+    (s, d) => {
+      val layer = evoDir(d)
+      val docs = Tables.documents(s, d)
+      Fixtures.ensure(s, layer,
+        Fixtures.sourceStamp(s, s"$d/documents.parquet") +
+          ":schema_evo:v1") {
+        docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "text", "lang")
+          .write.mode("overwrite").parquet(s"$layer/b1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("source"),
+            graft.ops.TextOps.qualityMilli(col("text"))
+              .as("quality_milli"),
+            col("doc_id"), col("text"), col("lang"))
+          .write.mode("overwrite").parquet(s"$layer/b2")
+      }
+      val target = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("quality_milli", LongType)))
+      val merged = graft.ops.SchemaEvolution
+        .readWithTarget(s, target, s"$layer/b1", s"$layer/b2")
+      graft.ops.SchemaEvolution
+        .backfill(merged, Map(
+          "quality_milli" -> lit(-1L),
+          "source" -> lit("<unknown>")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("_backfilled") > 0, 1)).as("n_backfilled"),
+          sum(col("quality_milli")).cast("long").as("sum_quality"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH evolved AS (
+        SELECT doc_id, text, lang,
+               CASE WHEN doc_id % 2 = 1 THEN source
+                    ELSE '<unknown>' END AS source,
+               CASE WHEN doc_id % 2 = 1
+                    THEN ${graft.ops.TextOps.qualityMilliSql("text")}
+                    ELSE -1 END AS quality_milli,
+               CAST(doc_id % 2 = 0 AS INT) AS backfilled
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(backfilled) AS BIGINT) AS n_backfilled,
+             CAST(SUM(quality_milli) AS BIGINT) AS sum_quality,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      FROM evolved GROUP BY lang ORDER BY lang
+    """))
+
   def all: Seq[GQuery] = Seq(csvIngest, jsonlIngest, jsonlExport,
-    orcRoundtrip, compaction, xlsxReport)
+    orcRoundtrip, compaction, xlsxReport, schemaEvolution)
 }
