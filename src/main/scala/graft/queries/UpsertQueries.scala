@@ -127,6 +127,51 @@ object UpsertQueries extends QueryPack {
       FROM e ORDER BY event_id
     """))
 
+  /** Late-arriving dimension handling
+    * ([[graft.ops.InferredMembers.completeDim]]): the dim is thinned
+    * to keys not divisible by 7, so ~1/7 of order custkeys have no
+    * dim row; placeholders make the star join inner-COMPLETE (the
+    * reference's inner join silently drops those facts — SURVEY §2.3
+    * J6). The oracle re-derives membership, placeholder attribution,
+    * and the revenue split independently; total n_orders equals the
+    * fact count by construction, which the compare enforces. */
+  val inferredMembers = GQuery(
+    "q_inferred_members",
+    (s, d) => {
+      val dim = Tables.customer(s, d)
+        .filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val facts = Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+      val completed = graft.ops.InferredMembers.completeDim(
+        dim, facts, "c_custkey",
+        Map("c_mktsegment" -> lit("<inferred>")))
+      facts.join(completed, Seq("c_custkey")) // inner-complete now
+        .groupBy(col("c_mktsegment").as("segment"), col("is_inferred"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_customers"),
+          graft.ops.Exact.fixedSum(col("o_totalprice"), 2).as("revenue"))
+        .orderBy("segment", "is_inferred")
+    },
+    Some(s"""
+      WITH dim AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey % 7 <> 0),
+      facts AS (SELECT o_custkey AS c_custkey, o_totalprice FROM orders),
+      completed AS (
+        SELECT c_custkey, c_mktsegment, 0 AS is_inferred FROM dim
+        UNION ALL
+        SELECT DISTINCT f.c_custkey, '<inferred>', 1
+        FROM facts f WHERE f.c_custkey NOT IN (SELECT c_custkey FROM dim))
+      SELECT c.c_mktsegment AS segment, c.is_inferred,
+             COUNT(*) AS n_orders,
+             CAST(COUNT(DISTINCT f.c_custkey) AS BIGINT) AS n_customers,
+             ${graft.ops.Exact.fixedSumSql("f.o_totalprice", 2)} AS revenue
+      FROM facts f JOIN completed c USING (c_custkey)
+      GROUP BY 1, 2 ORDER BY segment, is_inferred
+    """))
+
   def all: Seq[GQuery] =
-    Seq(partialMerge, deleteInsert, watermarkWindow, recordType)
+    Seq(partialMerge, deleteInsert, watermarkWindow, recordType,
+      inferredMembers)
 }

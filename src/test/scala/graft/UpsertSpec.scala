@@ -69,4 +69,27 @@ class UpsertSpec extends SparkSpec {
       assert(keys.toSet === (e.map(_._1) ++ i.map(_._1)).toSet)
     }
   }
+
+  test("inferred members make the star join inner-complete, and the " +
+    "partial upsert later corrects the placeholder in place") {
+    val s = spark; import s.implicits._
+    val dim = Seq((1L, "AUTO"), (2L, "RETAIL")).toDF("k", "seg")
+    val facts = Seq((1L, 10.0), (3L, 20.0), (3L, 5.0)).toDF("k", "amt")
+    val completed = graft.ops.InferredMembers.completeDim(
+      dim, facts, "k", Map("seg" -> lit("<inferred>")))
+    // fact key 3 now has a flagged placeholder; nothing else changed
+    val rows = completed.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(rows(3L) == ("<inferred>", 1))
+    assert(rows(1L) == ("AUTO", 0) && rows(2L) == ("RETAIL", 0))
+    // inner-complete: no fact row lost
+    assert(facts.join(completed, Seq("k")).count() == facts.count())
+    // the correction loop: a late dim batch upserts the real
+    // attributes over the placeholder via the existing partial merge
+    val late = Seq((3L, "MACHINERY")).toDF("k", "seg")
+    val corrected = graft.ops.Upsert.merge(
+      completed.drop("is_inferred"), late, Seq("k"), Seq("seg"))
+    assert(corrected.filter(col("k") === 3L).head().getString(1)
+      == "MACHINERY")
+  }
 }
