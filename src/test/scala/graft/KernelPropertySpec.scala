@@ -140,12 +140,16 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
-  // scaled components are bounded by construction (|x| ≤ 10^6 in the
-  // engine; widened here to 10^9 to stress the accumulator) — the
-  // BigInt reference proves no intermediate overflows in-domain
+  // scaled components are bounded by construction: |x| ≤ 10^6
+  // (Similarity.Scale), so |dot| ≤ dim·10^12 — the BigInt reference
+  // proves the long accumulator never overflows ON THE ENGINE DOMAIN.
+  // Do not "stress" this with wider components: at 10^9 two products
+  // already exceed Long.Max, which is outside the documented envelope
+  // (and sent ScalaCheck's shrinker into a multi-minute spiral when
+  // this generator briefly did exactly that).
   private val genScaledVec: Gen[List[Long]] =
     Gen.choose(1, 128).flatMap(n =>
-      Gen.listOfN(n, Gen.choose(-1000000000L, 1000000000L)))
+      Gen.listOfN(n, Gen.choose(-1000000L, 1000000L)))
 
   test("DotScaled == BigInt reference over the scaled domain, " +
     "including unequal lengths (truncation contract)") {
