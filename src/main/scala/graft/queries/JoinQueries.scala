@@ -115,7 +115,104 @@ object JoinQueries extends QueryPack {
       WHERE c.c_acctbal < 0
     """))
 
+  /** TPC-H Q3 shape (shipping-priority top-k): segment-filtered
+    * customers ⋈ orders ⋈ lineitem with date windows on both sides,
+    * grouped revenue, global top-10. The multi-way-join OLAP canary:
+    * filters push into all three scans before the joins, the
+    * broadcast-sized dims go broadcast, and the top-k plans as
+    * TakeOrderedAndProject. Revenue is the exact scaled-integer
+    * product-sum (cents × discount-cents → 10⁻⁴ units — the
+    * Exact.fixedSum rule applied to a product), with orderkey in the
+    * ordering for a total order. */
+  val tpchQ3 = GQuery(
+    "q_tpch_q3",
+    (s, d) => {
+      val cutoff = "1998-01-01"
+      val rev = (round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1.0) - col("l_discount")) * 100).cast("long"))
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          col("o_orderpriority"))
+        .agg((sum(rev).cast("double") / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("order_date"),
+          col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+             o_orderpriority,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+                      CAST(ROUND((1.0 - l_discount) * 100) AS BIGINT))
+               AS DOUBLE) / 10000.0 AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      ORDER BY revenue DESC, order_date, l_orderkey
+      LIMIT 10
+    """))
+
+  /** TPC-H Q5 shape (local-supplier volume): the six-way
+    * region→nation→{customer, supplier}→orders→lineitem join with the
+    * same-nation constraint (customer and supplier share n_nationkey),
+    * revenue per nation in a region-year window. The deepest join
+    * chain in the registry — region/nation/supplier broadcast, the
+    * fact-side join keys on custkey then orderkey, and the same-nation
+    * predicate closes the loop AFTER the supplier join (the classic
+    * Q5 correlation Catalyst must not lose). */
+  val tpchQ5 = GQuery(
+    "q_tpch_q5",
+    (s, d) => {
+      val rev = (round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1.0) - col("l_discount")) * 100).cast("long"))
+      Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .join(Tables.nation(s, d),
+          col("r_regionkey") === col("n_regionkey"))
+        .join(Tables.customer(s, d),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(rev).cast("double") / 10000.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+                      CAST(ROUND((1.0 - l_discount) * 100) AS BIGINT))
+               AS DOUBLE) / 10000.0 AS revenue,
+             COUNT(*) AS n_items
+      FROM region
+      JOIN nation ON r_regionkey = n_regionkey
+      JOIN customer ON n_nationkey = c_nationkey
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+                   AND s_nationkey = c_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+      ORDER BY n_name
+    """))
+
   def all: Seq[GQuery] = Seq(
     antiJoinNoOrders, semiJoinWithOrders, customerTotals,
-    orphanChecks, innerJoinCount)
+    orphanChecks, innerJoinCount, tpchQ3, tpchQ5)
 }
