@@ -212,7 +212,50 @@ object JoinQueries extends QueryPack {
       ORDER BY n_name
     """))
 
+  /** TPC-H Q18 shape (large-volume customers): semi-join against an
+    * AGGREGATE-filtered key set — orders whose total lineitem
+    * quantity crosses a threshold, then the customer⋈orders⋈lineitem
+    * rollup for just those orders. The shape the registry lacked:
+    * the filter is a HAVING over a grouped fact, so the semi-join's
+    * build side is itself an exchange output (map-side combined),
+    * not a scan — and only qualifying orders ever reach the wide
+    * join. Threshold picked to qualify a thin slice at every SF
+    * (quantities are uniform 1..50 over ~4 lines/order). */
+  val tpchQ18 = GQuery(
+    "q_tpch_q18",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val qualifying = li.groupBy("l_orderkey")
+        .agg(sum(round(col("l_quantity")).cast("long")).as("_sumq"))
+        .filter(col("_sumq") > 180L)
+      Tables.orders(s, d)
+        .join(qualifying, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          col("_sumq").as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(50)
+    },
+    Some("""
+      WITH q AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                 AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 180)
+      SELECT c_custkey, c_mktsegment, o_orderkey,
+             CAST(o_orderdate AS DATE) AS order_date, total_qty
+      FROM q
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY total_qty DESC, o_orderkey
+      LIMIT 50
+    """))
+
   def all: Seq[GQuery] = Seq(
     antiJoinNoOrders, semiJoinWithOrders, customerTotals,
-    orphanChecks, innerJoinCount, tpchQ3, tpchQ5)
+    orphanChecks, innerJoinCount, tpchQ3, tpchQ5, tpchQ18)
 }
