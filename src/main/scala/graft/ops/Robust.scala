@@ -241,4 +241,39 @@ object Robust {
       .orderBy(col(of).asc, col(tieBreak).asc)
     df.withColumn("bin", ntile(nBins).over(w))
   }
+
+  /** Per-group exact WEIGHTED median (lower): the smallest value v
+    * with `2·cumweight(v) ≥ totalweight` under integer weights — the
+    * importance-weighted corpus statistic (median doc length weighted
+    * by sampling weight, median score weighted by token count) that
+    * the unweighted median misreports whenever weights correlate with
+    * the value.
+    *
+    * Scale shape: the row stream is FIRST compressed to per-(group,
+    * value) weight sums — one map-side-combinable exchange at
+    * distinct-value width — and the cumulative-weight window runs
+    * over that compressed frame (the groupedAuc posture: never a
+    * window over raw rows). All-integer compare (2·cum vs W), exact
+    * cross-engine. Weights must be non-negative; zero-weight values
+    * never become the median unless the whole group is zero-weight
+    * (then the smallest value wins — both engines alike, since
+    * 2·0 ≥ 0 already holds at the first row). */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String], of: String,
+                     weight: String): DataFrame = {
+    require(groupCols.nonEmpty, "weightedMedian needs group columns")
+    val g = groupCols.map(col)
+    val perValue = df.groupBy((g :+ col(of)): _*)
+      .agg(sum(col(weight).cast("long")).as("_w"))
+    val part = Window.partitionBy(g: _*)
+    val cum = part.orderBy(col(of))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue
+      .withColumn("_cum", sum(col("_w")).over(cum))
+      .withColumn("_tot", sum(col("_w")).over(part))
+      .filter(col("_cum") * 2 >= col("_tot"))
+      .withColumn("_rn", row_number().over(part.orderBy(col(of))))
+      .filter(col("_rn") === 1)
+      .select((g :+ col(of).as("weighted_median") :+
+        col("_tot").cast("long").as("total_weight")): _*)
+  }
 }

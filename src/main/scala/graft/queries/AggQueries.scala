@@ -348,9 +348,46 @@ object AggQueries extends QueryPack {
       ORDER BY priority, status
     """))
 
+  /** Exact weighted median ([[graft.ops.Robust.weightedMedian]]):
+    * per-language median document length (n_chars) weighted by token
+    * count — the importance-weighted statistic. Engine windows the
+    * per-(lang, value) compressed frame; the oracle re-derives the
+    * cumulative weights through a values-triangle JOIN (no window) —
+    * a genuinely different prefix-sum mechanism. */
+  val weightedMedianQ = GQuery(
+    "q_weighted_median",
+    (s, d) => graft.ops.Robust.weightedMedian(
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          graft.ops.TextOps.tokenCount(col("text")).cast("long")
+            .as("w")),
+      Seq("lang"), "n_chars", "w")
+      .orderBy("lang"),
+    Some("""
+      WITH pv AS (
+        SELECT lang, n_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS w
+        FROM documents GROUP BY lang, n_chars),
+      cum AS (
+        SELECT a.lang, a.n_chars,
+               CAST(SUM(b.w) AS BIGINT) AS cumw
+        FROM pv a JOIN pv b
+          ON a.lang = b.lang AND b.n_chars <= a.n_chars
+        GROUP BY a.lang, a.n_chars),
+      tot AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS tw
+              FROM pv GROUP BY lang)
+      SELECT c.lang,
+             MIN(c.n_chars) AS weighted_median,
+             CAST(MIN(t.tw) AS BIGINT) AS total_weight
+      FROM cum c JOIN tot t USING (lang)
+      WHERE c.cumw * 2 >= t.tw
+      GROUP BY c.lang
+      ORDER BY c.lang
+    """))
+
   def all: Seq[GQuery] = Seq(
     pricingSummary, conditionalAudit, dupHaving, countDistinctCheck,
     minmaxProfile, distribution, distinctDims, unionSummary, batchStats,
     robustOutliers, robustWinsorize, featureBinning, topFraction,
-    rollupReport, pivotReport, cubeReport)
+    rollupReport, pivotReport, cubeReport, weightedMedianQ)
 }

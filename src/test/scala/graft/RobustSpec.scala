@@ -144,4 +144,25 @@ class RobustSpec extends SparkSpec {
     assert(hashEx == 1,
       s"expected exactly 1 hash Exchange, found $hashEx:\n${plan.take(2000)}")
   }
+
+  test("weighted median: weights move the median where counts don't; " +
+    "ties and zero weights behave") {
+    val s = spark; import s.implicits._
+    // values 1..4 once each: unweighted median 2; weight mass on 4
+    // drags the weighted median to 4 (2*cum crosses at the top value)
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L),
+      ("g", 4L, 10L)).toDF("grp", "v", "w")
+    val r = graft.ops.Robust.weightedMedian(df, Seq("grp"), "v", "w")
+      .head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 13L, r.toString)
+    // balanced weights: lower median on the exact 50% boundary
+    val even = Seq(("g", 1L, 5L), ("g", 9L, 5L)).toDF("grp", "v", "w")
+    assert(graft.ops.Robust.weightedMedian(even, Seq("grp"), "v", "w")
+      .head().getLong(1) == 1L)
+    // duplicate values combine their weights before the scan
+    val dup = Seq(("g", 3L, 2L), ("g", 3L, 2L), ("g", 7L, 3L))
+      .toDF("grp", "v", "w")
+    assert(graft.ops.Robust.weightedMedian(dup, Seq("grp"), "v", "w")
+      .head().getLong(1) == 3L)
+  }
 }
