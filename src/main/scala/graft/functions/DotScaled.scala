@@ -75,7 +75,9 @@ case class DotInt8(left: Expression, right: Expression)
 
 object DotInt8 {
   def compute(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"dot_int8: dimension mismatch ($n vs ${b.numElements()})")
     var dot = 0L
     var i = 0
     while (i < n) {
@@ -87,14 +89,17 @@ object DotInt8 {
 }
 
 object DotScaled {
-  /** Pairs up to the SHORTER length. NOTE on mixed dimensions: the
-    * HOF form null-pads (zip_with) and so yields NULL for unequal
-    * lengths; this loop truncates instead of crashing. All engine
-    * vectors are fixed-dim by construction, so the two agree on
-    * every exercised input — do not feed ragged dimensions without
-    * revisiting this (SimilaritySpec pins equal-dim equivalence). */
+  /** FAIL-LOUD on ragged dimensions: the HOF form this expression
+    * replaced null-padded (zip_with) and so surfaced unequal lengths
+    * as a visible NULL; a silent truncation here would instead yield
+    * a plausible-looking partial dot product. All engine vectors are
+    * fixed-dim by construction, so the check never fires on the
+    * exercised paths (SimilaritySpec pins equal-dim equivalence) —
+    * it exists to make a dimension bug an error, not a wrong answer. */
   def compute(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"dot_scaled: dimension mismatch ($n vs ${b.numElements()})")
     var dot = 0L
     var i = 0
     while (i < n) {

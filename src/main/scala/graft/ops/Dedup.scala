@@ -454,19 +454,14 @@ object Dedup {
     // its lineage is typically the whole LSH discovery pipeline —
     // re-evaluating that per round would multiply the dominant cost by
     // the round count. The checkpoint blocks are released on every
-    // exit path below (tracked by RDD-id diff — a checkpointed
-    // Dataset exposes no direct unpersist; the diff assumes no other
-    // thread persists RDDs on this context inside the snapshot
-    // window); leaving them pinned was the r7 session-residue finding.
-    val sc = pairs.sparkSession.sparkContext
-    val beforeEdges = sc.getPersistentRDDs.keySet.toSet
+    // exit path below, tracked DIRECTLY through the plan's LogicalRDD
+    // (Checkpoints) — concurrency-safe, unlike the registry diff it
+    // replaces; leaving them pinned was the r7 session-residue finding.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
-    val edgeIds = sc.getPersistentRDDs.keySet.toSet -- beforeEdges
-    def releaseEdges(): Unit = edgeIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    def releaseEdges(): Unit = Checkpoints.release(edges)
     var labels = nodes.select(col(idCol).as("node"),
       col(idCol).as("cluster_id"))
     var converged = false

@@ -96,14 +96,15 @@ object Eval {
 
   /** Calibration / reliability table: fixed-width score bins with
     * per-bin observed positive rate (milli). `binWidth` in score
-    * units; bins capped at `nBins-1` (overflow bucket). One
+    * units; bins clamped to [0, nBins-1] (underflow and overflow
+    * buckets — negative scores land in bin 0, not a negative id). One
     * map-side-combinable aggregate; bin boundaries are IEEE-exact
     * cross-engine (double divide + floor, the perMille rule). */
   def calibrationBins(df: DataFrame, score: Column, label: Column,
                       binWidth: Double, nBins: Int): DataFrame =
     df.select(
-      least(lit(nBins - 1),
-        floor(score.cast("double") / binWidth)).cast("int").as("bin"),
+      least(lit(nBins - 1), greatest(lit(0),
+        floor(score.cast("double") / binWidth))).cast("int").as("bin"),
       label.cast("boolean").as("_y"))
       .groupBy("bin")
       .agg(count(lit(1)).cast("long").as("n"),
@@ -115,7 +116,8 @@ object Eval {
   def calibrationBinsSql(labelType: String, binWidth: Double,
                          nBins: Int): String =
     s"""
-      SELECT CAST(LEAST(${nBins - 1}, FLOOR(value / $binWidth)) AS INT)
+      SELECT CAST(LEAST(${nBins - 1},
+                         GREATEST(0, FLOOR(value / $binWidth))) AS INT)
                AS bin,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(COUNT(CASE WHEN event_type = '$labelType' THEN 1 END)

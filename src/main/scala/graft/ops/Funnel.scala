@@ -66,7 +66,11 @@ object Funnel {
     perUser
       .agg(reached.head, (reached.tail :+ converted): _*)
       .withColumn("conv_milli",
-        expr("(1000 * n_converted) div n_step1"))
+        // zero guard: with no step-1 events Spark's div yields NULL
+        // while DuckDB's // errors — pin 0 in both (the
+        // calibrationBins posture) so degenerate inputs agree
+        expr("CASE WHEN n_step1 = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (1000 * n_converted) div n_step1 END"))
   }
 
   /** DuckDB mirror of [[funnel]] — independently formulated as
@@ -101,7 +105,9 @@ object Funnel {
                  epoch_ms($last) - epoch_ms(t0) <= ${spanDays * 86400000L}
                  THEN 1 END) AS BIGINT) AS n_converted
         FROM f)
-      SELECT *, (1000 * n_converted) // n_step1 AS conv_milli FROM agg
+      SELECT *, CASE WHEN n_step1 = 0 THEN CAST(0 AS BIGINT)
+                ELSE (1000 * n_converted) // n_step1 END AS conv_milli
+      FROM agg
     """
   }
 

@@ -62,14 +62,13 @@ object Graph {
   def pagerank(nodes: DataFrame, idCol: String, edges: DataFrame,
                iters: Int): DataFrame = {
     require(iters >= 1, s"pagerank needs iters >= 1, got $iters")
-    val sc = nodes.sparkSession.sparkContext
-    val beforeEdges = sc.getPersistentRDDs.keySet.toSet
     val outdeg = edges.groupBy("src")
       .agg(count(lit(1)).cast("long").as("_deg"))
     val e = edges.join(outdeg, "src").localCheckpoint()
-    val edgeIds = sc.getPersistentRDDs.keySet.toSet -- beforeEdges
-    def releaseEdges(): Unit = edgeIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // release tracks the checkpointed RDD directly through the plan
+    // (Checkpoints) — a registry diff here would capture any RDD a
+    // concurrent query persisted in the same window
+    def releaseEdges(): Unit = Checkpoints.release(e)
     val nodeIds = nodes.select(col(idCol).cast("long").as("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodeIds.select(col("node"), lit(1000000L).as("rank_micro"))

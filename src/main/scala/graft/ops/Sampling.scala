@@ -394,6 +394,10 @@ object Sampling {
     * surplus is a planner-loop decision (re-run with the flagged
     * domain's weight zeroed), deliberately not hidden inside one
     * call — silent redistribution would misreport the requested mix.
+    * A weighted domain ABSENT from `avail` is the degenerate cap: it
+    * is kept (left join from the weights), reported with
+    * `n_avail = 0, alloc_tokens = 0, capped = 1` — never silently
+    * dropped, which would under-allocate the budget with no flag.
     *
     * Scale shape: the per-domain count aggregate is the only corpus
     * pass (map-side combinable, domain-width output); the
@@ -409,9 +413,10 @@ object Sampling {
     require(budget >= 0, s"budget must be non-negative: $budget")
     val w = weights.select(col("domain"),
       col("weight_milli").cast("long").as("weight_milli"))
-    val joined = avail
-      .select(col(domainCol).as("domain"), col(nCol).cast("long").as("n_avail"))
-      .join(w, Seq("domain"), "inner")
+    val joined = w
+      .join(avail.select(col(domainCol).as("domain"),
+        col(nCol).cast("long").as("n_avail")), Seq("domain"), "left")
+      .withColumn("n_avail", coalesce(col("n_avail"), lit(0L)))
       .crossJoin(broadcast(
         w.agg(sum("weight_milli").cast("long").as("_W"))))
       .withColumn("_base", expr(s"($budget * weight_milli) div _W"))
@@ -450,11 +455,11 @@ object Sampling {
       avail AS ($availSql),
       tot AS (SELECT CAST(SUM(weight_milli) AS BIGINT) AS W FROM w),
       base AS (
-        SELECT a.domain, a.n_avail,
+        SELECT w.domain, CAST(COALESCE(a.n_avail, 0) AS BIGINT) AS n_avail,
                CAST(w.weight_milli AS BIGINT) AS weight_milli,
                ($budget * w.weight_milli) // t.W AS b,
                ($budget * w.weight_milli) % t.W AS rem
-        FROM avail a JOIN w ON a.domain = w.domain CROSS JOIN tot t),
+        FROM w LEFT JOIN avail a ON a.domain = w.domain CROSS JOIN tot t),
       lo AS (SELECT CAST($budget - SUM(b) AS BIGINT) AS leftover
              FROM base),
       ranked AS (

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Contamination, Dedup, Sampling, TextOps}
+import graft.ops.{Checkpoints, Contamination, Dedup, Sampling, TextOps}
 
 /** The training-data corpus pipeline — the LLM-data analogue of the
   * churn [[Warehouse]]: the standard pre-training cleanup funnel
@@ -250,15 +250,14 @@ object Corpus {
     // per-row cost). Both checkpointed BEFORE the StageRunner exists
     // so the runner's per-stage eviction never touches them; both
     // released in the finally.
-    val sc = spark.sparkContext
-    val beforeSigs = sc.getPersistentRDDs.keySet.toSet
     val batchDocs = newDocs.localCheckpoint()
     val batchSigs = Dedup
       .signatures(batchDocs, "doc_id", "text", shingleK, numHashes)
       .localCheckpoint()
-    val sigIds = sc.getPersistentRDDs.keySet.toSet -- beforeSigs
-    def releaseSigs(): Unit = sigIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    def releaseSigs(): Unit = {
+      Checkpoints.release(batchDocs)
+      Checkpoints.release(batchSigs)
+    }
     try {
     val runner = new StageRunner(spark, batchDocs)
     import runner.staged

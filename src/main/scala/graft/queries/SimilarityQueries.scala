@@ -432,10 +432,12 @@ object SimilarityQueries extends QueryPack {
   /** Production posture of semantic dedup: numCentroids = √n (cells
     * stay ~√n wide, so within-cell pair work stays ~n^1.5 total
     * instead of n²/C — the knob the fixed-C gate freezes for oracle
-    * parity). No SQL oracle (C is data-dependent); the OPERATOR's
-    * correctness is carried by q_semantic_dedup, this entry is the
-    * scale-posture measurement. Output is the summary triple so the
-    * rows-only check still sees a stable shape. */
+    * parity). C is data-dependent, but that does NOT preclude an
+    * oracle: DuckDB recomputes C = GREATEST(16, ⌊√n⌋) itself in a
+    * params CTE (IEEE sqrt is correctly rounded in both engines, so
+    * the truncations agree on any exact count ≤ 2⁵³) and re-runs the
+    * whole fixed-C formulation against it; the compared shape is the
+    * summary triple. */
   val semanticDedupScaled = GQuery(
     "q_semantic_dedup_scaled",
     (s, d) => {
@@ -448,17 +450,58 @@ object SimilarityQueries extends QueryPack {
           sum(col("is_kept")).cast("long").as("n_kept"),
           countDistinct(col("cent_idx")).cast("long").as("n_cells"))
     },
-    None,
+    Some {
+      val sv = Similarity.scaledVecSql("embedding")
+      s"""
+      WITH params AS (
+        SELECT GREATEST($NumCentroids,
+                 CAST(FLOOR(SQRT(COUNT(*))) AS INT)) AS c
+        FROM embeddings),
+      cents AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                 AS cent_idx,
+               $sv AS cent
+        FROM (SELECT * FROM
+                (SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS crn
+                 FROM embeddings)
+              WHERE crn <= (SELECT c FROM params))),
+      corpus AS (SELECT vec_id AS id, $sv AS v FROM embeddings),
+      assign AS (
+        SELECT id, v, cent_idx FROM (
+          SELECT c.id, c.v, ct.cent_idx,
+                 ROW_NUMBER() OVER (PARTITION BY c.id
+                   ORDER BY ${Similarity.dotPreScaledSql("c.v", "ct.cent")} DESC,
+                            ct.cent_idx) AS rn
+          FROM corpus c CROSS JOIN cents ct)
+        WHERE rn = 1),
+      dedup AS (
+        SELECT a.id, a.cent_idx,
+               CAST(NOT EXISTS (
+                 SELECT 1 FROM assign b
+                 WHERE b.cent_idx = a.cent_idx AND b.id < a.id
+                   AND ${Similarity.dotPreScaledSql("a.v", "b.v")}
+                     >= 400000000000) AS INT) AS is_kept
+        FROM assign a)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(is_kept) AS BIGINT) AS n_kept,
+             CAST(COUNT(DISTINCT cent_idx) AS BIGINT) AS n_cells
+      FROM dedup
+    """},
     eager = true)
 
   /** Production posture of IVF ANN: numCentroids = √n (the
     * q_semantic_dedup_scaled rule applied to retrieval — with C
     * frozen, nProbe/C is a constant corpus FRACTION per query and
     * query count grows with the corpus, so scan work goes quadratic;
-    * √n cells keep per-query candidate work ~√n·nProbe). No oracle —
-    * correctness carried by the fixed-C q_ann_ivf_topk gate; output
-    * is the per-query-count summary so rows stay stable. Eager:
-    * the codebook collect runs at construction. */
+    * √n cells keep per-query candidate work ~√n·nProbe). The oracle
+    * recomputes C = GREATEST(16, ⌊√n⌋) in a params CTE (the
+    * q_semantic_dedup_scaled convention) and re-derives codebook,
+    * cell assignment, and probe choice at that C; it SKIPS the dot
+    * scoring because the compared shape (per-query candidate counts,
+    * capped at k) is invariant to candidate ORDER — ranking by any
+    * total order yields the same min(k, candidates) row count.
+    * Scoring correctness is q_ann_ivf_topk's job. Eager: the
+    * codebook collect runs at construction. */
   val ivfTopKScaled = GQuery(
     "q_ann_ivf_scaled",
     (s, d) => {
@@ -471,7 +514,52 @@ object SimilarityQueries extends QueryPack {
         .agg(count(lit(1)).cast("long").as("n_rows"),
           countDistinct(col("query_id")).cast("long").as("n_queries"))
     },
-    None,
+    Some {
+      val sv = Similarity.scaledVecSql("embedding")
+      s"""
+      WITH params AS (
+        SELECT GREATEST($NumCentroids,
+                 CAST(FLOOR(SQRT(COUNT(*))) AS INT)) AS c
+        FROM embeddings),
+      cents AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                 AS cent_idx,
+               $sv AS cent
+        FROM (SELECT * FROM
+                (SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS crn
+                 FROM embeddings)
+              WHERE crn <= (SELECT c FROM params))),
+      corpus AS (SELECT vec_id AS neighbour_id, $sv AS cv
+                 FROM embeddings),
+      assign AS (
+        SELECT neighbour_id, cv, cent_idx FROM (
+          SELECT c.neighbour_id, c.cv, ct.cent_idx,
+                 ROW_NUMBER() OVER (PARTITION BY c.neighbour_id
+                   ORDER BY ${Similarity.dotPreScaledSql("c.cv", "ct.cent")} DESC,
+                            ct.cent_idx) AS rn
+          FROM corpus c CROSS JOIN cents ct)
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, $sv AS qv
+            FROM embeddings WHERE $QueryPred),
+      probes AS (
+        SELECT query_id, qv, cent_idx FROM (
+          SELECT q.query_id, q.qv, ct.cent_idx,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY ${Similarity.dotPreScaledSql("q.qv", "ct.cent")} DESC,
+                            ct.cent_idx) AS rn
+          FROM q CROSS JOIN cents ct)
+        WHERE rn <= $NProbe),
+      scored AS (
+        SELECT p.query_id, a.neighbour_id
+        FROM probes p JOIN assign a USING (cent_idx)),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY neighbour_id) AS rank
+        FROM scored)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries
+      FROM ranked WHERE rank <= $TopK
+    """},
     eager = true)
 
   def all: Seq[GQuery] =

@@ -65,4 +65,16 @@ class EvalSpec extends SparkSpec {
     assert(r(1) == (1L, 1000L))
     assert(r(9) == (1L, 1000L))  // overflow capped into the last bin
   }
+
+  test("calibration: negative scores clamp into bin 0, never a " +
+    "negative bin id") {
+    val df = Seq((-120.0, true), (-0.01, false), (10.0, false))
+      .toDF("s", "y")
+    val r = Eval.calibrationBins(df, col("s"), col("y"),
+      binWidth = 50.0, nBins = 10)
+      .collect().map(x => x.getInt(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    assert(r.keySet == Set(0), r.toString) // all three rows in bin 0
+    assert(r(0) == (3L, 1L))
+  }
 }

@@ -35,6 +35,16 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("conv_milli") == 333)
   }
 
+  test("funnel: no step-1 events gives conv_milli = 0, not NULL") {
+    val ev = Seq((1L, ts(1), "click"), (1L, ts(2), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val r = Funnel.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), spanDays = 7).head()
+    assert(r.getAs[Long]("n_step1") == 0)
+    assert(!r.isNullAt(r.fieldIndex("conv_milli")))
+    assert(r.getAs[Long]("conv_milli") == 0)
+  }
+
   test("funnel: strictly-after semantics — same-timestamp step doesn't count") {
     val ev = Seq((1L, ts(1), "view"), (1L, ts(1), "click"))
       .toDF("user_id", "ts", "event_type")

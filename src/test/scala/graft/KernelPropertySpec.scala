@@ -147,31 +147,50 @@ class KernelPropertySpec extends SparkSpec {
   // already exceed Long.Max, which is outside the documented envelope
   // (and sent ScalaCheck's shrinker into a multi-minute spiral when
   // this generator briefly did exactly that).
-  private val genScaledVec: Gen[List[Long]] =
-    Gen.choose(1, 128).flatMap(n =>
-      Gen.listOfN(n, Gen.choose(-1000000L, 1000000L)))
-
-  test("DotScaled == BigInt reference over the scaled domain, " +
-    "including unequal lengths (truncation contract)") {
-    check("DotScaled", Prop.forAll(genScaledVec, genScaledVec) { (a, b) =>
+  test("DotScaled == BigInt reference over the scaled domain " +
+    "(equal dims; ragged dims fail loud)") {
+    // pair generator yields EQUAL lengths — ragged input is no longer
+    // a value-producing path (it throws, the fail-loud contract below)
+    val genPair = Gen.choose(1, 128).flatMap { n =>
+      Gen.zip(Gen.listOfN(n, Gen.choose(-1000000L, 1000000L)),
+        Gen.listOfN(n, Gen.choose(-1000000L, 1000000L)))
+    }
+    check("DotScaled", Prop.forAll(genPair) { case (a, b) =>
       val got = graft.functions.DotScaled.compute(
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.toArray),
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b.toArray))
       val ref = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
       BigInt(got) == ref
     })
+    intercept[IllegalArgumentException] {
+      graft.functions.DotScaled.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array(1L, 2L)),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array(1L)))
+    }
   }
 
-  test("DotInt8 == BigInt reference over the code domain") {
-    val genCodes = Gen.choose(1, 128).flatMap(n =>
-      Gen.listOfN(n, Gen.choose(-127, 127)))
-    check("DotInt8", Prop.forAll(genCodes, genCodes) { (a, b) =>
+  test("DotInt8 == BigInt reference over the code domain " +
+    "(equal dims; ragged dims fail loud)") {
+    val genPair = Gen.choose(1, 128).flatMap { n =>
+      Gen.zip(Gen.listOfN(n, Gen.choose(-127, 127)),
+        Gen.listOfN(n, Gen.choose(-127, 127)))
+    }
+    check("DotInt8", Prop.forAll(genPair) { case (a, b) =>
       val got = graft.functions.DotInt8.compute(
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.toArray),
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b.toArray))
       val ref = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
       BigInt(got) == ref
     })
+    intercept[IllegalArgumentException] {
+      graft.functions.DotInt8.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array(1, 2)),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array(1)))
+    }
   }
 
   test("groupedAuc == per-group Scala reference across random tied " +

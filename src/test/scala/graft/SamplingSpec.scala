@@ -398,4 +398,20 @@ class SamplingSpec extends SparkSpec {
     assert(byDom("a") == (50L, 0))
     assert(byDom("b") == (10L, 1))
   }
+
+  test("mixturePlan: a weighted domain absent from avail is kept as " +
+    "a capped n_avail=0 row, never silently dropped") {
+    val s = spark; import s.implicits._
+    val avail = Seq(("a", 1000L)).toDF("domain", "n")
+    val w = Seq(("a", 10L), ("ghost", 10L)).toDF("domain", "weight_milli")
+    val rows = Sampling.mixturePlan(avail, "domain", "n", w,
+      budget = 100L).collect()
+    assert(rows.length == 2, rows.mkString("; "))
+    val byDom = rows.map(x => x.getString(0) ->
+      (x.getLong(1), x.getLong(3), x.getInt(4))).toMap
+    // ghost keeps its weight share in the apportionment (a gets 50,
+    // not 100) but supplies nothing and is flagged
+    assert(byDom("ghost") == (0L, 0L, 1))
+    assert(byDom("a") == (1000L, 50L, 0))
+  }
 }

@@ -274,6 +274,20 @@ class SimilaritySpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("DotScaled fails loud on ragged dimensions instead of " +
+    "truncating to a plausible partial dot") {
+    val s = spark; import s.implicits._
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(Similarity.dotScaled(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage)
+        .exists(_.contains("dimension mismatch"))), e.toString)
+  }
+
   test("semanticDedup: earliest cell-mate above threshold survives, " +
     "later ones drop, per cell") {
     val s = spark; import s.implicits._
