@@ -32,9 +32,13 @@ object SparkEntry {
     registry.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Written-fixture oracles render against [[OracleContext.sfDir]]
+    * (set by Verify from argv) so they gate at any scale factor. */
   def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.oracle.map(q.name -> _.trim)).toMap
+    registry.flatMap(q =>
+      q.oracleAt.map(_(OracleContext.sfDir)).orElse(q.oracle)
+        .map(q.name -> _.trim)).toMap
 
   /** Subset timed by Bench (headline queries). */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -6,6 +6,8 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // written-fixture oracles embed paths derived from THIS sf dir
+    queries.OracleContext.sfDir = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")

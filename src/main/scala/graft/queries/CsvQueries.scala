@@ -88,12 +88,14 @@ object CsvQueries extends QueryPack {
       CsvIngest.ingestDir(s, landing, target)
         .orderBy("customer_id")
     },
-    Some {
-      // The oracle reads the same fixture files the Spark side lands.
-      // The correctness gate runs at sf0.01 (driver contract), and the
-      // fixture path is sf-keyed so a later Bench run at another SF
-      // cannot overwrite the files between Verify and the DuckDB pass.
-      val landing01 = landingDir("/root/testdata/sf0.01")
+    oracle = None,
+    // The oracle reads the same fixture files the Spark side lands.
+    // Rendered against the Verify run's OWN sf dir (OracleContext) so
+    // the gate works at any SF; the path stays sf-keyed so a Bench
+    // run at another SF cannot overwrite the files between Verify and
+    // the DuckDB pass.
+    oracleAt = Some { sfDir =>
+      val landing01 = landingDir(sfDir)
       s"""
       SELECT * FROM (
         SELECT CAST("CustomerID" AS BIGINT) AS customer_id,
@@ -164,8 +166,9 @@ object CsvQueries extends QueryPack {
           sum(length(col("text"))).as("sum_chars"))
         .orderBy("lang")
     },
-    Some {
-      val landing01 = jsonlDir("/root/testdata/sf0.01")
+    oracle = None,
+    oracleAt = Some { sfDir =>
+      val landing01 = jsonlDir(sfDir)
       s"""
       SELECT CASE WHEN doc_id IS NULL THEN '__corrupt__'
                   ELSE meta.lang END AS lang,
@@ -212,8 +215,9 @@ object CsvQueries extends QueryPack {
           h("source").as("sum_src_h"))
         .orderBy("lang")
     },
-    Some {
-      val out01 = jsonlExportDir("/root/testdata/sf0.01")
+    oracle = None,
+    oracleAt = Some { sfDir =>
+      val out01 = jsonlExportDir(sfDir)
       def h(c: String) =
         s"CAST(SUM(CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)) AS BIGINT)"
       s"""

@@ -14,10 +14,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - aggregate/computed columns carry identical aliases in both forms;
   *  - timestamps are projected as DATE or STRING at the result edge.
   */
+/** The sf dir the CURRENT Verify run reads — consulted when an
+  * oracle embeds a written-fixture path ([[GQuery.oracleAt]]), so the
+  * wire-contract queries gate at ANY scale factor instead of pinning
+  * /tmp paths keyed to sf0.01 at build time. Defaults to the driver's
+  * contract SF; [[graft.Verify]] overwrites it from argv before the
+  * oracle map is rendered. */
+object OracleContext {
+  @volatile var sfDir: String = "/root/testdata/sf0.01"
+}
+
 final case class GQuery(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
+    /** sfDir-dependent oracle SQL (written-file fixtures embed paths
+      * derived from the sf dir); rendered against
+      * [[OracleContext.sfDir]] at dump time. Mutually exclusive with
+      * [[oracle]] — when both are set, `oracleAt` wins. */
+    oracleAt: Option[String => String] = None,
     /** headline queries get timed by Bench at sf0.1 */
     bench: Boolean = true,
     /** untimed fixture setup: Bench runs this before the timed body so
