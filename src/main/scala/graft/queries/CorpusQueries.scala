@@ -66,7 +66,7 @@ object CorpusQueries extends QueryPack {
         .orderBy("stage_idx")
     },
     Some(s"""
-      WITH RECURSIVE corpus AS (
+      WITH corpus AS (
         SELECT doc_id, text, source FROM documents
         UNION ALL
         SELECT doc_id + 1000000, text, source FROM documents
@@ -87,16 +87,13 @@ object CorpusQueries extends QueryPack {
         JOIN sizes na ON na.doc_id = id_a
         JOIN sizes nb ON nb.doc_id = id_b
         WHERE inter * 1000 // (na.n + nb.n - inter) >= $NearDupMille),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs),
-      reach(src, node) AS (
-        SELECT doc_id, doc_id FROM s1
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+      ${DedupQueries.labelPropClustersSql("s1", "doc_id")},
       survivors AS (
-        SELECT src AS doc_id FROM reach GROUP BY src HAVING src = MIN(node)),
+        SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
       s2 AS (SELECT s1.* FROM s1 JOIN survivors USING (doc_id)),
       ev AS (
         SELECT DISTINCT unnest(${Dedup.shinglesSql("text", ContamK)}) AS sh
@@ -189,7 +186,7 @@ object CorpusQueries extends QueryPack {
         .orderBy("stage_idx")
     },
     Some(s"""
-      WITH RECURSIVE hist AS (
+      WITH hist AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
       batch AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
@@ -214,7 +211,7 @@ object CorpusQueries extends QueryPack {
         WHERE inter * 1000 // (na.n + nb.n - inter) >= $NearDupMille
           AND (id_a IN (SELECT doc_id FROM s1)
                OR id_b IN (SELECT doc_id FROM s1))),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs),
@@ -222,17 +219,11 @@ object CorpusQueries extends QueryPack {
         SELECT doc_id FROM s1
         UNION SELECT id_a FROM pairs
         UNION SELECT id_b FROM pairs),
-      reach(src, node) AS (
-        SELECT doc_id, doc_id FROM nodes
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
-      clus AS (
-        SELECT src AS doc_id, MIN(node) AS cluster_id
-        FROM reach GROUP BY src),
+      ${DedupQueries.labelPropClustersSql("nodes", "doc_id")},
       member AS (
         SELECT c.doc_id, c.cluster_id,
                c.doc_id IN (SELECT doc_id FROM s1) AS is_b
-        FROM clus c),
+        FROM clusters c),
       hh AS (
         SELECT cluster_id,
                MAX(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS has_hist,

@@ -237,6 +237,52 @@ object DedupQueries extends QueryPack {
     """),
     bench = false)
 
+  /** K unrolled rounds of min-label propagation as chained CTE text —
+    * the oracle-side mirror of [[Dedup.connectedComponents]]'s engine
+    * loop, replacing the `WITH RECURSIVE reach` transitive closure
+    * that materialized Σ cluster² (src, reachable) rows: fine at 5k
+    * docs, hopeless at 50k, which is exactly why the cluster-bearing
+    * oracles were stuck gating at sf0.1 (the r9 verdict's #3). Label
+    * propagation carries ONE row per node per round.
+    *
+    * Expects a symmetric CTE `edges(src, dst)` already in scope;
+    * emits CTEs `lp0..lp<rounds>` and `clusters(doc_id, cluster_id)`.
+    * Convergence is a fail-loud contract like the engine's maxIter
+    * guard: after `rounds` hops every label must have settled (a
+    * min-label reaches any node within cluster diameter rounds — LSH/
+    * edit-distance near-dup clusters are dense, diameter 1-3), and if
+    * the final round still moved a label the oracle calls error()
+    * instead of hash-comparing a wrong clustering. */
+  private[queries] def labelPropClustersSql(nodesCte: String,
+      nodeCol: String, rounds: Int = 8): String = {
+    // AS MATERIALIZED is load-bearing: each round references the
+    // previous one TWICE, and DuckDB's default inlining would expand
+    // the chain 2^rounds-fold (observed as "Too many open files" —
+    // hundreds of re-opened parquet scans — before it even got slow)
+    val roundCtes = (1 to rounds).map { i =>
+      s"""lp$i AS MATERIALIZED (
+        SELECT n.node, LEAST(n.lbl, COALESCE(MIN(l.lbl), n.lbl)) AS lbl
+        FROM lp${i - 1} n
+        LEFT JOIN edges e ON e.src = n.node
+        LEFT JOIN lp${i - 1} l ON l.node = e.dst
+        GROUP BY n.node, n.lbl)"""
+    }.mkString(",\n      ")
+    s"""lp0 AS MATERIALIZED (
+        SELECT $nodeCol AS node, $nodeCol AS lbl FROM $nodesCte),
+      $roundCtes,
+      lpconv AS (
+        SELECT COUNT(*) AS n_changed
+        FROM lp$rounds k JOIN lp${rounds - 1} p USING (node)
+        WHERE k.lbl <> p.lbl),
+      clusters AS (
+        SELECT node AS doc_id,
+               CASE WHEN (SELECT n_changed FROM lpconv) > 0
+                    THEN CAST(error('label propagation not converged '
+                      || 'after $rounds rounds') AS BIGINT)
+                    ELSE lbl END AS cluster_id
+        FROM lp$rounds)"""
+  }
+
   private def jaccardOracle(minMille: Int): String = s"""
       WITH sh AS (
         SELECT doc_id, unnest(${Dedup.shinglesSql("text", K)}) AS sh
@@ -323,7 +369,7 @@ object DedupQueries extends QueryPack {
     * persists under the sigStorePath fingerprint protocol; both
     * queries read the stored frame back. This does NOT weaken either
     * oracle — both DuckDB sides still recompute the whole chain from
-    * the raw parquet (recursive-CTE reachability) and compare against
+    * the raw parquet (unrolled min-label propagation) and compare against
     * the engine-produced frame; it only stops the gate from paying the
     * same LSH + components cost twice per verify/bench run (the r8
     * gate-cost finding). The production analogue is exactly this
@@ -355,7 +401,7 @@ object DedupQueries extends QueryPack {
     * runs min-label propagation over the LSH-discovered pairs
     * ([[Dedup.connectedComponents]]: O(cluster-diameter) shuffle
     * rounds, no driver union-find); the oracle computes the same
-    * components with a recursive CTE. Every doc gets a cluster id
+    * components with unrolled label-prop CTEs. Every doc gets a cluster id
     * (singletons are their own cluster) and the cluster minimum is
     * flagged as the canonical survivor. Cluster frame built once per
     * sf via [[ensureClusterStore]]. */
@@ -365,19 +411,16 @@ object DedupQueries extends QueryPack {
       s.read.parquet(ensureClusterStore(s, d)).orderBy("doc_id")
     },
     Some(s"""
-      WITH RECURSIVE pairs AS (
+      WITH pairs AS (
         SELECT id_a, id_b FROM (${jaccardOracle(850)})),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs),
-      reach(src, node) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
-      SELECT src AS doc_id, MIN(node) AS cluster_id,
-             CAST(src = MIN(node) AS INT) AS is_survivor
-      FROM reach GROUP BY src ORDER BY doc_id
+      ${labelPropClustersSql("documents", "doc_id")}
+      SELECT doc_id, cluster_id,
+             CAST(doc_id = cluster_id AS INT) AS is_survivor
+      FROM clusters ORDER BY doc_id
     """),
     prepare = Some((s, d) => { ensureClusterStore(s, d); () }))
 
@@ -414,19 +457,13 @@ object DedupQueries extends QueryPack {
         .orderBy("split")
     },
     Some(s"""
-      WITH RECURSIVE pairs AS (
+      WITH pairs AS (
         SELECT id_a, id_b FROM (${jaccardOracle(850)})),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs),
-      reach(src, node) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
-      clusters AS (
-        SELECT src AS doc_id, MIN(node) AS cluster_id
-        FROM reach GROUP BY src),
+      ${labelPropClustersSql("documents", "doc_id")},
       assigned AS (
         SELECT doc_id, cluster_id,
                ${graft.ops.Sampling.assignSplitSql("cluster_id", SplitShares)}
@@ -666,7 +703,7 @@ object DedupQueries extends QueryPack {
     * amortized through the fuzzy cluster store (computed once per sf,
     * consumed here — the r8 gate-cost trim). The oracle recomputes the
     * whole chain from raw parquet — two-banding union edges,
-    * recursive-CTE reachability (the q_leakage_safe_split precedent),
+    * label-prop reachability (the q_leakage_safe_split precedent),
     * arg_max survivorship — so stage wiring, not just stages, is
     * gated. Singleton clusters pass through untouched (the audit
     * surface keeps them: a resolution run that invents or drops
@@ -711,21 +748,15 @@ object DedupQueries extends QueryPack {
         .orderBy("cluster_key")
     },
     Some(s"""
-      WITH RECURSIVE fpairs AS (
+      WITH fpairs AS (
         SELECT id_a, id_b FROM (
           ${Fuzzy.editDistancePairsWideSql("documents", "doc_id", "text",
             prefixLen = 64, lenBand = 16, maxDist = 8)})),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM fpairs
         UNION
         SELECT id_b, id_a FROM fpairs),
-      reach(src, node) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
-      clusters AS (
-        SELECT src AS doc_id, MIN(node) AS cluster_id
-        FROM reach GROUP BY src),
+      ${labelPropClustersSql("documents", "doc_id")},
       members AS (
         SELECT d.doc_id, c.cluster_id, d.lang, d.source, d.n_chars
         FROM documents d JOIN clusters c ON d.doc_id = c.doc_id)
