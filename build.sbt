@@ -31,4 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // heap. 8g starves 32 threads (GC pressure inflated bench numbers
   // ~2x on shuffle-heavy queries); the image has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // every registry query generates fresh wholestage-codegen classes;
+  // a 162-query bench run peaks ~152 MB of the 240 MB default code
+  // cache (bench/diag_sf0.1.jsonl, r10). A full cache disables the
+  // JIT for the REST of the run — the one identified mechanism that
+  // matches the recurring q_star_fact_load full-sequence spike
+  // profile (slow across all its reps, clean solo, nondeterministic).
+  // Headroom is cheap; see BASELINE.md "star-fact spike adjudication".
+  "-XX:ReservedCodeCacheSize=512m",
 )

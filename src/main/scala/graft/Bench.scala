@@ -1,6 +1,76 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Per-query resource attribution for the bench, kept since r10 to
+  * adjudicate in-sequence anomalies (the recurring q_star_fact_load
+  * spike: ~3 s solo, 12-29 s in two full-sequence runs across r8/r9
+  * with the query plan unchanged). Task-metric deltas come from a
+  * listener (executor run/GC time, spill, shuffle bytes); process GC
+  * time/count from the JVM beans. Listener delivery is async, so a
+  * query's numbers can bleed a few events into the next row — fine
+  * for attribution ("was the spike GC, spill, or scheduler wait?"),
+  * not for accounting. */
+private final class BenchDiag
+    extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.AtomicLong
+  val runMs, gcMs, spillBytes, shuffleWr, tasks = new AtomicLong
+  override def onTaskEnd(
+      t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      runMs.addAndGet(m.executorRunTime)
+      gcMs.addAndGet(m.jvmGCTime)
+      spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      shuffleWr.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      tasks.incrementAndGet()
+      ()
+    }
+  }
+  private def procGcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime.max(0L)).sum
+  }
+  private def heapUsed: Long = {
+    val r = Runtime.getRuntime
+    r.totalMemory() - r.freeMemory()
+  }
+  // JIT health: every query generates fresh wholestage-codegen classes;
+  // a full code cache disables the compiler for the REST of the run
+  // (interpreted generated code, 3-4x on shuffle-heavy queries) — the
+  // leading suspect profile for a late-alphabet query that spikes in
+  // full-sequence runs, stays slow across its reps, and measures clean
+  // solo. jit_ms flat-lining while codecache_used sits near capacity is
+  // that smoking gun.
+  private def jitMs: Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported)
+      c.getTotalCompilationTime else 0L
+  }
+  private def codeCacheUsed: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum
+  }
+  def snapshot(): Map[String, Long] = Map(
+    "task_run_ms" -> runMs.get, "task_gc_ms" -> gcMs.get,
+    "spill_bytes" -> spillBytes.get, "shuffle_write" -> shuffleWr.get,
+    "tasks" -> tasks.get, "proc_gc_ms" -> procGcMs,
+    "jit_ms" -> jitMs, "codecache_used" -> codeCacheUsed,
+    "heap_used" -> heapUsed)
+  /** Levels (point-in-time gauges) are reported as-is; counters as
+    * deltas. */
+  private val Levels = Set("heap_used", "codecache_used")
+  def delta(before: Map[String, Long]): Map[String, Long] = {
+    val now = snapshot()
+    now.map { case (k, v) =>
+      k -> (if (Levels(k)) v else v - before(k))
+    }
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,11 +141,15 @@ object Bench {
     // sorted order: hash-map iteration order shifts when queries are
     // added, which moves JVM warmup/GC noise between queries and makes
     // round-over-round per-query comparison unnecessarily noisy
+    val diag = new BenchDiag
+    spark.sparkContext.addSparkListener(diag)
+    val diagRows = Seq.newBuilder[String]
     val results = selected.map { case (name, fn) =>
       // Materialize through the noop sink: every projection/expression
       // is computed and serialized (a bare count() lets Catalyst prune
       // projections and eliminate result-edge sorts, under-measuring
       // expression-heavy queries). Failures report as -1, not a timing.
+      val before = diag.snapshot()
       val times = (1 to reps).flatMap { _ =>
         // block-manager hygiene: operators that localCheckpoint for
         // lineage truncation (connected components) leave their final
@@ -97,7 +171,13 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
         }
       }
-      name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
+      val med = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
+      val d = diag.delta(before)
+      diagRows += (s"""{"q":"$name","median":$med,""" +
+        s""""times":[${times.mkString(",")}],""" +
+        d.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+          .mkString(",") + "}")
+      name -> med
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -129,10 +209,17 @@ object Bench {
         Files.writeString(dir.resolve(latest), stamped + "\n")
         Files.writeString(dir.resolve("history.jsonl"), stamped + "\n",
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        // per-query resource attribution for THIS run (task GC/spill/
+        // shuffle deltas + rep times) — the evidence file a future
+        // in-sequence anomaly adjudication reads first
+        Files.writeString(dir.resolve(s"diag_$sfName.jsonl"),
+          diagRows.result().mkString("", "\n", "\n"))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
       }
-    }
+    } else
+      // focused dev runs: same attribution, straight to stderr
+      diagRows.result().foreach(r => System.err.println(s"[diag] $r"))
     spark.stop()
   }
 }

@@ -19,7 +19,7 @@ object SparkEntry {
     DedupQueries, TextQueries, SimilarityQueries, CsvQueries,
     PartitionQueries, BinaryQueries, SkewQueries, SampleQueries,
     TemporalQueries, SketchQueries, CorpusQueries, ScdQueries,
-    LayoutQueries, RetrievalQueries, EvalQueries)
+    LayoutQueries, RetrievalQueries, EvalQueries, StreamQueries)
 
   private[graft] lazy val registry: Seq[GQuery] = packs.flatMap(_.all)
 
