@@ -2,9 +2,18 @@
 """Local emulation of the driver's correctness gate: run each oracle SQL
 from outDir/oracle_sql.json in DuckDB over the sf parquet tables, load
 the Spark result parquet, sort columns by name, and compare values.
-Usage: check.py <sfDir> <verifyOutDir>
+Usage: check.py <sfDir> <verifyOutDir> [--promote <stampfile>]
+
+Changed-only loop (builder tooling; the driver always runs the full
+gate): run Verify with SPARK_GRAFT_VERIFY_STAMP=<stampfile> — it skips
+queries whose (normalized plan + oracle) fingerprint matches the
+last-green stamp and writes the fresh fingerprints to
+<stampfile>.next. Pass --promote <stampfile> here: ONLY when every
+checked query passes does the .next file replace the stamp, so a red
+run never marks anything green and the full sweep (no env) remains
+the round-close gate.
 """
-import duckdb, json, sys, glob, math
+import duckdb, json, sys, glob, math, os
 
 def _feq(a, b):
     try:
@@ -13,8 +22,10 @@ def _feq(a, b):
         return False
 
 sf, out = sys.argv[1], sys.argv[2]
+promote = None
+if "--promote" in sys.argv:
+    promote = sys.argv[sys.argv.index("--promote") + 1]
 con = duckdb.connect()
-import os
 for p in glob.glob(f"{sf}/*.parquet"):
     name = p.split("/")[-1].removesuffix(".parquet")
     # driver testdata ships one file per table; builder-synthesized
@@ -72,4 +83,12 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"PASS {name} ({len(exp)} rows)")
 
+if promote and not fails:
+    nxt = promote + ".next"
+    if os.path.exists(nxt):
+        os.replace(nxt, promote)
+        print(f"stamp promoted: {promote}")
+    else:
+        print(f"WARN: no {nxt} to promote (Verify ran without "
+              "SPARK_GRAFT_VERIFY_STAMP?)")
 sys.exit(1 if fails else 0)
