@@ -38,8 +38,28 @@ object StreamQueries extends QueryPack {
   /** Stage the events table as [[Slices]] time-ordered single-file
     * parquet slices (distinct mtimes → deterministic file-source
     * replay order) under a fresh temp dir; `value` pre-quantized to
-    * tenth-of-milli longs. Returns (root, schema). */
-  private def stage(s: SparkSession, d: String) = {
+    * tenth-of-milli longs. Returns (root, schema).
+    *
+    * `replayMod = Some(m)`: after slice i+1, re-deliver slice i's
+    * rows with `event_id % m == 0` as an extra file — the at-least-
+    * once delivery case (a queue redelivers a batch it already
+    * shipped). Replay lateness is bounded by two slice spans, so a
+    * dedup watermark wider than that always still HOLDS the original
+    * key's state when the replay arrives — making the dedup gate's
+    * output slicing-invariant.
+    *
+    * `sentinels = true`: append two single-row far-future barrier
+    * slices (user_id = -1). The first advances the event-time
+    * watermark past every real session's timeout; the second drives
+    * the post-advance micro-batch in which those timeouts actually
+    * FIRE (timeouts are evaluated against the PREVIOUS batch's
+    * watermark) — the standard end-of-stream drain for finite replays
+    * of an always-on stateful topology. Callers filter `user_id < 0`
+    * back out; the sentinel pair is 1 h apart so the barrier user's
+    * own session never closes and never pollutes the sink. */
+  private def stage(s: SparkSession, d: String,
+                    replayMod: Option[Int] = None,
+                    sentinels: Boolean = false) = {
     val root =
       java.nio.file.Files.createTempDirectory("graft_sgate").toString
     val events = Tables.events(s, d)
@@ -49,10 +69,36 @@ object StreamQueries extends QueryPack {
     val sliced = events.withColumn("_slice",
       ntile(Slices).over(org.apache.spark.sql.expressions.Window
         .orderBy(col("ts"), col("event_id")))).cache()
+    def writeSlice(df: DataFrame, dir: String): Unit = {
+      df.coalesce(1).write.parquet(s"$root/events/$dir")
+      Thread.sleep(20) // distinct mtimes → deterministic source order
+    }
     (1 to Slices).foreach { i =>
-      sliced.filter(col("_slice") === i).drop("_slice")
-        .coalesce(1).write.parquet(s"$root/events/slice_$i")
-      Thread.sleep(20)
+      writeSlice(sliced.filter(col("_slice") === i).drop("_slice"),
+        s"slice_$i")
+      replayMod.foreach { m =>
+        if (i > 1) writeSlice(
+          sliced.filter(col("_slice") === (i - 1) &&
+            pmod(col("event_id"), lit(m)) === 0).drop("_slice"),
+          s"slice_${i}_replay")
+      }
+    }
+    replayMod.foreach { m =>
+      writeSlice(sliced.filter(col("_slice") === Slices &&
+        pmod(col("event_id"), lit(m)) === 0).drop("_slice"),
+        s"slice_${Slices}_replay_tail")
+    }
+    if (sentinels) {
+      import s.implicits._
+      val maxTs = sliced.agg(max(col("ts"))).head().getTimestamp(0)
+      Seq(1, 2).foreach { k =>
+        val ts = new java.sql.Timestamp(
+          maxTs.getTime + 100L * 86400000L + (k - 1) * 3600000L)
+        writeSlice(
+          Seq((-k.toLong, ts, -1L, "sentinel", 0L))
+            .toDF("event_id", "ts", "user_id", "event_type", "value"),
+          s"slice_sentinel_$k")
+      }
     }
     sliced.unpersist()
     (root, events.schema)
@@ -141,5 +187,142 @@ object StreamQueries extends QueryPack {
     """),
     bench = false, eager = true)
 
-  def all: Seq[GQuery] = Seq(streamWindowedCounts, streamIntervalJoin)
+  /** Streaming at-least-once dedup ([[Streams.dedupWithinWatermark]]):
+    * every 7th event is RE-DELIVERED one slice after its original
+    * (the queue-redelivery case), and the gate demands the drained
+    * output be exactly the original event set, each exactly once —
+    * gating watermark-bounded dedup state across ~15 micro-batches.
+    * Determinism: replay lateness ≤ two slice spans (~7.5 d at any
+    * SF: the events table always spans 30 days) < the 8-day horizon,
+    * so the original's state row is provably still live when its
+    * replay arrives — no output row ever depends on where slice
+    * boundaries fall. The oracle is the trivial SELECT: that
+    * triviality IS the contract (dedup restored exactly-once). */
+  val streamDedupReplay = GQuery(
+    "q_stream_dedup_replay",
+    (s, d) => {
+      val (root, schema) = stage(s, d, replayMod = Some(7))
+      val out = drain(s,
+        Streams.dedupWithinWatermark(readSliced(s, root, schema),
+          watermark = "8 days", idCols = Seq("event_id")),
+        OutputMode.Append, root, "dd")
+      out.select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             CAST(ROUND(value * 1e4) AS BIGINT) AS value
+      FROM events ORDER BY event_id
+    """),
+    bench = false, eager = true)
+
+  /** Declarative streaming session windows
+    * ([[Streams.sessionWindowCounts]], gap 12 h) drained in Append
+    * mode: merged-on-update session state, watermark eviction, and
+    * the sentinel-barrier end-of-stream drain (see [[stage]]) in one
+    * gate. The oracle rebuilds sessions as a gaps-and-islands pass —
+    * a NEW session when the inter-event gap is ≥ 12 h (session
+    * windows are [ts, ts+gap) with exclusive ends, so an event
+    * exactly at last+gap does NOT merge), `session_end` = last event
+    * + gap by the session_window convention. */
+  val streamSessionWindow = GQuery(
+    "q_stream_session_window",
+    (s, d) => {
+      val (root, schema) = stage(s, d, sentinels = true)
+      val out = drain(s,
+        Streams.sessionWindowCounts(readSliced(s, root, schema),
+          gap = "12 hours", watermark = "1 hour"),
+        OutputMode.Append, root, "sw")
+      out.filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""
+      WITH d AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 12 HOUR
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sids AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d),
+      g AS (
+        SELECT user_id, sid, min(ts) AS s_start,
+               max(ts) + INTERVAL 12 HOUR AS s_end,
+               COUNT(*) AS n_events
+        FROM sids GROUP BY 1, 2)
+      SELECT user_id,
+             strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+             CAST(n_events AS BIGINT) AS n_events
+      FROM g ORDER BY user_id, session_start
+    """),
+    bench = false, eager = true)
+
+  /** Custom-state sessionization ([[Streams.sessionize]] —
+    * flatMapGroupsWithState, EventTimeTimeout, gap 12 h) under the
+    * same sentinel-barrier drain: sessions close EITHER by a
+    * successor event more than the gap later (strict >, millisecond
+    * arithmetic — `Timestamp.getTime`) OR by event-time timeout, and
+    * each emits exactly once. The oracle's islands pass mirrors the
+    * millisecond-strict gap (epoch_ms diff > gap), and reports
+    * `session_end` as the LAST EVENT itself — the pinned semantic
+    * difference from session_window's last+gap. */
+  val streamSessionize = GQuery(
+    "q_stream_sessionize",
+    (s, d) => {
+      import s.implicits._
+      val (root, schema) = stage(s, d, sentinels = true)
+      val ev = readSliced(s, root, schema)
+        .withColumn("value", col("value").cast("double"))
+        .as[Streams.Event]
+      val out = drain(s, Streams.sessionize(ev, gapMinutes = 720).toDF(),
+        OutputMode.Append, root, "fs")
+      out.filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_end"),
+          col("n_events").cast("long").as("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""
+      WITH d AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                         > 720 * 60000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sids AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d),
+      g AS (
+        SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end,
+               COUNT(*) AS n_events
+        FROM sids GROUP BY 1, 2)
+      SELECT user_id,
+             strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+             CAST(n_events AS BIGINT) AS n_events
+      FROM g ORDER BY user_id, session_start
+    """),
+    bench = false, eager = true)
+
+  def all: Seq[GQuery] = Seq(streamWindowedCounts, streamIntervalJoin,
+    streamDedupReplay, streamSessionWindow, streamSessionize)
 }

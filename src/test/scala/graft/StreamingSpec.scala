@@ -340,4 +340,55 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(1).getAs[java.sql.Timestamp]("session_end").toString
       .startsWith("2026-04-01 13:30"), sessions(1).toString)
   }
+
+  test("sentinel-barrier drain is slicing-invariant: every real " +
+    "session flushes exactly once under 2-slice and 3-slice replays") {
+    // The hash-gate pattern (StreamQueries): a finite replay of an
+    // always-on stateful topology drains COMPLETELY when two
+    // far-future barrier events follow the data — the first advances
+    // the watermark past every real timeout, the second drives the
+    // post-advance batch where timeouts fire. The drained output must
+    // not depend on where micro-batch boundaries fall.
+    import spark.implicits._
+    val header = "event_id,ts,user_id,event_type,value"
+    // user 7: two sessions (gap 30 min); user 8: one session whose
+    // last event is the latest REAL event — flushes only via barrier
+    val rows = Seq(
+      "1,2026-04-01 10:00:00,7,click,1.0",
+      "2,2026-04-01 10:10:00,7,click,1.0",
+      "3,2026-04-01 13:00:00,7,click,1.0",
+      "4,2026-04-01 13:20:00,8,click,1.0",
+      "5,2026-04-01 13:25:00,8,click,1.0")
+    val barrier = Seq(
+      "-1,2026-07-01 00:00:00,-1,sentinel,0",
+      "-2,2026-07-01 01:00:00,-1,sentinel,0")
+    def drainSliced(slices: Seq[Seq[String]]): Seq[(Long, String, Int)] = {
+      val root = java.nio.file.Files.createTempDirectory("graft_sb").toString
+      (slices :+ barrier.take(1) :+ barrier.drop(1)).zipWithIndex.foreach {
+        case (ls, i) =>
+          writeCsv(s"$root/src", s"b$i.csv", header +: ls)
+          Thread.sleep(20)
+      }
+      val stream = spark.readStream.schema(eventsSchema)
+        .option("header", "true").option("maxFilesPerTrigger", "1")
+        .csv(s"$root/src")
+      val table = "sb_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = Streams.sessionize(stream.as[Streams.Event], gapMinutes = 30)
+        .filter(_.user_id >= 0)
+        .writeStream.format("memory").queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(table)
+        .select(col("user_id"), col("session_start").cast("string"),
+          col("n_events"))
+        .as[(Long, String, Int)].collect().toSeq.sorted
+    }
+    val two = drainSliced(Seq(rows.take(3), rows.drop(3)))
+    val three = drainSliced(Seq(rows.take(2), rows.slice(2, 4), rows.drop(4)))
+    assert(two == three, s"$two vs $three")
+    assert(two.map(t => (t._1, t._3)) == Seq((7L, 2), (7L, 1), (8L, 2)),
+      s"all three real sessions must flush exactly once: $two")
+  }
 }
