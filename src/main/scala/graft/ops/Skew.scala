@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   * its size × factor stays broadcast-range). Join on (key, salt)
   * then drop the salt: result ≡ the unsalted join, proven in
   * SkewSpec.
+  *
+  * Sizing `factor`: it is a dial, not a constant — pick it so the hot
+  * key's rows ÷ factor fits one task's comfortable sort/probe budget,
+  * i.e. scale it WITH the data (hot-key rows ≈ share × n ⇒ factor ≈
+  * share × n / target-rows-per-task, capped by small-side × factor
+  * staying broadcastable). The measured sf0.1→1→10 sweep
+  * (BASELINE.md) holds factor=16 fixed and shows the win widening
+  * every decade precisely because the per-task hot share keeps
+  * growing — at the next decade the right move is a bigger factor,
+  * not a different operator.
   */
 object Skew {
 
