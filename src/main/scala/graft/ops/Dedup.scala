@@ -311,13 +311,17 @@ object Dedup {
     * MinHash path ever sees them. */
   def updateFingerprintStore(docs: DataFrame, textCol: String,
                              idCol: String, path: String,
-                             batchId: Long): Unit =
-    exact(docs, textCol, idCol)
+                             batchId: Long): Unit = {
+    val fps = exact(docs, textCol, idCol)
       .select(col("fp"), col("keep_id"))
       .withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id").mode("overwrite")
+    fps.write.partitionBy("batch_id").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(path)
+    // an all-empty store (first batch had no rows) writes no files and
+    // loses its schema; anchor it so readers never fail
+    Partitioned.anchorSchema(fps, path)
+  }
 
   /** Incremental exact dedup: collapse within-batch copies to the
     * min-id survivor, then drop every batch doc whose content
@@ -354,11 +358,15 @@ object Dedup {
     * ids must be stable across retries for the idempotency to hold.
     */
   def updateSignatureStore(sigs: DataFrame, path: String,
-                           batchId: Long): Unit =
-    sigs.withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id").mode("overwrite")
+                           batchId: Long): Unit = {
+    val batch = sigs.withColumn("batch_id", lit(batchId))
+    batch.write.partitionBy("batch_id").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(path)
+    // empty-first-batch stores keep a readable schema (see
+    // [[Partitioned.anchorSchema]])
+    Partitioned.anchorSchema(batch, path)
+  }
 
   /** Read the full signature store back ((id, sig) across all
     * batches; `batch_id` rides along for audits). */

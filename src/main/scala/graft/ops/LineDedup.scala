@@ -99,13 +99,17 @@ object LineDedup {
 
   /** Append a batch's per-segment distinct-doc counts to the store. */
   def updateSegmentStore(docs: DataFrame, idCol: String, textCol: String,
-                         w: Int, path: String, batchId: Long): Unit =
-    explodeSegments(docs, idCol, textCol, w)
+                         w: Int, path: String, batchId: Long): Unit = {
+    val profile = explodeSegments(docs, idCol, textCol, w)
       .groupBy("seg").agg(countDistinct(col(idCol)).as("n_docs"))
       .withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id").mode("overwrite")
+    profile.write.partitionBy("batch_id").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(path)
+    // empty-first-batch stores keep a readable schema (see
+    // [[Partitioned.anchorSchema]])
+    Partitioned.anchorSchema(profile, path)
+  }
 
   def readSegmentStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): DataFrame =

@@ -20,7 +20,7 @@ object Partitioned {
   /** Write a layer partitioned by `partCol` (dynamic overwrite: only
     * partitions present in `df` are replaced, the reference's
     * per-run-date append/replace shape). */
-  def writeBy(df: DataFrame, path: String, partCol: String): Unit =
+  def writeBy(df: DataFrame, path: String, partCol: String): Unit = {
     // repartition on the partition column first: without it every task
     // opens a writer per partition value (tasks x partitions small
     // files); with it each partition directory gets one writer's
@@ -31,6 +31,38 @@ object Partitioned {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(path)
+    anchorSchema(df, path)
+  }
+
+  /** Keep a partitioned store READABLE across empty batches. Spark's
+    * partitioned writer emits NO files for a zero-row frame (not even
+    * a schema-bearing empty part file), so a store whose first batch
+    * is empty — an everyday event for incremental ingests — has no
+    * schema on disk and every read fails with UNABLE_TO_INFER_SCHEMA.
+    * After each partitioned write, one root listing (FS metadata, no
+    * data IO) decides:
+    *  - store has no data at all → anchor the schema with one
+    *    zero-row UNpartitioned parquet file at the root (`partCol`
+    *    rides along as a data column, so the anchored store reads
+    *    with the exact schema a populated one would);
+    *  - store has real partition directories AND a leftover root
+    *    anchor from an earlier empty batch → delete the anchor, so
+    *    partition discovery never sees leaf files at two depths. */
+  def anchorSchema(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries =
+      if (fs.exists(root)) fs.listStatus(root).toSeq
+      else Seq.empty
+    def isAnchor(s: org.apache.hadoop.fs.FileStatus) =
+      s.isFile && s.getPath.getName.startsWith("part-")
+    val hasPartDirs = entries.exists(_.isDirectory)
+    if (!hasPartDirs && !entries.exists(isAnchor))
+      df.limit(0).coalesce(1).write.mode("append").parquet(path)
+    else if (hasPartDirs)
+      entries.filter(isAnchor).foreach(s => fs.delete(s.getPath, false))
+  }
 
   /** Read one run-date slice; the equality predicate on the partition
     * column becomes a catalog-side PartitionFilter, never a data scan. */

@@ -329,6 +329,133 @@ object Similarity {
     } finally sv.unpersist()
   }
 
+  /** Corpus clustering as a first-class analytic (curation /
+    * cluster-balanced mixture planning, not just IVF indexing): train
+    * a spherical k-means codebook with REAL Lloyd iterations
+    * ([[kmeansCodebook]] — the iterative update math the IVF gates'
+    * first-N convention never exercises), assign every row to its
+    * cluster, and emit one digest row per non-empty cluster:
+    * membership count, member-id sum, within-cluster cohesion (exact
+    * int64 sum of member·centroid scaled dots) and the centroid
+    * component sum. Every value is exact integer arithmetic or a
+    * correctly-rounded IEEE chain mirrored verbatim by the DuckDB
+    * oracle ([[kmeansClustersSql]]), so the gate pins init, both
+    * assignment phases, and every mean/renormalize update.
+    *
+    * Scale shape: training is `iters` corpus scans with a per-row
+    * codegen projection and ONE C·dim-row partial aggregation each
+    * (driver holds only the codebook); the final assignment is a
+    * single scan + groupBy(cluster) — no pairwise work anywhere. */
+  def kmeansClusters(corpus: DataFrame, cId: String, cVec: String,
+                     numCentroids: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    require(!corpus.isEmpty,
+      s"k-means needs a non-empty corpus to seed $numCentroids centroids")
+    val codebook = kmeansCodebook(corpus, cId, cVec, numCentroids, iters)
+    val centLit = typedLit(codebook.map(_.toSeq).toSeq)
+    corpus
+      .select(col(cId).as("id"), scaledVec(col(cVec)).as("_v"))
+      .withColumn("cluster_id", Bridge.column(graft.functions.NearestCentroid(
+        Bridge.expression(col("_v")), Bridge.expression(centLit))))
+      .withColumn("_cent", element_at(centLit, col("cluster_id") + 1))
+      .withColumn("_dot", dotScaled(col("_v"), col("_cent")))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum("id").as("sum_ids"),
+        sum("_dot").as("cohesion"),
+        min(aggregate(col("_cent"), lit(0L), (a, x) => a + x))
+          .as("cent_digest"))
+      .orderBy("cluster_id")
+  }
+
+  /** DuckDB mirror of [[renorm]] over a DOUBLE-list expression `m`
+    * with its precomputed norm `n`: `math.round(x / n * Scale)` is
+    * floor(x/n·10⁶ + 0.5) — Java Math.round is floor(+0.5), NOT SQL
+    * ROUND (half-away-from-zero), and the two differ on negative
+    * half-ulp components. Zero norm → zero vector, as in [[renorm]]. */
+  private def renormSql(m: String, n: String): String =
+    s"""CASE WHEN $n = 0
+          THEN list_transform($m, x -> CAST(0 AS BIGINT))
+          ELSE list_transform($m,
+            x -> CAST(FLOOR(x / $n * 1000000.0 + 0.5) AS BIGINT)) END"""
+
+  /** Ordered left-fold sum of squares of a DOUBLE list — Scala's
+    * `v.map(x*x).sum` folds components in index order, and double
+    * addition is order-sensitive, so the mirror uses `list_reduce`
+    * (sequential) rather than `list_sum` (order-unspecified). */
+  private def normSql(m: String): String =
+    s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform($m, x -> x * x)), (a, b) -> a + b))"
+
+  /** DuckDB mirror of [[kmeansClusters]]: init = renorm of the
+    * lowest-id scaled vectors; per iteration, argmax-dot assignment
+    * (lowest-index tie-break, exactly [[graft.functions.NearestCentroid]])
+    * then mean-and-renormalize updates with empty cells carrying the
+    * previous centroid — each Lloyd round a chained CTE pair. */
+  def kmeansClustersSql(table: String, idCol: String, vecCol: String,
+                        numCentroids: Int, iters: Int): String = {
+    val sv = scaledVecSql(vecCol)
+    def assign(cb: String, out: String): String =
+      s"""$out AS (
+        SELECT id, v, cent_idx FROM (
+          SELECT c.id, c.v, ct.cent_idx,
+                 ROW_NUMBER() OVER (PARTITION BY c.id
+                   ORDER BY ${dotPreScaledSql("c.v", "ct.cent")} DESC,
+                            ct.cent_idx) AS rn
+          FROM corpus c CROSS JOIN $cb ct)
+        WHERE rn = 1)"""
+    // one Lloyd update: per-(cell,pos) int64 sums -> double means
+    // (CAST(s)/n, the same correctly-rounded division the engine
+    // computes) -> ordered-fold norm -> renorm; LEFT JOIN carries
+    // centroids of empty cells forward unchanged.
+    def update(assignT: String, prevCb: String, out: String): String =
+      s"""${out}_stats AS (
+        SELECT cent_idx, p.pos,
+               CAST(SUM(v[p.pos]) AS DOUBLE) / COUNT(*) AS mean
+        FROM $assignT, positions p
+        GROUP BY cent_idx, p.pos),
+      ${out}_mean AS (
+        SELECT cent_idx, list(mean ORDER BY pos) AS m
+        FROM ${out}_stats GROUP BY cent_idx),
+      ${out}_new AS (
+        SELECT cent_idx, ${renormSql("m", normSql("m"))} AS cent
+        FROM ${out}_mean),
+      $out AS (
+        SELECT p.cent_idx, COALESCE(u.cent, p.cent) AS cent
+        FROM $prevCb p LEFT JOIN ${out}_new u USING (cent_idx))"""
+    val rounds = (0 until iters).map { i =>
+      assign(s"cb$i", s"assign$i") + ",\n      " +
+        update(s"assign$i", s"cb$i", s"cb${i + 1}")
+    }.mkString(",\n      ")
+    s"""
+      WITH corpus AS (SELECT $idCol AS id, $sv AS v FROM $table),
+      positions AS (
+        SELECT unnest(generate_series(1,
+          (SELECT MAX(len(v)) FROM corpus))) AS pos),
+      init AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT)
+                 AS cent_idx, v
+        FROM (SELECT * FROM corpus ORDER BY id LIMIT $numCentroids)),
+      cb0 AS (
+        SELECT cent_idx,
+               ${renormSql("list_transform(v, x -> CAST(x AS DOUBLE))",
+                 normSql("list_transform(v, x -> CAST(x AS DOUBLE))"))}
+                 AS cent
+        FROM init),
+      $rounds,
+      ${assign(s"cb$iters", "final_assign")}
+      SELECT a.cent_idx AS cluster_id,
+             COUNT(*) AS n_members,
+             CAST(SUM(a.id) AS BIGINT) AS sum_ids,
+             CAST(SUM(${dotPreScaledSql("a.v", "ct.cent")}) AS BIGINT)
+               AS cohesion,
+             CAST(MIN(list_sum(ct.cent)) AS BIGINT) AS cent_digest
+      FROM final_assign a JOIN cb$iters ct USING (cent_idx)
+      GROUP BY a.cent_idx
+      ORDER BY cluster_id
+    """
+  }
+
   // ------------------------------------------------------------------
   // Versioned codebook artifacts — a real corpus pipeline trains the
   // IVF index ONCE and probes it many times (mirrors

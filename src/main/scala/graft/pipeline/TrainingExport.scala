@@ -65,6 +65,17 @@ object TrainingExport {
         col("chunk_id"), col("chunk_text"))).as("value"),
         col("shard").as("shard_dir"))
       .write.mode("overwrite").partitionBy("shard_dir").text(outPath)
+    // zero surviving chunks (empty corpus, or filters dropped all
+    // docs) writes NO shard directories, and a `shard_dir=*` reader
+    // glob then fails with PATH_NOT_FOUND instead of reading an empty
+    // export; leave one empty shard directory so the layout contract
+    // (readers glob shard dirs) holds on every input
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root) ||
+        !fs.listStatus(root).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("shard_dir=")))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root, "shard_dir=0"))
     keyed.select("shard", "doc_id", "chunk_id", "chunk_text")
   }
 }

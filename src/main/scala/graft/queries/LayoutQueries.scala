@@ -54,6 +54,12 @@ object LayoutQueries extends QueryPack {
     zz AS (SELECT a, b, an, bn, (${interleaveSql("an", "bn")}) AS z
            FROM nrm)"""
 
+  /** Null-safe gate-scalar read: MAX over a zero-row table is NULL,
+    * and a key domain of [0,0] normalizes every (nonexistent) row to
+    * bucket 0 — the honest empty-input layout. */
+  private def nzMax(r: org.apache.spark.sql.Row, i: Int): Long =
+    if (r.isNullAt(i)) 0L else r.getLong(i)
+
   /** Engine scaffolding twin: lineitem with an/bn/z columns. The two
     * max values are tiny gate scalars (one 2-column agg row), same
     * driver-metadata posture as the IVF codebook. */
@@ -62,7 +68,7 @@ object LayoutQueries extends QueryPack {
       col("l_orderkey").cast("long").as("a"),
       col("l_partkey").cast("long").as("b"))
     val r = li.agg(max("a"), max("b")).head()
-    val (maxA, maxB) = (r.getLong(0), r.getLong(1))
+    val (maxA, maxB) = (nzMax(r, 0), nzMax(r, 1))
     val z = li
       .withColumn("an", Layout.normalize(col("a"), maxA, Bits))
       .withColumn("bn", Layout.normalize(col("b"), maxB, Bits))
@@ -171,9 +177,9 @@ object LayoutQueries extends QueryPack {
         col("l_suppkey").cast("long").as("c"))
       val r = li.agg(max("a"), max("b"), max("c")).head()
       val z3 = li
-        .withColumn("an", Layout.normalize(col("a"), r.getLong(0), B3))
-        .withColumn("bn", Layout.normalize(col("b"), r.getLong(1), B3))
-        .withColumn("cn", Layout.normalize(col("c"), r.getLong(2), B3))
+        .withColumn("an", Layout.normalize(col("a"), nzMax(r, 0), B3))
+        .withColumn("bn", Layout.normalize(col("b"), nzMax(r, 1), B3))
+        .withColumn("cn", Layout.normalize(col("c"), nzMax(r, 2), B3))
         .withColumn("z", Layout.zValueN(
           Seq(col("an"), col("bn"), col("cn")), B3))
       z3.withColumn("file_id", Layout.fileOf(col("z"), 3 * B3, FileBits))
@@ -216,7 +222,7 @@ object LayoutQueries extends QueryPack {
         col("l_partkey").cast("long").as("b"),
         col("l_suppkey").cast("long").as("c"))
       val r = li.agg(max("a"), max("b"), max("c")).head()
-      val (maxA, maxB, maxC) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (maxA, maxB, maxC) = (nzMax(r, 0), nzMax(r, 1), nzMax(r, 2))
       val z3 = li
         .withColumn("an", Layout.normalize(col("a"), maxA, B3))
         .withColumn("bn", Layout.normalize(col("b"), maxB, B3))

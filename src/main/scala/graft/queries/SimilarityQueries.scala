@@ -562,8 +562,27 @@ object SimilarityQueries extends QueryPack {
     """},
     eager = true)
 
+  val KmeansC = 8
+  val KmeansIters = 2
+
+  /** Corpus clustering with REAL Lloyd iterations — the iterative
+    * mean-and-renormalize update math that the IVF/semantic-dedup
+    * gates (first-N codebook convention) never exercise. The oracle
+    * replays init, both assignment phases and every update round as
+    * chained CTEs with the exact same integer dots and
+    * correctly-rounded IEEE mean/renorm chain (see
+    * [[Similarity.kmeansClustersSql]]). Eager: codebook training
+    * collects C·dim rows per round at construction. */
+  val kmeansClusters = GQuery(
+    "q_kmeans_clusters",
+    (s, d) => Similarity.kmeansClusters(
+      Tables.embeddings(s, d), "vec_id", "embedding", KmeansC, KmeansIters),
+    Some(Similarity.kmeansClustersSql(
+      "embeddings", "vec_id", "embedding", KmeansC, KmeansIters)),
+    eager = true)
+
   def all: Seq[GQuery] =
     Seq(cosineTopK, annTopK, embeddingStats, embeddingNearDup, ivfTopK,
       embedQuantize, annInt8TopK, semanticDedup, semanticDedupScaled,
-      ivfTopKScaled)
+      ivfTopKScaled, kmeansClusters)
 }

@@ -90,7 +90,11 @@ object StreamQueries extends QueryPack {
     }
     if (sentinels) {
       import s.implicits._
-      val maxTs = sliced.agg(max(col("ts"))).head().getTimestamp(0)
+      // empty event slice (a zero-row increment): anchor the
+      // watermark-advancing sentinels at the epoch instead of NPEing
+      // on the null max
+      val maxTs = Option(sliced.agg(max(col("ts"))).head().getTimestamp(0))
+        .getOrElse(new java.sql.Timestamp(0L))
       Seq(1, 2).foreach { k =>
         val ts = new java.sql.Timestamp(
           maxTs.getTime + 100L * 86400000L + (k - 1) * 3600000L)

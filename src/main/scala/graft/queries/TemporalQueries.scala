@@ -272,8 +272,11 @@ object TemporalQueries extends QueryPack {
     * x16 — kept here as the negative result). */
   private def skewRef(s: org.apache.spark.sql.SparkSession,
                       d: String): org.apache.spark.sql.DataFrame = {
-    val maxUser = Tables.events(s, d)
-      .agg(max(col("user_id"))).head().getLong(0)
+    // zero-row events: a null MAX would NPE; an empty probe side pairs
+    // with an empty reference (bound 0 admits no orders), the honest
+    // empty-increment result
+    val maxRow = Tables.events(s, d).agg(max(col("user_id"))).head()
+    val maxUser = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     Tables.orders(s, d)
       .filter(col("o_custkey") <= maxUser)
       .select("o_custkey", "o_orderkey", "o_orderdate")

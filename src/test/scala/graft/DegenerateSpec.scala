@@ -1,0 +1,39 @@
+package graft
+
+import graft.DegenerateSweep.{Crash, Graceful, Ok}
+
+/** Pins the empty-input contract for the ENTIRE query registry (see
+  * [[DegenerateSweep]]): against a schema-identical zero-row mirror of
+  * the testdata layout — the everyday shape of an empty daily
+  * increment — every query either returns a well-typed result or
+  * refuses with a documented precondition message; none may surface an
+  * internal crash (NPE, empty-`head`, schema-less store read,
+  * unmatched output glob). The r10 sweep found and fixed 15 such
+  * crashes across five failure modes: null gate scalars (z-order
+  * bounds, as-of skew bound, streaming sentinel anchor), schema-less
+  * empty partitioned stores, and a missing shard directory. */
+class DegenerateSpec extends SparkSpec {
+
+  test("every registry query survives a zero-row corpus " +
+      "(ok or documented refusal, never a crash)") {
+    val emptyDir = java.nio.file.Files
+      .createTempDirectory("graft_empty_spec").toString + "/sf"
+    DegenerateSweep.mirrorEmpty(spark, TinySf, emptyDir)
+    val before = queries.OracleContext.sfDir
+    val results =
+      try DegenerateSweep.sweep(spark, emptyDir)
+      finally queries.OracleContext.sfDir = before
+    val crashes = results.collect { case (n, Crash(e)) =>
+      s"$n: ${e.getClass.getName}: ${e.getMessage}"
+    }
+    assert(crashes.isEmpty, crashes.mkString("\n"))
+    // the refusal set is CLOSED: a new graceful refusal is a contract
+    // change that belongs in this list (and its op's scaladoc), not a
+    // silent drift
+    val refusals = results.collect { case (n, Graceful(_)) => n }.toSet
+    assert(refusals == Set("q_kmeans_clusters", "q_unigram_surprisal"),
+      s"unexpected refusal set: $refusals")
+    val ok = results.collect { case (_, Ok(_)) => 1 }.size
+    assert(ok == results.size - refusals.size)
+  }
+}

@@ -90,6 +90,28 @@ class SimilaritySpec extends SparkSpec {
       "codebook training must be deterministic across runs")
   }
 
+  test("kmeansClusters digests: partition of the corpus, cohesion " +
+      "bounded by membership, deterministic") {
+    val emb = Tables.embeddings(spark, TinySf)
+    val out = Similarity.kmeansClusters(emb, "vec_id", "embedding",
+      numCentroids = 8, iters = 2).collect()
+    assert(out.map(_.getInt(0)).toSeq == out.map(_.getInt(0)).toSeq.sorted)
+    assert(out.map(_.getLong(1)).sum == emb.count(),
+      "cluster memberships must partition the corpus")
+    val total = emb.agg(org.apache.spark.sql.functions.sum("vec_id"))
+      .head().getLong(0)
+    assert(out.map(_.getLong(2)).sum == total,
+      "member-id sums must partition the id mass")
+    // unit vectors: each member·centroid dot ≤ ~10^12 (+rounding slack)
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1) * 1013000000000L,
+        s"cohesion exceeds the unit-cosine bound in cluster ${r.getInt(0)}")
+    }
+    val again = Similarity.kmeansClusters(emb, "vec_id", "embedding",
+      numCentroids = 8, iters = 2).collect()
+    assert(out.toSeq == again.toSeq, "clustering must be deterministic")
+  }
+
   test("trained codebook plugs into ivfTopK with sane recall") {
     val emb = Tables.embeddings(spark, TinySf)
     val queries = emb.filter(expr("vec_id % 100 = 3"))
