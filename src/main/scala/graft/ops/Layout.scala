@@ -115,4 +115,65 @@ object Layout {
   def writeZOrdered(df: DataFrame, path: String, aCol: String, bCol: String,
                     bits: Int, numFiles: Int): Unit =
     writeZOrderedN(df, path, Seq(aCol, bCol), bits, numFiles)
+
+  /** 2-D Hilbert-curve key of two already-normalized grid coordinates
+    * (see [[graft.functions.HilbertIndex]] for why Hilbert beside
+    * Morton: seam-continuity keeps equal-range files compact, so box
+    * probes touch fewer of them). A pure per-row codegen expression,
+    * like [[zValueN]]. */
+  def hilbertValue(a: Column, b: Column, bits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.HilbertIndex(
+      Bridge.expression(a.cast("long")),
+      Bridge.expression(b.cast("long")), bits))
+  }
+
+  /** Production layout write clustered by the Hilbert key — the same
+    * one-range-Exchange shape as [[writeZOrderedN]], different curve. */
+  def writeHilbert(df: DataFrame, path: String, aCol: String, bCol: String,
+                   bits: Int, numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    df.withColumn("_h", hilbertValue(col(aCol), col(bCol), bits))
+      .repartitionByRange(numFiles, col("_h"))
+      .sortWithinPartitions("_h")
+      .drop("_h")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** DuckDB mirror of [[hilbertValue]]: the per-level quadrant walk
+    * unrolled as one chained CTE per bit level (state = (hx, hy, hd);
+    * each level adds its quadrant's s² offset and applies the
+    * flip-within-the-full-grid + swap rotation — exactly
+    * [[graft.functions.HilbertIndex.compute]]). Returns the CTE text
+    * (to splice after a source CTE exposing `xExpr`/`yExpr` and the
+    * `carry` columns) and the final CTE's name; the Hilbert distance
+    * is its `hd` column. */
+  def hilbertLevelsSql(src: String, xExpr: String, yExpr: String,
+                       carry: Seq[String], bits: Int,
+                       prefix: String = "h"): (String, String) = {
+    require(bits >= 1 && 2 * bits <= 62, s"2*bits must fit a long: $bits")
+    val lim = 1L << bits
+    val carrySel = carry.map(c => s"$c, ").mkString
+    val levels = (bits - 1) to 0 by -1
+    val ctes = s"""${prefix}0 AS (
+        SELECT $carrySel$xExpr AS hx, $yExpr AS hy,
+               CAST(0 AS BIGINT) AS hd
+        FROM $src)""" +:
+      levels.zipWithIndex.map { case (level, i) =>
+        val s = 1L << level
+        s"""${prefix}${i + 1} AS (
+        SELECT $carrySel
+               hd + ${s * s} * xor(
+                 3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+                 CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END) AS hd,
+               CASE WHEN (hy & $s) > 0 THEN hx
+                    WHEN (hx & $s) > 0 THEN ${lim - 1} - hy
+                    ELSE hy END AS hx,
+               CASE WHEN (hy & $s) > 0 THEN hy
+                    WHEN (hx & $s) > 0 THEN ${lim - 1} - hx
+                    ELSE hx END AS hy
+        FROM $prefix$i)"""
+      }
+    (ctes.mkString(",\n      "), s"$prefix$bits")
+  }
 }

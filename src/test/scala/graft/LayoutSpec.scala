@@ -216,6 +216,77 @@ class LayoutSpec extends SparkSpec {
     assert(linearAll.forall(_ >= 8), s"probe grid unexpectedly narrow")
   }
 
+  test("hilbert index: bijection and unit-step adjacency (the locality " +
+      "property Morton lacks) — exhaustive at 3 bits") {
+    import graft.functions.HilbertIndex
+    val bits = 3
+    val n = 1 << bits
+    val cells = for (x <- 0 until n; y <- 0 until n)
+      yield ((x, y), HilbertIndex.compute(x.toLong, y.toLong, bits))
+    // bijection onto [0, 4^bits)
+    assert(cells.map(_._2).sorted == (0L until (n.toLong * n)),
+      "hilbert must be a bijection onto the curve")
+    // THE Hilbert property: consecutive curve positions are GRID
+    // neighbours (|dx|+|dy| = 1); Morton violates this at every
+    // quadrant seam (checked below, so the comparison instrument
+    // measures a real difference)
+    val byD = cells.map(_.swap).sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jump between d-neighbours: ($x1,$y1) -> ($x2,$y2)")
+    }
+    val mortonByD = (for (x <- 0 until n; y <- 0 until n) yield {
+      val z = (0 until bits).map(i =>
+        (((x >> i) & 1) << (2 * i + 1)) | (((y >> i) & 1) << (2 * i)))
+        .reduce(_ | _)
+      (z, (x, y))
+    }).sortBy(_._1).map(_._2)
+    val mortonJumps = mortonByD.sliding(2).count {
+      case Seq((x1, y1), (x2, y2)) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(mortonJumps > 0, "Morton should jump at quadrant seams")
+  }
+
+  test("hilbert index raises on out-of-range input") {
+    import graft.functions.HilbertIndex
+    intercept[IllegalArgumentException](HilbertIndex.compute(8, 0, 3))
+    intercept[IllegalArgumentException](HilbertIndex.compute(0, -1, 3))
+  }
+
+  test("the curve-swap win: hilbert layout touches fewer files AND " +
+      "rows than morton under equal-count splits") {
+    val rows = LayoutQueriesAccess.hskipping(spark, TinySf).collect()
+    val byLayout = rows.groupBy(_.getString(0)).view.mapValues(rs =>
+      (rs.map(_.getAs[Long]("files_touched")).sum,
+        rs.map(_.getAs[Long]("rows_scanned")).sum)).toMap
+    val (hf, hr) = byLayout("hilbert")
+    val (zf, zr) = byLayout("zorder")
+    info(s"files hilbert=$hf zorder=$zf; rows hilbert=$hr zorder=$zr")
+    assert(hf < zf, s"hilbert must touch fewer files: $byLayout")
+    assert(hr < zr, s"hilbert must scan fewer rows: $byLayout")
+  }
+
+  test("writeHilbert: files carry disjoint hilbert ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hil")
+      .toString + "/t"
+    val df = spark.range(0, 4096).selectExpr(
+      "id % 64 AS x", "(id * 37) % 64 AS y")
+    graft.ops.Layout.writeHilbert(df, dir, "x", "y", bits = 6,
+      numFiles = 8)
+    val back = spark.read.parquet(dir)
+      .withColumn("_h",
+        graft.ops.Layout.hilbertValue(col("x"), col("y"), 6))
+      .withColumn("_f", input_file_name())
+    val ranges = back.groupBy("_f")
+      .agg(min("_h").as("lo"), max("_h").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple files")
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"file hilbert-ranges overlap: $ranges")
+    }
+  }
+
   test("skipping-evidence plan: hash aggregates + broadcast probes, " +
     "never a sort-merge join or range Exchange") {
     val plan = LayoutQueriesAccess.skipping(spark, TinySf)
@@ -236,4 +307,6 @@ object LayoutQueriesAccess {
     graft.queries.LayoutQueries.zorderSkipping.run(s, d)
   def skipping3(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.queries.LayoutQueries.zorder3Skipping.run(s, d)
+  def hskipping(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.queries.LayoutQueries.hilbertSkipping.run(s, d)
 }

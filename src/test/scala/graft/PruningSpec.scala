@@ -37,6 +37,47 @@ class PruningSpec extends SparkSpec {
     assert(allFiles > 1, "fixture must span multiple partitions")
   }
 
+  test("dim-filter join prunes fact partitions at RUNTIME (dynamic " +
+      "partition pruning)") {
+    // The second prune lever beside the static slice read: when the
+    // run-date filter lives on a DIMENSION (calendar, release table)
+    // rather than on the fact itself, Spark's dynamic partition
+    // pruning turns the broadcast dim's build-side values into a
+    // partition filter on the fact scan — whole directories skipped
+    // at runtime, not just row groups. At 100 TB this is the
+    // difference between scanning one month and scanning the table
+    // whenever the date predicate arrives via a join.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp")
+      .toString + "/fact"
+    Partitioned.writeBy(factDf, dir, "run_month")
+    import spark.implicits._
+    val months = factDf.select("run_month").distinct()
+      .as[String].collect().sorted
+    assert(months.length > 1, "fixture must span multiple partitions")
+    // the dim must be a SOURCE with a filter on it (a local relation
+    // constant-folds the filter away and DPP sees no selective
+    // predicate to reuse)
+    val calDir = dir.stripSuffix("/fact") + "/calendar"
+    months.zipWithIndex
+      .map { case (m, i) => (m, if (i == 0) "closed" else "open") }
+      .toSeq.toDF("run_month", "period_status")
+      .write.mode("overwrite").parquet(calDir)
+    val calendar = spark.read.parquet(calDir)
+    val fact = spark.read.parquet(dir)
+    val joined = fact
+      .join(broadcast(calendar.filter($"period_status" === "closed")),
+        "run_month")
+    val planned = joined.queryExecution.executedPlan.toString()
+    assert(planned.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the fact scan:\n${planned.take(2000)}")
+    val cols = Seq("run_month", "o_orderkey", "o_orderstatus",
+      "o_totalprice", "period_status").map(col)
+    val expected = factDf.filter($"run_month" === months.head)
+      .withColumn("period_status", lit("closed"))
+    assert(rowsAsSet(joined.select(cols: _*)) ==
+      rowsAsSet(expected.select(cols: _*)))
+  }
+
   test("dynamic overwrite replaces only the written partition") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dyn")
       .toString + "/fact"
