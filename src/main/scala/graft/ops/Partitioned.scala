@@ -69,4 +69,42 @@ object Partitioned {
   def readSlice(spark: SparkSession, path: String, partCol: String,
                 value: String): DataFrame =
     spark.read.parquet(path).filter(col(partCol) === lit(value))
+
+  /** Retention: expire every partition whose `partCol` value sorts
+    * strictly BELOW `keepFrom` (partition values are strings — run
+    * dates/months in zero-padded ISO form sort correctly; that is the
+    * layout convention [[writeBy]] establishes). The missing third of
+    * the data lifecycle beside [[writeBy]] (produce) and
+    * [[Compaction]] (reorganize): a 100 TB fact with a 90-day
+    * retention contract must DROP directories, not filter at read
+    * time — storage, listing cost and compliance all hang on the
+    * files actually going away.
+    *
+    * Shape: pure FS-metadata planning (one root listing — no data
+    * scan, no job), per-partition directory deletes (each atomic at
+    * the FS level; a crash mid-expiry leaves whole surviving
+    * partitions, never half-files, and the re-run completes the
+    * rest — the idempotent-retry posture of the upsert family).
+    * `dryRun = true` plans without deleting. Returns the expiry
+    * manifest (partition value, decision) for the caller's ledger. */
+  def expireSlices(spark: SparkSession, path: String, partCol: String,
+                   keepFrom: String,
+                   dryRun: Boolean = false): Seq[(String, String)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val prefix = s"$partCol="
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map { s =>
+        val value = java.net.URLDecoder.decode(
+          s.getPath.getName.stripPrefix(prefix), "UTF-8")
+        val decision =
+          if (value >= keepFrom) "kept"
+          else if (dryRun) "would_expire"
+          else { fs.delete(s.getPath, true); "expired" }
+        (value, decision)
+      }
+      .sortBy(_._1)
+  }
 }

@@ -63,5 +63,52 @@ object PartitionQueries extends QueryPack {
     """),
     prepare = Some(ensureFixture))
 
-  def all: Seq[GQuery] = Seq(runMonthPruning)
+  /** Cut-off for the retention gate: everything before July 1995
+    * expires, the rest survives — a mid-corpus bound so both sides
+    * are non-trivial at every SF. */
+  private val RetainFrom = "1995-07"
+
+  /** Retention expiry ([[Partitioned.expireSlices]]): write a
+    * run-month-partitioned fact into a PER-RUN temp store (never the
+    * shared pruning fixture — expiry deletes directories), expire
+    * months below [[RetainFrom]], then aggregate what the store still
+    * READS BACK per month. The oracle computes the same from the
+    * source with the retention predicate — so the gate proves the
+    * expired directories are actually gone from disk AND the
+    * survivors are untouched, value-exactly. Eager: the store write,
+    * the dry-run plan, and the expiry all run at construction; the
+    * dry-run manifest is asserted in MaintenanceSpec. */
+  val retentionExpire = GQuery(
+    "q_retention_expire",
+    (s, d) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_retention").toString + "/fact"
+      val fact = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("run_month"))
+      Partitioned.writeBy(fact, store, "run_month")
+      // zero-row source: no partitions to expire, empty result — the
+      // store still reads (schema anchored by writeBy)
+      Partitioned.expireSlices(s, store, "run_month", keepFrom = RetainFrom)
+      s.read.parquet(store)
+        .groupBy("run_month")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double")
+            .as("total_price"))
+        .orderBy("run_month")
+    },
+    Some(s"""
+      SELECT strftime(o_orderdate, '%Y-%m') AS run_month,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price
+      FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m') >= '$RetainFrom'
+      GROUP BY 1
+      ORDER BY 1
+    """),
+    eager = true)
+
+  def all: Seq[GQuery] = Seq(runMonthPruning, retentionExpire)
 }

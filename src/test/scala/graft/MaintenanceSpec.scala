@@ -58,4 +58,35 @@ class MaintenanceSpec extends SparkSpec {
     assert(Compaction.compact(spark, dir, 128L * 1024 * 1024,
       minBytes = 1L << 40) == 0)
   }
+
+  test("retention expiry: dry-run plans without deleting, the real run " +
+      "drops exactly the sub-threshold partitions, re-run is a no-op") {
+    import graft.ops.Partitioned
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_expire").toString + "/fact"
+    val df = spark.range(0, 400).selectExpr("id",
+      "concat('2024-0', 1 + CAST(id % 4 AS INT)) AS run_month")
+    Partitioned.writeBy(df, dir, "run_month")
+    val dry = Partitioned.expireSlices(spark, dir, "run_month",
+      keepFrom = "2024-03", dryRun = true)
+    assert(dry == Seq("2024-01" -> "would_expire",
+      "2024-02" -> "would_expire", "2024-03" -> "kept",
+      "2024-04" -> "kept"))
+    assert(spark.read.parquet(dir).count() == 400,
+      "dry run must not delete anything")
+    val real = Partitioned.expireSlices(spark, dir, "run_month",
+      keepFrom = "2024-03")
+    assert(real.map(_._2) ==
+      Seq("expired", "expired", "kept", "kept"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200)
+    assert(rowsAsSet(back.select("run_month").distinct()) ==
+      Set(Seq("2024-03"), Seq("2024-04")))
+    // idempotent retry: the expired directories are simply absent
+    assert(Partitioned.expireSlices(spark, dir, "run_month", "2024-03")
+      == Seq("2024-03" -> "kept", "2024-04" -> "kept"))
+    // missing store: empty manifest, not an error
+    assert(Partitioned.expireSlices(spark, dir + "_nope", "run_month",
+      "2024-03").isEmpty)
+  }
 }
