@@ -154,6 +154,71 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Exact minimal Hilbert-range cover of an axis-aligned box — the
+    * READ side of [[writeHilbert]]: a reader probing `x ∈ [loX,hiX],
+    * y ∈ [loY,hiY]` against a curve-clustered layout wants the curve
+    * POSITIONS the box occupies, as few contiguous ranges as
+    * possible, so the probe becomes `key BETWEEN lo AND hi OR …`
+    * ([[coverPredicate]]) and file/row-group pruning works off the
+    * single clustered column's min/max stats.
+    *
+    * Algorithm: dyadic quadrant descent. An aligned 2^k-square is a
+    * CONTIGUOUS aligned 4^k-block of curve positions (the curve fills
+    * quadrants depth-first), and its block start is any member cell's
+    * index with the low 2k bits cleared — so disjoint quadrants are
+    * skipped, contained quadrants emit their whole block in O(1)
+    * (one [[graft.functions.HilbertIndex.compute]] call), and only
+    * boundary quadrants split further: O(perimeter·bits) work,
+    * driver-side planning math like the IVF codebook — never a data
+    * scan. Adjacent emitted blocks merge, so the result is exactly
+    * the gaps-and-islands of the box's curve positions (the
+    * uniqueness LayoutSpec and the q_hilbert_cover oracle both lean
+    * on: the oracle rebuilds the islands by brute force and the two
+    * derivations must agree range-for-range). */
+  def hilbertCover(loX: Long, hiX: Long, loY: Long, hiY: Long,
+                   bits: Int): Seq[(Long, Long)] = {
+    val lim = 1L << bits
+    require(0 <= loX && loX <= hiX && hiX < lim &&
+      0 <= loY && loY <= hiY && hiY < lim,
+      s"box [$loX,$hiX]x[$loY,$hiY] outside [0, $lim)^2 or inverted")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def rec(qx: Long, qy: Long, k: Int): Unit = {
+      val size = 1L << k
+      val (x1, y1) = (qx + size - 1, qy + size - 1)
+      if (qx > hiX || x1 < loX || qy > hiY || y1 < loY) ()
+      else if (qx >= loX && x1 <= hiX && qy >= loY && y1 <= hiY) {
+        val cells = 1L << (2 * k)
+        val d = graft.functions.HilbertIndex.compute(qx, qy, bits) &
+          ~(cells - 1)
+        out += ((d, d + cells - 1))
+      } else {
+        val h = size >> 1
+        rec(qx, qy, k - 1); rec(qx + h, qy, k - 1)
+        rec(qx, qy + h, k - 1); rec(qx + h, qy + h, k - 1)
+      }
+    }
+    rec(0, 0, bits)
+    val sorted = out.sortBy(_._1)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { case (lo, hi) =>
+      merged.lastOption match {
+        case Some((plo, phi)) if lo <= phi + 1 =>
+          merged(merged.length - 1) = (plo, math.max(phi, hi))
+        case _ => merged += ((lo, hi))
+      }
+    }
+    merged.toSeq
+  }
+
+  /** Push a range cover into a scan: `key BETWEEN lo AND hi OR …`.
+    * Plain comparisons on the clustered column, so parquet row-group
+    * min/max stats prune every range the file doesn't intersect. */
+  def coverPredicate(key: Column, ranges: Seq[(Long, Long)]): Column = {
+    require(ranges.nonEmpty, "empty cover: the box contains no cells")
+    ranges.map { case (lo, hi) => key >= lit(lo) && key <= lit(hi) }
+      .reduce(_ || _)
+  }
+
   /** DuckDB mirror of [[hilbertValue]]: the per-level quadrant walk
     * unrolled as one chained CTE per bit level (state = (hx, hy, hd);
     * each level adds its quadrant's s² offset and applies the

@@ -468,6 +468,69 @@ object LayoutQueries extends QueryPack {
     """},
     eager = true)
 
+  /** Deterministic probe family for the cover gate: 16 unaligned
+    * boxes with varied sizes/offsets on the 256² grid (aligned boxes
+    * collapse to one block each and gate nothing). Pure constants —
+    * both engines build the same boxes from `p`. */
+  private def coverProbes: Seq[(Long, Long, Long, Long)] =
+    (0 until 16).map { p =>
+      val lox = (p * 37) % 160
+      val hix = lox + 40 + (p % 5) * 7
+      val loy = (p * 53) % 150
+      val hiy = loy + 30 + (p % 7) * 9
+      (lox.toLong, hix.toLong, loy.toLong, hiy.toLong)
+    }
+
+  /** Hilbert range cover ([[Layout.hilbertCover]]) — the READ side of
+    * the curve-clustered layout: each probe box becomes its exact
+    * minimal set of contiguous curve ranges (what a reader pushes
+    * down as BETWEENs over the clustered key). Engine = dyadic
+    * quadrant descent (O(perimeter·bits), driver planning math);
+    * oracle = brute force — every cell of every box walked through
+    * the unrolled curve CTE, then gaps-and-islands over the sorted
+    * positions. The two derivations must agree range-for-range, and
+    * `n_cells = hi−lo+1` forces each island to be contiguity-exact.
+    * A pure-kernel gate (no table read), the analytic-fixture posture
+    * of q_image_phash. */
+  val hilbertCover = GQuery(
+    "q_hilbert_cover",
+    (s, d) => {
+      import s.implicits._
+      coverProbes.zipWithIndex.flatMap { case ((lox, hix, loy, hiy), p) =>
+        Layout.hilbertCover(lox, hix, loy, hiy, HBits).map {
+          case (lo, hi) => (p.toLong, lo, hi, hi - lo + 1)
+        }
+      }.toDF("probe_id", "lo", "hi", "n_cells")
+        .orderBy("probe_id", "lo")
+    },
+    Some {
+      val (levels, fin) = Layout.hilbertLevelsSql(
+        "cells", "cx", "cy", carry = Seq("probe_id"), bits = HBits)
+      s"""
+      WITH probes AS (
+        SELECT p AS probe_id,
+               (p * 37) % 160 AS lox,
+               (p * 37) % 160 + 40 + (p % 5) * 7 AS hix,
+               (p * 53) % 150 AS loy,
+               (p * 53) % 150 + 30 + (p % 7) * 9 AS hiy
+        FROM range(16) t(p)),
+      ax AS (SELECT unnest(generate_series(0, ${(1 << HBits) - 1})) AS v),
+      cells AS (
+        SELECT probe_id, x.v AS cx, y.v AS cy
+        FROM probes, ax x, ax y
+        WHERE x.v BETWEEN lox AND hix AND y.v BETWEEN loy AND hiy),
+      $levels,
+      isl AS (
+        SELECT probe_id, hd,
+               hd - ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY hd) AS grp
+        FROM $fin)
+      SELECT probe_id, MIN(hd) AS lo, MAX(hd) AS hi,
+             COUNT(*) AS n_cells
+      FROM isl GROUP BY probe_id, grp
+      ORDER BY probe_id, lo
+    """})
+
   def all: Seq[GQuery] = Seq(zorderKey, zorderSkipping, zorder3Key,
-    zorder3Skipping, hilbertKey, hilbertSkipping)
+    zorder3Skipping, hilbertKey, hilbertSkipping, hilbertCover)
 }

@@ -287,6 +287,48 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hilbertCover: exhaustive at 3 bits — every box's cover is " +
+      "exactly the islands of its cells, disjoint sorted merged") {
+    import graft.functions.HilbertIndex
+    import graft.ops.Layout
+    val bits = 3
+    val n = 1 << bits
+    for {
+      lox <- 0 until n; hix <- lox until n
+      loy <- 0 until n; hiy <- loy until n
+    } {
+      val cover = Layout.hilbertCover(lox, hix, loy, hiy, bits)
+      // sorted, disjoint, non-adjacent (i.e. maximal islands)
+      cover.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) =>
+          assert(h1 + 1 < l2, s"unmerged/overlapping ranges: $cover")
+        case _ =>
+      }
+      val covered = cover.flatMap { case (lo, hi) => lo to hi }.toSet
+      val boxCells = (for {
+        x <- lox to hix; y <- loy to hiy
+      } yield HilbertIndex.compute(x.toLong, y.toLong, bits)).toSet
+      assert(covered == boxCells,
+        s"cover of [$lox,$hix]x[$loy,$hiy] != box cells")
+    }
+  }
+
+  test("coverPredicate pushdown: filtering the clustered key by the " +
+      "cover equals filtering by the box directly") {
+    import graft.ops.Layout
+    val bits = 6
+    val df = spark.range(0, 4096).selectExpr(
+      "id % 64 AS x", "(id * 37) % 64 AS y")
+      .withColumn("h", Layout.hilbertValue(col("x"), col("y"), bits))
+    val (lox, hix, loy, hiy) = (11L, 37L, 5L, 50L)
+    val viaCover = df.filter(Layout.coverPredicate(col("h"),
+      Layout.hilbertCover(lox, hix, loy, hiy, bits)))
+    val viaBox = df.filter(col("x") >= lox && col("x") <= hix &&
+      col("y") >= loy && col("y") <= hiy)
+    assert(rowsAsSet(viaCover) == rowsAsSet(viaBox))
+    assert(viaBox.count() > 0, "probe box must be non-trivial")
+  }
+
   test("skipping-evidence plan: hash aggregates + broadcast probes, " +
     "never a sort-merge join or range Exchange") {
     val plan = LayoutQueriesAccess.skipping(spark, TinySf)
