@@ -531,6 +531,71 @@ object LayoutQueries extends QueryPack {
       ORDER BY probe_id, lo
     """})
 
+  /** Range-count comparison of the two curves' covers over the SAME
+    * probe family — the pushdown-complexity instrument: every curve
+    * range a reader can't merge is one more BETWEEN in the scan
+    * predicate and one more boundary a file's min/max can straddle.
+    * Hilbert's seam-continuity halves the range count (922 vs 1798
+    * across the 16 boxes). Oracle: islands COUNT per (curve, box),
+    * Morton's cells indexed by the direct interleave expression,
+    * Hilbert's by the unrolled walk — both brute force, both
+    * independent of the engine's quadrant descent. */
+  val curveCoverCompare = GQuery(
+    "q_curve_cover_compare",
+    (s, d) => {
+      import s.implicits._
+      coverProbes.zipWithIndex.flatMap { case ((lox, hix, loy, hiy), p) =>
+        Seq(
+          ("hilbert", p.toLong,
+            Layout.hilbertCover(lox, hix, loy, hiy, HBits)),
+          ("morton", p.toLong,
+            Layout.mortonCover(lox, hix, loy, hiy, HBits))
+        ).map { case (layout, pid, cover) =>
+          (layout, pid, cover.length.toLong,
+            cover.map { case (lo, hi) => hi - lo + 1 }.sum)
+        }
+      }.toDF("layout", "probe_id", "n_ranges", "n_cells")
+        .orderBy("layout", "probe_id")
+    },
+    Some {
+      val (levels, fin) = Layout.hilbertLevelsSql(
+        "cells", "cx", "cy", carry = Seq("probe_id"), bits = HBits)
+      s"""
+      WITH probes AS (
+        SELECT p AS probe_id,
+               (p * 37) % 160 AS lox,
+               (p * 37) % 160 + 40 + (p % 5) * 7 AS hix,
+               (p * 53) % 150 AS loy,
+               (p * 53) % 150 + 30 + (p % 7) * 9 AS hiy
+        FROM range(16) t(p)),
+      ax AS (SELECT unnest(generate_series(0, ${(1 << HBits) - 1})) AS v),
+      cells AS (
+        SELECT probe_id, x.v AS cx, y.v AS cy
+        FROM probes, ax x, ax y
+        WHERE x.v BETWEEN lox AND hix AND y.v BETWEEN loy AND hiy),
+      $levels,
+      keyed AS (
+        SELECT 'hilbert' AS layout, probe_id, hd AS k FROM $fin
+        UNION ALL
+        SELECT 'morton', probe_id,
+               (${interleaveSqlN(Seq("cx", "cy"), HBits)}) AS k
+        FROM cells),
+      isl AS (
+        SELECT layout, probe_id, k,
+               k - ROW_NUMBER() OVER (PARTITION BY layout, probe_id
+                 ORDER BY k) AS grp
+        FROM keyed),
+      ranges AS (
+        SELECT layout, probe_id, COUNT(*) AS cells_in_range
+        FROM isl GROUP BY layout, probe_id, grp)
+      SELECT layout, probe_id,
+             COUNT(*) AS n_ranges,
+             CAST(SUM(cells_in_range) AS BIGINT) AS n_cells
+      FROM ranges GROUP BY layout, probe_id
+      ORDER BY layout, probe_id
+    """})
+
   def all: Seq[GQuery] = Seq(zorderKey, zorderSkipping, zorder3Key,
-    zorder3Skipping, hilbertKey, hilbertSkipping, hilbertCover)
+    zorder3Skipping, hilbertKey, hilbertSkipping, hilbertCover,
+    curveCoverCompare)
 }

@@ -313,6 +313,31 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("mortonCover: exhaustive at 3 bits — same island contract as " +
+      "hilbert; hilbert needs strictly fewer ranges in total") {
+    import graft.ops.Layout
+    val bits = 3
+    val n = 1 << bits
+    var (hTotal, mTotal) = (0L, 0L)
+    for {
+      lox <- 0 until n; hix <- lox until n
+      loy <- 0 until n; hiy <- loy until n
+    } {
+      val mc = Layout.mortonCover(lox, hix, loy, hiy, bits)
+      val covered = mc.flatMap { case (lo, hi) => lo to hi }.toSet
+      val boxCells = (for {
+        x <- lox to hix; y <- loy to hiy
+      } yield Layout.mortonIndex(x.toLong, y.toLong, bits)).toSet
+      assert(covered == boxCells,
+        s"morton cover of [$lox,$hix]x[$loy,$hiy] != box cells")
+      hTotal += Layout.hilbertCover(lox, hix, loy, hiy, bits).length
+      mTotal += mc.length
+    }
+    info(s"total ranges over all boxes: hilbert=$hTotal morton=$mTotal")
+    assert(hTotal < mTotal,
+      "seam-continuity must reduce total range count")
+  }
+
   test("coverPredicate pushdown: filtering the clustered key by the " +
       "cover equals filtering by the box directly") {
     import graft.ops.Layout
