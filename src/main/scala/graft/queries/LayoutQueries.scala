@@ -595,7 +595,82 @@ object LayoutQueries extends QueryPack {
       ORDER BY layout, probe_id
     """})
 
+  /** End-to-end curve probe: select lineitem rows through the cover —
+    * `hkey BETWEEN …` over [[Layout.hilbertValue]] with the ranges
+    * from [[Layout.hilbertCover]] — and digest what came back. The
+    * oracle filters by the BOX directly on the normalized grid
+    * coordinates, entirely blind to the curve: if the key expression,
+    * the cover planning, or the predicate composition drops or
+    * over-admits one row, the digests diverge. This is the query
+    * shape a reader of a Hilbert-clustered table actually runs. */
+  val hilbertProbe = GQuery(
+    "q_hilbert_probe",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("a"),
+        col("l_partkey").cast("long").as("b"))
+      val r = li.agg(max("a"), max("b")).head()
+      val (maxA, maxB) = (nzMax(r, 0), nzMax(r, 1))
+      val base = li
+        .withColumn("an", Layout.normalize(col("a"), maxA, HBits))
+        .withColumn("bn", Layout.normalize(col("b"), maxB, HBits))
+        .withColumn("hkey",
+          Layout.hilbertValue(col("an"), col("bn"), HBits))
+      // ONE scan for the whole probe batch: each probe's cover
+      // predicate becomes a projected flag, aggregated conditionally —
+      // the batched-reader plan (a per-probe filter would scan the
+      // fact 16 times; a single-probe reader still pushes its
+      // coverPredicate into the scan for stats pruning)
+      val flags = coverProbes.zipWithIndex.map {
+        case ((lox, hix, loy, hiy), p) =>
+          Layout.coverPredicate(col("hkey"),
+            Layout.hilbertCover(lox, hix, loy, hiy, HBits)).as(s"_m$p")
+      }
+      val flagged = base.select(col("a") +: col("b") +: flags: _*)
+      val aggs = coverProbes.indices.flatMap { p =>
+        Seq(
+          coalesce(sum(when(col(s"_m$p"), 1L).otherwise(0L)), lit(0L))
+            .as(s"_n$p"),
+          coalesce(sum(when(col(s"_m$p"), col("a")).otherwise(0L)),
+            lit(0L)).as(s"_a$p"),
+          coalesce(sum(when(col(s"_m$p"), col("b")).otherwise(0L)),
+            lit(0L)).as(s"_b$p"))
+      }
+      flagged.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(coverProbes.indices.map(p =>
+          struct(lit(p.toLong).as("probe_id"), col(s"_n$p").as("n"),
+            col(s"_a$p").as("sum_a"), col(s"_b$p").as("sum_b"))): _*))
+          .as("s"))
+        .select("s.*")
+        .orderBy("probe_id")
+    },
+    Some(s"""
+      WITH mx AS (
+        SELECT MAX(l_orderkey) AS ma, MAX(l_partkey) AS mb
+        FROM lineitem),
+      nrm AS (
+        SELECT l_orderkey AS a, l_partkey AS b,
+               (l_orderkey * ${1 << HBits}) // (ma + 1) AS an,
+               (l_partkey * ${1 << HBits}) // (mb + 1) AS bn
+        FROM lineitem, mx),
+      probes AS (
+        SELECT p AS probe_id,
+               (p * 37) % 160 AS lox,
+               (p * 37) % 160 + 40 + (p % 5) * 7 AS hix,
+               (p * 53) % 150 AS loy,
+               (p * 53) % 150 + 30 + (p % 7) * 9 AS hiy
+        FROM range(16) t(p))
+      SELECT probe_id, COUNT(n.a) AS n,
+             CAST(COALESCE(SUM(n.a), 0) AS BIGINT) AS sum_a,
+             CAST(COALESCE(SUM(n.b), 0) AS BIGINT) AS sum_b
+      FROM probes LEFT JOIN nrm n
+        ON n.an BETWEEN lox AND hix AND n.bn BETWEEN loy AND hiy
+      GROUP BY probe_id
+      ORDER BY probe_id
+    """),
+    eager = true)
+
   def all: Seq[GQuery] = Seq(zorderKey, zorderSkipping, zorder3Key,
     zorder3Skipping, hilbertKey, hilbertSkipping, hilbertCover,
-    curveCoverCompare)
+    curveCoverCompare, hilbertProbe)
 }
