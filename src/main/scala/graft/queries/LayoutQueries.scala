@@ -670,7 +670,77 @@ object LayoutQueries extends QueryPack {
     """),
     eager = true)
 
+  private def manifestFixture(d: String): String =
+    s"/tmp/graft_fixtures/hilbert_layer_${new java.io.File(d).getName}/layer"
+
+  /** Idempotent hilbert-clustered layer fixture: lineitem's (a, b)
+    * with the curve key KEPT as a column, range-partitioned on it
+    * into 8 files (the [[Layout.writeHilbert]] plan, hkey retained so
+    * both the footer manifest and the data oracle can read it). */
+  private def ensureManifestFixture(s: org.apache.spark.sql.SparkSession,
+                                    d: String): Unit = {
+    val path = manifestFixture(d)
+    Fixtures.ensure(s, path,
+      "v1:" + Fixtures.sourceStamp(s, s"$d/lineitem.parquet")) {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("a"),
+        col("l_partkey").cast("long").as("b"))
+      val r = li.agg(max("a"), max("b")).head()
+      li.withColumn("an", Layout.normalize(col("a"), nzMax(r, 0), HBits))
+        .withColumn("bn", Layout.normalize(col("b"), nzMax(r, 1), HBits))
+        .withColumn("hkey",
+          Layout.hilbertValue(col("an"), col("bn"), HBits))
+        .drop("an", "bn")
+        .repartitionByRange(8, col("hkey"))
+        .sortWithinPartitions("hkey")
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** Footer-stats manifest gate ([[graft.ops.FooterStats.manifest]]):
+    * the engine reads ONLY parquet footers (zero data IO) and emits
+    * per-file (rows, min/max of hkey, a, b) ranked by min_hkey; the
+    * oracle rebuilds every row from the DATA of the same files
+    * (`read_parquet(..., filename=true)` + GROUP BY file). Equality
+    * is the contract that makes manifest-driven pruning trustworthy —
+    * footer stats that disagree with a full scan would prune wrong
+    * files silently. File names are write-run artifacts, so both
+    * sides rank by min_hkey (unique: the clustered write makes file
+    * hkey-ranges disjoint) and never compare names. */
+  val footerManifest = GQuery(
+    "q_footer_manifest",
+    (s, d) => {
+      ensureManifestFixture(s, d)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("min_hkey")
+      // <= 8 manifest rows through the rank window — planning metadata
+      graft.ops.FooterStats
+        .manifest(s, manifestFixture(d), Seq("hkey", "a", "b"))
+        .drop("file")
+        .withColumn("file_ord", row_number().over(w).cast("long"))
+        .select("file_ord", "n_rows", "min_hkey", "max_hkey",
+          "min_a", "max_a", "min_b", "max_b")
+        .orderBy("file_ord")
+    },
+    oracle = None,
+    oracleAt = Some { (d: String) =>
+      s"""
+      WITH f AS (
+        SELECT filename, COUNT(*) AS n_rows,
+               MIN(hkey) AS min_hkey, MAX(hkey) AS max_hkey,
+               MIN(a) AS min_a, MAX(a) AS max_a,
+               MIN(b) AS min_b, MAX(b) AS max_b
+        FROM read_parquet('${manifestFixture(d)}/*.parquet',
+                          filename=true)
+        GROUP BY filename)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY min_hkey) AS BIGINT)
+               AS file_ord,
+             n_rows, min_hkey, max_hkey, min_a, max_a, min_b, max_b
+      FROM f ORDER BY file_ord
+    """},
+    prepare = Some(ensureManifestFixture _),
+    eager = true)
+
   def all: Seq[GQuery] = Seq(zorderKey, zorderSkipping, zorder3Key,
     zorder3Skipping, hilbertKey, hilbertSkipping, hilbertCover,
-    curveCoverCompare, hilbertProbe)
+    curveCoverCompare, hilbertProbe, footerManifest)
 }

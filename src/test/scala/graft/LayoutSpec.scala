@@ -354,6 +354,34 @@ class LayoutSpec extends SparkSpec {
     assert(viaBox.count() > 0, "probe box must be non-trivial")
   }
 
+  test("footer manifest: metadata-only stats audit a clustered " +
+      "layout's disjointness and forecast a probe's file set") {
+    import graft.ops.{FooterStats, Layout}
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest")
+      .toString + "/layer"
+    spark.range(0, 4096)
+      .selectExpr("id % 64 AS x", "(id * 37) % 64 AS y")
+      .withColumn("hkey", Layout.hilbertValue(col("x"), col("y"), 6))
+      .repartitionByRange(8, col("hkey"))
+      .sortWithinPartitions("hkey")
+      .write.mode("overwrite").parquet(dir)
+    val m = FooterStats.manifest(spark, dir, Seq("hkey")).collect()
+      .map(r => (r.getAs[Long]("min_hkey"), r.getAs[Long]("max_hkey"),
+        r.getAs[Long]("n_rows"))).sortBy(_._1)
+    assert(m.map(_._3).sum == 4096, "manifest rows must cover the layer")
+    m.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) =>
+        assert(hi1 < lo2, s"clustered files must be hkey-disjoint: $m")
+      case _ =>
+    }
+    // probe forecast off the manifest: files touched by a cover range
+    val cover = Layout.hilbertCover(11, 37, 5, 50, 6)
+    val touched = m.count { case (lo, hi, _) =>
+      cover.exists { case (clo, chi) => hi >= clo && lo <= chi } }
+    assert(touched > 0 && touched < m.length,
+      s"probe should touch some but not all files: $touched/${m.length}")
+  }
+
   test("skipping-evidence plan: hash aggregates + broadcast probes, " +
     "never a sort-merge join or range Exchange") {
     val plan = LayoutQueriesAccess.skipping(spark, TinySf)
