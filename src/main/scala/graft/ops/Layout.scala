@@ -247,6 +247,82 @@ object Layout {
       .reduce(_ || _)
   }
 
+  final case class ReclusterReport(groups: Int, kept: Int,
+                                   rewritten: Int)
+
+  /** Incremental OPTIMIZE for a key-clustered layer: appends since
+    * the last clustered write break the files-are-disjoint-ranges
+    * property that makes min/max pruning sharp, but re-clustering the
+    * WHOLE layer (the [[Compaction]] posture) re-encodes mostly-fine
+    * files. This repairs selectively: plan from the footer manifest
+    * ([[FooterStats.manifest]] — metadata only), merge files into
+    * overlap groups, rewrite ONLY groups of ≥2 overlapping files
+    * (range-partitioned + sorted, same file count), byte-copy the
+    * already-disjoint rest, and publish with the crash-safe
+    * double-rename swap ([[graft.ops.Upsert.atomicOverwrite]]'s
+    * protocol): readers never observe a half-reclustered layer and a
+    * crash is recovered by the next maintenance call. Re-running on a
+    * clean layer rewrites nothing (idempotent no-op, rewritten = 0,
+    * and the layer is left untouched entirely).
+    *
+    * Scale note: the byte-copy of kept files is the
+    * directory-as-layer cost of atomic publish; a table format with
+    * a manifest layer moves pointers instead — the SELECTION logic
+    * (overlap groups from footer stats) is unchanged there. */
+  def recluster(spark: org.apache.spark.sql.SparkSession, path: String,
+                keyCol: String): ReclusterReport = {
+    import org.apache.hadoop.fs.Path
+    Upsert.recoverCrashedSwap(spark, path)
+    val m = FooterStats.manifest(spark, path, Seq(keyCol)).collect()
+      .map(r => (r.getAs[String]("file"),
+        r.getAs[Long](s"min_$keyCol"), r.getAs[Long](s"max_$keyCol")))
+      .sortBy(_._2)
+    // overlap-merge into groups: a file joins the open group while its
+    // min does not clear the group's running max
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[(String, Long, Long)]]
+    m.foreach { f =>
+      groups.lastOption match {
+        case Some(g) if f._2 <= g.map(_._3).max =>
+          g += f
+        case _ =>
+          groups += scala.collection.mutable.ArrayBuffer(f)
+      }
+    }
+    val kept = groups.count(_.length == 1)
+    val rewritten = groups.filter(_.length > 1).map(_.length).sum
+    if (rewritten == 0)
+      return ReclusterReport(groups.length, kept, 0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    val tmp = new Path(path + ".__tmp__")
+    val old = new Path(path + ".__old__")
+    fs.delete(tmp, true); fs.delete(old, true)
+    fs.mkdirs(tmp)
+    groups.foreach { g =>
+      if (g.length == 1)
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new Path(target, g.head._1), fs, new Path(tmp, g.head._1),
+          false, conf)
+      else
+        spark.read
+          .parquet(g.map(f => s"$path/${f._1}").toSeq: _*)
+          .repartitionByRange(g.length, org.apache.spark.sql.functions
+            .col(keyCol))
+          .sortWithinPartitions(keyCol)
+          .write.mode("append").parquet(tmp.toString)
+    }
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"cannot stage old $path")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(old, target)
+      throw new java.io.IOException(s"cannot publish $path")
+    }
+    fs.delete(old, true)
+    ReclusterReport(groups.length, kept, rewritten)
+  }
+
   /** DuckDB mirror of [[hilbertValue]]: the per-level quadrant walk
     * unrolled as one chained CTE per bit level (state = (hx, hy, hd);
     * each level adds its quadrant's s² offset and applies the

@@ -382,6 +382,48 @@ class LayoutSpec extends SparkSpec {
       s"probe should touch some but not all files: $touched/${m.length}")
   }
 
+  test("recluster repairs ONLY the overlapping files — atomic, " +
+      "idempotent, content-preserving") {
+    import graft.ops.{FooterStats, Layout}
+    val dir = java.nio.file.Files.createTempDirectory("graft_recluster")
+      .toString + "/layer"
+    val df = spark.range(0, 4096)
+      .selectExpr("id % 64 AS x", "(id * 37) % 64 AS y")
+      .withColumn("hkey", Layout.hilbertValue(col("x"), col("y"), 6))
+    df.repartitionByRange(8, col("hkey")).sortWithinPartitions("hkey")
+      .write.mode("overwrite").parquet(dir)
+    // clean layer: planning finds nothing to do and touches nothing
+    val before = spark.read.parquet(dir).inputFiles.toSet
+    val r0 = Layout.recluster(spark, dir, "hkey")
+    assert(r0.rewritten == 0 && r0.groups == 8, r0.toString)
+    assert(spark.read.parquet(dir).inputFiles.toSet == before,
+      "a no-op recluster must not republish the layer")
+    // an appended narrow-range batch breaks disjointness LOCALLY
+    val appended = df.filter(col("hkey").between(100, 300))
+    appended.coalesce(1).write.mode("append").parquet(dir)
+    val r1 = Layout.recluster(spark, dir, "hkey")
+    assert(r1.rewritten >= 2, s"append+overlapped must rewrite: $r1")
+    assert(r1.kept >= 5, s"far files must be kept, not re-encoded: $r1")
+    assert(r1.kept + r1.rewritten == 9)
+    // disjoint again, content = original ⊎ appended (multiset)
+    val m = FooterStats.manifest(spark, dir, Seq("hkey")).collect()
+      .map(r => (r.getAs[Long]("min_hkey"), r.getAs[Long]("max_hkey")))
+      .sortBy(_._1)
+    m.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"recluster must restore disjointness: ${m.toSeq}")
+      case _ =>
+    }
+    val got = spark.read.parquet(dir)
+      .groupBy("x", "y", "hkey").count()
+    val want = df.unionByName(appended)
+      .groupBy("x", "y", "hkey").count()
+    assert(rowsAsSet(got) == rowsAsSet(want),
+      "recluster must preserve the exact row multiset")
+    // second run: clean again
+    assert(Layout.recluster(spark, dir, "hkey").rewritten == 0)
+  }
+
   test("skipping-evidence plan: hash aggregates + broadcast probes, " +
     "never a sort-merge join or range Exchange") {
     val plan = LayoutQueriesAccess.skipping(spark, TinySf)
