@@ -740,7 +740,118 @@ object LayoutQueries extends QueryPack {
     prepare = Some(ensureManifestFixture _),
     eager = true)
 
+  private def reclusterDir(d: String): String =
+    s"/tmp/graft_fixtures/recluster_${new java.io.File(d).getName}/layer"
+
+  /** Appended-batch bounds for the recluster fixture: a narrow curve
+    * range in the middle of the 16-bit hkey space, so the append
+    * overlaps a couple of the 8 clustered files and leaves the rest
+    * disjoint — the exact damage recluster exists to repair. Pure
+    * constants, shared with the oracle. */
+  private val ReclLo = 4096L
+  private val ReclHi = 12287L
+
+  /** Idempotent recluster fixture: write a hilbert-clustered lineitem
+    * layer (8 disjoint-range files), append one overlapping
+    * narrow-range batch (breaking file disjointness locally), then
+    * repair with [[Layout.recluster]] — asserting the maintenance
+    * contract in-line: the repair must actually rewrite the damaged
+    * region (≥ 2 files merged), must keep ≥ 1 far file un-re-encoded,
+    * must restore pairwise-disjoint footer ranges, and a second run
+    * must be a no-op. The gated digest then proves the repair lost,
+    * duplicated, and mutated NOTHING. */
+  private def ensureReclusterFixture(s: org.apache.spark.sql.SparkSession,
+                                     d: String): Unit = {
+    val path = reclusterDir(d)
+    Fixtures.ensure(s, path,
+      "v1:" + Fixtures.sourceStamp(s, s"$d/lineitem.parquet")) {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("a"),
+        col("l_partkey").cast("long").as("b"))
+      val r = li.agg(max("a"), max("b")).head()
+      val base = li
+        .withColumn("an", Layout.normalize(col("a"), nzMax(r, 0), HBits))
+        .withColumn("bn", Layout.normalize(col("b"), nzMax(r, 1), HBits))
+        .withColumn("hkey",
+          Layout.hilbertValue(col("an"), col("bn"), HBits))
+        .drop("an", "bn")
+      base.repartitionByRange(8, col("hkey"))
+        .sortWithinPartitions("hkey")
+        .write.mode("overwrite").parquet(path)
+      val appended = base.filter(col("hkey").between(ReclLo, ReclHi))
+      if (appended.limit(1).count() > 0) {
+        appended.coalesce(1).write.mode("append").parquet(path)
+        val r1 = Layout.recluster(s, path, "hkey")
+        require(r1.rewritten >= 2,
+          s"append overlapped the layer; recluster must repair it: $r1")
+        require(r1.kept >= 1,
+          s"far files must be kept, not re-encoded: $r1")
+        val m = graft.ops.FooterStats.manifest(s, path, Seq("hkey"))
+          .collect()
+          .map(x => (x.getAs[Long]("min_hkey"), x.getAs[Long]("max_hkey")))
+          .sortBy(_._1)
+        m.sliding(2).foreach {
+          case Array((_, hi1), (lo2, _)) => require(hi1 < lo2,
+            s"recluster must restore disjoint file ranges: ${m.toSeq}")
+          case _ =>
+        }
+        val r2 = Layout.recluster(s, path, "hkey")
+        require(r2.rewritten == 0,
+          s"recluster on a clean layer must be a no-op: $r2")
+      }
+    }
+  }
+
+  /** Incremental-recluster gate ([[Layout.recluster]]): the fixture
+    * damages a curve-clustered layer with an overlapping append and
+    * repairs it under the contract `require`s above; the timed/gated
+    * body digests the repaired layer per hkey bucket while DuckDB
+    * predicts the same digest straight from the SOURCE lineitem
+    * parquet (curve walk replayed by the unrolled CTE, the appended
+    * range double-counted by construction) — a repair that drops,
+    * duplicates, or mutates any row, or corrupts the retained hkey
+    * column, breaks the hash. The q_compaction two-stack posture
+    * applied to the selective-rewrite maintenance path. */
+  val recluster = GQuery(
+    "q_recluster",
+    (s, d) => {
+      ensureReclusterFixture(s, d)
+      s.read.parquet(reclusterDir(d))
+        .groupBy(shiftright(col("hkey"), 11).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum("a").as("sum_a"),
+          sum("b").as("sum_b"),
+          sum("hkey").as("sum_h"))
+        .orderBy("bucket")
+    },
+    Some {
+      val (levels, fin) = Layout.hilbertLevelsSql(
+        "nrm8", "an", "bn", carry = Seq("a", "b"), bits = HBits)
+      s"""
+      WITH mx AS (
+        SELECT MAX(l_orderkey) AS ma, MAX(l_partkey) AS mb
+        FROM lineitem),
+      nrm8 AS (
+        SELECT l_orderkey AS a, l_partkey AS b,
+               (l_orderkey * ${1 << HBits}) // (ma + 1) AS an,
+               (l_partkey * ${1 << HBits}) // (mb + 1) AS bn
+        FROM lineitem, mx),
+      $levels,
+      base AS (SELECT a, b, hd FROM $fin),
+      allr AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT * FROM base WHERE hd BETWEEN $ReclLo AND $ReclHi)
+      SELECT CAST(hd >> 11 AS BIGINT) AS bucket, COUNT(*) AS n,
+             CAST(SUM(a) AS BIGINT) AS sum_a,
+             CAST(SUM(b) AS BIGINT) AS sum_b,
+             CAST(SUM(hd) AS BIGINT) AS sum_h
+      FROM allr GROUP BY 1 ORDER BY bucket
+    """},
+    prepare = Some(ensureReclusterFixture _),
+    eager = true)
+
   def all: Seq[GQuery] = Seq(zorderKey, zorderSkipping, zorder3Key,
     zorder3Skipping, hilbertKey, hilbertSkipping, hilbertCover,
-    curveCoverCompare, hilbertProbe, footerManifest)
+    curveCoverCompare, hilbertProbe, footerManifest, recluster)
 }
