@@ -247,6 +247,24 @@ object Layout {
       .reduce(_ || _)
   }
 
+  /** Binary-search form of [[coverPredicate]] for PROJECTED probe
+    * flags ([[graft.functions.InSortedRanges]]): ~log₂(ranges)
+    * comparisons per row instead of ~2·ranges, with the cover held as
+    * one reference array outside the generated code. Use this when
+    * the cover is evaluated, not pushed down — a batched multi-probe
+    * scan projecting one flag per probe; keep [[coverPredicate]] for
+    * filters, where the BETWEEN disjunction is what parquet min/max
+    * pruning understands. Identical semantics (LayoutSpec pins the
+    * two forms equal cell-for-cell over the full grid). */
+  def coverPredicateCompiled(key: Column,
+                             ranges: Seq[(Long, Long)]): Column = {
+    require(ranges.nonEmpty, "empty cover: the box contains no cells")
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.InSortedRanges(
+        org.apache.spark.sql.graftbridge.Bridge.expression(key),
+        ranges.flatMap { case (lo, hi) => Seq(lo, hi) }))
+  }
+
   final case class ReclusterReport(groups: Int, kept: Int,
                                    rewritten: Int)
 

@@ -424,6 +424,55 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.recluster(spark, dir, "hkey").rewritten == 0)
   }
 
+  test("InSortedRanges.contains: binary search agrees with a linear " +
+      "scan over random sorted-disjoint covers") {
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      var next = rnd.nextInt(10).toLong
+      val ranges = (0 until n).map { _ =>
+        val lo = next + rnd.nextInt(5)
+        val hi = lo + rnd.nextInt(8)
+        next = hi + 1 + rnd.nextInt(5)
+        (lo, hi)
+      }
+      val bounds = ranges.flatMap { case (lo, hi) => Seq(lo, hi) }.toArray
+      (0L to next + 3).foreach { k =>
+        val want = ranges.exists { case (lo, hi) => lo <= k && k <= hi }
+        assert(
+          graft.functions.InSortedRanges.contains(bounds, k) == want,
+          s"contains($k) over ${ranges.take(5)}…")
+      }
+    }
+    // unsorted / overlapping / ragged bounds fail loud at construction
+    import graft.functions.InSortedRanges
+    val c = org.apache.spark.sql.graftbridge.Bridge.expression(col("x"))
+    intercept[IllegalArgumentException](InSortedRanges(c, Seq(5L, 3L)))
+    intercept[IllegalArgumentException](
+      InSortedRanges(c, Seq(1L, 4L, 4L, 9L)))
+    intercept[IllegalArgumentException](InSortedRanges(c, Seq(1L)))
+  }
+
+  test("coverPredicateCompiled ≡ coverPredicate cell-for-cell over " +
+      "the full grid, for every probe of the cover family") {
+    val s = spark; import s.implicits._
+    val bits = 6
+    val grid = (0L until (1L << (2 * bits))).toDF("k")
+    (0 until 8).foreach { p =>
+      val lox = (p * 11) % 40; val hix = lox + 7 + p
+      val loy = (p * 17) % 40; val hiy = loy + 5 + 2 * p
+      val cover = Layout.hilbertCover(lox, hix, loy, hiy, bits)
+      val both = grid.select(
+        Layout.coverPredicate(col("k"), cover).as("or_form"),
+        Layout.coverPredicateCompiled(col("k"), cover).as("bs_form"))
+      assert(both.filter(col("or_form") =!= col("bs_form")).count() == 0,
+        s"probe $p: the two cover-predicate forms diverged")
+      assert(both.filter(col("bs_form")).count() ==
+        cover.map { case (lo, hi) => hi - lo + 1 }.sum,
+        s"probe $p: compiled form admits the wrong cell count")
+    }
+  }
+
   test("skipping-evidence plan: hash aggregates + broadcast probes, " +
     "never a sort-merge join or range Exchange") {
     val plan = LayoutQueriesAccess.skipping(spark, TinySf)
