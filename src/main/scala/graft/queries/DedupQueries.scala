@@ -774,10 +774,72 @@ object DedupQueries extends QueryPack {
     prepare = Some((s, d) => { ensureErClusterStore(s, d); () }),
     eager = true)
 
+  /** Sub-document exact-span dedup ([[graft.ops.SpanDedup]]): every
+    * rolling 8-token span occurring >= 2 times corpus-wide is
+    * removed from every document, overlapping windows merged into
+    * maximal intervals first. The engine counts xxhash64
+    * fingerprints (8-byte shuffle keys — the 100 TB posture); the
+    * oracle recounts EXACT span strings and replays the island
+    * merge with its own gaps-and-islands formulation, so a
+    * fingerprint collision or interval-merge divergence fails the
+    * hash compare. */
+  val spanDedup = GQuery(
+    "q_span_dedup",
+    (s, d) => graft.ops.SpanDedup
+      .scrub(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", k = 8)
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      posn AS (
+        SELECT doc_id, unnest(generate_series(1, len(t)-8+1))-1 AS pos, t
+        FROM toks WHERE len(t) >= 8),
+      grams AS (
+        SELECT doc_id, pos, array_to_string(t[pos+1:pos+8], ' ') AS g
+        FROM posn),
+      dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+      hit AS (SELECT doc_id, pos FROM grams
+              WHERE g IN (SELECT g FROM dup)),
+      brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) THEN 1 ELSE 0 END AS b
+        FROM hit),
+      isl AS (
+        SELECT doc_id, pos,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM brk),
+      merged AS (
+        SELECT doc_id, min(pos) AS s, max(pos)+8 AS e
+        FROM isl GROUP BY doc_id, island),
+      spanct AS (
+        SELECT doc_id, count(*) AS n_spans FROM merged GROUP BY doc_id),
+      tokix AS (
+        SELECT doc_id, unnest(t) AS tok,
+               unnest(generate_series(0, len(t)-1)) AS ix, len(t) AS n
+        FROM toks)
+      SELECT x.doc_id,
+             CAST(any_value(x.n) AS BIGINT) AS n_tokens,
+             CAST(coalesce(any_value(sc.n_spans), 0) AS BIGINT) AS n_spans,
+             CAST(count(*) FILTER (WHERE m.doc_id IS NOT NULL) AS BIGINT)
+               AS n_removed,
+             md5(coalesce(string_agg(
+               CASE WHEN m.doc_id IS NULL THEN x.tok END, ' '
+               ORDER BY x.ix), '')) AS clean_md5
+      FROM tokix x
+      LEFT JOIN merged m
+        ON x.doc_id = m.doc_id AND x.ix >= m.s AND x.ix < m.e
+      LEFT JOIN spanct sc ON x.doc_id = sc.doc_id
+      GROUP BY x.doc_id ORDER BY x.doc_id
+    """))
+
   def all: Seq[GQuery] =
     Seq(exactDedup, canonicalDedup, corpusDiffQ, cdcColumns, ngramJaccard,
       containment, minhashLsh, simhashPairs, neardupClusters,
       leakageSafeSplit, incrementalNearDup, incrementalExactQ,
       fuzzyDedupPairs, fuzzyDedupWide, blockingQuality, goldenRecord,
-      entityResolution)
+      entityResolution, spanDedup)
 }

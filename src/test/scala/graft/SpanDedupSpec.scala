@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SpanDedup
+
+/** Sub-document exact-span dedup: rolling-window geometry, the
+  * occurs-twice-anywhere criterion (within-doc repeats count), the
+  * overlapping-window island merge, and surviving-text hashing. */
+class SpanDedupSpec extends SparkSpec {
+
+  private def md5hex(s: String) =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def mk(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("spanHashes: n-k+1 rolling windows, short docs emit nothing") {
+    val spans = SpanDedup.spanHashes(
+      mk((1L, "a b c d e"), (2L, "x y")), "doc_id", "text", k = 3)
+    val got = spans.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"))).toSet
+    assert(got == Set((1L, 0), (1L, 1), (1L, 2))) // 5-3+1 windows, doc 2 dropped
+  }
+
+  test("identical spans hash equal across docs; distinct spans differ") {
+    val spans = SpanDedup.spanHashes(
+      mk((1L, "p q r s"), (2L, "z p q r")), "doc_id", "text", k = 3)
+      .collect().map(r => ((r.getAs[Long]("doc_id"), r.getAs[Int]("pos")),
+        r.getAs[Long]("h"))).toMap
+    assert(spans((1L, 0)) == spans((2L, 1))) // both "p q r"
+    assert(spans((1L, 1)) != spans((2L, 0)))
+  }
+
+  test("scrub removes a cross-doc duplicated span, merges overlap") {
+    // "w1 w2 w3" duplicated across docs 1/2; in doc 1 positions 1 and
+    // 2 both hit via the longer shared run "w0 w1 w2 w3" vs doc 2's
+    // "w1 w2 w3" — overlapping windows must merge to ONE interval.
+    val docs = mk(
+      (1L, "a w1 w2 w3 b c"),
+      (2L, "w1 w2 w3 x y z"),
+      (3L, "u v w q r s"))
+    val out = SpanDedup.scrub(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_spans") == 1L)
+    assert(r1.getAs[Long]("n_removed") == 3L)
+    assert(r1.getAs[String]("clean_md5") == md5hex("a b c"))
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_removed") == 3L)
+    assert(r2.getAs[String]("clean_md5") == md5hex("x y z"))
+    val r3 = out(2)
+    assert(r3.getAs[Long]("n_spans") == 0L)
+    assert(r3.getAs[Long]("n_removed") == 0L)
+    assert(r3.getAs[String]("clean_md5") == md5hex("u v w q r s"))
+  }
+
+  test("within-doc repeat counts as duplicated; islands merge runs") {
+    // "m n o" occurs twice INSIDE doc 1 (positions 0 and 4,
+    // disjoint) — both removed, two islands.
+    val docs = mk((1L, "m n o q m n o r"), (2L, "j k l f g h"))
+    val out = SpanDedup.scrub(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_spans") == 2L)
+    assert(r1.getAs[Long]("n_removed") == 6L)
+    assert(r1.getAs[String]("clean_md5") == md5hex("q r"))
+  }
+
+  test("fully-duplicated doc scrubs to the empty-string hash") {
+    val docs = mk((1L, "s t u"), (2L, "s t u"))
+    val out = SpanDedup.scrub(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getAs[String]("clean_md5") == md5hex("")))
+    assert(out.forall(_.getAs[Long]("n_removed") == 3L))
+  }
+
+  test("adjacent duplicated windows coalesce: n_removed spans the union") {
+    // docs 1/2 share the 4-token run "c1 c2 c3 c4": k=3 windows at
+    // pos 0 and 1 overlap -> one island of length 4.
+    val docs = mk(
+      (1L, "c1 c2 c3 c4 d e"),
+      (2L, "f g c1 c2 c3 c4"))
+    val out = SpanDedup.scrub(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_spans") == 1L)
+    assert(out(0).getAs[Long]("n_removed") == 4L)
+    assert(out(0).getAs[String]("clean_md5") == md5hex("d e"))
+    assert(out(1).getAs[String]("clean_md5") == md5hex("f g"))
+  }
+
+  test("zero-row input yields an honest empty frame") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = SpanDedup.scrub(empty, "doc_id", "text", k = 3)
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "n_spans", "n_removed", "clean_md5"))
+  }
+}
