@@ -1,0 +1,256 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned parquet table store with time-travel reads — the
+  * commit-log model (a log of add/remove file actions whose replay
+  * at version v IS the snapshot) that every lakehouse table format
+  * builds on, re-expressed with this engine's primitives. It unifies
+  * the maintenance family under snapshot isolation: [[Compaction]]
+  * rewrites files, [[Layout.recluster]] repairs layout, and
+  * [[Partitioned.expireSlices]] drops slices — here each of those
+  * becomes a new VERSION, old snapshots stay readable until
+  * [[TableStore.vacuum]] retires them, and a reader pinned to v is
+  * immune to every later rewrite.
+  *
+  * Layout under `root/`:
+  *  - `data/v<N>/part-*.parquet` — immutable data files; a commit
+  *    only ever ADDS files, never mutates one;
+  *  - `_log/v=<N>/` — one parquet dir per version holding
+  *    (path, action, n_rows) rows; hive-style naming makes the log
+  *    itself one partitioned table (`spark.read.parquet(_log)`), the
+  *    [[FooterStats]] "manifest is a table" posture.
+  *
+  * Commit protocol (single-writer, like every store in this engine):
+  * data files land first, then the staged log dir is RENAMED to
+  * `_log/v=<N>` — the rename is the commit point, so a crash before
+  * it leaves only unreferenced data files (invisible to readers,
+  * swept by vacuum) and never a torn snapshot.
+  *
+  * Scale shape at 100 TB: reads resolve the file list from the LOG
+  * (metadata-sized — actions, not bytes), never from an FS tree
+  * walk; the per-commit log is proportional to files touched, and
+  * [[vacuum]] writes a full-manifest checkpoint at the new horizon
+  * (Delta's checkpoint move) so replay cost stays bounded by the
+  * retention window instead of growing with table age. Driver-side
+  * work is bounded by file count — the same planning-collect budget
+  * as [[Compaction]] and [[FooterStats]].
+  */
+object TableStore {
+
+  private val Log = "_log"
+  private val Data = "data"
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed versions, ascending (staged `.tmp` dirs excluded by
+    * the `v=` naming contract). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val logRoot = new Path(s"$root/$Log")
+    val fs = fsOf(spark, logRoot)
+    if (!fs.exists(logRoot)) Seq.empty
+    else fs.listStatus(logRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
+  }
+
+  private def footerRows(spark: SparkSession, f: Path): Long = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      f, spark.sparkContext.hadoopConfiguration))
+    try {
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    } finally reader.close()
+  }
+
+  /** Write `df` into `data/v<n>` and return (relative path, n_rows)
+    * per produced file — row counts from footers, zero data IO. */
+  private def writeData(df: DataFrame, root: String,
+                        n: Long): Seq[(String, Long)] = {
+    val spark = df.sparkSession
+    val dir = new Path(s"$root/$Data/v$n")
+    df.write.mode("error").parquet(dir.toString)
+    val fs = fsOf(spark, dir)
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map(s => (s"$Data/v$n/${s.getPath.getName}",
+        footerRows(spark, s.getPath)))
+  }
+
+  /** Stage the action rows and RENAME into place — the commit point. */
+  private def commitLog(spark: SparkSession, root: String, n: Long,
+                        adds: Seq[(String, Long)],
+                        removes: Seq[String]): Unit = {
+    import spark.implicits._
+    val rows =
+      adds.map { case (p, r) => (p, "add", r) } ++
+        removes.map(p => (p, "remove", 0L))
+    val staged = new Path(s"$root/$Log/.tmp_v$n")
+    val target = new Path(s"$root/$Log/v=$n")
+    val fs = fsOf(spark, staged)
+    fs.delete(staged, true)
+    rows.toDF("path", "action", "n_rows")
+      .coalesce(1).write.parquet(staged.toString)
+    if (fs.exists(target))
+      throw new java.io.IOException(
+        s"version $n already committed at $root — single-writer " +
+          "contract violated")
+    if (!fs.rename(staged, target))
+      throw new java.io.IOException(s"cannot commit version $n at $root")
+  }
+
+  private def logFrame(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/$Log")
+
+  /** Live (path, n_rows) at `asOf`: per path, the latest action at a
+    * version <= asOf must be an add. Metadata-sized. */
+  private def liveAt(spark: SparkSession, root: String,
+                     asOf: Long): Seq[(String, Long)] = {
+    val vs = versions(spark, root)
+    require(vs.contains(asOf),
+      s"version $asOf not committed at $root (have ${vs.mkString(",")})" +
+        " — vacuumed past the horizon or never written")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("path").orderBy(col("v").desc)
+    logFrame(spark, root)
+      .where(col("v") <= asOf)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("action") === "add")
+      .select("path", "n_rows")
+      .collect().toSeq // bounded by file count: the planning budget
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+  }
+
+  /** Snapshot read at `version` (default: latest). The file list
+    * comes from the log replay, never an FS walk; a concurrent later
+    * commit cannot change what this frame reads. */
+  def read(spark: SparkSession, root: String,
+           version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val v = version.getOrElse(vs.max)
+    val files = liveAt(spark, root, v).map(p => s"$root/${p._1}")
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else {
+      // empty snapshot (e.g. overwrite-with-empty): anchor the schema
+      // on any file the log ever referenced so downstream code keeps
+      // its columns
+      val any = logFrame(spark, root).select("path").limit(1)
+        .collect().headOption
+        .getOrElse(sys.error(s"empty log at $root"))
+      spark.read.parquet(s"$root/${any.getString(0)}").limit(0)
+    }
+  }
+
+  /** Append `df` as a new version; returns the committed version. */
+  def append(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val n = versions(spark, root).lastOption.getOrElse(0L) + 1
+    commitLog(spark, root, n, writeData(df, root, n), Seq.empty)
+    n
+  }
+
+  /** Replace the table's content with `df` as a new version; every
+    * previously-live file gets a remove action, old snapshots stay
+    * readable. */
+  def overwrite(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val prev = versions(spark, root).lastOption
+    val removes = prev.map(liveAt(spark, root, _).map(_._1))
+      .getOrElse(Seq.empty)
+    val n = prev.getOrElse(0L) + 1
+    commitLog(spark, root, n, writeData(df, root, n), removes)
+    n
+  }
+
+  /** Rewrite the live set to ~targetBytes files as a new version —
+    * [[Compaction]] under snapshot isolation: content-identical to
+    * the previous version, old file layout still readable there. */
+  def compact(spark: SparkSession, root: String,
+              targetBytes: Long): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val prev = versions(spark, root).last
+    val live = liveAt(spark, root, prev)
+    val fs = fsOf(spark, new Path(root))
+    val bytes = live.map(p =>
+      fs.getFileStatus(new Path(s"$root/${p._1}")).getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(live.map(p => s"$root/${p._1}"): _*)
+      .repartition(nOut)
+    val n = prev + 1
+    commitLog(spark, root, n, writeData(df, root, n), live.map(_._1))
+    n
+  }
+
+  /** Retire history: keep the last `keepVersions` snapshots readable,
+    * write a full-manifest CHECKPOINT at the new horizon (so replay
+    * never needs the dropped logs), delete the dropped log dirs and
+    * every data file no surviving snapshot references. Idempotent —
+    * a re-run finds nothing left to drop. */
+  def vacuum(spark: SparkSession, root: String,
+             keepVersions: Int): Unit = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1")
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return
+    val horizon = math.max(vs.head, vs.last - keepVersions + 1)
+    if (horizon == vs.head) return
+    val kept = vs.filter(_ >= horizon)
+    val keepFiles = kept.flatMap(liveAt(spark, root, _)).distinct
+    val fs = fsOf(spark, new Path(root))
+    // checkpoint BEFORE dropping logs: horizon's log becomes a full
+    // add-manifest of its live set (rename-committed like any version)
+    val horizonLive = liveAt(spark, root, horizon)
+    val target = new Path(s"$root/$Log/v=$horizon")
+    val staged = new Path(s"$root/$Log/.tmp_ckpt_v$horizon")
+    fs.delete(staged, true)
+    import spark.implicits._
+    horizonLive.map { case (p, r) => (p, "add", r) }
+      .toDF("path", "action", "n_rows")
+      .coalesce(1).write.parquet(staged.toString)
+    val old = new Path(s"$root/$Log/.old_ckpt_v$horizon")
+    fs.delete(old, true)
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"cannot stage checkpoint at $target")
+    if (!fs.rename(staged, target)) {
+      fs.rename(old, target)
+      throw new java.io.IOException(s"cannot publish checkpoint at $target")
+    }
+    fs.delete(old, true)
+    // drop pre-horizon logs, then any data file nothing kept references
+    vs.filter(_ < horizon).foreach(v =>
+      fs.delete(new Path(s"$root/$Log/v=$v"), true))
+    val keepSet = keepFiles.map(_._1).toSet
+    val dataRoot = new Path(s"$root/$Data")
+    fs.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { d =>
+      fs.listStatus(d.getPath).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          val rel = s"$Data/${d.getPath.getName}/${f.getPath.getName}"
+          if (!keepSet.contains(rel)) fs.delete(f.getPath, false)
+        }
+      // dir is dead when no parquet survives — sweep it whole so the
+      // _SUCCESS/crc markers don't keep an empty commit dir alive
+      val liveLeft = fs.listStatus(d.getPath).toSeq
+        .exists(_.getPath.getName.endsWith(".parquet"))
+      if (!liveLeft) fs.delete(d.getPath, true)
+    }
+  }
+
+  /** Per-version commit summary — the store's audit surface. */
+  def history(spark: SparkSession, root: String): DataFrame =
+    logFrame(spark, root)
+      .groupBy(col("v").cast("long").as("version"))
+      .agg(
+        count(when(col("action") === "add", 1)).as("n_added"),
+        count(when(col("action") === "remove", 1)).as("n_removed"),
+        sum(when(col("action") === "add", col("n_rows"))
+          .otherwise(0L)).as("rows_added"))
+      .orderBy("version")
+}

@@ -110,5 +110,64 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
-  def all: Seq[GQuery] = Seq(runMonthPruning, retentionExpire)
+  /** Versioned-store time travel ([[graft.ops.TableStore]]): four
+    * commits against a per-run store — two appends, an overwrite, a
+    * compaction — then EVERY version is snapshot-read back and
+    * digested. The oracle states each version's logical content as a
+    * predicate over the source table, so the gate pins: append
+    * accumulation (v2 = v1 + batch), snapshot isolation (v2 read
+    * AFTER the overwrite removed its files from the live set),
+    * overwrite semantics (v3 = only the new slice), and
+    * content-preserving compaction (v4 ≡ v3 through different
+    * files). Reads resolve files from the commit log, never an FS
+    * walk — the 100 TB read path. */
+  val timeTravel = GQuery(
+    "q_time_travel",
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tstore").toString + "/orders"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      graft.ops.TableStore.append(
+        src.where(col("o_orderdate") < "1996-01-01"), root)
+      graft.ops.TableStore.append(
+        src.where(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1998-01-01"), root)
+      graft.ops.TableStore.overwrite(
+        src.where(col("o_orderdate") >= "1998-01-01"), root)
+      graft.ops.TableStore.compact(s, root, targetBytes = 64L << 20)
+      (1L to 4L).map { v =>
+        graft.ops.TableStore.read(s, root, Some(v))
+          .agg(
+            lit(v).as("version"),
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 4)))
+              .cast("double").as("total_price"),
+            min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"))
+          .select("version", "n_orders", "total_price",
+            "min_key", "max_key")
+      }.reduce(_ unionAll _).orderBy("version")
+    },
+    Some("""
+      WITH digest AS (
+        SELECT v.version,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_price,
+               MIN(o_orderkey) AS min_key,
+               MAX(o_orderkey) AS max_key
+        FROM (VALUES (1), (2), (3), (4)) v(version)
+        JOIN orders ON CASE
+          WHEN v.version = 1 THEN o_orderdate < DATE '1996-01-01'
+          WHEN v.version = 2 THEN o_orderdate < DATE '1998-01-01'
+          ELSE o_orderdate >= DATE '1998-01-01' END
+        GROUP BY v.version)
+      SELECT CAST(version AS BIGINT) AS version, n_orders,
+             total_price, min_key, max_key
+      FROM digest ORDER BY version
+    """),
+    eager = true)
+
+  def all: Seq[GQuery] = Seq(runMonthPruning, retentionExpire, timeTravel)
 }

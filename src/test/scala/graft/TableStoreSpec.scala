@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TableStore
+
+/** Commit-log table store: version numbering, snapshot isolation
+  * across overwrite/compact, crash-invisible staging, vacuum
+  * checkpointing, and the audit history. */
+class TableStoreSpec extends SparkSpec {
+
+  private def tmp() = java.nio.file.Files
+    .createTempDirectory("graft_tstore").toString + "/t"
+
+  private def mk(ids: Long*) = {
+    val s = spark; import s.implicits._
+    ids.map(i => (i, s"r$i")).toDF("id", "payload")
+  }
+
+  private def ids(root: String, v: Option[Long] = None): Set[Long] =
+    TableStore.read(spark, root, v)
+      .select("id").collect().map(_.getLong(0)).toSet
+
+  test("append accumulates; versions number from 1") {
+    val root = tmp()
+    assert(TableStore.append(mk(1, 2), root) == 1L)
+    assert(TableStore.append(mk(3), root) == 2L)
+    assert(TableStore.versions(spark, root) == Seq(1L, 2L))
+    assert(ids(root) == Set(1L, 2L, 3L))
+    assert(ids(root, Some(1L)) == Set(1L, 2L))
+  }
+
+  test("overwrite replaces content; earlier snapshots stay readable") {
+    val root = tmp()
+    TableStore.append(mk(1, 2), root)
+    TableStore.append(mk(3), root)
+    assert(TableStore.overwrite(mk(9), root) == 3L)
+    assert(ids(root) == Set(9L))
+    // time travel: version 2 is immune to the overwrite
+    assert(ids(root, Some(2L)) == Set(1L, 2L, 3L))
+    assert(ids(root, Some(1L)) == Set(1L, 2L))
+  }
+
+  test("compact preserves content as a new version; old layout readable") {
+    val root = tmp()
+    TableStore.append(mk(1L to 50L: _*).repartition(10), root)
+    TableStore.append(mk(51L to 60L: _*).repartition(5), root)
+    val v = TableStore.compact(spark, root, targetBytes = 1L << 30)
+    assert(v == 3L)
+    assert(ids(root, Some(3L)) == (1L to 60L).toSet)
+    assert(ids(root, Some(2L)) == (1L to 60L).toSet) // same rows, old files
+    val h = TableStore.history(spark, root).collect()
+      .map(r => r.getAs[Long]("version") ->
+        (r.getAs[Long]("n_added"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("rows_added"))).toMap
+    assert(h(3L)._1 == 1L) // one compacted file
+    // every file v1+v2 added is removed by the compaction commit
+    assert(h(3L)._2 == h(1L)._1 + h(2L)._1)
+    assert(h(3L)._3 == 60L)
+  }
+
+  test("a staged-but-unrenamed log is invisible to readers") {
+    val root = tmp()
+    TableStore.append(mk(1), root)
+    // simulate a crash between data write and log rename: data files
+    // for v2 exist, log dir does not
+    mk(2).write.parquet(s"$root/data/v2")
+    assert(TableStore.versions(spark, root) == Seq(1L))
+    assert(ids(root) == Set(1L))
+  }
+
+  test("vacuum retires history behind a checkpoint; window stays exact") {
+    val root = tmp()
+    TableStore.append(mk(1, 2), root)   // v1
+    TableStore.append(mk(3), root)      // v2
+    TableStore.overwrite(mk(7, 8), root) // v3 — v1/v2 files now dead there
+    TableStore.append(mk(9), root)      // v4
+    TableStore.vacuum(spark, root, keepVersions = 2)
+    assert(TableStore.versions(spark, root) == Seq(3L, 4L))
+    assert(ids(root, Some(3L)) == Set(7L, 8L))
+    assert(ids(root) == Set(7L, 8L, 9L))
+    // pre-horizon versions are gone, loudly
+    intercept[IllegalArgumentException] {
+      TableStore.read(spark, root, Some(2L))
+    }
+    // v1/v2 data files are physically deleted (nothing kept references
+    // them after the v3 overwrite)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/v1")))
+    // idempotent
+    TableStore.vacuum(spark, root, keepVersions = 2)
+    assert(ids(root) == Set(7L, 8L, 9L))
+  }
+
+  test("vacuum checkpoint keeps still-live old files") {
+    val root = tmp()
+    TableStore.append(mk(1, 2), root) // v1 — stays live forever
+    TableStore.append(mk(3), root)    // v2
+    TableStore.append(mk(4), root)    // v3
+    TableStore.vacuum(spark, root, keepVersions = 2)
+    // v1's file predates the horizon but is live at v2/v3: the
+    // checkpoint must carry it
+    assert(TableStore.versions(spark, root) == Seq(2L, 3L))
+    assert(ids(root, Some(2L)) == Set(1L, 2L, 3L))
+    assert(ids(root) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("empty overwrite yields a readable empty snapshot with schema") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    TableStore.append(mk(1, 2), root)
+    TableStore.overwrite(
+      Seq.empty[(Long, String)].toDF("id", "payload"), root)
+    val snap = TableStore.read(spark, root)
+    assert(snap.count() == 0L)
+    assert(snap.columns.toSeq == Seq("id", "payload"))
+    assert(ids(root, Some(1L)) == Set(1L, 2L)) // history intact
+  }
+
+  test("duplicate version commit fails loudly (single-writer contract)") {
+    val root = tmp()
+    TableStore.append(mk(1), root)
+    // a second writer racing to v1 must not silently clobber
+    val ex = intercept[Exception] {
+      val m = TableStore.getClass.getDeclaredMethods
+        .find(_.getName == "commitLog").get
+      m.setAccessible(true)
+      try m.invoke(TableStore, spark, root, 1L.asInstanceOf[AnyRef],
+        Seq.empty, Seq.empty)
+      catch { case e: java.lang.reflect.InvocationTargetException =>
+        throw e.getCause }
+    }
+    assert(ex.getMessage.contains("single-writer"))
+  }
+}
