@@ -81,6 +81,9 @@ object TableStore {
       .sortBy(_.getPath.getName)
       .map(s => (s"$Data/v$n/${s.getPath.getName}",
         footerRows(spark, s.getPath)))
+      // a zero-row part (empty write task) carries no row groups —
+      // it contributes nothing to any snapshot, so never log it
+      .filter(_._2 > 0)
   }
 
   /** Stage the action rows and RENAME into place — the commit point. */
@@ -186,6 +189,65 @@ object TableStore {
       .repartition(nOut)
     val n = prev + 1
     commitLog(spark, root, n, writeData(df, root, n), live.map(_._1))
+    n
+  }
+
+  /** Copy-on-write row deletes — the right-to-be-forgotten op a
+    * training-data store must answer without rewriting the world.
+    * `pred` selects the rows to REMOVE; `pruneBy = (column, lo, hi)`
+    * is the caller's skipping hint ("every matching row has `column`
+    * in [lo, hi]" — the same explicit-interval contract file-skipping
+    * readers run): live files whose footer [min, max] for that column
+    * doesn't intersect [lo, hi] are not read, not rewritten, and stay
+    * live; only intersecting files are rewritten with the matching
+    * rows dropped. At 100 TB deleting one user's documents touches
+    * the files that can contain them, proportional to the key's
+    * locality in the layout, never the table. Old snapshots keep the
+    * deleted rows until [[vacuum]] retires them — deletion is a new
+    * VERSION, so the audit trail survives exactly as long as the
+    * retention window says it should.
+    *
+    * Returns the committed version, or the current latest when no
+    * file overlaps the hint (a provable no-op commits nothing). */
+  def deleteWhere(spark: SparkSession, root: String,
+                  pred: org.apache.spark.sql.Column,
+                  pruneBy: (String, Long, Long)): Long = {
+    val (pcol, lo, hi) = pruneBy
+    require(lo <= hi, s"empty prune interval [$lo, $hi]")
+    val prev = versions(spark, root).last
+    val live = liveAt(spark, root, prev)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val touched = live.filter { case (rel, _) =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(s"$root/$rel"), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = reader.getFooter.getBlocks.asScala
+        val chunks = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == pcol)
+        require(blocks.isEmpty || chunks.nonEmpty,
+          s"prune column $pcol not in $rel")
+        // a chunk with no stats can't be skipped — treat as touched
+        chunks.exists { c =>
+          val s = c.getStatistics
+          s == null || !s.hasNonNullValue || {
+            val (mn, mx) = (s.genericGetMin, s.genericGetMax) match {
+              case (a: java.lang.Number, b: java.lang.Number) =>
+                (a.longValue, b.longValue)
+              case _ => (Long.MinValue, Long.MaxValue)
+            }
+            mn <= hi && mx >= lo
+          }
+        }
+      } finally reader.close()
+    }
+    if (touched.isEmpty) return prev
+    val kept = spark.read
+      .parquet(touched.map(p => s"$root/${p._1}"): _*)
+      .where(!pred)
+    val n = prev + 1
+    commitLog(spark, root, n, writeData(kept, root, n),
+      touched.map(_._1))
     n
   }
 

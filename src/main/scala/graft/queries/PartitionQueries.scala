@@ -169,5 +169,60 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
-  def all: Seq[GQuery] = Seq(runMonthPruning, retentionExpire, timeTravel)
+  /** Copy-on-write row deletion ([[graft.ops.TableStore.deleteWhere]])
+    * — the right-to-be-forgotten path: three key-ranged appends, then
+    * delete o_orderkey ∈ [500, 1500]; the footer-stats prune
+    * guarantees only the first commit's files get rewritten (spec
+    * asserts the skip structurally; this gate verifies the VALUES).
+    * Output digests the snapshot before and after the delete — the
+    * oracle states both from the source, pinning that exactly the
+    * predicate's rows vanished from the latest version while the
+    * pre-delete snapshot still carries them. */
+  val rowDelete = GQuery(
+    "q_row_delete",
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tsdel").toString + "/orders"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") < 5000L), root)
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") >= 5000L &&
+          col("o_orderkey") < 10000L), root)
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") >= 10000L), root)
+      val vDel = graft.ops.TableStore.deleteWhere(s, root,
+        col("o_orderkey").between(500L, 1500L),
+        ("o_orderkey", 500L, 1500L))
+      Seq(("before", vDel - 1), ("after", vDel)).map { case (tag, v) =>
+        graft.ops.TableStore.read(s, root, Some(v))
+          .agg(
+            lit(tag).as("snapshot"),
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 4)))
+              .cast("double").as("total_price"),
+            min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"))
+          .select("snapshot", "n_orders", "total_price",
+            "min_key", "max_key")
+      }.reduce(_ unionAll _).orderBy("snapshot")
+    },
+    Some("""
+      SELECT 'after' AS snapshot, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders WHERE o_orderkey NOT BETWEEN 500 AND 1500
+      UNION ALL
+      SELECT 'before', COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+             MIN(o_orderkey), MAX(o_orderkey)
+      FROM orders
+      ORDER BY snapshot
+    """),
+    eager = true)
+
+  def all: Seq[GQuery] =
+    Seq(runMonthPruning, retentionExpire, timeTravel, rowDelete)
 }

@@ -117,6 +117,46 @@ class TableStoreSpec extends SparkSpec {
     assert(ids(root, Some(1L)) == Set(1L, 2L)) // history intact
   }
 
+  test("deleteWhere drops rows copy-on-write; history keeps them") {
+    val root = tmp()
+    TableStore.append(mk(1L to 100L: _*).coalesce(1), root)
+    TableStore.append(mk(1000L to 1100L: _*).coalesce(1), root)
+    val v = TableStore.deleteWhere(spark, root,
+      col("id").between(1050L, 1060L), ("id", 1050L, 1060L))
+    assert(v == 3L)
+    assert(ids(root) ==
+      ((1L to 100L) ++ (1000L to 1049L) ++ (1061L to 1100L)).toSet)
+    // pre-delete snapshot still carries the deleted rows
+    assert(ids(root, Some(2L)).contains(1055L))
+  }
+
+  test("deleteWhere skips files whose stats range can't match") {
+    val root = tmp()
+    TableStore.append(mk(1L to 100L: _*).coalesce(1), root)   // one file
+    TableStore.append(mk(1000L to 1100L: _*).coalesce(1), root) // one file
+    TableStore.deleteWhere(spark, root,
+      col("id").between(1050L, 1060L), ("id", 1050L, 1060L))
+    // only commit 2's file was rewritten: exactly one remove action,
+    // and it names a data/v2 file
+    val removes = TableStore.history(spark, root)
+      .where(col("version") === 3).collect().head
+    assert(removes.getAs[Long]("n_removed") == 1L)
+    val removedPaths = spark.read.parquet(s"$root/_log")
+      .where(col("v") === 3 && col("action") === "remove")
+      .select("path").collect().map(_.getString(0))
+    assert(removedPaths.forall(_.startsWith("data/v2/")))
+  }
+
+  test("deleteWhere outside every file's range is a version no-op") {
+    val root = tmp()
+    TableStore.append(mk(1L to 50L: _*), root)
+    val v = TableStore.deleteWhere(spark, root,
+      col("id").between(900L, 950L), ("id", 900L, 950L))
+    assert(v == 1L) // nothing touched, nothing committed
+    assert(TableStore.versions(spark, root) == Seq(1L))
+    assert(ids(root) == (1L to 50L).toSet)
+  }
+
   test("duplicate version commit fails loudly (single-writer contract)") {
     val root = tmp()
     TableStore.append(mk(1), root)
