@@ -86,19 +86,23 @@ object TableStore {
       .filter(_._2 > 0)
   }
 
-  /** Stage the action rows and RENAME into place — the commit point. */
+  /** Stage the action rows and RENAME into place — the commit point.
+    * `batchId` rides INSIDE the commit (the Delta txn-action move):
+    * a streaming batch is recorded exactly when its files are, so a
+    * retry after any crash sees either both or neither. */
   private def commitLog(spark: SparkSession, root: String, n: Long,
                         adds: Seq[(String, Long)],
-                        removes: Seq[String]): Unit = {
+                        removes: Seq[String],
+                        batchId: Option[Long] = None): Unit = {
     import spark.implicits._
     val rows =
-      adds.map { case (p, r) => (p, "add", r) } ++
-        removes.map(p => (p, "remove", 0L))
+      adds.map { case (p, r) => (p, "add", r, batchId) } ++
+        removes.map(p => (p, "remove", 0L, batchId))
     val staged = new Path(s"$root/$Log/.tmp_v$n")
     val target = new Path(s"$root/$Log/v=$n")
     val fs = fsOf(spark, staged)
     fs.delete(staged, true)
-    rows.toDF("path", "action", "n_rows")
+    rows.toDF("path", "action", "n_rows", "batch_id")
       .coalesce(1).write.parquet(staged.toString)
     if (fs.exists(target))
       throw new java.io.IOException(
@@ -192,6 +196,49 @@ object TableStore {
     n
   }
 
+  /** Exactly-once streaming append: commit `df` as a new version
+    * carrying `batchId` INSIDE the commit, or return None when some
+    * version already carries it — a foreachBatch retry after a sink
+    * crash (files written, checkpoint not advanced; or checkpoint
+    * replay after restart) re-offers the same batchId and is
+    * provably skipped, so the store never double-ingests a batch.
+    * An all-empty batch commits nothing and returns None (there is
+    * nothing a replay could duplicate). */
+  def appendBatch(df: DataFrame, root: String,
+                  batchId: Long): Option[Long] = {
+    val spark = df.sparkSession
+    val seen = versions(spark, root).nonEmpty &&
+      logFrame(spark, root).where(col("batch_id") === batchId)
+        .limit(1).count() > 0
+    if (seen) None
+    else {
+      val n = versions(spark, root).lastOption.getOrElse(0L) + 1
+      val adds = writeData(df, root, n)
+      if (adds.isEmpty) None
+      else {
+        commitLog(spark, root, n, adds, Seq.empty, Some(batchId))
+        Some(n)
+      }
+    }
+  }
+
+  /** Structured-streaming sink: every micro-batch becomes one
+    * [[appendBatch]] commit, so readers always see whole batches
+    * (snapshot isolation per micro-batch) and a restarted query
+    * cannot double-append. Runs AvailableNow and blocks until
+    * drained. */
+  def sinkStream(stream: DataFrame, root: String,
+                 checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        appendBatch(b, root, id); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Copy-on-write row deletes — the right-to-be-forgotten op a
     * training-data store must answer without rewriting the world.
     * `pred` selects the rows to REMOVE; `pruneBy = (column, lo, hi)`
@@ -273,8 +320,8 @@ object TableStore {
     val staged = new Path(s"$root/$Log/.tmp_ckpt_v$horizon")
     fs.delete(staged, true)
     import spark.implicits._
-    horizonLive.map { case (p, r) => (p, "add", r) }
-      .toDF("path", "action", "n_rows")
+    horizonLive.map { case (p, r) => (p, "add", r, None: Option[Long]) }
+      .toDF("path", "action", "n_rows", "batch_id")
       .coalesce(1).write.parquet(staged.toString)
     val old = new Path(s"$root/$Log/.old_ckpt_v$horizon")
     fs.delete(old, true)

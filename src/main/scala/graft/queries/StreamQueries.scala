@@ -327,6 +327,50 @@ object StreamQueries extends QueryPack {
     """),
     bench = false, eager = true)
 
+  /** Exactly-once streaming ingestion into the versioned store
+    * ([[graft.ops.TableStore.sinkStream]]): the sliced events stream
+    * lands as one commit per micro-batch, then the SAME query is
+    * restarted on the SAME checkpoint (a no-op replay) and batch 0
+    * is re-offered directly ([[graft.ops.TableStore.appendBatch]] —
+    * the foreachBatch-retry case, which the checkpoint alone cannot
+    * dedup). The digest reads the store's LATEST snapshot: equal to
+    * the plain batch SELECT only if every micro-batch landed exactly
+    * once — a double-append or a torn commit shifts the count/sum.
+    * A multi-version history (one commit per micro-batch) is pinned
+    * in TableStoreSpec. */
+  val streamTableIngest = GQuery(
+    "q_stream_table_ingest",
+    (s, d) => {
+      val (root, schema) = stage(s, d)
+      val store = s"$root/store"
+      graft.ops.TableStore.sinkStream(
+        readSliced(s, root, schema), store, s"$root/ckpt_ti")
+      // restart on the same checkpoint: AvailableNow finds nothing
+      // new; a buggy sink would re-append the replayed batches
+      graft.ops.TableStore.sinkStream(
+        readSliced(s, root, schema), store, s"$root/ckpt_ti")
+      // direct retry of an already-committed batch id
+      val retried = graft.ops.TableStore.appendBatch(
+        graft.Tables.events(s, d).limit(50)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"),
+            round(col("value") * 10000).cast("long").as("value")),
+        store, batchId = 0L)
+      require(retried.isEmpty,
+        "batch 0 re-offered after commit must be skipped")
+      graft.ops.TableStore.read(s, store)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             CAST(ROUND(value * 1e4) AS BIGINT) AS value
+      FROM events ORDER BY event_id
+    """),
+    bench = false, eager = true)
+
   def all: Seq[GQuery] = Seq(streamWindowedCounts, streamIntervalJoin,
-    streamDedupReplay, streamSessionWindow, streamSessionize)
+    streamDedupReplay, streamSessionWindow, streamSessionize,
+    streamTableIngest)
 }

@@ -157,6 +157,44 @@ class TableStoreSpec extends SparkSpec {
     assert(ids(root) == (1L to 50L).toSet)
   }
 
+  test("appendBatch: same batch id commits once; empty batch never") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    assert(TableStore.appendBatch(mk(1, 2), root, batchId = 0L)
+      == Some(1L))
+    // retry of batch 0 (foreachBatch crash-replay) is skipped
+    assert(TableStore.appendBatch(mk(1, 2), root, batchId = 0L).isEmpty)
+    assert(TableStore.appendBatch(mk(3), root, batchId = 1L)
+      == Some(2L))
+    assert(ids(root) == Set(1L, 2L, 3L))
+    // empty batch: nothing to duplicate, nothing committed
+    assert(TableStore.appendBatch(
+      Seq.empty[(Long, String)].toDF("id", "payload"), root, 2L).isEmpty)
+    assert(TableStore.versions(spark, root) == Seq(1L, 2L))
+  }
+
+  test("sinkStream lands one commit per micro-batch, replay-safe") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    val src = s"$root/src"
+    // three distinct source files -> three micro-batches at
+    // maxFilesPerTrigger=1
+    mk(1, 2).coalesce(1).write.parquet(s"$src/f1")
+    mk(3).coalesce(1).write.parquet(s"$src/f2")
+    mk(4, 5).coalesce(1).write.parquet(s"$src/f3")
+    val schema = spark.read.parquet(s"$src/f1").schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/f*")
+    val store = s"$root/store"
+    TableStore.sinkStream(stream, store, s"$root/ckpt")
+    assert(ids(store) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(TableStore.versions(spark, store).size == 3)
+    // restart on the same checkpoint: no new data, no new versions
+    TableStore.sinkStream(stream, store, s"$root/ckpt")
+    assert(TableStore.versions(spark, store).size == 3)
+    assert(ids(store) == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("duplicate version commit fails loudly (single-writer contract)") {
     val root = tmp()
     TableStore.append(mk(1), root)
@@ -166,7 +204,7 @@ class TableStoreSpec extends SparkSpec {
         .find(_.getName == "commitLog").get
       m.setAccessible(true)
       try m.invoke(TableStore, spark, root, 1L.asInstanceOf[AnyRef],
-        Seq.empty, Seq.empty)
+        Seq.empty, Seq.empty, None)
       catch { case e: java.lang.reflect.InvocationTargetException =>
         throw e.getCause }
     }
