@@ -60,6 +60,23 @@ object SpanDedup {
     spans.groupBy("h").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2).select("h")
 
+  /** Duplicated-span occurrences EXCEPT the canonical first one —
+    * the keep-one-copy policy (dedup leaves each span in the corpus
+    * exactly once; removing all copies would delete content no
+    * document retains). Canonical = global min (doc_id, pos) per
+    * fingerprint: deterministic, slicing-independent. One exchange
+    * on the fingerprint; the rank window streams each hash group. */
+  def duplicateOccurrences(spans: DataFrame,
+                           idCol: String): DataFrame = {
+    val byHash = Window.partitionBy("h")
+      .orderBy(col(idCol), col("pos"))
+    spans
+      .withColumn("rk", row_number().over(byHash))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("n") >= 2 && col("rk") >= 2)
+      .select(col(idCol), col("pos"))
+  }
+
   /** Remove every duplicated k-token span from every document.
     * Returns one row per input document:
     * (idCol, n_tokens, n_spans, n_removed, clean_md5) where n_spans
@@ -74,7 +91,68 @@ object SpanDedup {
     val hits = spans
       .join(duplicatedSpans(spans), Seq("h"), "left_semi")
       .select(col(idCol), col("pos"))
+    removeAt(docs, idCol, textCol, k, hits)
+  }
 
+  /** [[scrub]] under the keep-one-copy policy: the canonical first
+    * occurrence of each duplicated span survives (unless another
+    * duplicated window overlapping it is itself removed); every
+    * later occurrence goes. */
+  def scrubKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    val spans = spanHashes(docs, idCol, textCol, k)
+    removeAt(docs, idCol, textCol, k,
+      duplicateOccurrences(spans, idCol))
+  }
+
+  // Incremental posture (the [[LineDedup]] store contract): the
+  // caller owns batch-id assignment, doc ids are disjoint across
+  // batches and each doc arrives in exactly one batch — per-batch
+  // occurrence counts then sum to corpus-wide span counts exactly.
+
+  /** Append a batch's per-fingerprint occurrence counts to the
+    * store: profile-sized (h, n_occ) rows, never span text. */
+  def updateSpanStore(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, path: String, batchId: Long): Unit = {
+    val profile = spanHashes(docs, idCol, textCol, k)
+      .groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .withColumn("batch_id", lit(batchId))
+    profile.write.partitionBy("batch_id").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(path)
+    Partitioned.anchorSchema(profile, path)
+  }
+
+  def readSpanStore(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Incremental scrub: clean a NEW batch against corpus-wide span
+    * counts = stored history + the batch's own, without re-hashing
+    * one byte of history text. A span is duplicated when its total
+    * count across history and batch reaches 2 — the same global
+    * criterion [[scrub]] applies to the union corpus, so per-batch
+    * outputs agree exactly with the one-shot scrub restricted to the
+    * batch's documents (gate-pinned). */
+  def incrementalScrub(store: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    val spans = spanHashes(batch, idCol, textCol, k)
+    val nBatch = spans.groupBy("h").agg(count(lit(1)).as("_nb"))
+    val nHist = store.groupBy("h").agg(sum(col("n_occ")).as("_nh"))
+    val dup = nBatch.join(nHist, Seq("h"), "full_outer")
+      .filter(coalesce(col("_nb"), lit(0L)) +
+        coalesce(col("_nh"), lit(0L)) >= 2)
+      .select("h")
+    val hits = spans.join(dup, Seq("h"), "left_semi")
+      .select(col(idCol), col("pos"))
+    removeAt(batch, idCol, textCol, k, hits)
+  }
+
+  /** Shared removal tail: merge hit windows [pos, pos+k) into maximal
+    * islands per doc, drop the covered tokens, digest survivors. */
+  private def removeAt(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, hits: DataFrame): DataFrame = {
     // Merge overlapping/adjacent [pos, pos+k) windows into maximal
     // islands: a window opens an island iff it starts past the
     // running max end of everything before it.

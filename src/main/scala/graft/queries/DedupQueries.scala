@@ -836,10 +836,146 @@ object DedupQueries extends QueryPack {
       GROUP BY x.doc_id ORDER BY x.doc_id
     """))
 
+  /** Keep-one-copy span dedup ([[graft.ops.SpanDedup
+    * .scrubKeepFirst]]): the canonical first occurrence (global min
+    * (doc_id, pos) per span) survives; later occurrences are
+    * removed. The oracle ranks exact span strings with its own
+    * window and replays the island merge — so canonical selection,
+    * the >= 2 criterion, and the merge all gate together. */
+  val spanDedupKeepFirst = GQuery(
+    "q_span_dedup_keepfirst",
+    (s, d) => graft.ops.SpanDedup
+      .scrubKeepFirst(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", k = 8)
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      posn AS (
+        SELECT doc_id, unnest(generate_series(1, len(t)-8+1))-1 AS pos, t
+        FROM toks WHERE len(t) >= 8),
+      grams AS (
+        SELECT doc_id, pos, array_to_string(t[pos+1:pos+8], ' ') AS g
+        FROM posn),
+      ranked AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, pos)
+                 AS rk,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM grams),
+      hit AS (SELECT doc_id, pos FROM ranked WHERE n >= 2 AND rk >= 2),
+      brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) THEN 1 ELSE 0 END AS b
+        FROM hit),
+      isl AS (
+        SELECT doc_id, pos,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM brk),
+      merged AS (
+        SELECT doc_id, min(pos) AS s, max(pos)+8 AS e
+        FROM isl GROUP BY doc_id, island),
+      spanct AS (
+        SELECT doc_id, count(*) AS n_spans FROM merged GROUP BY doc_id),
+      tokix AS (
+        SELECT doc_id, unnest(t) AS tok,
+               unnest(generate_series(0, len(t)-1)) AS ix, len(t) AS n
+        FROM toks)
+      SELECT x.doc_id,
+             CAST(any_value(x.n) AS BIGINT) AS n_tokens,
+             CAST(coalesce(any_value(sc.n_spans), 0) AS BIGINT) AS n_spans,
+             CAST(count(*) FILTER (WHERE m.doc_id IS NOT NULL) AS BIGINT)
+               AS n_removed,
+             md5(coalesce(string_agg(
+               CASE WHEN m.doc_id IS NULL THEN x.tok END, ' '
+               ORDER BY x.ix), '')) AS clean_md5
+      FROM tokix x
+      LEFT JOIN merged m
+        ON x.doc_id = m.doc_id AND x.ix >= m.s AND x.ix < m.e
+      LEFT JOIN spanct sc ON x.doc_id = sc.doc_id
+      GROUP BY x.doc_id ORDER BY x.doc_id
+    """))
+
+  /** Incremental span dedup ([[graft.ops.SpanDedup
+    * .incrementalScrub]]): two history batches land profile-sized
+    * (h, n_occ) partitions in a per-run store; the new batch is
+    * scrubbed against stored + own counts without re-hashing history
+    * text. The oracle recomputes corpus-wide duplication from ALL
+    * raw docs and scrubs the batch — equal because doc sets are
+    * disjoint across batches, so per-batch counts sum to corpus
+    * counts. bench=false: store bootstrap dominates the timing. */
+  val incrementalSpanDedup = GQuery(
+    "q_incremental_span_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_spanst").toString + "/spans"
+      graft.ops.SpanDedup.updateSpanStore(
+        docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", 8, dir, 0L)
+      graft.ops.SpanDedup.updateSpanStore(
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", 8, dir, 1L)
+      graft.ops.SpanDedup.incrementalScrub(
+          graft.ops.SpanDedup.readSpanStore(s, dir),
+          docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      posn AS (
+        SELECT doc_id, unnest(generate_series(1, len(t)-8+1))-1 AS pos, t
+        FROM toks WHERE len(t) >= 8),
+      grams AS (
+        SELECT doc_id, pos, array_to_string(t[pos+1:pos+8], ' ') AS g
+        FROM posn),
+      dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+      hit AS (SELECT doc_id, pos FROM grams
+              WHERE g IN (SELECT g FROM dup) AND doc_id % 3 = 0),
+      brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) THEN 1 ELSE 0 END AS b
+        FROM hit),
+      isl AS (
+        SELECT doc_id, pos,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM brk),
+      merged AS (
+        SELECT doc_id, min(pos) AS s, max(pos)+8 AS e
+        FROM isl GROUP BY doc_id, island),
+      spanct AS (
+        SELECT doc_id, count(*) AS n_spans FROM merged GROUP BY doc_id),
+      tokix AS (
+        SELECT doc_id, unnest(t) AS tok,
+               unnest(generate_series(0, len(t)-1)) AS ix, len(t) AS n
+        FROM toks WHERE doc_id % 3 = 0)
+      SELECT x.doc_id,
+             CAST(any_value(x.n) AS BIGINT) AS n_tokens,
+             CAST(coalesce(any_value(sc.n_spans), 0) AS BIGINT) AS n_spans,
+             CAST(count(*) FILTER (WHERE m.doc_id IS NOT NULL) AS BIGINT)
+               AS n_removed,
+             md5(coalesce(string_agg(
+               CASE WHEN m.doc_id IS NULL THEN x.tok END, ' '
+               ORDER BY x.ix), '')) AS clean_md5
+      FROM tokix x
+      LEFT JOIN merged m
+        ON x.doc_id = m.doc_id AND x.ix >= m.s AND x.ix < m.e
+      LEFT JOIN spanct sc ON x.doc_id = sc.doc_id
+      GROUP BY x.doc_id ORDER BY x.doc_id
+    """),
+    bench = false, eager = true) // store writes run at construction
+
   def all: Seq[GQuery] =
     Seq(exactDedup, canonicalDedup, corpusDiffQ, cdcColumns, ngramJaccard,
       containment, minhashLsh, simhashPairs, neardupClusters,
       leakageSafeSplit, incrementalNearDup, incrementalExactQ,
       fuzzyDedupPairs, fuzzyDedupWide, blockingQuality, goldenRecord,
-      entityResolution, spanDedup)
+      entityResolution, spanDedup, spanDedupKeepFirst,
+      incrementalSpanDedup)
 }

@@ -91,6 +91,46 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(1).getAs[String]("clean_md5") == md5hex("f g"))
   }
 
+  test("scrubKeepFirst: canonical first occurrence survives") {
+    // "p q r" in doc 1 @0 (canonical) and doc 2 @1: only the doc-2
+    // copy is removed.
+    val docs = mk((1L, "p q r a b"), (2L, "z p q r y"))
+    val out = SpanDedup.scrubKeepFirst(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_removed") == 0L)
+    assert(out(0).getAs[String]("clean_md5") == md5hex("p q r a b"))
+    assert(out(1).getAs[Long]("n_removed") == 3L)
+    assert(out(1).getAs[String]("clean_md5") == md5hex("z y"))
+  }
+
+  test("scrubKeepFirst within one doc: first copy stays, second goes") {
+    val docs = mk((1L, "m n o q m n o"), (2L, "j k l f g"))
+    val out = SpanDedup.scrubKeepFirst(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_md5") == md5hex("m n o q"))
+  }
+
+  test("incremental scrub equals one-shot scrub restricted to the batch") {
+    val docs = mk(
+      (1L, "dup a b c d e f g"), (2L, "x dup a b c d e f"),
+      (3L, "only once in corpus u v w"), (4L, "x dup a b c d e z"),
+      (5L, "totally fresh text here q r"), (6L, "x y z w u v t s"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_spanst_spec").toString + "/spans"
+    val hist1 = docs.filter(col("doc_id") <= 2)
+    val hist2 = docs.filter(col("doc_id") > 2 && col("doc_id") <= 4)
+    val batch = docs.filter(col("doc_id") > 4)
+    SpanDedup.updateSpanStore(hist1, "doc_id", "text", 4, dir, 0L)
+    SpanDedup.updateSpanStore(hist2, "doc_id", "text", 4, dir, 1L)
+    val inc = SpanDedup.incrementalScrub(
+        SpanDedup.readSpanStore(spark, dir), batch, "doc_id", "text", 4)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val full = SpanDedup.scrub(docs, "doc_id", "text", 4)
+      .where(col("doc_id") > 4)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(inc.toSeq == full.toSeq)
+  }
+
   test("zero-row input yields an honest empty frame") {
     val s = spark; import s.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
