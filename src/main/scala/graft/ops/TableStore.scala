@@ -74,7 +74,16 @@ object TableStore {
                         n: Long): Seq[(String, Long)] = {
     val spark = df.sparkSession
     val dir = new Path(s"$root/$Data/v$n")
-    df.write.mode("error").parquet(dir.toString)
+    // version n is unreserved until the log rename, so an existing
+    // data/v<n> can only be residue of a crashed or all-empty attempt
+    // (single-writer contract) — safe to replace
+    df.write.mode("overwrite").parquet(dir.toString)
+    // first-touch schema anchor: keeps all-empty stores readable
+    // (the [[Partitioned.anchorSchema]] posture)
+    val anchor = new Path(s"$root/_schema")
+    if (!fsOf(spark, anchor).exists(anchor))
+      df.limit(0).coalesce(1).write.mode("overwrite")
+        .parquet(anchor.toString)
     val fs = fsOf(spark, dir)
     fs.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -141,19 +150,22 @@ object TableStore {
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
     val vs = versions(spark, root)
+    if (vs.isEmpty && version.isEmpty) {
+      // a store that has seen data shapes (anchor written) but never
+      // committed — e.g. an all-empty stream — reads as typed empty;
+      // an untouched path is still a loud error
+      val anchor = new Path(s"$root/_schema")
+      require(fsOf(spark, anchor).exists(anchor),
+        s"no committed versions at $root")
+      return spark.read.parquet(anchor.toString).limit(0)
+    }
     require(vs.nonEmpty, s"no committed versions at $root")
     val v = version.getOrElse(vs.max)
     val files = liveAt(spark, root, v).map(p => s"$root/${p._1}")
     if (files.nonEmpty) spark.read.parquet(files: _*)
-    else {
-      // empty snapshot (e.g. overwrite-with-empty): anchor the schema
-      // on any file the log ever referenced so downstream code keeps
-      // its columns
-      val any = logFrame(spark, root).select("path").limit(1)
-        .collect().headOption
-        .getOrElse(sys.error(s"empty log at $root"))
-      spark.read.parquet(s"$root/${any.getString(0)}").limit(0)
-    }
+    // empty snapshot (all-empty commits, overwrite-with-empty): the
+    // first-touch anchor keeps the columns
+    else spark.read.parquet(s"$root/_schema").limit(0)
   }
 
   /** Append `df` as a new version; returns the committed version. */
@@ -185,6 +197,13 @@ object TableStore {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val prev = versions(spark, root).last
     val live = liveAt(spark, root, prev)
+    if (live.isEmpty) {
+      // compacting an empty table: content unchanged, but callers
+      // get the version they asked for (a no-action commit)
+      val n = prev + 1
+      commitLog(spark, root, n, Seq.empty, Seq.empty)
+      return n
+    }
     val fs = fsOf(spark, new Path(root))
     val bytes = live.map(p =>
       fs.getFileStatus(new Path(s"$root/${p._1}")).getLen).sum

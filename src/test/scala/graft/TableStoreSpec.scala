@@ -195,6 +195,34 @@ class TableStoreSpec extends SparkSpec {
     assert(ids(store) == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("all-empty lifecycle: append/overwrite/compact/delete on zero rows") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    val empty = Seq.empty[(Long, String)].toDF("id", "payload")
+    assert(TableStore.append(empty, root) == 1L)
+    assert(TableStore.append(empty, root) == 2L)
+    assert(TableStore.overwrite(empty, root) == 3L)
+    assert(TableStore.compact(spark, root, 1L << 20) == 4L)
+    // delete on an empty table is a provable no-op
+    assert(TableStore.deleteWhere(spark, root,
+      col("id") === 1L, ("id", 1L, 1L)) == 4L)
+    (1L to 4L).foreach { v =>
+      val snap = TableStore.read(spark, root, Some(v))
+      assert(snap.count() == 0L)
+      assert(snap.columns.toSeq == Seq("id", "payload"))
+    }
+    // an empty streamed batch doesn't block the next batch's version
+    assert(TableStore.appendBatch(empty, root, batchId = 9L).isEmpty)
+    assert(TableStore.appendBatch(mk(1), root, batchId = 10L)
+      == Some(5L))
+    // a touched-but-never-committed store reads as typed empty
+    val root2 = tmp()
+    assert(TableStore.appendBatch(empty, root2, batchId = 0L).isEmpty)
+    val snap2 = TableStore.read(spark, root2)
+    assert(snap2.count() == 0L &&
+      snap2.columns.toSeq == Seq("id", "payload"))
+  }
+
   test("duplicate version commit fails loudly (single-writer contract)") {
     val root = tmp()
     TableStore.append(mk(1), root)
