@@ -215,6 +215,62 @@ object TableStore {
     n
   }
 
+  /** Live files whose footer [min, max] for `pcol` can intersect
+    * [lo, hi] — one footer read per live file, zero data IO (the
+    * [[FooterStats]] budget). Stat-less chunks can't be skipped and
+    * count as overlapping. */
+  private def overlappingFiles(spark: SparkSession, root: String,
+                               live: Seq[(String, Long)], pcol: String,
+                               lo: Long, hi: Long): Seq[(String, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    live.filter { case (rel, _) =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(s"$root/$rel"), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = reader.getFooter.getBlocks.asScala
+        val chunks = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == pcol)
+        require(blocks.isEmpty || chunks.nonEmpty,
+          s"prune column $pcol not in $rel")
+        chunks.exists { c =>
+          val s = c.getStatistics
+          s == null || !s.hasNonNullValue || {
+            val (mn, mx) = (s.genericGetMin, s.genericGetMax) match {
+              case (a: java.lang.Number, b: java.lang.Number) =>
+                (a.longValue, b.longValue)
+              case _ => (Long.MinValue, Long.MaxValue)
+            }
+            mn <= hi && mx >= lo
+          }
+        }
+      } finally reader.close()
+    }
+  }
+
+  /** Manifest-pruned range read: open only the live files whose
+    * footer stats can contain `pcol` ∈ [lo, hi], then apply the
+    * residual row filter. Returns the frame plus the
+    * (files touched, files live) evidence pair — the skipping
+    * economics a layout is judged by. On a store whose commits are
+    * key-ranged (the natural shape of range-partitioned ingestion),
+    * a point probe opens one commit's files, never the table. */
+  def readRange(spark: SparkSession, root: String,
+                pcol: String, lo: Long, hi: Long,
+                version: Option[Long] = None): (DataFrame, Int, Int) = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val live = liveAt(spark, root, version.getOrElse(vs.max))
+    val touched = overlappingFiles(spark, root, live, pcol, lo, hi)
+    val residual = col(pcol) >= lo && col(pcol) <= hi
+    val df =
+      if (touched.nonEmpty)
+        spark.read.parquet(touched.map(p => s"$root/${p._1}"): _*)
+          .where(residual)
+      else read(spark, root, version).where(residual).limit(0)
+    (df, touched.size, live.size)
+  }
+
   /** Exactly-once streaming append: commit `df` as a new version
     * carrying `batchId` INSIDE the commit, or return None when some
     * version already carries it — a foreachBatch retry after a sink
@@ -281,32 +337,8 @@ object TableStore {
     val (pcol, lo, hi) = pruneBy
     require(lo <= hi, s"empty prune interval [$lo, $hi]")
     val prev = versions(spark, root).last
-    val live = liveAt(spark, root, prev)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val touched = live.filter { case (rel, _) =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new Path(s"$root/$rel"), conf))
-      try {
-        import scala.jdk.CollectionConverters._
-        val blocks = reader.getFooter.getBlocks.asScala
-        val chunks = blocks.flatMap(_.getColumns.asScala)
-          .filter(_.getPath.toDotString == pcol)
-        require(blocks.isEmpty || chunks.nonEmpty,
-          s"prune column $pcol not in $rel")
-        // a chunk with no stats can't be skipped — treat as touched
-        chunks.exists { c =>
-          val s = c.getStatistics
-          s == null || !s.hasNonNullValue || {
-            val (mn, mx) = (s.genericGetMin, s.genericGetMax) match {
-              case (a: java.lang.Number, b: java.lang.Number) =>
-                (a.longValue, b.longValue)
-              case _ => (Long.MinValue, Long.MaxValue)
-            }
-            mn <= hi && mx >= lo
-          }
-        }
-      } finally reader.close()
-    }
+    val touched = overlappingFiles(spark, root,
+      liveAt(spark, root, prev), pcol, lo, hi)
     if (touched.isEmpty) return prev
     val kept = spark.read
       .parquet(touched.map(p => s"$root/${p._1}"): _*)

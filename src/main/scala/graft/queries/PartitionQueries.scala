@@ -223,6 +223,60 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** Manifest-pruned range read ([[graft.ops.TableStore.readRange]]):
+    * three key-ranged single-file commits, then a point probe
+    * [500, 1500] that lies inside the FIRST commit's key range at
+    * every SF. The digest carries the values AND the skipping
+    * economics: files_touched = 1 (only commit 1 can contain the
+    * probe) out of files_total = the non-empty commits — the oracle
+    * derives both counts from the data (a commit is a file exactly
+    * when its key slice is non-empty), so a broken prune that opens
+    * everything, or a prune that silently drops a matching file,
+    * fails the same hash compare as a wrong sum. */
+  val storeSkipping = GQuery(
+    "q_store_skipping",
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tsread").toString + "/orders"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") < 5000L).coalesce(1), root)
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") >= 5000L &&
+          col("o_orderkey") < 10000L).coalesce(1), root)
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") >= 10000L).coalesce(1), root)
+      val (probe, touched, total) = graft.ops.TableStore.readRange(
+        s, root, "o_orderkey", 500L, 1500L)
+      probe.agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4)))
+            .cast("double").as("total_price"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        .withColumn("files_touched", lit(touched.toLong))
+        .withColumn("files_total", lit(total.toLong))
+        .select("n_orders", "total_price", "min_key", "max_key",
+          "files_touched", "files_total")
+    },
+    Some("""
+      SELECT COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+             CAST(1 AS BIGINT) AS files_touched,
+             (SELECT CAST(1
+                + CASE WHEN count(*) FILTER (WHERE o_orderkey >= 5000
+                    AND o_orderkey < 10000) > 0 THEN 1 ELSE 0 END
+                + CASE WHEN count(*) FILTER (WHERE o_orderkey >= 10000)
+                    > 0 THEN 1 ELSE 0 END AS BIGINT)
+              FROM orders) AS files_total
+      FROM orders WHERE o_orderkey BETWEEN 500 AND 1500
+    """),
+    eager = true)
+
   def all: Seq[GQuery] =
-    Seq(runMonthPruning, retentionExpire, timeTravel, rowDelete)
+    Seq(runMonthPruning, retentionExpire, timeTravel, rowDelete,
+      storeSkipping)
 }

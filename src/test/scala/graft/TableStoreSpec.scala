@@ -223,6 +223,27 @@ class TableStoreSpec extends SparkSpec {
       snap2.columns.toSeq == Seq("id", "payload"))
   }
 
+  test("readRange opens only stats-overlapping files; values exact") {
+    val root = tmp()
+    TableStore.append(mk(1L to 100L: _*).coalesce(1), root)
+    TableStore.append(mk(1000L to 1100L: _*).coalesce(1), root)
+    TableStore.append(mk(5000L to 5100L: _*).coalesce(1), root)
+    val (df, touched, total) = TableStore.readRange(
+      spark, root, "id", 1050L, 1060L)
+    assert(touched == 1 && total == 3)
+    assert(df.select("id").collect().map(_.getLong(0)).toSet ==
+      (1050L to 1060L).toSet)
+    // a probe hitting nothing is typed-empty, zero files opened
+    val (miss, t2, _) = TableStore.readRange(
+      spark, root, "id", 900L, 950L)
+    assert(t2 == 0 && miss.count() == 0L)
+    assert(miss.columns.toSeq == Seq("id", "payload"))
+    // pinned to an old version, the probe sees that snapshot
+    val (old, t3, tot3) = TableStore.readRange(
+      spark, root, "id", 5000L, 5100L, version = Some(2L))
+    assert(t3 == 0 && tot3 == 2 && old.count() == 0L)
+  }
+
   test("duplicate version commit fails loudly (single-writer contract)") {
     val root = tmp()
     TableStore.append(mk(1), root)
