@@ -59,19 +59,56 @@ object TableStore {
       .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
   }
 
-  private def footerRows(spark: SparkSession, f: Path): Long = {
+  /** One live data file as the log records it: row count plus the
+    * per-column [min, max] captured at COMMIT time for the columns
+    * the writer declared (`statsCols`) — Delta's stats-in-log move.
+    * Pruning then reads the LOG ALONE: zero per-file IO, which is
+    * what survives a million-file table (a footer open per file is
+    * itself the listing bottleneck the log exists to avoid). */
+  final case class FileEntry(path: String, rows: Long,
+                             mins: Map[String, Long],
+                             maxs: Map[String, Long])
+
+  /** Rows + integer [min, max] per declared stats column, from the
+    * footer — one read per file, at write time only. */
+  private def footerInfo(spark: SparkSession, f: Path,
+                         statsCols: Seq[String])
+      : (Long, Map[String, Long], Map[String, Long]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
       f, spark.sparkContext.hadoopConfiguration))
     try {
       import scala.jdk.CollectionConverters._
-      reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val ranges = statsCols.flatMap { c =>
+        val ss = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == c).map(_.getStatistics)
+        require(rows == 0 || ss.nonEmpty, s"stats column $c not in $f")
+        val nums = ss.collect {
+          case st if st != null && st.hasNonNullValue =>
+            (st.genericGetMin, st.genericGetMax) match {
+              case (a: java.lang.Number, b: java.lang.Number) =>
+                (a.longValue, b.longValue)
+              case other => throw new IllegalArgumentException(
+                s"stats column $c in $f is not integer-typed: $other")
+            }
+        }
+        // an all-null column has no range — omit the key; pruning
+        // treats the file as unskippable for that column
+        if (nums.isEmpty) None
+        else Some(c -> (nums.map(_._1).min, nums.map(_._2).max))
+      }
+      (rows,
+        ranges.map { case (c, r) => c -> r._1 }.toMap,
+        ranges.map { case (c, r) => c -> r._2 }.toMap)
     } finally reader.close()
   }
 
-  /** Write `df` into `data/v<n>` and return (relative path, n_rows)
-    * per produced file — row counts from footers, zero data IO. */
-  private def writeData(df: DataFrame, root: String,
-                        n: Long): Seq[(String, Long)] = {
+  /** Write `df` into `data/v<n>` and return one [[FileEntry]] per
+    * produced file — row counts and declared-column ranges from
+    * footers, zero data IO. */
+  private def writeData(df: DataFrame, root: String, n: Long,
+                        statsCols: Seq[String]): Seq[FileEntry] = {
     val spark = df.sparkSession
     val dir = new Path(s"$root/$Data/v$n")
     // version n is unreserved until the log rename, so an existing
@@ -88,11 +125,13 @@ object TableStore {
     fs.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-      .map(s => (s"$Data/v$n/${s.getPath.getName}",
-        footerRows(spark, s.getPath)))
+      .map { s =>
+        val (rows, mins, maxs) = footerInfo(spark, s.getPath, statsCols)
+        FileEntry(s"$Data/v$n/${s.getPath.getName}", rows, mins, maxs)
+      }
       // a zero-row part (empty write task) carries no row groups —
       // it contributes nothing to any snapshot, so never log it
-      .filter(_._2 > 0)
+      .filter(_.rows > 0)
   }
 
   /** Stage the action rows and RENAME into place — the commit point.
@@ -100,18 +139,20 @@ object TableStore {
     * a streaming batch is recorded exactly when its files are, so a
     * retry after any crash sees either both or neither. */
   private def commitLog(spark: SparkSession, root: String, n: Long,
-                        adds: Seq[(String, Long)],
+                        adds: Seq[FileEntry],
                         removes: Seq[String],
                         batchId: Option[Long] = None): Unit = {
     import spark.implicits._
+    val none = Map.empty[String, Long]
     val rows =
-      adds.map { case (p, r) => (p, "add", r, batchId) } ++
-        removes.map(p => (p, "remove", 0L, batchId))
+      adds.map(e => (e.path, "add", e.rows, batchId, e.mins, e.maxs)) ++
+        removes.map(p => (p, "remove", 0L, batchId, none, none))
     val staged = new Path(s"$root/$Log/.tmp_v$n")
     val target = new Path(s"$root/$Log/v=$n")
     val fs = fsOf(spark, staged)
     fs.delete(staged, true)
-    rows.toDF("path", "action", "n_rows", "batch_id")
+    rows.toDF("path", "action", "n_rows", "batch_id",
+        "min_vals", "max_vals")
       .coalesce(1).write.parquet(staged.toString)
     if (fs.exists(target))
       throw new java.io.IOException(
@@ -124,10 +165,10 @@ object TableStore {
   private def logFrame(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/$Log")
 
-  /** Live (path, n_rows) at `asOf`: per path, the latest action at a
+  /** Live [[FileEntry]]s at `asOf`: per path, the latest action at a
     * version <= asOf must be an add. Metadata-sized. */
   private def liveAt(spark: SparkSession, root: String,
-                     asOf: Long): Seq[(String, Long)] = {
+                     asOf: Long): Seq[FileEntry] = {
     val vs = versions(spark, root)
     require(vs.contains(asOf),
       s"version $asOf not committed at $root (have ${vs.mkString(",")})" +
@@ -138,10 +179,12 @@ object TableStore {
       .where(col("v") <= asOf)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1 && col("action") === "add")
-      .select("path", "n_rows")
+      .select("path", "n_rows", "min_vals", "max_vals")
       .collect().toSeq // bounded by file count: the planning budget
-      .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
+      .map(r => FileEntry(r.getString(0), r.getLong(1),
+        r.getAs[scala.collection.Map[String, Long]]("min_vals").toMap,
+        r.getAs[scala.collection.Map[String, Long]]("max_vals").toMap))
+      .sortBy(_.path)
   }
 
   /** Snapshot read at `version` (default: latest). The file list
@@ -161,39 +204,45 @@ object TableStore {
     }
     require(vs.nonEmpty, s"no committed versions at $root")
     val v = version.getOrElse(vs.max)
-    val files = liveAt(spark, root, v).map(p => s"$root/${p._1}")
+    val files = liveAt(spark, root, v).map(e => s"$root/${e.path}")
     if (files.nonEmpty) spark.read.parquet(files: _*)
     // empty snapshot (all-empty commits, overwrite-with-empty): the
     // first-touch anchor keeps the columns
     else spark.read.parquet(s"$root/_schema").limit(0)
   }
 
-  /** Append `df` as a new version; returns the committed version. */
-  def append(df: DataFrame, root: String): Long = {
+  /** Append `df` as a new version; returns the committed version.
+    * `statsCols` declares integer columns whose per-file [min, max]
+    * ride in the commit log for log-only pruning. */
+  def append(df: DataFrame, root: String,
+             statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val n = versions(spark, root).lastOption.getOrElse(0L) + 1
-    commitLog(spark, root, n, writeData(df, root, n), Seq.empty)
+    commitLog(spark, root, n, writeData(df, root, n, statsCols),
+      Seq.empty)
     n
   }
 
   /** Replace the table's content with `df` as a new version; every
     * previously-live file gets a remove action, old snapshots stay
     * readable. */
-  def overwrite(df: DataFrame, root: String): Long = {
+  def overwrite(df: DataFrame, root: String,
+                statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val prev = versions(spark, root).lastOption
-    val removes = prev.map(liveAt(spark, root, _).map(_._1))
+    val removes = prev.map(liveAt(spark, root, _).map(_.path))
       .getOrElse(Seq.empty)
     val n = prev.getOrElse(0L) + 1
-    commitLog(spark, root, n, writeData(df, root, n), removes)
+    commitLog(spark, root, n, writeData(df, root, n, statsCols),
+      removes)
     n
   }
 
   /** Rewrite the live set to ~targetBytes files as a new version —
     * [[Compaction]] under snapshot isolation: content-identical to
     * the previous version, old file layout still readable there. */
-  def compact(spark: SparkSession, root: String,
-              targetBytes: Long): Long = {
+  def compact(spark: SparkSession, root: String, targetBytes: Long,
+              statsCols: Seq[String] = Nil): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val prev = versions(spark, root).last
     val live = liveAt(spark, root, prev)
@@ -205,25 +254,28 @@ object TableStore {
       return n
     }
     val fs = fsOf(spark, new Path(root))
-    val bytes = live.map(p =>
-      fs.getFileStatus(new Path(s"$root/${p._1}")).getLen).sum
+    val bytes = live.map(e =>
+      fs.getFileStatus(new Path(s"$root/${e.path}")).getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(live.map(p => s"$root/${p._1}"): _*)
+    val df = spark.read.parquet(live.map(e => s"$root/${e.path}"): _*)
       .repartition(nOut)
     val n = prev + 1
-    commitLog(spark, root, n, writeData(df, root, n), live.map(_._1))
+    commitLog(spark, root, n, writeData(df, root, n, statsCols),
+      live.map(_.path))
     n
   }
 
-  /** Live files whose footer [min, max] for `pcol` can intersect
-    * [lo, hi] — one footer read per live file, zero data IO (the
-    * [[FooterStats]] budget). Stat-less chunks can't be skipped and
-    * count as overlapping. */
+  /** Live files whose [min, max] for `pcol` can intersect [lo, hi].
+    * Files whose commit DECLARED `pcol` in statsCols answer from the
+    * log alone — zero IO; files written without it fall back to one
+    * footer read each (and stat-less chunks count as overlapping).
+    * At scale the log-stats path is the only one that matters: a
+    * footer open per live file is itself a million-IO listing. */
   private def overlappingFiles(spark: SparkSession, root: String,
-                               live: Seq[(String, Long)], pcol: String,
-                               lo: Long, hi: Long): Seq[(String, Long)] = {
+                               live: Seq[FileEntry], pcol: String,
+                               lo: Long, hi: Long): Seq[FileEntry] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    live.filter { case (rel, _) =>
+    def footerOverlap(rel: String): Boolean = {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
         new Path(s"$root/$rel"), conf))
       try {
@@ -246,6 +298,12 @@ object TableStore {
         }
       } finally reader.close()
     }
+    live.filter { e =>
+      (e.mins.get(pcol), e.maxs.get(pcol)) match {
+        case (Some(mn), Some(mx)) => mn <= hi && mx >= lo
+        case _ => footerOverlap(e.path)
+      }
+    }
   }
 
   /** Manifest-pruned range read: open only the live files whose
@@ -265,7 +323,7 @@ object TableStore {
     val residual = col(pcol) >= lo && col(pcol) <= hi
     val df =
       if (touched.nonEmpty)
-        spark.read.parquet(touched.map(p => s"$root/${p._1}"): _*)
+        spark.read.parquet(touched.map(e => s"$root/${e.path}"): _*)
           .where(residual)
       else read(spark, root, version).where(residual).limit(0)
     (df, touched.size, live.size)
@@ -279,8 +337,8 @@ object TableStore {
     * provably skipped, so the store never double-ingests a batch.
     * An all-empty batch commits nothing and returns None (there is
     * nothing a replay could duplicate). */
-  def appendBatch(df: DataFrame, root: String,
-                  batchId: Long): Option[Long] = {
+  def appendBatch(df: DataFrame, root: String, batchId: Long,
+                  statsCols: Seq[String] = Nil): Option[Long] = {
     val spark = df.sparkSession
     val seen = versions(spark, root).nonEmpty &&
       logFrame(spark, root).where(col("batch_id") === batchId)
@@ -288,7 +346,7 @@ object TableStore {
     if (seen) None
     else {
       val n = versions(spark, root).lastOption.getOrElse(0L) + 1
-      val adds = writeData(df, root, n)
+      val adds = writeData(df, root, n, statsCols)
       if (adds.isEmpty) None
       else {
         commitLog(spark, root, n, adds, Seq.empty, Some(batchId))
@@ -333,7 +391,8 @@ object TableStore {
     * file overlaps the hint (a provable no-op commits nothing). */
   def deleteWhere(spark: SparkSession, root: String,
                   pred: org.apache.spark.sql.Column,
-                  pruneBy: (String, Long, Long)): Long = {
+                  pruneBy: (String, Long, Long),
+                  statsCols: Seq[String] = Nil): Long = {
     val (pcol, lo, hi) = pruneBy
     require(lo <= hi, s"empty prune interval [$lo, $hi]")
     val prev = versions(spark, root).last
@@ -341,11 +400,11 @@ object TableStore {
       liveAt(spark, root, prev), pcol, lo, hi)
     if (touched.isEmpty) return prev
     val kept = spark.read
-      .parquet(touched.map(p => s"$root/${p._1}"): _*)
+      .parquet(touched.map(e => s"$root/${e.path}"): _*)
       .where(!pred)
     val n = prev + 1
-    commitLog(spark, root, n, writeData(kept, root, n),
-      touched.map(_._1))
+    commitLog(spark, root, n, writeData(kept, root, n, statsCols),
+      touched.map(_.path))
     n
   }
 
@@ -362,7 +421,8 @@ object TableStore {
     val horizon = math.max(vs.head, vs.last - keepVersions + 1)
     if (horizon == vs.head) return
     val kept = vs.filter(_ >= horizon)
-    val keepFiles = kept.flatMap(liveAt(spark, root, _)).distinct
+    val keepFiles = kept.flatMap(liveAt(spark, root, _))
+      .map(_.path).distinct
     val fs = fsOf(spark, new Path(root))
     // checkpoint BEFORE dropping logs: horizon's log becomes a full
     // add-manifest of its live set (rename-committed like any version)
@@ -371,8 +431,11 @@ object TableStore {
     val staged = new Path(s"$root/$Log/.tmp_ckpt_v$horizon")
     fs.delete(staged, true)
     import spark.implicits._
-    horizonLive.map { case (p, r) => (p, "add", r, None: Option[Long]) }
-      .toDF("path", "action", "n_rows", "batch_id")
+    horizonLive
+      .map(e => (e.path, "add", e.rows, None: Option[Long],
+        e.mins, e.maxs))
+      .toDF("path", "action", "n_rows", "batch_id",
+        "min_vals", "max_vals")
       .coalesce(1).write.parquet(staged.toString)
     val old = new Path(s"$root/$Log/.old_ckpt_v$horizon")
     fs.delete(old, true)
@@ -386,7 +449,7 @@ object TableStore {
     // drop pre-horizon logs, then any data file nothing kept references
     vs.filter(_ < horizon).foreach(v =>
       fs.delete(new Path(s"$root/$Log/v=$v"), true))
-    val keepSet = keepFiles.map(_._1).toSet
+    val keepSet = keepFiles.toSet
     val dataRoot = new Path(s"$root/$Data")
     fs.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { d =>
       fs.listStatus(d.getPath).toSeq

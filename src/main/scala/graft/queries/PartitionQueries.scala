@@ -232,7 +232,10 @@ object PartitionQueries extends QueryPack {
     * derives both counts from the data (a commit is a file exactly
     * when its key slice is non-empty), so a broken prune that opens
     * everything, or a prune that silently drops a matching file,
-    * fails the same hash compare as a wrong sum. */
+    * fails the same hash compare as a wrong sum. The commits
+    * declare statsCols, so the prune answers from the COMMIT LOG
+    * alone — zero per-file IO, the shape that survives a
+    * million-file table. */
   val storeSkipping = GQuery(
     "q_store_skipping",
     (s, d) => {
@@ -241,12 +244,15 @@ object PartitionQueries extends QueryPack {
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_orderdate", "o_totalprice")
       graft.ops.TableStore.append(
-        src.where(col("o_orderkey") < 5000L).coalesce(1), root)
+        src.where(col("o_orderkey") < 5000L).coalesce(1), root,
+        statsCols = Seq("o_orderkey"))
       graft.ops.TableStore.append(
         src.where(col("o_orderkey") >= 5000L &&
-          col("o_orderkey") < 10000L).coalesce(1), root)
+          col("o_orderkey") < 10000L).coalesce(1), root,
+        statsCols = Seq("o_orderkey"))
       graft.ops.TableStore.append(
-        src.where(col("o_orderkey") >= 10000L).coalesce(1), root)
+        src.where(col("o_orderkey") >= 10000L).coalesce(1), root,
+        statsCols = Seq("o_orderkey"))
       val (probe, touched, total) = graft.ops.TableStore.readRange(
         s, root, "o_orderkey", 500L, 1500L)
       probe.agg(

@@ -244,6 +244,30 @@ class TableStoreSpec extends SparkSpec {
     assert(t3 == 0 && tot3 == 2 && old.count() == 0L)
   }
 
+  test("declared statsCols ride in the log; pruning needs no footers") {
+    val root = tmp()
+    TableStore.append(mk(1L to 100L: _*).coalesce(1), root,
+      statsCols = Seq("id"))
+    TableStore.append(mk(1000L to 1100L: _*).coalesce(1), root,
+      statsCols = Seq("id"))
+    // the commit log itself carries the ranges
+    val rows = spark.read.parquet(s"$root/_log")
+      .where(col("action") === "add")
+      .select(col("min_vals")("id"), col("max_vals")("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 100L), (1000L, 1100L)))
+    // prune still exact after the data files are MOVED aside — the
+    // footers are unreachable, so only the log can have answered
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val hidden = new org.apache.hadoop.fs.Path(s"$root/hidden_v1")
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/data/v1"), hidden)
+    val (_, touched, total) = TableStore.readRange(
+      spark, root, "id", 1050L, 1060L)
+    assert(touched == 1 && total == 2)
+    fs.rename(hidden, new org.apache.hadoop.fs.Path(s"$root/data/v1"))
+  }
+
   test("duplicate version commit fails loudly (single-writer contract)") {
     val root = tmp()
     TableStore.append(mk(1), root)
