@@ -54,6 +54,84 @@ object Vocab {
         expr("CAST(1000 * n_oov DIV n_tokens AS BIGINT)"))
   }
 
+  /** Byte-pair-encoding merge induction — the first `rounds` merges
+    * of the BPE training loop (Sennrich et al. 2016), distributed:
+    * start from the corpus word-frequency table with words split to
+    * characters, count adjacent symbol pairs weighted by word
+    * frequency (one map-combinable groupBy over a bounded-width
+    * explode per round), take the argmax (total tie-break: count
+    * desc, then left/right symbol), apply the merge to every word's
+    * symbol sequence with a left-to-right fold, repeat. Returns the
+    * merge table (rank, left_sym, right_sym, freq) — the artifact a
+    * tokenizer trainer ships.
+    *
+    * Scale shape: pair counting shuffles (symbol, symbol, partial
+    * count) — vocabulary-sized, not corpus-sized, because the corpus
+    * collapses to the word-frequency table first (one corpus-wide
+    * groupBy, after which rounds never touch raw text). The argmax
+    * is a 1-row collect per round; each round's symbol table is
+    * localCheckpointed so plan depth stays flat across rounds
+    * (released via [[Checkpoints]] on exit).
+    *
+    * The merge fold appends `b` directly when the accumulator's last
+    * symbol is exactly `a` (space-boundary check), so a just-merged
+    * token can never re-merge in the same round and even runs
+    * resolve left-to-right — the oracle replays the identical fold
+    * with DuckDB's list_reduce. */
+  def bpeMerges(docs: DataFrame, textCol: String,
+                rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var syms = words
+      .select(col("freq"), array_join(split(col("word"), ""), " ").as("s"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    try {
+      (1 to rounds).foreach { r =>
+        val sy = split(col("s"), " ")
+        val pairIdx = when(size(sy) > 1,
+          sequence(lit(1), size(sy) - 1)).otherwise(
+          array().cast("array<int>"))
+        val best = syms
+          .select(col("freq"),
+            explode(transform(pairIdx,
+              i => struct(element_at(sy, i).as("l"),
+                element_at(sy, i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("freq").as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.nonEmpty) {
+          val (l, rt, c) = (best.head.getString(0),
+            best.head.getString(1), best.head.getLong(2))
+          merges += ((r, l, rt, c))
+          val applied = syms.withColumn("s",
+            aggregate(
+              slice(sy, lit(2), greatest(size(sy) - 1, lit(0))),
+              element_at(sy, 1),
+              (acc, x) =>
+                when(x === lit(rt) &&
+                  (acc === lit(l) || acc.endsWith(" " + l)),
+                  concat(acc, x))
+                  .otherwise(concat(acc, lit(" "), x))))
+            .localCheckpoint()
+          Checkpoints.release(syms)
+          syms = applied
+        }
+      }
+    } finally Checkpoints.release(syms)
+    merges.result()
+      .toDF("rank", "left_sym", "right_sym", "freq")
+      .select(col("rank").cast("long").as("rank"),
+        col("left_sym"), col("right_sym"), col("freq"))
+      .orderBy("rank")
+  }
+
   /** DuckDB mirror: the vocab CTE (same tie-break) and the per-doc
     * OOV arithmetic, over `table`. */
   def oovStatsSql(table: String, textExpr: String, idExpr: String,

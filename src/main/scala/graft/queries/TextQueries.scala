@@ -629,10 +629,58 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id"),
     Some(TextOps.bigramSurprisalSql))
 
+  /** One DuckDB CTE round of the BPE loop: count pairs over the
+    * space-joined symbol strings, pick the argmax with the total
+    * tie-break, apply the merge with the same left-to-right fold the
+    * engine runs (list_reduce mirroring Spark's aggregate). */
+  private def bpeRoundSql(i: Int): String = s"""
+    p$i AS (
+      SELECT l, r, SUM(freq) AS c FROM (
+        SELECT freq, sy[i] AS l, sy[i+1] AS r FROM (
+          SELECT freq, sy, unnest(generate_series(1, len(sy)-1)) AS i
+          FROM (SELECT freq, string_split(s,' ') AS sy FROM s${i - 1}) t
+        ) z) zz GROUP BY l, r),
+    b$i AS (SELECT l, r, CAST(c AS BIGINT) AS c FROM p$i
+            ORDER BY c DESC, l, r LIMIT 1),
+    s$i AS (
+      SELECT freq,
+        list_reduce(string_split(s,' '), (acc,x) ->
+          CASE WHEN x = b.r AND (acc = b.l OR ends_with(acc, ' ' || b.l))
+               THEN acc || x ELSE acc || ' ' || x END) AS s
+      FROM s${i - 1}, b$i b)"""
+
+  /** BPE merge induction ([[graft.ops.Vocab.bpeMerges]], 3 rounds):
+    * the engine's corpus-collapse + per-round argmax + fold replayed
+    * by the oracle as chained CTE rounds — pair counts, the
+    * deterministic tie-break, AND the left-to-right merge fold all
+    * gate together (round 2+ counts are only right if round 1's
+    * merge was applied exactly). */
+  val bpeMerges = GQuery(
+    "q_bpe_merges",
+    (s, d) => graft.ops.Vocab.bpeMerges(
+      Tables.documents(s, d), "text", rounds = 3),
+    Some(s"""
+      WITH words AS (
+        SELECT w AS word, count(*) AS freq
+        FROM (SELECT unnest(string_split(text,' ')) AS w
+              FROM documents) t
+        WHERE w <> '' GROUP BY w),
+      s0 AS (SELECT freq,
+             array_to_string(string_split(word,''),' ') AS s
+             FROM words),
+      ${Seq(1, 2, 3).map(bpeRoundSql).mkString(",")}
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS rank, l AS left_sym,
+               r AS right_sym, c AS freq FROM b1
+        UNION ALL SELECT 2, l, r, c FROM b2
+        UNION ALL SELECT 3, l, r, c FROM b3) ORDER BY rank
+    """),
+    eager = true) // per-round argmax collects run at construction
+
   def all: Seq[GQuery] =
     Seq(tokenStats, qualityScore, langId, fingerprint, tfidfTopTerms,
       piiRedact, tokenPacking, chunkWindows, vocabOov, contamination,
       repetitionStats, boilerplateScore, distinctNgrams,
       paddingEfficiency, unigramSurprisal, bigramSurprisal, lineDedup,
-      segmentDfTop, incrementalLineDedup)
+      segmentDfTop, incrementalLineDedup, bpeMerges)
 }
