@@ -282,7 +282,59 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** Version-to-version change feed: two store versions (an append,
+    * then an overwrite that drops a date slice, adds a newer one,
+    * and reprices every 10th overlapping order) diffed with
+    * [[graft.ops.CorpusDiff]] into the added/removed/changed/
+    * unchanged rollup with membership id-sums. The oracle replays
+    * both version definitions straight from the source — so the
+    * snapshot reads AND the diff classification gate together.
+    * Prices compare as integer cents (the repo's no-floats-in-
+    * gate-outputs arithmetic contract). */
+  val versionDiff = GQuery(
+    "q_version_diff",
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tsdiff").toString + "/orders"
+      val src = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.ops.TableStore.append(
+        src.where(col("o_orderdate") < "1996-07-01"), root)
+      graft.ops.TableStore.overwrite(
+        src.where(col("o_orderdate") >= "1995-07-01")
+          .withColumn("cents",
+            when(col("o_orderkey") % 10 === 0, col("cents") * 2)
+              .otherwise(col("cents"))), root)
+      def snap(v: Long) = graft.ops.TableStore.read(s, root, Some(v))
+        .withColumn("content", concat(
+          col("o_orderdate").cast("string"), lit(":"),
+          col("cents").cast("string")))
+      graft.ops.CorpusDiff.summarize(
+          graft.ops.CorpusDiff.diff(snap(1L), snap(2L),
+            "o_orderkey", "content"), "o_orderkey")
+        .orderBy("status")
+    },
+    Some(s"""
+      ${graft.ops.CorpusDiff.summarizeSql(
+        """SELECT o_orderkey,
+             CAST(o_orderdate AS VARCHAR) || ':' ||
+             CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR)
+               AS content
+           FROM orders WHERE o_orderdate < DATE '1996-07-01'""",
+        """SELECT o_orderkey,
+             CAST(o_orderdate AS VARCHAR) || ':' ||
+             CAST(CASE WHEN o_orderkey % 10 = 0
+                  THEN 2*CAST(round(o_totalprice*100) AS BIGINT)
+                  ELSE CAST(round(o_totalprice*100) AS BIGINT) END
+               AS VARCHAR) AS content
+           FROM orders WHERE o_orderdate >= DATE '1995-07-01'""",
+        "o_orderkey", "content")}
+      ORDER BY status
+    """),
+    eager = true)
+
   def all: Seq[GQuery] =
     Seq(runMonthPruning, retentionExpire, timeTravel, rowDelete,
-      storeSkipping)
+      storeSkipping, versionDiff)
 }
