@@ -408,6 +408,42 @@ object TableStore {
     n
   }
 
+  /** Layout OPTIMIZE as a commit: rewrite the live set RANGE-
+    * CLUSTERED on `clusterCol` into ~targetBytes files — after it,
+    * per-file [min, max] intervals are (sample-boundary) disjoint,
+    * so a [[readRange]] point probe opens ~one file instead of every
+    * file that ever ingested part of the key space. Content-
+    * identical to the previous version (same rows, new layout); the
+    * cluster column is always captured into the log stats so the
+    * optimized files prune with zero IO. This is [[Layout]]'s
+    * clustered-write posture joined to snapshot isolation: readers
+    * pinned to the old version keep the old files, and a crash
+    * mid-rewrite publishes nothing. */
+  def optimizeLayout(spark: SparkSession, root: String,
+                     clusterCol: String, targetBytes: Long,
+                     statsCols: Seq[String] = Nil): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val prev = versions(spark, root).last
+    val live = liveAt(spark, root, prev)
+    if (live.isEmpty) {
+      val n = prev + 1
+      commitLog(spark, root, n, Seq.empty, Seq.empty)
+      return n
+    }
+    val fs = fsOf(spark, new Path(root))
+    val bytes = live.map(e =>
+      fs.getFileStatus(new Path(s"$root/${e.path}")).getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(live.map(e => s"$root/${e.path}"): _*)
+      .repartitionByRange(nOut, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+    val n = prev + 1
+    commitLog(spark, root, n,
+      writeData(df, root, n, (statsCols :+ clusterCol).distinct),
+      live.map(_.path))
+    n
+  }
+
   /** Retire history: keep the last `keepVersions` snapshots readable,
     * write a full-manifest CHECKPOINT at the new horizon (so replay
     * never needs the dropped logs), delete the dropped log dirs and

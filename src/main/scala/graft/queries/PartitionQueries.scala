@@ -334,7 +334,66 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** Layout OPTIMIZE under snapshot isolation
+    * ([[graft.ops.TableStore.optimizeLayout]]): three round-robin
+    * appends leave every file spanning the whole key space, so a
+    * point probe must open all of them; the optimize commit
+    * range-clusters the live set, after which the same probe opens
+    * at most two files (a sampled range boundary can split one
+    * interval). The oracle pins CONTENT preservation — identical
+    * digests before and after, both equal to the source predicate —
+    * while the probe economics are enforced loudly inside the body
+    * (`require(after < before)`) and pinned deterministically in
+    * TableStoreSpec; a broken rewrite fails the hash compare, a
+    * broken prune fails the run. */
+  val storeOptimize = GQuery(
+    "q_store_optimize",
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tsopt").toString + "/orders"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      (0L until 3L).foreach { i =>
+        graft.ops.TableStore.append(
+          src.where(col("o_orderkey") % 3 === i).coalesce(1), root,
+          statsCols = Seq("o_orderkey"))
+      }
+      val (_, tBefore, totBefore) = graft.ops.TableStore.readRange(
+        s, root, "o_orderkey", 500L, 1500L)
+      require(tBefore == totBefore,
+        s"round-robin commits must all overlap the probe: $tBefore/$totBefore")
+      val vOpt = graft.ops.TableStore.optimizeLayout(
+        s, root, "o_orderkey", targetBytes = 64L << 10)
+      val (_, tAfter, _) = graft.ops.TableStore.readRange(
+        s, root, "o_orderkey", 500L, 1500L)
+      require(tAfter <= 2 && tAfter < tBefore,
+        s"clustered probe must open <= 2 files, got $tAfter (before $tBefore)")
+      Seq(("before", vOpt - 1), ("after", vOpt)).map { case (tag, v) =>
+        graft.ops.TableStore.read(s, root, Some(v))
+          .where(col("o_orderkey").between(500L, 1500L))
+          .agg(
+            lit(tag).as("phase"),
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 4)))
+              .cast("double").as("total_price"),
+            min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"))
+          .select("phase", "n_orders", "total_price",
+            "min_key", "max_key")
+      }.reduce(_ unionAll _).orderBy("phase")
+    },
+    Some("""
+      SELECT p.phase, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM (VALUES ('before'), ('after')) p(phase)
+      JOIN orders ON o_orderkey BETWEEN 500 AND 1500
+      GROUP BY p.phase ORDER BY p.phase
+    """),
+    eager = true)
+
   def all: Seq[GQuery] =
     Seq(runMonthPruning, retentionExpire, timeTravel, rowDelete,
-      storeSkipping, versionDiff)
+      storeSkipping, versionDiff, storeOptimize)
 }

@@ -268,6 +268,34 @@ class TableStoreSpec extends SparkSpec {
     fs.rename(hidden, new org.apache.hadoop.fs.Path(s"$root/data/v1"))
   }
 
+  test("optimizeLayout: content preserved, probe collapses to one file") {
+    val root = tmp()
+    // each append spans the whole key space -> every file overlaps
+    // every probe
+    (0 until 3).foreach { i =>
+      TableStore.append(
+        mk((0L until 300L).filter(_ % 3 == i): _*).coalesce(1), root,
+        statsCols = Seq("id"))
+    }
+    val (_, t0, tot0) = TableStore.readRange(spark, root, "id", 10L, 20L)
+    assert(t0 == 3 && tot0 == 3)
+    val v = TableStore.optimizeLayout(spark, root, "id",
+      targetBytes = 1L << 10, statsCols = Seq("id"))
+    assert(v == 4L)
+    // content identical through the rewrite, old layout still pinned
+    assert(ids(root, Some(4L)) == (0L until 300L).toSet)
+    assert(ids(root, Some(3L)) == (0L until 300L).toSet)
+    val (df1, t1, tot1) = TableStore.readRange(spark, root, "id", 10L, 20L)
+    assert(tot1 > 1, "optimize must produce multiple clustered files")
+    assert(t1 <= 2 && t1 < t0)
+    assert(df1.select("id").collect().map(_.getLong(0)).toSet ==
+      (10L to 20L).toSet)
+    // the pinned pre-optimize version still probes its own layout
+    val (_, tOld, _) = TableStore.readRange(
+      spark, root, "id", 10L, 20L, version = Some(3L))
+    assert(tOld == 3)
+  }
+
   test("duplicate version commit fails loudly (single-writer contract)") {
     val root = tmp()
     TableStore.append(mk(1), root)
