@@ -211,6 +211,26 @@ object TableStore {
     else spark.read.parquet(s"$root/_schema").limit(0)
   }
 
+  /** Snapshot read under an explicit TARGET schema — the
+    * [[SchemaEvolution]] posture joined to versioning: files
+    * committed before a column existed resolve it to null inside the
+    * parquet reader (by-name resolution), so history is never
+    * rewritten for a column add and the caller owns one fixed schema
+    * contract instead of `mergeSchema`'s moving one. Pair with
+    * [[SchemaEvolution.backfill]] for explicit, countable defaults. */
+  def readAs(spark: SparkSession, root: String,
+             target: org.apache.spark.sql.types.StructType,
+             version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val files = liveAt(spark, root, version.getOrElse(vs.max))
+      .map(e => s"$root/${e.path}")
+    if (files.nonEmpty)
+      SchemaEvolution.readWithTarget(spark, target, files: _*)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+  }
+
   /** Append `df` as a new version; returns the committed version.
     * `statsCols` declares integer columns whose per-file [min, max]
     * ride in the commit log for log-only pruning. */

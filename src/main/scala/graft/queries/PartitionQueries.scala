@@ -366,7 +366,9 @@ object PartitionQueries extends QueryPack {
         s, root, "o_orderkey", targetBytes = 64L << 10)
       val (_, tAfter, _) = graft.ops.TableStore.readRange(
         s, root, "o_orderkey", 500L, 1500L)
-      require(tAfter <= 2 && tAfter < tBefore,
+      // the economics claim needs files to exist — a zero-row corpus
+      // optimizes an empty table (no-action commit, nothing to probe)
+      require(totBefore == 0 || (tAfter <= 2 && tAfter < tBefore),
         s"clustered probe must open <= 2 files, got $tAfter (before $tBefore)")
       Seq(("before", vOpt - 1), ("after", vOpt)).map { case (tag, v) =>
         graft.ops.TableStore.read(s, root, Some(v))
@@ -393,7 +395,59 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** Schema evolution across store versions
+    * ([[graft.ops.TableStore.readAs]] +
+    * [[graft.ops.SchemaEvolution.backfill]]): version 1 is committed
+    * WITHOUT the channel column, version 2 adds it; the latest
+    * snapshot is read under the evolved target schema (old files
+    * resolve the column to null inside the reader — history is never
+    * rewritten for DDL) and nulls are backfilled to 'legacy' with
+    * the countable audit tag. The oracle derives each row's channel
+    * from the commit-membership predicate — so by-name resolution,
+    * the backfill default, AND the audit count gate together. */
+  val storeEvolution = GQuery(
+    "q_store_evolution",
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tsevo").toString + "/orders"
+      val src = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") % 2 === 0), root)
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") % 2 === 1)
+          .withColumn("channel", lit("web")), root)
+      val target = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("channel",
+          org.apache.spark.sql.types.StringType)))
+      graft.ops.SchemaEvolution.backfill(
+          graft.ops.TableStore.readAs(s, root, target),
+          Map("channel" -> lit("legacy")))
+        .groupBy("channel")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("total_cents"),
+          sum(col("_backfilled")).as("n_backfilled"))
+        .orderBy("channel")
+    },
+    Some("""
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
+                  ELSE 'web' END AS channel,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+               AS BIGINT) AS total_cents,
+             CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 0)
+               AS BIGINT) AS n_backfilled
+      FROM orders GROUP BY 1 ORDER BY 1
+    """),
+    eager = true)
+
   def all: Seq[GQuery] =
     Seq(runMonthPruning, retentionExpire, timeTravel, rowDelete,
-      storeSkipping, versionDiff, storeOptimize)
+      storeSkipping, versionDiff, storeOptimize, storeEvolution)
 }
