@@ -80,15 +80,30 @@ object Vocab {
     * with DuckDB's list_reduce. */
   def bpeMerges(docs: DataFrame, textCol: String,
                 rounds: Int): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
+    val (merges, syms) = train(docs, textCol, rounds)
+    Checkpoints.release(syms)
+    merges
+      .toDF("rank", "left_sym", "right_sym", "freq")
+      .select(col("rank").cast("long").as("rank"),
+        col("left_sym"), col("right_sym"), col("freq"))
+      .orderBy("rank")
+  }
+
+  /** The shared BPE training loop. Returns the merge list and the
+    * final per-word symbol table (word, freq, s) as a LIVE
+    * localCheckpoint — the caller owns releasing it. */
+  private def train(docs: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val words = docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
     var syms = words
-      .select(col("freq"), array_join(split(col("word"), ""), " ").as("s"))
+      .select(col("word"), col("freq"),
+        array_join(split(col("word"), ""), " ").as("s"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     try {
@@ -124,12 +139,57 @@ object Vocab {
           syms = applied
         }
       }
-    } finally Checkpoints.release(syms)
-    merges.result()
-      .toDF("rank", "left_sym", "right_sym", "freq")
+    } catch {
+      case e: Throwable => Checkpoints.release(syms); throw e
+    }
+    (merges.result(), syms)
+  }
+
+  /** Train and PERSIST the tokenizer artifact: `dir/merges` (the
+    * ranked merge table) and `dir/encode` (word → final symbol
+    * string — the vocabulary-sized encoding map). Saving is the
+    * production posture: encoders join against the artifact, they
+    * never re-train, and the checkpoint blocks the loop pinned are
+    * released here rather than leaking into the reader's lineage. */
+  def bpeSaveModel(docs: DataFrame, textCol: String, rounds: Int,
+                   dir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, syms) = train(docs, textCol, rounds)
+    try syms.select("word", "s").write.mode("overwrite")
+      .parquet(s"$dir/encode")
+    finally Checkpoints.release(syms)
+    merges.toDF("rank", "left_sym", "right_sym", "freq")
       .select(col("rank").cast("long").as("rank"),
         col("left_sym"), col("right_sym"), col("freq"))
-      .orderBy("rank")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+  }
+
+  /** Encode a corpus with a saved model: one vocabulary-sized join —
+    * documents explode to (doc, ord, word), words join the encoding
+    * map (unseen words fall back to their character split, the BPE
+    * open-vocabulary contract), pieces reassemble in ordinal order.
+    * The corpus is never re-folded: all merge work happened once at
+    * train time over the word-frequency table. Returns per-document
+    * (idCol, n_words, n_pieces, enc_md5). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                modelDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val enc = spark.read.parquet(s"$modelDir/encode")
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), " "))
+        .as(Seq("ord", "word")))
+      .where(col("word") =!= "")
+      .join(enc, Seq("word"), "left")
+      .withColumn("s", coalesce(col("s"),
+        array_join(split(col("word"), ""), " ")))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(split(col("s"), " "))).cast("long").as("n_pieces"),
+        md5(encode(array_join(transform(
+          array_sort(collect_list(struct(col("ord"), col("s")))),
+          v => v("s")), " "), "UTF-8")).as("enc_md5"))
   }
 
   /** DuckDB mirror: the vocab CTE (same tie-break) and the per-doc

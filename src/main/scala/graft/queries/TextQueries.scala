@@ -643,7 +643,7 @@ object TextQueries extends QueryPack {
     b$i AS (SELECT l, r, CAST(c AS BIGINT) AS c FROM p$i
             ORDER BY c DESC, l, r LIMIT 1),
     s$i AS (
-      SELECT freq,
+      SELECT word, freq,
         list_reduce(string_split(s,' '), (acc,x) ->
           CASE WHEN x = b.r AND (acc = b.l OR ends_with(acc, ' ' || b.l))
                THEN acc || x ELSE acc || ' ' || x END) AS s
@@ -665,7 +665,7 @@ object TextQueries extends QueryPack {
         FROM (SELECT unnest(string_split(text,' ')) AS w
               FROM documents) t
         WHERE w <> '' GROUP BY w),
-      s0 AS (SELECT freq,
+      s0 AS (SELECT word, freq,
              array_to_string(string_split(word,''),' ') AS s
              FROM words),
       ${Seq(1, 2, 3).map(bpeRoundSql).mkString(",")}
@@ -677,10 +677,58 @@ object TextQueries extends QueryPack {
     """),
     eager = true) // per-round argmax collects run at construction
 
+  /** Corpus encoding with the saved BPE model
+    * ([[graft.ops.Vocab.bpeSaveModel]] → [[graft.ops.Vocab
+    * .bpeEncode]]): the vocabulary-sized encoding map joins to the
+    * exploded corpus and pieces reassemble in ordinal order — the
+    * corpus is never re-folded. The oracle replays the 3 training
+    * rounds AND the encode join + reassembly, so the persisted
+    * artifact, the join, the open-vocabulary fallback path, and the
+    * piece-stream digests all gate together. */
+  val bpeEncodeQ = GQuery(
+    "q_bpe_encode",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bpe").toString + "/model"
+      val docs = Tables.documents(s, d)
+      graft.ops.Vocab.bpeSaveModel(docs, "text", rounds = 3, dir)
+      graft.ops.Vocab.bpeEncode(docs, "doc_id", "text", dir)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH words AS (
+        SELECT w AS word, count(*) AS freq
+        FROM (SELECT unnest(string_split(text,' ')) AS w
+              FROM documents) t
+        WHERE w <> '' GROUP BY w),
+      s0 AS (SELECT word, freq,
+             array_to_string(string_split(word,''),' ') AS s
+             FROM words),
+      ${Seq(1, 2, 3).map(bpeRoundSql).mkString(",")},
+      tok AS (
+        SELECT doc_id, ord, word FROM (
+          SELECT doc_id,
+                 unnest(string_split(text,' ')) AS word,
+                 unnest(generate_series(1, len(string_split(text,' '))))
+                   AS ord
+          FROM documents) t WHERE word <> ''),
+      j AS (
+        SELECT t.doc_id, t.ord,
+               coalesce(e.s,
+                 array_to_string(string_split(t.word,''),' ')) AS s
+        FROM tok t LEFT JOIN s3 e ON t.word = e.word)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(len(string_split(s,' '))) AS BIGINT) AS n_pieces,
+             md5(string_agg(s, ' ' ORDER BY ord)) AS enc_md5
+      FROM j GROUP BY doc_id ORDER BY doc_id
+    """),
+    eager = true) // model training + save run at construction
+
   def all: Seq[GQuery] =
     Seq(tokenStats, qualityScore, langId, fingerprint, tfidfTopTerms,
       piiRedact, tokenPacking, chunkWindows, vocabOov, contamination,
       repetitionStats, boilerplateScore, distinctNgrams,
       paddingEfficiency, unigramSurprisal, bigramSurprisal, lineDedup,
-      segmentDfTop, incrementalLineDedup, bpeMerges)
+      segmentDfTop, incrementalLineDedup, bpeMerges, bpeEncodeQ)
 }

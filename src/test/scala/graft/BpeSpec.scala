@@ -53,6 +53,31 @@ class BpeSpec extends SparkSpec {
     assert((out(1).getString(1), out(1).getString(2)) == ("aa", "b"))
   }
 
+  test("encode joins the saved map; unseen words fall back to chars") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_spec").toString + "/m"
+    // train on "ab" x3 -> merge (a,b); encode a corpus containing the
+    // trained word, a word embedding it, and an unseen word
+    Vocab.bpeSaveModel(docs("ab ab ab"), "text", rounds = 1, dir)
+    val out = Vocab.bpeEncode(
+      docs("ab zz"), "doc_id", "text", dir)
+      .orderBy("doc_id").collect()
+    val r = out.head
+    assert(r.getAs[Long]("n_words") == 2L)
+    // "ab" encodes to ONE piece (trained); "zz" is unseen -> 2 chars
+    assert(r.getAs[Long]("n_pieces") == 3L)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("ab z z".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r.getAs[String]("enc_md5") == expected)
+    // the persisted merge table is readable and ranked
+    val m = spark.read.parquet(s"$dir/merges").collect()
+    assert(m.length == 1 && m.head.getAs[String]("left_sym") == "a")
+    assert(spark.read.parquet(s"$dir/encode")
+      .where(col("word") === "ab").head().getAs[String]("s") == "ab")
+  }
+
   test("rounds past exhaustion emit nothing (single-char vocabulary)") {
     val out = Vocab.bpeMerges(docs("a b c"), "text", rounds = 3)
       .collect()
