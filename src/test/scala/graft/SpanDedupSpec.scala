@@ -131,6 +131,25 @@ class SpanDedupSpec extends SparkSpec {
     assert(inc.toSeq == full.toSeq)
   }
 
+  test("plan contract: tokenization materializes once before the explode") {
+    // The TokenSegments lesson: if CollapseProject inlines split()
+    // into the gram lambda, the split re-evaluates per element —
+    // O(tokens^2) per doc, the measured 12x/decade class. Pin that
+    // the Generate's input projection carries ONE split and the
+    // lambda references the materialized array, not the split.
+    val docs = mk((1L, "a b c d e f g h i j"))
+    val plan = SpanDedup.spanHashes(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString()
+    val generateLine = plan.linesIterator
+      .find(_.contains("Generate")).getOrElse(fail("no Generate node"))
+    assert(!generateLine.contains("split("),
+      s"split() inlined into the gram lambda:\n$generateLine")
+    // and the whole scrub never degenerates to a cartesian product
+    val scrubPlan = SpanDedup.scrub(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString()
+    assert(!scrubPlan.contains("CartesianProduct"))
+  }
+
   test("zero-row input yields an honest empty frame") {
     val s = spark; import s.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
