@@ -108,13 +108,18 @@ object TableStore {
     * produced file — row counts and declared-column ranges from
     * footers, zero data IO. */
   private def writeData(df: DataFrame, root: String, n: Long,
-                        statsCols: Seq[String]): Seq[FileEntry] = {
+                        statsCols: Seq[String],
+                        bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     val spark = df.sparkSession
     val dir = new Path(s"$root/$Data/v$n")
     // version n is unreserved until the log rename, so an existing
     // data/v<n> can only be residue of a crashed or all-empty attempt
     // (single-writer contract) — safe to replace
-    df.write.mode("overwrite").parquet(dir.toString)
+    val writer = bloomCols.foldLeft(df.write.mode("overwrite")) {
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.fpp#$c", "0.001")
+    }
+    writer.parquet(dir.toString)
     // first-touch schema anchor: keeps all-empty stores readable
     // (the [[Partitioned.anchorSchema]] posture)
     val anchor = new Path(s"$root/_schema")
@@ -235,11 +240,12 @@ object TableStore {
     * `statsCols` declares integer columns whose per-file [min, max]
     * ride in the commit log for log-only pruning. */
   def append(df: DataFrame, root: String,
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val n = versions(spark, root).lastOption.getOrElse(0L) + 1
-    commitLog(spark, root, n, writeData(df, root, n, statsCols),
-      Seq.empty)
+    commitLog(spark, root, n,
+      writeData(df, root, n, statsCols, bloomCols), Seq.empty)
     n
   }
 
@@ -341,6 +347,61 @@ object TableStore {
     val live = liveAt(spark, root, version.getOrElse(vs.max))
     val touched = overlappingFiles(spark, root, live, pcol, lo, hi)
     val residual = col(pcol) >= lo && col(pcol) <= hi
+    val df =
+      if (touched.nonEmpty)
+        spark.read.parquet(touched.map(e => s"$root/${e.path}"): _*)
+          .where(residual)
+      else read(spark, root, version).where(residual).limit(0)
+    (df, touched.size, live.size)
+  }
+
+  /** True iff the file's parquet bloom filter for `pcol` might
+    * contain ANY of `values` — files written without a bloom (or
+    * whose blocks lack one) can't be skipped and count as maybe. */
+  private def bloomMayContain(spark: SparkSession, root: String,
+                              rel: String, pcol: String,
+                              values: Seq[Long]): Boolean = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(s"$root/$rel"), spark.sparkContext.hadoopConfiguration))
+    try {
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getBlocks.asScala.exists { block =>
+        block.getColumns.asScala
+          .find(_.getPath.toDotString == pcol) match {
+          case None => true // column absent: not skippable
+          case Some(cc) =>
+            val bf = reader.getBloomFilterDataReader(block)
+              .readBloomFilter(cc)
+            bf == null || values.exists(v =>
+              bf.findHash(bf.hash(java.lang.Long.valueOf(v))))
+        }
+      }
+    } finally reader.close()
+  }
+
+  /** Point lookup with BLOOM skipping — the prune min/max ranges
+    * cannot make: when every file spans the whole key space (hash-
+    * distributed ingest, the usual shape for high-cardinality ids),
+    * range stats skip nothing, but a per-file bloom written at
+    * commit time ([[append]]'s `bloomCols`) skips every file that
+    * provably lacks all probed keys at ~one footer+bloom-page read
+    * per range-surviving file. Two-level prune: log-carried ranges
+    * first (zero IO), blooms on the survivors. Returns the frame
+    * plus (files touched, files live). False positives only ever ADD
+    * a file — never lose a row; the residual isin filter keeps the
+    * result exact either way. */
+  def pointLookup(spark: SparkSession, root: String,
+                  pcol: String, values: Seq[Long],
+                  version: Option[Long] = None): (DataFrame, Int, Int) = {
+    require(values.nonEmpty, "pointLookup needs at least one value")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val live = liveAt(spark, root, version.getOrElse(vs.max))
+    val ranged = overlappingFiles(spark, root, live, pcol,
+      values.min, values.max)
+    val touched = ranged.filter(e =>
+      bloomMayContain(spark, root, e.path, pcol, values))
+    val residual = col(pcol).isin(values: _*)
     val df =
       if (touched.nonEmpty)
         spark.read.parquet(touched.map(e => s"$root/${e.path}"): _*)

@@ -447,7 +447,52 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** Bloom-skipped point lookup
+    * ([[graft.ops.TableStore.pointLookup]]): three round-robin
+    * appends make every file's [min, max] span the whole key space —
+    * range stats prune NOTHING — but each commit wrote a parquet
+    * bloom on the key, so probing three keys that all live in one
+    * commit opens one file (false positives can only add a file,
+    * never lose a row; fpp 0.001 per commit). The oracle pins the
+    * VALUES; the economics are enforced loudly in the body and
+    * pinned deterministically in TableStoreSpec. */
+  val storePointLookup = GQuery(
+    "q_store_pointlookup",
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tsbloom").toString + "/orders"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      (0L until 3L).foreach { i =>
+        graft.ops.TableStore.append(
+          src.where(col("o_orderkey") % 3 === i).coalesce(1), root,
+          statsCols = Seq("o_orderkey"),
+          bloomCols = Seq("o_orderkey"))
+      }
+      val keys = Seq(300L, 600L, 900L) // all ≡ 0 mod 3: one commit
+      val (probe, touched, total) = graft.ops.TableStore.pointLookup(
+        s, root, "o_orderkey", keys)
+      require(total == 0 || (touched <= 2 && touched < total),
+        s"bloom prune must beat the full scan: $touched/$total")
+      probe.agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4)))
+            .cast("double").as("total_price"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        .select("n_orders", "total_price", "min_key", "max_key")
+    },
+    Some("""
+      SELECT COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders WHERE o_orderkey IN (300, 600, 900)
+    """),
+    eager = true)
+
   def all: Seq[GQuery] =
     Seq(runMonthPruning, retentionExpire, timeTravel, rowDelete,
-      storeSkipping, versionDiff, storeOptimize, storeEvolution)
+      storeSkipping, versionDiff, storeOptimize, storeEvolution,
+      storePointLookup)
 }

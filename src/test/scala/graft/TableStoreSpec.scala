@@ -296,6 +296,37 @@ class TableStoreSpec extends SparkSpec {
     assert(tOld == 3)
   }
 
+  test("pointLookup: blooms skip where ranges cannot") {
+    val root = tmp()
+    // interleaved keys: both files span [0, 999] so range stats
+    // cannot separate them; blooms can
+    TableStore.append(mk((0L until 1000L).filter(_ % 2 == 0): _*)
+      .coalesce(1), root,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    TableStore.append(mk((0L until 1000L).filter(_ % 2 == 1): _*)
+      .coalesce(1), root,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    val (df, touched, total) = TableStore.pointLookup(
+      spark, root, "id", Seq(84L, 422L, 918L)) // all even: file 1
+    assert(total == 2 && touched == 1)
+    assert(df.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(84L, 422L, 918L))
+    // keys from both parities touch both files
+    val (_, t2, _) = TableStore.pointLookup(
+      spark, root, "id", Seq(84L, 85L))
+    assert(t2 == 2)
+    // absent keys: blooms may skip everything; result stays exact
+    val (miss, t3, _) = TableStore.pointLookup(
+      spark, root, "id", Seq(5000L, 6000L))
+    assert(miss.count() == 0L && t3 <= 2)
+    // a file written WITHOUT a bloom is never skipped (not skippable)
+    TableStore.append(mk(2000L).coalesce(1), root,
+      statsCols = Seq("id"))
+    val (hit, t4, _) = TableStore.pointLookup(
+      spark, root, "id", Seq(2000L))
+    assert(hit.count() == 1L && t4 == 1) // range stats already prune the others
+  }
+
   test("duplicate version commit fails loudly (single-writer contract)") {
     val root = tmp()
     TableStore.append(mk(1), root)
