@@ -53,8 +53,19 @@ object TableStore {
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val logRoot = new Path(s"$root/$Log")
     val fs = fsOf(spark, logRoot)
-    if (!fs.exists(logRoot)) Seq.empty
-    else fs.listStatus(logRoot).toSeq
+    if (!fs.exists(logRoot)) return Seq.empty
+    val entries = fs.listStatus(logRoot).toSeq
+    // recover a checkpoint swap that crashed between its two renames
+    // (the Upsert.recoverCrashedSwap posture): .old_ckpt_vN present
+    // with v=N missing means the new checkpoint never published —
+    // restore the original log so no snapshot loses files
+    entries.filter(_.getPath.getName.startsWith(".old_ckpt_v"))
+      .foreach { o =>
+        val n = o.getPath.getName.stripPrefix(".old_ckpt_v")
+        val target = new Path(s"$root/$Log/v=$n")
+        if (!fs.exists(target)) fs.rename(o.getPath, target)
+      }
+    fs.listStatus(logRoot).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
   }
@@ -253,14 +264,15 @@ object TableStore {
     * previously-live file gets a remove action, old snapshots stay
     * readable. */
   def overwrite(df: DataFrame, root: String,
-                statsCols: Seq[String] = Nil): Long = {
+                statsCols: Seq[String] = Nil,
+                bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val prev = versions(spark, root).lastOption
     val removes = prev.map(liveAt(spark, root, _).map(_.path))
       .getOrElse(Seq.empty)
     val n = prev.getOrElse(0L) + 1
-    commitLog(spark, root, n, writeData(df, root, n, statsCols),
-      removes)
+    commitLog(spark, root, n,
+      writeData(df, root, n, statsCols, bloomCols), removes)
     n
   }
 
@@ -268,7 +280,8 @@ object TableStore {
     * [[Compaction]] under snapshot isolation: content-identical to
     * the previous version, old file layout still readable there. */
   def compact(spark: SparkSession, root: String, targetBytes: Long,
-              statsCols: Seq[String] = Nil): Long = {
+              statsCols: Seq[String] = Nil,
+              bloomCols: Seq[String] = Nil): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val prev = versions(spark, root).last
     val live = liveAt(spark, root, prev)
@@ -286,8 +299,8 @@ object TableStore {
     val df = spark.read.parquet(live.map(e => s"$root/${e.path}"): _*)
       .repartition(nOut)
     val n = prev + 1
-    commitLog(spark, root, n, writeData(df, root, n, statsCols),
-      live.map(_.path))
+    commitLog(spark, root, n,
+      writeData(df, root, n, statsCols, bloomCols), live.map(_.path))
     n
   }
 
@@ -301,6 +314,10 @@ object TableStore {
                                live: Seq[FileEntry], pcol: String,
                                lo: Long, hi: Long): Seq[FileEntry] = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // a file whose schema PREDATES the prune column provably holds
+    // only nulls for it — skippable, not an error (readAs evolution);
+    // the typo guard below still catches a column no file ever had
+    var sawColumn = live.isEmpty
     def footerOverlap(rel: String): Boolean = {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
         new Path(s"$root/$rel"), conf))
@@ -309,8 +326,8 @@ object TableStore {
         val blocks = reader.getFooter.getBlocks.asScala
         val chunks = blocks.flatMap(_.getColumns.asScala)
           .filter(_.getPath.toDotString == pcol)
-        require(blocks.isEmpty || chunks.nonEmpty,
-          s"prune column $pcol not in $rel")
+        if (chunks.nonEmpty) sawColumn = true
+        if (blocks.nonEmpty && chunks.isEmpty) return false
         chunks.exists { c =>
           val s = c.getStatistics
           s == null || !s.hasNonNullValue || {
@@ -324,12 +341,16 @@ object TableStore {
         }
       } finally reader.close()
     }
-    live.filter { e =>
+    val hits = live.filter { e =>
       (e.mins.get(pcol), e.maxs.get(pcol)) match {
-        case (Some(mn), Some(mx)) => mn <= hi && mx >= lo
+        case (Some(mn), Some(mx)) => sawColumn = true; mn <= hi && mx >= lo
         case _ => footerOverlap(e.path)
       }
     }
+    require(sawColumn,
+      s"prune column $pcol exists in NO live file of $root — " +
+        "misspelled column, not an evolved one")
+    hits
   }
 
   /** Manifest-pruned range read: open only the live files whose
@@ -397,8 +418,12 @@ object TableStore {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val live = liveAt(spark, root, version.getOrElse(vs.max))
-    val ranged = overlappingFiles(spark, root, live, pcol,
-      values.min, values.max)
+    // files with log-carried stats range-prune for free; files
+    // without go straight to the bloom (the range check would open
+    // the same footer the bloom read is about to — one IO, not two)
+    val (logged, bare) = live.partition(_.mins.contains(pcol))
+    val ranged = overlappingFiles(spark, root, logged, pcol,
+      values.min, values.max) ++ bare
     val touched = ranged.filter(e =>
       bloomMayContain(spark, root, e.path, pcol, values))
     val residual = col(pcol).isin(values: _*)
@@ -473,18 +498,23 @@ object TableStore {
   def deleteWhere(spark: SparkSession, root: String,
                   pred: org.apache.spark.sql.Column,
                   pruneBy: (String, Long, Long),
-                  statsCols: Seq[String] = Nil): Long = {
+                  statsCols: Seq[String] = Nil,
+                  bloomCols: Seq[String] = Nil): Long = {
     val (pcol, lo, hi) = pruneBy
     require(lo <= hi, s"empty prune interval [$lo, $hi]")
     val prev = versions(spark, root).last
     val touched = overlappingFiles(spark, root,
       liveAt(spark, root, prev), pcol, lo, hi)
     if (touched.isEmpty) return prev
+    // keep a row unless the predicate is DEFINITELY true: under
+    // three-valued logic `!pred` drops NULL-valued rows the caller
+    // never selected — a silent data loss, not a delete
     val kept = spark.read
       .parquet(touched.map(e => s"$root/${e.path}"): _*)
-      .where(!pred)
+      .where(!coalesce(pred, lit(false)))
     val n = prev + 1
-    commitLog(spark, root, n, writeData(kept, root, n, statsCols),
+    commitLog(spark, root, n,
+      writeData(kept, root, n, statsCols, bloomCols),
       touched.map(_.path))
     n
   }
@@ -502,7 +532,8 @@ object TableStore {
     * mid-rewrite publishes nothing. */
   def optimizeLayout(spark: SparkSession, root: String,
                      clusterCol: String, targetBytes: Long,
-                     statsCols: Seq[String] = Nil): Long = {
+                     statsCols: Seq[String] = Nil,
+                     bloomCols: Seq[String] = Nil): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val prev = versions(spark, root).last
     val live = liveAt(spark, root, prev)
@@ -520,7 +551,8 @@ object TableStore {
       .sortWithinPartitions(clusterCol)
     val n = prev + 1
     commitLog(spark, root, n,
-      writeData(df, root, n, (statsCols :+ clusterCol).distinct),
+      writeData(df, root, n, (statsCols :+ clusterCol).distinct,
+        bloomCols),
       live.map(_.path))
     n
   }
@@ -544,13 +576,26 @@ object TableStore {
     // checkpoint BEFORE dropping logs: horizon's log becomes a full
     // add-manifest of its live set (rename-committed like any version)
     val horizonLive = liveAt(spark, root, horizon)
+    // batch ids recorded at or below the horizon must SURVIVE the
+    // checkpoint (Delta keeps SetTransaction actions in checkpoints
+    // for the same reason): a streaming retry after vacuum re-offers
+    // an old batch id, and losing the marker would double-ingest it.
+    // Inert `txn` marker rows carry them — liveAt filters on "add",
+    // so they never affect snapshots.
+    val none = Map.empty[String, Long]
+    val seenBatches = logFrame(spark, root)
+      .where(col("v") <= horizon && col("batch_id").isNotNull)
+      .select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: batches, not rows
     val target = new Path(s"$root/$Log/v=$horizon")
     val staged = new Path(s"$root/$Log/.tmp_ckpt_v$horizon")
     fs.delete(staged, true)
     import spark.implicits._
-    horizonLive
+    (horizonLive
       .map(e => (e.path, "add", e.rows, None: Option[Long],
-        e.mins, e.maxs))
+        e.mins, e.maxs)) ++
+      seenBatches.map(b =>
+        ("", "txn", 0L, Some(b): Option[Long], none, none)))
       .toDF("path", "action", "n_rows", "batch_id",
         "min_vals", "max_vals")
       .coalesce(1).write.parquet(staged.toString)
@@ -583,14 +628,27 @@ object TableStore {
     }
   }
 
-  /** Per-version commit summary — the store's audit surface. */
-  def history(spark: SparkSession, root: String): DataFrame =
-    logFrame(spark, root)
-      .groupBy(col("v").cast("long").as("version"))
-      .agg(
-        count(when(col("action") === "add", 1)).as("n_added"),
-        count(when(col("action") === "remove", 1)).as("n_removed"),
-        sum(when(col("action") === "add", col("n_rows"))
-          .otherwise(0L)).as("rows_added"))
+  /** Per-version commit summary — the store's audit surface. Every
+    * committed version appears, including no-action commits
+    * (compact/optimize of an empty table), so the audit has no
+    * holes against [[versions]]. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val allVs = versions(spark, root).toDF("version")
+    allVs.join(
+        logFrame(spark, root)
+          .groupBy(col("v").cast("long").as("version"))
+          .agg(
+            count(when(col("action") === "add", 1)).as("na"),
+            count(when(col("action") === "remove", 1)).as("nr"),
+            sum(when(col("action") === "add", col("n_rows"))
+              .otherwise(0L)).as("ra")),
+        Seq("version"), "left")
+      .select(col("version"),
+        coalesce(col("na"), lit(0L)).as("n_added"),
+        coalesce(col("nr"), lit(0L)).as("n_removed"),
+        coalesce(col("ra"), lit(0L)).as("rows_added"))
       .orderBy("version")
+  }
 }

@@ -644,10 +644,11 @@ object TextQueries extends QueryPack {
             ORDER BY c DESC, l, r LIMIT 1),
     s$i AS (
       SELECT word, freq,
-        list_reduce(string_split(s,' '), (acc,x) ->
-          CASE WHEN x = b.r AND (acc = b.l OR ends_with(acc, ' ' || b.l))
-               THEN acc || x ELSE acc || ' ' || x END) AS s
-      FROM s${i - 1}, b$i b)"""
+        CASE WHEN b.l IS NULL THEN s ELSE
+          list_reduce(string_split(s,' '), (acc,x) ->
+            CASE WHEN x = b.r AND (acc = b.l OR ends_with(acc, ' ' || b.l))
+                 THEN acc || x ELSE acc || ' ' || x END) END AS s
+      FROM s${i - 1} LEFT JOIN b$i b ON TRUE)"""
 
   /** BPE merge induction ([[graft.ops.Vocab.bpeMerges]], 3 rounds):
     * the engine's corpus-collapse + per-round argmax + fold replayed

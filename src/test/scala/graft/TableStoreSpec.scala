@@ -327,6 +327,83 @@ class TableStoreSpec extends SparkSpec {
     assert(hit.count() == 1L && t4 == 1) // range stats already prune the others
   }
 
+  test("deleteWhere keeps rows where the predicate is NULL") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    // payload NULL for id 2: pred(payload === "r1") is NULL there —
+    // three-valued !pred would silently drop it
+    Seq((1L, "r1"), (2L, null.asInstanceOf[String]), (3L, "r3"))
+      .toDF("id", "payload").coalesce(1)
+      .write.parquet(s"$root/stage")
+    TableStore.append(spark.read.parquet(s"$root/stage"), s"$root/t")
+    TableStore.deleteWhere(spark, s"$root/t",
+      col("payload") === "r1", ("id", 1L, 3L))
+    assert(ids(s"$root/t") == Set(2L, 3L))
+  }
+
+  test("vacuum preserves batch-id markers: retry after vacuum still skips") {
+    val root = tmp()
+    assert(TableStore.appendBatch(mk(1), root, batchId = 0L).nonEmpty)
+    assert(TableStore.appendBatch(mk(2), root, batchId = 1L).nonEmpty)
+    assert(TableStore.appendBatch(mk(3), root, batchId = 2L).nonEmpty)
+    TableStore.vacuum(spark, root, keepVersions = 1)
+    // a foreachBatch crash-replay re-offers batch 0 AFTER the vacuum
+    // rewrote the horizon log — the txn markers must still dedup it
+    assert(TableStore.appendBatch(mk(1), root, batchId = 0L).isEmpty)
+    assert(ids(root) == Set(1L, 2L, 3L))
+  }
+
+  test("a checkpoint swap crash between renames is recovered") {
+    val root = tmp()
+    TableStore.append(mk(1, 2), root)
+    TableStore.append(mk(3), root)
+    // simulate the crash window: v=2's log staged aside, target gone
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/_log/v=2"),
+      new org.apache.hadoop.fs.Path(s"$root/_log/.old_ckpt_v2"))
+    // first touch recovers the original log; nothing is lost
+    assert(TableStore.versions(spark, root) == Seq(1L, 2L))
+    assert(ids(root) == Set(1L, 2L, 3L))
+  }
+
+  test("pruning skips files that predate the column; typos stay loud") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    TableStore.append(mk(1L to 50L: _*).coalesce(1), root) // no 'extra'
+    TableStore.append(
+      (100L to 120L).map(i => (i, s"r$i", i * 10)).toDF(
+        "id", "payload", "extra").coalesce(1), root)
+    // delete on the evolved column: the v1 file provably holds only
+    // nulls for it — skipped, not a crash
+    TableStore.deleteWhere(spark, root,
+      col("extra").between(1000L, 1100L), ("extra", 1000L, 1100L))
+    val snap = TableStore.readAs(spark, root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.LongType))))
+    assert(snap.where(col("extra").isNotNull).count() == 10L) // 111-120 kept
+    assert(snap.count() == 60L) // 50 legacy + 10 survivors
+    // a column NO file ever had is a misspelling, not evolution
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.readRange(spark, root, "extrra", 0L, 1L)
+    }
+    assert(ex.getMessage.contains("misspelled"))
+  }
+
+  test("history has a row for every version, including no-action commits") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    TableStore.append(
+      Seq.empty[(Long, String)].toDF("id", "payload"), root)
+    TableStore.compact(spark, root, 1L << 20) // no-action commit
+    val h = TableStore.history(spark, root).collect()
+    assert(h.map(_.getAs[Long]("version")).toSeq == Seq(1L, 2L))
+    assert(h.forall(_.getAs[Long]("n_added") == 0L))
+  }
+
   test("duplicate version commit fails loudly (single-writer contract)") {
     val root = tmp()
     TableStore.append(mk(1), root)
