@@ -126,7 +126,16 @@ object TableStore {
     // version n is unreserved until the log rename, so an existing
     // data/v<n> can only be residue of a crashed or all-empty attempt
     // (single-writer contract) — safe to replace
-    val writer = bloomCols.foldLeft(df.write.mode("overwrite")) {
+    // bloom sizing scales with per-file NDV: parquet's default 1 MB
+    // cap saturates around ~1M distinct keys per file (measured at
+    // the sf10 gate: fpp collapsed to ~1 and pruning died) — 16 MB
+    // holds fpp through ~10M-key files; beyond that, write smaller
+    // files or raise further
+    val writer0 =
+      if (bloomCols.isEmpty) df.write.mode("overwrite")
+      else df.write.mode("overwrite")
+        .option("parquet.bloom.filter.max.bytes", (16L << 20).toString)
+    val writer = bloomCols.foldLeft(writer0) {
       (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
         .option(s"parquet.bloom.filter.fpp#$c", "0.001")
     }
