@@ -15,6 +15,12 @@ the round-close gate.
 """
 import duckdb, json, sys, glob, math, os
 
+# --fresh: one DuckDB connection PER oracle instead of one shared
+# connection for the run. The shared connection accumulates state
+# that tips heavy oracles (~25M-row windows at sf10) into spurious
+# tiny-block OOMs; fresh connections also isolate a crashed oracle.
+# Use for sf1/sf10 stamp runs; the default stays cheap for sf0.01.
+
 def _feq(a, b):
     try:
         return float(a) == float(b)
@@ -25,17 +31,28 @@ sf, out = sys.argv[1], sys.argv[2]
 promote = None
 if "--promote" in sys.argv:
     promote = sys.argv[sys.argv.index("--promote") + 1]
-con = duckdb.connect()
-for p in glob.glob(f"{sf}/*.parquet"):
-    name = p.split("/")[-1].removesuffix(".parquet")
-    # driver testdata ships one file per table; builder-synthesized
-    # scale data (GenScale) writes Spark directories — accept both
-    src = f"{p}/*.parquet" if os.path.isdir(p) else p
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+fresh = "--fresh" in sys.argv
 
+def connect():
+    c = duckdb.connect()
+    if fresh:
+        c.execute("SET preserve_insertion_order=false")
+    for p in glob.glob(f"{sf}/*.parquet"):
+        name = p.split("/")[-1].removesuffix(".parquet")
+        # driver testdata ships one file per table; builder-synthesized
+        # scale data (GenScale) writes Spark directories — accept both
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        c.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+    return c
+
+con = connect()
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if fresh:
+        con.close()
+        con = connect()
     try:
         exp = con.execute(sql).df()
     except Exception as e:
