@@ -219,6 +219,55 @@ object Multimodal {
     s"(substring(hex($contentExpr), 1, 8) = '$RiffMagicHex' AND " +
       s"substring(hex($contentExpr), 17, 8) = '$WaveMagicHex')"
 
+  // ----- audio energy (PCM16 mono) — the compute leg --------------
+
+  /** |sample i| of a canonical 44-byte-header PCM16LE mono WAV
+    * (0-based sample index; two's-complement sign fold). */
+  private def pcm16Abs(content: Column, i: Column): Column = {
+    val lo = byteAtAbs(content, lit(45L) + i * 2L)
+    val hi = byteAtAbs(content, lit(46L) + i * 2L)
+    val v = lo + hi * 256L
+    abs(when(v >= 32768L, v - 65536L).otherwise(v))
+  }
+  private def byteAtAbs(content: Column, off: Column): Column =
+    conv(hex(content.substr(off.cast("int"), lit(1))), 16, 10)
+      .cast("long")
+
+  /** Per-window mean-absolute energies of a PCM16LE mono payload —
+    * the voice-activity/silence-trim primitive an audio training
+    * pipeline runs before anything else. One pass of pure Column
+    * byte arithmetic (no decode, no UDF): window w's energy is the
+    * integer mean of |sample| over its `window` samples; the ragged
+    * tail window is dropped (floor), matching the oracle's integer
+    * division exactly. Bounded by design: audio rides as bounded
+    * binary cells ([[readBinaryDir]] posture), so the per-row fold
+    * is clip-sized, never corpus-sized. */
+  def windowEnergies(content: Column, window: Int): Column = {
+    require(window > 0, s"window must be positive: $window")
+    // Column `/` is true division — cast back to the integer floor
+    // the oracle's `//` computes (all operands non-negative here)
+    val nSamples = ((length(content) - 44L) / 2L).cast("long")
+    val nWin = (nSamples / window).cast("int")
+    val idx = when(nWin > lit(0), sequence(lit(0), nWin - 1))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, w =>
+      (aggregate(sequence(lit(0), lit(window - 1)), lit(0L),
+        (acc, i) => acc +
+          pcm16Abs(content, w.cast("long") * window + i.cast("long")))
+        / window).cast("long"))
+  }
+
+  /** DuckDB mirror pieces for the energy walk (hex-slice
+    * convention): |sample i| with the same sign fold. */
+  def pcm16AbsSql(contentExpr: String, iExpr: String): String = {
+    val lo = s"CAST(('0x' || substring(hex($contentExpr), " +
+      s"2*(45 + 2*($iExpr)) - 1, 2)) AS BIGINT)"
+    val hi = s"CAST(('0x' || substring(hex($contentExpr), " +
+      s"2*(46 + 2*($iExpr)) - 1, 2)) AS BIGINT)"
+    s"abs(CASE WHEN ($lo + 256*($hi)) >= 32768 " +
+      s"THEN ($lo + 256*($hi)) - 65536 ELSE ($lo + 256*($hi)) END)"
+  }
+
   // ----- image (JPEG) — the segment-walk leg ----------------------
 
   /** JPEG signature: SOI immediately followed by a marker byte

@@ -243,6 +243,52 @@ object BinaryQueries extends QueryPack {
     dir.toString
   }
 
+  val PcmDir = "/tmp/graft_fixtures/binmm/pcm"
+  val NumPcm = 12
+
+  /** PCM16LE mono clips with a deterministic silence lattice: window
+    * w (50 samples) is all-zero when w % 3 == 0, otherwise a
+    * sawtooth in [-1000, 1000) keyed by (k, i) — so silent/loud
+    * windows alternate predictably and every energy is an exact
+    * integer both engines recompute. */
+  def pcmBytes(k: Int): Array[Byte] = {
+    val nSamples = 400 + 40 * k
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit =
+      out.write(Array(v.toByte, (v >> 8).toByte), 0, 2)
+    def le32(v: Int): Unit =
+      out.write(Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+        (v >> 24).toByte), 0, 4)
+    val dataBytes = 2 * nSamples
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4)
+    le32(36 + dataBytes)
+    out.write("WAVEfmt ".getBytes("US-ASCII"), 0, 8)
+    le32(16); le16(1)
+    le16(1); le32(8000)
+    le32(8000 * 2)
+    le16(2); le16(16)
+    out.write("data".getBytes("US-ASCII"), 0, 4)
+    le32(dataBytes)
+    (0 until nSamples).foreach { i =>
+      val v = if ((i / 50) % 3 == 0) 0
+      else ((i * (k + 3)) % 2000) - 1000
+      le16(v & 0xFFFF)
+    }
+    out.toByteArray
+  }
+
+  def writePcmFixture(): String = {
+    val dir = java.nio.file.Paths.get(PcmDir)
+    java.nio.file.Files.createDirectories(dir)
+    (0 until NumPcm).foreach { k =>
+      java.nio.file.Files.write(dir.resolve(f"pcm_$k%03d.wav"),
+        pcmBytes(k))
+    }
+    val corrupt = pcmBytes(0); corrupt(0) = 'X'.toByte
+    java.nio.file.Files.write(dir.resolve("corrupt.wav"), corrupt)
+    dir.toString
+  }
+
   /** Audio metadata from the binaryFile source: RIFF/WAV header
     * fields as pure little-endian Column arithmetic
     * ([[Multimodal.leUint32]] and friends — no decode, whole-stage
@@ -977,8 +1023,67 @@ object BinaryQueries extends QueryPack {
       ORDER BY chunk_md5
     """))
 
+  /** PCM energy/silence census ([[Multimodal.windowEnergies]]) —
+    * the voice-activity-trim primitive: per-file window count,
+    * silent-window count (mean-abs < 10), peak and mean window
+    * energy, all integer-exact. The oracle re-walks every sample
+    * byte via hex slices, regroups by window, and re-derives the
+    * same censuses — so the sign fold, the window floor, and the
+    * integer means gate together. The fixture's silence lattice
+    * (every third window all-zero) makes a wrong window boundary
+    * shift the silent count immediately. */
+  val audioEnergy = GQuery(
+    "q_audio_energy",
+    (s, d) => {
+      val dir = writePcmFixture()
+      val we = Multimodal.windowEnergies(col("content"), 50)
+      Multimodal.readBinaryDir(s, dir, "*.wav")
+        .filter(Multimodal.isWav(col("content")))
+        .select(col("file_name"), we.as("we"))
+        .select(col("file_name"),
+          size(col("we")).cast("long").as("n_windows"),
+          size(filter(col("we"), e => e < 10L)).cast("long")
+            .as("n_silent"),
+          coalesce(array_max(col("we")), lit(0L)).as("max_energy"),
+          (aggregate(col("we"), lit(0L), (a, e) => a + e) /
+            greatest(size(col("we")), lit(1))).cast("long")
+            .as("mean_energy"))
+        .orderBy("file_name")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+               content, (size - 44) // 2 AS ns
+        FROM read_blob('$PcmDir/*.wav')
+        WHERE ${Multimodal.isWavSql("content")}),
+      samp AS (
+        SELECT file_name, content,
+               unnest(generate_series(0,
+                 CAST(ns // 50 AS INT) * 50 - 1)) AS i
+        FROM src WHERE ns >= 50),
+      wins AS (
+        SELECT file_name, i // 50 AS w,
+               SUM(${Multimodal.pcm16AbsSql("content", "i")}) // 50
+                 AS energy
+        FROM samp GROUP BY file_name, w),
+      agg AS (
+        SELECT file_name, CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(count(*) FILTER (WHERE energy < 10) AS BIGINT)
+                 AS n_silent,
+               CAST(max(energy) AS BIGINT) AS max_energy,
+               CAST(sum(energy) // count(*) AS BIGINT) AS mean_energy
+        FROM wins GROUP BY file_name)
+      SELECT s.file_name,
+             coalesce(a.n_windows, 0) AS n_windows,
+             coalesce(a.n_silent, 0) AS n_silent,
+             coalesce(a.max_energy, 0) AS max_energy,
+             coalesce(a.mean_energy, 0) AS mean_energy
+      FROM src s LEFT JOIN agg a USING (file_name)
+      ORDER BY s.file_name
+    """))
+
   def all: Seq[GQuery] =
     Seq(binaryMeta, fileLedger, imageDecode, imageResize, audioMeta,
       jpegMeta, imagePhash, imageNearDup, videoMeta, frameSample,
-      binaryColumn, cdcChunks, cdcSharedChunks)
+      binaryColumn, cdcChunks, cdcSharedChunks, audioEnergy)
 }

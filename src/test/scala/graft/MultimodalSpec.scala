@@ -23,6 +23,41 @@ class MultimodalSpec extends SparkSpec {
     (299L * r + 587L * g + 114L * b) / 1000.0
   }
 
+  test("windowEnergies: analytic PCM16 means, silence lattice exact") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    // hand-built clip: 100 samples = 2 windows of 50; window 0 all
+    // zero (silent), window 1 constant amplitude 300 and -300
+    // alternating -> mean |sample| = 300 exactly
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit =
+      out.write(Array(v.toByte, (v >> 8).toByte), 0, 2)
+    def le32(v: Int): Unit =
+      out.write(Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+        (v >> 24).toByte), 0, 4)
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4); le32(36 + 200)
+    out.write("WAVEfmt ".getBytes("US-ASCII"), 0, 8)
+    le32(16); le16(1); le16(1); le32(8000); le32(16000); le16(2)
+    le16(16)
+    out.write("data".getBytes("US-ASCII"), 0, 4); le32(200)
+    (0 until 100).foreach { i =>
+      val v = if (i < 50) 0 else if (i % 2 == 0) 300 else -300
+      le16(v & 0xFFFF)
+    }
+    val df = Seq(Tuple1(out.toByteArray)).toDF("content")
+    val we = df.select(graft.ops.Multimodal
+      .windowEnergies(col("content"), 50).as("we"))
+      .as[Seq[Long]].head()
+    assert(we == Seq(0L, 300L))
+    // ragged tail dropped: 120 samples at window 50 -> still 2 windows
+    val longer = out.toByteArray ++ Array.fill(40)(0.toByte)
+    val we2 = Seq(Tuple1(longer)).toDF("content")
+      .select(graft.ops.Multimodal
+        .windowEnergies(col("content"), 50).as("we"))
+      .as[Seq[Long]].head()
+    assert(we2.length == 2)
+  }
+
   test("batch decode: real pixels, exact analytic luma; bad files drop") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString
     (0 until 10).foreach(writeUniform(dir, _))
