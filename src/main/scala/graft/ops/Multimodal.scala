@@ -224,14 +224,11 @@ object Multimodal {
   /** |sample i| of a canonical 44-byte-header PCM16LE mono WAV
     * (0-based sample index; two's-complement sign fold). */
   private def pcm16Abs(content: Column, i: Column): Column = {
-    val lo = byteAtAbs(content, lit(45L) + i * 2L)
-    val hi = byteAtAbs(content, lit(46L) + i * 2L)
+    val lo = byteAt(content, lit(45L) + i * 2L)
+    val hi = byteAt(content, lit(46L) + i * 2L)
     val v = lo + hi * 256L
     abs(when(v >= 32768L, v - 65536L).otherwise(v))
   }
-  private def byteAtAbs(content: Column, off: Column): Column =
-    conv(hex(content.substr(off.cast("int"), lit(1))), 16, 10)
-      .cast("long")
 
   /** Per-window mean-absolute energies of a PCM16LE mono payload —
     * the voice-activity/silence-trim primitive an audio training

@@ -64,6 +64,11 @@ object TableStore {
         val n = o.getPath.getName.stripPrefix(".old_ckpt_v")
         val target = new Path(s"$root/$Log/v=$n")
         if (!fs.exists(target)) fs.rename(o.getPath, target)
+        // swap completed but its marker cleanup crashed: delete the
+        // stale backup NOW — a later vacuum dropping v=n must not
+        // let this marker resurrect a log whose remove-actions are
+        // already gone
+        else fs.delete(o.getPath, true)
       }
     fs.listStatus(logRoot).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
@@ -385,27 +390,45 @@ object TableStore {
     (df, touched.size, live.size)
   }
 
-  /** True iff the file's parquet bloom filter for `pcol` might
-    * contain ANY of `values` — files written without a bloom (or
-    * whose blocks lack one) can't be skipped and count as maybe. */
+  /** Whether the file might contain ANY of `values` in `pcol`:
+    * Some(true/false) from its parquet bloom, None when the file's
+    * schema predates the column entirely (only nulls — provably no
+    * match, but the caller tracks presence for the typo guard).
+    * Blocks without a bloom can't be skipped and count as maybe.
+    * Probe hashes follow the column's PHYSICAL type — a bloom over
+    * INT32 was built from 4-byte hashes, and probing it with longs
+    * would be a false NEGATIVE on every key (silent row loss). */
   private def bloomMayContain(spark: SparkSession, root: String,
                               rel: String, pcol: String,
-                              values: Seq[Long]): Boolean = {
+                              values: Seq[Long]): Option[Boolean] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
       new Path(s"$root/$rel"), spark.sparkContext.hadoopConfiguration))
     try {
       import scala.jdk.CollectionConverters._
-      reader.getFooter.getBlocks.asScala.exists { block =>
+      var saw = false
+      val may = reader.getFooter.getBlocks.asScala.exists { block =>
         block.getColumns.asScala
           .find(_.getPath.toDotString == pcol) match {
-          case None => true // column absent: not skippable
+          case None => false // only nulls here: cannot match a value
           case Some(cc) =>
+            saw = true
             val bf = reader.getBloomFilterDataReader(block)
               .readBloomFilter(cc)
-            bf == null || values.exists(v =>
-              bf.findHash(bf.hash(java.lang.Long.valueOf(v))))
+            bf == null || {
+              val hash: Long => Long =
+                cc.getPrimitiveType.getPrimitiveTypeName match {
+                  case PrimitiveTypeName.INT64 =>
+                    v => bf.hash(java.lang.Long.valueOf(v))
+                  case PrimitiveTypeName.INT32 =>
+                    v => bf.hash(java.lang.Integer.valueOf(v.toInt))
+                  case _ => return Some(true) // unsupported: maybe
+                }
+              values.exists(v => bf.findHash(hash(v)))
+            }
         }
       }
+      if (!saw && !may) None else Some(may)
     } finally reader.close()
   }
 
@@ -433,8 +456,16 @@ object TableStore {
     val (logged, bare) = live.partition(_.mins.contains(pcol))
     val ranged = overlappingFiles(spark, root, logged, pcol,
       values.min, values.max) ++ bare
-    val touched = ranged.filter(e =>
-      bloomMayContain(spark, root, e.path, pcol, values))
+    var sawColumn = logged.nonEmpty || live.isEmpty
+    val touched = ranged.filter { e =>
+      bloomMayContain(spark, root, e.path, pcol, values) match {
+        case Some(m) => sawColumn = true; m
+        case None => false // schema predates the column: only nulls
+      }
+    }
+    require(sawColumn || bare.isEmpty,
+      s"lookup column $pcol exists in NO live file of $root — " +
+        "misspelled column, not an evolved one")
     val residual = col(pcol).isin(values: _*)
     val df =
       if (touched.nonEmpty)
@@ -613,6 +644,15 @@ object TableStore {
     if (!fs.rename(target, old))
       throw new java.io.IOException(s"cannot stage checkpoint at $target")
     if (!fs.rename(staged, target)) {
+      if (fs.exists(target)) {
+        // a concurrent reader's crash-recovery restored the original
+        // log between our two renames — that log is intact and
+        // correct, so this vacuum simply stands down: no checkpoint,
+        // and crucially NO pre-horizon log/file deletion (the delta
+        // log still needs them); the next vacuum retries
+        fs.delete(staged, true)
+        return
+      }
       fs.rename(old, target)
       throw new java.io.IOException(s"cannot publish checkpoint at $target")
     }

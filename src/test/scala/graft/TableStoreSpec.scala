@@ -404,6 +404,52 @@ class TableStoreSpec extends SparkSpec {
     assert(h.forall(_.getAs[Long]("n_added") == 0L))
   }
 
+  test("pointLookup hashes by the column's physical type (INT32 keys)") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    // IntegerType key column: the bloom is built from 4-byte hashes,
+    // probing with long hashes would false-NEGATIVE every key
+    TableStore.append(
+      (1 to 100).map(i => (i, s"r$i")).toDF("id", "payload")
+        .coalesce(1), root, bloomCols = Seq("id"))
+    val (df, touched, _) = TableStore.pointLookup(
+      spark, root, "id", Seq(42L))
+    assert(touched == 1)
+    assert(df.count() == 1L)
+  }
+
+  test("pointLookup skips files that predate the column, loud on typos") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    TableStore.append(mk(1L to 50L: _*).coalesce(1), root) // no 'extra'
+    TableStore.append(
+      (100L to 120L).map(i => (i, s"r$i", i * 10)).toDF(
+        "id", "payload", "extra").coalesce(1), root,
+      bloomCols = Seq("extra"))
+    val (hit, t, tot) = TableStore.pointLookup(
+      spark, root, "extra", Seq(1100L))
+    assert(tot == 2 && t == 1) // legacy file provably null, skipped
+    assert(hit.count() == 1L)
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.pointLookup(spark, root, "extrra", Seq(1L))
+    }
+    assert(ex.getMessage.contains("misspelled"))
+  }
+
+  test("a stale checkpoint-swap backup is deleted once the swap landed") {
+    val root = tmp()
+    TableStore.append(mk(1), root)
+    TableStore.append(mk(2), root)
+    // simulate a crash AFTER publish but before marker cleanup:
+    // v=2 exists AND .old_ckpt_v2 lingers
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_log/.old_ckpt_v2")
+    fs.mkdirs(marker)
+    assert(TableStore.versions(spark, root) == Seq(1L, 2L))
+    assert(!fs.exists(marker)) // swept, cannot resurrect later
+  }
+
   test("duplicate version commit fails loudly (single-writer contract)") {
     val root = tmp()
     TableStore.append(mk(1), root)

@@ -46,12 +46,13 @@ def connect():
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     return c
 
-con = connect()
+con = None if fresh else connect()
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
     if fresh:
-        con.close()
+        if con is not None:
+            con.close()
         con = connect()
     try:
         exp = con.execute(sql).df()
