@@ -491,8 +491,67 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** The store's audit surface ([[graft.ops.TableStore.history]]):
+    * a deterministic commit sequence — two single-file key-sliced
+    * appends, a copy-on-write delete (one file out, one in), and a
+    * no-action compact of what is already one file per the 64 MB
+    * target — then history() is read back whole. The oracle derives
+    * every row from the source: file counts from the commit shapes
+    * (coalesce(1) per non-empty append; the delete rewrites exactly
+    * the one overlapping file), rows_added from the slice counts.
+    * Gates that the log's audit view matches what the commits
+    * actually did, including the no-action row. */
+  val storeHistory = GQuery(
+    "q_store_history",
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tshist").toString + "/orders"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") < 5000L).coalesce(1), root,
+        statsCols = Seq("o_orderkey"))
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") >= 5000L).coalesce(1), root,
+        statsCols = Seq("o_orderkey"))
+      graft.ops.TableStore.deleteWhere(s, root,
+        col("o_orderkey").between(100L, 200L), ("o_orderkey", 100L, 200L))
+      graft.ops.TableStore.compact(s, root, targetBytes = 64L << 20)
+      graft.ops.TableStore.history(s, root).orderBy("version")
+    },
+    Some("""
+      WITH c AS (
+        SELECT count(*) FILTER (WHERE o_orderkey < 5000) AS n1,
+               count(*) FILTER (WHERE o_orderkey >= 5000) AS n2,
+               count(*) FILTER (WHERE o_orderkey < 5000
+                 AND o_orderkey NOT BETWEEN 100 AND 200) AS n1_kept,
+               count(*) FILTER (WHERE o_orderkey >= 5000) > 0 AS has2
+        FROM orders)
+      SELECT CAST(v.version AS BIGINT) AS version,
+             CAST(CASE v.version
+               WHEN 1 THEN CASE WHEN n1 > 0 THEN 1 ELSE 0 END
+               WHEN 2 THEN CASE WHEN has2 THEN 1 ELSE 0 END
+               WHEN 3 THEN CASE WHEN n1_kept > 0 THEN 1 ELSE 0 END
+               -- compact folds every live file into one (64 MB target
+               -- dwarfs the data) — a real commit unless nothing lives
+               ELSE CASE WHEN n1_kept > 0 OR has2 THEN 1 ELSE 0 END
+               END AS BIGINT) AS n_added,
+             CAST(CASE v.version
+               WHEN 3 THEN CASE WHEN n1 > 0 THEN 1 ELSE 0 END
+               WHEN 4 THEN (CASE WHEN n1_kept > 0 THEN 1 ELSE 0 END)
+                         + (CASE WHEN has2 THEN 1 ELSE 0 END)
+               ELSE 0 END AS BIGINT) AS n_removed,
+             CAST(CASE v.version
+               WHEN 1 THEN n1 WHEN 2 THEN n2
+               WHEN 3 THEN n1_kept
+               ELSE n1_kept + n2 END AS BIGINT) AS rows_added
+      FROM (VALUES (1), (2), (3), (4)) v(version), c
+      ORDER BY version
+    """),
+    eager = true)
+
   def all: Seq[GQuery] =
     Seq(runMonthPruning, retentionExpire, timeTravel, rowDelete,
       storeSkipping, versionDiff, storeOptimize, storeEvolution,
-      storePointLookup)
+      storePointLookup, storeHistory)
 }
