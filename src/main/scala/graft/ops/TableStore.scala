@@ -559,6 +559,32 @@ object TableStore {
     n
   }
 
+  /** Roll the table back to `toVersion`'s content as a NEW commit —
+    * the undo every versioned store owes its operators (a bad
+    * overwrite or delete is reverted forward, never by mutating
+    * history). Zero data movement: files are immutable, so the
+    * restore commit simply re-ADDS the target snapshot's files
+    * (stats maps ride along) and removes the current live set;
+    * every version including the mistake stays readable until
+    * [[vacuum]] retires it. The target must still be within the
+    * retention window — a vacuumed version is gone and fails
+    * loudly in [[read]]'s version check. */
+  def restore(spark: SparkSession, root: String,
+              toVersion: Long): Long = {
+    val prev = versions(spark, root).last
+    val target = liveAt(spark, root, toVersion) // loud if vacuumed
+    val current = liveAt(spark, root, prev).map(_.path)
+    val n = prev + 1
+    // a file live in BOTH stays live: remove only what the target
+    // lacks, add only what the current set lacks — the minimal diff
+    // keeps the log commit proportional to the actual change
+    val targetPaths = target.map(_.path).toSet
+    commitLog(spark, root, n,
+      target.filterNot(e => current.contains(e.path)),
+      current.filterNot(targetPaths.contains))
+    n
+  }
+
   /** Layout OPTIMIZE as a commit: rewrite the live set RANGE-
     * CLUSTERED on `clusterCol` into ~targetBytes files — after it,
     * per-file [min, max] intervals are (sample-boundary) disjoint,

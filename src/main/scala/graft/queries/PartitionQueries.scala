@@ -550,8 +550,57 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** Snapshot restore ([[graft.ops.TableStore.restore]]): two
+    * appends, a bad overwrite, then a restore to version 2 — zero
+    * data movement, the restore commit just re-references the
+    * immutable files. The digest reads the restored latest AND the
+    * mistake version (still time-travelable); the oracle states
+    * both from the source, pinning that undo is a forward commit
+    * that loses nothing. */
+  val storeRestore = GQuery(
+    "q_store_restore",
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tsrest").toString + "/orders"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") < 5000L), root)
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") >= 5000L), root)
+      graft.ops.TableStore.overwrite(
+        src.where(col("o_orderkey") < 100L), root) // the mistake
+      graft.ops.TableStore.restore(s, root, toVersion = 2L)
+      Seq(("mistake", 3L), ("restored", 4L)).map { case (tag, v) =>
+        graft.ops.TableStore.read(s, root, Some(v))
+          .agg(
+            lit(tag).as("phase"),
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 4)))
+              .cast("double").as("total_price"),
+            min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"))
+          .select("phase", "n_orders", "total_price",
+            "min_key", "max_key")
+      }.reduce(_ unionAll _).orderBy("phase")
+    },
+    Some("""
+      SELECT 'mistake' AS phase, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders WHERE o_orderkey < 100
+      UNION ALL
+      SELECT 'restored', COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+             MIN(o_orderkey), MAX(o_orderkey)
+      FROM orders
+      ORDER BY phase
+    """),
+    eager = true)
+
   def all: Seq[GQuery] =
     Seq(runMonthPruning, retentionExpire, timeTravel, rowDelete,
       storeSkipping, versionDiff, storeOptimize, storeEvolution,
-      storePointLookup, storeHistory)
+      storePointLookup, storeHistory, storeRestore)
 }

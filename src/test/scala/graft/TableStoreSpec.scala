@@ -450,6 +450,35 @@ class TableStoreSpec extends SparkSpec {
     assert(!fs.exists(marker)) // swept, cannot resurrect later
   }
 
+  test("restore rolls content back as a new commit, history intact") {
+    val root = tmp()
+    TableStore.append(mk(1, 2), root)              // v1
+    TableStore.append(mk(3), root)                 // v2
+    TableStore.overwrite(mk(9), root)              // v3 — the mistake
+    val v = TableStore.restore(spark, root, toVersion = 2L)
+    assert(v == 4L)
+    assert(ids(root) == Set(1L, 2L, 3L))           // undone forward
+    assert(ids(root, Some(3L)) == Set(9L))         // mistake readable
+    // minimal diff: v1+v2 files re-added, v3's single file removed
+    val h = TableStore.history(spark, root)
+      .where(col("version") === 4).collect().head
+    assert(h.getAs[Long]("n_removed") == 1L)
+    // restore survives vacuum of everything before it
+    TableStore.vacuum(spark, root, keepVersions = 1)
+    assert(ids(root) == Set(1L, 2L, 3L))
+  }
+
+  test("restoring to the current version is a no-op commit") {
+    val root = tmp()
+    TableStore.append(mk(1), root)
+    val v = TableStore.restore(spark, root, toVersion = 1L)
+    assert(v == 2L && ids(root) == Set(1L))
+    val h = TableStore.history(spark, root)
+      .where(col("version") === 2).collect().head
+    assert(h.getAs[Long]("n_added") == 0L &&
+      h.getAs[Long]("n_removed") == 0L)
+  }
+
   test("duplicate version commit fails loudly (single-writer contract)") {
     val root = tmp()
     TableStore.append(mk(1), root)
