@@ -177,6 +177,12 @@ object Bench {
         s""""times":[${times.mkString(",")}],""" +
         d.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
           .mkString(",") + "}")
+      // reclaim this query's per-run scratch (temp stores, model dirs,
+      // stream checkpoints) NOW, outside any timer: letting it pile up
+      // for the whole 185-query run put gigabytes of dead files on the
+      // bench disk and the resulting page-cache pressure landed on the
+      // disk-heavy alphabetical tail (the r10 end-of-run drift cluster)
+      TempRoots.sweepCreated()
       name -> med
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

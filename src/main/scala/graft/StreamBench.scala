@@ -58,8 +58,8 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_streambench").toString
+    val root = graft.TempRoots
+      .create("graft_streambench")
     val stage = s"$root/events"
 
     // stage: time-ordered slices, one parquet file each, written

@@ -167,8 +167,8 @@ object CorpusQueries extends QueryPack {
       val batch = docs.filter(col("doc_id") % 5 === 0)
         .unionByName(docs.filter(col("doc_id") % 15 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_qbatch").toString + "/store"
+      val store = graft.TempRoots
+        .create("graft_qbatch") + "/store"
       graft.ops.Dedup.updateSignatureStore(
         graft.ops.Dedup.signatures(history, "doc_id", "text", K, NumHashes),
         store, 0L)

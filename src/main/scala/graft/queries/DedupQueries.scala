@@ -563,8 +563,8 @@ object DedupQueries extends QueryPack {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
         .unionByName(docs.filter(col("doc_id") % 5 === 1)
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_fpq").toString + "/fps"
+      val dir = graft.TempRoots
+        .create("graft_fpq") + "/fps"
       Dedup.updateFingerprintStore(history, "text", "doc_id", dir, 0L)
       Dedup.incrementalExact(
           Dedup.readFingerprintStore(s, dir), batch, "text", "doc_id")
@@ -911,8 +911,8 @@ object DedupQueries extends QueryPack {
     "q_incremental_span_dedup",
     (s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_spanst").toString + "/spans"
+      val dir = graft.TempRoots
+        .create("graft_spanst") + "/spans"
       graft.ops.SpanDedup.updateSpanStore(
         docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", 8, dir, 0L)
       graft.ops.SpanDedup.updateSpanStore(

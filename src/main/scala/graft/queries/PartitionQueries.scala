@@ -81,8 +81,8 @@ object PartitionQueries extends QueryPack {
   val retentionExpire = GQuery(
     "q_retention_expire",
     (s, d) => {
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_retention").toString + "/fact"
+      val store = graft.TempRoots
+        .create("graft_retention") + "/fact"
       val fact = Tables.orders(s, d).select(
         col("o_orderkey"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM").as("run_month"))
@@ -124,8 +124,8 @@ object PartitionQueries extends QueryPack {
   val timeTravel = GQuery(
     "q_time_travel",
     (s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_tstore").toString + "/orders"
+      val root = graft.TempRoots
+        .create("graft_tstore") + "/orders"
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_orderdate", "o_totalprice")
       graft.ops.TableStore.append(
@@ -181,8 +181,8 @@ object PartitionQueries extends QueryPack {
   val rowDelete = GQuery(
     "q_row_delete",
     (s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_tsdel").toString + "/orders"
+      val root = graft.TempRoots
+        .create("graft_tsdel") + "/orders"
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_orderdate", "o_totalprice")
       graft.ops.TableStore.append(
@@ -239,8 +239,8 @@ object PartitionQueries extends QueryPack {
   val storeSkipping = GQuery(
     "q_store_skipping",
     (s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_tsread").toString + "/orders"
+      val root = graft.TempRoots
+        .create("graft_tsread") + "/orders"
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_orderdate", "o_totalprice")
       graft.ops.TableStore.append(
@@ -294,8 +294,8 @@ object PartitionQueries extends QueryPack {
   val versionDiff = GQuery(
     "q_version_diff",
     (s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_tsdiff").toString + "/orders"
+      val root = graft.TempRoots
+        .create("graft_tsdiff") + "/orders"
       val src = Tables.orders(s, d).select(
         col("o_orderkey"), col("o_orderdate"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
@@ -349,8 +349,8 @@ object PartitionQueries extends QueryPack {
   val storeOptimize = GQuery(
     "q_store_optimize",
     (s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_tsopt").toString + "/orders"
+      val root = graft.TempRoots
+        .create("graft_tsopt") + "/orders"
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_orderdate", "o_totalprice")
       (0L until 3L).foreach { i =>
@@ -408,8 +408,8 @@ object PartitionQueries extends QueryPack {
   val storeEvolution = GQuery(
     "q_store_evolution",
     (s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_tsevo").toString + "/orders"
+      val root = graft.TempRoots
+        .create("graft_tsevo") + "/orders"
       val src = Tables.orders(s, d).select(
         col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
@@ -459,8 +459,8 @@ object PartitionQueries extends QueryPack {
   val storePointLookup = GQuery(
     "q_store_pointlookup",
     (s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_tsbloom").toString + "/orders"
+      val root = graft.TempRoots
+        .create("graft_tsbloom") + "/orders"
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_orderdate", "o_totalprice")
       (0L until 3L).foreach { i =>
@@ -504,8 +504,8 @@ object PartitionQueries extends QueryPack {
   val storeHistory = GQuery(
     "q_store_history",
     (s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_tshist").toString + "/orders"
+      val root = graft.TempRoots
+        .create("graft_tshist") + "/orders"
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_totalprice")
       graft.ops.TableStore.append(
@@ -560,8 +560,8 @@ object PartitionQueries extends QueryPack {
   val storeRestore = GQuery(
     "q_store_restore",
     (s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_tsrest").toString + "/orders"
+      val root = graft.TempRoots
+        .create("graft_tsrest") + "/orders"
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_orderdate", "o_totalprice")
       graft.ops.TableStore.append(

@@ -61,7 +61,7 @@ object StreamQueries extends QueryPack {
                     replayMod: Option[Int] = None,
                     sentinels: Boolean = false) = {
     val root =
-      java.nio.file.Files.createTempDirectory("graft_sgate").toString
+      graft.TempRoots.create("graft_sgate")
     val events = Tables.events(s, d)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"),

@@ -577,8 +577,8 @@ object TextQueries extends QueryPack {
     "q_incremental_line_dedup",
     (s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_segdf").toString + "/segdf"
+      val dir = graft.TempRoots
+        .create("graft_segdf") + "/segdf"
       graft.ops.LineDedup.updateSegmentStore(
         docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", 4, dir, 0L)
       graft.ops.LineDedup.updateSegmentStore(
@@ -689,8 +689,8 @@ object TextQueries extends QueryPack {
   val bpeEncodeQ = GQuery(
     "q_bpe_encode",
     (s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_bpe").toString + "/model"
+      val dir = graft.TempRoots
+        .create("graft_bpe") + "/model"
       val docs = Tables.documents(s, d)
       graft.ops.Vocab.bpeSaveModel(docs, "text", rounds = 3, dir)
       graft.ops.Vocab.bpeEncode(docs, "doc_id", "text", dir)

@@ -15,7 +15,7 @@ class AtomicOverwriteSpec extends SparkSpec {
   }
 
   test("first write then replace: readers always see a complete layer") {
-    val path = Files.createTempDirectory("graft-ao").resolve("layer").toString
+    val path = java.nio.file.Paths.get(TempRoots.create("graft-ao")).resolve("layer").toString
     Upsert.atomicOverwrite(frame("v1", 10), path)
     assert(spark.read.parquet(path).agg(count_distinct(col("tag"))).head().getLong(0) === 1)
     Upsert.atomicOverwrite(frame("v2", 20), path)
@@ -29,7 +29,7 @@ class AtomicOverwriteSpec extends SparkSpec {
   }
 
   test("a write that fails mid-job leaves the existing layer intact") {
-    val path = Files.createTempDirectory("graft-ao2").resolve("layer").toString
+    val path = java.nio.file.Paths.get(TempRoots.create("graft-ao2")).resolve("layer").toString
     Upsert.atomicOverwrite(frame("good", 5), path)
     // a frame whose evaluation throws at write time
     val bomb = frame("bad", 5).withColumn("boom",
@@ -43,7 +43,7 @@ class AtomicOverwriteSpec extends SparkSpec {
   }
 
   test("a crash between the two renames is recovered, never destroyed") {
-    val path = Files.createTempDirectory("graft-ao3").resolve("layer").toString
+    val path = java.nio.file.Paths.get(TempRoots.create("graft-ao3")).resolve("layer").toString
     Upsert.atomicOverwrite(frame("v1", 10), path)
     // simulate the crash window: target staged away to .__old__, the
     // new version never published

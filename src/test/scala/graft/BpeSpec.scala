@@ -55,8 +55,8 @@ class BpeSpec extends SparkSpec {
 
   test("encode joins the saved map; unseen words fall back to chars") {
     import org.apache.spark.sql.functions.col
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_bpe_spec").toString + "/m"
+    val dir = graft.TempRoots
+      .create("graft_bpe_spec") + "/m"
     // train on "ab" x3 -> merge (a,b); encode a corpus containing the
     // trained word, a word embedding it, and an unseen word
     Vocab.bpeSaveModel(docs("ab ab ab"), "text", rounds = 1, dir)

@@ -24,7 +24,7 @@ class ChurnModelSpec extends SparkSpec {
       "2026-04-01 08:00:00,2026-04-01 08:00:00,new"
 
   test("train/predict round trip writes a full prediction refresh") {
-    val root = java.nio.file.Files.createTempDirectory("graft_ml").toString
+    val root = graft.TempRoots.create("graft_ml")
     val layers = Warehouse.Layers(root)
     val landing = s"$root/landing"
     // 16 customers, both classes, churn correlates with low tenure
@@ -78,7 +78,7 @@ class ChurnModelSpec extends SparkSpec {
   }
 
   test("versioned artifacts: save, load-latest of >=2, predict without retraining") {
-    val root = java.nio.file.Files.createTempDirectory("graft_ml3").toString
+    val root = graft.TempRoots.create("graft_ml3")
     val layers = Warehouse.Layers(root)
     val landing = s"$root/landing"
     val artifacts = s"$root/artifacts"
@@ -142,7 +142,7 @@ class ChurnModelSpec extends SparkSpec {
   }
 
   test("feature importances rank and sum to 1") {
-    val root = java.nio.file.Files.createTempDirectory("graft_ml2").toString
+    val root = graft.TempRoots.create("graft_ml2")
     val layers = Warehouse.Layers(root)
     val landing = s"$root/landing"
     val rows = (1 to 8).map(i => row(f"Y$i%03d", "Yes", i, 90.0 + i)) ++

@@ -127,7 +127,7 @@ class CorpusSpec extends SparkSpec {
       2001L -> textT2 // novel: survives
     ).toDF("doc_id", "text")
 
-    val root = java.nio.file.Files.createTempDirectory("graft_corpus_inc")
+    val root = java.nio.file.Paths.get(graft.TempRoots.create("graft_corpus_inc"))
       .toString
     val dir = s"$root/store"
     val fpDir = s"$root/fps"
@@ -185,8 +185,8 @@ class CorpusSpec extends SparkSpec {
       5001L -> (1 to 30).map(i => s"rty$i").mkString(" ")  // in-batch exact dup
     ).toDF("doc_id", "text")
     def bootstrap(): String = {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_retry").toString
+      val root = graft.TempRoots
+        .create("graft_retry")
       graft.ops.Dedup.updateSignatureStore(
         graft.ops.Dedup.signatures(docs, "doc_id", "text", 3, 64),
         s"$root/store", 0L)
@@ -224,7 +224,7 @@ class CorpusSpec extends SparkSpec {
   test("an empty ingest tick is a no-op, not a crash") {
     val s = spark; import s.implicits._
     val docs = Tables.documents(spark, TinySf).select("doc_id", "text")
-    val root = java.nio.file.Files.createTempDirectory("graft_empty_tick")
+    val root = java.nio.file.Paths.get(graft.TempRoots.create("graft_empty_tick"))
       .toString
     graft.ops.Dedup.updateSignatureStore(
       graft.ops.Dedup.signatures(docs, "doc_id", "text", 3, 64),
@@ -270,8 +270,8 @@ class CorpusSpec extends SparkSpec {
   }
 
   test("streaming ingest: ticks accrue exactly-once across restarts") {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_ingest").toString
+    val root = graft.TempRoots
+      .create("graft_ingest")
     val landing = s"$root/landing"
     def writeCsv(name: String, lines: Seq[String]): Unit = {
       val p = java.nio.file.Paths.get(landing)
@@ -334,8 +334,8 @@ class CorpusSpec extends SparkSpec {
 
   test("a store path holding only crash residue reads as empty, not a wedge") {
     val s = spark; import s.implicits._
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_residue").toString
+    val root = graft.TempRoots
+      .create("graft_residue")
     // simulate a crash DURING the first-ever store write: the path
     // exists but holds only the committer's staging dir — no
     // batch_id= partition ever committed

@@ -16,8 +16,8 @@ class DegenerateSpec extends SparkSpec {
 
   test("every registry query survives a zero-row corpus " +
       "(ok or documented refusal, never a crash)") {
-    val emptyDir = java.nio.file.Files
-      .createTempDirectory("graft_empty_spec").toString + "/sf"
+    val emptyDir = graft.TempRoots
+      .create("graft_empty_spec") + "/sf"
     DegenerateSweep.mirrorEmpty(spark, TinySf, emptyDir)
     val before = queries.OracleContext.sfDir
     val results =

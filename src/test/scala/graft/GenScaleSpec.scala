@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 class GenScaleSpec extends SparkSpec {
 
   private lazy val outDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_gs").toString
+    val dir = graft.TempRoots.create("graft_gs")
     GenScale.build(spark, TinySf, dir, replicas = 2)
     dir
   }
@@ -99,7 +99,7 @@ class GenScaleSpec extends SparkSpec {
     // replica 64 would repeat replica 0's rotation; the second
     // 64-block negates components, so |x| multisets match while the
     // signed vectors differ — and no slice() length can go negative
-    val dir = java.nio.file.Files.createTempDirectory("graft_gs66").toString
+    val dir = graft.TempRoots.create("graft_gs66")
     GenScale.build(spark, TinySf, dir, replicas = 66)
     val s = spark
     val nVec = Tables.embeddings(s, TinySf).count()

@@ -19,7 +19,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val fresh = docs.filter(col("doc_id") % 5 === 0)
 
     // store round-trip: signatures persisted once, read back cold
-    val dir = java.nio.file.Files.createTempDirectory("graft_sig").toString
+    val dir = graft.TempRoots.create("graft_sig")
     Dedup.signatures(old, "doc_id", "text", K, NumHashes)
       .write.mode("overwrite").parquet(s"$dir/sigs.parquet")
     val store = spark.read.parquet(s"$dir/sigs.parquet")
@@ -42,7 +42,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val base = docs.filter(col("doc_id") % 5 > 1)    // 60%
     val batch1 = docs.filter(col("doc_id") % 5 === 0) // 20%
     val batch2 = docs.filter(col("doc_id") % 5 === 1) // 20%
-    val dir = java.nio.file.Files.createTempDirectory("graft_sig2")
+    val dir = java.nio.file.Paths.get(graft.TempRoots.create("graft_sig2"))
       .toString + "/store"
 
     // bootstrap: the base corpus is batch 0 of the store

@@ -13,7 +13,7 @@ import java.nio.file.Files
 class IncrementalSpec extends SparkSpec {
 
   private def tmpWm(): String =
-    Files.createTempDirectory("graft-wm").resolve("wm.txt").toString
+    java.nio.file.Paths.get(TempRoots.create("graft-wm")).resolve("wm.txt").toString
 
   private def frame(n: Int): DataFrame = {
     val s = spark; import s.implicits._
@@ -73,7 +73,7 @@ class IncrementalSpec extends SparkSpec {
   }
 
   test("csvSink writes exactly one ordered header CSV file") {
-    val dir = Files.createTempDirectory("graft-csv").resolve("out").toString
+    val dir = java.nio.file.Paths.get(TempRoots.create("graft-csv")).resolve("out").toString
     Incremental.csvSink(frame(5).orderBy(desc("id")), dir, Seq("id"))
     val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
     assert(files.length === 1)

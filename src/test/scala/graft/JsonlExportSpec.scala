@@ -17,8 +17,8 @@ class JsonlExportSpec extends SparkSpec {
 
   test("round-trips quotes, backslashes, newlines, unicode, nulls") {
     val s = spark; import s.implicits._
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_jsonl_export").toString
+    val dir = graft.TempRoots
+      .create("graft_jsonl_export")
     val rows = Seq(
       (1L, """he said "hi" \ bye"""),
       (2L, "line1\nline2\ttabbed"),
@@ -39,8 +39,8 @@ class JsonlExportSpec extends SparkSpec {
 
   test("re-export is byte-stable; shard count as requested") {
     val s = spark; import s.implicits._
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_jsonl_export2").toString
+    val dir = graft.TempRoots
+      .create("graft_jsonl_export2")
     val docs = Tables.documents(spark, TinySf)
       .select("doc_id", "text", "lang")
     def bytesOf(path: String): Map[String, String] = {

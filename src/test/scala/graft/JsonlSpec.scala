@@ -13,7 +13,7 @@ class JsonlSpec extends SparkSpec {
       StructField("lang", StringType))))))
 
   private def write(lines: Seq[String]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    val dir = java.nio.file.Paths.get(graft.TempRoots.create("graft_jsonl"))
     java.nio.file.Files.write(dir.resolve("d.jsonl"),
       lines.mkString("\n").getBytes("UTF-8"))
     s"$dir/d.jsonl"

@@ -121,7 +121,7 @@ class LayoutSpec extends SparkSpec {
   test("writeZOrdered: files carry disjoint z-ranges (the skipping " +
     "contract) and the write plans one range Exchange, no global sort") {
     val s = spark; import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_zw").toString
+    val dir = graft.TempRoots.create("graft_zw")
     val df = Tables.lineitem(s, TinySf).select(
       col("l_orderkey").cast("long").as("a"),
       col("l_partkey").cast("long").as("b"))
@@ -161,7 +161,7 @@ class LayoutSpec extends SparkSpec {
 
   test("writeZOrderedN: 3-dim clustered write keeps disjoint z-ranges") {
     val s = spark; import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_zw3").toString
+    val dir = graft.TempRoots.create("graft_zw3")
     val df = Tables.lineitem(s, TinySf).select(
       col("l_orderkey").cast("long").as("a"),
       col("l_partkey").cast("long").as("b"),
@@ -268,7 +268,7 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("writeHilbert: files carry disjoint hilbert ranges") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_hil")
+    val dir = java.nio.file.Paths.get(graft.TempRoots.create("graft_hil"))
       .toString + "/t"
     val df = spark.range(0, 4096).selectExpr(
       "id % 64 AS x", "(id * 37) % 64 AS y")
@@ -357,7 +357,7 @@ class LayoutSpec extends SparkSpec {
   test("footer manifest: metadata-only stats audit a clustered " +
       "layout's disjointness and forecast a probe's file set") {
     import graft.ops.{FooterStats, Layout}
-    val dir = java.nio.file.Files.createTempDirectory("graft_manifest")
+    val dir = java.nio.file.Paths.get(graft.TempRoots.create("graft_manifest"))
       .toString + "/layer"
     spark.range(0, 4096)
       .selectExpr("id % 64 AS x", "(id * 37) % 64 AS y")
@@ -385,7 +385,7 @@ class LayoutSpec extends SparkSpec {
   test("recluster repairs ONLY the overlapping files — atomic, " +
       "idempotent, content-preserving") {
     import graft.ops.{FooterStats, Layout}
-    val dir = java.nio.file.Files.createTempDirectory("graft_recluster")
+    val dir = java.nio.file.Paths.get(graft.TempRoots.create("graft_recluster"))
       .toString + "/layer"
     val df = spark.range(0, 4096)
       .selectExpr("id % 64 AS x", "(id * 37) % 64 AS y")

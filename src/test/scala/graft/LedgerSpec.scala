@@ -44,7 +44,7 @@ class LedgerSpec extends SparkSpec {
 
   test("archiveFile moves with suffix before the extension") {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_arch").toString
+    val tmp = graft.TempRoots.create("graft_arch")
     val src = new Path(tmp, "batch.csv")
     val out = fs.create(src); out.writeBytes("x,y\n1,2\n"); out.close()
     val dest = Ledger.archiveFile(fs, src, new Path(tmp, "archive"),

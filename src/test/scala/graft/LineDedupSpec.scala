@@ -78,8 +78,8 @@ class LineDedupSpec extends SparkSpec {
     val hist0 = all.filter(col("doc_id") % 3 === 1)
     val hist1 = all.filter(col("doc_id") % 3 === 2)
     val batch = all.filter(col("doc_id") % 3 === 0)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_segdf_spec").toString + "/segdf"
+    val dir = graft.TempRoots
+      .create("graft_segdf_spec") + "/segdf"
     LineDedup.updateSegmentStore(hist0, "doc_id", "text", 3, dir, 0L)
     LineDedup.updateSegmentStore(hist1, "doc_id", "text", 3, dir, 1L)
     val inc = LineDedup.incrementalScrub(
@@ -101,8 +101,8 @@ class LineDedupSpec extends SparkSpec {
 
   test("retried store batch is idempotent (dynamic partition overwrite)") {
     val docs = mk((1L, "x y z w"), (2L, "x y q r"))
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_segdf_retry").toString + "/segdf"
+    val dir = graft.TempRoots
+      .create("graft_segdf_retry") + "/segdf"
     LineDedup.updateSegmentStore(docs, "doc_id", "text", 2, dir, 7L)
     LineDedup.updateSegmentStore(docs, "doc_id", "text", 2, dir, 7L)
     val store = LineDedup.readSegmentStore(spark, dir)

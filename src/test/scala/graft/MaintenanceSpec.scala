@@ -9,8 +9,8 @@ import graft.pipeline.{Diagnostics, Warehouse}
 class MaintenanceSpec extends SparkSpec {
 
   test("diagnostics probe layers like to_regclass: missing = false, not error") {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_diag").toString
+    val root = graft.TempRoots
+      .create("graft_diag")
     val layers = Warehouse.Layers(root)
     // only bronze materialized
     spark.range(10).toDF("id").write.parquet(layers.bronze)
@@ -25,8 +25,8 @@ class MaintenanceSpec extends SparkSpec {
   }
 
   test("diagnostics LIKE discovery finds layer dirs case-insensitively") {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_diag2").toString
+    val root = graft.TempRoots
+      .create("graft_diag2")
     val layers = Warehouse.Layers(root)
     spark.range(1).toDF("id").write.parquet(layers.quarantine)
     spark.range(1).toDF("id").write.parquet(layers.reprocessQuarantine)
@@ -37,8 +37,8 @@ class MaintenanceSpec extends SparkSpec {
   }
 
   test("compaction collapses accumulated small files, preserves rows atomically") {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_compact").toString + "/layer"
+    val dir = graft.TempRoots
+      .create("graft_compact") + "/layer"
     // simulate 20 tiny appended batches → ≥20 files
     (0 until 20).foreach { i =>
       spark.range(i * 100L, (i + 1) * 100L).toDF("id")
@@ -62,8 +62,8 @@ class MaintenanceSpec extends SparkSpec {
   test("retention expiry: dry-run plans without deleting, the real run " +
       "drops exactly the sub-threshold partitions, re-run is a no-op") {
     import graft.ops.Partitioned
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_expire").toString + "/fact"
+    val dir = graft.TempRoots
+      .create("graft_expire") + "/fact"
     val df = spark.range(0, 400).selectExpr("id",
       "concat('2024-0', 1 + CAST(id % 4 AS INT)) AS run_month")
     Partitioned.writeBy(df, dir, "run_month")

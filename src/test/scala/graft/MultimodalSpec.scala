@@ -59,7 +59,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("batch decode: real pixels, exact analytic luma; bad files drop") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString
+    val dir = graft.TempRoots.create("graft_mm")
     (0 until 10).foreach(writeUniform(dir, _))
     // plant one undecodable file among the PNGs
     java.nio.file.Files.write(
@@ -102,7 +102,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("resize resamples real pixels; round-trip keeps uniform color") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_mm_rs").toString
+    val dir = graft.TempRoots.create("graft_mm_rs")
     (0 until 5).foreach(writeUniform(dir, _))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "broken.png"), Array[Byte](1, 2, 3))

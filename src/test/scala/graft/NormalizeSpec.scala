@@ -50,7 +50,7 @@ class NormalizeSpec extends SparkSpec {
   }
 
   test("empty or missing landing dir ingests zero rows, correct schema") {
-    val empty = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    val empty = graft.TempRoots.create("graft_empty")
     val out = graft.ops.CsvIngest.ingestDir(spark, empty,
       graft.queries.CsvQueries.target)
     assert(out.count() == 0)

@@ -34,7 +34,7 @@ class NotifySpec extends SparkSpec {
   }
 
   test("warehouse run fires quarantine preview + batch stats") {
-    val root = java.nio.file.Files.createTempDirectory("graft_nf").toString
+    val root = graft.TempRoots.create("graft_nf")
     val landing = s"$root/landing"
     // 21 rows, 1 bad (≈4.8%, under the breaker): preview must carry
     // exactly that reject, stats the 20 clean rows
@@ -61,7 +61,7 @@ class NotifySpec extends SparkSpec {
   }
 
   test("preview is bounded at PreviewRows even when rejects exceed it") {
-    val root = java.nio.file.Files.createTempDirectory("graft_nf_cap").toString
+    val root = graft.TempRoots.create("graft_nf_cap")
     val landing = s"$root/landing"
     // 25 bad of 300 (≈8.3%, under the breaker) — preview caps at 20
     writeCsv(landing, "classic.csv", ClassicHeader +:
@@ -75,7 +75,7 @@ class NotifySpec extends SparkSpec {
   }
 
   test("clean re-run of a rejecting run_date fires no preview and clears the partition") {
-    val root = java.nio.file.Files.createTempDirectory("graft_nf_rerun").toString
+    val root = graft.TempRoots.create("graft_nf_rerun")
     val landing = s"$root/landing"
     val layers = Warehouse.Layers(root)
     // run 1: one reject lands in quarantine/run_date=2026-06-01
@@ -99,7 +99,7 @@ class NotifySpec extends SparkSpec {
   }
 
   test("gate failure fires the alert event, then the run still halts") {
-    val root = java.nio.file.Files.createTempDirectory("graft_nf_gate").toString
+    val root = graft.TempRoots.create("graft_nf_gate")
     val landing = s"$root/landing"
     // 2 of 4 bad = 50% > 10%: alert + halt BEFORE any layer write
     writeCsv(landing, "classic.csv", ClassicHeader +: Seq(
@@ -117,7 +117,7 @@ class NotifySpec extends SparkSpec {
   }
 
   test("reprocess fires preview + stats; export fires stats") {
-    val root = java.nio.file.Files.createTempDirectory("graft_nf_rp").toString
+    val root = graft.TempRoots.create("graft_nf_rp")
     val landing = s"$root/landing"
     writeCsv(landing, "classic.csv", ClassicHeader +:
       Seq("R001", "R002", "R003").map(classicRow(_)))

@@ -19,7 +19,7 @@ class OrcSpec extends SparkSpec {
   test("round trip keeps null vs empty distinct, unicode and " +
     "newlines byte-exact") {
     val s = spark; import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val dir = graft.TempRoots.create("graft_orc")
     val rows = Seq(
       (1L, "plain", "a"),
       (2L, "", "b"),                     // empty string is NOT null
@@ -36,7 +36,7 @@ class OrcSpec extends SparkSpec {
 
   test("sharded layout: bounded file count, all rows present") {
     val s = spark
-    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val dir = graft.TempRoots.create("graft_orc")
     val df = Tables.documents(s, TinySf)
       .select(col("doc_id").as("id"), col("text"),
         col("lang").as("tag"))
@@ -49,7 +49,7 @@ class OrcSpec extends SparkSpec {
 
   test("plan: predicate pushdown and column pruning reach the ORC scan") {
     val s = spark
-    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val dir = graft.TempRoots.create("graft_orc")
     val df = Tables.documents(s, TinySf)
       .select(col("doc_id").as("id"), col("text"),
         col("lang").as("tag"))

@@ -47,7 +47,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   private def freshRoot(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_wh_$tag").toString
+    graft.TempRoots.create(s"graft_wh_$tag")
 
   /** 31 rows, 3 bad (≈9.7% — under the 10% breaker): one negative
     * tenure, one duplicated id (both copies flagged). */

@@ -18,7 +18,7 @@ class PruningSpec extends SparkSpec {
   }
 
   test("partitioned write + slice read prunes at planning time") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_prune")
+    val dir = java.nio.file.Paths.get(graft.TempRoots.create("graft_prune"))
       .toString + "/fact"
     Partitioned.writeBy(factDf, dir, "run_month")
     val slice = Partitioned.readSlice(spark, dir, "run_month", "1995-03")
@@ -47,7 +47,7 @@ class PruningSpec extends SparkSpec {
     // at runtime, not just row groups. At 100 TB this is the
     // difference between scanning one month and scanning the table
     // whenever the date predicate arrives via a join.
-    val dir = java.nio.file.Files.createTempDirectory("graft_dpp")
+    val dir = java.nio.file.Paths.get(graft.TempRoots.create("graft_dpp"))
       .toString + "/fact"
     Partitioned.writeBy(factDf, dir, "run_month")
     import spark.implicits._
@@ -79,7 +79,7 @@ class PruningSpec extends SparkSpec {
   }
 
   test("dynamic overwrite replaces only the written partition") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_dyn")
+    val dir = java.nio.file.Paths.get(graft.TempRoots.create("graft_dyn"))
       .toString + "/fact"
     Partitioned.writeBy(factDf, dir, "run_month")
     val before = spark.read.parquet(dir).count()

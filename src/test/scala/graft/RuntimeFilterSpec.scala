@@ -15,7 +15,7 @@ class RuntimeFilterSpec extends SparkSpec {
 
   test("selective dim filter injects a bloom filter into the fact side") {
     val s = spark
-    val dir = java.nio.file.Files.createTempDirectory("graft_rtf").toString
+    val dir = graft.TempRoots.create("graft_rtf")
     s.range(0, 200000).selectExpr("id", "id % 1000 AS key",
         "CAST(id * 7 AS DOUBLE) AS v")
       .write.mode("overwrite").parquet(s"$dir/fact.parquet")

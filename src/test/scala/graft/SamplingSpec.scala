@@ -45,7 +45,7 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("the sampling predicate pushes down to the scan") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_samp").toString
+    val dir = graft.TempRoots.create("graft_samp")
     spark.range(1000).toDF("id").write.mode("overwrite")
       .parquet(s"$dir/t.parquet")
     val df = Sampling.sample(
@@ -262,7 +262,7 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("writeShards lands one sorted directory per shard") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val dir = graft.TempRoots.create("graft_shards")
     val base = spark.range(2000).toDF("id")
     Sampling.writeShards(base, col("id"), "epoch-0", 4, s"$dir/out")
     val back = spark.read.parquet(s"$dir/out")

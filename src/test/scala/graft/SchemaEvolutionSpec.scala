@@ -17,7 +17,7 @@ class SchemaEvolutionSpec extends SparkSpec {
 
   test("old batches surface added columns as null; by-name resolution " +
     "absorbs column reorder; backfill counts per row") {
-    val root = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val root = graft.TempRoots.create("graft_evo")
     // v1 schema: (id, name) — no score
     Seq((1L, "a"), (2L, "b")).toDF("id", "name")
       .write.parquet(s"$root/b1")
@@ -44,7 +44,7 @@ class SchemaEvolutionSpec extends SparkSpec {
 
   test("pruning survives the target-schema read: a projection of one " +
     "column reads one column") {
-    val root = java.nio.file.Files.createTempDirectory("graft_evo2").toString
+    val root = graft.TempRoots.create("graft_evo2")
     Seq((1L, "a", 5L)).toDF("id", "name", "score").write.parquet(s"$root/b")
     val plan = SchemaEvolution.readWithTarget(spark, target, s"$root/b")
       .select("id").queryExecution.executedPlan.toString()

@@ -136,8 +136,8 @@ class SimilaritySpec extends SparkSpec {
     // train-once/probe-many: the codebook round-trips through the
     // versioned artifact store and the LOADED copy drives ivfTopK to
     // identical results (the whole point of persisting the index)
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_cb").toString
+    val root = graft.TempRoots
+      .create("graft_cb")
     Similarity.saveCodebook(spark, cb, root, "2026-05-01")
     Similarity.saveCodebook(spark, cb.map(_.map(_ + 1L)), root, "2026-04-01")
     assert(Similarity.listCodebooks(spark, root) ==

@@ -115,8 +115,8 @@ class SpanDedupSpec extends SparkSpec {
       (1L, "dup a b c d e f g"), (2L, "x dup a b c d e f"),
       (3L, "only once in corpus u v w"), (4L, "x dup a b c d e z"),
       (5L, "totally fresh text here q r"), (6L, "x y z w u v t s"))
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_spanst_spec").toString + "/spans"
+    val dir = graft.TempRoots
+      .create("graft_spanst_spec") + "/spans"
     val hist1 = docs.filter(col("doc_id") <= 2)
     val hist2 = docs.filter(col("doc_id") > 2 && col("doc_id") <= 4)
     val batch = docs.filter(col("doc_id") > 4)

@@ -15,7 +15,7 @@ object SharedSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+        graft.TempRoots.create("graft_wh"))
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -21,7 +21,7 @@ class StreamingSpec extends SparkSpec {
     "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
 
   test("sensor tick drains only NEW files (checkpoint = file ledger)") {
-    val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val root = graft.TempRoots.create("graft_stream")
     val landing = s"$root/landing"
     val header = "event_id,ts,user_id,event_type,value"
     writeCsv(landing, "batch1.csv", Seq(header,
@@ -41,7 +41,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("watermarked windowed counts match the batch computation") {
-    val root = java.nio.file.Files.createTempDirectory("graft_wc").toString
+    val root = graft.TempRoots.create("graft_wc")
     val events = Tables.events(spark, TinySf)
     events.write.parquet(s"$root/events")
     val stream = spark.readStream.schema(events.schema)
@@ -63,7 +63,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming dedup drops re-deliveries across micro-batches") {
-    val root = java.nio.file.Files.createTempDirectory("graft_dd").toString
+    val root = graft.TempRoots.create("graft_dd")
     val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val header = "event_id,ts,user_id,event_type,value"
     def drain(): Unit = {
@@ -92,7 +92,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stream-static enrichment broadcasts the dim; unmatched keys survive") {
-    val root = java.nio.file.Files.createTempDirectory("graft_enr").toString
+    val root = graft.TempRoots.create("graft_enr")
     val events = Tables.events(spark, TinySf)
     events.write.parquet(s"$root/events")
     val s = spark; import s.implicits._
@@ -117,7 +117,7 @@ class StreamingSpec extends SparkSpec {
 
   test("point-in-time enrichment picks the version valid AT the event " +
     "— where the is_current join would leak future attributes") {
-    val root = java.nio.file.Files.createTempDirectory("graft_pit").toString
+    val root = graft.TempRoots.create("graft_pit")
     val s = spark; import s.implicits._
     val events = Seq(
       (1L, java.sql.Timestamp.valueOf("2026-04-01 10:00:00"), 7L),
@@ -155,7 +155,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stream-stream interval join matches batch; bounds enforced") {
-    val root = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    val root = graft.TempRoots.create("graft_ssj")
     val header = "event_id,ts,user_id,event_type,value"
     // clicks and purchases: purchase attributes to a click of the same
     // user within [0, 30 min] AFTER the click
@@ -183,7 +183,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("left-outer interval join: null padding emits exactly at watermark expiry") {
-    val root = java.nio.file.Files.createTempDirectory("graft_ssjo").toString
+    val root = graft.TempRoots.create("graft_ssjo")
     val header = "event_id,ts,user_id,event_type,value"
     val ckpt = s"$root/ckpt"
     writeCsv(s"$root/clicks", "c.csv", Seq(header,
@@ -246,7 +246,7 @@ class StreamingSpec extends SparkSpec {
 
   test("sessionization state survives micro-batches; gap closes sessions") {
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val root = graft.TempRoots.create("graft_sess")
     val src = s"$root/src"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
     val header = "event_id,ts,user_id,event_type,value"
 
@@ -302,7 +302,7 @@ class StreamingSpec extends SparkSpec {
   test("session_window agrees with the hand-rolled sessionizer on " +
     "membership; its end is last+gap by convention") {
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft_sw").toString
+    val root = graft.TempRoots.create("graft_sw")
     val src = s"$root/src"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
     val header = "event_id,ts,user_id,event_type,value"
     def drain(): Unit = {
@@ -363,7 +363,7 @@ class StreamingSpec extends SparkSpec {
       "-1,2026-07-01 00:00:00,-1,sentinel,0",
       "-2,2026-07-01 01:00:00,-1,sentinel,0")
     def drainSliced(slices: Seq[Seq[String]]): Seq[(Long, String, Int)] = {
-      val root = java.nio.file.Files.createTempDirectory("graft_sb").toString
+      val root = graft.TempRoots.create("graft_sb")
       (slices :+ barrier.take(1) :+ barrier.drop(1)).zipWithIndex.foreach {
         case (ls, i) =>
           writeCsv(s"$root/src", s"b$i.csv", header +: ls)

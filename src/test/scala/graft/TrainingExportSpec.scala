@@ -18,8 +18,8 @@ class TrainingExportSpec extends SparkSpec {
     StructField("chunk_text", StringType)))
 
   test("written shards = the composed stages, every chunk exactly once") {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_texport").toString
+    val dir = graft.TempRoots
+      .create("graft_texport")
     val docs = Tables.documents(spark, TinySf).select("doc_id", "text")
     TrainingExport.run(spark, docs, s"$dir/out",
       minQualityMilli = 800L, langs = Seq("en"),
@@ -46,8 +46,8 @@ class TrainingExportSpec extends SparkSpec {
   }
 
   test("re-export is byte-stable across runs") {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_texport2").toString
+    val dir = graft.TempRoots
+      .create("graft_texport2")
     val docs = Tables.documents(spark, TinySf).select("doc_id", "text")
     def digest(path: String): Map[String, String] = {
       val base = new java.io.File(path)

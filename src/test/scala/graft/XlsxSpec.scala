@@ -123,7 +123,7 @@ class XlsxSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](Xlsx.parseRows(bomb))
     assert(ex.getMessage.contains("decompression bomb"))
     // per-file isolation: the bomb drop is skipped, the good drop lands
-    val dir = java.nio.file.Files.createTempDirectory("graft_bomb").toString
+    val dir = graft.TempRoots.create("graft_bomb")
     write(dir, "bomb.xlsx", bomb)
     write(dir, "good.xlsx", xlsxBytes(Seq(
       Seq("CustomerID", "Gender"), Seq("G001", "Female"))))
@@ -133,7 +133,7 @@ class XlsxSpec extends SparkSpec {
   }
 
   test("ingestDir conforms headers and schema like the CSV path") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
+    val dir = graft.TempRoots.create("graft_xlsx")
     write(dir, "fix.xlsx", xlsxBytes(Seq(
       Seq("CustomerID", "Gender", "Tenure Months"),
       Seq("X001", "Male", 7))))
@@ -146,8 +146,8 @@ class XlsxSpec extends SparkSpec {
   }
 
   test("correction loop accepts an xlsx drop alongside CSV") {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_wh_xlsx").toString
+    val root = graft.TempRoots
+      .create("graft_wh_xlsx")
     val layers = Warehouse.Layers(root)
     val header = ("Customer ID,Gender,Senior Citizen,Partner,Dependents," +
       "Country,State,City,Phone Service,Multiple Lines,Internet Service," +
