@@ -18,18 +18,30 @@ import org.apache.spark.sql.functions._
   * immune to every later rewrite.
   *
   * Layout under `root/`:
-  *  - `data/v<N>/part-*.parquet` — immutable data files; a commit
-  *    only ever ADDS files, never mutates one;
+  *  - `data/v<N>-<attempt>/part-*.parquet` — immutable data files in
+  *    attempt-unique dirs; a commit only ever ADDS files, never
+  *    mutates one, and racing writers can never share a dir;
   *  - `_log/v=<N>/` — one parquet dir per version holding
   *    (path, action, n_rows) rows; hive-style naming makes the log
   *    itself one partitioned table (`spark.read.parquet(_log)`), the
   *    [[FooterStats]] "manifest is a table" posture.
   *
-  * Commit protocol (single-writer, like every store in this engine):
-  * data files land first, then the staged log dir is RENAMED to
-  * `_log/v=<N>` — the rename is the commit point, so a crash before
-  * it leaves only unreferenced data files (invisible to readers,
-  * swept by vacuum) and never a torn snapshot.
+  * Commit protocol (optimistic, multi-writer-safe): data files land
+  * first in an ATTEMPT-UNIQUE directory, then the staged log dir is
+  * RENAMED to `_log/v=<N>` — the rename is the commit point, so a
+  * crash before it leaves only unreferenced data files (invisible to
+  * readers, swept by vacuum) and never a torn snapshot. Version
+  * numbers are claimed optimistically: a writer that loses the
+  * `v=<N>` race gets a [[CommitConflictException]]. APPENDS retry at
+  * the next version automatically — their file sets are disjoint by
+  * construction (nothing to re-validate, the reference's concurrent
+  * `ON CONFLICT` upsert posture re-expressed as commits), so
+  * concurrent appenders serialize into a linear history with no data
+  * rewrite. Snapshot-DEPENDENT ops (overwrite/compact/delete/
+  * optimize/restore) computed their removes from a specific latest
+  * version, so a lost race surfaces loudly as a
+  * ConcurrentModificationException telling the caller to re-read —
+  * never a silent clobber.
   *
   * Scale shape at 100 TB: reads resolve the file list from the LOG
   * (metadata-sized — actions, not bytes), never from an FS tree
@@ -48,8 +60,26 @@ object TableStore {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Thrown when an optimistic commit loses the version race: another
+    * writer published `v=N` first. Appends catch it and retry at the
+    * next version (their data dirs are attempt-unique, so nothing was
+    * clobbered); snapshot-dependent ops surface it loudly. */
+  final class CommitConflictException(msg: String)
+    extends java.io.IOException(msg)
+
   /** Committed versions, ascending (staged `.tmp` dirs excluded by
-    * the `v=` naming contract). */
+    * the `v=` naming contract).
+    *
+    * The common call is PURE — one directory listing, zero mutation,
+    * so read paths work on read-only storage and concurrent readers
+    * never race each other. Only when a crashed checkpoint swap's
+    * marker (`.old_ckpt_vN` with `v=N` missing) is actually present
+    * does it repair — and then with CHECKED renames: a concurrent
+    * recoverer winning the race is tolerated (the restored log is
+    * byte-identical either way), and a loser whose rename nested the
+    * marker inside the published dir (Hadoop rename-into-existing-dir
+    * semantics) sweeps the stale nested copy instead of silently
+    * leaving it. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val logRoot = new Path(s"$root/$Log")
     val fs = fsOf(spark, logRoot)
@@ -59,18 +89,37 @@ object TableStore {
     // (the Upsert.recoverCrashedSwap posture): .old_ckpt_vN present
     // with v=N missing means the new checkpoint never published —
     // restore the original log so no snapshot loses files
-    entries.filter(_.getPath.getName.startsWith(".old_ckpt_v"))
-      .foreach { o =>
-        val n = o.getPath.getName.stripPrefix(".old_ckpt_v")
-        val target = new Path(s"$root/$Log/v=$n")
-        if (!fs.exists(target)) fs.rename(o.getPath, target)
+    val markers = entries.filter(
+      _.getPath.getName.startsWith(".old_ckpt_v"))
+    markers.foreach { o =>
+      val n = o.getPath.getName.stripPrefix(".old_ckpt_v")
+      val target = new Path(s"$root/$Log/v=$n")
+      if (!fs.exists(target)) {
+        if (!fs.rename(o.getPath, target))
+          // rename refused: either a concurrent recoverer already
+          // restored the log (tolerated — same content) or storage
+          // is read-only mid-crash-window (genuinely unrecoverable
+          // here; fail rather than read a store missing version n)
+          require(fs.exists(target),
+            s"cannot recover crashed checkpoint swap at ${o.getPath}")
+      } else
         // swap completed but its marker cleanup crashed: delete the
         // stale backup NOW — a later vacuum dropping v=n must not
         // let this marker resurrect a log whose remove-actions are
         // already gone
-        else fs.delete(o.getPath, true)
-      }
-    fs.listStatus(logRoot).toSeq
+        fs.delete(o.getPath, true)
+      // a racer that called rename AFTER the winner published moved
+      // its source INSIDE v=N (Hadoop rename-into-existing-dir
+      // semantics): the nested dot-dir is invisible to the parquet
+      // reader but stale — sweep it
+      val nested = new Path(target, o.getPath.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+    }
+    // no marker: the listing already in hand is current — don't list
+    // twice on the hot read path
+    val current =
+      if (markers.isEmpty) entries else fs.listStatus(logRoot).toSeq
+    current
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
   }
@@ -120,17 +169,24 @@ object TableStore {
     } finally reader.close()
   }
 
-  /** Write `df` into `data/v<n>` and return one [[FileEntry]] per
-    * produced file — row counts and declared-column ranges from
-    * footers, zero data IO. */
+  /** Write `df` into an attempt-unique `data/v<n>-<nonce>` dir and
+    * return one [[FileEntry]] per produced file — row counts and
+    * declared-column ranges from footers, zero data IO.
+    *
+    * The nonce is what makes concurrent writers safe: version n is
+    * unreserved until the log rename, so two writers may be racing
+    * toward the same n — with unique dirs the loser's files can never
+    * clobber files the winner's log references, and the loser simply
+    * re-commits the SAME files under the next version (appends) or
+    * abandons them to the vacuum sweep (conflicted snapshot ops,
+    * crashes). */
   private def writeData(df: DataFrame, root: String, n: Long,
                         statsCols: Seq[String],
                         bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     val spark = df.sparkSession
-    val dir = new Path(s"$root/$Data/v$n")
-    // version n is unreserved until the log rename, so an existing
-    // data/v<n> can only be residue of a crashed or all-empty attempt
-    // (single-writer contract) — safe to replace
+    val attempt = java.util.UUID.randomUUID.toString.take(8)
+    val sub = s"v$n-$attempt"
+    val dir = new Path(s"$root/$Data/$sub")
     // bloom sizing scales with per-file NDV: parquet's default 1 MB
     // cap saturates around ~1M distinct keys per file (measured at
     // the sf10 gate: fpp collapsed to ~1 and pruning died) — 16 MB
@@ -146,18 +202,28 @@ object TableStore {
     }
     writer.parquet(dir.toString)
     // first-touch schema anchor: keeps all-empty stores readable
-    // (the [[Partitioned.anchorSchema]] posture)
+    // (the [[Partitioned.anchorSchema]] posture). Published by
+    // RENAME so concurrent first-touch writers can't tear it — the
+    // first rename wins, losers drop their (identical-schema) copy
     val anchor = new Path(s"$root/_schema")
-    if (!fsOf(spark, anchor).exists(anchor))
+    val afs = fsOf(spark, anchor)
+    if (!afs.exists(anchor)) {
+      val stagedAnchor = new Path(s"$root/.schema_tmp-$attempt")
       df.limit(0).coalesce(1).write.mode("overwrite")
-        .parquet(anchor.toString)
+        .parquet(stagedAnchor.toString)
+      if (afs.rename(stagedAnchor, anchor)) {
+        // rename-into-existing-dir nests the source: sweep if we lost
+        val nested = new Path(anchor, stagedAnchor.getName)
+        if (afs.exists(nested)) afs.delete(nested, true)
+      } else afs.delete(stagedAnchor, true)
+    }
     val fs = fsOf(spark, dir)
     fs.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
       .map { s =>
         val (rows, mins, maxs) = footerInfo(spark, s.getPath, statsCols)
-        FileEntry(s"$Data/v$n/${s.getPath.getName}", rows, mins, maxs)
+        FileEntry(s"$Data/$sub/${s.getPath.getName}", rows, mins, maxs)
       }
       // a zero-row part (empty write task) carries no row groups —
       // it contributes nothing to any snapshot, so never log it
@@ -177,20 +243,55 @@ object TableStore {
     val rows =
       adds.map(e => (e.path, "add", e.rows, batchId, e.mins, e.maxs)) ++
         removes.map(p => (p, "remove", 0L, batchId, none, none))
-    val staged = new Path(s"$root/$Log/.tmp_v$n")
+    // attempt-unique staging: concurrent committers racing toward the
+    // same n never share (or clobber) a staging dir
+    val attempt = java.util.UUID.randomUUID.toString.take(8)
+    val staged = new Path(s"$root/$Log/.tmp_v$n-$attempt")
     val target = new Path(s"$root/$Log/v=$n")
     val fs = fsOf(spark, staged)
-    fs.delete(staged, true)
     rows.toDF("path", "action", "n_rows", "batch_id",
         "min_vals", "max_vals")
       .coalesce(1).write.parquet(staged.toString)
-    if (fs.exists(target))
-      throw new java.io.IOException(
-        s"version $n already committed at $root — single-writer " +
-          "contract violated")
-    if (!fs.rename(staged, target))
+    def conflict(): Nothing = {
+      fs.delete(staged, true)
+      throw new CommitConflictException(
+        s"version $n already committed at $root — concurrent writer")
+    }
+    if (fs.exists(target)) conflict()
+    if (!fs.rename(staged, target)) {
+      // refused rename: the target appeared between check and rename
+      // (lost race) or genuine IO failure
+      if (fs.exists(target)) conflict()
       throw new java.io.IOException(s"cannot commit version $n at $root")
+    }
+    // rename(src, existing-dir) can MOVE src INSIDE the target and
+    // still return true (Hadoop semantics — the TOCTOU the r10
+    // advisory called out): a losing commit would then report success
+    // while its log rows sit invisible in a dot-prefixed nested dir.
+    // Verify the staged dir BECAME the target: no nested copy, and
+    // the target directly contains log part files.
+    val nested = new Path(target, staged.getName)
+    if (fs.exists(nested)) { fs.delete(nested, true); conflict() }
+    require(fs.listStatus(target).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet")),
+      s"commit $n at $root published no log files — torn commit")
   }
+
+  /** Commit for SNAPSHOT-DEPENDENT operations (adds/removes computed
+    * from a specific latest version): a lost version race cannot be
+    * silently retried — the new latest may invalidate what this op
+    * read — so it surfaces loudly with the remedy. The abandoned
+    * attempt's data files are unreferenced and vacuum-swept. */
+  private[graft] def commitExclusive(spark: SparkSession, root: String,
+                                     n: Long, adds: Seq[FileEntry],
+                                     removes: Seq[String]): Unit =
+    try commitLog(spark, root, n, adds, removes)
+    catch { case e: CommitConflictException =>
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent writer committed version $n at $root while this " +
+          "operation was computing from the previous snapshot — " +
+          "re-read and retry", e)
+    }
 
   private def logFrame(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/$Log")
@@ -219,7 +320,15 @@ object TableStore {
 
   /** Snapshot read at `version` (default: latest). The file list
     * comes from the log replay, never an FS walk; a concurrent later
-    * commit cannot change what this frame reads. */
+    * commit cannot change what this frame reads.
+    *
+    * Retention contract: the frame is only guaranteed against
+    * [[vacuum]]s that keep its version. A reader pinned to a version
+    * the vacuum retires fails LOUDLY — at resolution time with the
+    * horizon named, or (for a frame constructed pre-vacuum) at
+    * execution time with a missing-file error, pinned here by
+    * `ignoreMissingFiles=false` so a permissive session config can
+    * never turn retired history into silent partial rows. */
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
     val vs = versions(spark, root)
@@ -235,7 +344,8 @@ object TableStore {
     require(vs.nonEmpty, s"no committed versions at $root")
     val v = version.getOrElse(vs.max)
     val files = liveAt(spark, root, v).map(e => s"$root/${e.path}")
-    if (files.nonEmpty) spark.read.parquet(files: _*)
+    if (files.nonEmpty)
+      spark.read.option("ignoreMissingFiles", "false").parquet(files: _*)
     // empty snapshot (all-empty commits, overwrite-with-empty): the
     // first-touch anchor keeps the columns
     else spark.read.parquet(s"$root/_schema").limit(0)
@@ -261,22 +371,51 @@ object TableStore {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
   }
 
+  /** Optimistic append commit: on a lost version race, re-read the
+    * log and retry at the next version. Append file sets are disjoint
+    * by construction (attempt-unique data dirs), so only the
+    * metadata-sized log commit re-runs — the data files are already
+    * final. The attempt cap turns a pathological livelock (a writer
+    * that can never win) into a loud error instead of an infinite
+    * loop. */
+  private def appendRetrying(spark: SparkSession, root: String,
+                             first: Long, adds: Seq[FileEntry],
+                             batchId: Option[Long]): Long = {
+    var n = first
+    var attempts = 0
+    while (attempts < 64) {
+      try { commitLog(spark, root, n, adds, Seq.empty, batchId); return n }
+      catch { case _: CommitConflictException =>
+        attempts += 1
+        n = math.max(n + 1,
+          versions(spark, root).lastOption.getOrElse(0L) + 1)
+      }
+    }
+    throw new java.io.IOException(
+      s"append lost the commit race $attempts times at $root — " +
+        "livelocked against a faster writer")
+  }
+
   /** Append `df` as a new version; returns the committed version.
     * `statsCols` declares integer columns whose per-file [min, max]
-    * ride in the commit log for log-only pruning. */
+    * ride in the commit log for log-only pruning. Safe under
+    * CONCURRENT appenders: a lost version race retries at the next
+    * version (disjoint-files fast path — no data rewrite, history
+    * stays linear). */
   def append(df: DataFrame, root: String,
              statsCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
-    val n = versions(spark, root).lastOption.getOrElse(0L) + 1
-    commitLog(spark, root, n,
-      writeData(df, root, n, statsCols, bloomCols), Seq.empty)
-    n
+    val hint = versions(spark, root).lastOption.getOrElse(0L) + 1
+    appendRetrying(spark, root, hint,
+      writeData(df, root, hint, statsCols, bloomCols), None)
   }
 
   /** Replace the table's content with `df` as a new version; every
     * previously-live file gets a remove action, old snapshots stay
-    * readable. */
+    * readable. Snapshot-dependent: a concurrent commit between the
+    * live-set read and this commit fails loudly (re-read and retry),
+    * never silently drops the racer's files. */
   def overwrite(df: DataFrame, root: String,
                 statsCols: Seq[String] = Nil,
                 bloomCols: Seq[String] = Nil): Long = {
@@ -285,7 +424,7 @@ object TableStore {
     val removes = prev.map(liveAt(spark, root, _).map(_.path))
       .getOrElse(Seq.empty)
     val n = prev.getOrElse(0L) + 1
-    commitLog(spark, root, n,
+    commitExclusive(spark, root, n,
       writeData(df, root, n, statsCols, bloomCols), removes)
     n
   }
@@ -297,23 +436,26 @@ object TableStore {
               statsCols: Seq[String] = Nil,
               bloomCols: Seq[String] = Nil): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val prev = versions(spark, root).last
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val prev = vs.last
     val live = liveAt(spark, root, prev)
     if (live.isEmpty) {
       // compacting an empty table: content unchanged, but callers
       // get the version they asked for (a no-action commit)
       val n = prev + 1
-      commitLog(spark, root, n, Seq.empty, Seq.empty)
+      commitExclusive(spark, root, n, Seq.empty, Seq.empty)
       return n
     }
     val fs = fsOf(spark, new Path(root))
     val bytes = live.map(e =>
       fs.getFileStatus(new Path(s"$root/${e.path}")).getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(live.map(e => s"$root/${e.path}"): _*)
+    val df = spark.read.option("ignoreMissingFiles", "false")
+          .parquet(live.map(e => s"$root/${e.path}"): _*)
       .repartition(nOut)
     val n = prev + 1
-    commitLog(spark, root, n,
+    commitExclusive(spark, root, n,
       writeData(df, root, n, statsCols, bloomCols), live.map(_.path))
     n
   }
@@ -384,7 +526,8 @@ object TableStore {
     val residual = col(pcol) >= lo && col(pcol) <= hi
     val df =
       if (touched.nonEmpty)
-        spark.read.parquet(touched.map(e => s"$root/${e.path}"): _*)
+        spark.read.option("ignoreMissingFiles", "false")
+          .parquet(touched.map(e => s"$root/${e.path}"): _*)
           .where(residual)
       else read(spark, root, version).where(residual).limit(0)
     (df, touched.size, live.size)
@@ -469,7 +612,8 @@ object TableStore {
     val residual = col(pcol).isin(values: _*)
     val df =
       if (touched.nonEmpty)
-        spark.read.parquet(touched.map(e => s"$root/${e.path}"): _*)
+        spark.read.option("ignoreMissingFiles", "false")
+          .parquet(touched.map(e => s"$root/${e.path}"): _*)
           .where(residual)
       else read(spark, root, version).where(residual).limit(0)
     (df, touched.size, live.size)
@@ -486,17 +630,34 @@ object TableStore {
   def appendBatch(df: DataFrame, root: String, batchId: Long,
                   statsCols: Seq[String] = Nil): Option[Long] = {
     val spark = df.sparkSession
-    val seen = versions(spark, root).nonEmpty &&
+    def seen = versions(spark, root).nonEmpty &&
       logFrame(spark, root).where(col("batch_id") === batchId)
         .limit(1).count() > 0
-    if (seen) None
+    if (seen) None // cheap fast path before paying the data write
     else {
-      val n = versions(spark, root).lastOption.getOrElse(0L) + 1
-      val adds = writeData(df, root, n, statsCols)
+      val hint = versions(spark, root).lastOption.getOrElse(0L) + 1
+      val adds = writeData(df, root, hint, statsCols)
       if (adds.isEmpty) None
       else {
-        commitLog(spark, root, n, adds, Seq.empty, Some(batchId))
-        Some(n)
+        var attempts = 0
+        while (attempts < 64) {
+          val n = versions(spark, root).lastOption.getOrElse(0L) + 1
+          // ORDER MATTERS: the marker check happens AFTER observing
+          // version n-1 committed. A twin writer (restarted stream,
+          // zombie executor) offering the same batch either committed
+          // before that observation — visible here, we stand down —
+          // or commits after it, claiming version n and forcing our
+          // commit into this conflict-and-recheck loop. Either way
+          // the store ingests the batch exactly once.
+          if (seen) return None
+          try {
+            commitLog(spark, root, n, adds, Seq.empty, Some(batchId))
+            return Some(n)
+          } catch { case _: CommitConflictException => attempts += 1 }
+        }
+        throw new java.io.IOException(
+          s"appendBatch($batchId) lost the commit race $attempts " +
+            s"times at $root — livelocked against a faster writer")
       }
     }
   }
@@ -542,18 +703,20 @@ object TableStore {
                   bloomCols: Seq[String] = Nil): Long = {
     val (pcol, lo, hi) = pruneBy
     require(lo <= hi, s"empty prune interval [$lo, $hi]")
-    val prev = versions(spark, root).last
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val prev = vs.last
     val touched = overlappingFiles(spark, root,
       liveAt(spark, root, prev), pcol, lo, hi)
     if (touched.isEmpty) return prev
     // keep a row unless the predicate is DEFINITELY true: under
     // three-valued logic `!pred` drops NULL-valued rows the caller
     // never selected — a silent data loss, not a delete
-    val kept = spark.read
+    val kept = spark.read.option("ignoreMissingFiles", "false")
       .parquet(touched.map(e => s"$root/${e.path}"): _*)
       .where(!coalesce(pred, lit(false)))
     val n = prev + 1
-    commitLog(spark, root, n,
+    commitExclusive(spark, root, n,
       writeData(kept, root, n, statsCols, bloomCols),
       touched.map(_.path))
     n
@@ -571,7 +734,9 @@ object TableStore {
     * loudly in [[read]]'s version check. */
   def restore(spark: SparkSession, root: String,
               toVersion: Long): Long = {
-    val prev = versions(spark, root).last
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val prev = vs.last
     val target = liveAt(spark, root, toVersion) // loud if vacuumed
     val current = liveAt(spark, root, prev).map(_.path)
     val n = prev + 1
@@ -579,7 +744,7 @@ object TableStore {
     // lacks, add only what the current set lacks — the minimal diff
     // keeps the log commit proportional to the actual change
     val targetPaths = target.map(_.path).toSet
-    commitLog(spark, root, n,
+    commitExclusive(spark, root, n,
       target.filterNot(e => current.contains(e.path)),
       current.filterNot(targetPaths.contains))
     n
@@ -601,22 +766,25 @@ object TableStore {
                      statsCols: Seq[String] = Nil,
                      bloomCols: Seq[String] = Nil): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val prev = versions(spark, root).last
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val prev = vs.last
     val live = liveAt(spark, root, prev)
     if (live.isEmpty) {
       val n = prev + 1
-      commitLog(spark, root, n, Seq.empty, Seq.empty)
+      commitExclusive(spark, root, n, Seq.empty, Seq.empty)
       return n
     }
     val fs = fsOf(spark, new Path(root))
     val bytes = live.map(e =>
       fs.getFileStatus(new Path(s"$root/${e.path}")).getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(live.map(e => s"$root/${e.path}"): _*)
+    val df = spark.read.option("ignoreMissingFiles", "false")
+          .parquet(live.map(e => s"$root/${e.path}"): _*)
       .repartitionByRange(nOut, col(clusterCol))
       .sortWithinPartitions(clusterCol)
     val n = prev + 1
-    commitLog(spark, root, n,
+    commitExclusive(spark, root, n,
       writeData(df, root, n, (statsCols :+ clusterCol).distinct,
         bloomCols),
       live.map(_.path))
@@ -627,7 +795,17 @@ object TableStore {
     * write a full-manifest CHECKPOINT at the new horizon (so replay
     * never needs the dropped logs), delete the dropped log dirs and
     * every data file no surviving snapshot references. Idempotent —
-    * a re-run finds nothing left to drop. */
+    * a re-run finds nothing left to drop.
+    *
+    * Retention contract for pinned readers: a reader holding version
+    * v < the new horizon is NOT protected — there is no lease. After
+    * the vacuum, resolving v fails loudly with the surviving window
+    * named ([[read]]'s version check), and a frame CONSTRUCTED before
+    * the vacuum fails at execution with a missing-file error rather
+    * than returning the subset of rows whose files survived
+    * (`ignoreMissingFiles` is pinned false on every store read).
+    * Operators size `keepVersions` to cover their longest reader —
+    * the same contract every lakehouse retention knob carries. */
   def vacuum(spark: SparkSession, root: String,
              keepVersions: Int): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1")

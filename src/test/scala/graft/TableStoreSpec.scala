@@ -8,8 +8,8 @@ import graft.ops.TableStore
   * checkpointing, and the audit history. */
 class TableStoreSpec extends SparkSpec {
 
-  private def tmp() = java.nio.file.Files
-    .createTempDirectory("graft_tstore").toString + "/t"
+  private def tmp() = graft.TempRoots
+    .create("graft_tstore") + "/t"
 
   private def mk(ids: Long*) = {
     val s = spark; import s.implicits._
@@ -86,7 +86,10 @@ class TableStoreSpec extends SparkSpec {
     // them after the v3 overwrite)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/v1")))
+    val dataDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/data"))
+      .map(_.getPath.getName)
+    assert(!dataDirs.exists(_.startsWith("v1-")))
     // idempotent
     TableStore.vacuum(spark, root, keepVersions = 2)
     assert(ids(root) == Set(7L, 8L, 9L))
@@ -144,7 +147,7 @@ class TableStoreSpec extends SparkSpec {
     val removedPaths = spark.read.parquet(s"$root/_log")
       .where(col("v") === 3 && col("action") === "remove")
       .select("path").collect().map(_.getString(0))
-    assert(removedPaths.forall(_.startsWith("data/v2/")))
+    assert(removedPaths.forall(_.startsWith("data/v2-")))
   }
 
   test("deleteWhere outside every file's range is a version no-op") {
@@ -260,12 +263,14 @@ class TableStoreSpec extends SparkSpec {
     // footers are unreachable, so only the log can have answered
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
+    val v1dir = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+      .map(_.getPath).find(_.getName.startsWith("v1-")).get
     val hidden = new org.apache.hadoop.fs.Path(s"$root/hidden_v1")
-    fs.rename(new org.apache.hadoop.fs.Path(s"$root/data/v1"), hidden)
+    fs.rename(v1dir, hidden)
     val (_, touched, total) = TableStore.readRange(
       spark, root, "id", 1050L, 1060L)
     assert(touched == 1 && total == 2)
-    fs.rename(hidden, new org.apache.hadoop.fs.Path(s"$root/data/v1"))
+    fs.rename(hidden, v1dir)
   }
 
   test("optimizeLayout: content preserved, probe collapses to one file") {
@@ -479,19 +484,81 @@ class TableStoreSpec extends SparkSpec {
       h.getAs[Long]("n_removed") == 0L)
   }
 
-  test("duplicate version commit fails loudly (single-writer contract)") {
+  test("a snapshot-dependent commit losing the version race is loud") {
     val root = tmp()
     TableStore.append(mk(1), root)
-    // a second writer racing to v1 must not silently clobber
-    val ex = intercept[Exception] {
-      val m = TableStore.getClass.getDeclaredMethods
-        .find(_.getName == "commitLog").get
-      m.setAccessible(true)
-      try m.invoke(TableStore, spark, root, 1L.asInstanceOf[AnyRef],
-        Seq.empty, Seq.empty, None)
-      catch { case e: java.lang.reflect.InvocationTargetException =>
-        throw e.getCause }
+    // a snapshot op that computed removes from v0's live set and then
+    // lost the race to this append must NOT silently clobber — it
+    // surfaces the conflict with the remedy
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      TableStore.commitExclusive(spark, root, 1L, Seq.empty, Seq.empty)
     }
-    assert(ex.getMessage.contains("single-writer"))
+    assert(ex.getMessage.contains("concurrent writer"))
+    assert(ex.getMessage.contains("re-read and retry"))
+    assert(ex.getCause.isInstanceOf[TableStore.CommitConflictException])
+  }
+
+  test("concurrent appends serialize into a linear history") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmp()
+    // eight appenders race: each writes its own disjoint slice, every
+    // commit that loses the v=N rename retries at the next version —
+    // all must land, history must be gapless, content must be the
+    // exact union (nothing clobbered, nothing double-committed)
+    val slices = (0 until 8).map(i =>
+      ((i * 10 + 1).toLong to (i * 10 + 10).toLong))
+    val landed = Await.result(
+      Future.sequence(slices.map(sl =>
+        Future(TableStore.append(mk(sl: _*).coalesce(1), root)))),
+      5.minutes)
+    assert(landed.toSet == (1L to 8L).toSet) // every version claimed once
+    assert(TableStore.versions(spark, root) == (1L to 8L))
+    assert(ids(root) == (1L to 80L).toSet)
+    // the log is consistent: 8 adds, 0 removes, 80 rows
+    val h = TableStore.history(spark, root).collect()
+    assert(h.map(_.getAs[Long]("rows_added")).sum == 80L)
+    assert(h.map(_.getAs[Long]("n_removed")).sum == 0L)
+  }
+
+  test("concurrent same-batch twins commit exactly once between them") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmp()
+    TableStore.append(mk(100), root) // v1 so the log exists
+    // two writers offer the SAME micro-batch (a restarted stream's
+    // twin executor): whoever loses the race re-checks the batch
+    // marker and stands down — the store must never double-ingest
+    val results = Await.result(
+      Future.sequence(Seq(
+        Future(TableStore.appendBatch(mk(1, 2).coalesce(1), root, 7L)),
+        Future(TableStore.appendBatch(mk(1, 2).coalesce(1), root, 7L)))),
+      5.minutes)
+    assert(results.flatten.size == 1,
+      s"twins committed ${results.flatten.size} times: $results")
+    // exactly-once is on the STORE, not the callers: however the race
+    // resolved, batch 7's rows appear exactly once
+    val n = TableStore.read(spark, root)
+      .where(col("id") === 1L).count()
+    assert(n == 1L,
+      s"batch 7 ingested $n times — exactly-once violated")
+  }
+
+  test("a pinned reader whose version is vacuumed fails loudly, not partially") {
+    val root = tmp()
+    TableStore.append(mk(1, 2), root)    // v1
+    TableStore.overwrite(mk(3), root)    // v2 — v1's files now dead there
+    val pinned = TableStore.read(spark, root, Some(1L))
+    TableStore.vacuum(spark, root, keepVersions = 1)
+    // resolution after the vacuum: loud, horizon named
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.read(spark, root, Some(1L))
+    }
+    assert(ex.getMessage.contains("vacuumed past the horizon"))
+    // the PRE-vacuum frame: its files are gone — execution must throw
+    // (ignoreMissingFiles pinned false), never return partial rows
+    intercept[Exception] { pinned.count() }
   }
 }
