@@ -55,6 +55,26 @@ object FooterStats {
               .filter(_.getPath.toDotString == c)
             require(chunks.nonEmpty,
               s"column $c not found in ${f.getPath}")
+            // physical type alone can lie: DECIMAL/DATE/TIME(STAMP)
+            // annotate INT32/INT64 storage, and surfacing their raw
+            // unscaled integers as min/max would make the manifest
+            // silently wrong — the exact silent lie the fail-loud
+            // contract below exists to forbid. Accept only plain
+            // signed ints and IEEE floats.
+            chunks.foreach { ch =>
+              val pt = ch.getPrimitiveType
+              val ann = pt.getLogicalTypeAnnotation
+              val plain = ann == null || (ann match {
+                case i: org.apache.parquet.schema.LogicalTypeAnnotation
+                    .IntLogicalTypeAnnotation => i.isSigned
+                case _ => false
+              })
+              require(plain,
+                s"column $c in ${f.getPath} is logically annotated " +
+                  s"$ann over ${pt.getPrimitiveTypeName} storage — raw " +
+                  "footer stats would surface unscaled/encoded values; " +
+                  "the manifest refuses to misinterpret them")
+            }
             val ss = chunks.map(_.getStatistics)
             require(ss.forall(s => s != null && s.hasNonNullValue),
               s"column $c in ${f.getPath} carries no footer stats — " +

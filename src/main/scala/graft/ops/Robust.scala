@@ -183,7 +183,18 @@ object Robust {
     * independent full-rank formulation. Null scores never select.
     * Choose `binWidth` so a single bin stays heap-friendly; a
     * degenerate all-one-value bin still resolves exactly through the
-    * tieBreak heap. */
+    * tieBreak heap.
+    *
+    * The driver-side histogram budget is EXECUTABLE, not advisory
+    * (the BoundedDim posture): before collecting, the score range is
+    * measured and `range / binWidth` must stay under [[MaxBins]] —
+    * one pathological outlier (a 1e18 score over binWidth 0.1) would
+    * otherwise silently make the "bounded driver metadata" collect
+    * data-sized. The loud error names the remedy: clamp or winsorize
+    * the score first ([[outlierProfile]] finds the offenders), or
+    * widen binWidth. */
+  val MaxBins = 4_000_000L // ~64 MB of (bin, count) driver rows
+
   def topFraction(df: DataFrame, of: String, tieBreak: String,
                   keepMille: Int, binWidth: Double): DataFrame = {
     require(keepMille > 0 && keepMille <= 1000,
@@ -191,6 +202,20 @@ object Robust {
     require(binWidth > 0, s"binWidth must be positive: $binWidth")
     val scored = df.filter(col(of).isNotNull)
     val binCol = floor(col(of) / binWidth).cast("long")
+    // one cheap map-side-combinable pre-scan makes the budget check
+    // run BEFORE any driver collect can blow up
+    val bounds = scored
+      .agg(min(binCol).as("lo"), max(binCol).as("hi")).collect()(0)
+    if (!bounds.isNullAt(0)) {
+      val binSpan = bounds.getLong(1) - bounds.getLong(0) + 1
+      require(binSpan <= MaxBins,
+        s"topFraction histogram would span $binSpan bins " +
+          s"(score range [${bounds.getLong(0) * binWidth}, " +
+          s"${(bounds.getLong(1) + 1) * binWidth}) / binWidth=" +
+          s"$binWidth) > $MaxBins — the driver histogram is only " +
+          "bounded if the range is: winsorize/clamp the score " +
+          "column first or widen binWidth")
+    }
     val hist = scored.groupBy(binCol.as("bin"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))

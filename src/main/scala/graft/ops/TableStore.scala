@@ -134,6 +134,21 @@ object TableStore {
                              mins: Map[String, Long],
                              maxs: Map[String, Long])
 
+  /** True when the column's stats can be read as plain signed
+    * integers/floats: no logical annotation, or a signed-int one.
+    * DECIMAL/DATE/TIME(STAMP) annotate INT32/INT64 storage — their
+    * raw footer integers are unscaled/encoded, and interpreting them
+    * as values would plan pruning from lies. */
+  private def plainStatsType(
+      pt: org.apache.parquet.schema.PrimitiveType): Boolean = {
+    val ann = pt.getLogicalTypeAnnotation
+    ann == null || (ann match {
+      case i: org.apache.parquet.schema.LogicalTypeAnnotation
+          .IntLogicalTypeAnnotation => i.isSigned
+      case _ => false
+    })
+  }
+
   /** Rows + integer [min, max] per declared stats column, from the
     * footer — one read per file, at write time only. */
   private def footerInfo(spark: SparkSession, f: Path,
@@ -146,8 +161,15 @@ object TableStore {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
       val ranges = statsCols.flatMap { c =>
-        val ss = blocks.flatMap(_.getColumns.asScala)
-          .filter(_.getPath.toDotString == c).map(_.getStatistics)
+        val chunks = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == c)
+        chunks.foreach(ch => require(plainStatsType(ch.getPrimitiveType),
+          s"stats column $c in $f is logically annotated " +
+            s"${ch.getPrimitiveType.getLogicalTypeAnnotation} — its raw " +
+            "footer integers are unscaled/encoded and would plan " +
+            "pruning from misinterpreted values; declare a plain " +
+            "integer column instead"))
+        val ss = chunks.map(_.getStatistics)
         require(rows == 0 || ss.nonEmpty, s"stats column $c not in $f")
         val nums = ss.collect {
           case st if st != null && st.hasNonNullValue =>
@@ -485,6 +507,9 @@ object TableStore {
         if (chunks.nonEmpty) sawColumn = true
         if (blocks.nonEmpty && chunks.isEmpty) return false
         chunks.exists { c =>
+          // annotated storage (DECIMAL/DATE over ints): stats can't be
+          // interpreted against the caller's [lo, hi] — never skip
+          !plainStatsType(c.getPrimitiveType) || {
           val s = c.getStatistics
           s == null || !s.hasNonNullValue || {
             val (mn, mx) = (s.genericGetMin, s.genericGetMax) match {
@@ -494,7 +519,7 @@ object TableStore {
             }
             mn <= hi && mx >= lo
           }
-        }
+        }}
       } finally reader.close()
     }
     val hits = live.filter { e =>

@@ -382,6 +382,32 @@ class LayoutSpec extends SparkSpec {
       s"probe should touch some but not all files: $touched/${m.length}")
   }
 
+  test("footer manifest refuses logically-annotated storage (DATE/" +
+      "DECIMAL over ints would surface unscaled raw values)") {
+    import graft.ops.FooterStats
+    val dir = java.nio.file.Paths.get(graft.TempRoots.create("graft_mann"))
+      .toString + "/layer"
+    spark.range(0, 64)
+      .selectExpr("id AS k",
+        "DATE'2024-01-01' + CAST(id AS INT) AS d",
+        "CAST(id AS DECIMAL(10,2)) / 4 AS m")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // plain int column: fine
+    assert(FooterStats.manifest(spark, dir, Seq("k")).count() == 1L)
+    // DATE annotates INT32 — its raw footer ints are epoch days, and
+    // surfacing them as values would be the silent lie the contract
+    // forbids
+    val exD = intercept[IllegalArgumentException] {
+      FooterStats.manifest(spark, dir, Seq("d")).collect()
+    }
+    assert(exD.getMessage.contains("annotated"))
+    // DECIMAL annotates INT64 with a scale — unscaled raw stats
+    val exM = intercept[IllegalArgumentException] {
+      FooterStats.manifest(spark, dir, Seq("m")).collect()
+    }
+    assert(exM.getMessage.contains("annotated"))
+  }
+
   test("recluster repairs ONLY the overlapping files — atomic, " +
       "idempotent, content-preserving") {
     import graft.ops.{FooterStats, Layout}

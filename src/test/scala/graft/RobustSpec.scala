@@ -122,6 +122,26 @@ class RobustSpec extends SparkSpec {
       s"boundary bin should resolve via a bounded heap:\n${plan.take(2000)}")
   }
 
+  test("topFraction: a pathological score range fails the bin budget " +
+    "loudly instead of a silent data-sized collect") {
+    val s = spark; import s.implicits._
+    // one 1e18 outlier: at binWidth=0.1 the histogram would span
+    // ~1e19 bins — the driver collect must refuse BEFORE running
+    val df = ((1L to 99L).map(i => (i, i.toDouble)) :+
+      (100L, 1e18)).toDF("id", "score")
+    val ex = intercept[IllegalArgumentException] {
+      Robust.topFraction(df, "score", "id",
+        keepMille = 100, binWidth = 0.1)
+    }
+    assert(ex.getMessage.contains("bins"))
+    assert(ex.getMessage.contains("winsorize"),
+      s"the error must name the remedy: ${ex.getMessage}")
+    // the same data resolves fine once the budget holds
+    val keep = Robust.topFraction(df, "score", "id",
+      keepMille = 100, binWidth = 1e17)
+    assert(keep.count() == 10L)
+  }
+
   test("plan contract: outlierProfile is exactly ONE hash Exchange") {
     val ev = Tables.events(spark, TinySf)
     val plan = Robust.outlierProfile(ev, Seq("event_type"), "value",

@@ -546,6 +546,18 @@ class TableStoreSpec extends SparkSpec {
       s"batch 7 ingested $n times — exactly-once violated")
   }
 
+  test("declaring an annotated column (DATE) as a statsCol fails loudly") {
+    val root = tmp()
+    // DATE annotates INT32: its raw footer stats are epoch days, and
+    // logging them as plain integers would plan pruning from lies
+    val df = spark.range(0, 10)
+      .selectExpr("id", "DATE'2024-01-01' + CAST(id AS INT) AS d")
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.append(df, root, statsCols = Seq("d"))
+    }
+    assert(ex.getMessage.contains("annotated"))
+  }
+
   test("a pinned reader whose version is vacuumed fails loudly, not partially") {
     val root = tmp()
     TableStore.append(mk(1, 2), root)    // v1
