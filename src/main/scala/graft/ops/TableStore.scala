@@ -687,16 +687,78 @@ object TableStore {
     }
   }
 
+  /** Rewrite only the live files SMALLER than `smallBytes` into
+    * ~`targetBytes` files as a new version — the steady-state
+    * maintenance shape under streaming ingest. Per-batch commits
+    * accumulate small files; compacting just those keeps each
+    * maintenance commit proportional to the SMALL-FILE BACKLOG,
+    * never the table (a full [[compact]] under continuous ingest
+    * would rewrite the whole live set again and again — quadratic
+    * write amplification over the table's lifetime). Files already
+    * at size stay untouched and stay live. Content-identical to the
+    * previous version; fewer than two small files is a provable
+    * no-op that commits nothing. */
+  def compactSmall(spark: SparkSession, root: String,
+                   smallBytes: Long, targetBytes: Long,
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val prev = vs.last
+    val live = liveAt(spark, root, prev)
+    val fs = fsOf(spark, new Path(root))
+    val small = live.filter(e =>
+      fs.getFileStatus(new Path(s"$root/${e.path}")).getLen < smallBytes)
+    if (small.size < 2) return prev // nothing worth merging
+    val bytes = small.map(e =>
+      fs.getFileStatus(new Path(s"$root/${e.path}")).getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.option("ignoreMissingFiles", "false")
+      .parquet(small.map(e => s"$root/${e.path}"): _*)
+      .repartition(nOut)
+    val n = prev + 1
+    commitExclusive(spark, root, n,
+      writeData(df, root, n, statsCols, bloomCols), small.map(_.path))
+    n
+  }
+
+  /** Maintenance policy for a streaming sink: once the live set
+    * exceeds `maxLiveFiles`, the sink folds the small-file backlog
+    * into ~`targetBytes` files via [[compactSmall]] — as an ordinary
+    * store commit, so readers pinned to pre-compaction versions are
+    * untouched and the batch-id ledger is unaffected. */
+  final case class SinkMaintenance(maxLiveFiles: Int,
+                                   targetBytes: Long = 128L << 20)
+
   /** Structured-streaming sink: every micro-batch becomes one
     * [[appendBatch]] commit, so readers always see whole batches
     * (snapshot isolation per micro-batch) and a restarted query
     * cannot double-append. Runs AvailableNow and blocks until
-    * drained. */
+    * drained.
+    *
+    * With `maintenance` set, the sink self-heals the small-file
+    * accumulation streaming ingest creates: after a batch COMMITS
+    * (never on a replayed/skipped one — a checkpoint replay must
+    * leave the store byte-identical), if live files exceed the
+    * threshold, the backlog compacts as its own commit. The check is
+    * metadata-sized (log replay + file stats). */
   def sinkStream(stream: DataFrame, root: String,
-                 checkpoint: String): Unit = {
+                 checkpoint: String,
+                 maintenance: Option[SinkMaintenance] = None,
+                 statsCols: Seq[String] = Nil): Unit = {
     val q = stream.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        appendBatch(b, root, id); ()
+        val committed = appendBatch(b, root, id, statsCols)
+        if (committed.nonEmpty) maintenance.foreach { m =>
+          val spark = b.sparkSession
+          val live = liveAt(spark, root, versions(spark, root).last)
+          if (live.size > m.maxLiveFiles)
+            compactSmall(spark, root,
+              smallBytes = m.targetBytes, targetBytes = m.targetBytes,
+              statsCols = statsCols)
+        }
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -370,7 +370,49 @@ object StreamQueries extends QueryPack {
     """),
     bench = false, eager = true)
 
+  /** Streaming ingest with SELF-HEALING small-file maintenance
+    * ([[graft.ops.TableStore.SinkMaintenance]]): the same sliced
+    * replay, but the sink is told to fold the small-file backlog
+    * whenever the live set exceeds 3 files — so compactions interleave
+    * with batch commits as ordinary store versions. The body enforces
+    * the maintenance ECONOMICS loudly (final live set must be smaller
+    * than the per-batch file count an unmaintained sink accumulates;
+    * a checkpoint-replay restart must commit nothing new), and the
+    * hash compare pins that no fold lost or duplicated a row. The
+    * oracle is maintenance-blind by design: content must be
+    * invariant under layout. */
+  val streamIngestCompact = GQuery(
+    "q_stream_ingest_compact",
+    (s, d) => {
+      val (root, schema) = stage(s, d)
+      val store = s"$root/store_mc"
+      val maint = Some(graft.ops.TableStore.SinkMaintenance(
+        maxLiveFiles = 3, targetBytes = 256L << 20))
+      graft.ops.TableStore.sinkStream(
+        readSliced(s, root, schema), store, s"$root/ckpt_mc", maint)
+      val live = graft.ops.TableStore.read(s, store).inputFiles.length
+      require(live <= 4,
+        s"maintenance must hold the live set near the threshold: $live")
+      val versionsAfter = graft.ops.TableStore.versions(s, store).size
+      // restart on the same checkpoint: nothing new lands — neither
+      // batches NOR maintenance commits (a replay is a no-op)
+      graft.ops.TableStore.sinkStream(
+        readSliced(s, root, schema), store, s"$root/ckpt_mc", maint)
+      require(graft.ops.TableStore.versions(s, store).size == versionsAfter,
+        "checkpoint replay must not trigger new commits")
+      graft.ops.TableStore.read(s, store)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             CAST(ROUND(value * 1e4) AS BIGINT) AS value
+      FROM events ORDER BY event_id
+    """),
+    bench = false, eager = true)
+
   def all: Seq[GQuery] = Seq(streamWindowedCounts, streamIntervalJoin,
     streamDedupReplay, streamSessionWindow, streamSessionize,
-    streamTableIngest)
+    streamTableIngest, streamIngestCompact)
 }

@@ -558,6 +558,67 @@ class TableStoreSpec extends SparkSpec {
     assert(ex.getMessage.contains("annotated"))
   }
 
+  test("compactSmall folds only the small-file backlog; big files stay") {
+    val root = tmp()
+    // one big file (1000 rows) + three tiny ones
+    TableStore.append(mk(1L to 1000L: _*).coalesce(1), root)
+    TableStore.append(mk(2001), root)
+    TableStore.append(mk(2002), root)
+    TableStore.append(mk(2003), root)
+    val before = TableStore.read(spark, root).inputFiles.length
+    val v = TableStore.compactSmall(spark, root,
+      smallBytes = 8L << 10, targetBytes = 1L << 30)
+    assert(v == 5L)
+    val after = TableStore.read(spark, root)
+    assert(after.inputFiles.length < before)
+    assert(after.count() == 1003L)
+    // the big file was NOT rewritten: it is still referenced from v1
+    val h = TableStore.history(spark, root)
+      .where(col("version") === 5).collect().head
+    assert(h.getAs[Long]("n_removed") == 3L) // only the three smalls
+    // content identical through the fold; pinned version keeps layout
+    assert(ids(root) == ((1L to 1000L) ++ (2001L to 2003L)).toSet)
+    assert(ids(root, Some(4L)) == ids(root))
+    // fewer than two smalls: provable no-op, no version burned
+    assert(TableStore.compactSmall(spark, root,
+      smallBytes = 8L << 10, targetBytes = 1L << 30) == 5L)
+  }
+
+  test("sink maintenance auto-compacts; pinned readers and replay safe") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    val src = s"$root/src"
+    (1 to 6).foreach { i =>
+      mk(i * 10L, i * 10L + 1).coalesce(1)
+        .write.parquet(s"$src/f$i")
+    }
+    val schema = spark.read.parquet(s"$src/f1").schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/f*")
+    val store = s"$root/store"
+    val maint = Some(TableStore.SinkMaintenance(
+      maxLiveFiles = 2, targetBytes = 1L << 30))
+    TableStore.sinkStream(stream, store, s"$root/ckpt", maint)
+    // the backlog folded: live files stay near the threshold even
+    // though 6 batches landed
+    assert(TableStore.read(spark, store).inputFiles.length <= 3)
+    val expect = (1 to 6).flatMap(i => Seq(i * 10L, i * 10L + 1)).toSet
+    assert(ids(store) == expect)
+    // a version pinned BEFORE the last maintenance still reads its own
+    // (pre-fold) file layout and full content at that point
+    val vs = TableStore.versions(spark, store)
+    assert(vs.size > 6, "maintenance commits must appear as versions")
+    val firstFold = TableStore.history(spark, store)
+      .where(col("n_removed") > 0).orderBy("version")
+      .collect().head.getAs[Long]("version")
+    assert(ids(store, Some(firstFold - 1)).subsetOf(expect))
+    // restart on the same checkpoint: no new batches, no new
+    // maintenance — byte-identical store
+    TableStore.sinkStream(stream, store, s"$root/ckpt", maint)
+    assert(TableStore.versions(spark, store) == vs)
+    assert(ids(store) == expect)
+  }
+
   test("a pinned reader whose version is vacuumed fails loudly, not partially") {
     val root = tmp()
     TableStore.append(mk(1, 2), root)    // v1
