@@ -102,6 +102,29 @@ object SkewQueries extends QueryPack {
         factor = Factor, smallHint = Some("merge"))),
     Some(oracle))
 
+  /** The SELF-SIZING salted join ([[Skew.saltFactorFor]]): the salt
+    * factor is derived from a measured [[Skew.keyProfile]] instead of
+    * shipped as a constant, so the same pipeline picks 2 at sf0.1, 32
+    * at sf1 and 256 at sf10 — the dial the fixed-16 evidence pair
+    * says to turn each decade, turned by the data itself. Same oracle
+    * as the pair: whatever factor the profile chose, the result must
+    * hash-match the unsalted truth. The profile pass is one extra
+    * map-side-combinable scan here because the gate is self-contained;
+    * operationally the profile is computed once by a monitoring pass
+    * and reused. */
+  val autoSalted = GQuery(
+    "q_skew_join_autosalted",
+    (s, d) => {
+      val big = bigSide(s, d)
+      val factor = Skew.saltFactorFor(
+        Skew.keyProfile(big, "skew_key", topK = 1))
+      aggregate(Skew.saltedJoin(big, smallDim(s), "skew_key",
+        entropy = concat_ws("|", col("l_orderkey"), col("rep")),
+        factor = factor, smallHint = Some("merge")))
+    },
+    Some(oracle),
+    eager = true) // the profile collect runs at construction
+
   /** Skew diagnostics over the same planted-90%-hot fixture the
     * evidence pair joins ([[Skew.keyProfile]]): the profile that tells
     * an operator to take the salted path BEFORE paying for either
@@ -164,5 +187,6 @@ object SkewQueries extends QueryPack {
       SELECT shared_keys, n_pred, n_actual FROM f CROSS JOIN act
     """))
 
-  def all: Seq[GQuery] = Seq(naive, salted, profile, joinForecast)
+  def all: Seq[GQuery] = Seq(naive, salted, autoSalted, profile,
+    joinForecast)
 }
