@@ -953,19 +953,37 @@ object TableStore {
       fs.delete(new Path(s"$root/$Log/v=$v"), true))
     val keepSet = keepFiles.toSet
     val dataRoot = new Path(s"$root/$Data")
-    fs.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { d =>
-      fs.listStatus(d.getPath).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .foreach { f =>
-          val rel = s"$Data/${d.getPath.getName}/${f.getPath.getName}"
-          if (!keepSet.contains(rel)) fs.delete(f.getPath, false)
-        }
-      // dir is dead when no parquet survives — sweep it whole so the
-      // _SUCCESS/crc markers don't keep an empty commit dir alive
-      val liveLeft = fs.listStatus(d.getPath).toSeq
-        .exists(_.getPath.getName.endsWith(".parquet"))
-      if (!liveLeft) fs.delete(d.getPath, true)
+    // an IN-FLIGHT optimistic append has written its (attempt-unique)
+    // data dir but not yet committed — its files are unreferenced by
+    // every snapshot, exactly like crash residue. The dir's version
+    // hint separates them: residue worth sweeping targeted a version
+    // below the horizon; an in-flight writer's hint is at least
+    // latest+1 > horizon. Dirs at or above the horizon are left for a
+    // LATER vacuum (by then they are either committed and referenced,
+    // or provably dead). The residual caveat is the standard lakehouse
+    // retention contract: a writer stalled for longer than the
+    // retention window can still lose its uncommitted files — size
+    // keepVersions over the slowest writer, as with any table format.
+    def dirHint(name: String): Long = {
+      val core = name.stripPrefix("v").takeWhile(_.isDigit)
+      if (name.startsWith("v") && core.nonEmpty) core.toLong
+      else Long.MaxValue // unrecognized: never sweep
     }
+    fs.listStatus(dataRoot).toSeq
+      .filter(d => d.isDirectory && dirHint(d.getPath.getName) < horizon)
+      .foreach { d =>
+        fs.listStatus(d.getPath).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val rel = s"$Data/${d.getPath.getName}/${f.getPath.getName}"
+            if (!keepSet.contains(rel)) fs.delete(f.getPath, false)
+          }
+        // dir is dead when no parquet survives — sweep it whole so the
+        // _SUCCESS/crc markers don't keep an empty commit dir alive
+        val liveLeft = fs.listStatus(d.getPath).toSeq
+          .exists(_.getPath.getName.endsWith(".parquet"))
+        if (!liveLeft) fs.delete(d.getPath, true)
+      }
   }
 
   /** Per-version commit summary — the store's audit surface. Every

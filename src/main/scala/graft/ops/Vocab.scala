@@ -165,13 +165,29 @@ object Vocab {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
   }
 
+  /** Modulus for the encode digest polynomial — prime, small enough
+    * that `acc*31 + codepoint` and `poly * (ord+1)` both stay far
+    * inside a 64-bit long in either engine. */
+  val DigestMod = 1000000007L
+
   /** Encode a corpus with a saved model: one vocabulary-sized join —
     * documents explode to (doc, ord, word), words join the encoding
     * map (unseen words fall back to their character split, the BPE
-    * open-vocabulary contract), pieces reassemble in ordinal order.
-    * The corpus is never re-folded: all merge work happened once at
-    * train time over the word-frequency table. Returns per-document
-    * (idCol, n_words, n_pieces, enc_md5). */
+    * open-vocabulary contract). Returns per-document
+    * (idCol, n_words, n_pieces, enc_sig, enc_sum).
+    *
+    * The content digest is ARITHMETIC, not a hash-of-concatenation:
+    * per word, a base-31 character polynomial over the piece string
+    * (mod [[DigestMod]]); per document, the position-weighted sum
+    * `Σ (poly·(ord+1)) mod M` (order-sensitive) plus the plain
+    * `Σ poly` — four integer columns a map-side-combinable aggregate
+    * produces with O(1) state per group. The md5-of-reassembled-text
+    * digest it replaces forced BOTH engines to hold every document's
+    * full piece stream in aggregation state (Spark: collect_list per
+    * doc; DuckDB: a 27M-row ordered string_agg that exhausts its
+    * allocator at sf10) — the digest design, not the operator, was
+    * the scale ceiling. The corpus is never re-folded either way:
+    * all merge work happened once at train time. */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
                 modelDir: String): DataFrame = {
     val spark = docs.sparkSession
@@ -183,13 +199,15 @@ object Vocab {
       .join(enc, Seq("word"), "left")
       .withColumn("s", coalesce(col("s"),
         array_join(split(col("word"), ""), " ")))
+      .withColumn("_poly", aggregate(split(col("s"), ""),
+        lit(0L), (acc, ch) => pmod(acc * 31 + ascii(ch), lit(DigestMod))))
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_words"),
         sum(size(split(col("s"), " "))).cast("long").as("n_pieces"),
-        md5(encode(array_join(transform(
-          array_sort(collect_list(struct(col("ord"), col("s")))),
-          v => v("s")), " "), "UTF-8")).as("enc_md5"))
+        sum(pmod(col("_poly") * (col("ord") + 1), lit(DigestMod)))
+          .cast("long").as("enc_sig"),
+        sum(col("_poly")).cast("long").as("enc_sum"))
   }
 
   /** DuckDB mirror: the vocab CTE (same tie-break) and the per-doc

@@ -717,12 +717,22 @@ object TextQueries extends QueryPack {
         SELECT t.doc_id, t.ord,
                coalesce(e.s,
                  array_to_string(string_split(t.word,''),' ')) AS s
-        FROM tok t LEFT JOIN s3 e ON t.word = e.word)
+        FROM tok t LEFT JOIN s3 e ON t.word = e.word),
+      sig AS (
+        SELECT doc_id, ord,
+               len(string_split(s,' ')) AS np,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(s,''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS poly
+        FROM j)
       SELECT doc_id,
              CAST(count(*) AS BIGINT) AS n_words,
-             CAST(sum(len(string_split(s,' '))) AS BIGINT) AS n_pieces,
-             md5(string_agg(s, ' ' ORDER BY ord)) AS enc_md5
-      FROM j GROUP BY doc_id ORDER BY doc_id
+             CAST(sum(np) AS BIGINT) AS n_pieces,
+             CAST(sum((poly * ord) % 1000000007) AS BIGINT) AS enc_sig,
+             CAST(sum(poly) AS BIGINT) AS enc_sum
+      FROM sig GROUP BY doc_id ORDER BY doc_id
     """),
     eager = true) // model training + save run at construction
 

@@ -67,10 +67,21 @@ class BpeSpec extends SparkSpec {
     assert(r.getAs[Long]("n_words") == 2L)
     // "ab" encodes to ONE piece (trained); "zz" is unseen -> 2 chars
     assert(r.getAs[Long]("n_pieces") == 3L)
-    val expected = java.security.MessageDigest.getInstance("MD5")
-      .digest("ab z z".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    assert(r.getAs[String]("enc_md5") == expected)
+    // independent reimplementation of the digest arithmetic: base-31
+    // char polynomial per piece string, position-weighted sum per doc
+    val M = Vocab.DigestMod
+    def poly(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % M)
+    // doc = [("ab", ord 0), ("z z", ord 1)]
+    val expSig = (poly("ab") * 1) % M + (poly("z z") * 2) % M
+    val expSum = poly("ab") + poly("z z")
+    assert(r.getAs[Long]("enc_sig") == expSig)
+    assert(r.getAs[Long]("enc_sum") == expSum)
+    // the signature is ORDER-sensitive: the reversed doc must differ
+    val rev = Vocab.bpeEncode(docs("zz ab"), "doc_id", "text", dir)
+      .collect().head
+    assert(rev.getAs[Long]("enc_sig") != expSig)
+    assert(rev.getAs[Long]("enc_sum") == expSum) // same multiset
     // the persisted merge table is readable and ranked
     val m = spark.read.parquet(s"$dir/merges").collect()
     assert(m.length == 1 && m.head.getAs[String]("left_sym") == "a")

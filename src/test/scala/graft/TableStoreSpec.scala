@@ -619,6 +619,29 @@ class TableStoreSpec extends SparkSpec {
     assert(ids(store) == expect)
   }
 
+  test("vacuum never sweeps an in-flight append's uncommitted files") {
+    val root = tmp()
+    TableStore.append(mk(1), root) // v1
+    TableStore.append(mk(2), root) // v2
+    TableStore.append(mk(3), root) // v3
+    // simulate a writer mid-append: data staged under its hint dir
+    // (latest+1 = v4), log not yet committed — unreferenced by every
+    // snapshot, indistinguishable from crash residue EXCEPT by hint
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    mk(99).coalesce(1).write.parquet(s"$root/data/v4-inflight")
+    // plus genuine residue from a long-dead attempt at v1
+    mk(98).coalesce(1).write.parquet(s"$root/data/v1-deadresidue")
+    TableStore.vacuum(spark, root, keepVersions = 2)
+    // the dead residue (hint below the horizon) is swept...
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/data/v1-deadresidue")))
+    // ...the in-flight attempt (hint above) survives
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/data/v4-inflight/")))
+    assert(ids(root) == Set(1L, 2L, 3L)) // content untouched
+  }
+
   test("a pinned reader whose version is vacuumed fails loudly, not partially") {
     val root = tmp()
     TableStore.append(mk(1, 2), root)    // v1
