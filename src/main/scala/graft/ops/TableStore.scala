@@ -878,6 +878,81 @@ object TableStore {
     n
   }
 
+  /** Multi-dimensional layout OPTIMIZE as a commit: rewrite the live
+    * set clustered on the HILBERT index of (`xCol`, `yCol`) —
+    * [[Layout]]'s space-filling-curve layout joined to snapshot
+    * isolation. The curve key is an ORDERING DEVICE only, never
+    * persisted (schema unchanged): a curve maps 1-D file boundaries
+    * to compact 2-D tiles, so every rewritten file's per-column
+    * [min, max] for BOTH xCol and yCol come out simultaneously
+    * narrow, and the ordinary log-stats pruning ([[readBox]]) does
+    * the rest — the same design every lakehouse Z-ORDER ships.
+    * Compare [[optimizeLayout]]: a 1-D range cluster makes one
+    * column's ranges disjoint and leaves the other's spanning the
+    * whole table, so a probe tight only in the second column prunes
+    * nothing there. Both cluster columns are always captured into
+    * the log stats. Values must fit the curve grid `[0, 2^bits)` —
+    * pre-scale with [[Layout.normalize]] otherwise. */
+  def optimizeLayoutCurve(spark: SparkSession, root: String,
+                          xCol: String, yCol: String, bits: Int,
+                          targetBytes: Long,
+                          statsCols: Seq[String] = Nil,
+                          bloomCols: Seq[String] = Nil): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val prev = vs.last
+    val live = liveAt(spark, root, prev)
+    if (live.isEmpty) {
+      val n = prev + 1
+      commitExclusive(spark, root, n, Seq.empty, Seq.empty)
+      return n
+    }
+    val fs = fsOf(spark, new Path(root))
+    val bytes = live.map(e =>
+      fs.getFileStatus(new Path(s"$root/${e.path}")).getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val key = Layout.hilbertValue(col(xCol), col(yCol), bits)
+    val df = spark.read.option("ignoreMissingFiles", "false")
+      .parquet(live.map(e => s"$root/${e.path}"): _*)
+      .repartitionByRange(nOut, key)
+      .sortWithinPartitions(key)
+    val n = prev + 1
+    commitExclusive(spark, root, n,
+      writeData(df, root, n,
+        (statsCols ++ Seq(xCol, yCol)).distinct, bloomCols),
+      live.map(_.path))
+    n
+  }
+
+  /** Manifest-pruned 2-D box read: open only the live files whose
+    * stats can intersect BOTH `x ∈ [xlo, xhi]` AND `y ∈ [ylo, yhi]`,
+    * then apply the residual row filter. Returns the frame plus the
+    * (files touched, files live) economics pair. On an
+    * [[optimizeLayoutCurve]]d table a box tight in EITHER dimension
+    * prunes, because curve tiles are compact in both — the claim the
+    * q_store_optimize_curve gate enforces loudly. */
+  def readBox(spark: SparkSession, root: String,
+              x: (String, Long, Long), y: (String, Long, Long),
+              version: Option[Long] = None): (DataFrame, Int, Int) = {
+    require(x._2 <= x._3 && y._2 <= y._3,
+      s"empty box [${x._2},${x._3}]×[${y._2},${y._3}]")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val live = liveAt(spark, root, version.getOrElse(vs.max))
+    val xPass = overlappingFiles(spark, root, live, x._1, x._2, x._3)
+    val touched = overlappingFiles(spark, root, xPass, y._1, y._2, y._3)
+    val residual = col(x._1).between(x._2, x._3) &&
+      col(y._1).between(y._2, y._3)
+    val df =
+      if (touched.nonEmpty)
+        spark.read.option("ignoreMissingFiles", "false")
+          .parquet(touched.map(e => s"$root/${e.path}"): _*)
+          .where(residual)
+      else read(spark, root, version).where(residual).limit(0)
+    (df, touched.size, live.size)
+  }
+
   /** Retire history: keep the last `keepVersions` snapshots readable,
     * write a full-manifest CHECKPOINT at the new horizon (so replay
     * never needs the dropped logs), delete the dropped log dirs and

@@ -395,6 +395,83 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** Multi-dimensional store OPTIMIZE
+    * ([[graft.ops.TableStore.optimizeLayoutCurve]] — Z-ORDER's
+    * semantics via the Hilbert curve): three round-robin appends make
+    * every file span BOTH key dimensions, so a box probe tight only
+    * in yk (xk unconstrained) touches every file; the curve-optimize
+    * commit rewrites the live set Hilbert-clustered on (xk, yk),
+    * after which the files' per-column ranges are compact in both
+    * dims at once and the SAME box probe ([[graft.ops.TableStore
+    * .readBox]] — plain per-column stats, the curve key is never
+    * persisted) skips most files. Economics are enforced loudly in
+    * the body; the oracle pins CONTENT invariance across the rewrite
+    * — both phases must equal the source box digest. */
+  val storeOptimizeCurve = GQuery(
+    "q_store_optimize_curve",
+    (s, d) => {
+      val root = graft.TempRoots
+        .create("graft_tsopt2") + "/orders"
+      val src = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        (col("o_orderkey") % 256).as("xk"),
+        (col("o_custkey") % 256).as("yk"),
+        col("o_totalprice"))
+      (0L until 3L).foreach { i =>
+        graft.ops.TableStore.append(
+          src.where(col("o_orderkey") % 3 === i).coalesce(1), root,
+          statsCols = Seq("xk", "yk"))
+      }
+      val box = (("xk", 0L, 255L), ("yk", 16L, 47L))
+      val (_, tBefore, totBefore) = graft.ops.TableStore.readBox(
+        s, root, box._1, box._2)
+      require(tBefore == totBefore,
+        s"round-robin commits must all overlap the box: $tBefore/$totBefore")
+      // ~8 output files at ANY scale factor: size the target from the
+      // store's actual bytes so the probe economics stay comparable
+      // across the sf0.01 gate and the sf1/sf10 stamps
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(du).sum).getOrElse(0L)
+      val targetBytes =
+        math.max(16L << 10, du(new java.io.File(s"$root/data")) / 8)
+      val vOpt = graft.ops.TableStore.optimizeLayoutCurve(
+        s, root, "xk", "yk", bits = 8, targetBytes = targetBytes)
+      val (_, tAfter, totAfter) = graft.ops.TableStore.readBox(
+        s, root, box._1, box._2)
+      // economics by FRACTION of the live set, not absolute count —
+      // the optimize produces more, smaller files, so touching 3 of 8
+      // beats touching 3 of 3
+      require(totBefore == 0 ||
+        (totAfter > 2 && tAfter < totAfter &&
+          tAfter.toLong * totBefore < tBefore.toLong * totAfter),
+        s"curve-clustered box probe must skip a larger fraction: " +
+          s"$tAfter/$totAfter (before $tBefore/$totBefore)")
+      Seq(("before", vOpt - 1), ("after", vOpt)).map { case (tag, v) =>
+        graft.ops.TableStore.readBox(s, root, box._1, box._2, Some(v))
+          ._1
+          .agg(
+            lit(tag).as("phase"),
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 4)))
+              .cast("double").as("total_price"),
+            min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"))
+          .select("phase", "n_orders", "total_price",
+            "min_key", "max_key")
+      }.reduce(_ unionAll _).orderBy("phase")
+    },
+    Some("""
+      SELECT p.phase, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM (VALUES ('before'), ('after')) p(phase)
+      JOIN orders ON (o_custkey % 256) BETWEEN 16 AND 47
+      GROUP BY p.phase ORDER BY p.phase
+    """),
+    eager = true)
+
   /** Schema evolution across store versions
     * ([[graft.ops.TableStore.readAs]] +
     * [[graft.ops.SchemaEvolution.backfill]]): version 1 is committed
@@ -601,6 +678,6 @@ object PartitionQueries extends QueryPack {
 
   def all: Seq[GQuery] =
     Seq(runMonthPruning, retentionExpire, timeTravel, rowDelete,
-      storeSkipping, versionDiff, storeOptimize, storeEvolution,
-      storePointLookup, storeHistory, storeRestore)
+      storeSkipping, versionDiff, storeOptimize, storeOptimizeCurve,
+      storeEvolution, storePointLookup, storeHistory, storeRestore)
 }

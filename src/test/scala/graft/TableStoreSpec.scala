@@ -301,6 +301,45 @@ class TableStoreSpec extends SparkSpec {
     assert(tOld == 3)
   }
 
+  test("optimizeLayoutCurve: 2-D tiles prune a box tight in either dim") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    // 64x64 grid scattered round-robin: every file spans both dims
+    (0 until 3).foreach { i =>
+      val slice = (0L until 4096L).filter(_ % 3 == i)
+        .map(id => (id, id % 64, (id * 37) % 64))
+        .toDF("id", "x", "y").coalesce(1)
+      TableStore.append(slice, root, statsCols = Seq("x", "y"))
+    }
+    val (_, t0, tot0) = TableStore.readBox(spark, root,
+      ("x", 0L, 63L), ("y", 8L, 15L))
+    assert(t0 == 3 && tot0 == 3, "scattered layout cannot prune")
+    val v = TableStore.optimizeLayoutCurve(spark, root, "x", "y",
+      bits = 6, targetBytes = 4L << 10)
+    // content identical through the rewrite; schema UNCHANGED (the
+    // curve key is an ordering device, never a column)
+    val after = TableStore.read(spark, root)
+    assert(after.columns.toSeq == Seq("id", "x", "y"))
+    assert(after.count() == 4096L)
+    assert(ids(root, Some(v)) == ids(root, Some(v - 1)))
+    // a y-tight box (x unconstrained) now prunes: 1-D x-clustering
+    // could never skip a file for this probe
+    val (df1, t1, tot1) = TableStore.readBox(spark, root,
+      ("x", 0L, 63L), ("y", 8L, 15L))
+    assert(tot1 > 2, s"curve optimize must produce multiple files: $tot1")
+    assert(t1 < tot1, s"y-slab must skip files: $t1/$tot1")
+    assert(df1.count() ==
+      (0L until 4096L).count(id => (id * 37) % 64 >= 8 && (id * 37) % 64 <= 15))
+    // an x-tight box prunes too — compactness holds in BOTH dims
+    val (_, t2, _) = TableStore.readBox(spark, root,
+      ("x", 8L, 15L), ("y", 0L, 63L))
+    assert(t2 < tot1, s"x-slab must skip files: $t2/$tot1")
+    // the pinned pre-optimize version still probes its own layout
+    val (_, tOld, totOld) = TableStore.readBox(spark, root,
+      ("x", 0L, 63L), ("y", 8L, 15L), version = Some(v - 1))
+    assert(tOld == 3 && totOld == 3)
+  }
+
   test("pointLookup: blooms skip where ranges cannot") {
     val root = tmp()
     // interleaved keys: both files span [0, 999] so range stats
