@@ -259,12 +259,20 @@ object TableStore {
   private def commitLog(spark: SparkSession, root: String, n: Long,
                         adds: Seq[FileEntry],
                         removes: Seq[String],
-                        batchId: Option[Long] = None): Unit = {
+                        batchId: Option[Long] = None,
+                        marker: Option[String] = None): Unit = {
     import spark.implicits._
     val none = Map.empty[String, Long]
+    // commit-TYPE markers ride as inert rows (the vacuum "txn"
+    // posture — liveAt filters on "add", so they never affect a
+    // snapshot): "layout" = content-identical rewrite (compact/
+    // optimize; an incremental reader skips it), "rewrite" =
+    // content-CHANGING non-append (delete/restore; an incremental
+    // reader must resync, loudly)
     val rows =
       adds.map(e => (e.path, "add", e.rows, batchId, e.mins, e.maxs)) ++
-        removes.map(p => (p, "remove", 0L, batchId, none, none))
+        removes.map(p => (p, "remove", 0L, batchId, none, none)) ++
+        marker.map(m => ("", m, 0L, None: Option[Long], none, none))
     // attempt-unique staging: concurrent committers racing toward the
     // same n never share (or clobber) a staging dir
     val attempt = java.util.UUID.randomUUID.toString.take(8)
@@ -306,8 +314,9 @@ object TableStore {
     * attempt's data files are unreferenced and vacuum-swept. */
   private[graft] def commitExclusive(spark: SparkSession, root: String,
                                      n: Long, adds: Seq[FileEntry],
-                                     removes: Seq[String]): Unit =
-    try commitLog(spark, root, n, adds, removes)
+                                     removes: Seq[String],
+                                     marker: Option[String] = None): Unit =
+    try commitLog(spark, root, n, adds, removes, None, marker)
     catch { case e: CommitConflictException =>
       throw new java.util.ConcurrentModificationException(
         s"concurrent writer committed version $n at $root while this " +
@@ -447,7 +456,8 @@ object TableStore {
       .getOrElse(Seq.empty)
     val n = prev.getOrElse(0L) + 1
     commitExclusive(spark, root, n,
-      writeData(df, root, n, statsCols, bloomCols), removes)
+      writeData(df, root, n, statsCols, bloomCols), removes,
+      marker = prev.map(_ => "rewrite"))
     n
   }
 
@@ -466,7 +476,8 @@ object TableStore {
       // compacting an empty table: content unchanged, but callers
       // get the version they asked for (a no-action commit)
       val n = prev + 1
-      commitExclusive(spark, root, n, Seq.empty, Seq.empty)
+      commitExclusive(spark, root, n, Seq.empty, Seq.empty,
+        marker = Some("layout"))
       return n
     }
     val fs = fsOf(spark, new Path(root))
@@ -478,7 +489,8 @@ object TableStore {
       .repartition(nOut)
     val n = prev + 1
     commitExclusive(spark, root, n,
-      writeData(df, root, n, statsCols, bloomCols), live.map(_.path))
+      writeData(df, root, n, statsCols, bloomCols), live.map(_.path),
+      marker = Some("layout"))
     n
   }
 
@@ -719,7 +731,8 @@ object TableStore {
       .repartition(nOut)
     val n = prev + 1
     commitExclusive(spark, root, n,
-      writeData(df, root, n, statsCols, bloomCols), small.map(_.path))
+      writeData(df, root, n, statsCols, bloomCols), small.map(_.path),
+      marker = Some("layout"))
     n
   }
 
@@ -805,7 +818,7 @@ object TableStore {
     val n = prev + 1
     commitExclusive(spark, root, n,
       writeData(kept, root, n, statsCols, bloomCols),
-      touched.map(_.path))
+      touched.map(_.path), marker = Some("rewrite"))
     n
   }
 
@@ -833,7 +846,8 @@ object TableStore {
     val targetPaths = target.map(_.path).toSet
     commitExclusive(spark, root, n,
       target.filterNot(e => current.contains(e.path)),
-      current.filterNot(targetPaths.contains))
+      current.filterNot(targetPaths.contains),
+      marker = Some("rewrite"))
     n
   }
 
@@ -859,7 +873,8 @@ object TableStore {
     val live = liveAt(spark, root, prev)
     if (live.isEmpty) {
       val n = prev + 1
-      commitExclusive(spark, root, n, Seq.empty, Seq.empty)
+      commitExclusive(spark, root, n, Seq.empty, Seq.empty,
+        marker = Some("layout"))
       return n
     }
     val fs = fsOf(spark, new Path(root))
@@ -874,7 +889,8 @@ object TableStore {
     commitExclusive(spark, root, n,
       writeData(df, root, n, (statsCols :+ clusterCol).distinct,
         bloomCols),
-      live.map(_.path))
+      live.map(_.path),
+      marker = Some("layout"))
     n
   }
 
@@ -905,7 +921,8 @@ object TableStore {
     val live = liveAt(spark, root, prev)
     if (live.isEmpty) {
       val n = prev + 1
-      commitExclusive(spark, root, n, Seq.empty, Seq.empty)
+      commitExclusive(spark, root, n, Seq.empty, Seq.empty,
+        marker = Some("layout"))
       return n
     }
     val fs = fsOf(spark, new Path(root))
@@ -921,7 +938,8 @@ object TableStore {
     commitExclusive(spark, root, n,
       writeData(df, root, n,
         (statsCols ++ Seq(xCol, yCol)).distinct, bloomCols),
-      live.map(_.path))
+      live.map(_.path),
+      marker = Some("layout"))
     n
   }
 
@@ -1059,6 +1077,71 @@ object TableStore {
           .exists(_.getPath.getName.endsWith(".parquet"))
         if (!liveLeft) fs.delete(d.getPath, true)
       }
+  }
+
+  /** The store as an INCREMENTAL BATCH SOURCE: rows ADDED by the
+    * commits in `(sinceVersion, toVersion]` (toVersion defaults to
+    * latest), each tagged with its `_commit_version` — a downstream
+    * consumer remembers the last version it processed and reads only
+    * the delta, the change-data-feed read every derived table /
+    * downstream training tick wants at 100 TB (re-reading the whole
+    * table per tick is the thing this method exists to delete).
+    *
+    * Commit-type discipline makes the delta TRUSTWORTHY instead of
+    * merely available:
+    *  - append commits surface their adds;
+    *  - "layout" commits (compact/optimize — content-identical
+    *    rewrites) are SKIPPED: their adds are old rows in new files,
+    *    and surfacing them would double-process every compaction;
+    *  - "rewrite" commits (delete/restore/overwrite — content CHANGED
+    *    in a way an adds-only feed cannot express) FAIL LOUDLY: the
+    *    consumer must resync from a snapshot, and silence here would
+    *    mean silently missing deletions.
+    *
+    * `sinceVersion = 0` reads from the beginning; the since version
+    * must still be within the vacuum retention window (its successor
+    * commits' files must be live or the read fails loudly, the same
+    * pinned-reader contract as [[read]]). Metadata-sized planning:
+    * one log replay, no FS walk. */
+  def readChangesSince(spark: SparkSession, root: String,
+                       sinceVersion: Long,
+                       toVersion: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val to = toVersion.getOrElse(vs.max)
+    require(sinceVersion == 0 || vs.contains(sinceVersion),
+      s"since-version $sinceVersion not committed at $root " +
+        s"(have ${vs.mkString(",")}) — vacuumed past the horizon?")
+    require(vs.contains(to), s"to-version $to not committed at $root")
+    val range = logFrame(spark, root)
+      .where(col("v") > sinceVersion && col("v") <= to)
+    val marked = range
+      .where(col("action").isin("layout", "rewrite"))
+      .select(col("v").cast("long"), col("action"))
+      .collect() // bounded: one row per non-append commit in range
+    val rewrites = marked.filter(_.getString(1) == "rewrite")
+      .map(_.getLong(0)).sorted
+    require(rewrites.isEmpty,
+      s"commits ${rewrites.mkString(",")} in ($sinceVersion, $to] " +
+        s"rewrote content (delete/restore/overwrite) at $root — an " +
+        "adds-only change feed cannot express removals; resync from " +
+        "a snapshot read and continue from there")
+    val layoutVs = marked.map(_.getLong(0)).toSet
+    val adds = range
+      .where(col("action") === "add" &&
+        !col("v").isin(layoutVs.toSeq: _*))
+      .select(col("path"), col("v").cast("long").as("_commit_version"))
+      .collect() // bounded by files added in the window
+    if (adds.isEmpty) {
+      val anchor = new Path(s"$root/_schema")
+      return spark.read.parquet(anchor.toString).limit(0)
+        .withColumn("_commit_version", lit(0L))
+    }
+    adds.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map { case (v, rows) =>
+      spark.read.option("ignoreMissingFiles", "false")
+        .parquet(rows.map(r => s"$root/${r.getString(0)}"): _*)
+        .withColumn("_commit_version", lit(v))
+    }.reduce(_ unionByName _)
   }
 
   /** Per-version commit summary — the store's audit surface. Every

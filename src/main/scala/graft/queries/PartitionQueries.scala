@@ -472,6 +472,51 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** The store as an incremental batch source
+    * ([[graft.ops.TableStore.readChangesSince]]): three key-ranged
+    * appends, a compaction (content-identical layout commit), then a
+    * fourth append — the change feed since version 1 must surface
+    * exactly versions 2, 3→skipped, and 5's rows, each tagged with
+    * its commit version, with the compaction's re-added old rows NOT
+    * reappearing (the double-processing a naive adds feed would
+    * cause on every maintenance tick). The oracle restates each
+    * surfaced version's content from the source predicates. */
+  val storeChanges = GQuery(
+    "q_store_changes",
+    (s, d) => {
+      val root = graft.TempRoots
+        .create("graft_tscdc") + "/orders"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") % 3 === 0), root)   // v1
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") % 3 === 1), root)   // v2
+      graft.ops.TableStore.compact(s, root, 64L << 20)  // v3 layout
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") % 3 === 2), root)   // v4
+      graft.ops.TableStore.readChangesSince(s, root, sinceVersion = 1L)
+        .groupBy(col("_commit_version").as("commit_version"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4)))
+            .cast("double").as("total_price"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        .orderBy("commit_version")
+    },
+    Some("""
+      SELECT v.cv AS commit_version, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM (VALUES (CAST(2 AS BIGINT)), (CAST(4 AS BIGINT))) v(cv)
+      JOIN orders ON (v.cv = 2 AND o_orderkey % 3 = 1)
+                  OR (v.cv = 4 AND o_orderkey % 3 = 2)
+      GROUP BY v.cv ORDER BY commit_version
+    """),
+    eager = true)
+
   /** Schema evolution across store versions
     * ([[graft.ops.TableStore.readAs]] +
     * [[graft.ops.SchemaEvolution.backfill]]): version 1 is committed
@@ -679,5 +724,6 @@ object PartitionQueries extends QueryPack {
   def all: Seq[GQuery] =
     Seq(runMonthPruning, retentionExpire, timeTravel, rowDelete,
       storeSkipping, versionDiff, storeOptimize, storeOptimizeCurve,
-      storeEvolution, storePointLookup, storeHistory, storeRestore)
+      storeEvolution, storePointLookup, storeHistory, storeRestore,
+      storeChanges)
 }

@@ -658,6 +658,40 @@ class TableStoreSpec extends SparkSpec {
     assert(ids(store) == expect)
   }
 
+  test("readChangesSince: appends surface, layout skips, rewrites are loud") {
+    val root = tmp()
+    TableStore.append(mk(1, 2), root)            // v1
+    TableStore.append(mk(3), root)               // v2
+    TableStore.compact(spark, root, 1L << 30)    // v3 — layout only
+    TableStore.append(mk(4, 5), root)            // v4
+    def changes(since: Long) =
+      TableStore.readChangesSince(spark, root, since)
+        .select("id", "_commit_version").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // the delta after v1: v2's and v4's rows, tagged; the compaction's
+    // re-added old rows do NOT reappear
+    assert(changes(1L) == Set(3L -> 2L, 4L -> 4L, 5L -> 4L))
+    // from the beginning: every appended row exactly once
+    assert(changes(0L) ==
+      Set(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 4L, 5L -> 4L))
+    // an empty window is typed-empty
+    assert(TableStore.readChangesSince(spark, root, 4L).count() == 0L)
+    // streaming batches are appends too
+    TableStore.appendBatch(mk(6), root, batchId = 0L) // v5
+    assert(changes(4L) == Set(6L -> 5L))
+    // a content-REWRITING commit in the window must fail loudly —
+    // an adds-only feed cannot express its removals
+    TableStore.deleteWhere(spark, root,
+      col("id") === 3L, ("id", 3L, 3L))           // v6
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.readChangesSince(spark, root, 4L)
+    }
+    assert(ex.getMessage.contains("resync"))
+    // ...but a window that stops BEFORE it still reads
+    assert(TableStore.readChangesSince(spark, root, 4L, Some(5L))
+      .count() == 1L)
+  }
+
   test("vacuum never sweeps an in-flight append's uncommitted files") {
     val root = tmp()
     TableStore.append(mk(1), root) // v1
