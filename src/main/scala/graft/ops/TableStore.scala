@@ -656,6 +656,77 @@ object TableStore {
     (df, touched.size, live.size)
   }
 
+  /** Whether the file might contain ANY of the STRING `values` in
+    * `pcol`, via its parquet bloom over the column's BINARY (UTF-8)
+    * representation. Some(true/false) from the bloom; None when the
+    * file's schema predates the column (only nulls — provably no
+    * match). A non-BINARY physical type means the probe's hashing
+    * assumption is wrong — never skip (Some(true)), exactness is
+    * preserved by the residual filter. */
+  private def stringBloomMayContain(spark: SparkSession, root: String,
+                                    rel: String, pcol: String,
+                                    values: Seq[String])
+      : Option[Boolean] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(s"$root/$rel"), spark.sparkContext.hadoopConfiguration))
+    try {
+      import scala.jdk.CollectionConverters._
+      var saw = false
+      val may = reader.getFooter.getBlocks.asScala.exists { block =>
+        block.getColumns.asScala
+          .find(_.getPath.toDotString == pcol) match {
+          case None => false // only nulls here: cannot match a value
+          case Some(cc) =>
+            saw = true
+            if (cc.getPrimitiveType.getPrimitiveTypeName !=
+                PrimitiveTypeName.BINARY) return Some(true)
+            val bf = reader.getBloomFilterDataReader(block)
+              .readBloomFilter(cc)
+            bf == null || values.exists(v => bf.findHash(bf.hash(
+              org.apache.parquet.io.api.Binary.fromString(v))))
+        }
+      }
+      if (!saw && !may) None else Some(may)
+    } finally reader.close()
+  }
+
+  /** [[pointLookup]] for STRING keys — the high-cardinality id shape
+    * of document stores (URLs, content hashes, doc ids): integer
+    * range stats can't carry strings, so every live file goes
+    * straight to its bloom, and files written with `bloomCols` on
+    * the string column skip at ~one footer+bloom-page read each.
+    * False positives only ever ADD a file; the residual isin keeps
+    * the result exact. Returns the frame plus the
+    * (files touched, files live) economics pair. */
+  def pointLookupString(spark: SparkSession, root: String,
+                        pcol: String, values: Seq[String],
+                        version: Option[Long] = None)
+      : (DataFrame, Int, Int) = {
+    require(values.nonEmpty, "pointLookupString needs at least one value")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val live = liveAt(spark, root, version.getOrElse(vs.max))
+    var sawColumn = live.isEmpty
+    val touched = live.filter { e =>
+      stringBloomMayContain(spark, root, e.path, pcol, values) match {
+        case Some(m) => sawColumn = true; m
+        case None => false // schema predates the column: only nulls
+      }
+    }
+    require(sawColumn,
+      s"lookup column $pcol exists in NO live file of $root — " +
+        "misspelled column, not an evolved one")
+    val residual = col(pcol).isin(values: _*)
+    val df =
+      if (touched.nonEmpty)
+        spark.read.option("ignoreMissingFiles", "false")
+          .parquet(touched.map(e => s"$root/${e.path}"): _*)
+          .where(residual)
+      else read(spark, root, version).where(residual).limit(0)
+    (df, touched.size, live.size)
+  }
+
   /** Exactly-once streaming append: commit `df` as a new version
     * carrying `batchId` INSIDE the commit, or return None when some
     * version already carries it — a foreachBatch retry after a sink

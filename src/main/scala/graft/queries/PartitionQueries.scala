@@ -517,6 +517,46 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** String-key bloom point lookups
+    * ([[graft.ops.TableStore.pointLookupString]]): documents keyed by
+    * a derived string id land in three bloom-indexed commits split by
+    * doc_id range — every probe key lives in ONE commit's file, so
+    * the bloom walk must answer from a strict subset of the live set
+    * (enforced loudly; integer range stats cannot exist for strings,
+    * so blooms are the only thing standing between a point probe and
+    * a full-table read). The oracle recomputes the probed rows from
+    * the source by the same key derivation. */
+  val storePointLookupStr = GQuery(
+    "q_store_pointlookup_str",
+    (s, d) => {
+      val root = graft.TempRoots
+        .create("graft_tspls") + "/docs"
+      val src = Tables.documents(s, d).select(
+        concat(lit("doc:"), col("doc_id").cast("string")).as("k"),
+        col("doc_id"), length(col("text")).cast("long").as("text_len"))
+      val n = src.agg(max("doc_id")).collect()(0).getLong(0)
+      (0L until 3L).foreach { i =>
+        graft.ops.TableStore.append(
+          src.where(col("doc_id") % 3 === i).coalesce(1), root,
+          bloomCols = Seq("k"))
+      }
+      val probes = Seq(3L, 6L, 9L).map(m => s"doc:${n / m}")
+      val (df, touched, total) = graft.ops.TableStore.pointLookupString(
+        s, root, "k", probes)
+      require(total == 0 || touched < total,
+        s"string blooms must skip at least one commit: $touched/$total")
+      df.select("k", "doc_id", "text_len").orderBy("doc_id")
+    },
+    Some("""
+      WITH n AS (SELECT MAX(doc_id) AS m FROM documents)
+      SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS k, doc_id,
+             CAST(LENGTH(text) AS BIGINT) AS text_len
+      FROM documents, n
+      WHERE doc_id IN (n.m // 3, n.m // 6, n.m // 9)
+      ORDER BY doc_id
+    """),
+    eager = true)
+
   /** Schema evolution across store versions
     * ([[graft.ops.TableStore.readAs]] +
     * [[graft.ops.SchemaEvolution.backfill]]): version 1 is committed
@@ -724,6 +764,6 @@ object PartitionQueries extends QueryPack {
   def all: Seq[GQuery] =
     Seq(runMonthPruning, retentionExpire, timeTravel, rowDelete,
       storeSkipping, versionDiff, storeOptimize, storeOptimizeCurve,
-      storeEvolution, storePointLookup, storeHistory, storeRestore,
-      storeChanges)
+      storeEvolution, storePointLookup, storePointLookupStr,
+      storeHistory, storeRestore, storeChanges)
 }

@@ -448,6 +448,48 @@ class TableStoreSpec extends SparkSpec {
     assert(h.forall(_.getAs[Long]("n_added") == 0L))
   }
 
+  test("pointLookupString: string-key blooms skip; no-bloom files don't") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    // two bloom-indexed files with disjoint string key sets — integer
+    // range stats can't exist for strings, so only blooms can skip
+    TableStore.append(
+      (0 until 500).map(i => (s"doc-a-$i", i.toLong)).toDF("k", "v")
+        .coalesce(1), root, bloomCols = Seq("k"))
+    TableStore.append(
+      (0 until 500).map(i => (s"doc-b-$i", i.toLong)).toDF("k", "v")
+        .coalesce(1), root, bloomCols = Seq("k"))
+    val (df, touched, total) = TableStore.pointLookupString(
+      spark, root, "k", Seq("doc-a-42", "doc-a-411"))
+    assert(total == 2 && touched == 1)
+    assert(df.select("v").collect().map(_.getLong(0)).toSet ==
+      Set(42L, 411L))
+    // keys from both files touch both
+    val (_, t2, _) = TableStore.pointLookupString(
+      spark, root, "k", Seq("doc-a-1", "doc-b-1"))
+    assert(t2 == 2)
+    // absent keys: result exact, blooms may skip everything
+    val (miss, t3, _) = TableStore.pointLookupString(
+      spark, root, "k", Seq("doc-zzz"))
+    assert(miss.count() == 0L && t3 <= 2)
+    // a file written WITHOUT a bloom is never skipped
+    TableStore.append(Seq(("doc-c-1", 1L)).toDF("k", "v")
+      .coalesce(1), root)
+    val (hit, t4, tot4) = TableStore.pointLookupString(
+      spark, root, "k", Seq("doc-c-1"))
+    assert(tot4 == 3 && hit.count() == 1L)
+    assert(t4 >= 1, "the no-bloom file must stay unskippable")
+    // probing an INT column with strings: never skips, stays exact
+    val (ints, t5, _) = TableStore.pointLookupString(
+      spark, root, "v", Seq("42"))
+    assert(t5 == 3 && ints.count() == 2L) // v=42 in both a and b files
+    // typos stay loud
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.pointLookupString(spark, root, "kk", Seq("x"))
+    }
+    assert(ex.getMessage.contains("misspelled"))
+  }
+
   test("pointLookup hashes by the column's physical type (INT32 keys)") {
     val s = spark; import s.implicits._
     val root = tmp()
