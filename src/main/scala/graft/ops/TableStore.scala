@@ -132,7 +132,9 @@ object TableStore {
     * itself the listing bottleneck the log exists to avoid). */
   final case class FileEntry(path: String, rows: Long,
                              mins: Map[String, Long],
-                             maxs: Map[String, Long])
+                             maxs: Map[String, Long],
+                             smins: Map[String, String] = Map.empty,
+                             smaxs: Map[String, String] = Map.empty)
 
   /** True when the column's stats can be read as plain signed
     * integers/floats: no logical annotation, or a signed-int one.
@@ -149,45 +151,123 @@ object TableStore {
     })
   }
 
-  /** Rows + integer [min, max] per declared stats column, from the
-    * footer — one read per file, at write time only. */
+  /** True when the column is UTF-8 string storage: BINARY physical
+    * type with the String logical annotation. Its footer min/max are
+    * ordered by parquet's UNSIGNED byte comparator — which is exactly
+    * Spark's own string order (`UTF8String.compareTo` is unsigned
+    * byte-wise over UTF-8), so log-carried string bounds prune
+    * consistently with the residual `>=`/`<=`/`startsWith` filter. */
+  private def stringStatsType(
+      pt: org.apache.parquet.schema.PrimitiveType): Boolean =
+    pt.getPrimitiveTypeName ==
+      org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY &&
+      pt.getLogicalTypeAnnotation.isInstanceOf[
+        org.apache.parquet.schema.LogicalTypeAnnotation
+          .StringLogicalTypeAnnotation]
+
+  /** Log-carried string bounds are TRUNCATED so a long-key table
+    * (URLs run to kilobytes) never bloats the metadata path the log
+    * exists to keep small. Soundness under truncation is asymmetric:
+    * a prefix only ever SHRINKS a string in byte order, so the min
+    * side truncates freely; the max side needs a successor — bump the
+    * rightmost ASCII char below 0x7f and drop the tail. */
+  private val StatsTruncChars = 64
+
+  /** Sound truncated lower bound: a prefix never exceeds the value.
+    * Never cuts a surrogate pair in half — an unpaired surrogate
+    * doesn't round-trip UTF-8 and would corrupt the comparison. */
+  private def truncLower(s: String): String =
+    if (s.length <= StatsTruncChars) s
+    else if (Character.isHighSurrogate(s.charAt(StatsTruncChars - 1)))
+      s.substring(0, StatsTruncChars - 1)
+    else s.substring(0, StatsTruncChars)
+
+  /** Sound truncated upper bound, or None when one can't be formed
+    * (no ASCII char below 0x7f in the kept prefix): the caller then
+    * omits the column's stats for the file — unskippable, never
+    * wrong. The bumped char is ASCII, so the result is a valid
+    * string strictly greater than every string sharing the prefix. */
+  private def truncUpper(s: String): Option[String] =
+    if (s.length <= StatsTruncChars) Some(s)
+    else {
+      val p = s.substring(0, StatsTruncChars)
+      val i = p.lastIndexWhere(c => c < 0x7f)
+      if (i < 0) None
+      else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+    }
+
+  /** Spark's string order (unsigned UTF-8 bytes) — the ONLY order in
+    * which the log's string bounds may be compared. Java's
+    * `String.compareTo` orders UTF-16 code units, which disagrees
+    * beyond the BMP; using it here would skip files that match. */
+  private def strLe(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a).compareTo(
+      org.apache.spark.unsafe.types.UTF8String.fromString(b)) <= 0
+
+  /** Rows + per-column [min, max] per declared stats column, from the
+    * footer — one read per file, at write time only. Columns dispatch
+    * on their PHYSICAL storage: plain integers ride the long maps,
+    * UTF-8 strings ride the (truncated) string maps, and anything
+    * else — annotated storage whose raw footer values would be lies —
+    * stays a loud error. */
   private def footerInfo(spark: SparkSession, f: Path,
                          statsCols: Seq[String])
-      : (Long, Map[String, Long], Map[String, Long]) = {
+      : (Long, Map[String, Long], Map[String, Long],
+         Map[String, String], Map[String, String]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
       f, spark.sparkContext.hadoopConfiguration))
     try {
       import scala.jdk.CollectionConverters._
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      val ranges = statsCols.flatMap { c =>
+      val nums = Map.newBuilder[String, (Long, Long)]
+      val strs = Map.newBuilder[String, (String, String)]
+      statsCols.foreach { c =>
         val chunks = blocks.flatMap(_.getColumns.asScala)
           .filter(_.getPath.toDotString == c)
-        chunks.foreach(ch => require(plainStatsType(ch.getPrimitiveType),
-          s"stats column $c in $f is logically annotated " +
-            s"${ch.getPrimitiveType.getLogicalTypeAnnotation} — its raw " +
-            "footer integers are unscaled/encoded and would plan " +
-            "pruning from misinterpreted values; declare a plain " +
-            "integer column instead"))
+        require(rows == 0 || chunks.nonEmpty, s"stats column $c not in $f")
+        val isString = chunks.forall(ch => stringStatsType(ch.getPrimitiveType))
+        if (!isString)
+          chunks.foreach(ch => require(plainStatsType(ch.getPrimitiveType),
+            s"stats column $c in $f is logically annotated " +
+              s"${ch.getPrimitiveType.getLogicalTypeAnnotation} — its raw " +
+              "footer integers are unscaled/encoded and would plan " +
+              "pruning from misinterpreted values; declare a plain " +
+              "integer or string column instead"))
         val ss = chunks.map(_.getStatistics)
-        require(rows == 0 || ss.nonEmpty, s"stats column $c not in $f")
-        val nums = ss.collect {
-          case st if st != null && st.hasNonNullValue =>
+          .filter(st => st != null && st.hasNonNullValue)
+        // an all-null column has no range — omit the key; pruning
+        // treats the file as unskippable for that column
+        if (ss.nonEmpty && isString) {
+          val vals = ss.map { st =>
+            (st.genericGetMin, st.genericGetMax) match {
+              case (a: org.apache.parquet.io.api.Binary,
+                    b: org.apache.parquet.io.api.Binary) =>
+                (a.toStringUsingUTF8, b.toStringUsingUTF8)
+              case other => throw new IllegalArgumentException(
+                s"stats column $c in $f is not string-typed: $other")
+            }
+          }
+          val mn = vals.map(_._1).reduce((a, b) => if (strLe(a, b)) a else b)
+          val mx = vals.map(_._2).reduce((a, b) => if (strLe(a, b)) b else a)
+          truncUpper(mx).foreach(u => strs += c -> (truncLower(mn), u))
+        } else if (ss.nonEmpty) {
+          val vals = ss.map { st =>
             (st.genericGetMin, st.genericGetMax) match {
               case (a: java.lang.Number, b: java.lang.Number) =>
                 (a.longValue, b.longValue)
               case other => throw new IllegalArgumentException(
                 s"stats column $c in $f is not integer-typed: $other")
             }
+          }
+          nums += c -> (vals.map(_._1).min, vals.map(_._2).max)
         }
-        // an all-null column has no range — omit the key; pruning
-        // treats the file as unskippable for that column
-        if (nums.isEmpty) None
-        else Some(c -> (nums.map(_._1).min, nums.map(_._2).max))
       }
-      (rows,
-        ranges.map { case (c, r) => c -> r._1 }.toMap,
-        ranges.map { case (c, r) => c -> r._2 }.toMap)
+      val nr = nums.result(); val sr = strs.result()
+      (rows, nr.map { case (c, r) => c -> r._1 },
+        nr.map { case (c, r) => c -> r._2 },
+        sr.map { case (c, r) => c -> r._1 },
+        sr.map { case (c, r) => c -> r._2 })
     } finally reader.close()
   }
 
@@ -244,8 +324,10 @@ object TableStore {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
       .map { s =>
-        val (rows, mins, maxs) = footerInfo(spark, s.getPath, statsCols)
-        FileEntry(s"$Data/$sub/${s.getPath.getName}", rows, mins, maxs)
+        val (rows, mins, maxs, smins, smaxs) =
+          footerInfo(spark, s.getPath, statsCols)
+        FileEntry(s"$Data/$sub/${s.getPath.getName}", rows, mins, maxs,
+          smins, smaxs)
       }
       // a zero-row part (empty write task) carries no row groups —
       // it contributes nothing to any snapshot, so never log it
@@ -263,6 +345,7 @@ object TableStore {
                         marker: Option[String] = None): Unit = {
     import spark.implicits._
     val none = Map.empty[String, Long]
+    val snone = Map.empty[String, String]
     // commit-TYPE markers ride as inert rows (the vacuum "txn"
     // posture — liveAt filters on "add", so they never affect a
     // snapshot): "layout" = content-identical rewrite (compact/
@@ -270,9 +353,12 @@ object TableStore {
     // content-CHANGING non-append (delete/restore; an incremental
     // reader must resync, loudly)
     val rows =
-      adds.map(e => (e.path, "add", e.rows, batchId, e.mins, e.maxs)) ++
-        removes.map(p => (p, "remove", 0L, batchId, none, none)) ++
-        marker.map(m => ("", m, 0L, None: Option[Long], none, none))
+      adds.map(e => (e.path, "add", e.rows, batchId, e.mins, e.maxs,
+          e.smins, e.smaxs)) ++
+        removes.map(p => (p, "remove", 0L, batchId, none, none,
+          snone, snone)) ++
+        marker.map(m => ("", m, 0L, None: Option[Long], none, none,
+          snone, snone))
     // attempt-unique staging: concurrent committers racing toward the
     // same n never share (or clobber) a staging dir
     val attempt = java.util.UUID.randomUUID.toString.take(8)
@@ -280,7 +366,7 @@ object TableStore {
     val target = new Path(s"$root/$Log/v=$n")
     val fs = fsOf(spark, staged)
     rows.toDF("path", "action", "n_rows", "batch_id",
-        "min_vals", "max_vals")
+        "min_vals", "max_vals", "smin_vals", "smax_vals")
       .coalesce(1).write.parquet(staged.toString)
     def conflict(): Nothing = {
       fs.delete(staged, true)
@@ -324,8 +410,19 @@ object TableStore {
           "re-read and retry", e)
     }
 
+  // mergeSchema: the log's OWN schema evolves (string-stats maps were
+  // added after stores existed on disk); commits written before a
+  // column resolve it to null, exactly the readAs posture applied to
+  // the metadata table itself. The merge cost is footer-sized and
+  // bounded by the retention window, like every other log walk.
   private def logFrame(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/$Log")
+    spark.read.option("mergeSchema", "true").parquet(s"$root/$Log")
+
+  private def mapOrEmpty[V](r: org.apache.spark.sql.Row, field: String)
+      : Map[String, V] =
+    if (r.schema.fieldNames.contains(field) && !r.isNullAt(r.fieldIndex(field)))
+      r.getAs[scala.collection.Map[String, V]](field).toMap
+    else Map.empty
 
   /** Live [[FileEntry]]s at `asOf`: per path, the latest action at a
     * version <= asOf must be an add. Metadata-sized. */
@@ -337,15 +434,20 @@ object TableStore {
         " — vacuumed past the horizon or never written")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("path").orderBy(col("v").desc)
-    logFrame(spark, root)
-      .where(col("v") <= asOf)
+    val lf = logFrame(spark, root)
+    // a pre-upgrade store's merged log schema may LACK the string-stat
+    // maps entirely — select what exists, resolve the rest to empty
+    val cols = Seq("path", "n_rows", "min_vals", "max_vals") ++
+      Seq("smin_vals", "smax_vals").filter(lf.columns.contains)
+    lf.where(col("v") <= asOf)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1 && col("action") === "add")
-      .select("path", "n_rows", "min_vals", "max_vals")
+      .select(cols.map(col): _*)
       .collect().toSeq // bounded by file count: the planning budget
       .map(r => FileEntry(r.getString(0), r.getLong(1),
-        r.getAs[scala.collection.Map[String, Long]]("min_vals").toMap,
-        r.getAs[scala.collection.Map[String, Long]]("max_vals").toMap))
+        mapOrEmpty[Long](r, "min_vals"), mapOrEmpty[Long](r, "max_vals"),
+        mapOrEmpty[String](r, "smin_vals"),
+        mapOrEmpty[String](r, "smax_vals")))
       .sortBy(_.path)
   }
 
@@ -570,6 +672,126 @@ object TableStore {
     (df, touched.size, live.size)
   }
 
+  /** Live files whose string [min, max] for `pcol` can intersect
+    * [lo, hi] (either side unbounded as None), compared in Spark's
+    * string order. Files whose commit DECLARED `pcol` in statsCols
+    * answer from the log alone — zero IO; files written without it
+    * fall back to one footer read each. Truncated log bounds only
+    * ever WIDEN a file's range, so pruning stays sound. */
+  private def overlappingFilesString(spark: SparkSession, root: String,
+                                     live: Seq[FileEntry], pcol: String,
+                                     lo: Option[String],
+                                     hi: Option[String]): Seq[FileEntry] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def overlaps(mn: String, mx: String): Boolean =
+      lo.forall(l => strLe(l, mx)) && hi.forall(h => strLe(mn, h))
+    // a file whose schema PREDATES the prune column provably holds
+    // only nulls for it — skippable, not an error (readAs evolution)
+    var sawColumn = live.isEmpty
+    def footerOverlap(rel: String): Boolean = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(s"$root/$rel"), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = reader.getFooter.getBlocks.asScala
+        val chunks = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == pcol)
+        if (chunks.nonEmpty) sawColumn = true
+        if (blocks.nonEmpty && chunks.isEmpty) return false
+        chunks.exists { c =>
+          // non-string storage: the caller's string bounds can't be
+          // compared against these stats — never skip
+          !stringStatsType(c.getPrimitiveType) || {
+            val s = c.getStatistics
+            s == null || !s.hasNonNullValue || {
+              (s.genericGetMin, s.genericGetMax) match {
+                case (a: org.apache.parquet.io.api.Binary,
+                      b: org.apache.parquet.io.api.Binary) =>
+                  overlaps(a.toStringUsingUTF8, b.toStringUsingUTF8)
+                case _ => true
+              }
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    val hits = live.filter { e =>
+      (e.smins.get(pcol), e.smaxs.get(pcol)) match {
+        case (Some(mn), Some(mx)) => sawColumn = true; overlaps(mn, mx)
+        case _ => footerOverlap(e.path)
+      }
+    }
+    require(sawColumn,
+      s"prune column $pcol exists in NO live file of $root — " +
+        "misspelled column, not an evolved one")
+    hits
+  }
+
+  /** Manifest-pruned range read over a STRING key: open only the live
+    * files whose (truncated) string bounds can contain `pcol` ∈
+    * [lo, hi] in Spark's string order, then apply the residual row
+    * filter. Returns the frame plus the (files touched, files live)
+    * evidence pair. The string twin of [[readRange]] — the shape for
+    * tables ingested in key order on URLs, content hashes, or
+    * date-string keys, where the pruning column can't be an integer. */
+  def readRangeString(spark: SparkSession, root: String,
+                      pcol: String, lo: String, hi: String,
+                      version: Option[Long] = None)
+      : (DataFrame, Int, Int) = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val live = liveAt(spark, root, version.getOrElse(vs.max))
+    val touched = overlappingFilesString(spark, root, live, pcol,
+      Some(lo), Some(hi))
+    val residual = col(pcol) >= lit(lo) && col(pcol) <= lit(hi)
+    val df =
+      if (touched.nonEmpty)
+        spark.read.option("ignoreMissingFiles", "false")
+          .parquet(touched.map(e => s"$root/${e.path}"): _*)
+          .where(residual)
+      else read(spark, root, version).where(residual).limit(0)
+    (df, touched.size, live.size)
+  }
+
+  /** Exclusive upper bound for "starts with `prefix`": bump the
+    * rightmost ASCII char below 0x7f and drop the tail — every string
+    * with the prefix sorts strictly below it. None when the prefix
+    * has no such char: the probe then has no finite upper bound and
+    * prunes on the lower side only (still sound). */
+  private def prefixSuccessor(prefix: String): Option[String] = {
+    val i = prefix.lastIndexWhere(c => c < 0x7f)
+    if (i < 0) None
+    else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
+  }
+
+  /** Manifest-pruned PREFIX scan: open only the live files whose
+    * string bounds can contain a key starting with `prefix` — the
+    * domain/path-prefix probe shape of a URL-keyed corpus ("all of
+    * en.wikipedia.org") answered from log metadata alone when commits
+    * are key-clustered. Residual `startsWith` keeps the result exact;
+    * returns the frame plus (files touched, files live). */
+  def readPrefix(spark: SparkSession, root: String,
+                 pcol: String, prefix: String,
+                 version: Option[Long] = None): (DataFrame, Int, Int) = {
+    require(prefix.nonEmpty, "readPrefix needs a non-empty prefix")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val live = liveAt(spark, root, version.getOrElse(vs.max))
+    // [prefix, successor): a file overlaps iff its max reaches the
+    // prefix and its min stays below the successor (strictly — but
+    // <= on the successor only ever ADDS a file, never loses one)
+    val touched = overlappingFilesString(spark, root, live, pcol,
+      Some(prefix), prefixSuccessor(prefix))
+    val residual = col(pcol).startsWith(prefix)
+    val df =
+      if (touched.nonEmpty)
+        spark.read.option("ignoreMissingFiles", "false")
+          .parquet(touched.map(e => s"$root/${e.path}"): _*)
+          .where(residual)
+      else read(spark, root, version).where(residual).limit(0)
+    (df, touched.size, live.size)
+  }
+
   /** Whether the file might contain ANY of `values` in `pcol`:
     * Some(true/false) from its parquet bloom, None when the file's
     * schema predates the column entirely (only nulls — provably no
@@ -707,14 +929,22 @@ object TableStore {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val live = liveAt(spark, root, version.getOrElse(vs.max))
-    var sawColumn = live.isEmpty
-    val touched = live.filter { e =>
+    // two-level prune, the numeric pointLookup posture: files with
+    // log-carried string ranges prune for free (zero IO); survivors
+    // and stat-less files go to their blooms
+    val vmin = values.reduce((a, b) => if (strLe(a, b)) a else b)
+    val vmax = values.reduce((a, b) => if (strLe(a, b)) b else a)
+    val (logged, bare) = live.partition(_.smins.contains(pcol))
+    val ranged = logged.filter(e =>
+      strLe(e.smins(pcol), vmax) && strLe(vmin, e.smaxs(pcol))) ++ bare
+    var sawColumn = logged.nonEmpty || live.isEmpty
+    val touched = ranged.filter { e =>
       stringBloomMayContain(spark, root, e.path, pcol, values) match {
         case Some(m) => sawColumn = true; m
         case None => false // schema predates the column: only nulls
       }
     }
-    require(sawColumn,
+    require(sawColumn || bare.isEmpty,
       s"lookup column $pcol exists in NO live file of $root — " +
         "misspelled column, not an evolved one")
     val residual = col(pcol).isin(values: _*)
@@ -1078,6 +1308,7 @@ object TableStore {
     // Inert `txn` marker rows carry them — liveAt filters on "add",
     // so they never affect snapshots.
     val none = Map.empty[String, Long]
+    val snone = Map.empty[String, String]
     val seenBatches = logFrame(spark, root)
       .where(col("v") <= horizon && col("batch_id").isNotNull)
       .select("batch_id").distinct()
@@ -1088,11 +1319,12 @@ object TableStore {
     import spark.implicits._
     (horizonLive
       .map(e => (e.path, "add", e.rows, None: Option[Long],
-        e.mins, e.maxs)) ++
+        e.mins, e.maxs, e.smins, e.smaxs)) ++
       seenBatches.map(b =>
-        ("", "txn", 0L, Some(b): Option[Long], none, none)))
+        ("", "txn", 0L, Some(b): Option[Long], none, none,
+          snone, snone)))
       .toDF("path", "action", "n_rows", "batch_id",
-        "min_vals", "max_vals")
+        "min_vals", "max_vals", "smin_vals", "smax_vals")
       .coalesce(1).write.parquet(staged.toString)
     val old = new Path(s"$root/$Log/.old_ckpt_v$horizon")
     fs.delete(old, true)

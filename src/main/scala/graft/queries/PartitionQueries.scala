@@ -557,6 +557,46 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** Log-carried STRING bounds ([[graft.ops.TableStore.readPrefix]]):
+    * documents keyed by a `domNN/doc_id` string land in four commits
+    * clustered by domain — the natural shape of a URL-keyed corpus
+    * ingested crawl-by-crawl. A domain-prefix probe must answer from
+    * a strict subset of the live set using ONLY the truncated string
+    * [min, max] riding in the commit log (zero file IO — integer
+    * range stats cannot exist for string keys). The oracle recomputes
+    * the domain's rows from the source by the same key derivation. */
+  val storePrefixScan = GQuery(
+    "q_store_prefix_scan",
+    (s, d) => {
+      val root = graft.TempRoots
+        .create("graft_tspfx") + "/docs"
+      val src = Tables.documents(s, d).select(
+        concat(lit("dom"),
+          lpad((col("doc_id") % 8).cast("string"), 2, "0"),
+          lit("/"), col("doc_id").cast("string")).as("k"),
+        col("doc_id"), length(col("text")).cast("long").as("text_len"))
+      (0L until 4L).foreach { i =>
+        graft.ops.TableStore.append(
+          src.where(col("doc_id") % 8 === 2 * i ||
+            col("doc_id") % 8 === 2 * i + 1).coalesce(1), root,
+          statsCols = Seq("k"))
+      }
+      val (df, touched, total) = graft.ops.TableStore.readPrefix(
+        s, root, "k", "dom03/")
+      require(total == 0 || touched < total,
+        s"string log bounds must skip at least one commit: $touched/$total")
+      df.select("k", "doc_id", "text_len").orderBy("doc_id")
+    },
+    Some("""
+      SELECT 'dom' || lpad(CAST(doc_id % 8 AS VARCHAR), 2, '0') ||
+             '/' || CAST(doc_id AS VARCHAR) AS k, doc_id,
+             CAST(LENGTH(text) AS BIGINT) AS text_len
+      FROM documents
+      WHERE doc_id % 8 = 3
+      ORDER BY doc_id
+    """),
+    eager = true)
+
   /** Schema evolution across store versions
     * ([[graft.ops.TableStore.readAs]] +
     * [[graft.ops.SchemaEvolution.backfill]]): version 1 is committed
@@ -765,5 +805,5 @@ object PartitionQueries extends QueryPack {
     Seq(runMonthPruning, retentionExpire, timeTravel, rowDelete,
       storeSkipping, versionDiff, storeOptimize, storeOptimizeCurve,
       storeEvolution, storePointLookup, storePointLookupStr,
-      storeHistory, storeRestore, storeChanges)
+      storePrefixScan, storeHistory, storeRestore, storeChanges)
 }

@@ -490,6 +490,118 @@ class TableStoreSpec extends SparkSpec {
     assert(ex.getMessage.contains("misspelled"))
   }
 
+  test("string statsCols: prefix and range reads prune from the log alone") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    TableStore.append(
+      (0 until 200).map(i => (f"dom-a/$i%04d", i.toLong)).toDF("k", "v")
+        .coalesce(1), root, statsCols = Seq("k"))
+    TableStore.append(
+      (0 until 200).map(i => (f"dom-b/$i%04d", i.toLong)).toDF("k", "v")
+        .coalesce(1), root, statsCols = Seq("k"))
+    // the log carries the string bounds: pruning needs ZERO file IO
+    val log = spark.read.option("mergeSchema", "true")
+      .parquet(root + "/_log")
+    val bounds = log.where(col("action") === "add")
+      .select(col("smin_vals")("k"), col("smax_vals")("k"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(bounds.length == 2 && bounds.forall(b =>
+      b._1 != null && b._2 != null))
+    assert(bounds.map(_._1).sorted.head == "dom-a/0000")
+    val (pf, pt, ptot) = TableStore.readPrefix(spark, root, "k", "dom-a/")
+    assert(ptot == 2 && pt == 1)
+    assert(pf.count() == 200L)
+    val (rf, rt, _) = TableStore.readRangeString(
+      spark, root, "k", "dom-b/0010", "dom-b/0012")
+    assert(rt == 1)
+    assert(rf.select("v").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 11L, 12L))
+    // a file whose schema PREDATES k is a provably-null skip; a typo
+    // column stays loud
+    TableStore.append(Seq((99L, "pre")).toDF("v", "payload")
+      .coalesce(1), root)
+    val (_, pt2, ptot2) = TableStore.readPrefix(spark, root, "k", "dom-a/")
+    assert(ptot2 == 3 && pt2 == 1)
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.readPrefix(spark, root, "k_typo", Seq("x").head)
+    }
+    assert(ex.getMessage.contains("misspelled"))
+  }
+
+  test("string bounds truncate SOUNDLY on long keys (successor, not prefix)") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    val a69 = "a" * 69
+    // keys longer than the 64-char truncation budget: the logged max
+    // must be a SUCCESSOR ("aaa…ab"), because the plain prefix
+    // ("aaa…a") sorts BELOW the real values and would prune away the
+    // file that holds every match
+    TableStore.append(Seq(a69 + "0", a69 + "5").map((_, 1L))
+      .toDF("k", "v").coalesce(1), root, statsCols = Seq("k"))
+    TableStore.append(Seq(("b" * 69) + "0").map((_, 2L))
+      .toDF("k", "v").coalesce(1), root, statsCols = Seq("k"))
+    val log = spark.read.option("mergeSchema", "true")
+      .parquet(root + "/_log")
+    val mx = log.where(col("action") === "add")
+      .select(col("smax_vals")("k")).collect().map(_.getString(0)).sorted
+    assert(mx.head == "a" * 63 + "b") // bumped, tail dropped
+    assert(mx.forall(_.length <= 64))
+    val (df, t, tot) = TableStore.readRangeString(
+      spark, root, "k", a69 + "4", a69 + "9")
+    assert(tot == 2 && t == 1, "the long-key file must survive pruning")
+    assert(df.select("k").collect().map(_.getString(0)).toSet ==
+      Set(a69 + "5"))
+    // prefix probe landing past the truncation point: same soundness
+    val (pf, pt, _) = TableStore.readPrefix(spark, root, "k", a69)
+    assert(pt == 1 && pf.count() == 2L)
+  }
+
+  test("string prune: undeclared files fall back to the footer") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    // no statsCols declared — the log carries no string bounds, so
+    // pruning costs one footer read per file but still skips
+    TableStore.append((0 until 50).map(i => (s"p/$i", i.toLong))
+      .toDF("k", "v").coalesce(1), root)
+    TableStore.append((0 until 50).map(i => (s"q/$i", i.toLong))
+      .toDF("k", "v").coalesce(1), root)
+    val (df, t, tot) = TableStore.readPrefix(spark, root, "k", "q/")
+    assert(tot == 2 && t == 1)
+    assert(df.count() == 50L)
+  }
+
+  test("a pre-upgrade log without string-stat maps still reads") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    TableStore.append((0 until 30).map(i => (s"k$i", i.toLong))
+      .toDF("k", "v").coalesce(1), root)
+    // simulate a store committed by the engine BEFORE string stats
+    // existed: rewrite its log with only the original six columns
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaf = s"$root/_log/v=1"
+    val old = spark.read.parquet(leaf)
+      .select("path", "action", "n_rows", "batch_id",
+        "min_vals", "max_vals")
+      .collect()
+    val oldDf = spark.createDataFrame(
+      java.util.Arrays.asList(old: _*),
+      spark.read.parquet(leaf).select("path", "action", "n_rows",
+        "batch_id", "min_vals", "max_vals").schema)
+    fs.delete(new org.apache.hadoop.fs.Path(leaf), true)
+    oldDf.coalesce(1).write.parquet(leaf)
+    // snapshot read, prefix read (footer fallback), and a NEW commit
+    // mixing schemas in one log all work
+    assert(TableStore.read(spark, root).count() == 30L)
+    val (df, t, tot) = TableStore.readPrefix(spark, root, "k", "k2")
+    assert(tot == 1 && t == 1 && df.count() == 11L) // k2, k20..k29
+    TableStore.append(Seq(("z9", 99L)).toDF("k", "v").coalesce(1),
+      root, statsCols = Seq("k"))
+    assert(TableStore.read(spark, root).count() == 31L)
+    val (_, t2, tot2) = TableStore.readPrefix(spark, root, "k", "z")
+    assert(tot2 == 2 && t2 == 1) // new commit prunes from the log
+  }
+
   test("pointLookup hashes by the column's physical type (INT32 keys)") {
     val s = spark; import s.implicits._
     val root = tmp()
