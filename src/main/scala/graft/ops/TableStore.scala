@@ -1123,6 +1123,98 @@ object TableStore {
     n
   }
 
+  /** Copy-on-write MERGE — upsert by `key`, the CDC ingestion
+    * workhorse: every live row whose key appears (non-null) in
+    * `updates` is replaced by its update row; unmatched update rows
+    * insert. Three-level touch discovery keeps the rewrite
+    * proportional to the CHANGE, not the table:
+    *
+    *  1. the log-carried [min, max] of the update batch's key span
+    *     prunes whole files with ZERO IO (long and string keys both;
+    *     other key types fall through to level 2);
+    *  2. ONE distributed scan of the surviving candidates, joined to
+    *     the distinct update keys on `_metadata.file_path`, yields
+    *     the files that actually hold a matched row — range overlaps
+    *     that hold no key drop out here, so a false candidate costs
+    *     a scan, never a rewrite;
+    *  3. only those files are rewritten (matched rows anti-joined
+    *     away); the update rows land as fresh files in the same
+    *     commit.
+    *
+    * Soundness: pruning only ever widens the candidate set, and the
+    * exact scan catches every file the prune admits — a file outside
+    * the candidates provably holds no update key. NULL keys never
+    * equal anything (SQL join semantics): null-keyed update rows
+    * insert, null-keyed target rows survive. Snapshot-dependent: a
+    * concurrent commit between the live-set read and this commit
+    * fails loudly (re-read and retry). An all-null or empty update
+    * batch is a no-action commit.
+    *
+    * At 100 TB this is the shape that matters: a CDC batch touching
+    * 0.1% of keys rewrites ~0.1% of a key-clustered table's files
+    * ([[optimizeLayout]] keeps them clustered), while the naive
+    * overwrite-with-join rewrites all of it. */
+  def merge(updates: DataFrame, root: String, key: String,
+            statsCols: Seq[String] = Nil,
+            bloomCols: Seq[String] = Nil): Long = {
+    val spark = updates.sparkSession
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val prev = vs.last
+    val live = liveAt(spark, root, prev)
+    val store = read(spark, root, Some(prev))
+    // schema contract: a merge that widened or narrowed the row shape
+    // would leave a mixed-schema live set behind — loud, not latent
+    // (column ADDS go through readAs/SchemaEvolution deliberately)
+    require(updates.columns.sorted.sameElements(store.columns.sorted),
+      s"merge schema mismatch at $root: updates " +
+        s"[${updates.columns.sorted.mkString(",")}] vs table " +
+        s"[${store.columns.sorted.mkString(",")}]")
+    require(updates.columns.contains(key), s"merge key $key not in updates")
+    val aligned = updates.select(store.columns.map(col): _*)
+    import org.apache.spark.sql.types._
+    // level 1: log-stats prune on the batch's key span (one agg job)
+    val span = aligned.agg(min(col(key)), max(col(key))).collect()(0)
+    val candidates: Seq[FileEntry] =
+      if (span.isNullAt(0)) Seq.empty // no non-null keys: no matches
+      else aligned.schema(key).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          overlappingFiles(spark, root, live, key,
+            span.getAs[Number](0).longValue, span.getAs[Number](1).longValue)
+        case StringType =>
+          overlappingFilesString(spark, root, live, key,
+            Some(span.getString(0)), Some(span.getString(1)))
+        case _ => live // unpruneable key type: exact scan decides
+      }
+    val keys = aligned.select(col(key).as("__merge_key"))
+      .where(col("__merge_key").isNotNull).distinct()
+    // level 2: exact touched-file discovery — bounded by file count
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Seq.empty
+      else spark.read.option("ignoreMissingFiles", "false")
+        .parquet(candidates.map(e => s"$root/${e.path}"): _*)
+        .select(col(key), col("_metadata.file_path").as("__f"))
+        .join(keys, col(key) === col("__merge_key"))
+        .select("__f").distinct()
+        .collect().map(_.getString(0)).toSeq
+        .map(u => candidates.map(_.path).find(p => u.endsWith("/" + p))
+          .getOrElse(throw new IllegalStateException(
+            s"scanned file $u is not a candidate of $root")))
+    // level 3: rewrite ONLY the touched files, matched rows dropped
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(spark.read.option("ignoreMissingFiles", "false")
+        .parquet(touched.map(p => s"$root/$p"): _*)
+        .join(keys, col(key) === col("__merge_key"), "left_anti"))
+    val n = prev + 1
+    val adds = writeData(aligned, root, n, statsCols, bloomCols) ++
+      survivors.map(sv => writeData(sv, root, n, statsCols, bloomCols))
+        .getOrElse(Seq.empty)
+    commitExclusive(spark, root, n, adds, touched,
+      marker = Some("rewrite"))
+    n
+  }
+
   /** Roll the table back to `toVersion`'s content as a NEW commit —
     * the undo every versioned store owes its operators (a bad
     * overwrite or delete is reverted forward, never by mutating

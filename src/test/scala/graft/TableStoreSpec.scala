@@ -602,6 +602,69 @@ class TableStoreSpec extends SparkSpec {
     assert(tot2 == 2 && t2 == 1) // new commit prunes from the log
   }
 
+  test("merge rewrites only the files that hold a matched key") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    // four key-ranged commits, one file each
+    (0 until 4).foreach { i =>
+      TableStore.append(
+        (i * 100 until (i + 1) * 100).map(k =>
+          (k.toLong, s"old$k")).toDF("id", "payload").coalesce(1),
+        root, statsCols = Seq("id"))
+    }
+    // CDC batch: replace two rows in the 100..199 file, insert one new
+    val upd = Seq((150L, "NEW150"), (199L, "NEW199"), (999L, "NEW999"))
+      .toDF("id", "payload")
+    val v = TableStore.merge(upd, root, "id", statsCols = Seq("id"))
+    assert(v == 5L)
+    val h = TableStore.history(spark, root).where(col("version") === v)
+      .collect()(0)
+    assert(h.getAs[Long]("n_removed") == 1L,
+      "only the one file holding matched keys is rewritten")
+    val rows = TableStore.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 401)
+    assert(rows(150L) == "NEW150" && rows(199L) == "NEW199")
+    assert(rows(151L) == "old151" && rows(999L) == "NEW999")
+    // time travel: the pre-merge snapshot is intact
+    assert(TableStore.read(spark, root, Some(4L)).count() == 400L)
+    // a range-overlapping batch with NO matching key rewrites nothing
+    val miss = Seq((1150L, "x")).toDF("id", "payload")
+    val v2 = TableStore.merge(miss, root, "id")
+    val h2 = TableStore.history(spark, root).where(col("version") === v2)
+      .collect()(0)
+    assert(h2.getAs[Long]("n_removed") == 0L)
+    assert(TableStore.read(spark, root).count() == 402L)
+    // null keys: update row inserts, target rows never match
+    val nulls = Seq((Option.empty[Long], "nullrow"),
+      (Some(150L), "NEWER150")).toDF("id", "payload")
+    TableStore.merge(nulls, root, "id")
+    val after = TableStore.read(spark, root)
+    assert(after.where(col("id").isNull).count() == 1L)
+    assert(after.where(col("id") === 150L).collect()(0)
+      .getString(1) == "NEWER150")
+    // schema drift is loud
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.merge(Seq((1L, "x", 2L)).toDF("id", "payload", "extra"),
+        root, "id")
+    }
+    assert(ex.getMessage.contains("schema mismatch"))
+    // string-keyed merge prunes from string log bounds
+    val sroot = tmp()
+    TableStore.append(Seq(("a1", 1L), ("a2", 2L)).toDF("k", "v")
+      .coalesce(1), sroot, statsCols = Seq("k"))
+    TableStore.append(Seq(("b1", 1L), ("b2", 2L)).toDF("k", "v")
+      .coalesce(1), sroot, statsCols = Seq("k"))
+    val sv = TableStore.merge(Seq(("b2", 20L), ("c1", 30L)).toDF("k", "v"),
+      sroot, "k", statsCols = Seq("k"))
+    val sh = TableStore.history(spark, sroot)
+      .where(col("version") === sv).collect()(0)
+    assert(sh.getAs[Long]("n_removed") == 1L)
+    assert(TableStore.read(spark, sroot).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a1" -> 1L, "a2" -> 2L, "b1" -> 1L, "b2" -> 20L, "c1" -> 30L))
+  }
+
   test("pointLookup hashes by the column's physical type (INT32 keys)") {
     val s = spark; import s.implicits._
     val root = tmp()
