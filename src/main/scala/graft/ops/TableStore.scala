@@ -1156,28 +1156,73 @@ object TableStore {
     * overwrite-with-join rewrites all of it. */
   def merge(updates: DataFrame, root: String, key: String,
             statsCols: Seq[String] = Nil,
-            bloomCols: Seq[String] = Nil): Long = {
-    val spark = updates.sparkSession
+            bloomCols: Seq[String] = Nil): Long =
+    cowUpsert(updates, updates, root, key, statsCols, bloomCols, "merge")
+
+  /** Apply a CDC batch — upserts AND deletes in ONE commit, the
+    * consumer side of [[readChangesSince]]: `changes` carries the
+    * table's columns plus `opCol` ∈ {"upsert", "delete"}. Every live
+    * row whose key appears in the batch (either op) is removed via
+    * the merge touch discovery; the upsert rows then insert — a
+    * delete is "remove and don't re-insert", an upsert is "remove
+    * and re-insert", one proportional rewrite either way. The batch
+    * must carry at most one row per key: a key that is both upserted
+    * and deleted has no well-defined outcome, so ambiguity fails
+    * loudly instead of resolving by accident of row order. A
+    * null-keyed delete matches nothing (SQL semantics) and is
+    * dropped; a null-keyed upsert inserts. */
+  def applyChanges(changes: DataFrame, root: String, key: String,
+                   opCol: String = "_op",
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): Long = {
+    require(changes.columns.contains(opCol),
+      s"applyChanges needs the op column $opCol")
+    val ops = changes.select(col(opCol)).distinct()
+      .collect().map(_.getString(0)).toSet // bounded: distinct ops
+    require(ops.subsetOf(Set("upsert", "delete")),
+      s"unknown ops ${(ops -- Set("upsert", "delete")).mkString(",")} " +
+        s"in $opCol — applyChanges understands upsert and delete")
+    val dup = changes.where(col(key).isNotNull)
+      .groupBy(col(key)).count().where(col("count") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"applyChanges batch carries key ${dup.headOption.map(_.get(0))} " +
+        "more than once — one row per key, or the outcome would depend " +
+        "on row order")
+    cowUpsert(changes.where(col(opCol) === "upsert").drop(opCol),
+      changes.drop(opCol), root, key, statsCols, bloomCols,
+      "applyChanges")
+  }
+
+  /** Shared copy-on-write upsert machinery: rows of `keyRows` whose
+    * `key` is live get their files rewritten without them; `inserts`
+    * lands as fresh files in the same commit. See [[merge]] for the
+    * three-level touch discovery and its soundness argument. */
+  private def cowUpsert(inserts: DataFrame, keyRows: DataFrame,
+                        root: String, key: String,
+                        statsCols: Seq[String],
+                        bloomCols: Seq[String], opName: String): Long = {
+    val spark = inserts.sparkSession
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val prev = vs.last
     val live = liveAt(spark, root, prev)
     val store = read(spark, root, Some(prev))
-    // schema contract: a merge that widened or narrowed the row shape
-    // would leave a mixed-schema live set behind — loud, not latent
-    // (column ADDS go through readAs/SchemaEvolution deliberately)
-    require(updates.columns.sorted.sameElements(store.columns.sorted),
-      s"merge schema mismatch at $root: updates " +
-        s"[${updates.columns.sorted.mkString(",")}] vs table " +
+    // schema contract: an upsert that widened or narrowed the row
+    // shape would leave a mixed-schema live set behind — loud, not
+    // latent (column ADDS go through readAs/SchemaEvolution)
+    require(inserts.columns.sorted.sameElements(store.columns.sorted),
+      s"$opName schema mismatch at $root: batch " +
+        s"[${inserts.columns.sorted.mkString(",")}] vs table " +
         s"[${store.columns.sorted.mkString(",")}]")
-    require(updates.columns.contains(key), s"merge key $key not in updates")
-    val aligned = updates.select(store.columns.map(col): _*)
+    require(inserts.columns.contains(key), s"$opName key $key not in batch")
+    val aligned = inserts.select(store.columns.map(col): _*)
     import org.apache.spark.sql.types._
     // level 1: log-stats prune on the batch's key span (one agg job)
-    val span = aligned.agg(min(col(key)), max(col(key))).collect()(0)
+    val span = keyRows.agg(min(col(key)), max(col(key))).collect()(0)
     val candidates: Seq[FileEntry] =
       if (span.isNullAt(0)) Seq.empty // no non-null keys: no matches
-      else aligned.schema(key).dataType match {
+      else keyRows.schema(key).dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
           overlappingFiles(spark, root, live, key,
             span.getAs[Number](0).longValue, span.getAs[Number](1).longValue)
@@ -1186,7 +1231,7 @@ object TableStore {
             Some(span.getString(0)), Some(span.getString(1)))
         case _ => live // unpruneable key type: exact scan decides
       }
-    val keys = aligned.select(col(key).as("__merge_key"))
+    val keys = keyRows.select(col(key).as("__merge_key"))
       .where(col("__merge_key").isNotNull).distinct()
     // level 2: exact touched-file discovery — bounded by file count
     val touched: Seq[String] =

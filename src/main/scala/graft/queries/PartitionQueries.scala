@@ -669,6 +669,88 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** CDC apply ([[graft.ops.TableStore.applyChanges]]) — the consumer
+    * side of the change feed: one batch carrying upserts (price
+    * doubles, brand-new keys) AND deletes (every key ≡ 5 mod 10 in
+    * the first quartile) lands in ONE commit whose rewrite must stay
+    * a strict subset of the files. The oracle reconstructs the same
+    * apply with a UNION + NOT IN over the source. */
+  val storeCdcApply = GQuery(
+    "q_store_cdc_apply",
+    (s, d) => {
+      val root = graft.TempRoots
+        .create("graft_tscdc") + "/orders"
+      val src = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus"))
+      val mx = src.agg(max("o_orderkey")).collect()(0).getLong(0)
+      val qq = mx / 4 + 1
+      (0L until 4L).foreach { i =>
+        graft.ops.TableStore.append(
+          src.where(col("o_orderkey") >= i * qq &&
+            col("o_orderkey") < (i + 1) * qq).coalesce(1), root,
+          statsCols = Seq("o_orderkey"))
+      }
+      val chg = src
+        .where(col("o_orderkey") < qq && col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("_op", lit("upsert"))
+        .unionByName(src
+          .where(col("o_orderkey") < qq && col("o_orderkey") % 10 === 5)
+          .withColumn("_op", lit("delete")))
+        .unionByName(src.where(col("o_orderkey") % 1000 === 1)
+          .select((col("o_orderkey") + 2L * mx).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"),
+            lit("X").as("o_orderstatus"), lit("upsert").as("_op")))
+      val v = graft.ops.TableStore.applyChanges(chg, root, "o_orderkey",
+        statsCols = Seq("o_orderkey"))
+      val removed = graft.ops.TableStore.history(s, root)
+        .where(col("version") === v).collect()(0)
+        .getAs[Long]("n_removed")
+      require(removed < 4,
+        s"CDC apply must rewrite a strict subset of files: $removed/4")
+      graft.ops.TableStore.read(s, root)
+        .groupBy((col("o_orderkey") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.ops.Exact.fixedSum(col("o_totalprice"), 2)
+            .as("total_price"),
+          sum("o_orderkey").as("sum_key"))
+        .orderBy("bucket")
+    },
+    Some(s"""
+      WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      chg AS (
+        SELECT o_orderkey, o_custkey,
+               o_totalprice * 2 AS o_totalprice, o_orderstatus,
+               'upsert' AS op
+        FROM orders, m
+        WHERE o_orderkey < (m.mx // 4 + 1) AND o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+               'delete'
+        FROM orders, m
+        WHERE o_orderkey < (m.mx // 4 + 1) AND o_orderkey % 10 = 5
+        UNION ALL
+        SELECT o_orderkey + 2 * m.mx, o_custkey, o_totalprice, 'X',
+               'upsert'
+        FROM orders, m WHERE o_orderkey % 1000 = 1
+      ),
+      merged AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM chg WHERE op = 'upsert'
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+      )
+      SELECT o_orderkey % 8 AS bucket, COUNT(*) AS n_orders,
+             ${graft.ops.Exact.fixedSumSql("o_totalprice", 2)}
+               AS total_price,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      FROM merged GROUP BY 1 ORDER BY 1
+    """),
+    eager = true)
+
   /** Schema evolution across store versions
     * ([[graft.ops.TableStore.readAs]] +
     * [[graft.ops.SchemaEvolution.backfill]]): version 1 is committed
@@ -877,6 +959,6 @@ object PartitionQueries extends QueryPack {
     Seq(runMonthPruning, retentionExpire, timeTravel, rowDelete,
       storeSkipping, versionDiff, storeOptimize, storeOptimizeCurve,
       storeEvolution, storePointLookup, storePointLookupStr,
-      storePrefixScan, storeMerge, storeHistory, storeRestore,
-      storeChanges)
+      storePrefixScan, storeMerge, storeCdcApply, storeHistory,
+      storeRestore, storeChanges)
 }

@@ -665,6 +665,46 @@ class TableStoreSpec extends SparkSpec {
       Map("a1" -> 1L, "a2" -> 2L, "b1" -> 1L, "b2" -> 20L, "c1" -> 30L))
   }
 
+  test("applyChanges: upserts and deletes land in one proportional commit") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    (0 until 4).foreach { i =>
+      TableStore.append(
+        (i * 100 until (i + 1) * 100).map(k =>
+          (k.toLong, s"old$k")).toDF("id", "payload").coalesce(1),
+        root, statsCols = Seq("id"))
+    }
+    // one CDC batch: update 110, delete 120, insert 999 — all keys in
+    // (or above) one commit's range, so one file rewrites
+    val chg = Seq((110L, "NEW110", "upsert"), (120L, "ignored", "delete"),
+      (999L, "NEW999", "upsert")).toDF("id", "payload", "_op")
+    val v = TableStore.applyChanges(chg, root, "id")
+    val h = TableStore.history(spark, root).where(col("version") === v)
+      .collect()(0)
+    assert(h.getAs[Long]("n_removed") == 1L)
+    val rows = TableStore.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 400) // 400 - 1 deleted + 1 inserted
+    assert(rows(110L) == "NEW110" && rows(999L) == "NEW999")
+    assert(!rows.contains(120L))
+    assert(rows(121L) == "old121")
+    // pre-apply snapshot intact
+    assert(TableStore.read(spark, root, Some(4L)).count() == 400L)
+    // a key carried twice is ambiguous — loud
+    val dup = Seq((7L, "a", "upsert"), (7L, "b", "delete"))
+      .toDF("id", "payload", "_op")
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.applyChanges(dup, root, "id")
+    }
+    assert(ex.getMessage.contains("more than once"))
+    // unknown ops are loud
+    val bad = Seq((8L, "a", "replace")).toDF("id", "payload", "_op")
+    val ex2 = intercept[IllegalArgumentException] {
+      TableStore.applyChanges(bad, root, "id")
+    }
+    assert(ex2.getMessage.contains("unknown ops"))
+  }
+
   test("pointLookup hashes by the column's physical type (INT32 keys)") {
     val s = spark; import s.implicits._
     val root = tmp()
