@@ -1584,6 +1584,87 @@ object TableStore {
     }.reduce(_ unionByName _)
   }
 
+  /** ROW-level change feed across ANY commits in `(since, to]` —
+    * including the rewrites [[readChangesSince]] refuses: the
+    * snapshot delta computed from the FILE-set diff. Files live at
+    * `to` but not at `since` hold the candidate inserts; files live
+    * at `since` but not at `to` hold the candidate deletes; the
+    * multiset differences cancel rows that merely moved (compaction
+    * and OPTIMIZE rewrites contribute nothing), leaving exactly
+    * `snapshot(to) ∖ snapshot(since)` as `_op = insert` and the
+    * reverse as `_op = delete`. An update surfaces as its
+    * delete + insert pair; [[netChanges]] folds those into the
+    * upsert/delete shape [[applyChanges]] consumes — feed → net →
+    * apply mirrors the table exactly (gated end to end).
+    *
+    * Scale shape: only CHANGED files are read — a merge that touched
+    * 0.1% of a key-clustered table yields a feed read of ~0.2% of
+    * it, never the two-snapshot scan a naive diff pays. Files read
+    * under the `to` snapshot's schema ([[SchemaEvolution]] target
+    * posture), so evolution in the window can't tear the compare. */
+  def readRowChanges(spark: SparkSession, root: String,
+                     sinceVersion: Long,
+                     toVersion: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val to = toVersion.getOrElse(vs.max)
+    require(sinceVersion == 0 || vs.contains(sinceVersion),
+      s"since-version $sinceVersion not committed at $root " +
+        s"(have ${vs.mkString(",")}) — vacuumed past the horizon?")
+    require(vs.contains(to), s"to-version $to not committed at $root")
+    require(sinceVersion <= to,
+      s"empty change window ($sinceVersion, $to]")
+    val before =
+      if (sinceVersion == 0) Seq.empty[FileEntry]
+      else liveAt(spark, root, sinceVersion)
+    val after = liveAt(spark, root, to)
+    val beforeP = before.map(_.path).toSet
+    val afterP = after.map(_.path).toSet
+    val addedFiles = after.collect {
+      case e if !beforeP.contains(e.path) => s"$root/${e.path}" }
+    val removedFiles = before.collect {
+      case e if !afterP.contains(e.path) => s"$root/${e.path}" }
+    val target = read(spark, root, Some(to)).schema
+    def frame(files: Seq[String]) =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+      else SchemaEvolution.readWithTarget(spark, target, files: _*)
+    val a = frame(addedFiles)
+    val r = frame(removedFiles)
+    a.exceptAll(r).withColumn("_op", lit("insert"))
+      .unionByName(r.exceptAll(a).withColumn("_op", lit("delete")))
+  }
+
+  /** Fold a [[readRowChanges]] feed (insert/delete row pairs) into
+    * the one-row-per-key upsert/delete shape [[applyChanges]]
+    * consumes: a key with an insert in the window nets to `upsert`
+    * (its delete half, if any, is the old row being replaced); a key
+    * with only deletes nets to `delete`. Loud where netting is
+    * ill-defined: null keys can't key a mirror, and a key inserted
+    * twice (duplicate rows per key in the source table) has no
+    * single net row. */
+  def netChanges(changes: DataFrame, key: String,
+                 opCol: String = "_op"): DataFrame = {
+    require(changes.columns.contains(opCol),
+      s"netChanges needs the op column $opCol")
+    require(changes.where(col(key).isNull).limit(1).collect().isEmpty,
+      s"null $key in the change window — a keyed mirror needs keys")
+    val dupIns = changes.where(col(opCol) === "insert")
+      .groupBy(col(key)).count().where(col("count") > 1)
+      .limit(1).collect()
+    require(dupIns.isEmpty,
+      s"key ${dupIns.headOption.map(_.get(0))} inserts more than once " +
+        "in the window — a keyed mirror needs one live row per key")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(when(col(opCol) === "insert", 0).otherwise(1))
+    changes.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+      .withColumn(opCol,
+        when(col(opCol) === "insert", lit("upsert"))
+          .otherwise(lit("delete")))
+  }
+
   /** Per-version commit summary — the store's audit surface. Every
     * committed version appears, including no-action commits
     * (compact/optimize of an empty table), so the audit has no

@@ -751,6 +751,84 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** Change-feed ROUND TRIP ([[graft.ops.TableStore.readRowChanges]]
+    * → [[graft.ops.TableStore.netChanges]] →
+    * [[graft.ops.TableStore.applyChanges]]): store A takes a merge
+    * (repriced keys + past-range inserts) and a CDC batch (deletes +
+    * restatused upserts); a mirror B, seeded from A's version 1, is
+    * caught up purely from the row-level feed of A's changed files.
+    * Exact A≡B equality is enforced in-body (both exceptAll
+    * directions); the oracle independently reconstructs the final
+    * state from the source, so the feed, the netting, AND the apply
+    * all have to be right for the hash to match. */
+  val storeMirror = GQuery(
+    "q_store_mirror",
+    (s, d) => {
+      val rootA = graft.TempRoots.create("graft_tsmirA") + "/t"
+      val rootB = graft.TempRoots.create("graft_tsmirB") + "/t"
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderstatus"))
+      val mx = src.agg(max("o_orderkey")).collect()(0).getLong(0)
+      val base = src.where(col("o_orderkey") % 3 === 0)
+      graft.ops.TableStore.append(base.coalesce(2), rootA,
+        statsCols = Seq("o_orderkey"))
+      graft.ops.TableStore.append(
+        graft.ops.TableStore.read(s, rootA, Some(1L)), rootB)
+      graft.ops.TableStore.merge(
+        base.where(col("o_orderkey") % 30 === 0)
+          .withColumn("cents", col("cents") * 2)
+          .unionByName(src.where(col("o_orderkey") % 1000 === 1)
+            .select((col("o_orderkey") + 2L * mx).as("o_orderkey"),
+              col("cents"), lit("X").as("o_orderstatus"))),
+        rootA, "o_orderkey", statsCols = Seq("o_orderkey"))
+      graft.ops.TableStore.applyChanges(
+        base.where(col("o_orderkey") % 30 === 6)
+          .withColumn("_op", lit("delete"))
+          .unionByName(base.where(col("o_orderkey") % 30 === 12)
+            .withColumn("o_orderstatus", lit("U"))
+            .withColumn("_op", lit("upsert"))),
+        rootA, "o_orderkey", statsCols = Seq("o_orderkey"))
+      val net = graft.ops.TableStore.netChanges(
+        graft.ops.TableStore.readRowChanges(s, rootA, 1L), "o_orderkey")
+      graft.ops.TableStore.applyChanges(net, rootB, "o_orderkey")
+      val a = graft.ops.TableStore.read(s, rootA)
+      val b = graft.ops.TableStore.read(s, rootB)
+      require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "mirror drifted from source after feed replay")
+      b.groupBy((col("o_orderkey") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum("cents").as("total_cents"),
+          sum("o_orderkey").as("sum_key"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      base AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 3 = 0
+      ),
+      fin AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 30 = 0 THEN cents * 2
+                    ELSE cents END AS cents,
+               CASE WHEN o_orderkey % 30 = 12 THEN 'U'
+                    ELSE o_orderstatus END AS o_orderstatus
+        FROM base WHERE o_orderkey % 30 <> 6
+        UNION ALL
+        SELECT o_orderkey + 2 * m.mx,
+               CAST(round(o_totalprice * 100) AS BIGINT), 'X'
+        FROM orders, m WHERE o_orderkey % 1000 = 1
+      )
+      SELECT o_orderkey % 8 AS bucket, COUNT(*) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      FROM fin GROUP BY 1 ORDER BY 1
+    """),
+    eager = true)
+
   /** Schema evolution across store versions
     * ([[graft.ops.TableStore.readAs]] +
     * [[graft.ops.SchemaEvolution.backfill]]): version 1 is committed
@@ -959,6 +1037,6 @@ object PartitionQueries extends QueryPack {
     Seq(runMonthPruning, retentionExpire, timeTravel, rowDelete,
       storeSkipping, versionDiff, storeOptimize, storeOptimizeCurve,
       storeEvolution, storePointLookup, storePointLookupStr,
-      storePrefixScan, storeMerge, storeCdcApply, storeHistory,
-      storeRestore, storeChanges)
+      storePrefixScan, storeMerge, storeCdcApply, storeMirror,
+      storeHistory, storeRestore, storeChanges)
 }

@@ -705,6 +705,40 @@ class TableStoreSpec extends SparkSpec {
     assert(ex2.getMessage.contains("unknown ops"))
   }
 
+  test("readRowChanges: snapshot delta from changed files only") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    TableStore.append(mk(1L to 100L: _*).coalesce(1), root,
+      statsCols = Seq("id"))
+    // a compaction (layout rewrite) must contribute NOTHING
+    TableStore.compact(spark, root, targetBytes = 1L << 30)
+    // then a real merge: replace 5, insert 200
+    TableStore.merge(Seq((5L, "NEW5"), (200L, "NEW200"))
+      .toDF("id", "payload"), root, "id")
+    // and a delete: drop 7
+    TableStore.applyChanges(Seq((7L, "x", "delete"))
+      .toDF("id", "payload", "_op"), root, "id")
+    val feed = TableStore.readRowChanges(spark, root, 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[String]("_op"))).toSet
+    assert(feed == Set(
+      (5L, "NEW5", "insert"), (200L, "NEW200", "insert"),
+      (5L, "r5", "delete"), (7L, "r7", "delete")))
+    // from the very beginning (since = 0): net content of v-latest
+    val full = TableStore.readRowChanges(spark, root, 0L)
+    assert(full.where(col("_op") === "delete").count() == 0L)
+    assert(full.count() == 100L) // 100 - 1 deleted + 1 inserted
+    // netted, the window applies onto a mirror of version 2
+    val mirror = tmp()
+    TableStore.append(TableStore.read(spark, root, Some(2L)), mirror)
+    val net = TableStore.netChanges(
+      TableStore.readRowChanges(spark, root, 2L), "id")
+    TableStore.applyChanges(net, mirror, "id")
+    val a = TableStore.read(spark, root)
+    val b = TableStore.read(spark, mirror)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("pointLookup hashes by the column's physical type (INT32 keys)") {
     val s = spark; import s.implicits._
     val root = tmp()
