@@ -401,8 +401,9 @@ object TableStore {
   private[graft] def commitExclusive(spark: SparkSession, root: String,
                                      n: Long, adds: Seq[FileEntry],
                                      removes: Seq[String],
-                                     marker: Option[String] = None): Unit =
-    try commitLog(spark, root, n, adds, removes, None, marker)
+                                     marker: Option[String] = None,
+                                     batchId: Option[Long] = None): Unit =
+    try commitLog(spark, root, n, adds, removes, batchId, marker)
     catch { case e: CommitConflictException =>
       throw new java.util.ConcurrentModificationException(
         s"concurrent writer committed version $n at $root while this " +
@@ -1201,7 +1202,8 @@ object TableStore {
   private def cowUpsert(inserts: DataFrame, keyRows: DataFrame,
                         root: String, key: String,
                         statsCols: Seq[String],
-                        bloomCols: Seq[String], opName: String): Long = {
+                        bloomCols: Seq[String], opName: String,
+                        batchId: Option[Long] = None): Long = {
     val spark = inserts.sparkSession
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
@@ -1255,9 +1257,70 @@ object TableStore {
     val adds = writeData(aligned, root, n, statsCols, bloomCols) ++
       survivors.map(sv => writeData(sv, root, n, statsCols, bloomCols))
         .getOrElse(Seq.empty)
+    // a batch that touched nothing is a pure append: no rewrite
+    // marker, so an adds-only change feed stays consumable across it
     commitExclusive(spark, root, n, adds, touched,
-      marker = Some("rewrite"))
+      marker = if (touched.isEmpty) None else Some("rewrite"),
+      batchId = batchId)
     n
+  }
+
+  /** Exactly-once streaming MERGE: reduce the micro-batch to its
+    * latest row per `key` (ordered by `latestBy`, descending — the
+    * CDC last-writer-wins contract), then upsert it with the batch id
+    * riding INSIDE the commit; a foreachBatch retry after a sink
+    * crash sees the id and stands down, exactly the [[appendBatch]]
+    * posture applied to merges. Returns None when the batch was
+    * already committed (or reduces to nothing). The FIRST batch into
+    * an empty store is a plain keyed append (nothing to match).
+    *
+    * Unlike appendBatch, a merge is ORDER-dependent (later batches
+    * overwrite earlier keys), so this sink is single-logical-writer:
+    * a concurrent committer surfaces as the loud
+    * ConcurrentModificationException, never an interleaved history. */
+  def mergeBatch(updates: DataFrame, root: String, key: String,
+                 batchId: Long, latestBy: Seq[String],
+                 statsCols: Seq[String] = Nil): Option[Long] = {
+    require(latestBy.nonEmpty,
+      "mergeBatch needs latestBy columns — without an order, which of " +
+        "a key's rows within one batch wins is nondeterministic")
+    val spark = updates.sparkSession
+    def seen = versions(spark, root).nonEmpty &&
+      logFrame(spark, root).where(col("batch_id") === batchId)
+        .limit(1).count() > 0
+    if (seen) return None
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(latestBy.map(col(_).desc): _*)
+    val latest = updates.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    if (latest.isEmpty) return None // empty batch: never a commit
+    if (versions(spark, root).isEmpty) {
+      val adds = writeData(latest, root, 1L, statsCols)
+      if (adds.isEmpty) None
+      else { commitExclusive(spark, root, 1L, adds, Seq.empty,
+        batchId = Some(batchId)); Some(1L) }
+    } else
+      Some(cowUpsert(latest, latest, root, key, statsCols, Nil,
+        "mergeBatch", Some(batchId)))
+  }
+
+  /** Drive a stream of CDC rows into the store as exactly-once
+    * MERGE commits — the continuously-mirrored-table sink: each
+    * micro-batch upserts its latest row per `key`. One commit per
+    * batch, checkpoint-replay safe, single logical writer (see
+    * [[mergeBatch]]). */
+  def sinkStreamMerge(stream: DataFrame, root: String, key: String,
+                      checkpoint: String, latestBy: Seq[String],
+                      statsCols: Seq[String] = Nil): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        mergeBatch(b, root, key, id, latestBy, statsCols)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** Roll the table back to `toVersion`'s content as a NEW commit —

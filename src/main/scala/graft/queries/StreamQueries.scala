@@ -412,7 +412,60 @@ object StreamQueries extends QueryPack {
     """),
     bench = false, eager = true)
 
+  /** Exactly-once streaming MERGE into the store
+    * ([[graft.ops.TableStore.sinkStreamMerge]]): the sliced events
+    * stream is treated as a CDC feed keyed by user — each micro-batch
+    * upserts its latest row per user_id (ordered by ts, event_id), so
+    * the final table is ONE row per user holding the user's
+    * last-writer-wins state. Slices are time-ordered, making the
+    * outcome slicing-invariant: the winner is the global (ts,
+    * event_id) max per user, which is exactly the oracle's window.
+    * Replay discipline both ways: a checkpoint restart commits
+    * nothing, and batch 0 re-offered directly stands down on the
+    * commit-carried batch id. */
+  val streamUpsert = GQuery(
+    "q_stream_upsert",
+    (s, d) => {
+      val (root, schema) = stage(s, d)
+      val store = s"$root/store_up"
+      graft.ops.TableStore.sinkStreamMerge(
+        readSliced(s, root, schema), store, "user_id",
+        s"$root/ckpt_up", latestBy = Seq("ts", "event_id"),
+        statsCols = Seq("user_id"))
+      val vsAfter = graft.ops.TableStore.versions(s, store)
+      require(vsAfter.size >= Slices,
+        s"one merge commit per micro-batch expected: ${vsAfter.size}")
+      // checkpoint replay: AvailableNow finds nothing — no commits
+      graft.ops.TableStore.sinkStreamMerge(
+        readSliced(s, root, schema), store, "user_id",
+        s"$root/ckpt_up", latestBy = Seq("ts", "event_id"))
+      require(graft.ops.TableStore.versions(s, store) == vsAfter,
+        "checkpoint replay must not commit")
+      // direct retry of an already-committed batch id
+      val retried = graft.ops.TableStore.mergeBatch(
+        graft.Tables.events(s, d).limit(50)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"),
+            round(col("value") * 10000).cast("long").as("value")),
+        store, "user_id", batchId = 0L,
+        latestBy = Seq("ts", "event_id"))
+      require(retried.isEmpty,
+        "batch 0 re-offered after commit must be skipped")
+      graft.ops.TableStore.read(s, store)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, event_id, event_type,
+             CAST(ROUND(value * 1e4) AS BIGINT) AS value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      WHERE rn = 1 ORDER BY user_id
+    """),
+    bench = false, eager = true)
+
   def all: Seq[GQuery] = Seq(streamWindowedCounts, streamIntervalJoin,
     streamDedupReplay, streamSessionWindow, streamSessionize,
-    streamTableIngest, streamIngestCompact)
+    streamTableIngest, streamIngestCompact, streamUpsert)
 }

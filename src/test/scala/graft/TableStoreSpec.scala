@@ -739,6 +739,39 @@ class TableStoreSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("mergeBatch: exactly-once last-writer-wins upsert commits") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    // batch 0 into an empty store: plain keyed append
+    val b0 = Seq((1L, 10L, "a"), (2L, 11L, "b"), (1L, 12L, "c"))
+      .toDF("id", "seq", "payload")
+    assert(TableStore.mergeBatch(b0, root, "id", 0L,
+      latestBy = Seq("seq")) == Some(1L))
+    // within-batch reduction: key 1 keeps seq=12
+    assert(TableStore.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap ==
+      Map(1L -> "c", 2L -> "b"))
+    // batch 1 overwrites key 2, inserts key 3
+    val b1 = Seq((2L, 20L, "B2"), (3L, 21L, "d"))
+      .toDF("id", "seq", "payload")
+    assert(TableStore.mergeBatch(b1, root, "id", 1L,
+      latestBy = Seq("seq")).nonEmpty)
+    assert(TableStore.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap ==
+      Map(1L -> "c", 2L -> "B2", 3L -> "d"))
+    // retry of BOTH batch ids stands down — no new version
+    val vs = TableStore.versions(spark, root)
+    assert(TableStore.mergeBatch(b0, root, "id", 0L,
+      latestBy = Seq("seq")).isEmpty)
+    assert(TableStore.mergeBatch(b1, root, "id", 1L,
+      latestBy = Seq("seq")).isEmpty)
+    assert(TableStore.versions(spark, root) == vs)
+    // empty batch: never a commit
+    assert(TableStore.mergeBatch(b0.limit(0), root, "id", 2L,
+      latestBy = Seq("seq")).isEmpty)
+    assert(TableStore.versions(spark, root) == vs)
+  }
+
   test("pointLookup hashes by the column's physical type (INT32 keys)") {
     val s = spark; import s.implicits._
     val root = tmp()
