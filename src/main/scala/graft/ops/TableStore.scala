@@ -60,6 +60,18 @@ object TableStore {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Log paths are root-relative for files the table OWNS; a
+    * [[shallowClone]] re-references its SOURCE's files by absolute
+    * path (leading slash or URI scheme). This is the single place
+    * that knows the difference — every read, prune, rewrite and
+    * vacuum resolves through it, so clones behave identically to
+    * owned tables everywhere. (Vacuum's data sweep walks only the
+    * clone's own data dir, so external files are structurally
+    * un-deletable from the clone side.) */
+  private def resolve(root: String, path: String): String =
+    if (path.startsWith("/") || path.contains("://")) path
+    else s"$root/$path"
+
   /** Thrown when an optimistic commit loses the version race: another
     * writer published `v=N` first. Appends catch it and retry at the
     * next version (their data dirs are attempt-unique, so nothing was
@@ -477,7 +489,7 @@ object TableStore {
     }
     require(vs.nonEmpty, s"no committed versions at $root")
     val v = version.getOrElse(vs.max)
-    val files = liveAt(spark, root, v).map(e => s"$root/${e.path}")
+    val files = liveAt(spark, root, v).map(e => resolve(root, e.path))
     if (files.nonEmpty)
       spark.read.option("ignoreMissingFiles", "false").parquet(files: _*)
     // empty snapshot (all-empty commits, overwrite-with-empty): the
@@ -498,7 +510,7 @@ object TableStore {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val files = liveAt(spark, root, version.getOrElse(vs.max))
-      .map(e => s"$root/${e.path}")
+      .map(e => resolve(root, e.path))
     if (files.nonEmpty)
       SchemaEvolution.readWithTarget(spark, target, files: _*)
     else spark.createDataFrame(
@@ -585,10 +597,10 @@ object TableStore {
     }
     val fs = fsOf(spark, new Path(root))
     val bytes = live.map(e =>
-      fs.getFileStatus(new Path(s"$root/${e.path}")).getLen).sum
+      fs.getFileStatus(new Path(resolve(root, e.path))).getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.option("ignoreMissingFiles", "false")
-          .parquet(live.map(e => s"$root/${e.path}"): _*)
+          .parquet(live.map(e => resolve(root, e.path)): _*)
       .repartition(nOut)
     val n = prev + 1
     commitExclusive(spark, root, n,
@@ -613,7 +625,7 @@ object TableStore {
     var sawColumn = live.isEmpty
     def footerOverlap(rel: String): Boolean = {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new Path(s"$root/$rel"), conf))
+        new Path(resolve(root, rel)), conf))
       try {
         import scala.jdk.CollectionConverters._
         val blocks = reader.getFooter.getBlocks.asScala
@@ -667,7 +679,7 @@ object TableStore {
     val df =
       if (touched.nonEmpty)
         spark.read.option("ignoreMissingFiles", "false")
-          .parquet(touched.map(e => s"$root/${e.path}"): _*)
+          .parquet(touched.map(e => resolve(root, e.path)): _*)
           .where(residual)
       else read(spark, root, version).where(residual).limit(0)
     (df, touched.size, live.size)
@@ -691,7 +703,7 @@ object TableStore {
     var sawColumn = live.isEmpty
     def footerOverlap(rel: String): Boolean = {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new Path(s"$root/$rel"), conf))
+        new Path(resolve(root, rel)), conf))
       try {
         import scala.jdk.CollectionConverters._
         val blocks = reader.getFooter.getBlocks.asScala
@@ -748,7 +760,7 @@ object TableStore {
     val df =
       if (touched.nonEmpty)
         spark.read.option("ignoreMissingFiles", "false")
-          .parquet(touched.map(e => s"$root/${e.path}"): _*)
+          .parquet(touched.map(e => resolve(root, e.path)): _*)
           .where(residual)
       else read(spark, root, version).where(residual).limit(0)
     (df, touched.size, live.size)
@@ -787,7 +799,7 @@ object TableStore {
     val df =
       if (touched.nonEmpty)
         spark.read.option("ignoreMissingFiles", "false")
-          .parquet(touched.map(e => s"$root/${e.path}"): _*)
+          .parquet(touched.map(e => resolve(root, e.path)): _*)
           .where(residual)
       else read(spark, root, version).where(residual).limit(0)
     (df, touched.size, live.size)
@@ -806,7 +818,7 @@ object TableStore {
                               values: Seq[Long]): Option[Boolean] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-      new Path(s"$root/$rel"), spark.sparkContext.hadoopConfiguration))
+      new Path(resolve(root, rel)), spark.sparkContext.hadoopConfiguration))
     try {
       import scala.jdk.CollectionConverters._
       var saw = false
@@ -873,7 +885,7 @@ object TableStore {
     val df =
       if (touched.nonEmpty)
         spark.read.option("ignoreMissingFiles", "false")
-          .parquet(touched.map(e => s"$root/${e.path}"): _*)
+          .parquet(touched.map(e => resolve(root, e.path)): _*)
           .where(residual)
       else read(spark, root, version).where(residual).limit(0)
     (df, touched.size, live.size)
@@ -892,7 +904,7 @@ object TableStore {
       : Option[Boolean] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-      new Path(s"$root/$rel"), spark.sparkContext.hadoopConfiguration))
+      new Path(resolve(root, rel)), spark.sparkContext.hadoopConfiguration))
     try {
       import scala.jdk.CollectionConverters._
       var saw = false
@@ -952,7 +964,7 @@ object TableStore {
     val df =
       if (touched.nonEmpty)
         spark.read.option("ignoreMissingFiles", "false")
-          .parquet(touched.map(e => s"$root/${e.path}"): _*)
+          .parquet(touched.map(e => resolve(root, e.path)): _*)
           .where(residual)
       else read(spark, root, version).where(residual).limit(0)
     (df, touched.size, live.size)
@@ -1023,13 +1035,13 @@ object TableStore {
     val live = liveAt(spark, root, prev)
     val fs = fsOf(spark, new Path(root))
     val small = live.filter(e =>
-      fs.getFileStatus(new Path(s"$root/${e.path}")).getLen < smallBytes)
+      fs.getFileStatus(new Path(resolve(root, e.path))).getLen < smallBytes)
     if (small.size < 2) return prev // nothing worth merging
     val bytes = small.map(e =>
-      fs.getFileStatus(new Path(s"$root/${e.path}")).getLen).sum
+      fs.getFileStatus(new Path(resolve(root, e.path))).getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.option("ignoreMissingFiles", "false")
-      .parquet(small.map(e => s"$root/${e.path}"): _*)
+      .parquet(small.map(e => resolve(root, e.path)): _*)
       .repartition(nOut)
     val n = prev + 1
     commitExclusive(spark, root, n,
@@ -1115,7 +1127,7 @@ object TableStore {
     // three-valued logic `!pred` drops NULL-valued rows the caller
     // never selected — a silent data loss, not a delete
     val kept = spark.read.option("ignoreMissingFiles", "false")
-      .parquet(touched.map(e => s"$root/${e.path}"): _*)
+      .parquet(touched.map(e => resolve(root, e.path)): _*)
       .where(!coalesce(pred, lit(false)))
     val n = prev + 1
     commitExclusive(spark, root, n,
@@ -1239,19 +1251,20 @@ object TableStore {
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
       else spark.read.option("ignoreMissingFiles", "false")
-        .parquet(candidates.map(e => s"$root/${e.path}"): _*)
+        .parquet(candidates.map(e => resolve(root, e.path)): _*)
         .select(col(key), col("_metadata.file_path").as("__f"))
         .join(keys, col(key) === col("__merge_key"))
         .select("__f").distinct()
         .collect().map(_.getString(0)).toSeq
-        .map(u => candidates.map(_.path).find(p => u.endsWith("/" + p))
+        .map(u => candidates.map(_.path)
+          .find(p => u.endsWith("/" + p) || u.endsWith(p))
           .getOrElse(throw new IllegalStateException(
             s"scanned file $u is not a candidate of $root")))
     // level 3: rewrite ONLY the touched files, matched rows dropped
     val survivors =
       if (touched.isEmpty) None
       else Some(spark.read.option("ignoreMissingFiles", "false")
-        .parquet(touched.map(p => s"$root/$p"): _*)
+        .parquet(touched.map(p => resolve(root, p)): _*)
         .join(keys, col(key) === col("__merge_key"), "left_anti"))
     val n = prev + 1
     val adds = writeData(aligned, root, n, statsCols, bloomCols) ++
@@ -1323,6 +1336,48 @@ object TableStore {
     q.awaitTermination()
   }
 
+  /** Zero-copy SHALLOW CLONE: `dstRoot`'s version 1 re-ADDS the live
+    * files of `srcRoot` at `version` by ABSOLUTE path — an instantly
+    * materialized dev/experiment branch of a 100 TB table, no data
+    * movement, stats maps carried so pruning works unchanged. The
+    * clone owns none of the referenced data: copy-on-write ops
+    * (merge/applyChanges/deleteWhere/compact/optimize) write their
+    * rewrites into the clone's own data dir and re-reference less
+    * and less of the source, the source is never mutated, and the
+    * clone's [[vacuum]] can never delete source files (its sweep
+    * walks only the clone's own data dir). Retention caveat — the
+    * standard lakehouse clone contract: the SOURCE's vacuum does not
+    * know about clones; keep source retention wider than any clone's
+    * pin, or the clone fails loudly on the missing files
+    * (`ignoreMissingFiles=false`), never partial rows. */
+  def shallowClone(spark: SparkSession, srcRoot: String,
+                   dstRoot: String,
+                   version: Option[Long] = None): Long = {
+    require(srcRoot.startsWith("/") || srcRoot.contains("://"),
+      s"shallowClone needs an absolute source root: $srcRoot")
+    val vs = versions(spark, srcRoot)
+    require(vs.nonEmpty, s"no committed versions at $srcRoot")
+    require(versions(spark, dstRoot).isEmpty,
+      s"clone target $dstRoot already has commits")
+    val v = version.getOrElse(vs.max)
+    val entries = liveAt(spark, srcRoot, v)
+      .map(e => e.copy(path = resolve(srcRoot, e.path)))
+    // schema anchor: clones of empty snapshots still read typed-empty
+    val anchor = new Path(s"$dstRoot/_schema")
+    val afs = fsOf(spark, anchor)
+    if (!afs.exists(anchor)) {
+      val staged = new Path(s"$dstRoot/.schema_tmp-clone")
+      read(spark, srcRoot, Some(v)).limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(staged.toString)
+      if (afs.rename(staged, anchor)) {
+        val nested = new Path(anchor, staged.getName)
+        if (afs.exists(nested)) afs.delete(nested, true)
+      } else afs.delete(staged, true)
+    }
+    commitLog(spark, dstRoot, 1L, entries, Seq.empty)
+    1L
+  }
+
   /** Roll the table back to `toVersion`'s content as a NEW commit —
     * the undo every versioned store owes its operators (a bad
     * overwrite or delete is reverted forward, never by mutating
@@ -1380,10 +1435,10 @@ object TableStore {
     }
     val fs = fsOf(spark, new Path(root))
     val bytes = live.map(e =>
-      fs.getFileStatus(new Path(s"$root/${e.path}")).getLen).sum
+      fs.getFileStatus(new Path(resolve(root, e.path))).getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.option("ignoreMissingFiles", "false")
-          .parquet(live.map(e => s"$root/${e.path}"): _*)
+          .parquet(live.map(e => resolve(root, e.path)): _*)
       .repartitionByRange(nOut, col(clusterCol))
       .sortWithinPartitions(clusterCol)
     val n = prev + 1
@@ -1428,11 +1483,11 @@ object TableStore {
     }
     val fs = fsOf(spark, new Path(root))
     val bytes = live.map(e =>
-      fs.getFileStatus(new Path(s"$root/${e.path}")).getLen).sum
+      fs.getFileStatus(new Path(resolve(root, e.path))).getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val key = Layout.hilbertValue(col(xCol), col(yCol), bits)
     val df = spark.read.option("ignoreMissingFiles", "false")
-      .parquet(live.map(e => s"$root/${e.path}"): _*)
+      .parquet(live.map(e => resolve(root, e.path)): _*)
       .repartitionByRange(nOut, key)
       .sortWithinPartitions(key)
     val n = prev + 1
@@ -1466,7 +1521,7 @@ object TableStore {
     val df =
       if (touched.nonEmpty)
         spark.read.option("ignoreMissingFiles", "false")
-          .parquet(touched.map(e => s"$root/${e.path}"): _*)
+          .parquet(touched.map(e => resolve(root, e.path)): _*)
           .where(residual)
       else read(spark, root, version).where(residual).limit(0)
     (df, touched.size, live.size)
@@ -1549,6 +1604,10 @@ object TableStore {
       fs.delete(new Path(s"$root/$Log/v=$v"), true))
     val keepSet = keepFiles.toSet
     val dataRoot = new Path(s"$root/$Data")
+    // a shallow clone that never rewrote anything owns no data dir at
+    // all — nothing to sweep (its externally-referenced source files
+    // are structurally out of reach of this walk)
+    if (!fs.exists(dataRoot)) return
     // an IN-FLIGHT optimistic append has written its (attempt-unique)
     // data dir but not yet committed — its files are unreferenced by
     // every snapshot, exactly like crash residue. The dir's version
@@ -1642,7 +1701,7 @@ object TableStore {
     }
     adds.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map { case (v, rows) =>
       spark.read.option("ignoreMissingFiles", "false")
-        .parquet(rows.map(r => s"$root/${r.getString(0)}"): _*)
+        .parquet(rows.map(r => resolve(root, r.getString(0))): _*)
         .withColumn("_commit_version", lit(v))
     }.reduce(_ unionByName _)
   }
@@ -1684,9 +1743,9 @@ object TableStore {
     val beforeP = before.map(_.path).toSet
     val afterP = after.map(_.path).toSet
     val addedFiles = after.collect {
-      case e if !beforeP.contains(e.path) => s"$root/${e.path}" }
+      case e if !beforeP.contains(e.path) => resolve(root, e.path) }
     val removedFiles = before.collect {
-      case e if !afterP.contains(e.path) => s"$root/${e.path}" }
+      case e if !afterP.contains(e.path) => resolve(root, e.path) }
     val target = read(spark, root, Some(to)).schema
     def frame(files: Seq[String]) =
       if (files.isEmpty) spark.createDataFrame(

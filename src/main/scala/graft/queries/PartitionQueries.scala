@@ -829,6 +829,55 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** Zero-copy shallow clone
+    * ([[graft.ops.TableStore.shallowClone]]): a documents store is
+    * cloned with NO data movement (the clone's v1 re-references the
+    * source's files absolutely), then a merge rewrites every tenth
+    * doc ON THE CLONE. Source immutability is enforced in-body (both
+    * exceptAll directions against a fresh snapshot read); the oracle
+    * recomputes the clone's merged content from the source table, so
+    * the clone read path, carried stats, and the COW divergence all
+    * gate together. */
+  val storeClone = GQuery(
+    "q_store_clone",
+    (s, d) => {
+      val src = graft.TempRoots.create("graft_tsclA") + "/docs"
+      val dst = graft.TempRoots.create("graft_tsclB") + "/docs"
+      val sdf = Tables.documents(s, d).select(
+        col("doc_id"), length(col("text")).cast("long").as("text_len"))
+      val n = sdf.agg(max("doc_id")).collect()(0).getLong(0)
+      val third = n / 3 + 1
+      (0L until 3L).foreach { i =>
+        graft.ops.TableStore.append(
+          sdf.where(col("doc_id") >= i * third &&
+            col("doc_id") < (i + 1) * third).coalesce(1), src,
+          statsCols = Seq("doc_id"))
+      }
+      graft.ops.TableStore.shallowClone(s, src, dst)
+      graft.ops.TableStore.merge(
+        sdf.where(col("doc_id") % 10 === 0)
+          .withColumn("text_len", lit(-1L)),
+        dst, "doc_id", statsCols = Seq("doc_id"))
+      val srcNow = graft.ops.TableStore.read(s, src)
+      require(srcNow.exceptAll(sdf).isEmpty &&
+        sdf.exceptAll(srcNow).isEmpty,
+        "clone mutation leaked into the source store")
+      graft.ops.TableStore.read(s, dst)
+        .groupBy((col("doc_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("text_len").as("sum_len"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("bucket")
+    },
+    Some("""
+      SELECT doc_id % 8 AS bucket, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN -1
+                           ELSE LENGTH(text) END) AS BIGINT) AS sum_len,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_id
+      FROM documents GROUP BY 1 ORDER BY 1
+    """),
+    eager = true)
+
   /** Schema evolution across store versions
     * ([[graft.ops.TableStore.readAs]] +
     * [[graft.ops.SchemaEvolution.backfill]]): version 1 is committed
@@ -1038,5 +1087,5 @@ object PartitionQueries extends QueryPack {
       storeSkipping, versionDiff, storeOptimize, storeOptimizeCurve,
       storeEvolution, storePointLookup, storePointLookupStr,
       storePrefixScan, storeMerge, storeCdcApply, storeMirror,
-      storeHistory, storeRestore, storeChanges)
+      storeClone, storeHistory, storeRestore, storeChanges)
 }

@@ -772,6 +772,53 @@ class TableStoreSpec extends SparkSpec {
     assert(TableStore.versions(spark, root) == vs)
   }
 
+  test("shallowClone: zero-copy branch; COW never mutates the source") {
+    val s = spark; import s.implicits._
+    val src = tmp()
+    (0 until 3).foreach { i =>
+      TableStore.append(
+        (i * 100 until (i + 1) * 100).map(k => (k.toLong, s"r$k"))
+          .toDF("id", "payload").coalesce(1), src,
+        statsCols = Seq("id"))
+    }
+    val dst = tmp()
+    assert(TableStore.shallowClone(spark, src, dst) == 1L)
+    // the clone moved no data: it owns no data dir at all
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dst/data")))
+    assert(ids(dst) == (0L until 300L).toSet)
+    // carried stats prune on the clone exactly as on the source
+    val (_, t, tot) = TableStore.readRange(spark, dst, "id", 150L, 160L)
+    assert(tot == 3 && t == 1)
+    // COW on the clone: source stays untouched
+    TableStore.merge(Seq((5L, "NEW5"), (400L, "NEW400"))
+      .toDF("id", "payload"), dst, "id", statsCols = Seq("id"))
+    TableStore.deleteWhere(spark, dst, col("id") === 250L,
+      pruneBy = ("id", 250L, 250L))
+    assert(ids(src) == (0L until 300L).toSet)
+    val dr = TableStore.read(spark, dst)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dr.size == 300 && dr(5L) == "NEW5" && dr(400L) == "NEW400"
+      && !dr.contains(250L))
+    // vacuuming the clone down to one version deletes NOTHING of the
+    // source: its sweep walks only the clone's own data dir
+    TableStore.vacuum(spark, dst, keepVersions = 1)
+    assert(ids(src) == (0L until 300L).toSet)
+    assert(TableStore.read(spark, dst).count() == 300L)
+    // compaction MATERIALIZES the clone: after it, no external refs
+    TableStore.compact(spark, dst, targetBytes = 1L << 30)
+    TableStore.vacuum(spark, dst, keepVersions = 1)
+    assert(TableStore.read(spark, dst).inputFiles
+      .forall(_.contains(dst)), "compacted clone owns all its files")
+    assert(ids(src) == (0L until 300L).toSet)
+    // cloning into a non-empty store is loud
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.shallowClone(spark, src, dst)
+    }
+    assert(ex.getMessage.contains("already has commits"))
+  }
+
   test("pointLookup hashes by the column's physical type (INT32 keys)") {
     val s = spark; import s.implicits._
     val root = tmp()
