@@ -354,23 +354,31 @@ object TableStore {
                         adds: Seq[FileEntry],
                         removes: Seq[String],
                         batchId: Option[Long] = None,
-                        marker: Option[String] = None): Unit = {
+                        marker: Option[String] = None,
+                        metaRows: Seq[(String, String, String)] = Nil)
+      : Unit = {
     import spark.implicits._
     val none = Map.empty[String, Long]
     val snone = Map.empty[String, String]
+    val noMeta = None: Option[String]
     // commit-TYPE markers ride as inert rows (the vacuum "txn"
     // posture — liveAt filters on "add", so they never affect a
     // snapshot): "layout" = content-identical rewrite (compact/
     // optimize; an incremental reader skips it), "rewrite" =
     // content-CHANGING non-append (delete/restore; an incremental
-    // reader must resync, loudly)
+    // reader must resync, loudly). metaRows carry table METADATA
+    // as (name, action, payload) — constraints today — versioned
+    // exactly like data actions.
     val rows =
       adds.map(e => (e.path, "add", e.rows, batchId, e.mins, e.maxs,
-          e.smins, e.smaxs)) ++
+          e.smins, e.smaxs, noMeta)) ++
         removes.map(p => (p, "remove", 0L, batchId, none, none,
-          snone, snone)) ++
+          snone, snone, noMeta)) ++
         marker.map(m => ("", m, 0L, None: Option[Long], none, none,
-          snone, snone))
+          snone, snone, noMeta)) ++
+        metaRows.map { case (name, action, payload) =>
+          (name, action, 0L, None: Option[Long], none, none,
+            snone, snone, Some(payload): Option[String]) }
     // attempt-unique staging: concurrent committers racing toward the
     // same n never share (or clobber) a staging dir
     val attempt = java.util.UUID.randomUUID.toString.take(8)
@@ -378,7 +386,7 @@ object TableStore {
     val target = new Path(s"$root/$Log/v=$n")
     val fs = fsOf(spark, staged)
     rows.toDF("path", "action", "n_rows", "batch_id",
-        "min_vals", "max_vals", "smin_vals", "smax_vals")
+        "min_vals", "max_vals", "smin_vals", "smax_vals", "meta")
       .coalesce(1).write.parquet(staged.toString)
     def conflict(): Nothing = {
       fs.delete(staged, true)
@@ -414,8 +422,11 @@ object TableStore {
                                      n: Long, adds: Seq[FileEntry],
                                      removes: Seq[String],
                                      marker: Option[String] = None,
-                                     batchId: Option[Long] = None): Unit =
-    try commitLog(spark, root, n, adds, removes, batchId, marker)
+                                     batchId: Option[Long] = None,
+                                     metaRows: Seq[(String, String, String)]
+                                       = Nil): Unit =
+    try commitLog(spark, root, n, adds, removes, batchId, marker,
+      metaRows)
     catch { case e: CommitConflictException =>
       throw new java.util.ConcurrentModificationException(
         s"concurrent writer committed version $n at $root while this " +
@@ -553,8 +564,9 @@ object TableStore {
              bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val hint = versions(spark, root).lastOption.getOrElse(0L) + 1
-    appendRetrying(spark, root, hint,
-      writeData(df, root, hint, statsCols, bloomCols), None)
+    val adds = writeData(df, root, hint, statsCols, bloomCols)
+    enforceConstraints(spark, root, adds)
+    appendRetrying(spark, root, hint, adds, None)
   }
 
   /** Replace the table's content with `df` as a new version; every
@@ -570,8 +582,9 @@ object TableStore {
     val removes = prev.map(liveAt(spark, root, _).map(_.path))
       .getOrElse(Seq.empty)
     val n = prev.getOrElse(0L) + 1
-    commitExclusive(spark, root, n,
-      writeData(df, root, n, statsCols, bloomCols), removes,
+    val adds = writeData(df, root, n, statsCols, bloomCols)
+    enforceConstraints(spark, root, adds)
+    commitExclusive(spark, root, n, adds, removes,
       marker = prev.map(_ => "rewrite"))
     n
   }
@@ -988,6 +1001,7 @@ object TableStore {
     else {
       val hint = versions(spark, root).lastOption.getOrElse(0L) + 1
       val adds = writeData(df, root, hint, statsCols)
+      enforceConstraints(spark, root, adds)
       if (adds.isEmpty) None
       else {
         var attempts = 0
@@ -1267,7 +1281,11 @@ object TableStore {
         .parquet(touched.map(p => resolve(root, p)): _*)
         .join(keys, col(key) === col("__merge_key"), "left_anti"))
     val n = prev + 1
-    val adds = writeData(aligned, root, n, statsCols, bloomCols) ++
+    val newAdds = writeData(aligned, root, n, statsCols, bloomCols)
+    // only NEW content is validated: survivors are a subset of rows
+    // that already passed (addConstraint validated the whole table)
+    enforceConstraints(spark, root, newAdds)
+    val adds = newAdds ++
       survivors.map(sv => writeData(sv, root, n, statsCols, bloomCols))
         .getOrElse(Seq.empty)
     // a batch that touched nothing is a pure append: no rewrite
@@ -1334,6 +1352,93 @@ object TableStore {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** CHECK constraints active at `asOf`: (name, boolean SQL expr)
+    * pairs, latest declaration per name wins, drops remove. Replayed
+    * from the log's metadata rows — versioned exactly like data, so
+    * time travel knows when enforcement started, and [[vacuum]]'s
+    * checkpoint carries the active set past the horizon. */
+  def activeConstraints(spark: SparkSession, root: String,
+                        asOf: Long): Seq[(String, String)] = {
+    val lf = logFrame(spark, root)
+    if (!lf.columns.contains("meta")) return Seq.empty // pre-upgrade log
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("path").orderBy(col("v").desc)
+    lf.where(col("v") <= asOf &&
+        col("action").isin("constraint", "constraint_drop"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("action") === "constraint")
+      .select("path", "meta")
+      .collect() // bounded: constraints, not rows
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sortBy(_._1)
+  }
+
+  /** Declare a CHECK constraint as a commit: every future write of
+    * NEW content (append/overwrite/merge/CDC/streaming) must satisfy
+    * `exprSql` or the commit is refused with the staged files
+    * abandoned to the vacuum sweep. SQL CHECK semantics: NULL passes
+    * (only a definite false violates). The Delta ADD CONSTRAINT
+    * contract applies at declaration: existing rows must already
+    * satisfy it — validated here with one scan — so content-identical
+    * rewrites (compact/OPTIMIZE) never need re-validation and skip
+    * the check entirely. */
+  def addConstraint(spark: SparkSession, root: String,
+                    name: String, exprSql: String): Long = {
+    require(name.nonEmpty && !name.contains("/") && !name.contains("="),
+      s"constraint name must be a plain identifier: $name")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val prev = vs.last
+    val bad = read(spark, root, Some(prev))
+      .where(!coalesce(expr(exprSql), lit(true))).limit(1).collect()
+    require(bad.isEmpty,
+      s"cannot add CHECK constraint $name at $root: existing rows " +
+        s"violate ($exprSql), e.g. ${bad.headOption.getOrElse("")}")
+    val n = prev + 1
+    commitExclusive(spark, root, n, Seq.empty, Seq.empty,
+      metaRows = Seq((name, "constraint", exprSql)))
+    n
+  }
+
+  /** Drop a CHECK constraint (a commit; history keeps the old
+    * enforcement window visible). Dropping an unknown name is loud —
+    * a typo here would otherwise silently keep enforcing. */
+  def dropConstraint(spark: SparkSession, root: String,
+                     name: String): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    require(activeConstraints(spark, root, vs.last).exists(_._1 == name),
+      s"no active constraint named $name at $root")
+    val n = vs.last + 1
+    commitExclusive(spark, root, n, Seq.empty, Seq.empty,
+      metaRows = Seq((name, "constraint_drop", "")))
+    n
+  }
+
+  /** Validate freshly-written NEW-content files against the active
+    * constraints BEFORE their commit: reads back what was actually
+    * persisted (column-pruned to the expressions' needs), so even a
+    * nondeterministic upstream can't sneak a violation in. On
+    * violation the staged files stay unreferenced (vacuum sweeps
+    * them) and the commit never happens. */
+  private def enforceConstraints(spark: SparkSession, root: String,
+                                 entries: Seq[FileEntry]): Unit = {
+    if (entries.isEmpty) return
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return // first-ever write: nothing declared yet
+    val cs = activeConstraints(spark, root, vs.max)
+    if (cs.isEmpty) return
+    val df = spark.read.option("ignoreMissingFiles", "false")
+      .parquet(entries.map(e => resolve(root, e.path)): _*)
+    cs.foreach { case (name, exprSql) =>
+      val bad = df.where(!coalesce(expr(exprSql), lit(true)))
+        .limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"CHECK constraint $name violated at $root: ($exprSql) is " +
+          s"false for row ${bad.head} — commit refused, staged files " +
+          "abandoned to the vacuum sweep")
+    }
   }
 
   /** Zero-copy SHALLOW CLONE: `dstRoot`'s version 1 re-ADDS the live
@@ -1572,14 +1677,22 @@ object TableStore {
     val staged = new Path(s"$root/$Log/.tmp_ckpt_v$horizon")
     fs.delete(staged, true)
     import spark.implicits._
+    // constraints declared at or below the horizon must also survive
+    // the checkpoint (same posture as batch-id markers): losing one
+    // would silently stop enforcing it on future writes
+    val keptConstraints = activeConstraints(spark, root, horizon)
+    val noMeta = None: Option[String]
     (horizonLive
       .map(e => (e.path, "add", e.rows, None: Option[Long],
-        e.mins, e.maxs, e.smins, e.smaxs)) ++
+        e.mins, e.maxs, e.smins, e.smaxs, noMeta)) ++
       seenBatches.map(b =>
         ("", "txn", 0L, Some(b): Option[Long], none, none,
-          snone, snone)))
+          snone, snone, noMeta)) ++
+      keptConstraints.map { case (name, expr) =>
+        (name, "constraint", 0L, None: Option[Long], none, none,
+          snone, snone, Some(expr): Option[String]) })
       .toDF("path", "action", "n_rows", "batch_id",
-        "min_vals", "max_vals", "smin_vals", "smax_vals")
+        "min_vals", "max_vals", "smin_vals", "smax_vals", "meta")
       .coalesce(1).write.parquet(staged.toString)
     val old = new Path(s"$root/$Log/.old_ckpt_v$horizon")
     fs.delete(old, true)

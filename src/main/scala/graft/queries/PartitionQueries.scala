@@ -878,6 +878,58 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** CHECK constraints ([[graft.ops.TableStore.addConstraint]]): the
+    * reference's validity gates re-expressed as table-level
+    * invariants — declared as a commit, enforced on every write of
+    * new content BEFORE its commit. A batch carrying negated prices
+    * is refused (loudness + version-count unchanged enforced
+    * in-body), the cleaned remainder lands, and the oracle recomputes
+    * what the constrained table must now hold. */
+  val storeConstraints = GQuery(
+    "q_store_constraints",
+    (s, d) => {
+      val root = graft.TempRoots
+        .create("graft_tscon") + "/orders"
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderstatus"))
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") % 2 === 0), root)
+      graft.ops.TableStore.addConstraint(s, root, "cents_pos",
+        "cents > 0")
+      val dirty = src.where(col("o_orderkey") % 2 === 1)
+        .withColumn("cents",
+          when(col("o_orderkey") % 100 === 1, -col("cents"))
+            .otherwise(col("cents")))
+      val vsBefore = graft.ops.TableStore.versions(s, root)
+      val refused =
+        try { graft.ops.TableStore.append(dirty, root); false }
+        catch { case e: IllegalArgumentException =>
+          require(e.getMessage.contains("cents_pos"),
+            s"wrong refusal: ${e.getMessage}")
+          true
+        }
+      require(refused, "the dirty batch must be refused")
+      require(graft.ops.TableStore.versions(s, root) == vsBefore,
+        "a refused write must not commit")
+      graft.ops.TableStore.append(dirty.where(col("cents") > 0), root)
+      graft.ops.TableStore.read(s, root)
+        .groupBy((col("o_orderkey") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum("cents").as("total_cents"),
+          sum("o_orderkey").as("sum_key"))
+        .orderBy("bucket")
+    },
+    Some("""
+      SELECT o_orderkey % 8 AS bucket, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS total_cents,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      FROM orders WHERE o_orderkey % 100 <> 1
+      GROUP BY 1 ORDER BY 1
+    """),
+    eager = true)
+
   /** Schema evolution across store versions
     * ([[graft.ops.TableStore.readAs]] +
     * [[graft.ops.SchemaEvolution.backfill]]): version 1 is committed
@@ -1087,5 +1139,6 @@ object PartitionQueries extends QueryPack {
       storeSkipping, versionDiff, storeOptimize, storeOptimizeCurve,
       storeEvolution, storePointLookup, storePointLookupStr,
       storePrefixScan, storeMerge, storeCdcApply, storeMirror,
-      storeClone, storeHistory, storeRestore, storeChanges)
+      storeClone, storeConstraints, storeHistory, storeRestore,
+      storeChanges)
 }

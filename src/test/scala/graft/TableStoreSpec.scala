@@ -819,6 +819,56 @@ class TableStoreSpec extends SparkSpec {
     assert(ex.getMessage.contains("already has commits"))
   }
 
+  test("CHECK constraints: declared as commits, enforced on new content") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    TableStore.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), root)
+    // declaring over violating data is refused
+    val ex0 = intercept[IllegalArgumentException] {
+      TableStore.addConstraint(spark, root, "v_big", "v >= 100")
+    }
+    assert(ex0.getMessage.contains("existing rows violate"))
+    TableStore.addConstraint(spark, root, "v_pos", "v > 0")
+    // valid appends pass; violating ones are refused pre-commit
+    TableStore.append(Seq((3L, 30L)).toDF("id", "v"), root)
+    val vsBefore = TableStore.versions(spark, root)
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.append(Seq((4L, -1L)).toDF("id", "v"), root)
+    }
+    assert(ex.getMessage.contains("v_pos"))
+    assert(TableStore.versions(spark, root) == vsBefore,
+      "a refused write must not commit")
+    // SQL CHECK semantics: NULL passes
+    TableStore.append(Seq((Some(5L), Option.empty[Long]))
+      .toDF("id", "v"), root)
+    // merge and overwrite enforce too
+    val ex2 = intercept[IllegalArgumentException] {
+      TableStore.merge(Seq((1L, -7L)).toDF("id", "v"), root, "id")
+    }
+    assert(ex2.getMessage.contains("v_pos"))
+    val ex3 = intercept[IllegalArgumentException] {
+      TableStore.overwrite(Seq((9L, 0L)).toDF("id", "v"), root)
+    }
+    assert(ex3.getMessage.contains("v_pos"))
+    // the constraint survives vacuum's checkpoint
+    (0 until 3).foreach(i =>
+      TableStore.append(Seq((100L + i, 1L)).toDF("id", "v"), root))
+    TableStore.vacuum(spark, root, keepVersions = 2)
+    val ex4 = intercept[IllegalArgumentException] {
+      TableStore.append(Seq((6L, -2L)).toDF("id", "v"), root)
+    }
+    assert(ex4.getMessage.contains("v_pos"))
+    // drop ends enforcement; dropping a typo is loud
+    TableStore.dropConstraint(spark, root, "v_pos")
+    TableStore.append(Seq((7L, -3L)).toDF("id", "v"), root)
+    assert(TableStore.read(spark, root).where(col("v") === -3L)
+      .count() == 1L)
+    val ex5 = intercept[IllegalArgumentException] {
+      TableStore.dropConstraint(spark, root, "v_poss")
+    }
+    assert(ex5.getMessage.contains("no active constraint"))
+  }
+
   test("pointLookup hashes by the column's physical type (INT32 keys)") {
     val s = spark; import s.implicits._
     val root = tmp()
