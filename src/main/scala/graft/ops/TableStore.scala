@@ -1354,6 +1354,37 @@ object TableStore {
     q.awaitTermination()
   }
 
+  /** The latest version whose commit was PUBLISHED at or before
+    * `tsMillis` — time travel by timestamp, resolved from the log
+    * dirs' modification times (the rename that publishes a commit
+    * stamps it; the Delta timestamp-resolution model). Loud when the
+    * timestamp precedes every surviving commit: resolving it to the
+    * oldest version would silently read data the caller never meant.
+    * Caveat (also Delta's): [[vacuum]] rewrites the horizon commit
+    * as a checkpoint, refreshing its publish time — timestamps at or
+    * below the horizon are retired along with the versions they
+    * named. */
+  def versionAt(spark: SparkSession, root: String,
+                tsMillis: Long): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val fs = fsOf(spark, new Path(s"$root/$Log"))
+    val stamped = vs.map(v =>
+      v -> fs.getFileStatus(new Path(s"$root/$Log/v=$v"))
+        .getModificationTime)
+    val at = stamped.filter(_._2 <= tsMillis).map(_._1)
+    require(at.nonEmpty,
+      s"timestamp $tsMillis precedes every commit at $root " +
+        s"(oldest published ${stamped.head._2}) — nothing to read")
+    at.max
+  }
+
+  /** Snapshot read as of a wall-clock instant:
+    * `read(root, versionAt(ts))`. */
+  def readAt(spark: SparkSession, root: String,
+             tsMillis: Long): DataFrame =
+    read(spark, root, Some(versionAt(spark, root, tsMillis)))
+
   /** CHECK constraints active at `asOf`: (name, boolean SQL expr)
     * pairs, latest declaration per name wins, drops remove. Replayed
     * from the log's metadata rows — versioned exactly like data, so

@@ -18,6 +18,16 @@ object PartitionQueries extends QueryPack {
   private def fixturePath(d: String): String =
     s"/tmp/graft_fixtures/fact_part_${new java.io.File(d).getName}/fact"
 
+  /** Max of a LONG column, 0 on an empty table — the degenerate-sweep
+    * contract: store-gate fixtures still build (empty commits) and the
+    * query returns a well-typed empty result instead of a null-scalar
+    * crash on a zero-row corpus. */
+  private def maxOrZero(df: org.apache.spark.sql.DataFrame,
+                        c: String): Long = {
+    val r = df.agg(max(col(c))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** Schema version of the fixture projection — bump when the fact
     * columns below change so stale fixtures rebuild. */
   private val FixtureVersion = 2
@@ -534,7 +544,7 @@ object PartitionQueries extends QueryPack {
       val src = Tables.documents(s, d).select(
         concat(lit("doc:"), col("doc_id").cast("string")).as("k"),
         col("doc_id"), length(col("text")).cast("long").as("text_len"))
-      val n = src.agg(max("doc_id")).collect()(0).getLong(0)
+      val n = maxOrZero(src, "doc_id")
       (0L until 3L).foreach { i =>
         graft.ops.TableStore.append(
           src.where(col("doc_id") % 3 === i).coalesce(1), root,
@@ -613,7 +623,7 @@ object PartitionQueries extends QueryPack {
       val src = Tables.orders(s, d).select(
         col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"), col("o_orderstatus"))
-      val mx = src.agg(max("o_orderkey")).collect()(0).getLong(0)
+      val mx = maxOrZero(src, "o_orderkey")
       val qq = mx / 4 + 1
       (0L until 4L).foreach { i =>
         graft.ops.TableStore.append(
@@ -683,7 +693,7 @@ object PartitionQueries extends QueryPack {
       val src = Tables.orders(s, d).select(
         col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"), col("o_orderstatus"))
-      val mx = src.agg(max("o_orderkey")).collect()(0).getLong(0)
+      val mx = maxOrZero(src, "o_orderkey")
       val qq = mx / 4 + 1
       (0L until 4L).foreach { i =>
         graft.ops.TableStore.append(
@@ -769,7 +779,7 @@ object PartitionQueries extends QueryPack {
       val src = Tables.orders(s, d).select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"),
         col("o_orderstatus"))
-      val mx = src.agg(max("o_orderkey")).collect()(0).getLong(0)
+      val mx = maxOrZero(src, "o_orderkey")
       val base = src.where(col("o_orderkey") % 3 === 0)
       graft.ops.TableStore.append(base.coalesce(2), rootA,
         statsCols = Seq("o_orderkey"))
@@ -845,7 +855,7 @@ object PartitionQueries extends QueryPack {
       val dst = graft.TempRoots.create("graft_tsclB") + "/docs"
       val sdf = Tables.documents(s, d).select(
         col("doc_id"), length(col("text")).cast("long").as("text_len"))
-      val n = sdf.agg(max("doc_id")).collect()(0).getLong(0)
+      val n = maxOrZero(sdf, "doc_id")
       val third = n / 3 + 1
       (0L until 3L).foreach { i =>
         graft.ops.TableStore.append(
@@ -909,9 +919,14 @@ object PartitionQueries extends QueryPack {
             s"wrong refusal: ${e.getMessage}")
           true
         }
-      require(refused, "the dirty batch must be refused")
-      require(graft.ops.TableStore.versions(s, root) == vsBefore,
-        "a refused write must not commit")
+      // a zero-row corpus has no violating rows — nothing to refuse
+      val dirtyHasViolations =
+        dirty.where(col("cents") <= 0).limit(1).collect().nonEmpty
+      require(refused == dirtyHasViolations,
+        s"refusal ($refused) must track violations ($dirtyHasViolations)")
+      if (refused)
+        require(graft.ops.TableStore.versions(s, root) == vsBefore,
+          "a refused write must not commit")
       graft.ops.TableStore.append(dirty.where(col("cents") > 0), root)
       graft.ops.TableStore.read(s, root)
         .groupBy((col("o_orderkey") % 8).as("bucket"))

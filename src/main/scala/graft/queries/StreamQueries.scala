@@ -426,6 +426,15 @@ object StreamQueries extends QueryPack {
   val streamUpsert = GQuery(
     "q_stream_upsert",
     (s, d) => {
+      // zero-row corpus: empty micro-batches never commit, so no
+      // store exists to read — state the well-typed empty result
+      // directly (the degenerate-sweep contract)
+      if (graft.Tables.events(s, d).isEmpty)
+        graft.Tables.events(s, d).select(col("user_id"),
+          col("event_id"), col("event_type"),
+          round(col("value") * 10000).cast("long").as("value"))
+          .limit(0)
+      else {
       val (root, schema) = stage(s, d)
       val store = s"$root/store_up"
       graft.ops.TableStore.sinkStreamMerge(
@@ -455,6 +464,7 @@ object StreamQueries extends QueryPack {
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"))
         .orderBy("user_id")
+      }
     },
     Some("""
       SELECT user_id, event_id, event_type,

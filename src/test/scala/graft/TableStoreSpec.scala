@@ -869,6 +869,25 @@ class TableStoreSpec extends SparkSpec {
     assert(ex5.getMessage.contains("no active constraint"))
   }
 
+  test("versionAt: timestamp time travel via commit publish times") {
+    val root = tmp()
+    TableStore.append(mk(1), root)
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    TableStore.append(mk(2), root)
+    assert(TableStore.versionAt(spark, root, between) == 1L)
+    assert(TableStore.versionAt(spark, root,
+      System.currentTimeMillis()) == 2L)
+    assert(TableStore.readAt(spark, root, between)
+      .count() == 1L)
+    // a timestamp before the first commit is loud, never "oldest"
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.versionAt(spark, root, 1L)
+    }
+    assert(ex.getMessage.contains("precedes every commit"))
+  }
+
   test("pointLookup hashes by the column's physical type (INT32 keys)") {
     val s = spark; import s.implicits._
     val root = tmp()
