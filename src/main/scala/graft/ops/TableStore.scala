@@ -463,7 +463,11 @@ object TableStore {
     // maps entirely — select what exists, resolve the rest to empty
     val cols = Seq("path", "n_rows", "min_vals", "max_vals") ++
       Seq("smin_vals", "smax_vals").filter(lf.columns.contains)
-    lf.where(col("v") <= asOf)
+    // DATA actions only: metadata rows (dv vectors, constraints) share
+    // the path column, and letting them into the latest-action window
+    // would shadow a file's add (the dv row would "win" and silently
+    // drop the file from every snapshot)
+    lf.where(col("v") <= asOf && col("action").isin("add", "remove"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1 && col("action") === "add")
       .select(cols.map(col): _*)
@@ -473,6 +477,144 @@ object TableStore {
         mapOrEmpty[String](r, "smin_vals"),
         mapOrEmpty[String](r, "smax_vals")))
       .sortBy(_.path)
+  }
+
+  /** Merge-on-read delete vectors active at `asOf`, restricted to
+    * `live` files: data-file name → the dv parquet dirs holding its
+    * deleted row indexes. File NAMES key the vectors (parquet part
+    * names embed the write job's UUID — unique within a store), so
+    * applying them is one equi anti-join, no path arithmetic. */
+  private def dvsAt(spark: SparkSession, root: String, asOf: Long,
+                    live: Seq[FileEntry]): Map[String, Seq[String]] = {
+    val lf = logFrame(spark, root)
+    if (!lf.columns.contains("meta")) return Map.empty
+    val liveNames = live.map(e => e.path.split('/').last).toSet
+    lf.where(col("v") <= asOf && col("action") === "dv")
+      .select("path", "meta").collect() // bounded: dv'd files, not rows
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter { case (f, _) => liveNames.contains(f.split('/').last) }
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSeq }
+  }
+
+  /** Loud contract for operations that plan at FILE granularity:
+    * merge-on-read delete vectors make a file's logical content a
+    * (file, dv) pair, so stats pruning, file-diff feeds, clones and
+    * rewrites that read files raw would silently resurrect deleted
+    * rows. They refuse instead, naming the remedy. */
+  private def requireNoDvs(spark: SparkSession, root: String,
+                           asOf: Long, live: Seq[FileEntry],
+                           op: String): Unit =
+    require(dvsAt(spark, root, asOf, live).isEmpty,
+      s"$op plans at file granularity, but merge-on-read delete " +
+        s"vectors are present at $root — run purgeDeletes first")
+
+  /** Apply `dvs` to a scan of `dirty` files: anti-join on
+    * (file name, row index) removes exactly the vectored rows. */
+  private def applyDvs(spark: SparkSession, root: String,
+                       dirty: Seq[FileEntry],
+                       dvs: Map[String, Seq[String]]): DataFrame = {
+    val dvRows = spark.read.option("ignoreMissingFiles", "false")
+      .parquet(dvs.values.flatten.toSeq.distinct
+        .map(p => resolve(root, p)): _*)
+      .select(col("fname").as("__dv_fname"), col("idx").as("__dv_idx"))
+    val scan = spark.read.option("ignoreMissingFiles", "false")
+      .parquet(dirty.map(e => resolve(root, e.path)): _*)
+    val cols = scan.columns
+    scan
+      .withColumn("__dv_fname",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__dv_idx", col("_metadata.row_index"))
+      .join(dvRows, Seq("__dv_fname", "__dv_idx"), "left_anti")
+      .select(cols.map(col): _*)
+  }
+
+  /** Merge-on-read row deletes — the cheap half of the delete
+    * spectrum: instead of rewriting every touched file ([[deleteWhere]]
+    * — copy-on-write), commit a DELETE VECTOR of (file name, row
+    * index) pairs; the data files stay byte-identical and [[read]]
+    * applies the vectors with one anti-join. Deleting one row from a
+    * 100 TB table costs a KB-sized vector write, not a file rewrite.
+    * `pruneBy` is the same explicit skipping hint as deleteWhere;
+    * rows where the predicate is NULL are KEPT (three-valued
+    * semantics, the deleteWhere contract).
+    *
+    * Contract: vectors are a TRANSIENT state. Snapshot reads
+    * (read/readAt, any version) are vector-aware; every operation
+    * that plans at file granularity (compaction, OPTIMIZE, merge,
+    * range/point/prefix reads, clones, feeds, restore, vacuum)
+    * refuses loudly until [[purgeDeletes]] folds the vectors back
+    * into clean files. Returns the committed version, or the current
+    * one when nothing matched (no-op, no commit). */
+  def deleteWhereMoR(spark: SparkSession, root: String,
+                     pred: org.apache.spark.sql.Column,
+                     pruneBy: (String, Long, Long)): Long = {
+    val (pcol, lo, hi) = pruneBy
+    require(lo <= hi, s"empty prune interval [$lo, $hi]")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val prev = vs.last
+    val live = liveAt(spark, root, prev)
+    val touched = overlappingFiles(spark, root, live, pcol, lo, hi)
+    if (touched.isEmpty) return prev
+    val n = prev + 1
+    val attempt = java.util.UUID.randomUUID.toString.take(8)
+    val dvRel = s"dv/v$n-$attempt"
+    val raw = spark.read.option("ignoreMissingFiles", "false")
+      .parquet(touched.map(e => resolve(root, e.path)): _*)
+      .where(coalesce(pred, lit(false))) // definite-true rows only
+      .select(
+        element_at(split(col("_metadata.file_path"), "/"), -1)
+          .as("fname"),
+        col("_metadata.row_index").as("idx"))
+    // rows already vectored away are not re-deleted: the new vector
+    // covers only rows live in the MoR view, so a delete that matches
+    // nothing VISIBLE stays a no-op even over dirty files
+    val existing = dvsAt(spark, root, prev, touched)
+    val fresh =
+      if (existing.isEmpty) raw
+      else raw.join(
+        spark.read.option("ignoreMissingFiles", "false")
+          .parquet(existing.values.flatten.toSeq.distinct
+            .map(p => resolve(root, p)): _*)
+          .select("fname", "idx"),
+        Seq("fname", "idx"), "left_anti")
+    fresh.write.parquet(s"$root/$dvRel")
+    // which touched files actually lost rows — bounded by file count
+    val hitNames = spark.read.parquet(s"$root/$dvRel")
+      .select("fname").distinct().collect().map(_.getString(0)).toSet
+    if (hitNames.isEmpty) {
+      fsOf(spark, new Path(root)).delete(new Path(s"$root/$dvRel"), true)
+      return prev
+    }
+    val hitFiles = touched.map(_.path)
+      .filter(p => hitNames.contains(p.split('/').last))
+    commitExclusive(spark, root, n, Seq.empty, Seq.empty,
+      marker = Some("rewrite"),
+      metaRows = hitFiles.map(f => (f, "dv", dvRel)))
+    n
+  }
+
+  /** Fold every outstanding delete vector back into clean files —
+    * ONE proportional rewrite of only the vectored files, after
+    * which the file-granularity operations work again. Content is
+    * unchanged (the vectors were already applied by every read). */
+  def purgeDeletes(spark: SparkSession, root: String,
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val prev = vs.last
+    val live = liveAt(spark, root, prev)
+    val dvs = dvsAt(spark, root, prev, live)
+    if (dvs.isEmpty) return prev
+    val dirtyNames = dvs.keySet.map(_.split('/').last)
+    val dirty = live.filter(e => dirtyNames.contains(e.path.split('/').last))
+    val cleaned = applyDvs(spark, root, dirty, dvs)
+    val n = prev + 1
+    commitExclusive(spark, root, n,
+      writeData(cleaned, root, n, statsCols, bloomCols),
+      dirty.map(_.path), marker = Some("rewrite"))
+    n
   }
 
   /** Snapshot read at `version` (default: latest). The file list
@@ -500,12 +642,27 @@ object TableStore {
     }
     require(vs.nonEmpty, s"no committed versions at $root")
     val v = version.getOrElse(vs.max)
-    val files = liveAt(spark, root, v).map(e => resolve(root, e.path))
-    if (files.nonEmpty)
-      spark.read.option("ignoreMissingFiles", "false").parquet(files: _*)
-    // empty snapshot (all-empty commits, overwrite-with-empty): the
-    // first-touch anchor keeps the columns
-    else spark.read.parquet(s"$root/_schema").limit(0)
+    val entries = liveAt(spark, root, v)
+    val dvs = dvsAt(spark, root, v, entries)
+    if (entries.isEmpty)
+      // empty snapshot (all-empty commits, overwrite-with-empty): the
+      // first-touch anchor keeps the columns
+      spark.read.parquet(s"$root/_schema").limit(0)
+    else if (dvs.isEmpty)
+      spark.read.option("ignoreMissingFiles", "false")
+        .parquet(entries.map(e => resolve(root, e.path)): _*)
+    else {
+      // merge-on-read: vectored files anti-join their delete vectors;
+      // clean files keep the plain columnar scan
+      val dirtyNames = dvs.keySet.map(_.split('/').last)
+      val (dirty, clean) = entries.partition(e =>
+        dirtyNames.contains(e.path.split('/').last))
+      val mor = applyDvs(spark, root, dirty, dvs)
+      if (clean.isEmpty) mor
+      else mor.unionByName(
+        spark.read.option("ignoreMissingFiles", "false")
+          .parquet(clean.map(e => resolve(root, e.path)): _*))
+    }
   }
 
   /** Snapshot read under an explicit TARGET schema — the
@@ -520,8 +677,10 @@ object TableStore {
              version: Option[Long] = None): DataFrame = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
-    val files = liveAt(spark, root, version.getOrElse(vs.max))
-      .map(e => resolve(root, e.path))
+    val v = version.getOrElse(vs.max)
+    val entries = liveAt(spark, root, v)
+    requireNoDvs(spark, root, v, entries, "readAs")
+    val files = entries.map(e => resolve(root, e.path))
     if (files.nonEmpty)
       SchemaEvolution.readWithTarget(spark, target, files: _*)
     else spark.createDataFrame(
@@ -600,6 +759,7 @@ object TableStore {
     require(vs.nonEmpty, s"no committed versions at $root")
     val prev = vs.last
     val live = liveAt(spark, root, prev)
+    requireNoDvs(spark, root, prev, live, "compact")
     if (live.isEmpty) {
       // compacting an empty table: content unchanged, but callers
       // get the version they asked for (a no-action commit)
@@ -687,6 +847,8 @@ object TableStore {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val live = liveAt(spark, root, version.getOrElse(vs.max))
+    requireNoDvs(spark, root, version.getOrElse(vs.max), live,
+      "stats- and bloom-pruned reads")
     val touched = overlappingFiles(spark, root, live, pcol, lo, hi)
     val residual = col(pcol) >= lo && col(pcol) <= hi
     val df =
@@ -767,6 +929,8 @@ object TableStore {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val live = liveAt(spark, root, version.getOrElse(vs.max))
+    requireNoDvs(spark, root, version.getOrElse(vs.max), live,
+      "stats- and bloom-pruned reads")
     val touched = overlappingFilesString(spark, root, live, pcol,
       Some(lo), Some(hi))
     val residual = col(pcol) >= lit(lo) && col(pcol) <= lit(hi)
@@ -803,6 +967,8 @@ object TableStore {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val live = liveAt(spark, root, version.getOrElse(vs.max))
+    requireNoDvs(spark, root, version.getOrElse(vs.max), live,
+      "stats- and bloom-pruned reads")
     // [prefix, successor): a file overlaps iff its max reaches the
     // prefix and its min stays below the successor (strictly — but
     // <= on the successor only ever ADDS a file, never loses one)
@@ -878,6 +1044,8 @@ object TableStore {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val live = liveAt(spark, root, version.getOrElse(vs.max))
+    requireNoDvs(spark, root, version.getOrElse(vs.max), live,
+      "stats- and bloom-pruned reads")
     // files with log-carried stats range-prune for free; files
     // without go straight to the bloom (the range check would open
     // the same footer the bloom read is about to — one IO, not two)
@@ -955,6 +1123,8 @@ object TableStore {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val live = liveAt(spark, root, version.getOrElse(vs.max))
+    requireNoDvs(spark, root, version.getOrElse(vs.max), live,
+      "stats- and bloom-pruned reads")
     // two-level prune, the numeric pointLookup posture: files with
     // log-carried string ranges prune for free (zero IO); survivors
     // and stat-less files go to their blooms
@@ -1047,6 +1217,7 @@ object TableStore {
     require(vs.nonEmpty, s"no committed versions at $root")
     val prev = vs.last
     val live = liveAt(spark, root, prev)
+    requireNoDvs(spark, root, prev, live, "compactSmall")
     val fs = fsOf(spark, new Path(root))
     val small = live.filter(e =>
       fs.getFileStatus(new Path(resolve(root, e.path))).getLen < smallBytes)
@@ -1134,8 +1305,9 @@ object TableStore {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val prev = vs.last
-    val touched = overlappingFiles(spark, root,
-      liveAt(spark, root, prev), pcol, lo, hi)
+    val liveNow = liveAt(spark, root, prev)
+    requireNoDvs(spark, root, prev, liveNow, "deleteWhere")
+    val touched = overlappingFiles(spark, root, liveNow, pcol, lo, hi)
     if (touched.isEmpty) return prev
     // keep a row unless the predicate is DEFINITELY true: under
     // three-valued logic `!pred` drops NULL-valued rows the caller
@@ -1235,6 +1407,7 @@ object TableStore {
     require(vs.nonEmpty, s"no committed versions at $root")
     val prev = vs.last
     val live = liveAt(spark, root, prev)
+    requireNoDvs(spark, root, prev, live, opName)
     val store = read(spark, root, Some(prev))
     // schema contract: an upsert that widened or narrowed the row
     // shape would leave a mixed-schema live set behind — loud, not
@@ -1496,8 +1669,11 @@ object TableStore {
     require(versions(spark, dstRoot).isEmpty,
       s"clone target $dstRoot already has commits")
     val v = version.getOrElse(vs.max)
-    val entries = liveAt(spark, srcRoot, v)
-      .map(e => e.copy(path = resolve(srcRoot, e.path)))
+    val srcLive = liveAt(spark, srcRoot, v)
+    // a clone re-references FILES; active delete vectors would be
+    // left behind, silently resurrecting deleted rows in the clone
+    requireNoDvs(spark, srcRoot, v, srcLive, "shallowClone")
+    val entries = srcLive.map(e => e.copy(path = resolve(srcRoot, e.path)))
     // schema anchor: clones of empty snapshots still read typed-empty
     val anchor = new Path(s"$dstRoot/_schema")
     val afs = fsOf(spark, anchor)
@@ -1530,6 +1706,11 @@ object TableStore {
     require(vs.nonEmpty, s"no committed versions at $root")
     val prev = vs.last
     val target = liveAt(spark, root, toVersion) // loud if vacuumed
+    // restore re-ADDS files; delete vectors are versioned separately
+    // and would re-apply to the restored files out of their epoch
+    requireNoDvs(spark, root, prev, liveAt(spark, root, prev),
+      "restore")
+    requireNoDvs(spark, root, toVersion, target, "restore (target)")
     val current = liveAt(spark, root, prev).map(_.path)
     val n = prev + 1
     // a file live in BOTH stays live: remove only what the target
@@ -1563,6 +1744,7 @@ object TableStore {
     require(vs.nonEmpty, s"no committed versions at $root")
     val prev = vs.last
     val live = liveAt(spark, root, prev)
+    requireNoDvs(spark, root, prev, live, "optimizeLayout")
     if (live.isEmpty) {
       val n = prev + 1
       commitExclusive(spark, root, n, Seq.empty, Seq.empty,
@@ -1611,6 +1793,7 @@ object TableStore {
     require(vs.nonEmpty, s"no committed versions at $root")
     val prev = vs.last
     val live = liveAt(spark, root, prev)
+    requireNoDvs(spark, root, prev, live, "optimizeLayout")
     if (live.isEmpty) {
       val n = prev + 1
       commitExclusive(spark, root, n, Seq.empty, Seq.empty,
@@ -1650,6 +1833,8 @@ object TableStore {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val live = liveAt(spark, root, version.getOrElse(vs.max))
+    requireNoDvs(spark, root, version.getOrElse(vs.max), live,
+      "stats- and bloom-pruned reads")
     val xPass = overlappingFiles(spark, root, live, x._1, x._2, x._3)
     val touched = overlappingFiles(spark, root, xPass, y._1, y._2, y._3)
     val residual = col(x._1).between(x._2, x._3) &&
@@ -1712,6 +1897,10 @@ object TableStore {
     // the checkpoint (same posture as batch-id markers): losing one
     // would silently stop enforcing it on future writes
     val keptConstraints = activeConstraints(spark, root, horizon)
+    // ...and so must delete vectors still active on the horizon's
+    // live files: dropping one would resurrect deleted rows in every
+    // surviving snapshot that shares the file
+    val keptDvs = dvsAt(spark, root, horizon, horizonLive)
     val noMeta = None: Option[String]
     (horizonLive
       .map(e => (e.path, "add", e.rows, None: Option[Long],
@@ -1721,7 +1910,10 @@ object TableStore {
           snone, snone, noMeta)) ++
       keptConstraints.map { case (name, expr) =>
         (name, "constraint", 0L, None: Option[Long], none, none,
-          snone, snone, Some(expr): Option[String]) })
+          snone, snone, Some(expr): Option[String]) } ++
+      keptDvs.toSeq.flatMap { case (f, dvRels) => dvRels.map(d =>
+        (f, "dv", 0L, None: Option[Long], none, none,
+          snone, snone, Some(d): Option[String])) })
       .toDF("path", "action", "n_rows", "batch_id",
         "min_vals", "max_vals", "smin_vals", "smax_vals", "meta")
       .coalesce(1).write.parquet(staged.toString)
@@ -1783,6 +1975,20 @@ object TableStore {
           .exists(_.getPath.getName.endsWith(".parquet"))
         if (!liveLeft) fs.delete(d.getPath, true)
       }
+    // delete-vector dirs: keep those any SURVIVING version still
+    // references (per-version live sets — a vector purged before the
+    // horizon is garbage exactly like the file rewrite it avoided)
+    val dvRoot = new Path(s"$root/dv")
+    if (fs.exists(dvRoot)) {
+      val keepDvDirs = kept.flatMap { v =>
+        dvsAt(spark, root, v, liveAt(spark, root, v)).values.flatten
+      }.toSet
+      fs.listStatus(dvRoot).toSeq
+        .filter(d => d.isDirectory &&
+          dirHint(d.getPath.getName) < horizon &&
+          !keepDvDirs.contains(s"dv/${d.getPath.getName}"))
+        .foreach(d => fs.delete(d.getPath, true))
+    }
   }
 
   /** The store as an INCREMENTAL BATCH SOURCE: rows ADDED by the
@@ -1884,6 +2090,14 @@ object TableStore {
       if (sinceVersion == 0) Seq.empty[FileEntry]
       else liveAt(spark, root, sinceVersion)
     val after = liveAt(spark, root, to)
+    // the file-set diff reads files RAW: an active delete vector at
+    // either end would resurrect its rows into the feed (a vector
+    // both added and purged strictly inside the window cancels and
+    // is fine — both ends are vector-free for the affected files)
+    if (sinceVersion > 0)
+      requireNoDvs(spark, root, sinceVersion, before,
+        "readRowChanges (window start)")
+    requireNoDvs(spark, root, to, after, "readRowChanges (window end)")
     val beforeP = before.map(_.path).toSet
     val afterP = after.map(_.path).toSet
     val addedFiles = after.collect {

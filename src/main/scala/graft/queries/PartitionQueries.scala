@@ -945,6 +945,73 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** Merge-on-read deletes
+    * ([[graft.ops.TableStore.deleteWhereMoR]]): deleting rows from a
+    * key-ranged orders store commits a DELETE VECTOR — zero files
+    * added or removed (enforced in-body from the history row: the
+    * whole point is that a row delete in a 100 TB table costs a
+    * KB-sized vector, not a rewrite) — and the vector-aware read must
+    * hash-match the oracle's plain NOT-predicate. [[purgeDeletes]]
+    * then folds the vectors into ONE proportional rewrite (1 of 3
+    * commits, enforced) whose content is required identical to the
+    * MoR view in both exceptAll directions. */
+  val storeMorDelete = GQuery(
+    "q_store_mor_delete",
+    (s, d) => {
+      val root = graft.TempRoots
+        .create("graft_tsmor") + "/orders"
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderstatus"))
+      val mx = maxOrZero(src, "o_orderkey")
+      val third = mx / 3 + 1
+      (0L until 3L).foreach { i =>
+        graft.ops.TableStore.append(
+          src.where(col("o_orderkey") >= i * third &&
+            col("o_orderkey") < (i + 1) * third).coalesce(1), root,
+          statsCols = Seq("o_orderkey"))
+      }
+      val v = graft.ops.TableStore.deleteWhereMoR(s, root,
+        col("o_orderkey") % 100 === 7 && col("o_orderkey") < third,
+        pruneBy = ("o_orderkey", 0L, third - 1))
+      if (v > 3L) {
+        val h = graft.ops.TableStore.history(s, root)
+          .where(col("version") === v).collect()(0)
+        require(h.getAs[Long]("n_added") == 0L &&
+          h.getAs[Long]("n_removed") == 0L,
+          "a MoR delete must move no data files")
+        val morView = graft.ops.TableStore.read(s, root)
+        val pv = graft.ops.TableStore.purgeDeletes(s, root,
+          statsCols = Seq("o_orderkey"))
+        val ph = graft.ops.TableStore.history(s, root)
+          .where(col("version") === pv).collect()(0)
+        require(ph.getAs[Long]("n_removed") < 3,
+          "purge must rewrite only the vectored commits")
+        val purged = graft.ops.TableStore.read(s, root)
+        require(morView.exceptAll(purged).isEmpty &&
+          purged.exceptAll(morView).isEmpty,
+          "purge changed content")
+      }
+      graft.ops.TableStore.read(s, root)
+        .groupBy((col("o_orderkey") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum("cents").as("total_cents"),
+          sum("o_orderkey").as("sum_key"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+      SELECT o_orderkey % 8 AS bucket, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS total_cents,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      FROM orders, m
+      WHERE NOT (o_orderkey % 100 = 7
+                 AND o_orderkey < (m.mx // 3 + 1))
+      GROUP BY 1 ORDER BY 1
+    """),
+    eager = true)
+
   /** Schema evolution across store versions
     * ([[graft.ops.TableStore.readAs]] +
     * [[graft.ops.SchemaEvolution.backfill]]): version 1 is committed
@@ -1154,6 +1221,6 @@ object PartitionQueries extends QueryPack {
       storeSkipping, versionDiff, storeOptimize, storeOptimizeCurve,
       storeEvolution, storePointLookup, storePointLookupStr,
       storePrefixScan, storeMerge, storeCdcApply, storeMirror,
-      storeClone, storeConstraints, storeHistory, storeRestore,
-      storeChanges)
+      storeClone, storeConstraints, storeMorDelete, storeHistory,
+      storeRestore, storeChanges)
 }

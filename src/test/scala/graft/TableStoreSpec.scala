@@ -888,6 +888,95 @@ class TableStoreSpec extends SparkSpec {
     assert(ex.getMessage.contains("precedes every commit"))
   }
 
+  test("merge-on-read deletes: vectors, not rewrites; purge folds back") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    (0 until 3).foreach { i =>
+      TableStore.append(
+        (i * 100 until (i + 1) * 100).map(k => (k.toLong, s"r$k"))
+          .toDF("id", "payload").coalesce(1), root,
+        statsCols = Seq("id"))
+    }
+    val dataFiles = TableStore.read(spark, root).inputFiles.toSet
+    // delete two rows from the middle file: NO data file changes
+    val v = TableStore.deleteWhereMoR(spark, root,
+      col("id") === 150L || col("id") === 160L,
+      pruneBy = ("id", 150L, 160L))
+    assert(v == 4L)
+    val after = TableStore.read(spark, root)
+    assert(after.count() == 298L)
+    assert(after.where(col("id").isin(150L, 160L)).count() == 0L)
+    assert(after.where(col("id") === 151L).count() == 1L)
+    // the data files are byte-identical — only a vector was written
+    val h = TableStore.history(spark, root).where(col("version") === v)
+      .collect()(0)
+    assert(h.getAs[Long]("n_added") == 0L &&
+      h.getAs[Long]("n_removed") == 0L)
+    // time travel BEFORE the delete still sees the rows
+    assert(TableStore.read(spark, root, Some(3L)).count() == 300L)
+    // a second vector on the SAME file accumulates
+    TableStore.deleteWhereMoR(spark, root, col("id") === 151L,
+      pruneBy = ("id", 151L, 151L))
+    assert(TableStore.read(spark, root).count() == 297L)
+    // a no-match MoR delete is a no-op, no commit
+    val vsNow = TableStore.versions(spark, root)
+    assert(TableStore.deleteWhereMoR(spark, root, col("id") === 150L,
+      pruneBy = ("id", 150L, 150L)) == vsNow.last)
+    assert(TableStore.versions(spark, root) == vsNow)
+    // file-granularity ops refuse until purged, naming the remedy
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.compact(spark, root, targetBytes = 1L << 30)
+    }
+    assert(ex.getMessage.contains("purgeDeletes"))
+    val ex2 = intercept[IllegalArgumentException] {
+      TableStore.readRange(spark, root, "id", 0L, 50L)
+    }
+    assert(ex2.getMessage.contains("purgeDeletes"))
+    val ex3 = intercept[IllegalArgumentException] {
+      TableStore.merge(Seq((1L, "x")).toDF("id", "payload"), root, "id")
+    }
+    assert(ex3.getMessage.contains("purgeDeletes"))
+    // purge: one rewrite of ONLY the vectored file, content unchanged
+    val pv = TableStore.purgeDeletes(spark, root)
+    val ph = TableStore.history(spark, root)
+      .where(col("version") === pv).collect()(0)
+    assert(ph.getAs[Long]("n_removed") == 1L)
+    val purged = TableStore.read(spark, root)
+    assert(purged.count() == 297L)
+    assert(purged.where(col("id").isin(150L, 151L, 160L)).count() == 0L)
+    assert(dataFiles.intersect(purged.inputFiles.toSet).size == 2,
+      "the two untouched files survive the purge as-is")
+    // everything works again
+    assert(TableStore.readRange(spark, root, "id", 0L, 50L)._1
+      .count() == 51L)
+    // purge with no vectors is a no-op
+    assert(TableStore.purgeDeletes(spark, root) == pv)
+    // vacuum keeps vectors needed by surviving versions, then sweeps
+    // them once purged below the horizon
+    TableStore.vacuum(spark, root, keepVersions = 1)
+    assert(TableStore.read(spark, root).count() == 297L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvRoot = new org.apache.hadoop.fs.Path(s"$root/dv")
+    assert(!fs.exists(dvRoot) || fs.listStatus(dvRoot).isEmpty,
+      "purged-and-vacuumed vectors must be reclaimed")
+  }
+
+  test("MoR vectors survive vacuum while a surviving snapshot needs them") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    TableStore.append((0 until 100).map(k => (k.toLong, s"r$k"))
+      .toDF("id", "payload").coalesce(1), root, statsCols = Seq("id"))
+    TableStore.deleteWhereMoR(spark, root, col("id") < 10L,
+      pruneBy = ("id", 0L, 9L))
+    TableStore.append(Seq((500L, "x")).toDF("id", "payload"), root)
+    // horizon lands ON a vectored state: the checkpoint must carry it
+    TableStore.vacuum(spark, root, keepVersions = 2)
+    assert(TableStore.read(spark, root).count() == 91L)
+    assert(TableStore.read(spark, root,
+      Some(TableStore.versions(spark, root).head)).count() == 90L)
+  }
+
   test("pointLookup hashes by the column's physical type (INT32 keys)") {
     val s = spark; import s.implicits._
     val root = tmp()
