@@ -378,7 +378,16 @@ object TableStore {
           snone, snone, noMeta)) ++
         metaRows.map { case (name, action, payload) =>
           (name, action, 0L, None: Option[Long], none, none,
-            snone, snone, Some(payload): Option[String]) }
+            snone, snone, Some(payload): Option[String]) } ++
+        // a batch id normally rides on the add/remove rows; a commit
+        // with NEITHER (e.g. an empty-content overwrite from an
+        // incremental tick) must still record it — losing the id
+        // would replay the batch forever (inert txn row, the vacuum
+        // checkpoint posture)
+        (if (batchId.nonEmpty && adds.isEmpty && removes.isEmpty)
+           Seq(("", "txn", 0L, batchId, none, none, snone, snone,
+             noMeta))
+         else Nil)
     // attempt-unique staging: concurrent committers racing toward the
     // same n never share (or clobber) a staging dir
     val attempt = java.util.UUID.randomUUID.toString.take(8)
@@ -735,7 +744,8 @@ object TableStore {
     * never silently drops the racer's files. */
   def overwrite(df: DataFrame, root: String,
                 statsCols: Seq[String] = Nil,
-                bloomCols: Seq[String] = Nil): Long = {
+                bloomCols: Seq[String] = Nil,
+                batchId: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val prev = versions(spark, root).lastOption
     val removes = prev.map(liveAt(spark, root, _).map(_.path))
@@ -744,7 +754,7 @@ object TableStore {
     val adds = writeData(df, root, n, statsCols, bloomCols)
     enforceConstraints(spark, root, adds)
     commitExclusive(spark, root, n, adds, removes,
-      marker = prev.map(_ => "rewrite"))
+      marker = prev.map(_ => "rewrite"), batchId = batchId)
     n
   }
 
@@ -2143,6 +2153,17 @@ object TableStore {
       .withColumn(opCol,
         when(col(opCol) === "insert", lit("upsert"))
           .otherwise(lit("delete")))
+  }
+
+  /** Largest batch id any commit carries, None when none do —
+    * the consumed-position accessor for incremental consumers
+    * ([[DerivedView]]): the position lives INSIDE the consumer's own
+    * commits, so a crashed tick replays from the last one that
+    * actually landed. */
+  def maxBatchId(spark: SparkSession, root: String): Option[Long] = {
+    if (versions(spark, root).isEmpty) return None
+    val r = logFrame(spark, root).agg(max("batch_id")).collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
   }
 
   /** Per-version commit summary — the store's audit surface. Every

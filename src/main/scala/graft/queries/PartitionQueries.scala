@@ -1012,6 +1012,52 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** Incrementally-maintained aggregate view
+    * ([[graft.ops.DerivedView.tick]]): the source store takes three
+    * date-sliced appends with a maintenance tick after each (and a
+    * compaction mid-stream that must contribute nothing); the view —
+    * a materialized GROUP BY status — must end hash-identical to the
+    * oracle's full recompute while never having read more than each
+    * tick's delta. Position exactly-once is enforced in-body: a
+    * fourth tick at the head commits nothing, and the view's history
+    * carries one commit per productive tick. */
+  val derivedView = GQuery(
+    "q_derived_view",
+    (s, d) => {
+      val src = graft.TempRoots.create("graft_dvw_src") + "/orders"
+      val view = graft.TempRoots.create("graft_dvw_v") + "/agg"
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val cuts = Seq(("0000-01-01", "1995-01-01"),
+        ("1995-01-01", "1997-01-01"), ("1997-01-01", "9999-01-01"))
+      cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+        graft.ops.TableStore.append(
+          orders.where(col("o_orderdate") >= lo &&
+            col("o_orderdate") < hi), src)
+        if (i == 1) // layout-only commit: the next tick must skip it
+          graft.ops.TableStore.compact(s, src, targetBytes = 256L << 20)
+        val t = graft.ops.DerivedView.tick(s, src, view,
+          Seq("o_orderstatus"), Seq("cents", "o_orderkey"))
+        require(t.nonEmpty, s"tick $i must commit")
+      }
+      require(graft.ops.DerivedView.tick(s, src, view,
+        Seq("o_orderstatus"), Seq("cents", "o_orderkey")).isEmpty,
+        "a tick at the head must commit nothing")
+      graft.ops.TableStore.read(s, view)
+        .select(col("o_orderstatus"), col("n_rows"),
+          col("sum_cents"), col("sum_o_orderkey").as("sum_key"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS sum_cents,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      FROM orders GROUP BY 1 ORDER BY 1
+    """),
+    eager = true)
+
   /** Schema evolution across store versions
     * ([[graft.ops.TableStore.readAs]] +
     * [[graft.ops.SchemaEvolution.backfill]]): version 1 is committed
@@ -1221,6 +1267,6 @@ object PartitionQueries extends QueryPack {
       storeSkipping, versionDiff, storeOptimize, storeOptimizeCurve,
       storeEvolution, storePointLookup, storePointLookupStr,
       storePrefixScan, storeMerge, storeCdcApply, storeMirror,
-      storeClone, storeConstraints, storeMorDelete, storeHistory,
-      storeRestore, storeChanges)
+      storeClone, storeConstraints, storeMorDelete, derivedView,
+      storeHistory, storeRestore, storeChanges)
 }
