@@ -443,8 +443,10 @@ object PartitionQueries extends QueryPack {
       def du(f: java.io.File): Long =
         if (f.isFile) f.length
         else Option(f.listFiles).map(_.map(du).sum).getOrElse(0L)
+      // floor low enough that even the sf0.001 smoke store splits
+      // into enough files for the fraction check to be satisfiable
       val targetBytes =
-        math.max(16L << 10, du(new java.io.File(s"$root/data")) / 8)
+        math.max(4L << 10, du(new java.io.File(s"$root/data")) / 8)
       val vOpt = graft.ops.TableStore.optimizeLayoutCurve(
         s, root, "xk", "yk", bits = 8, targetBytes = targetBytes)
       val (_, tAfter, totAfter) = graft.ops.TableStore.readBox(
