@@ -552,7 +552,12 @@ object PartitionQueries extends QueryPack {
           src.where(col("doc_id") % 3 === i).coalesce(1), root,
           bloomCols = Seq("k"))
       }
-      val probes = Seq(3L, 6L, 9L).map(m => s"doc:${n / m}")
+      // probe ids forced into ONE residue class (≡ 0 mod 3), so at
+      // any scale factor exactly one commit can hold them and the
+      // skip assertion below is satisfiable by construction — the
+      // raw n/m ids can land in all three classes at some SFs
+      val probes = Seq(3L, 6L, 9L)
+        .map(m => n / m - (n / m % 3)).distinct.map(v => s"doc:$v")
       val (df, touched, total) = graft.ops.TableStore.pointLookupString(
         s, root, "k", probes)
       require(total == 0 || touched < total,
@@ -564,7 +569,9 @@ object PartitionQueries extends QueryPack {
       SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS k, doc_id,
              CAST(LENGTH(text) AS BIGINT) AS text_len
       FROM documents, n
-      WHERE doc_id IN (n.m // 3, n.m // 6, n.m // 9)
+      WHERE doc_id IN ((n.m // 3) - ((n.m // 3) % 3),
+                       (n.m // 6) - ((n.m // 6) % 3),
+                       (n.m // 9) - ((n.m // 9) % 3))
       ORDER BY doc_id
     """),
     eager = true)
