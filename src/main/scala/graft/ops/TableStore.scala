@@ -60,6 +60,15 @@ object TableStore {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** File size for maintenance planning: the log-carried length when
+    * the commit recorded one (zero driver IO — the 100 TB path), one
+    * stat as the pre-upgrade fallback. */
+  private def sizeOf(spark: SparkSession, root: String,
+                     e: FileEntry): Long =
+    if (e.bytes > 0) e.bytes
+    else fsOf(spark, new Path(root))
+      .getFileStatus(new Path(resolve(root, e.path))).getLen
+
   /** Log paths are root-relative for files the table OWNS; a
     * [[shallowClone]] re-references its SOURCE's files by absolute
     * path (leading slash or URI scheme). This is the single place
@@ -146,7 +155,8 @@ object TableStore {
                              mins: Map[String, Long],
                              maxs: Map[String, Long],
                              smins: Map[String, String] = Map.empty,
-                             smaxs: Map[String, String] = Map.empty)
+                             smaxs: Map[String, String] = Map.empty,
+                             bytes: Long = 0L)
 
   /** True when the column's stats can be read as plain signed
     * integers/floats: no logical annotation, or a signed-int one.
@@ -338,8 +348,12 @@ object TableStore {
       .map { s =>
         val (rows, mins, maxs, smins, smaxs) =
           footerInfo(spark, s.getPath, statsCols)
+        // the listing already holds each file's length — carrying it
+        // in the log makes maintenance PLANNING (compact/optimize
+        // sizing) zero-IO instead of one driver stat per live file,
+        // the call pattern that melts at a million files
         FileEntry(s"$Data/$sub/${s.getPath.getName}", rows, mins, maxs,
-          smins, smaxs)
+          smins, smaxs, s.getLen)
       }
       // a zero-row part (empty write task) carries no row groups —
       // it contributes nothing to any snapshot, so never log it
@@ -371,14 +385,14 @@ object TableStore {
     // exactly like data actions.
     val rows =
       adds.map(e => (e.path, "add", e.rows, batchId, e.mins, e.maxs,
-          e.smins, e.smaxs, noMeta)) ++
+          e.smins, e.smaxs, noMeta, e.bytes)) ++
         removes.map(p => (p, "remove", 0L, batchId, none, none,
-          snone, snone, noMeta)) ++
+          snone, snone, noMeta, 0L)) ++
         marker.map(m => ("", m, 0L, None: Option[Long], none, none,
-          snone, snone, noMeta)) ++
+          snone, snone, noMeta, 0L)) ++
         metaRows.map { case (name, action, payload) =>
           (name, action, 0L, None: Option[Long], none, none,
-            snone, snone, Some(payload): Option[String]) } ++
+            snone, snone, Some(payload): Option[String], 0L) } ++
         // a batch id normally rides on the add/remove rows; a commit
         // with NEITHER (e.g. an empty-content overwrite from an
         // incremental tick) must still record it — losing the id
@@ -386,7 +400,7 @@ object TableStore {
         // checkpoint posture)
         (if (batchId.nonEmpty && adds.isEmpty && removes.isEmpty)
            Seq(("", "txn", 0L, batchId, none, none, snone, snone,
-             noMeta))
+             noMeta, 0L))
          else Nil)
     // attempt-unique staging: concurrent committers racing toward the
     // same n never share (or clobber) a staging dir
@@ -395,7 +409,8 @@ object TableStore {
     val target = new Path(s"$root/$Log/v=$n")
     val fs = fsOf(spark, staged)
     rows.toDF("path", "action", "n_rows", "batch_id",
-        "min_vals", "max_vals", "smin_vals", "smax_vals", "meta")
+        "min_vals", "max_vals", "smin_vals", "smax_vals", "meta",
+        "n_bytes")
       .coalesce(1).write.parquet(staged.toString)
     def conflict(): Nothing = {
       fs.delete(staged, true)
@@ -471,7 +486,13 @@ object TableStore {
     // a pre-upgrade store's merged log schema may LACK the string-stat
     // maps entirely — select what exists, resolve the rest to empty
     val cols = Seq("path", "n_rows", "min_vals", "max_vals") ++
-      Seq("smin_vals", "smax_vals").filter(lf.columns.contains)
+      Seq("smin_vals", "smax_vals", "n_bytes")
+        .filter(lf.columns.contains)
+    def bytesOf(r: org.apache.spark.sql.Row): Long =
+      if (r.schema.fieldNames.contains("n_bytes") &&
+          !r.isNullAt(r.fieldIndex("n_bytes")))
+        r.getAs[Long]("n_bytes")
+      else 0L
     // DATA actions only: metadata rows (dv vectors, constraints) share
     // the path column, and letting them into the latest-action window
     // would shadow a file's add (the dv row would "win" and silently
@@ -484,7 +505,7 @@ object TableStore {
       .map(r => FileEntry(r.getString(0), r.getLong(1),
         mapOrEmpty[Long](r, "min_vals"), mapOrEmpty[Long](r, "max_vals"),
         mapOrEmpty[String](r, "smin_vals"),
-        mapOrEmpty[String](r, "smax_vals")))
+        mapOrEmpty[String](r, "smax_vals"), bytesOf(r)))
       .sortBy(_.path)
   }
 
@@ -780,7 +801,7 @@ object TableStore {
     }
     val fs = fsOf(spark, new Path(root))
     val bytes = live.map(e =>
-      fs.getFileStatus(new Path(resolve(root, e.path))).getLen).sum
+      sizeOf(spark, root, e)).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.option("ignoreMissingFiles", "false")
           .parquet(live.map(e => resolve(root, e.path)): _*)
@@ -1230,10 +1251,10 @@ object TableStore {
     requireNoDvs(spark, root, prev, live, "compactSmall")
     val fs = fsOf(spark, new Path(root))
     val small = live.filter(e =>
-      fs.getFileStatus(new Path(resolve(root, e.path))).getLen < smallBytes)
+      sizeOf(spark, root, e) < smallBytes)
     if (small.size < 2) return prev // nothing worth merging
     val bytes = small.map(e =>
-      fs.getFileStatus(new Path(resolve(root, e.path))).getLen).sum
+      sizeOf(spark, root, e)).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.option("ignoreMissingFiles", "false")
       .parquet(small.map(e => resolve(root, e.path)): _*)
@@ -1763,7 +1784,7 @@ object TableStore {
     }
     val fs = fsOf(spark, new Path(root))
     val bytes = live.map(e =>
-      fs.getFileStatus(new Path(resolve(root, e.path))).getLen).sum
+      sizeOf(spark, root, e)).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.option("ignoreMissingFiles", "false")
           .parquet(live.map(e => resolve(root, e.path)): _*)
@@ -1812,7 +1833,7 @@ object TableStore {
     }
     val fs = fsOf(spark, new Path(root))
     val bytes = live.map(e =>
-      fs.getFileStatus(new Path(resolve(root, e.path))).getLen).sum
+      sizeOf(spark, root, e)).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val key = Layout.hilbertValue(col(xCol), col(yCol), bits)
     val df = spark.read.option("ignoreMissingFiles", "false")
@@ -1914,18 +1935,19 @@ object TableStore {
     val noMeta = None: Option[String]
     (horizonLive
       .map(e => (e.path, "add", e.rows, None: Option[Long],
-        e.mins, e.maxs, e.smins, e.smaxs, noMeta)) ++
+        e.mins, e.maxs, e.smins, e.smaxs, noMeta, e.bytes)) ++
       seenBatches.map(b =>
         ("", "txn", 0L, Some(b): Option[Long], none, none,
-          snone, snone, noMeta)) ++
+          snone, snone, noMeta, 0L)) ++
       keptConstraints.map { case (name, expr) =>
         (name, "constraint", 0L, None: Option[Long], none, none,
-          snone, snone, Some(expr): Option[String]) } ++
+          snone, snone, Some(expr): Option[String], 0L) } ++
       keptDvs.toSeq.flatMap { case (f, dvRels) => dvRels.map(d =>
         (f, "dv", 0L, None: Option[Long], none, none,
-          snone, snone, Some(d): Option[String])) })
+          snone, snone, Some(d): Option[String], 0L)) })
       .toDF("path", "action", "n_rows", "batch_id",
-        "min_vals", "max_vals", "smin_vals", "smax_vals", "meta")
+        "min_vals", "max_vals", "smin_vals", "smax_vals", "meta",
+        "n_bytes")
       .coalesce(1).write.parquet(staged.toString)
     val old = new Path(s"$root/$Log/.old_ckpt_v$horizon")
     fs.delete(old, true)

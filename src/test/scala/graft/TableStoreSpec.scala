@@ -977,6 +977,34 @@ class TableStoreSpec extends SparkSpec {
       Some(TableStore.versions(spark, root).head)).count() == 90L)
   }
 
+  test("the log carries file byte sizes; maintenance plans without stats") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    TableStore.append(mk(1L to 50L: _*).coalesce(2), root)
+    val logged = spark.read.option("mergeSchema", "true")
+      .parquet(root + "/_log")
+      .where(col("action") === "add")
+      .select("path", "n_bytes").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(logged.nonEmpty)
+    logged.foreach { case (p, b) =>
+      assert(b == new java.io.File(s"$root/$p").length,
+        s"logged size for $p must equal the on-disk length")
+    }
+    // a pre-upgrade log (no n_bytes) still compacts via the stat
+    // fallback: rewrite v1's log without the column
+    val leaf = s"$root/_log/v=1"
+    val oldDf = spark.read.parquet(leaf)
+      .drop("n_bytes").cache()
+    oldDf.count()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(leaf), true)
+    oldDf.coalesce(1).write.parquet(leaf)
+    val v = TableStore.compact(spark, root, targetBytes = 1L << 30)
+    assert(TableStore.read(spark, root, Some(v)).count() == 50L)
+  }
+
   test("pointLookup hashes by the column's physical type (INT32 keys)") {
     val s = spark; import s.implicits._
     val root = tmp()
