@@ -1589,6 +1589,25 @@ object TableStore {
              tsMillis: Long): DataFrame =
     read(spark, root, Some(versionAt(spark, root, tsMillis)))
 
+  /** Time-based retention — the operational dial ("keep 7 days")
+    * composed from [[versionAt]]'s publish-time model and [[vacuum]]:
+    * retire every version published before `cutoffMillis`, always
+    * keeping the latest. The caller computes the cutoff (now minus
+    * the retention window), which keeps this deterministic and
+    * testable; the vacuum caveats (checkpoint at the horizon,
+    * in-flight-writer safety, pinned readers fail loudly past the
+    * horizon) apply unchanged. */
+  def vacuumOlderThan(spark: SparkSession, root: String,
+                      cutoffMillis: Long): Unit = {
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return
+    val fs = fsOf(spark, new Path(s"$root/$Log"))
+    val keep = vs.count(v =>
+      fs.getFileStatus(new Path(s"$root/$Log/v=$v"))
+        .getModificationTime >= cutoffMillis)
+    vacuum(spark, root, keepVersions = math.max(1, keep))
+  }
+
   /** CHECK constraints active at `asOf`: (name, boolean SQL expr)
     * pairs, latest declaration per name wins, drops remove. Replayed
     * from the log's metadata rows — versioned exactly like data, so

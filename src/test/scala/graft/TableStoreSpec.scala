@@ -1005,6 +1005,24 @@ class TableStoreSpec extends SparkSpec {
     assert(TableStore.read(spark, root, Some(v)).count() == 50L)
   }
 
+  test("vacuumOlderThan retires by publish time, always keeps latest") {
+    val root = tmp()
+    TableStore.append(mk(1), root)
+    TableStore.append(mk(2), root)
+    Thread.sleep(40)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(40)
+    TableStore.append(mk(3), root)
+    TableStore.vacuumOlderThan(spark, root, cutoff)
+    assert(TableStore.versions(spark, root) == Seq(3L))
+    assert(ids(root) == Set(1L, 2L, 3L))
+    // a future cutoff still keeps the latest
+    TableStore.vacuumOlderThan(spark, root,
+      System.currentTimeMillis() + 60000)
+    assert(TableStore.versions(spark, root) == Seq(3L))
+    assert(ids(root) == Set(1L, 2L, 3L))
+  }
+
   test("pointLookup hashes by the column's physical type (INT32 keys)") {
     val s = spark; import s.implicits._
     val root = tmp()
