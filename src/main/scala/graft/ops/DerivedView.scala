@@ -61,4 +61,71 @@ object DerivedView {
           sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
     Some(TableStore.overwrite(combined, viewRoot, batchId = Some(to)))
   }
+
+  /** One maintenance tick of an INNER EQUI-JOIN view — the other half
+    * of incremental view maintenance, and the one that kills the
+    * biggest recompute: a materialized `A JOIN B ON key` kept in
+    * lockstep with TWO append-only stores. Per-tick work is the
+    * classic delta-join decomposition
+    *
+    *   ΔV  =  ΔA ⋈ B(toB)  ∪  A(fromA) ⋈ ΔB
+    *
+    * — each delta joins ONE full snapshot, the two full snapshots
+    * never join each other, and a pair with both halves new lands
+    * exactly once (it lives in the first term only, because B(toB)
+    * already contains ΔB). For append-only sources the view grows
+    * monotonically, so the delta APPENDS; both consumed positions
+    * ride the same commit as a `viewpos` marker (atomic — a tick that
+    * crashed anywhere replays from the positions that actually
+    * landed, and [[TableStore.vacuum]]'s checkpoint carries the
+    * marker past the horizon). Source compactions contribute nothing
+    * (layout commits are skipped by the feed); a content REWRITE in
+    * either source fails the tick loudly with the resync remedy —
+    * inner-join deltas of retracted rows are exactly what an
+    * adds-only feed cannot express.
+    *
+    * Concurrent tickers are safe: the position-carrying append is
+    * snapshot-dependent, so a lost race is a loud
+    * ConcurrentModificationException and the retry observes the
+    * winner's positions. Returns the committed view version, or None
+    * when both sources are already consumed (or either has never
+    * committed — an inner join with a side that doesn't exist yet
+    * has nothing to say). Non-key column names must be disjoint
+    * across the sources: the view owns ONE flat schema. */
+  def tickJoin(spark: SparkSession, aRoot: String, bRoot: String,
+               viewRoot: String, key: String): Option[Long] = {
+    val toA = TableStore.versions(spark, aRoot).lastOption
+      .getOrElse(return None)
+    val toB = TableStore.versions(spark, bRoot).lastOption
+      .getOrElse(return None)
+    val (fromA, fromB) = TableStore.versions(spark, viewRoot)
+      .lastOption
+      .flatMap(v => TableStore.latestMeta(spark, viewRoot, "viewpos", v))
+      .map { p =>
+        val Array(a, b) = p.split(','); (a.toLong, b.toLong)
+      }.getOrElse((0L, 0L))
+    if (toA <= fromA && toB <= fromB) return None // both at the head
+    val aNew = TableStore.read(spark, aRoot, Some(toA))
+    val bNew = TableStore.read(spark, bRoot, Some(toB))
+    require(aNew.columns.contains(key) && bNew.columns.contains(key),
+      s"join key $key must exist in both sources")
+    val overlap = (aNew.columns.toSet & bNew.columns.toSet) - key
+    require(overlap.isEmpty,
+      s"non-key columns ${overlap.mkString(",")} exist in BOTH " +
+        "sources — the view owns one flat schema; project them apart")
+    def delta(root: String, from: Long, to: Long, full: DataFrame) =
+      if (to > from)
+        TableStore.readChangesSince(spark, root, from, Some(to))
+          .drop("_commit_version")
+      else full.limit(0)
+    val dA = delta(aRoot, fromA, toA, aNew)
+    val dB = delta(bRoot, fromB, toB, bNew)
+    val aOld =
+      if (fromA == 0) aNew.limit(0)
+      else TableStore.read(spark, aRoot, Some(fromA))
+    val grown = dA.join(bNew, key)
+      .unionByName(aOld.join(dB, key))
+    Some(TableStore.appendExclusiveWithMeta(grown, viewRoot,
+      metaRows = Seq(("", "viewpos", s"$toA,$toB"))))
+  }
 }

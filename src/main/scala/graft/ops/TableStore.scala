@@ -717,6 +717,68 @@ object TableStore {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
   }
 
+  /** Metadata-only table digest at `version` (default: latest): file
+    * count, exact row count, and total bytes — answered from the
+    * COMMIT LOG ALONE, zero data-file IO. On a million-file 100 TB
+    * table this is the difference between an instant answer and a
+    * full scan: every `count(*)` dashboard tick, ingest-lag monitor
+    * and reconciliation check should hit this, not [[read]].
+    *
+    * Exactness contract: the log's per-file row counts were captured
+    * from the parquet footers at COMMIT time, so the sum is exact for
+    * every snapshot — except under outstanding merge-on-read delete
+    * vectors, where a file's logical count is (footer rows − vectored
+    * rows); rather than silently over-count, this refuses until
+    * [[purgeDeletes]] folds them in (the file-granularity contract).
+    * `n_bytes` is null when any live file predates byte-carrying
+    * commits — a bound would be a lie, a null is a visible unknown. */
+  def metaStats(spark: SparkSession, root: String,
+                version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val v = version.getOrElse(vs.max)
+    val live = liveAt(spark, root, v)
+    requireNoDvs(spark, root, v, live, "metaStats")
+    val bytes: Option[Long] =
+      if (live.forall(_.bytes > 0)) Some(live.map(_.bytes).sum) else None
+    Seq((v, live.size.toLong, live.map(_.rows).sum, bytes))
+      .toDF("version", "n_files", "n_rows", "n_bytes")
+  }
+
+  /** Exact per-column [min, max] at `version` from the commit log —
+    * zero data-file IO. Only columns every live file DECLARED in its
+    * commit's `statsCols` qualify: parquet footer min/max for plain
+    * integer columns are exact values present in the file, so the
+    * fold over live files is the table's exact extremes. A live file
+    * without logged bounds for a requested column refuses loudly
+    * (recommit via [[compact]] with `statsCols` to backfill) — a
+    * partial fold would silently return a narrower range than the
+    * data. String bounds are excluded by construction: the log
+    * truncates them (sound for pruning, not for exact answers).
+    * Empty snapshot: null bounds, the SQL aggregate convention. */
+  def metaBounds(spark: SparkSession, root: String,
+                 cols: Seq[String],
+                 version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    require(cols.nonEmpty, "metaBounds needs at least one column")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val v = version.getOrElse(vs.max)
+    val live = liveAt(spark, root, v)
+    requireNoDvs(spark, root, v, live, "metaBounds")
+    cols.map { c =>
+      val missing = live.filter(e =>
+        !e.mins.contains(c) || !e.maxs.contains(c))
+      require(missing.isEmpty,
+        s"metaBounds($c) at $root: ${missing.size} live file(s) carry " +
+          s"no logged bounds for $c (e.g. ${missing.head.path}) — " +
+          "compact with statsCols to backfill, or read the data")
+      if (live.isEmpty) (c, None: Option[Long], None: Option[Long])
+      else (c, Some(live.map(_.mins(c)).min), Some(live.map(_.maxs(c)).max))
+    }.toDF("column", "min_val", "max_val")
+  }
+
   /** Optimistic append commit: on a lost version race, re-read the
     * log and retry at the next version. Append file sets are disjoint
     * by construction (attempt-unique data dirs), so only the
@@ -777,6 +839,38 @@ object TableStore {
     commitExclusive(spark, root, n, adds, removes,
       marker = prev.map(_ => "rewrite"), batchId = batchId)
     n
+  }
+
+  /** Append with table-metadata rows riding the SAME commit, and
+    * snapshot-DEPENDENT (a racer fails loudly instead of retrying at
+    * the next version): the incremental-view machinery records its
+    * consumed source positions atomically with the rows they
+    * produced — a retried optimistic append could land AFTER a
+    * concurrent tick and re-apply a stale delta. An empty `df` still
+    * commits (the position must advance even when the delta produced
+    * no rows). Returns the committed version. */
+  private[graft] def appendExclusiveWithMeta(
+      df: DataFrame, root: String,
+      metaRows: Seq[(String, String, String)],
+      statsCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val n = versions(spark, root).lastOption.getOrElse(0L) + 1
+    val adds = writeData(df, root, n, statsCols)
+    enforceConstraints(spark, root, adds)
+    commitExclusive(spark, root, n, adds, Seq.empty, metaRows = metaRows)
+    n
+  }
+
+  /** Latest metadata payload committed for `action` at or below
+    * `asOf`, or None. Bounded: one row back. */
+  private[graft] def latestMeta(spark: SparkSession, root: String,
+                                action: String,
+                                asOf: Long): Option[String] = {
+    val lf = logFrame(spark, root)
+    if (!lf.columns.contains("meta")) return None
+    lf.where(col("v") <= asOf && col("action") === action)
+      .orderBy(col("v").desc).select("meta").limit(1)
+      .collect().headOption.map(_.getString(0))
   }
 
   /** Rewrite the live set to ~targetBytes files as a new version —
@@ -1350,6 +1444,65 @@ object TableStore {
     commitExclusive(spark, root, n,
       writeData(kept, root, n, statsCols, bloomCols),
       touched.map(_.path), marker = Some("rewrite"))
+    n
+  }
+
+  /** Predicate-scoped atomic overwrite — "replace this slice" as ONE
+    * commit: every live row matching `pred` is removed and `df`
+    * inserted, so readers see either the old slice or the new one,
+    * never a window with both gone (the delete-then-append gap) or
+    * doubled (append-then-delete). This is the idempotent-backfill
+    * workhorse: re-running a day's pipeline replaces exactly that
+    * day, a crash between nothing — the reference's replace-partition
+    * sink posture under snapshot isolation.
+    *
+    * Containment contract (checked, one pass over the batch): every
+    * row of `df` must DEFINITELY satisfy `pred` — otherwise a retried
+    * backfill would duplicate the out-of-scope rows it smuggled in,
+    * exactly the corruption the operation exists to prevent. NULL
+    * predicate rows fail the check (not definitely in scope).
+    * `pruneBy` must cover `pred` (the [[deleteWhere]] hint contract);
+    * rows where `pred` is NULL are KEPT (three-valued delete
+    * semantics). Returns the committed version. */
+  def replaceWhere(df: DataFrame, root: String,
+                   pred: org.apache.spark.sql.Column,
+                   pruneBy: (String, Long, Long),
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val (pcol, lo, hi) = pruneBy
+    require(lo <= hi, s"empty prune interval [$lo, $hi]")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val prev = vs.last
+    val live = liveAt(spark, root, prev)
+    requireNoDvs(spark, root, prev, live, "replaceWhere")
+    val store = read(spark, root, Some(prev))
+    require(df.columns.sorted.sameElements(store.columns.sorted),
+      s"replaceWhere schema mismatch at $root: batch " +
+        s"[${df.columns.sorted.mkString(",")}] vs table " +
+        s"[${store.columns.sorted.mkString(",")}]")
+    val escapee = df.where(!coalesce(pred, lit(false))).limit(1)
+      .collect() // bounded: first violation only
+    require(escapee.isEmpty,
+      s"replaceWhere batch carries a row OUTSIDE its own predicate " +
+        s"(e.g. $pcol=${escapee.headOption.map(r =>
+          if (r.schema.fieldNames.contains(pcol))
+            r.get(r.fieldIndex(pcol)) else r).orNull}) — a replaced " +
+        "slice must contain only rows it replaces, or re-runs duplicate")
+    val touched = overlappingFiles(spark, root, live, pcol, lo, hi)
+    val kept =
+      if (touched.isEmpty) df.limit(0)
+      else spark.read.option("ignoreMissingFiles", "false")
+        .parquet(touched.map(e => resolve(root, e.path)): _*)
+        .where(!coalesce(pred, lit(false)))
+    val n = prev + 1
+    val adds = writeData(
+      kept.unionByName(df.select(kept.columns.map(col): _*)),
+      root, n, statsCols, bloomCols)
+    enforceConstraints(spark, root, adds)
+    commitExclusive(spark, root, n, adds, touched.map(_.path),
+      marker = Some("rewrite"))
     n
   }
 
@@ -1951,6 +2104,11 @@ object TableStore {
     // live files: dropping one would resurrect deleted rows in every
     // surviving snapshot that shares the file
     val keptDvs = dvsAt(spark, root, horizon, horizonLive)
+    // ...and the latest incremental-view position marker (the
+    // DerivedView consumed-positions row): losing it would make the
+    // next tick replay from an older position and DOUBLE-append its
+    // delta — the same must-survive class as batch-id markers
+    val keptViewPos = latestMeta(spark, root, "viewpos", horizon)
     val noMeta = None: Option[String]
     (horizonLive
       .map(e => (e.path, "add", e.rows, None: Option[Long],
@@ -1963,7 +2121,10 @@ object TableStore {
           snone, snone, Some(expr): Option[String], 0L) } ++
       keptDvs.toSeq.flatMap { case (f, dvRels) => dvRels.map(d =>
         (f, "dv", 0L, None: Option[Long], none, none,
-          snone, snone, Some(d): Option[String], 0L)) })
+          snone, snone, Some(d): Option[String], 0L)) } ++
+      keptViewPos.map(p =>
+        ("", "viewpos", 0L, None: Option[Long], none, none,
+          snone, snone, Some(p): Option[String], 0L)))
       .toDF("path", "action", "n_rows", "batch_id",
         "min_vals", "max_vals", "smin_vals", "smax_vals", "meta",
         "n_bytes")

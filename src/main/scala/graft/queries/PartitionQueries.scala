@@ -1067,6 +1067,183 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** Metadata-only table digest
+    * ([[graft.ops.TableStore.metaStats]] / [[graft.ops.TableStore
+    * .metaBounds]]): three key-banded appends declaring statsCols, a
+    * COW delete, a compaction — then each phase's row count and exact
+    * key extremes are answered FROM THE COMMIT LOG ALONE (the zero-
+    * data-IO fact is pinned structurally in TableStoreSpec, where the
+    * data dir is physically hidden and the digest still answers).
+    * The oracle recomputes every phase from the source, so a stale
+    * count after the delete, or bounds that missed the rewrite,
+    * fail the same hash compare as a wrong sum. */
+  val storeMetaStats = GQuery(
+    "q_store_metastats",
+    (s, d) => {
+      val root = graft.TempRoots
+        .create("graft_tsmeta") + "/orders"
+      val src = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val stats = Seq("o_orderkey")
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") < 5000L), root, statsCols = stats)
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") >= 5000L &&
+          col("o_orderkey") < 10000L), root, statsCols = stats)
+      val v0 = graft.ops.TableStore.append(
+        src.where(col("o_orderkey") >= 10000L), root, statsCols = stats)
+      val vDel = graft.ops.TableStore.deleteWhere(s, root,
+        col("o_orderkey").between(500L, 1500L),
+        ("o_orderkey", 500L, 1500L), statsCols = stats)
+      val vCmp = graft.ops.TableStore.compact(s, root,
+        targetBytes = 64L << 20, statsCols = stats)
+      val rows = Seq(("initial", v0), ("deleted", vDel),
+        ("compacted", vCmp)).map { case (phase, v) =>
+        val st = graft.ops.TableStore.metaStats(s, root, Some(v))
+          .collect()(0) // one row: the digest is metadata-sized
+        // byte totals ride the log on every modern commit — a null
+        // here would mean a live file lost its logged size
+        require(st.getAs[Long]("n_rows") == 0 ||
+          (!st.isNullAt(st.fieldIndex("n_bytes")) &&
+            st.getAs[Long]("n_bytes") > 0L),
+          s"phase $phase lost its logged byte totals")
+        val bd = graft.ops.TableStore.metaBounds(
+          s, root, Seq("o_orderkey"), Some(v)).collect()(0)
+        (phase, st.getAs[Long]("n_rows"),
+          Option(bd.get(1)).map(_.asInstanceOf[Long]),
+          Option(bd.get(2)).map(_.asInstanceOf[Long]))
+      }
+      import s.implicits._
+      rows.toDF("phase", "n_rows", "min_key", "max_key")
+        .orderBy("phase")
+    },
+    Some("""
+      SELECT 'compacted' AS phase, COUNT(*) AS n_rows,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders WHERE o_orderkey NOT BETWEEN 500 AND 1500
+      UNION ALL
+      SELECT 'deleted', COUNT(*), MIN(o_orderkey), MAX(o_orderkey)
+      FROM orders WHERE o_orderkey NOT BETWEEN 500 AND 1500
+      UNION ALL
+      SELECT 'initial', COUNT(*), MIN(o_orderkey), MAX(o_orderkey)
+      FROM orders
+      ORDER BY phase
+    """),
+    eager = true)
+
+  /** Predicate-scoped atomic overwrite
+    * ([[graft.ops.TableStore.replaceWhere]]) — the idempotent
+    * backfill: the key band [2000, 4000] is replaced IN ONE COMMIT by
+    * its recomputed slice (cents doubled), so the digest pair pins
+    * that exactly the band changed, nothing outside it moved, and the
+    * pre-replace snapshot still reads the original slice. The
+    * containment check (a batch row outside its own predicate refuses
+    * the commit) is pinned in TableStoreSpec. */
+  val storeReplaceWhere = GQuery(
+    "q_store_replace_where",
+    (s, d) => {
+      val root = graft.TempRoots
+        .create("graft_tsrepl") + "/orders"
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val stats = Seq("o_orderkey")
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") < 5000L), root, statsCols = stats)
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") >= 5000L), root, statsCols = stats)
+      val redone = src.where(col("o_orderkey").between(2000L, 4000L))
+        .withColumn("cents", col("cents") * 2L)
+      val vNew = graft.ops.TableStore.replaceWhere(redone, root,
+        col("o_orderkey").between(2000L, 4000L),
+        ("o_orderkey", 2000L, 4000L), statsCols = stats)
+      Seq(("before", vNew - 1), ("after", vNew)).map { case (tag, v) =>
+        graft.ops.TableStore.read(s, root, Some(v))
+          .agg(
+            lit(tag).as("snapshot"),
+            count(lit(1)).as("n_orders"),
+            sum("cents").as("total_cents"),
+            min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"))
+          .select("snapshot", "n_orders", "total_cents",
+            "min_key", "max_key")
+      }.reduce(_ unionAll _).orderBy("snapshot")
+    },
+    Some("""
+      SELECT 'after' AS snapshot, COUNT(*) AS n_orders,
+             CAST(SUM(CASE WHEN o_orderkey BETWEEN 2000 AND 4000
+               THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+               ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+               AS BIGINT) AS total_cents,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders
+      UNION ALL
+      SELECT 'before', COUNT(*),
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT),
+             MIN(o_orderkey), MAX(o_orderkey)
+      FROM orders
+      ORDER BY snapshot
+    """),
+    eager = true)
+
+  /** Incrementally-maintained JOIN view
+    * ([[graft.ops.DerivedView.tickJoin]]): a materialized
+    * `orders ⋈ customer` kept in lockstep with TWO independently-
+    * appending stores by the delta-join decomposition
+    * ΔV = ΔA⋈B ∪ A_old⋈ΔB — each tick joins a delta against one
+    * snapshot, never snapshot × snapshot. The schedule advances the
+    * sides unevenly (A alone, then B, then A with a mid-stream
+    * compaction that must contribute nothing, then both at once), a
+    * tick before B exists must decline, and a tick at the head must
+    * commit nothing; the final view hash-matches the oracle's full
+    * join recompute. */
+  val derivedJoinView = GQuery(
+    "q_derived_join_view",
+    (s, d) => {
+      val aRoot = graft.TempRoots.create("graft_djv_a") + "/orders"
+      val bRoot = graft.TempRoots.create("graft_djv_b") + "/customer"
+      val view = graft.TempRoots.create("graft_djv_v") + "/join"
+      val orders = Tables.orders(s, d).select(
+        col("o_custkey").as("custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate"))
+      val customer = Tables.customer(s, d).select(
+        col("c_custkey").as("custkey"), col("c_mktsegment"))
+      def tick() = graft.ops.DerivedView.tickJoin(
+        s, aRoot, bRoot, view, "custkey")
+      graft.ops.TableStore.append(
+        orders.where(col("o_orderdate") < "1995-01-01"), aRoot)
+      require(tick().isEmpty, "tick before B exists must decline")
+      graft.ops.TableStore.append(
+        customer.where(col("custkey") % 2 === 0), bRoot)
+      require(tick().nonEmpty, "first productive tick must commit")
+      graft.ops.TableStore.append(
+        orders.where(col("o_orderdate") >= "1995-01-01" &&
+          col("o_orderdate") < "1997-01-01"), aRoot)
+      graft.ops.TableStore.compact(s, aRoot, targetBytes = 256L << 20)
+      require(tick().nonEmpty, "A-side tick must commit")
+      graft.ops.TableStore.append(
+        customer.where(col("custkey") % 2 === 1), bRoot)
+      graft.ops.TableStore.append(
+        orders.where(col("o_orderdate") >= "1997-01-01"), aRoot)
+      require(tick().nonEmpty, "both-sides tick must commit")
+      require(tick().isEmpty, "a tick at the head must commit nothing")
+      graft.ops.TableStore.read(s, view)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").as("total_cents"),
+          sum("custkey").as("sum_custkey"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS total_cents,
+             CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY 1
+    """),
+    eager = true)
+
   /** Schema evolution across store versions
     * ([[graft.ops.TableStore.readAs]] +
     * [[graft.ops.SchemaEvolution.backfill]]): version 1 is committed
@@ -1277,5 +1454,6 @@ object PartitionQueries extends QueryPack {
       storeEvolution, storePointLookup, storePointLookupStr,
       storePrefixScan, storeMerge, storeCdcApply, storeMirror,
       storeClone, storeConstraints, storeMorDelete, derivedView,
-      storeHistory, storeRestore, storeChanges)
+      storeHistory, storeRestore, storeChanges, storeMetaStats,
+      storeReplaceWhere, derivedJoinView)
 }

@@ -42,4 +42,77 @@ class DerivedViewSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("resync"))
   }
+
+  private def joinState(view: String): Map[(Long, String), Int] = {
+    val rows = TableStore.read(spark, view)
+      .select("k", "seg").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    rows.groupBy(identity).map { case (k, xs) => k -> xs.length }
+  }
+
+  test("tickJoin maintains A ⋈ B under uneven appends, exactly once") {
+    val s = spark; import s.implicits._
+    val a = tmp(); val b = tmp(); val view = tmp()
+    def tick() = DerivedView.tickJoin(spark, a, b, view, "k")
+    TableStore.append(Seq((1L, "x1"), (2L, "x2")).toDF("k", "pay"), a)
+    // inner join with a side that doesn't exist yet: decline
+    assert(tick().isEmpty)
+    TableStore.append(Seq((1L, "s1"), (3L, "s3")).toDF("k", "seg"), b)
+    assert(tick().nonEmpty)
+    assert(joinState(view) == Map((1L, "s1") -> 1))
+    // A-only advance, with a compaction that must contribute nothing
+    TableStore.append(Seq((3L, "x3"), (1L, "x1b")).toDF("k", "pay"), a)
+    TableStore.compact(spark, a, targetBytes = 1L << 30)
+    assert(tick().nonEmpty)
+    assert(joinState(view) ==
+      Map((1L, "s1") -> 2, (3L, "s3") -> 1))
+    // both sides advance in ONE tick: ΔA⋈B ∪ A_old⋈ΔB, no pair twice
+    TableStore.append(Seq((2L, "s2")).toDF("k", "seg"), b)
+    TableStore.append(Seq((2L, "x2b")).toDF("k", "pay"), a)
+    assert(tick().nonEmpty)
+    assert(joinState(view) == Map((1L, "s1") -> 2, (3L, "s3") -> 1,
+      (2L, "s2") -> 2)) // (2,x2) old⋈ΔB + (2,x2b) ΔA⋈B
+    // at the head: nothing to do — replaying a tick can never double
+    assert(tick().isEmpty)
+    assert(tick().isEmpty)
+  }
+
+  test("tickJoin positions survive the view's own vacuum") {
+    val s = spark; import s.implicits._
+    val a = tmp(); val b = tmp(); val view = tmp()
+    TableStore.append(Seq((1L, "x")).toDF("k", "pay"), a)
+    TableStore.append(Seq((1L, "s")).toDF("k", "seg"), b)
+    assert(DerivedView.tickJoin(spark, a, b, view, "k").nonEmpty)
+    // several more view commits so the vacuum has a horizon to move
+    TableStore.append(Seq((2L, "y")).toDF("k", "pay"), a)
+    assert(DerivedView.tickJoin(spark, a, b, view, "k").nonEmpty)
+    TableStore.vacuum(spark, view, keepVersions = 1)
+    // the checkpoint carried the viewpos marker: a tick at the head
+    // still knows it is at the head — replaying from a lost position
+    // would double-append the whole history
+    assert(DerivedView.tickJoin(spark, a, b, view, "k").isEmpty)
+    assert(joinState(view) == Map((1L, "s") -> 1))
+  }
+
+  test("tickJoin is loud on source rewrites and column overlap") {
+    val s = spark; import s.implicits._
+    val a = tmp(); val b = tmp(); val view = tmp()
+    TableStore.append(Seq((1L, "x")).toDF("k", "pay"), a)
+    TableStore.append(Seq((1L, "s")).toDF("k", "seg"), b)
+    assert(DerivedView.tickJoin(spark, a, b, view, "k").nonEmpty)
+    // a content rewrite in a source: adds-only deltas can't express
+    // the retraction of joined rows — resync, loudly
+    TableStore.overwrite(Seq((9L, "z")).toDF("k", "pay"), a)
+    val ex = intercept[IllegalArgumentException] {
+      DerivedView.tickJoin(spark, a, b, view, "k")
+    }
+    assert(ex.getMessage.contains("resync"))
+    // non-key column collision: the view owns ONE flat schema
+    val b2 = tmp(); val view2 = tmp()
+    TableStore.append(Seq((1L, "q")).toDF("k", "pay"), b2)
+    val ex2 = intercept[IllegalArgumentException] {
+      DerivedView.tickJoin(spark, a, b2, view2, "k")
+    }
+    assert(ex2.getMessage.contains("one flat schema"))
+  }
 }

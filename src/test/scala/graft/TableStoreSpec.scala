@@ -1305,4 +1305,95 @@ class TableStoreSpec extends SparkSpec {
     // (ignoreMissingFiles pinned false), never return partial rows
     intercept[Exception] { pinned.count() }
   }
+
+  test("metaStats/metaBounds answer from the log alone: data dir hidden") {
+    val root = tmp()
+    TableStore.append(mk(1L to 40L: _*), root, statsCols = Seq("id"))
+    TableStore.append(mk(41L to 50L: _*), root, statsCols = Seq("id"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val data = new org.apache.hadoop.fs.Path(s"$root/data")
+    val hidden = new org.apache.hadoop.fs.Path(s"$root/data_hidden")
+    assert(fs.rename(data, hidden)) // no data file can be opened now
+    try {
+      val st = TableStore.metaStats(spark, root).collect()(0)
+      assert(st.getAs[Long]("n_rows") == 50L)
+      assert(st.getAs[Long]("n_files") >= 2L)
+      assert(st.getAs[Long]("n_bytes") > 0L)
+      val bd = TableStore.metaBounds(spark, root, Seq("id")).collect()(0)
+      assert(bd.getAs[Long]("min_val") == 1L &&
+        bd.getAs[Long]("max_val") == 50L)
+      // the same questions through the DATA path do fail — the digest
+      // really did come from metadata, not a cached scan
+      intercept[Exception] { TableStore.read(spark, root).count() }
+    } finally fs.rename(hidden, data)
+    // older snapshots answer too, and reflect their own live set
+    val st1 = TableStore.metaStats(spark, root, Some(1L)).collect()(0)
+    assert(st1.getAs[Long]("n_rows") == 40L)
+  }
+
+  test("metaStats refuses under delete vectors; metaBounds refuses missing stats") {
+    val root = tmp()
+    TableStore.append(mk(1L to 20L: _*), root, statsCols = Seq("id"))
+    // a live file with NO logged bounds for the asked column: loud,
+    // never a silently-narrower range
+    TableStore.append(mk(21, 22), root) // no statsCols
+    val exB = intercept[IllegalArgumentException] {
+      TableStore.metaBounds(spark, root, Seq("id"))
+    }
+    assert(exB.getMessage.contains("no logged bounds"))
+    // counts still fine (row counts ride every commit)
+    assert(TableStore.metaStats(spark, root).collect()(0)
+      .getAs[Long]("n_rows") == 22L)
+    // outstanding merge-on-read vectors make footer counts lies —
+    // refuse with the purge remedy, never over-count
+    TableStore.deleteWhereMoR(spark, root, col("id") === 5L,
+      ("id", 5L, 5L))
+    val exS = intercept[IllegalArgumentException] {
+      TableStore.metaStats(spark, root)
+    }
+    assert(exS.getMessage.contains("purgeDeletes"))
+    TableStore.purgeDeletes(spark, root, statsCols = Seq("id"))
+    assert(TableStore.metaStats(spark, root).collect()(0)
+      .getAs[Long]("n_rows") == 21L)
+  }
+
+  test("replaceWhere swaps a slice atomically; containment is enforced") {
+    val root = tmp()
+    TableStore.append(mk(1L to 10L: _*), root, statsCols = Seq("id"))
+    TableStore.append(mk(11L to 20L: _*), root, statsCols = Seq("id"))
+    val s = spark; import s.implicits._
+    // replace ids [5, 8] with recomputed payloads — ONE commit
+    val redone = Seq((5L, "new5"), (6L, "new6"))
+      .toDF("id", "payload")
+    val v = TableStore.replaceWhere(redone, root,
+      col("id").between(5L, 8L), ("id", 5L, 8L),
+      statsCols = Seq("id"))
+    assert(v == 3L) // exactly one version: no delete+append gap
+    val now = TableStore.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now == ((1L to 4L) ++ (9L to 20L))
+      .map(i => i -> s"r$i").toMap + (5L -> "new5") + (6L -> "new6"))
+    // the pre-replace snapshot still reads the original slice
+    assert(ids(root, Some(2L)) == (1L to 20L).toSet)
+    // a batch row OUTSIDE its own predicate refuses the commit: a
+    // re-run would duplicate it — the corruption the op exists to stop
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.replaceWhere(
+        Seq((5L, "ok"), (99L, "escapee")).toDF("id", "payload"),
+        root, col("id").between(5L, 8L), ("id", 5L, 8L))
+    }
+    assert(ex.getMessage.contains("OUTSIDE its own predicate"))
+    assert(TableStore.versions(spark, root).last == 3L) // nothing landed
+    // rows where the predicate is NULL are KEPT (three-valued delete
+    // semantics — never selected, never removed)
+    val root2 = tmp()
+    TableStore.append(Seq((Some(1L), "a"), (None, "nullkey"))
+      .toDF("id", "payload"), root2, statsCols = Seq("id"))
+    TableStore.replaceWhere(Seq((1L, "a2")).toDF("id", "payload"),
+      root2, col("id") === 1L, ("id", 1L, 1L))
+    val kept = TableStore.read(spark, root2).collect()
+      .map(_.getString(1)).toSet
+    assert(kept == Set("a2", "nullkey"))
+  }
 }
