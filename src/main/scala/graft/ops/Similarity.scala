@@ -457,6 +457,223 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // Product quantization — the ANN memory-scale path: each vector is
+  // stored as m sub-space centroid codes (m bytes at k ≤ 256) instead
+  // of 4·dim float bytes. At 100 TB of embeddings this is the
+  // difference between a corpus that fits executor memory as codes
+  // (16–64× compression) and one that pages: queries expand to an
+  // m·k lookup table once, then every candidate costs m table adds
+  // (PqAdc) — no per-candidate float math, no vector reads.
+  // Training is per-sub-space Lloyd with EUCLIDEAN assignment
+  // (NearestCentroidL2): PQ minimizes reconstruction distortion, so
+  // sub-vectors keep their magnitudes — the spherical renormalize of
+  // the IVF codebook would corrupt exactly what ADC reconstructs.
+  // Deterministic end to end (lowest-id init, lowest-index tie-break,
+  // exact int64 sums, Math.round means), so the DuckDB oracle
+  // replays training, encoding and scoring value-exactly.
+  // ------------------------------------------------------------------
+
+  /** Train PQ codebooks: `m` sub-spaces × `k` centroids over the
+    * scaled-integer sub-vectors. Returns books(sub)(cent) — a
+    * sub-vector of dim/m longs each. One corpus scan per Lloyd
+    * iteration computing ALL sub-spaces at once (the per-(sub, cell,
+    * pos) int64 sums are k·dim rows — codebook-sized driver
+    * metadata, the only collect); init is the k lowest-id rows'
+    * sub-vectors; empty cells keep their previous centroid. */
+  def pqCodebooks(corpus: DataFrame, cId: String, cVec: String,
+                  m: Int, k: Int, iters: Int): Seq[Seq[Seq[Long]]] = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    require(m >= 1 && k >= 1 && iters >= 0,
+      s"pq needs m,k >= 1 and iters >= 0: m=$m k=$k iters=$iters")
+    val sv = corpus
+      .select(col(cId).as("id"), scaledVec(col(cVec)).as("sv"))
+      .persist() // scanned once per iteration
+    try {
+      val seed = sv.orderBy("id").limit(k).collect()
+        .map(_.getSeq[Long](1).toIndexedSeq)
+      require(seed.nonEmpty,
+        s"pq needs a non-empty corpus to seed $k centroids")
+      val dim = seed.head.length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m sub-spaces")
+      val dsub = dim / m
+      var books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+        (0 until m).map(s =>
+          seed.map(v => v.slice(s * dsub, (s + 1) * dsub)).toIndexedSeq)
+      for (_ <- 0 until iters) {
+        val codesCol = array((0 until m).map { s =>
+          Bridge.column(graft.functions.NearestCentroidL2(
+            Bridge.expression(slice(col("sv"), s * dsub + 1, dsub)),
+            Bridge.expression(typedLit(books(s).map(_.toSeq).toSeq))))
+        }: _*)
+        val stats = sv.withColumn("codes", codesCol)
+          .select(col("codes"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .withColumn("sub", (col("pos") / lit(dsub)).cast("int"))
+          .withColumn("cent", element_at(col("codes"), col("sub") + 1))
+          .groupBy("sub", "cent", "pos")
+          .agg(sum("x").as("s_"), count(lit(1)).as("n"))
+          .collect() // ≤ k·dim rows — bounded codebook metadata
+        val byCell = stats.groupBy(r =>
+          (r.getAs[Int]("sub"), r.getAs[Int]("cent")))
+        books = books.zipWithIndex.map { case (cb, s) =>
+          cb.zipWithIndex.map { case (old, j) =>
+            byCell.get((s, j)).fold(old) { rows =>
+              val cent = old.toArray
+              rows.foreach { r =>
+                cent(r.getAs[Int]("pos") - s * dsub) = Math.round(
+                  r.getAs[Long]("s_").toDouble / r.getAs[Long]("n"))
+              }
+              cent.toIndexedSeq
+            }
+          }
+        }
+      }
+      books.map(_.map(_.toSeq).toSeq)
+    } finally sv.unpersist()
+  }
+
+  /** Encode every corpus vector to its m centroid codes — the stored
+    * index shape (id + m small ints per row). Pure per-row codegen
+    * projection: one scan, no shuffle. */
+  def pqEncode(corpus: DataFrame, cId: String, cVec: String,
+               books: Seq[Seq[Seq[Long]]]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val m = books.length
+    val dsub = books.head.head.length
+    // slice the RAW vector, then scale the slice: scaling is
+    // elementwise so the two orders agree value-exactly, and this
+    // keeps the m slices' total work at one pass over dim instead of
+    // m full-vector scalings (CollapseProject would re-inline a bound
+    // scaled column into every slice)
+    val codesCol = array(books.indices.map { s =>
+      Bridge.column(graft.functions.NearestCentroidL2(
+        Bridge.expression(scaledVec(slice(col(cVec), s * dsub + 1, dsub))),
+        Bridge.expression(typedLit(books(s).map(_.toSeq).toSeq))))
+    }: _*)
+    corpus.select(col(cId).as("neighbour_id"), codesCol.as("_codes"))
+  }
+
+  /** PQ ANN top-k: train (or reuse) codebooks, encode the corpus,
+    * expand each query to its m·k lookup table ONCE ([[graft.functions
+    * .PqLut]]), then score every candidate with m table adds
+    * ([[graft.functions.PqAdc]]) and rank through the bounded
+    * [[TopKAgg]] exchange. The corpus side of the scan touches only
+    * the m-int code rows — at scale the codes are the index you keep
+    * in memory; the float vectors stay cold. */
+  def pqTopK(queries: DataFrame, qId: String, qVec: String,
+             corpus: DataFrame, cId: String, cVec: String,
+             m: Int, k: Int, iters: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val books = pqCodebooks(corpus, cId, cVec, m, k, iters)
+    val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val enc = pqEncode(corpus, cId, cVec, books)
+    val q = broadcast(queries.select(col(qId).as("query_id"),
+      Bridge.column(graft.functions.PqLut(
+        Bridge.expression(scaledVec(col(qVec))),
+        Bridge.expression(booksLit))).as("_lut")))
+    val scored = enc.join(q) // broadcast nested-loop: codes scanned once
+      .withColumn("sim_scaled", Bridge.column(graft.functions.PqAdc(
+        Bridge.expression(col("_lut")), Bridge.expression(col("_codes")))))
+      .select("query_id", "neighbour_id", "sim_scaled")
+    topKPerQuery(scored, topK)
+  }
+
+  /** Exact squared-L2 of two pre-scaled BIGINT list expressions —
+    * the DuckDB mirror of [[graft.functions.NearestCentroidL2]]'s
+    * distance. */
+  private def l2PreScaledSql(aExpr: String, bExpr: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($aExpr, $bExpr),
+        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"""
+
+  /** DuckDB mirror of the FULL PQ chain — training (per-sub-space
+    * Lloyd: lowest-id init, argmin-L2 assignment with lowest-index
+    * tie-break, Math.round integer means, empty cells carried),
+    * encoding, LUT expansion and ADC ranking — value-exact against
+    * [[pqTopK]] because every step is integer arithmetic or one
+    * correctly-rounded double division. `dim` must be the corpus
+    * vector width (the engine derives it; SQL needs it literal). */
+  def pqTopKSql(table: String, idCol: String, vecCol: String,
+                dim: Int, m: Int, k: Int, iters: Int, topK: Int,
+                queryPred: String): String = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val sv = scaledVecSql(vecCol)
+    def assign(cb: String, out: String): String =
+      s"""$out AS (
+        SELECT id, sub, sv, cent_idx FROM (
+          SELECT s.id, s.sub, s.sv, c.cent_idx,
+                 ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                   ORDER BY ${l2PreScaledSql("s.sv", "c.cent")} ASC,
+                            c.cent_idx) AS rn
+          FROM subv s JOIN $cb c USING (sub))
+        WHERE rn = 1)"""
+    // one Lloyd update: per-(sub, cell, pos) int64 sums -> Math.round
+    // means (FLOOR(x + 0.5), NOT SQL ROUND: half-away-from-zero
+    // differs on negative halves) -> ordered list; LEFT JOIN carries
+    // empty cells' centroids forward unchanged.
+    def update(assignT: String, prevCb: String, out: String): String =
+      s"""${out}_stats AS (
+        SELECT sub, cent_idx, p.pos,
+               CAST(FLOOR(CAST(SUM(sv[p.pos]) AS DOUBLE) / COUNT(*)
+                 + 0.5) AS BIGINT) AS mean
+        FROM $assignT, positions p
+        GROUP BY sub, cent_idx, p.pos),
+      ${out}_new AS (
+        SELECT sub, cent_idx, list(mean ORDER BY pos) AS cent
+        FROM ${out}_stats GROUP BY sub, cent_idx),
+      $out AS (
+        SELECT p.sub, p.cent_idx, COALESCE(u.cent, p.cent) AS cent
+        FROM $prevCb p LEFT JOIN ${out}_new u USING (sub, cent_idx))"""
+    val rounds = (0 until iters).map { i =>
+      assign(s"cb$i", s"assign$i") + ",\n      " +
+        update(s"assign$i", s"cb$i", s"cb${i + 1}")
+    }.mkString(",\n      ")
+    s"""
+      WITH corpus AS (SELECT $idCol AS id, $sv AS v FROM $table),
+      subs AS (
+        SELECT CAST(unnest(generate_series(0, ${m - 1})) AS INT) AS sub),
+      positions AS (
+        SELECT unnest(generate_series(1, $dsub)) AS pos),
+      subv AS (
+        SELECT id, sub,
+               list_slice(v, sub * $dsub + 1, sub * $dsub + $dsub) AS sv
+        FROM corpus, subs),
+      init AS (
+        SELECT sub,
+               CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY id) - 1
+                 AS INT) AS cent_idx,
+               sv AS cent
+        FROM subv
+        WHERE id IN (SELECT id FROM corpus ORDER BY id LIMIT $k)),
+      cb0 AS (SELECT sub, cent_idx, cent FROM init),
+      $rounds,
+      ${assign(s"cb$iters", "enc")},
+      q AS (SELECT $idCol AS query_id, $sv AS qv
+            FROM $table WHERE $queryPred),
+      qsub AS (
+        SELECT query_id, sub,
+               list_slice(qv, sub * $dsub + 1, sub * $dsub + $dsub) AS qsv
+        FROM q, subs),
+      lut AS (
+        SELECT qs.query_id, qs.sub, c.cent_idx,
+               ${dotPreScaledSql("qs.qsv", "c.cent")} AS d
+        FROM qsub qs JOIN cb$iters c USING (sub)),
+      scored AS (
+        SELECT l.query_id, e.id AS neighbour_id,
+               CAST(SUM(l.d) AS BIGINT) AS sim_scaled
+        FROM enc e JOIN lut l
+          ON e.sub = l.sub AND e.cent_idx = l.cent_idx
+        GROUP BY l.query_id, e.id),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim_scaled DESC, neighbour_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbour_id, sim_scaled, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= $topK
+      ORDER BY query_id, rank
+    """
+  }
+
+  // ------------------------------------------------------------------
   // Versioned codebook artifacts — a real corpus pipeline trains the
   // IVF index ONCE and probes it many times (mirrors
   // ChurnModel.saveVersioned / loadLatest for ML artifacts). Stored as

@@ -581,8 +581,41 @@ object SimilarityQueries extends QueryPack {
       "embeddings", "vec_id", "embedding", KmeansC, KmeansIters)),
     eager = true)
 
+  /** PQ geometry: 8 sub-spaces × 16 centroids over the 64-dim
+    * embeddings = 8 codes (4 bits each) per vector — a 64× memory
+    * cut against float32, the index shape that keeps a 100 TB
+    * embedding corpus resident. 2 Lloyd rounds: enough to move every
+    * centroid off its seed (the update math is what the gate pins;
+    * more rounds only multiply DuckDB replay cost). */
+  val PqM = 8
+  val PqK = 16
+  val PqIters = 2
+
+  /** Product-quantization ANN ([[Similarity.pqTopK]]): per-sub-space
+    * Euclidean Lloyd codebooks, m-byte code encoding, per-query LUT
+    * expansion, ADC ranking — every step exact integer arithmetic or
+    * one correctly-rounded double division, so the oracle
+    * ([[Similarity.pqTopKSql]]) replays the FULL chain: a drifted
+    * centroid mean, a wrong tie-break in assignment, a misindexed
+    * LUT lookup each break the hash. Recall-vs-exact is measured in
+    * SimilaritySpec on a structured corpus (uniform random vectors
+    * are the documented adversarial case for every ANN family
+    * here). */
+  val pqAnnTopK = GQuery(
+    "q_ann_pq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(
+          emb.filter(expr(QueryPred)), "vec_id", "embedding",
+          emb, "vec_id", "embedding", PqM, PqK, PqIters, TopK)
+        .orderBy("query_id", "rank")
+    },
+    Some(Similarity.pqTopKSql("embeddings", "vec_id", "embedding",
+      dim = 64, m = PqM, k = PqK, iters = PqIters, topK = TopK,
+      queryPred = QueryPred)))
+
   def all: Seq[GQuery] =
     Seq(cosineTopK, annTopK, embeddingStats, embeddingNearDup, ivfTopK,
       embedQuantize, annInt8TopK, semanticDedup, semanticDedupScaled,
-      ivfTopKScaled, kmeansClusters)
+      ivfTopKScaled, kmeansClusters, pqAnnTopK)
 }

@@ -336,4 +336,107 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L)._1 == out(12L)._1)
     assert(out(0L)._1 != out(1L)._1)
   }
+
+  test("PQ primitives: L2 tie-break, LUT indexing, ADC vs hand math") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Long*) = new GenericArrayData(xs.toArray)
+    def nested(xss: Seq[Seq[Long]]) =
+      new GenericArrayData(xss.map(x => arr(x: _*)).toArray)
+    // equidistant centroids: ties resolve to the LOWEST index
+    val cents = nested(Seq(Seq(2L, 0L), Seq(0L, 2L), Seq(1L, 1L)))
+    assert(graft.functions.NearestCentroidL2.compute(
+      arr(1L, 1L), cents) == 2)     // exact hit wins: dists 2, 2, 0
+    // a TRUE tie: (2,2) is at 4 from both (2,0) and (0,2) → lowest idx
+    assert(graft.functions.NearestCentroidL2.compute(
+      arr(2L, 2L), nested(Seq(Seq(2L, 0L), Seq(0L, 2L)))) == 0)
+    // negative components: (1,-1) → (1,1) dist 4, (1,-3) dist 4 → 0
+    assert(graft.functions.NearestCentroidL2.compute(
+      arr(1L, -1L), nested(Seq(Seq(1L, 1L), Seq(1L, -3L)))) == 0)
+    // LUT layout: lut[s*k + j] = dot(q_sub_s, books[s][j])
+    val books = new GenericArrayData(Array(
+      nested(Seq(Seq(1L, 0L), Seq(0L, 1L))),   // sub 0, k=2
+      nested(Seq(Seq(2L, 2L), Seq(5L, 0L))))) // sub 1
+    val lut = graft.functions.PqLut.compute(arr(3L, 4L, 10L, 1L), books)
+    assert(lut.toLongArray().toSeq == Seq(3L, 4L, 22L, 50L))
+    // ADC sums one entry per sub-space at offset s*k + code
+    assert(graft.functions.PqAdc.compute(lut, new GenericArrayData(
+      Array(1, 0))) == 4L + 22L)
+    // dimension mismatch and out-of-range codes are loud, not garbage
+    intercept[IllegalArgumentException] {
+      graft.functions.PqLut.compute(arr(1L, 2L, 3L), books)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.PqAdc.compute(lut, new GenericArrayData(Array(2, 0)))
+    }
+  }
+
+  test("PQ on a code-aligned corpus is EXACT: ADC == brute-force dots") {
+    // every sub-vector is one of k=2 patterns → Lloyd converges to the
+    // patterns themselves, reconstruction is lossless, and ADC scores
+    // must equal the exact scaled dot products rank for rank
+    val s = spark; import s.implicits._
+    val pats = Seq(Seq(0.6f, 0.8f), Seq(-0.8f, 0.6f))
+    val corpus = (0L until 16L).map { i =>
+      // 2 sub-spaces of dim 2; pattern choice varies by id bits
+      val v = pats((i % 2).toInt) ++ pats(((i / 2) % 2).toInt)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+    val pq = Similarity.pqTopK(queries, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", m = 2, k = 2, iters = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbour_id"),
+        r.getAs[Long]("sim_scaled"), r.getAs[Int]("rank"))).toSet
+    val brute = Similarity.bruteTopK(queries, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbour_id"),
+        r.getAs[Long]("sim_scaled"), r.getAs[Int]("rank"))).toSet
+    assert(pq == brute)
+  }
+
+  test("PQ codebook: empty cells carry forward; means are Math.round") {
+    val s = spark; import s.implicits._
+    // k=3 seeds but only 2 distinct values → one centroid's cell
+    // empties after assignment and must keep its seed unchanged
+    val corpus = Seq(
+      (0L, Seq(0.0f)), (1L, Seq(0.0f)), (2L, Seq(1.0f)),
+      (3L, Seq(1.0f)), (4L, Seq(0.0f))
+    ).toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      m = 1, k = 3, iters = 1)
+    // seeds: ids 0,1,2 → [0], [0], [1000000]. assignment: value 0 →
+    // centroid 0 (tie 0 vs 1 → lowest), value 1e6 → centroid 2;
+    // cell 1 empties and carries its seed
+    assert(books == Seq(Seq(Seq(0L), Seq(0L), Seq(1000000L))))
+    // mean rounding is floor(x + 0.5): two members 0 and 1e6 → 500000
+    val corpus2 = Seq((0L, Seq(0.0f)), (1L, Seq(1.0f)))
+      .toDF("vec_id", "embedding")
+    val books2 = Similarity.pqCodebooks(corpus2, "vec_id", "embedding",
+      m = 1, k = 1, iters = 1)
+    assert(books2 == Seq(Seq(Seq(500000L))))
+  }
+
+  test("PQ recall on structured embeddings beats the uniform floor") {
+    // the harness corpus is uniform (adversarial for every ANN here);
+    // on STRUCTURED vectors — each a noisy copy of one of 4 anchors —
+    // PQ must put every query's true cluster-mates in its top-k
+    val s = spark; import s.implicits._
+    val anchors = Seq(
+      Seq(1.0f, 0f, 0f, 0f), Seq(0f, 1.0f, 0f, 0f),
+      Seq(0f, 0f, 1.0f, 0f), Seq(0f, 0f, 0f, 1.0f))
+    val corpus = (0L until 40L).map { i =>
+      val a = anchors((i % 4).toInt)
+      (i, a.zipWithIndex.map { case (x, d) =>
+        x + 0.02f * (((i + d) % 5).toInt - 2) }) // deterministic jitter
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+    val pq = neighbourSets(Similarity.pqTopK(
+      queries, "vec_id", "embedding", corpus, "vec_id", "embedding",
+      m = 2, k = 4, iters = 3, topK = 10))
+    (0L until 4L).foreach { q =>
+      val mates = (0L until 40L).filter(_ % 4 == q % 4).toSet
+      val hit = pq(q).count(mates.contains)
+      assert(hit == 10,
+        s"query $q: only $hit/10 of its cluster in PQ top-10")
+    }
+  }
 }
