@@ -673,6 +673,179 @@ object Similarity {
     """
   }
 
+  /** IVF-PQ — the production ANN architecture at 100 TB: the coarse
+    * IVF index bounds WHICH rows are scored (probe nProbe of C cells,
+    * scanned fraction ≈ nProbe/C) and PQ bounds WHAT a scored row
+    * costs (m code bytes + m table adds, never a float vector read).
+    * The index frame is (id, cell, codes) — cell-partitioned m-byte
+    * codes, the thing that stays memory-resident when the vectors
+    * themselves are 64× bigger and cold. Coarse assignment runs on
+    * full-precision scaled vectors (an index is built once; its
+    * quality shouldn't pay the storage quantization — the
+    * [[ivfTopKInt8]] argument); candidate scoring is pure ADC. */
+  def ivfPqTopK(queries: DataFrame, qId: String, qVec: String,
+                corpus: DataFrame, cId: String, cVec: String,
+                numCentroids: Int, nProbe: Int,
+                m: Int, k: Int, iters: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = pqCodebooks(corpus, cId, cVec, m, k, iters)
+    val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val coarse: Seq[Seq[Long]] = corpus
+      .select(col(cId).as("id"), scaledVec(col(cVec)).as("sv"))
+      .orderBy("id").limit(numCentroids)
+      .collect().toIndexedSeq.map(_.getSeq[Long](1).toIndexedSeq)
+    val centLit = typedLit(coarse)
+    // the stored index: ONE scan computes cell + codes per row
+    val scored = indexFrame(corpus, cId, cVec, books, centLit)
+      .join(broadcast(queries
+        .select(col(qId).as("query_id"), scaledVec(col(qVec)).as("_qv"))
+        .crossJoin(broadcast(coarse.zipWithIndex
+          .map { case (v, i) => (i, v) }.toDF("cent_idx", "_cent")))
+        .withColumn("_d", dotScaled(col("_qv"), col("_cent")))
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("_d").desc, col("cent_idx"))))
+        .filter(col("_rn") <= nProbe)
+        .select(col("query_id"), col("cent_idx"),
+          Bridge.column(graft.functions.PqLut(
+            Bridge.expression(col("_qv")),
+            Bridge.expression(booksLit))).as("_lut"))), "cent_idx")
+      .withColumn("sim_scaled", Bridge.column(graft.functions.PqAdc(
+        Bridge.expression(col("_lut")), Bridge.expression(col("_codes")))))
+      .select("query_id", "neighbour_id", "sim_scaled")
+    topKPerQuery(scored, topK)
+  }
+
+  /** The IVF-PQ stored index: (neighbour_id, cent_idx, codes) in one
+    * corpus scan — both assignments are per-row codegen projections
+    * over the same scaled vector. */
+  private def indexFrame(corpus: DataFrame, cId: String, cVec: String,
+                         books: Seq[Seq[Seq[Long]]],
+                         centLit: Column): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val m = books.length
+    val dsub = books.head.head.length
+    val codesCol = array(books.indices.map { s =>
+      Bridge.column(graft.functions.NearestCentroidL2(
+        Bridge.expression(scaledVec(slice(col(cVec), s * dsub + 1, dsub))),
+        Bridge.expression(typedLit(books(s).map(_.toSeq).toSeq))))
+    }: _*)
+    corpus.select(col(cId).as("neighbour_id"), codesCol.as("_codes"),
+      Bridge.column(graft.functions.NearestCentroid(
+        Bridge.expression(scaledVec(col(cVec))),
+        Bridge.expression(centLit))).as("cent_idx"))
+  }
+
+  /** DuckDB mirror of [[ivfPqTopK]]: the [[pqTopKSql]] training/
+    * encoding CTEs composed with the IVF cells/probes CTEs of
+    * q_ann_ivf_topk — candidates restricted to probed cells, scored
+    * by the relational ADC join. */
+  def ivfPqTopKSql(table: String, idCol: String, vecCol: String,
+                   dim: Int, numCentroids: Int, nProbe: Int,
+                   m: Int, k: Int, iters: Int, topK: Int,
+                   queryPred: String): String = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val sv = scaledVecSql(vecCol)
+    def assign(cb: String, out: String): String =
+      s"""$out AS (
+        SELECT id, sub, sv, cent_idx FROM (
+          SELECT s.id, s.sub, s.sv, c.cent_idx,
+                 ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                   ORDER BY ${l2PreScaledSql("s.sv", "c.cent")} ASC,
+                            c.cent_idx) AS rn
+          FROM subv s JOIN $cb c USING (sub))
+        WHERE rn = 1)"""
+    def update(assignT: String, prevCb: String, out: String): String =
+      s"""${out}_stats AS (
+        SELECT sub, cent_idx, p.pos,
+               CAST(FLOOR(CAST(SUM(sv[p.pos]) AS DOUBLE) / COUNT(*)
+                 + 0.5) AS BIGINT) AS mean
+        FROM $assignT, positions p
+        GROUP BY sub, cent_idx, p.pos),
+      ${out}_new AS (
+        SELECT sub, cent_idx, list(mean ORDER BY pos) AS cent
+        FROM ${out}_stats GROUP BY sub, cent_idx),
+      $out AS (
+        SELECT p.sub, p.cent_idx, COALESCE(u.cent, p.cent) AS cent
+        FROM $prevCb p LEFT JOIN ${out}_new u USING (sub, cent_idx))"""
+    val rounds = (0 until iters).map { i =>
+      assign(s"cb$i", s"assign$i") + ",\n      " +
+        update(s"assign$i", s"cb$i", s"cb${i + 1}")
+    }.mkString(",\n      ")
+    s"""
+      WITH corpus AS (SELECT $idCol AS id, $sv AS v FROM $table),
+      subs AS (
+        SELECT CAST(unnest(generate_series(0, ${m - 1})) AS INT) AS sub),
+      positions AS (
+        SELECT unnest(generate_series(1, $dsub)) AS pos),
+      subv AS (
+        SELECT id, sub,
+               list_slice(v, sub * $dsub + 1, sub * $dsub + $dsub) AS sv
+        FROM corpus, subs),
+      init AS (
+        SELECT sub,
+               CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY id) - 1
+                 AS INT) AS cent_idx,
+               sv AS cent
+        FROM subv
+        WHERE id IN (SELECT id FROM corpus ORDER BY id LIMIT $k)),
+      cb0 AS (SELECT sub, cent_idx, cent FROM init),
+      $rounds,
+      ${assign(s"cb$iters", "enc")},
+      coarse AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT)
+                 AS cell, v AS cent
+        FROM (SELECT * FROM corpus ORDER BY id LIMIT $numCentroids)),
+      cells AS (
+        SELECT id, cell FROM (
+          SELECT c.id, co.cell,
+                 ROW_NUMBER() OVER (PARTITION BY c.id
+                   ORDER BY ${dotPreScaledSql("c.v", "co.cent")} DESC,
+                            co.cell) AS rn
+          FROM corpus c CROSS JOIN coarse co)
+        WHERE rn = 1),
+      q AS (SELECT $idCol AS query_id, $sv AS qv
+            FROM $table WHERE $queryPred),
+      probes AS (
+        SELECT query_id, cell FROM (
+          SELECT q.query_id, co.cell,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY ${dotPreScaledSql("q.qv", "co.cent")} DESC,
+                            co.cell) AS rn
+          FROM q CROSS JOIN coarse co)
+        WHERE rn <= $nProbe),
+      qsub AS (
+        SELECT query_id, sub,
+               list_slice(qv, sub * $dsub + 1, sub * $dsub + $dsub) AS qsv
+        FROM q, subs),
+      lut AS (
+        SELECT qs.query_id, qs.sub, c.cent_idx,
+               ${dotPreScaledSql("qs.qsv", "c.cent")} AS d
+        FROM qsub qs JOIN cb$iters c USING (sub)),
+      cand AS (
+        SELECT p.query_id, ce.id
+        FROM probes p JOIN cells ce USING (cell)),
+      scored AS (
+        SELECT ca.query_id, e.id AS neighbour_id,
+               CAST(SUM(l.d) AS BIGINT) AS sim_scaled
+        FROM cand ca
+        JOIN enc e ON e.id = ca.id
+        JOIN lut l ON l.query_id = ca.query_id
+          AND l.sub = e.sub AND l.cent_idx = e.cent_idx
+        GROUP BY ca.query_id, e.id),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim_scaled DESC, neighbour_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbour_id, sim_scaled, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= $topK
+      ORDER BY query_id, rank
+    """
+  }
+
   // ------------------------------------------------------------------
   // Versioned codebook artifacts — a real corpus pipeline trains the
   // IVF index ONCE and probes it many times (mirrors
@@ -724,6 +897,53 @@ object Similarity {
     spark.read.parquet(s"$artifactsRoot/${versions.last}")
       .orderBy("cent_idx").collect().toIndexedSeq
       .map(_.getSeq[Long](1).toIndexedSeq)
+  }
+
+  private val PqBooksPrefix = "pq_books_"
+
+  /** Persist trained PQ codebooks under
+    * `artifactsRoot/pq_books_{version}` as (sub, cent_idx, vec) rows —
+    * the train-once/encode-and-probe-many lifecycle [[saveCodebook]]
+    * gives the IVF index, for the PQ index. Same committed-write
+    * crash safety. */
+  def savePqBooks(spark: SparkSession, books: Seq[Seq[Seq[Long]]],
+                  artifactsRoot: String, version: String): String = {
+    import spark.implicits._
+    val path = s"$artifactsRoot/$PqBooksPrefix$version"
+    books.toIndexedSeq.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (v, j) => (s, j, v.toIndexedSeq) }
+    }.toDF("sub", "cent_idx", "vec")
+      .coalesce(1) // m·k·dsub longs — one tiny file
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** List persisted PQ book versions, ascending; only COMMITTED
+    * artifacts count. */
+  def listPqBooks(spark: SparkSession, artifactsRoot: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(artifactsRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(PqBooksPrefix) &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.getName).sorted.toIndexedSeq
+  }
+
+  /** Load the newest committed PQ books, shaped for [[pqEncode]] /
+    * [[PqLut]]. Fails loudly when nothing has been trained. */
+  def loadLatestPqBooks(spark: SparkSession,
+                        artifactsRoot: String): Seq[Seq[Seq[Long]]] = {
+    val versions = listPqBooks(spark, artifactsRoot)
+    if (versions.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"No committed PQ books in '$artifactsRoot'. " +
+          "Run pqCodebooks + savePqBooks first.")
+    spark.read.parquet(s"$artifactsRoot/${versions.last}")
+      .orderBy("sub", "cent_idx").collect().toIndexedSeq
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Long](2).toIndexedSeq).toIndexedSeq)
   }
 
   /** ANN top-k via IVF (inverted-file index) — the second index family

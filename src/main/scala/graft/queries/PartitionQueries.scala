@@ -1244,6 +1244,69 @@ object PartitionQueries extends QueryPack {
     """),
     eager = true)
 
+  /** CHAINED incremental maintenance — the silver→gold pipeline as
+    * ticks: two appending stores feed a JOIN view
+    * ([[graft.ops.DerivedView.tickJoin]]), and a GROUP BY view
+    * ([[graft.ops.DerivedView.tick]]) consumes the JOIN VIEW'S own
+    * change feed — the downstream tick never touches the base tables,
+    * and no stage ever recomputes. Valid composition because tickJoin
+    * appends (adds-only commits), which is exactly the feed contract
+    * tick consumes; a head-of-chain tick pair must commit nothing.
+    * The oracle recomputes join+group from scratch, so a missed
+    * delta, a doubled pair, or a stale downstream position all break
+    * the hash. */
+  val ivmPipeline = GQuery(
+    "q_ivm_pipeline",
+    (s, d) => {
+      val aRoot = graft.TempRoots.create("graft_ivm_a") + "/orders"
+      val bRoot = graft.TempRoots.create("graft_ivm_b") + "/customer"
+      val joinV = graft.TempRoots.create("graft_ivm_j") + "/join"
+      val aggV = graft.TempRoots.create("graft_ivm_g") + "/agg"
+      val orders = Tables.orders(s, d).select(
+        col("o_custkey").as("custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate"))
+      val customer = Tables.customer(s, d).select(
+        col("c_custkey").as("custkey"), col("c_mktsegment"))
+      def tickAll(): Unit = {
+        graft.ops.DerivedView.tickJoin(s, aRoot, bRoot, joinV, "custkey")
+        graft.ops.DerivedView.tick(s, joinV, aggV,
+          Seq("c_mktsegment"), Seq("cents", "custkey"))
+      }
+      graft.ops.TableStore.append(
+        orders.where(col("o_orderdate") < "1996-01-01"), aRoot)
+      graft.ops.TableStore.append(customer, bRoot)
+      tickAll()
+      graft.ops.TableStore.append(
+        orders.where(col("o_orderdate") >= "1996-01-01"), aRoot)
+      tickAll()
+      // at the head: NEITHER stage may commit (stale-position guard)
+      require(graft.ops.DerivedView.tickJoin(
+        s, aRoot, bRoot, joinV, "custkey").isEmpty,
+        "join tick at the head must commit nothing")
+      require(graft.ops.DerivedView.tick(s, joinV, aggV,
+        Seq("c_mktsegment"), Seq("cents", "custkey")).isEmpty,
+        "agg tick at the head must commit nothing")
+      graft.ops.TableStore.read(s, aggV)
+        .select(col("c_mktsegment"), col("n_rows"),
+          col("sum_cents").as("total_cents"),
+          col("sum_custkey").as("sum_custkey"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS total_cents,
+             CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY 1
+    """),
+    // correctness-only composition gate: its tick machinery is
+    // individually benched by q_derived_view and q_derived_join_view;
+    // timing the chain would double-count both
+    bench = false,
+    eager = true)
+
   /** Schema evolution across store versions
     * ([[graft.ops.TableStore.readAs]] +
     * [[graft.ops.SchemaEvolution.backfill]]): version 1 is committed
@@ -1455,5 +1518,5 @@ object PartitionQueries extends QueryPack {
       storePrefixScan, storeMerge, storeCdcApply, storeMirror,
       storeClone, storeConstraints, storeMorDelete, derivedView,
       storeHistory, storeRestore, storeChanges, storeMetaStats,
-      storeReplaceWhere, derivedJoinView)
+      storeReplaceWhere, derivedJoinView, ivmPipeline)
 }

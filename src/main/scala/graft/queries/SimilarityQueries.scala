@@ -614,8 +614,32 @@ object SimilarityQueries extends QueryPack {
       dim = 64, m = PqM, k = PqK, iters = PqIters, topK = TopK,
       queryPred = QueryPred)))
 
+  /** IVF-PQ ([[Similarity.ivfPqTopK]]) — the composed production
+    * index: IVF bounds WHICH rows score (nProbe/C of the corpus), PQ
+    * bounds WHAT a scored row costs (m code bytes + m adds). The
+    * oracle composes both replays — coarse cells and probes exactly
+    * as q_ann_ivf_topk, PQ training/encoding/ADC exactly as
+    * q_ann_pq_topk, candidates restricted to probed cells — so a
+    * break in either half, or in the composition (a candidate scored
+    * from an unprobed cell, a code scored with the wrong sub-space
+    * table), breaks the hash. */
+  val ivfPqAnnTopK = GQuery(
+    "q_ann_ivfpq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(
+          emb.filter(expr(QueryPred)), "vec_id", "embedding",
+          emb, "vec_id", "embedding", NumCentroids, NProbe,
+          PqM, PqK, PqIters, TopK)
+        .orderBy("query_id", "rank")
+    },
+    Some(Similarity.ivfPqTopKSql("embeddings", "vec_id", "embedding",
+      dim = 64, numCentroids = NumCentroids, nProbe = NProbe,
+      m = PqM, k = PqK, iters = PqIters, topK = TopK,
+      queryPred = QueryPred)))
+
   def all: Seq[GQuery] =
     Seq(cosineTopK, annTopK, embeddingStats, embeddingNearDup, ivfTopK,
       embedQuantize, annInt8TopK, semanticDedup, semanticDedupScaled,
-      ivfTopKScaled, kmeansClusters, pqAnnTopK)
+      ivfTopKScaled, kmeansClusters, pqAnnTopK, ivfPqAnnTopK)
 }

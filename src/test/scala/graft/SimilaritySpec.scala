@@ -415,6 +415,45 @@ class SimilaritySpec extends SparkSpec {
     assert(books2 == Seq(Seq(Seq(500000L))))
   }
 
+  test("IVF-PQ with every cell probed equals plain PQ; probing prunes") {
+    val emb = Tables.embeddings(spark, TinySf)
+    val queries = emb.filter(expr("vec_id % 100 = 3"))
+    def run(nProbe: Int) = Similarity.ivfPqTopK(
+      queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+      numCentroids = 8, nProbe = nProbe, m = 8, k = 16, iters = 1,
+      topK = K)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbour_id"),
+        r.getAs[Long]("sim_scaled"), r.getAs[Int]("rank"))).toSet
+    val pq = Similarity.pqTopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", m = 8, k = 16, iters = 1, topK = K)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbour_id"),
+        r.getAs[Long]("sim_scaled"), r.getAs[Int]("rank"))).toSet
+    // probing ALL cells = no candidate restriction: identical output
+    assert(run(8) == pq)
+    // probing a strict subset really does restrict candidates: some
+    // query must rank differently (the corpus has > k rows per cell)
+    assert(run(2) != pq)
+  }
+
+  test("PQ books round-trip through versioned artifacts") {
+    val s = spark; import s.implicits._
+    val corpus = Seq((0L, Seq(0.1f, 0.2f, 0.3f, 0.4f)),
+      (1L, Seq(-0.5f, 0.6f, -0.7f, 0.8f))).toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      m = 2, k = 2, iters = 1)
+    val root = graft.TempRoots.create("graft_pqbooks")
+    Similarity.savePqBooks(spark, books, root, "v1")
+    assert(Similarity.loadLatestPqBooks(spark, root) == books)
+    // a newer version wins; loading with nothing trained is loud
+    val books2 = books.map(_.map(_.map(_ + 1L)))
+    Similarity.savePqBooks(spark, books2, root, "v2")
+    assert(Similarity.loadLatestPqBooks(spark, root) == books2)
+    intercept[java.io.FileNotFoundException] {
+      Similarity.loadLatestPqBooks(spark,
+        graft.TempRoots.create("graft_pqnone"))
+    }
+  }
+
   test("PQ recall on structured embeddings beats the uniform floor") {
     // the harness corpus is uniform (adversarial for every ANN here);
     // on STRUCTURED vectors — each a noisy copy of one of 4 anchors —
