@@ -62,6 +62,34 @@ object DerivedView {
     Some(TableStore.overwrite(combined, viewRoot, batchId = Some(to)))
   }
 
+  /** Continuously-maintained aggregate — the streaming gold table:
+    * each micro-batch lands in the BASE store exactly once
+    * ([[TableStore.appendBatch]], batch-id idempotent), then one
+    * maintenance [[tick]] folds the delta into the view. Crash
+    * anywhere and the replay is safe, because the two effects carry
+    * independent idempotency: a re-offered batch stands down on its
+    * commit-carried id, and the tick's position rides the VIEW's own
+    * commit — a tick that never ran simply runs at the next batch.
+    * The view can therefore LAG (by the un-ticked suffix) but never
+    * drift or double-count; the final catch-up tick after the drain
+    * makes "stream drained" imply "view current". */
+  def sinkStreamWithView(stream: DataFrame, storeRoot: String,
+                         viewRoot: String, checkpoint: String,
+                         groupCols: Seq[String], sumCols: Seq[String],
+                         statsCols: Seq[String] = Nil): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        TableStore.appendBatch(b, storeRoot, id, statsCols)
+        tick(b.sparkSession, storeRoot, viewRoot, groupCols, sumCols)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    tick(stream.sparkSession, storeRoot, viewRoot, groupCols, sumCols)
+  }
+
   /** One maintenance tick of an INNER EQUI-JOIN view — the other half
     * of incremental view maintenance, and the one that kills the
     * biggest recompute: a materialized `A JOIN B ON key` kept in

@@ -475,7 +475,59 @@ object StreamQueries extends QueryPack {
     """),
     bench = false, eager = true)
 
+  /** Continuously-maintained aggregate view off a live stream
+    * ([[graft.ops.DerivedView.sinkStreamWithView]]): every
+    * micro-batch lands in the base store exactly once AND ticks the
+    * GROUP BY view — the streaming gold table. The digest reads the
+    * VIEW, never the base, so the hash pins the whole chain:
+    * batch-id idempotent ingest, per-batch delta folding, position
+    * exactly-once. A checkpoint-replay restart must move neither
+    * store (enforced loudly in-body). */
+  val streamLiveView = GQuery(
+    "q_stream_live_view",
+    (s, d) => {
+      // zero-row corpus: empty micro-batches never commit, so neither
+      // store exists — state the well-typed empty result directly
+      if (graft.Tables.events(s, d).isEmpty)
+        graft.Tables.events(s, d)
+          .select(col("event_type"), lit(0L).as("n_events"),
+            lit(0L).as("total_value"))
+          .limit(0)
+      else {
+        val (root, schema) = stage(s, d)
+        val store = s"$root/store_lv"
+        val view = s"$root/view_lv"
+        graft.ops.DerivedView.sinkStreamWithView(
+          readSliced(s, root, schema), store, view, s"$root/ckpt_lv",
+          Seq("event_type"), Seq("value"))
+        val storeVs = graft.ops.TableStore.versions(s, store)
+        val viewVs = graft.ops.TableStore.versions(s, view)
+        require(viewVs.size >= Slices,
+          s"one view tick per productive micro-batch expected: " +
+            s"${viewVs.size}")
+        // checkpoint replay: nothing new lands in EITHER store
+        graft.ops.DerivedView.sinkStreamWithView(
+          readSliced(s, root, schema), store, view, s"$root/ckpt_lv",
+          Seq("event_type"), Seq("value"))
+        require(graft.ops.TableStore.versions(s, store) == storeVs &&
+          graft.ops.TableStore.versions(s, view) == viewVs,
+          "checkpoint replay must not commit to the store or the view")
+        graft.ops.TableStore.read(s, view)
+          .select(col("event_type"), col("n_rows").as("n_events"),
+            col("sum_value").as("total_value"))
+          .orderBy("event_type")
+      }
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 1e4) AS BIGINT)) AS BIGINT)
+               AS total_value
+      FROM events GROUP BY 1 ORDER BY 1
+    """),
+    bench = false, eager = true)
+
   def all: Seq[GQuery] = Seq(streamWindowedCounts, streamIntervalJoin,
     streamDedupReplay, streamSessionWindow, streamSessionize,
-    streamTableIngest, streamIngestCompact, streamUpsert)
+    streamTableIngest, streamIngestCompact, streamUpsert,
+    streamLiveView)
 }
