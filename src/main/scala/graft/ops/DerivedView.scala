@@ -90,6 +90,35 @@ object DerivedView {
     tick(stream.sparkSession, storeRoot, viewRoot, groupCols, sumCols)
   }
 
+  /** One maintenance tick of a MAP view — a materialized ROW-WISE
+    * transform of an append-only source (parse, featurize, encode,
+    * fingerprint): per tick, only the delta flows through
+    * `transform`, and its output APPENDS to the view with the
+    * consumed source version riding the same commit. The third IVM
+    * shape next to [[tick]] (aggregate) and [[tickJoin]] (join), and
+    * the one index maintenance wants: an ANN-code or signature store
+    * kept current without ever re-encoding history.
+    *
+    * Contract: `transform` must be row-wise and deterministic —
+    * it sees each source row exactly once across the view's lifetime,
+    * so anything cross-row (dedup, aggregation) belongs in the other
+    * tick shapes. Source compactions contribute nothing; a content
+    * rewrite fails loudly with the resync remedy. Returns the
+    * committed view version, or None at the head. */
+  def tickMap(spark: SparkSession, srcRoot: String, viewRoot: String,
+              transform: DataFrame => DataFrame): Option[Long] = {
+    val to = TableStore.versions(spark, srcRoot).lastOption
+      .getOrElse(return None)
+    val from = TableStore.versions(spark, viewRoot).lastOption
+      .flatMap(v => TableStore.latestMeta(spark, viewRoot, "viewpos", v))
+      .map(_.toLong).getOrElse(0L)
+    if (to <= from) return None
+    val delta = TableStore.readChangesSince(spark, srcRoot, from, Some(to))
+      .drop("_commit_version")
+    Some(TableStore.appendExclusiveWithMeta(transform(delta), viewRoot,
+      metaRows = Seq(("", "viewpos", to.toString))))
+  }
+
   /** One maintenance tick of an INNER EQUI-JOIN view — the other half
     * of incremental view maintenance, and the one that kills the
     * biggest recompute: a materialized `A JOIN B ON key` kept in

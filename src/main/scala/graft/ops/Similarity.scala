@@ -562,15 +562,26 @@ object Similarity {
   def pqTopK(queries: DataFrame, qId: String, qVec: String,
              corpus: DataFrame, cId: String, cVec: String,
              m: Int, k: Int, iters: Int, topK: Int): DataFrame = {
-    import org.apache.spark.sql.graftbridge.Bridge
     val books = pqCodebooks(corpus, cId, cVec, m, k, iters)
+    pqTopKEncoded(queries, qId, qVec,
+      pqEncode(corpus, cId, cVec, books), books, topK)
+  }
+
+  /** ADC top-k served from an ALREADY-ENCODED index frame
+    * (`neighbour_id`, `_codes`) — the query path of a persisted /
+    * incrementally-maintained PQ index: no training, no vector reads,
+    * just the LUT expansion per query and m table adds per
+    * candidate. */
+  def pqTopKEncoded(queries: DataFrame, qId: String, qVec: String,
+                    encoded: DataFrame, books: Seq[Seq[Seq[Long]]],
+                    topK: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
     val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
-    val enc = pqEncode(corpus, cId, cVec, books)
     val q = broadcast(queries.select(col(qId).as("query_id"),
       Bridge.column(graft.functions.PqLut(
         Bridge.expression(scaledVec(col(qVec))),
         Bridge.expression(booksLit))).as("_lut")))
-    val scored = enc.join(q) // broadcast nested-loop: codes scanned once
+    val scored = encoded.join(q) // broadcast nested-loop: codes scanned once
       .withColumn("sim_scaled", Bridge.column(graft.functions.PqAdc(
         Bridge.expression(col("_lut")), Bridge.expression(col("_codes")))))
       .select("query_id", "neighbour_id", "sim_scaled")
@@ -593,18 +604,23 @@ object Similarity {
     * vector width (the engine derives it; SQL needs it literal). */
   def pqTopKSql(table: String, idCol: String, vecCol: String,
                 dim: Int, m: Int, k: Int, iters: Int, topK: Int,
-                queryPred: String): String = {
+                queryPred: String,
+                trainPred: String = "TRUE"): String = {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val sv = scaledVecSql(vecCol)
-    def assign(cb: String, out: String): String =
+    // training reads the (possibly restricted) train set; encoding
+    // always covers the WHOLE corpus — the frozen-codebook index
+    // lifecycle (train once on the first slice, encode everything)
+    def assign(cb: String, out: String,
+               from: String = "train_subv"): String =
       s"""$out AS (
         SELECT id, sub, sv, cent_idx FROM (
           SELECT s.id, s.sub, s.sv, c.cent_idx,
                  ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
                    ORDER BY ${l2PreScaledSql("s.sv", "c.cent")} ASC,
                             c.cent_idx) AS rn
-          FROM subv s JOIN $cb c USING (sub))
+          FROM $from s JOIN $cb c USING (sub))
         WHERE rn = 1)"""
     // one Lloyd update: per-(sub, cell, pos) int64 sums -> Math.round
     // means (FLOOR(x + 0.5), NOT SQL ROUND: half-away-from-zero
@@ -629,6 +645,8 @@ object Similarity {
     }.mkString(",\n      ")
     s"""
       WITH corpus AS (SELECT $idCol AS id, $sv AS v FROM $table),
+      train AS (SELECT $idCol AS id, $sv AS v FROM $table
+                WHERE $trainPred),
       subs AS (
         SELECT CAST(unnest(generate_series(0, ${m - 1})) AS INT) AS sub),
       positions AS (
@@ -637,16 +655,18 @@ object Similarity {
         SELECT id, sub,
                list_slice(v, sub * $dsub + 1, sub * $dsub + $dsub) AS sv
         FROM corpus, subs),
+      train_subv AS (
+        SELECT s.* FROM subv s WHERE s.id IN (SELECT id FROM train)),
       init AS (
         SELECT sub,
                CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY id) - 1
                  AS INT) AS cent_idx,
                sv AS cent
-        FROM subv
-        WHERE id IN (SELECT id FROM corpus ORDER BY id LIMIT $k)),
+        FROM train_subv
+        WHERE id IN (SELECT id FROM train ORDER BY id LIMIT $k)),
       cb0 AS (SELECT sub, cent_idx, cent FROM init),
       $rounds,
-      ${assign(s"cb$iters", "enc")},
+      ${assign(s"cb$iters", "enc", from = "subv")},
       q AS (SELECT $idCol AS query_id, $sv AS qv
             FROM $table WHERE $queryPred),
       qsub AS (
@@ -657,12 +677,24 @@ object Similarity {
         SELECT qs.query_id, qs.sub, c.cent_idx,
                ${dotPreScaledSql("qs.qsv", "c.cent")} AS d
         FROM qsub qs JOIN cb$iters c USING (sub)),
+      -- fold codes and LUT into per-row LISTS before scoring: the
+      -- relational ADC join (enc x lut on (sub, cent)) explodes to
+      -- m * |corpus| * |queries| rows into a |corpus| * |queries|-group
+      -- hash aggregate — at sf10 that is 3.2B join rows spilling past
+      -- the disk. The list form streams |corpus| * |queries| pairs
+      -- through one m-add lambda each: exactly the engine's PqAdc.
+      enc_list AS (
+        SELECT id, list(cent_idx ORDER BY sub) AS codes
+        FROM enc GROUP BY id),
+      lut_list AS (
+        SELECT query_id, list(d ORDER BY sub, cent_idx) AS lt
+        FROM lut GROUP BY query_id),
       scored AS (
         SELECT l.query_id, e.id AS neighbour_id,
-               CAST(SUM(l.d) AS BIGINT) AS sim_scaled
-        FROM enc e JOIN lut l
-          ON e.sub = l.sub AND e.cent_idx = l.cent_idx
-        GROUP BY l.query_id, e.id),
+               CAST(list_sum(list_transform(e.codes,
+                 (c, s) -> l.lt[(s - 1) * $k + c + 1])) AS BIGINT)
+                 AS sim_scaled
+        FROM enc_list e CROSS JOIN lut_list l),
       ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY sim_scaled DESC, neighbour_id) AS rank
@@ -828,14 +860,23 @@ object Similarity {
       cand AS (
         SELECT p.query_id, ce.id
         FROM probes p JOIN cells ce USING (cell)),
+      -- list-folded ADC (see pqTopKSql): candidates stream through one
+      -- m-add lambda each instead of an m-way join into a
+      -- candidate-count-group hash aggregate
+      enc_list AS (
+        SELECT id, list(cent_idx ORDER BY sub) AS codes
+        FROM enc GROUP BY id),
+      lut_list AS (
+        SELECT query_id, list(d ORDER BY sub, cent_idx) AS lt
+        FROM lut GROUP BY query_id),
       scored AS (
-        SELECT ca.query_id, e.id AS neighbour_id,
-               CAST(SUM(l.d) AS BIGINT) AS sim_scaled
+        SELECT ca.query_id, ca.id AS neighbour_id,
+               CAST(list_sum(list_transform(e.codes,
+                 (c, s) -> l.lt[(s - 1) * $k + c + 1])) AS BIGINT)
+                 AS sim_scaled
         FROM cand ca
-        JOIN enc e ON e.id = ca.id
-        JOIN lut l ON l.query_id = ca.query_id
-          AND l.sub = e.sub AND l.cent_idx = e.cent_idx
-        GROUP BY ca.query_id, e.id),
+        JOIN enc_list e USING (id)
+        JOIN lut_list l USING (query_id)),
       ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY sim_scaled DESC, neighbour_id) AS rank

@@ -638,8 +638,52 @@ object SimilarityQueries extends QueryPack {
       m = PqM, k = PqK, iters = PqIters, topK = TopK,
       queryPred = QueryPred)))
 
+  /** Incrementally-maintained PQ index
+    * ([[graft.ops.DerivedView.tickMap]] + [[Similarity.pqEncode]]):
+    * the ANN index as a DERIVED VIEW — books train ONCE on the first
+    * ingested slice (frozen-codebook lifecycle), then each tick
+    * encodes only that batch's delta off the base store's change
+    * feed and APPENDS the codes; history is never re-encoded, a
+    * mid-stream compaction contributes nothing, and a tick at the
+    * head commits nothing. The digest serves ADC top-k FROM THE
+    * INDEX STORE ([[Similarity.pqTopKEncoded]]); the oracle replays
+    * train-on-slice-0 + encode-everything from scratch, so a missed
+    * delta, a re-encoded batch, or a code drifting from the frozen
+    * books all break the hash. */
+  val pqIndexTick = GQuery(
+    "q_pq_index_tick",
+    (s, d) => {
+      val base = graft.TempRoots.create("graft_pqidx_b") + "/emb"
+      val index = graft.TempRoots.create("graft_pqidx_i") + "/codes"
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      def band(i: Int) = emb.where(pmod(col("vec_id"), lit(3)) === i)
+      graft.ops.TableStore.append(band(0), base)
+      val books = Similarity.pqCodebooks(
+        graft.ops.TableStore.read(s, base), "vec_id", "embedding",
+        PqM, PqK, PqIters)
+      def tickEnc() = graft.ops.DerivedView.tickMap(s, base, index,
+        delta => Similarity.pqEncode(delta, "vec_id", "embedding", books))
+      require(tickEnc().nonEmpty, "first index tick must commit")
+      graft.ops.TableStore.append(band(1), base)
+      // layout-only commit: the next tick must re-encode NOTHING from it
+      graft.ops.TableStore.compact(s, base, targetBytes = 256L << 20)
+      require(tickEnc().nonEmpty, "second index tick must commit")
+      graft.ops.TableStore.append(band(2), base)
+      require(tickEnc().nonEmpty, "third index tick must commit")
+      require(tickEnc().isEmpty, "tick at the head must commit nothing")
+      Similarity.pqTopKEncoded(
+          emb.filter(expr(QueryPred)), "vec_id", "embedding",
+          graft.ops.TableStore.read(s, index), books, TopK)
+        .orderBy("query_id", "rank")
+    },
+    Some(Similarity.pqTopKSql("embeddings", "vec_id", "embedding",
+      dim = 64, m = PqM, k = PqK, iters = PqIters, topK = TopK,
+      queryPred = QueryPred, trainPred = "vec_id % 3 = 0")),
+    eager = true)
+
   def all: Seq[GQuery] =
     Seq(cosineTopK, annTopK, embeddingStats, embeddingNearDup, ivfTopK,
       embedQuantize, annInt8TopK, semanticDedup, semanticDedupScaled,
-      ivfTopKScaled, kmeansClusters, pqAnnTopK, ivfPqAnnTopK)
+      ivfTopKScaled, kmeansClusters, pqAnnTopK, ivfPqAnnTopK,
+      pqIndexTick)
 }

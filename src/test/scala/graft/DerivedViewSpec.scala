@@ -77,6 +77,31 @@ class DerivedViewSpec extends SparkSpec {
     assert(tick().isEmpty)
   }
 
+  test("tickMap encodes each source row exactly once") {
+    val s = spark; import s.implicits._
+    val src = tmp(); val view = tmp()
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), (col("v") * 2).as("enc"))
+    def tick() = DerivedView.tickMap(spark, src, view, enc)
+    assert(tick().isEmpty) // source never committed: nothing to do
+    TableStore.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), src)
+    assert(tick().nonEmpty)
+    // two appends + a compaction, ONE tick: both deltas flow, the
+    // layout commit contributes nothing (no re-encode of history)
+    TableStore.append(Seq((3L, 30L)).toDF("k", "v"), src)
+    TableStore.compact(spark, src, targetBytes = 1L << 30)
+    TableStore.append(Seq((1L, 11L)).toDF("k", "v"), src)
+    assert(tick().nonEmpty)
+    assert(tick().isEmpty) // head
+    val out = TableStore.read(spark, view).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out == Seq((1L, 20L), (1L, 22L), (2L, 40L), (3L, 60L)))
+    // a content rewrite upstream: loud resync, never a stale index
+    TableStore.overwrite(Seq((9L, 90L)).toDF("k", "v"), src)
+    val ex = intercept[IllegalArgumentException] { tick() }
+    assert(ex.getMessage.contains("resync"))
+  }
+
   test("tickJoin positions survive the view's own vacuum") {
     val s = spark; import s.implicits._
     val a = tmp(); val b = tmp(); val view = tmp()
