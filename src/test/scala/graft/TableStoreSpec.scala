@@ -1306,6 +1306,22 @@ class TableStoreSpec extends SparkSpec {
     intercept[Exception] { pinned.count() }
   }
 
+  test("change feed resolves a mid-window column add by name") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    TableStore.append(Seq((1L, "a")).toDF("id", "payload"), root)
+    TableStore.append(Seq((2L, "b", 7L))
+      .toDF("id", "payload", "score"), root)
+    // one window spanning the evolution: pre-add rows surface the new
+    // column as null instead of tearing the per-version union
+    val feed = TableStore.readChangesSince(spark, root, 0L)
+      .select("id", "payload", "score", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+      .toSet
+    assert(feed == Set((1L, "a", None, 1L), (2L, "b", Some(7L), 2L)))
+  }
+
   test("metaStats/metaBounds answer from the log alone: data dir hidden") {
     val root = tmp()
     TableStore.append(mk(1L to 40L: _*), root, statsCols = Seq("id"))
