@@ -2066,6 +2066,41 @@ object TableStore {
     * (`ignoreMissingFiles` is pinned false on every store read).
     * Operators size `keepVersions` to cover their longest reader —
     * the same contract every lakehouse retention knob carries. */
+  /** Zero-mutation VACUUM DRY RUN — what [[vacuum]](keepVersions)
+    * would do, answered from the COMMIT LOG ALONE: the horizon, how
+    * many log versions fall, how many owned data files become
+    * unreferenced, and their byte total (log-carried sizes; files
+    * from pre-byte-logging commits count 0 toward bytes, never a
+    * guess). Plan-before-destroy is the operational contract every
+    * retention job wants: the numbers here are exactly the sweep set
+    * vacuum computes, minus crash residue (uncommitted attempt dirs
+    * are invisible to the log by design — vacuum sweeps them
+    * opportunistically, a plan cannot promise them). Clone-external
+    * (absolute-path) references are excluded: structurally
+    * un-deletable from this root. */
+  def vacuumPlan(spark: SparkSession, root: String,
+                 keepVersions: Int): DataFrame = {
+    import spark.implicits._
+    require(keepVersions >= 1, s"keepVersions must be >= 1")
+    val vs = versions(spark, root)
+    val empty = (0L, 0L, 0L, 0L)
+    if (vs.isEmpty)
+      return Seq(empty).toDF("horizon", "n_versions_dropped",
+        "n_files_swept", "bytes_swept").limit(0)
+    val horizon = math.max(vs.head, vs.last - keepVersions + 1)
+    val dropped = vs.filter(_ < horizon)
+    val keepSet = vs.filter(_ >= horizon)
+      .flatMap(liveAt(spark, root, _)).map(_.path).toSet
+    val swept = dropped.flatMap(liveAt(spark, root, _))
+      .filter(e => !keepSet.contains(e.path) &&
+        !e.path.startsWith("/") && !e.path.contains("://"))
+      .groupBy(_.path).map(_._2.head).toSeq
+    Seq((horizon, dropped.size.toLong, swept.size.toLong,
+        swept.map(_.bytes).sum))
+      .toDF("horizon", "n_versions_dropped", "n_files_swept",
+        "bytes_swept")
+  }
+
   def vacuum(spark: SparkSession, root: String,
              keepVersions: Int): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1")

@@ -1306,6 +1306,43 @@ class TableStoreSpec extends SparkSpec {
     intercept[Exception] { pinned.count() }
   }
 
+  test("vacuumPlan predicts exactly what vacuum then does") {
+    val root = tmp()
+    TableStore.append(mk(1L to 30L: _*), root)  // v1
+    TableStore.overwrite(mk(31L to 40L: _*), root) // v2: v1 files dead
+    TableStore.append(mk(41, 42), root)         // v3
+    val plan = TableStore.vacuumPlan(spark, root, keepVersions = 2)
+      .collect()(0)
+    assert(plan.getAs[Long]("horizon") == 2L)
+    assert(plan.getAs[Long]("n_versions_dropped") == 1L)
+    assert(plan.getAs[Long]("n_files_swept") > 0L)
+    assert(plan.getAs[Long]("bytes_swept") > 0L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Long = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$root/data"), true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val before = dataFiles()
+    TableStore.vacuum(spark, root, keepVersions = 2)
+    // the dry run's sweep count is exactly the files vacuum removed,
+    // and the dropped log version is gone
+    assert(before - dataFiles() == plan.getAs[Long]("n_files_swept"))
+    assert(TableStore.versions(spark, root) == Seq(2L, 3L))
+    // content is untouched either way
+    assert(ids(root) == ((31L to 40L) ++ Seq(41L, 42L)).toSet)
+    // a plan that drops nothing is all-zero at the current horizon
+    val idle = TableStore.vacuumPlan(spark, root, keepVersions = 5)
+      .collect()(0)
+    assert(idle.getAs[Long]("n_versions_dropped") == 0L &&
+      idle.getAs[Long]("n_files_swept") == 0L)
+  }
+
   test("change feed resolves a mid-window column add by name") {
     val s = spark; import s.implicits._
     val root = tmp()
