@@ -1971,6 +1971,48 @@ object TableStore {
     n
   }
 
+  /** SCOPED layout OPTIMIZE — recluster only the live files whose
+    * logged [min, max] for `clusterCol` can intersect [lo, hi]: the
+    * steady-state maintenance shape under continuous ingest, where
+    * yesterday's landing zone needs clustering and last year's
+    * already-clustered files must NOT be rewritten again (a full
+    * [[optimizeLayout]] per day is quadratic write amplification over
+    * the table's lifetime, the [[compactSmall]] argument applied to
+    * clustering). The rewrite is proportional to the SCOPE —
+    * planning is log-only, untouched files stay live, and the commit
+    * is a "layout" marker (content-identical: feeds skip it, pinned
+    * readers keep the old layout). Returns the committed version, or
+    * the current one when fewer than two files overlap (nothing to
+    * gain — a no-op commits nothing). */
+  def optimizeLayoutWhere(spark: SparkSession, root: String,
+                          clusterCol: String, lo: Long, hi: Long,
+                          targetBytes: Long,
+                          statsCols: Seq[String] = Nil,
+                          bloomCols: Seq[String] = Nil): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    require(lo <= hi, s"empty scope interval [$lo, $hi]")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val prev = vs.last
+    val live = liveAt(spark, root, prev)
+    requireNoDvs(spark, root, prev, live, "optimizeLayoutWhere")
+    val touched = overlappingFiles(spark, root, live, clusterCol, lo, hi)
+    if (touched.size < 2) return prev
+    val bytes = touched.map(e => sizeOf(spark, root, e)).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.option("ignoreMissingFiles", "false")
+      .parquet(touched.map(e => resolve(root, e.path)): _*)
+      .repartitionByRange(nOut, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+    val n = prev + 1
+    commitExclusive(spark, root, n,
+      writeData(df, root, n, (statsCols :+ clusterCol).distinct,
+        bloomCols),
+      touched.map(_.path),
+      marker = Some("layout"))
+    n
+  }
+
   /** Multi-dimensional layout OPTIMIZE as a commit: rewrite the live
     * set clustered on the HILBERT index of (`xCol`, `yCol`) —
     * [[Layout]]'s space-filling-curve layout joined to snapshot
@@ -2051,21 +2093,6 @@ object TableStore {
     (df, touched.size, live.size)
   }
 
-  /** Retire history: keep the last `keepVersions` snapshots readable,
-    * write a full-manifest CHECKPOINT at the new horizon (so replay
-    * never needs the dropped logs), delete the dropped log dirs and
-    * every data file no surviving snapshot references. Idempotent —
-    * a re-run finds nothing left to drop.
-    *
-    * Retention contract for pinned readers: a reader holding version
-    * v < the new horizon is NOT protected — there is no lease. After
-    * the vacuum, resolving v fails loudly with the surviving window
-    * named ([[read]]'s version check), and a frame CONSTRUCTED before
-    * the vacuum fails at execution with a missing-file error rather
-    * than returning the subset of rows whose files survived
-    * (`ignoreMissingFiles` is pinned false on every store read).
-    * Operators size `keepVersions` to cover their longest reader —
-    * the same contract every lakehouse retention knob carries. */
   /** Zero-mutation VACUUM DRY RUN — what [[vacuum]](keepVersions)
     * would do, answered from the COMMIT LOG ALONE: the horizon, how
     * many log versions fall, how many owned data files become
@@ -2101,6 +2128,21 @@ object TableStore {
         "bytes_swept")
   }
 
+  /** Retire history: keep the last `keepVersions` snapshots readable,
+    * write a full-manifest CHECKPOINT at the new horizon (so replay
+    * never needs the dropped logs), delete the dropped log dirs and
+    * every data file no surviving snapshot references. Idempotent —
+    * a re-run finds nothing left to drop.
+    *
+    * Retention contract for pinned readers: a reader holding version
+    * v < the new horizon is NOT protected — there is no lease. After
+    * the vacuum, resolving v fails loudly with the surviving window
+    * named ([[read]]'s version check), and a frame CONSTRUCTED before
+    * the vacuum fails at execution with a missing-file error rather
+    * than returning the subset of rows whose files survived
+    * (`ignoreMissingFiles` is pinned false on every store read).
+    * Operators size `keepVersions` to cover their longest reader —
+    * the same contract every lakehouse retention knob carries. */
   def vacuum(spark: SparkSession, root: String,
              keepVersions: Int): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1")

@@ -1307,6 +1307,84 @@ object PartitionQueries extends QueryPack {
     bench = false,
     eager = true)
 
+  /** SCOPED layout OPTIMIZE
+    * ([[graft.ops.TableStore.optimizeLayoutWhere]]) — incremental
+    * clustering: two key bands land as band-spanning files, only the
+    * LOWER band is reclustered, and the body enforces the two claims
+    * a scoped rewrite exists for — the out-of-scope files' paths are
+    * byte-identical afterwards (no quadratic re-write of history),
+    * and a narrow probe's files-touched FRACTION shrinks inside the
+    * optimized scope. The oracle pins content invariance under the
+    * layout change (a lost or doubled row breaks the hash). */
+  val storeOptimizeScoped = GQuery(
+    "q_store_optimize_scoped",
+    (s, d) => {
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val digestCols = (df: org.apache.spark.sql.DataFrame) => df
+        .groupBy((col("o_orderkey") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum("cents").as("total_cents"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        .orderBy("bucket")
+      val maxK = Option(src.agg(max("o_orderkey")).head().get(0))
+        .map(_.asInstanceOf[Long])
+      if (maxK.isEmpty) digestCols(src) // zero-row corpus: typed empty
+      else {
+        val root = graft.TempRoots
+          .create("graft_tsoptw") + "/orders"
+        val mid = maxK.get / 2
+        val stats = Seq("o_orderkey")
+        // two commits per band, each file spanning its whole band —
+        // a narrow probe can prune nothing inside a band
+        Seq(0, 1).foreach { i =>
+          graft.ops.TableStore.append(
+            src.where(col("o_orderkey") <= mid &&
+              col("o_orderkey") % 2 === i).coalesce(1),
+            root, statsCols = stats)
+          graft.ops.TableStore.append(
+            src.where(col("o_orderkey") > mid &&
+              col("o_orderkey") % 2 === i).coalesce(1),
+            root, statsCols = stats)
+        }
+        val probe = (math.max(1L, mid / 4),
+          math.max(1L, mid / 4) + math.max(1L, mid / 64))
+        val (_, tBefore, liveBefore) = graft.ops.TableStore.readRange(
+          s, root, "o_orderkey", probe._1, probe._2)
+        val upperBefore = graft.ops.TableStore.read(s, root)
+          .inputFiles.toSet
+        val vOpt = graft.ops.TableStore.optimizeLayoutWhere(
+          s, root, "o_orderkey", 0L, mid, targetBytes = 64L << 20,
+          statsCols = stats)
+        val after = graft.ops.TableStore.read(s, root)
+          .inputFiles.toSet
+        // scope exclusion: every file NOT rewritten survives by path;
+        // the rewrite only ever touched lower-band files
+        val surviving = upperBefore.intersect(after)
+        require(surviving.nonEmpty,
+          "scoped optimize must leave out-of-scope files untouched")
+        if (graft.ops.TableStore.versions(s, root).last == vOpt) {
+          val (_, tAfter, liveAfter) = graft.ops.TableStore.readRange(
+            s, root, "o_orderkey", probe._1, probe._2)
+          require(liveBefore > 0 && liveAfter > 0, "live sets empty")
+          require(tAfter.toDouble / liveAfter <
+            tBefore.toDouble / liveBefore,
+            s"narrow probe must prune harder after scoped optimize: " +
+              s"$tAfter/$liveAfter vs $tBefore/$liveBefore")
+        }
+        digestCols(graft.ops.TableStore.read(s, root))
+      }
+    },
+    Some("""
+      SELECT o_orderkey % 8 AS bucket, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS total_cents,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders GROUP BY 1 ORDER BY 1
+    """),
+    eager = true)
+
   /** Schema evolution across store versions
     * ([[graft.ops.TableStore.readAs]] +
     * [[graft.ops.SchemaEvolution.backfill]]): version 1 is committed
@@ -1518,5 +1596,6 @@ object PartitionQueries extends QueryPack {
       storePrefixScan, storeMerge, storeCdcApply, storeMirror,
       storeClone, storeConstraints, storeMorDelete, derivedView,
       storeHistory, storeRestore, storeChanges, storeMetaStats,
-      storeReplaceWhere, derivedJoinView, ivmPipeline)
+      storeReplaceWhere, derivedJoinView, ivmPipeline,
+      storeOptimizeScoped)
 }
