@@ -31,7 +31,11 @@ class DegenerateSpec extends SparkSpec {
     // change that belongs in this list (and its op's scaladoc), not a
     // silent drift
     val refusals = results.collect { case (n, Graceful(_)) => n }.toSet
-    assert(refusals == Set("q_kmeans_clusters", "q_unigram_surprisal"),
+    // the PQ family shares the k-means precondition: Lloyd training
+    // needs a non-empty corpus to seed centroids (pqCodebooks'
+    // documented require)
+    assert(refusals == Set("q_kmeans_clusters", "q_unigram_surprisal",
+      "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_pq_index_tick"),
       s"unexpected refusal set: $refusals")
     val ok = results.collect { case (_, Ok(_)) => 1 }.size
     assert(ok == results.size - refusals.size)
