@@ -2338,18 +2338,17 @@ object TableStore {
       return spark.read.parquet(anchor.toString).limit(0)
         .withColumn("_commit_version", lit(0L))
     }
-    // resolve every commit's files under the WINDOW's merged schema:
-    // a feed window spanning a column add would otherwise fail the
-    // per-version union (mixed shapes); by-name resolution surfaces
-    // pre-evolution rows with nulls — the readAs posture applied to
-    // the feed, so evolution mid-window can't tear a consumer
-    val target = spark.read.option("mergeSchema", "true")
-      .parquet(adds.map(r => resolve(root, r.getString(0))): _*).schema
+    // union by NAME with missing columns resolved to null: a feed
+    // window spanning a column add would fail a positional union
+    // (mixed shapes) — this is the readAs posture applied to the
+    // feed, and it costs ZERO extra IO (the first cut resolved a
+    // merged target schema via a mergeSchema footer scan of every
+    // add file, which tripled the version-diff gate's cost)
     adds.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map { case (v, rows) =>
-      SchemaEvolution.readWithTarget(spark, target,
-          rows.map(r => resolve(root, r.getString(0))): _*)
+      spark.read.option("ignoreMissingFiles", "false")
+        .parquet(rows.map(r => resolve(root, r.getString(0))): _*)
         .withColumn("_commit_version", lit(v))
-    }.reduce(_ unionByName _)
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
   /** ROW-level change feed across ANY commits in `(since, to]` —
