@@ -58,6 +58,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("trigram_scores", classOf[TrigramScores]),
       (in: Seq[Expression]) => { val args = arity("trigram_scores", 2)(in)
         TrigramScores(args.head, profilesLit(args(1))) }))
+    ext.injectFunction((FunctionIdentifier("nearest_centroid_l2"),
+      info("nearest_centroid_l2", classOf[NearestCentroidL2]),
+      (in: Seq[Expression]) => {
+        val args = arity("nearest_centroid_l2", 2)(in)
+        NearestCentroidL2(args.head, args(1)) }))
+    ext.injectFunction((FunctionIdentifier("pq_lut"),
+      info("pq_lut", classOf[PqLut]),
+      (in: Seq[Expression]) => { val args = arity("pq_lut", 2)(in)
+        PqLut(args.head, args(1)) }))
+    ext.injectFunction((FunctionIdentifier("pq_adc"),
+      info("pq_adc", classOf[PqAdc]),
+      (in: Seq[Expression]) => { val args = arity("pq_adc", 2)(in)
+        PqAdc(args.head, args(1)) }))
   }
 
   /** Constant-fold an `array(array('…'))` profiles argument — the

@@ -156,6 +156,19 @@ class FunctionsSpec extends SparkSpec {
       "SELECT trigram_scores('ab ab cd', array(array('ab','cd'), array('zz'))) AS t")
       .head().getSeq[Long](0)
     assert(tg == Seq(5L, 0L))
+    val l2 = spark.sql(
+      "SELECT nearest_centroid_l2(array(2L, 2L), " +
+        "array(array(2L, 0L), array(2L, 3L))) AS c")
+      .head().getInt(0)
+    assert(l2 == 1) // dists 4 vs 1
+    // books: sub0 {(1,0),(0,1)}, sub1 {(2,2),(5,0)}; query (3,4,10,1)
+    // → lut [3,4,22,50]; codes (1,0) pick lut[1]=4 and lut[2]=22
+    val adc = spark.sql(
+      "SELECT pq_adc(pq_lut(array(3L, 4L, 10L, 1L), " +
+        "array(array(array(1L, 0L), array(0L, 1L)), " +
+        "array(array(2L, 2L), array(5L, 0L)))), array(1, 0)) AS s")
+      .head().getLong(0)
+    assert(adc == 26L)
   }
 
   // ---- NearestCentroid -------------------------------------------------
