@@ -58,6 +58,11 @@ object NearestCentroidL2 {
   def compute(vec: ArrayData, cents: ArrayData): Int = {
     val dim = vec.numElements()
     val c = cents.numElements()
+    // reachable from the public SQL surface: an empty centroid list
+    // must be a typed error, not a valid-looking index 0 (ADVICE r11)
+    if (c == 0)
+      throw new IllegalArgumentException(
+        "nearest_centroid_l2: empty centroid list")
     var best = 0
     var bestDist = Long.MaxValue
     var i = 0
@@ -112,6 +117,14 @@ object PqLut {
     * silent misread would score garbage). */
   def compute(vec: ArrayData, books: ArrayData): GenericArrayData = {
     val m = books.numElements()
+    // loud typed errors on degenerate books — pq_lut(v, array()) is
+    // reachable from SQL and must not surface as a raw out-of-bounds
+    // (ADVICE r11)
+    if (m == 0)
+      throw new IllegalArgumentException("pq_lut: empty codebook list")
+    if (books.getArray(0).numElements() == 0)
+      throw new IllegalArgumentException(
+        "pq_lut: sub-space 0 has no centroids")
     val k = books.getArray(0).numElements()
     val dsub = books.getArray(0).getArray(0).numElements()
     if (vec.numElements() != m * dsub)
@@ -174,6 +187,15 @@ object PqAdc {
     * hard error, not a misread. */
   def compute(lut: ArrayData, codes: ArrayData): Long = {
     val m = codes.numElements()
+    // SQL-reachable degenerate shapes fail typed: an empty code list
+    // has no k to derive, and a lut that isn't a whole number of
+    // k-strides means the two arrays disagree on geometry (ADVICE r11)
+    if (m == 0)
+      throw new IllegalArgumentException("pq_adc: empty code list")
+    if (lut.numElements() % m != 0)
+      throw new IllegalArgumentException(
+        s"pq_adc: lut length ${lut.numElements()} is not a multiple " +
+          s"of the codes' m=$m")
     val k = lut.numElements() / m
     var sum = 0L
     var s = 0

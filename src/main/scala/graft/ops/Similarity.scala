@@ -491,8 +491,14 @@ object Similarity {
     try {
       val seed = sv.orderBy("id").limit(k).collect()
         .map(_.getSeq[Long](1).toIndexedSeq)
-      require(seed.nonEmpty,
-        s"pq needs a non-empty corpus to seed $k centroids")
+      // exactly k seeds, not "whatever the corpus has": the SQL oracle
+      // (and PqAdc's k-derivation from lut length) index the flattened
+      // LUT with a k stride, so a short seed set would silently give
+      // engine and oracle different codebook geometries (ADVICE r11)
+      require(seed.length == k,
+        s"pq needs at least k=$k training rows to seed the codebooks, " +
+          s"got ${seed.length} — engine and oracle share the k-stride " +
+          "LUT geometry")
       val dim = seed.head.length
       require(dim % m == 0, s"dim $dim not divisible by m=$m sub-spaces")
       val dsub = dim / m
@@ -729,10 +735,17 @@ object Similarity {
       .orderBy("id").limit(numCentroids)
       .collect().toIndexedSeq.map(_.getSeq[Long](1).toIndexedSeq)
     val centLit = typedLit(coarse)
-    // the stored index: ONE scan computes cell + codes per row
+    // the stored index: ONE scan computes cell + codes per row.
+    // _lut is computed on the query rows BEFORE the centroid cross
+    // join — one m·k expansion per query, carried (not recomputed)
+    // through the probe ranking; computing it after the rn filter
+    // paid the expansion nProbe times per query (ADVICE r11)
     val scored = indexFrame(corpus, cId, cVec, books, centLit)
       .join(broadcast(queries
         .select(col(qId).as("query_id"), scaledVec(col(qVec)).as("_qv"))
+        .withColumn("_lut", Bridge.column(graft.functions.PqLut(
+          Bridge.expression(col("_qv")),
+          Bridge.expression(booksLit))))
         .crossJoin(broadcast(coarse.zipWithIndex
           .map { case (v, i) => (i, v) }.toDF("cent_idx", "_cent")))
         .withColumn("_d", dotScaled(col("_qv"), col("_cent")))
@@ -740,10 +753,8 @@ object Similarity {
           org.apache.spark.sql.expressions.Window.partitionBy("query_id")
             .orderBy(col("_d").desc, col("cent_idx"))))
         .filter(col("_rn") <= nProbe)
-        .select(col("query_id"), col("cent_idx"),
-          Bridge.column(graft.functions.PqLut(
-            Bridge.expression(col("_qv")),
-            Bridge.expression(booksLit))).as("_lut"))), "cent_idx")
+        .select(col("query_id"), col("cent_idx"), col("_lut"))),
+        "cent_idx")
       .withColumn("sim_scaled", Bridge.column(graft.functions.PqAdc(
         Bridge.expression(col("_lut")), Bridge.expression(col("_codes")))))
       .select("query_id", "neighbour_id", "sim_scaled")
