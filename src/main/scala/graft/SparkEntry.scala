@@ -19,7 +19,8 @@ object SparkEntry {
     DedupQueries, TextQueries, SimilarityQueries, CsvQueries,
     PartitionQueries, BinaryQueries, SkewQueries, SampleQueries,
     TemporalQueries, SketchQueries, CorpusQueries, ScdQueries,
-    LayoutQueries, RetrievalQueries, EvalQueries, StreamQueries)
+    LayoutQueries, RetrievalQueries, EvalQueries, StreamQueries,
+    SqlQueries)
 
   private[graft] lazy val registry: Seq[GQuery] = packs.flatMap(_.all)
 

@@ -71,6 +71,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("pq_adc", classOf[PqAdc]),
       (in: Seq[Expression]) => { val args = arity("pq_adc", 2)(in)
         PqAdc(args.head, args(1)) }))
+    // versioned-store SQL surface: rewrite GraftStoreTable relations
+    // to the native pruned parquet scan (graft.sources.GraftRewrite),
+    // plus table-valued sugar over the change feed / audit log so CDC
+    // consumers don't hand-roll readRowChanges plumbing
+    ext.injectResolutionRule(session =>
+      graft.sources.GraftRewrite(session))
+    ext.injectTableFunction((FunctionIdentifier("table_changes"),
+      info("table_changes", classOf[graft.sources.GraftCatalog]),
+      (in: Seq[Expression]) => {
+        if (in.length != 2 && in.length != 3)
+          throw new IllegalArgumentException(
+            "table_changes(store_path, since_version[, to_version])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ops.TableStore.readRowChanges(spark,
+          strLit(in.head, "store path"),
+          longLit(in(1), "since version"),
+          in.lift(2).map(longLit(_, "to version")))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("table_history"),
+      info("table_history", classOf[graft.sources.GraftCatalog]),
+      (in: Seq[Expression]) => {
+        val args = arity("table_history", 1)(in)
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ops.TableStore.history(spark,
+          strLit(args.head, "store path")).queryExecution.analyzed
+      }))
+  }
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      u.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(i: Int, IntegerType) => i.toLong
+    case Literal(l: Long, _: org.apache.spark.sql.types.LongType) => l
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
   }
 
   /** Constant-fold an `array(array('…'))` profiles argument — the

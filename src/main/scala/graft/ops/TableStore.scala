@@ -63,7 +63,7 @@ object TableStore {
   /** File size for maintenance planning: the log-carried length when
     * the commit recorded one (zero driver IO — the 100 TB path), one
     * stat as the pre-upgrade fallback. */
-  private def sizeOf(spark: SparkSession, root: String,
+  private[graft] def sizeOf(spark: SparkSession, root: String,
                      e: FileEntry): Long =
     if (e.bytes > 0) e.bytes
     else fsOf(spark, new Path(root))
@@ -77,7 +77,7 @@ object TableStore {
     * owned tables everywhere. (Vacuum's data sweep walks only the
     * clone's own data dir, so external files are structurally
     * un-deletable from the clone side.) */
-  private def resolve(root: String, path: String): String =
+  private[graft] def resolve(root: String, path: String): String =
     if (path.startsWith("/") || path.contains("://")) path
     else s"$root/$path"
 
@@ -222,7 +222,7 @@ object TableStore {
     * which the log's string bounds may be compared. Java's
     * `String.compareTo` orders UTF-16 code units, which disagrees
     * beyond the BMP; using it here would skip files that match. */
-  private def strLe(a: String, b: String): Boolean =
+  private[graft] def strLe(a: String, b: String): Boolean =
     org.apache.spark.unsafe.types.UTF8String.fromString(a).compareTo(
       org.apache.spark.unsafe.types.UTF8String.fromString(b)) <= 0
 
@@ -474,7 +474,7 @@ object TableStore {
 
   /** Live [[FileEntry]]s at `asOf`: per path, the latest action at a
     * version <= asOf must be an add. Metadata-sized. */
-  private def liveAt(spark: SparkSession, root: String,
+  private[graft] def liveAt(spark: SparkSession, root: String,
                      asOf: Long): Seq[FileEntry] = {
     val vs = versions(spark, root)
     require(vs.contains(asOf),
@@ -514,7 +514,7 @@ object TableStore {
     * deleted row indexes. File NAMES key the vectors (parquet part
     * names embed the write job's UUID — unique within a store), so
     * applying them is one equi anti-join, no path arithmetic. */
-  private def dvsAt(spark: SparkSession, root: String, asOf: Long,
+  private[graft] def dvsAt(spark: SparkSession, root: String, asOf: Long,
                     live: Seq[FileEntry]): Map[String, Seq[String]] = {
     val lf = logFrame(spark, root)
     if (!lf.columns.contains("meta")) return Map.empty
@@ -1073,7 +1073,7 @@ object TableStore {
     * with the prefix sorts strictly below it. None when the prefix
     * has no such char: the probe then has no finite upper bound and
     * prunes on the lower side only (still sound). */
-  private def prefixSuccessor(prefix: String): Option[String] = {
+  private[graft] def prefixSuccessor(prefix: String): Option[String] = {
     val i = prefix.lastIndexWhere(c => c < 0x7f)
     if (i < 0) None
     else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
@@ -1482,24 +1482,41 @@ object TableStore {
       s"replaceWhere schema mismatch at $root: batch " +
         s"[${df.columns.sorted.mkString(",")}] vs table " +
         s"[${store.columns.sorted.mkString(",")}]")
-    val escapee = df.where(!coalesce(pred, lit(false))).limit(1)
+    val n = prev + 1
+    // stage the batch's files FIRST, then probe containment on the
+    // staged bytes themselves: a non-deterministic df could pass a
+    // pre-write probe and still write rows outside pred — re-creating
+    // the duplicate-on-rerun hazard the check exists to prevent
+    // (ADVICE r11). A violation deletes the staged files and aborts
+    // before any commit.
+    val batchAdds = writeData(
+      df.select(store.columns.map(col): _*), root, n, statsCols,
+      bloomCols)
+    val staged =
+      if (batchAdds.isEmpty) df.limit(0)
+      else spark.read.option("ignoreMissingFiles", "false")
+        .parquet(batchAdds.map(e => resolve(root, e.path)): _*)
+    val escapee = staged.where(!coalesce(pred, lit(false))).limit(1)
       .collect() // bounded: first violation only
-    require(escapee.isEmpty,
-      s"replaceWhere batch carries a row OUTSIDE its own predicate " +
-        s"(e.g. $pcol=${escapee.headOption.map(r =>
-          if (r.schema.fieldNames.contains(pcol))
-            r.get(r.fieldIndex(pcol)) else r).orNull}) — a replaced " +
-        "slice must contain only rows it replaces, or re-runs duplicate")
+    if (escapee.nonEmpty) {
+      val fs = fsOf(spark, new Path(root))
+      batchAdds.map(_.path.split('/').dropRight(1).mkString("/"))
+        .distinct.foreach(d => fs.delete(new Path(s"$root/$d"), true))
+      throw new IllegalArgumentException(
+        s"replaceWhere batch carries a row OUTSIDE its own predicate " +
+          s"(e.g. $pcol=${escapee.headOption.map(r =>
+            if (r.schema.fieldNames.contains(pcol))
+              r.get(r.fieldIndex(pcol)) else r).orNull}) — a replaced " +
+          "slice must contain only rows it replaces, or re-runs " +
+          "duplicate")
+    }
     val touched = overlappingFiles(spark, root, live, pcol, lo, hi)
     val kept =
-      if (touched.isEmpty) df.limit(0)
+      if (touched.isEmpty) df.limit(0).select(store.columns.map(col): _*)
       else spark.read.option("ignoreMissingFiles", "false")
         .parquet(touched.map(e => resolve(root, e.path)): _*)
         .where(!coalesce(pred, lit(false)))
-    val n = prev + 1
-    val adds = writeData(
-      kept.unionByName(df.select(kept.columns.map(col): _*)),
-      root, n, statsCols, bloomCols)
+    val adds = batchAdds ++ writeData(kept, root, n, statsCols, bloomCols)
     enforceConstraints(spark, root, adds)
     commitExclusive(spark, root, n, adds, touched.map(_.path),
       marker = Some("rewrite"))

@@ -1,0 +1,153 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.TableStore
+
+/** V2 catalog over a directory of [[TableStore]]s — the piece that
+  * gives versioned stores NAMES on the SQL surface, the way the
+  * reference's consumers address their warehouse
+  * (dags/SQL/Gold/create_load_data_gold.sql:122-140 reads
+  * silver/gold tables purely by name):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.wh", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.wh.root", "/data/warehouse")
+  *   spark.sql("SELECT * FROM wh.orders")                    // latest
+  *   spark.sql("SELECT * FROM wh.orders VERSION AS OF 3")    // pinned
+  *   spark.sql("SELECT * FROM wh.orders TIMESTAMP AS OF '…'")
+  * }}}
+  *
+  * Identifier resolution: a name under the configured `root`
+  * (namespaces are subdirectories: `wh.silver.orders` →
+  * `<root>/silver/orders`), or — root-free — an ABSOLUTE store path
+  * as a backquoted identifier (`` wh.`/tmp/run1/orders` ``), which is
+  * how scratch-rooted gates and notebooks address stores without
+  * touching session config (a catalog instance is cached per NAME for
+  * the session's lifetime, so per-run roots can't ride the conf).
+  *
+  * Time travel is Spark's own surface: the analyzer hands `VERSION AS
+  * OF` / `TIMESTAMP AS OF` to the two-argument `loadTable` overloads,
+  * which pin the returned table to that snapshot
+  * ([[TableStore.versionAt]]'s publish-time model for timestamps).
+  *
+  * Read-only by design: stores are WRITTEN through the
+  * [[TableStore]] API (append/overwrite/merge — each a versioned
+  * commit with stats/blooms/constraints); DDL through the catalog
+  * would bypass every one of those contracts, so it refuses loudly.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: Option[String] = None
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def pathFor(ident: Identifier): String = {
+    val n = ident.name
+    if (n.startsWith("/") || n.contains("://")) {
+      require(ident.namespace.isEmpty,
+        s"absolute-path table `$n` takes no namespace, got " +
+          ident.namespace.mkString("."))
+      n
+    } else root match {
+      case Some(r) => (r +: ident.namespace.toSeq :+ n).mkString("/")
+      case None => throw new IllegalArgumentException(
+        s"catalog $catalogName has no root configured — set " +
+          s"spark.sql.catalog.$catalogName.root, or address the store " +
+          s"by absolute path: $catalogName.`/path/to/store`")
+    }
+  }
+
+  /** A directory IS a store when it carries a commit log or the
+    * first-touch schema anchor (all-empty stores read as typed
+    * empty). */
+  private def isStore(path: String): Boolean = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(s"$path/_log")) ||
+      fs.exists(new Path(s"$path/_schema"))
+  }
+
+  private def load(ident: Identifier, version: Option[Long]): Table = {
+    val p = pathFor(ident)
+    if (!isStore(p))
+      throw new NoSuchTableException(
+        (catalogName +: ident.namespace.toSeq :+ ident.name))
+    new GraftStoreTable(p, version)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF v`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF takes a commit version number, got '$version'"))))
+
+  /** `TIMESTAMP AS OF ts` — Spark hands MICROseconds since epoch;
+    * [[TableStore.versionAt]] works in the log's publish-time millis. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = pathFor(ident)
+    if (!isStore(p))
+      throw new NoSuchTableException(
+        (catalogName +: ident.namespace.toSeq :+ ident.name))
+    new GraftStoreTable(p,
+      Some(TableStore.versionAt(spark, p, timestamp / 1000L)))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val r = root.getOrElse(throw new NoSuchNamespaceException(
+      (catalogName +: namespace.toSeq)))
+    val dir = new Path((r +: namespace.toSeq).mkString("/"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
+      throw new NoSuchNamespaceException((catalogName +: namespace.toSeq))
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && isStore(s.getPath.toString))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft stores are created by their first TableStore.append/" +
+        "overwrite commit, not by catalog DDL — the commit carries the " +
+        "stats/bloom/constraint contracts DDL would bypass")
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft stores evolve through TableStore commits " +
+        "(SchemaEvolution/addConstraint), not catalog DDL")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "graft stores are retired through TableStore.vacuum retention, " +
+        "not catalog DROP — a catalog-level delete would bypass the " +
+        "pinned-reader contract")
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft store roots are physical paths; rename the directory and " +
+        "re-address it")
+}

@@ -1,0 +1,148 @@
+package graft.sources
+
+import java.util.{Set => JSet}
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.TableStore
+
+/** One [[TableStore]] snapshot as a DataSource V2 table: the unit the
+  * SQL surface names (`SELECT … FROM graft.t [VERSION AS OF n]`) and
+  * `spark.read.format("graft")` loads. The reference consumes its
+  * warehouse ENTIRELY through SQL over named tables
+  * (dags/SQL/DWH_Quality_Checks.sql:1-325,
+  * dags/SQL/Gold/create_load_data_gold.sql:122-145) — this class is
+  * what lets a user of this engine do the same against versioned
+  * stores.
+  *
+  * The version pin happens at LOAD time (`version = None` resolves to
+  * the latest committed version once, here), so every scan of one
+  * resolved table reads one immutable snapshot — a concurrent commit
+  * between analysis and execution cannot tear a query.
+  *
+  * Two read paths share this table:
+  *  - [[graft.functions.GraftExtensions]] rewrites the relation to a
+  *    [[GraftFileIndex]]-backed native parquet scan during analysis —
+  *    vectorized reader + whole-stage codegen + log-stats file
+  *    skipping; this is the plan every SQL query gets;
+  *  - the DSv2 [[GraftScanBuilder]] below is the self-contained
+  *    fallback (extensions not installed, or merge-on-read delete
+  *    vectors outstanding — the rewrite refuses those): V1Scan
+  *    delegation to the dv-aware [[TableStore.read]], with the same
+  *    [[StatsSkipping]] file pruning when the snapshot is vector-free.
+  */
+class GraftStoreTable(val root: String, requestedVersion: Option[Long])
+    extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** The pinned snapshot version: requested (validated by the read
+    * below) or latest-at-load. */
+  lazy val resolvedVersion: Long = requestedVersion.getOrElse {
+    val vs = TableStore.versions(spark, root)
+    // an anchored-but-never-committed store (all-empty stream) still
+    // loads — version 0 reads as typed empty through TableStore.read
+    if (vs.isEmpty) 0L else vs.max
+  }
+
+  private[sources] lazy val liveEntries: Seq[TableStore.FileEntry] =
+    if (resolvedVersion == 0L) Seq.empty
+    else TableStore.liveAt(spark, root, resolvedVersion)
+
+  /** Outstanding merge-on-read delete vectors make a file's logical
+    * content a (file, dv) pair — raw file scans are then wrong, and
+    * both read paths must route through the dv-aware
+    * [[TableStore.read]]. */
+  private[sources] lazy val hasDeleteVectors: Boolean =
+    liveEntries.nonEmpty &&
+      TableStore.dvsAt(spark, root, resolvedVersion, liveEntries).nonEmpty
+
+  /** The dv-aware snapshot frame — the hash target both read paths
+    * must match. */
+  private[sources] def snapshot: org.apache.spark.sql.DataFrame =
+    TableStore.read(spark, root,
+      if (resolvedVersion == 0L) None else Some(resolvedVersion))
+
+  override lazy val schema: StructType = snapshot.schema
+
+  override def name(): String =
+    s"graft.`$root`" +
+      requestedVersion.map(v => s" VERSION AS OF $v").getOrElse("")
+
+  override def capabilities(): JSet[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new GraftScanBuilder(this)
+}
+
+/** DSv2 scan builder: column pruning + filter pushdown. Every filter
+  * is RETURNED as residual (Spark re-evaluates it after the scan — a
+  * skipping bug can cost IO, never rows); the skipping-usable subset
+  * is recorded and reported as `pushedFilters` to drive
+  * [[StatsSkipping]] file pruning inside the scan. */
+class GraftScanBuilder(table: GraftStoreTable)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = table.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(StatsSkipping.usable)
+    filters // all residual: exactness never rests on the skip
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftScan(table, required, pushed)
+}
+
+/** V1Scan delegation: the scan plans as a RowDataSourceScanExec whose
+  * RDD is a pruned [[TableStore]] read — log-stats file skipping when
+  * the snapshot is vector-free, the dv-aware full read when not.
+  * (The primary SQL path never reaches here: the analysis rewrite in
+  * [[graft.functions.GraftExtensions]] replaces the relation with a
+  * native parquet scan first. This path serves `spark.read
+  * .format("graft")` without extensions, and dv-carrying snapshots.) */
+class GraftScan(table: GraftStoreTable, required: StructType,
+                pushed: Array[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"${table.name()} pushed=[${pushed.mkString(", ")}]"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val rel = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def buildScan(): RDD[Row] = {
+        val spark = context.sparkSession
+        val base =
+          if (table.hasDeleteVectors || table.liveEntries.isEmpty)
+            table.snapshot
+          else {
+            val kept = StatsSkipping.prune(table.liveEntries, pushed)
+            if (kept.isEmpty) table.snapshot.limit(0)
+            else spark.read.option("ignoreMissingFiles", "false")
+              .parquet(kept.map(e =>
+                TableStore.resolve(table.root, e.path)): _*)
+          }
+        base.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
+      }
+    }
+    rel.asInstanceOf[T]
+  }
+}

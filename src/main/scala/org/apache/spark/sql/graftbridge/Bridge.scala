@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Catalyst predicate → `sources.Filter`, Spark's own translation
+    * (`protected[sql]` on DataSourceStrategy) — used by the graft
+    * file index to hand the query's data filters to the log-stats
+    * skipper in the exact ADT the DSv2 pushdown path already
+    * speaks. */
+  def translateFilter(e: Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = false)
 }
