@@ -235,9 +235,9 @@ object Bench {
         k -> vs.map(_._2).filter(_ >= 0)
       }
     }
+    val trailing = if (only.isEmpty) trailingHistory() else Map.empty[String, Seq[Double]]
     val resolo = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     if (only.isEmpty) {
-      val trailing = trailingHistory()
       val flagged = results.flatMap { case (name, med) =>
         val ref = median(trailing.getOrElse(name, Seq.empty))
         val quiet = diagMaps.get(name).forall(d =>
@@ -278,8 +278,64 @@ object Bench {
       else resolo.map { case (k, (inseq, solo)) =>
         s""""$k":{"inseq":$inseq,"solo":$solo}"""
       }.mkString(""","resolo":{""", ",", "}")
+    // ---- split headline: ops-gates vs query-plans ----
+    // The store/IVM/PQ families are eager end-to-end gates (build a
+    // store, run merges/ticks, hash the digest) — their wall-time is
+    // fixture I/O, which is the point of the gate but not a statement
+    // about plan health. Report the two populations separately so a
+    // round-over-round total compares like with like: "ops_gates_sec"
+    // for eager fixtures, "query_plans_sec" for lazy registry bodies.
+    val meta = SparkEntry.queryMeta
+    def isEager(name: String): Boolean = meta.get(name).exists(_._2)
+    val (opsGates, queryPlans) =
+      adjudicated.filter(_._2 >= 0).partition(p => isEager(p._1))
+    val splitJson =
+      s""","ops_gates_sec":${opsGates.map(_._2).sum}""" +
+        s""","ops_gates_n":${opsGates.size}""" +
+        s""","query_plans_sec":${queryPlans.map(_._2).sum}""" +
+        s""","query_plans_n":${queryPlans.size}"""
+    // ---- whole-RUN drift verdict ----
+    // The per-query resolo above adjudicates individual outliers, but
+    // an instance-state episode (page cache pressure, JIT code-cache
+    // exhaustion, co-tenant load) shifts the WHOLE sequence: r11's
+    // committed artifact was the slowest of three same-HEAD runs and
+    // still carried 3-5x rows the per-query trigger missed. Verdict:
+    // compare every adjudicated median against its trailing committed
+    // history; when more than a quarter of the comparable population
+    // exceeds 1.5x trailing, the RUN is declared drifted and the
+    // artifact says so — with the like-for-like ratio and a
+    // per-family breakdown so a reader attributes the shift to
+    // instance state, not regression. A genuine regression is the
+    // opposite shape: one query (or one family) hot, the rest flat —
+    // which leaves run_drift false and the per-query history visible.
+    val comparable = adjudicated.flatMap { case (name, med) =>
+      val ref = median(trailing.getOrElse(name, Seq.empty))
+      if (med >= 0.4 && ref > 0) Some((name, med, ref)) else None
+    }
+    val overCount = comparable.count { case (_, med, ref) => med > 1.5 * ref }
+    val fracOver =
+      if (comparable.isEmpty) 0.0 else overCount.toDouble / comparable.size
+    val likeForLike =
+      if (comparable.isEmpty) 1.0
+      else comparable.map(_._2).sum / comparable.map(_._3).sum
+    val runDrift = comparable.size >= 20 && fracOver > 0.25
+    val famRatios = comparable
+      .groupBy { case (name, _, _) => meta.get(name).map(_._1).getOrElse("?") }
+      .toSeq.sortBy(_._1)
+      .map { case (fam, rows) =>
+        val r = rows.map(_._2).sum / rows.map(_._3).sum
+        f""""$fam":${r}%.3f"""
+      }.mkString("{", ",", "}")
+    val driftJson = if (comparable.isEmpty) "" else
+      s""","run_drift":$runDrift,"drift":{"comparable":${comparable.size},""" +
+        f""""frac_over_1p5":$fracOver%.3f,"like_for_like":$likeForLike%.3f,""" +
+        s""""families":$famRatios}"""
+    if (runDrift)
+      System.err.println(f"[bench] RUN DRIFT: $overCount/${comparable.size} " +
+        f"queries over 1.5x trailing (like-for-like $likeForLike%.2fx) — " +
+        "instance state, treat this run's totals as an upper bound")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$resoloJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$resoloJson$splitJson$driftJson,"sf":"$sfDir"}"""
     println(line)
     // self-preserving artifact of record: the driver captures stdout
     // through a tail window that has truncated the per-query map before

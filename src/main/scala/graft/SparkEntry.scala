@@ -54,4 +54,19 @@ object SparkEntry {
     * query. */
   def allPrepares: Map[String, (SparkSession, String) => Unit] =
     registry.flatMap(q => q.prepare.map(q.name -> _)).toMap
+
+  /** name -> (family, eager) for bench reporting. Family is the
+    * owning [[QueryPack]] (lower-cased, "Queries" suffix dropped);
+    * eager marks ops-GATE fixtures — bodies that execute Spark jobs
+    * (store builds, merges, ticks) at construction time, where the
+    * measured cost is dominated by fixture I/O rather than the plan
+    * under test. Bench splits its headline along this axis so the
+    * round-over-round comparison tracks plan health, not fixture
+    * volume. */
+  def queryMeta: Map[String, (String, Boolean)] =
+    packs.flatMap { p =>
+      val fam = p.getClass.getSimpleName
+        .stripSuffix("$").stripSuffix("Queries").toLowerCase
+      p.all.map(q => q.name -> (fam, q.eager))
+    }.toMap
 }
