@@ -37,9 +37,14 @@ import org.apache.spark.sql.functions._
   * construction (nothing to re-validate, the reference's concurrent
   * `ON CONFLICT` upsert posture re-expressed as commits), so
   * concurrent appenders serialize into a linear history with no data
-  * rewrite. Snapshot-DEPENDENT ops (overwrite/compact/delete/
-  * optimize/restore) computed their removes from a specific latest
-  * version, so a lost race surfaces loudly as a
+  * rewrite. LAYOUT rewrites (compact/optimize — content-identical by
+  * construction) REBASE on a lost race: they re-validate that their
+  * remove-set is still live and delete-vector-free at the new latest
+  * and re-commit at the next version, so maintenance cannot starve
+  * under a streaming sink's continuous appends
+  * ([[commitLayoutRebasing]]). Content-CHANGING snapshot-dependent
+  * ops (overwrite/delete/restore) computed their removes from a
+  * specific latest version, so a lost race surfaces loudly as a
   * ConcurrentModificationException telling the caller to re-read —
   * never a silent clobber.
   *
@@ -457,6 +462,62 @@ object TableStore {
           "operation was computing from the previous snapshot — " +
           "re-read and retry", e)
     }
+
+  /** Commit for LAYOUT maintenance (content-identical rewrites —
+    * compact / small-file fold / recluster): the adds replace exactly
+    * `removes`' content, so a lost version race is REBASED instead of
+    * abandoned. Appends already auto-retry; without this, a
+    * compaction that loses to the streaming sink's continuous appends
+    * does its full rewrite IO and then throws it away — maintenance
+    * starves under the sink's NORMAL state. Rebase validity is
+    * exactly the content-identity claim re-checked at the new latest:
+    * every removed path must still be LIVE (nobody else rewrote,
+    * deleted or compacted it) and DELETE-VECTOR-FREE (a merge-on-read
+    * delete landing on a source file would make the raw-content
+    * rewrite resurrect its deleted rows). A racer that passes both
+    * checks — a pure append, a metadata commit, a rewrite of DISJOINT
+    * files — composes with this rewrite in either order, so the
+    * rebased commit publishes the same table content the two ops
+    * would produce serially. Anything else still surfaces loudly as
+    * ConcurrentModificationException: rebasing is for provably
+    * disjoint races only, never a silent clobber. Returns the version
+    * actually committed. */
+  private[graft] def commitLayoutRebasing(spark: SparkSession,
+                                          root: String, first: Long,
+                                          adds: Seq[FileEntry],
+                                          removes: Seq[String]): Long = {
+    var n = first
+    var attempts = 0
+    while (attempts < 64) {
+      try {
+        commitLog(spark, root, n, adds, removes,
+          marker = Some("layout"))
+        return n
+      } catch { case e: CommitConflictException =>
+        attempts += 1
+        val latest = versions(spark, root).lastOption.getOrElse(0L)
+        val live = liveAt(spark, root, latest)
+        def refuse(why: String): Nothing =
+          throw new java.util.ConcurrentModificationException(
+            s"layout rewrite at $root lost the version-$n race and " +
+              s"cannot rebase: $why — re-plan from version $latest", e)
+        val liveP = live.map(_.path).toSet
+        val lost = removes.filterNot(liveP.contains)
+        if (lost.nonEmpty)
+          refuse(s"a concurrent writer removed ${lost.size} of its " +
+            s"source files (e.g. ${lost.head})")
+        if (dvsAt(spark, root, latest,
+            live.filter(f => removes.contains(f.path))).nonEmpty)
+          refuse("a concurrent merge-on-read delete vector landed on " +
+            "a source file; rewriting its raw content would " +
+            "resurrect the deleted rows")
+        n = math.max(n + 1, latest + 1)
+      }
+    }
+    throw new java.io.IOException(
+      s"layout rewrite lost the commit race $attempts times at $root " +
+        "— livelocked against a faster writer")
+  }
 
   // mergeSchema: the log's OWN schema evolves (string-stats maps were
   // added after stores existed on disk); commits written before a
@@ -888,10 +949,8 @@ object TableStore {
     if (live.isEmpty) {
       // compacting an empty table: content unchanged, but callers
       // get the version they asked for (a no-action commit)
-      val n = prev + 1
-      commitExclusive(spark, root, n, Seq.empty, Seq.empty,
-        marker = Some("layout"))
-      return n
+      return commitLayoutRebasing(spark, root, prev + 1,
+        Seq.empty, Seq.empty)
     }
     val fs = fsOf(spark, new Path(root))
     val bytes = live.map(e =>
@@ -901,10 +960,8 @@ object TableStore {
           .parquet(live.map(e => resolve(root, e.path)): _*)
       .repartition(nOut)
     val n = prev + 1
-    commitExclusive(spark, root, n,
-      writeData(df, root, n, statsCols, bloomCols), live.map(_.path),
-      marker = Some("layout"))
-    n
+    commitLayoutRebasing(spark, root, n,
+      writeData(df, root, n, statsCols, bloomCols), live.map(_.path))
   }
 
   /** Live files whose [min, max] for `pcol` can intersect [lo, hi].
@@ -1354,10 +1411,8 @@ object TableStore {
       .parquet(small.map(e => resolve(root, e.path)): _*)
       .repartition(nOut)
     val n = prev + 1
-    commitExclusive(spark, root, n,
-      writeData(df, root, n, statsCols, bloomCols), small.map(_.path),
-      marker = Some("layout"))
-    n
+    commitLayoutRebasing(spark, root, n,
+      writeData(df, root, n, statsCols, bloomCols), small.map(_.path))
   }
 
   /** Maintenance policy for a streaming sink: once the live set
@@ -1966,10 +2021,8 @@ object TableStore {
     val live = liveAt(spark, root, prev)
     requireNoDvs(spark, root, prev, live, "optimizeLayout")
     if (live.isEmpty) {
-      val n = prev + 1
-      commitExclusive(spark, root, n, Seq.empty, Seq.empty,
-        marker = Some("layout"))
-      return n
+      return commitLayoutRebasing(spark, root, prev + 1,
+        Seq.empty, Seq.empty)
     }
     val fs = fsOf(spark, new Path(root))
     val bytes = live.map(e =>
@@ -1980,12 +2033,10 @@ object TableStore {
       .repartitionByRange(nOut, col(clusterCol))
       .sortWithinPartitions(clusterCol)
     val n = prev + 1
-    commitExclusive(spark, root, n,
+    commitLayoutRebasing(spark, root, n,
       writeData(df, root, n, (statsCols :+ clusterCol).distinct,
         bloomCols),
-      live.map(_.path),
-      marker = Some("layout"))
-    n
+      live.map(_.path))
   }
 
   /** SCOPED layout OPTIMIZE — recluster only the live files whose
@@ -2022,12 +2073,10 @@ object TableStore {
       .repartitionByRange(nOut, col(clusterCol))
       .sortWithinPartitions(clusterCol)
     val n = prev + 1
-    commitExclusive(spark, root, n,
+    commitLayoutRebasing(spark, root, n,
       writeData(df, root, n, (statsCols :+ clusterCol).distinct,
         bloomCols),
-      touched.map(_.path),
-      marker = Some("layout"))
-    n
+      touched.map(_.path))
   }
 
   /** Multi-dimensional layout OPTIMIZE as a commit: rewrite the live
@@ -2057,10 +2106,8 @@ object TableStore {
     val live = liveAt(spark, root, prev)
     requireNoDvs(spark, root, prev, live, "optimizeLayout")
     if (live.isEmpty) {
-      val n = prev + 1
-      commitExclusive(spark, root, n, Seq.empty, Seq.empty,
-        marker = Some("layout"))
-      return n
+      return commitLayoutRebasing(spark, root, prev + 1,
+        Seq.empty, Seq.empty)
     }
     val fs = fsOf(spark, new Path(root))
     val bytes = live.map(e =>
@@ -2072,12 +2119,10 @@ object TableStore {
       .repartitionByRange(nOut, key)
       .sortWithinPartitions(key)
     val n = prev + 1
-    commitExclusive(spark, root, n,
+    commitLayoutRebasing(spark, root, n,
       writeData(df, root, n,
         (statsCols ++ Seq(xCol, yCol)).distinct, bloomCols),
-      live.map(_.path),
-      marker = Some("layout"))
-    n
+      live.map(_.path))
   }
 
   /** Manifest-pruned 2-D box read: open only the live files whose

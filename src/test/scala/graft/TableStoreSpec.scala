@@ -1449,4 +1449,100 @@ class TableStoreSpec extends SparkSpec {
       .map(_.getString(1)).toSet
     assert(kept == Set("a2", "nullkey"))
   }
+
+  /** Stage a content-identical rewrite of snapshot `v` the way a
+    * compactor would (attempt-unique data dir + FileEntry adds)
+    * WITHOUT committing — the injection point that lets these tests
+    * put a racing writer between a maintenance op's planning and its
+    * commit deterministically. */
+  private def stageRewrite(root: String, v: Long)
+      : Seq[TableStore.FileEntry] = {
+    val rel = s"data/v${v + 1}-rebasetest"
+    val snap = TableStore.read(spark, root, Some(v))
+    val rows = snap.count()
+    snap.coalesce(1).write.parquet(s"$root/$rel")
+    val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => TableStore.FileEntry(
+        s"$rel/${s.getPath.getName}", rows, Map.empty, Map.empty))
+  }
+
+  test("layout rewrite rebases past a concurrent append and commits") {
+    val root = tmp()
+    TableStore.append(mk(1, 2), root) // v1
+    TableStore.append(mk(3), root)    // v2
+    val live = TableStore.liveAt(spark, root, 2L)
+    val adds = stageRewrite(root, 2L) // compactor's plan, uncommitted
+    // the racer: an append claims version 3 while the compactor holds
+    // its plan — the streaming sink's normal state
+    assert(TableStore.append(mk(4), root) == 3L)
+    val committed = TableStore.commitLayoutRebasing(
+      spark, root, 3L, adds, live.map(_.path))
+    assert(committed == 4L) // rebased once, not abandoned
+    assert(TableStore.versions(spark, root) == Seq(1L, 2L, 3L, 4L))
+    // both writers' work survives: the racer's row AND the rewrite
+    assert(ids(root) == Set(1L, 2L, 3L, 4L))
+    assert(ids(root, Some(3L)) == Set(1L, 2L, 3L, 4L))
+    val h4 = TableStore.history(spark, root).where(col("version") === 4L)
+      .collect().head
+    assert(h4.getAs[Long]("n_added") == 1L)
+    assert(h4.getAs[Long]("n_removed") == live.size.toLong)
+  }
+
+  test("layout rebase refuses when a racer removed a source file") {
+    val root = tmp()
+    TableStore.append(mk(1, 2), root) // v1
+    val live = TableStore.liveAt(spark, root, 1L)
+    val adds = stageRewrite(root, 1L)
+    // the racer REWRITES the table: the staged rewrite's sources are
+    // gone, so its content claim no longer holds
+    TableStore.overwrite(mk(9), root) // v2
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      TableStore.commitLayoutRebasing(
+        spark, root, 2L, adds, live.map(_.path))
+    }
+    assert(ex.getMessage.contains("cannot rebase"))
+    assert(ids(root) == Set(9L)) // the winner's table is untouched
+    assert(TableStore.versions(spark, root) == Seq(1L, 2L))
+  }
+
+  test("layout rebase refuses when a delete vector landed on a source") {
+    val root = tmp()
+    TableStore.append(mk(1, 2), root) // v1
+    val live = TableStore.liveAt(spark, root, 1L)
+    val adds = stageRewrite(root, 1L)
+    // the racer merge-on-read-deletes a row: the file stays LIVE, but
+    // rewriting its raw bytes would resurrect the deleted row
+    TableStore.deleteWhereMoR(spark, root,
+      col("id") === 1L, ("id", 1L, 1L)) // v2
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      TableStore.commitLayoutRebasing(
+        spark, root, 2L, adds, live.map(_.path))
+    }
+    assert(ex.getMessage.contains("delete vector"))
+    assert(ids(root) == Set(2L)) // the MoR delete holds
+  }
+
+  test("compactor thread survives a concurrent appender: history linear") {
+    val root = tmp()
+    TableStore.append(mk(1, 2), root)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val appender = new Thread(() =>
+      try (3L to 12L).foreach(i => TableStore.append(mk(i), root))
+      catch { case t: Throwable => failures.add(t) })
+    appender.start()
+    try (1 to 3).foreach { _ =>
+      TableStore.compact(spark, root, targetBytes = 1L << 30)
+      Thread.sleep(5)
+    } catch { case t: Throwable => failures.add(t) }
+    appender.join()
+    assert(failures.isEmpty, s"concurrent maintenance failed: " +
+      failures.toArray.mkString("; "))
+    // every append survived every compaction, whatever the interleave
+    assert(ids(root) == (1L to 12L).toSet)
+    val vs = TableStore.versions(spark, root)
+    assert(vs == (1L to vs.size.toLong)) // linear, gap-free history
+  }
 }
