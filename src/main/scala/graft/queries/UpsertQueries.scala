@@ -171,7 +171,86 @@ object UpsertQueries extends QueryPack {
       GROUP BY 1, 2 ORDER BY segment, is_inferred
     """))
 
+  /** Cross-table pipeline commit — the reference wraps the silver
+    * delete+insert and the gold refresh in ONE Postgres transaction
+    * (dags/Reprocessing.py:113-126); here each layer is its own
+    * [[graft.ops.TableStore]] and the [[graft.ops.RunManifest]]
+    * publishes (layer → version) LAST, so a crash between layers
+    * can't expose a mixed view. The gate runs two warehouse ticks
+    * with an injected CRASH between tick 2's silver commit and its
+    * gold refresh, digests both layers THROUGH the manifest at the
+    * crash point (must still be tick 1's consistent pair — the
+    * in-body `require` pins that silver's latest has already moved
+    * past the pin), then re-runs tick 2 (idempotent: the batch-id'd
+    * silver delta stands down) and digests the published pair. The
+    * oracle restates both consistent states from the source slices. */
+  val warehouseManifest = GQuery(
+    "q_warehouse_manifest",
+    (s, d) => {
+      val base = graft.TempRoots.create("graft_whman")
+      val silver = s"$base/silver"; val gold = s"$base/gold"
+      val man = s"$base/runs"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      def tick(runId: Long, delta: org.apache.spark.sql.DataFrame,
+               crashBeforeGold: Boolean): Unit = {
+        graft.ops.TableStore.appendBatch(delta, silver, batchId = runId)
+        if (crashBeforeGold) return
+        val sv = graft.ops.TableStore.versions(s, silver).last
+        val g = graft.ops.TableStore.read(s, silver, Some(sv))
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM")
+            .as("o_month"))
+          .agg(count(lit(1)).as("n_orders"))
+        val gv = graft.ops.TableStore.overwrite(g, gold)
+        graft.ops.RunManifest.publish(s, man, runId,
+          Map("silver" -> (silver, sv), "gold" -> (gold, gv)))
+      }
+      def digests(leg: String) = {
+        val sd = graft.ops.RunManifest.readLayer(s, man, "silver")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("o_orderkey").cast("long").as("checksum"))
+          .select(lit(leg).as("leg"), lit("silver").as("layer"),
+            col("n_rows"), col("checksum"))
+        val gd = graft.ops.RunManifest.readLayer(s, man, "gold")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("n_orders").cast("long").as("checksum"))
+          .select(lit(leg).as("leg"), lit("gold").as("layer"),
+            col("n_rows"), col("checksum"))
+        sd.unionByName(gd)
+      }
+      tick(1L, src.where(col("o_orderkey") < 10000L), false)
+      tick(2L, src.where(col("o_orderkey") >= 10000L), true) // CRASH
+      // the crash window is real: silver's latest moved past the pin
+      val pins = graft.ops.RunManifest.current(s, man).get._2
+      require(graft.ops.TableStore.versions(s, silver).last >
+        pins("silver")._2,
+        "crash injection failed: silver never advanced past the pin")
+      val mid = digests("mid") // still tick 1's pair, or the hash breaks
+      tick(2L, src.where(col("o_orderkey") >= 10000L), false) // re-run
+      mid.unionByName(digests("post")).orderBy("leg", "layer")
+    },
+    Some("""
+      SELECT 'mid' AS leg, 'gold' AS layer,
+             COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_rows,
+             COUNT(*) AS checksum
+      FROM orders WHERE o_orderkey < 10000
+      UNION ALL
+      SELECT 'mid', 'silver', COUNT(*),
+             CAST(SUM(o_orderkey) AS BIGINT)
+      FROM orders WHERE o_orderkey < 10000
+      UNION ALL
+      SELECT 'post', 'gold',
+             COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')), COUNT(*)
+      FROM orders
+      UNION ALL
+      SELECT 'post', 'silver', COUNT(*),
+             CAST(SUM(o_orderkey) AS BIGINT)
+      FROM orders
+      ORDER BY leg, layer
+    """),
+    eager = true)
+
   def all: Seq[GQuery] =
     Seq(partialMerge, deleteInsert, watermarkWindow, recordType,
-      inferredMembers)
+      inferredMembers, warehouseManifest)
 }
