@@ -526,8 +526,61 @@ object StreamQueries extends QueryPack {
     """),
     bench = false, eager = true)
 
+  /** The STORE as a streaming source
+    * ([[graft.sources.GraftStreamSource]]): five key-sliced appends
+    * to a source store, streamed through
+    * `readStream.format("graft")` into a store SINK — commits become
+    * micro-batch offsets, so this is S11's folder sensor pointed at a
+    * table. The drain runs rate-capped (`maxVersionsPerBatch=1` — the
+    * in-body `require` pins one sink commit per source commit), is
+    * interrupted after three commits, and RESTARTS on the same real
+    * checkpoint after two more land: the restart must deliver exactly
+    * the new commits (exactly-once through engine offsets + the
+    * sink's batch-id ledger), and an idle third restart must commit
+    * nothing. The digest groups by the feed's `_commit_version`
+    * provenance, so a replayed or lost batch breaks the hash, not
+    * just a require. */
+  val streamStoreSource = GQuery(
+    "q_stream_store_source",
+    (s, d) => {
+      val base = graft.TempRoots.create("graft_ssrcgate")
+      val src = s"$base/src"; val out = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+      def slice(k: Int): Unit = { graft.ops.TableStore.append(
+        orders.where(pmod(col("o_orderkey"), lit(5)) === k), src); () }
+      (0 to 2).foreach(slice)
+      def drain(): Unit = graft.ops.TableStore.sinkStream(
+        s.readStream.format("graft")
+          .option("maxVersionsPerBatch", "1").load(src),
+        out, ckpt)
+      drain()
+      require(graft.ops.TableStore.versions(s, out).size == 3,
+        "the rate cap must pace catch-up one commit per micro-batch")
+      (3 to 4).foreach(slice)
+      drain() // restart, same checkpoint: exactly the two new commits
+      require(graft.ops.TableStore.versions(s, out).size == 5,
+        "the restart must deliver exactly the two new commits")
+      drain() // idle restart: nothing new, nothing committed
+      require(graft.ops.TableStore.versions(s, out).size == 5,
+        "an idle restart must commit nothing")
+      graft.ops.TableStore.read(s, out)
+        .groupBy(col("_commit_version").as("commit_version"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").cast("long").as("key_sum"))
+        .orderBy("commit_version")
+    },
+    Some("""
+      SELECT CAST(o_orderkey % 5 + 1 AS BIGINT) AS commit_version,
+             COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders GROUP BY 1 ORDER BY commit_version
+    """),
+    bench = false, eager = true)
+
   def all: Seq[GQuery] = Seq(streamWindowedCounts, streamIntervalJoin,
     streamDedupReplay, streamSessionWindow, streamSessionize,
     streamTableIngest, streamIngestCompact, streamUpsert,
-    streamLiveView)
+    streamLiveView, streamStoreSource)
 }

@@ -29,7 +29,8 @@ import graft.ops.TableStore
   * installed, V1Scan-delegated otherwise.
   */
 class GraftSource extends org.apache.spark.sql.connector.catalog.TableProvider
-    with DataSourceRegister {
+    with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
 
@@ -57,4 +58,45 @@ class GraftSource extends org.apache.spark.sql.connector.catalog.TableProvider
     table(new CaseInsensitiveStringMap(properties))
 
   override def supportsExternalMetadata(): Boolean = false
+
+  // ---- streaming SOURCE: `spark.readStream.format("graft")` ----
+
+  private def streamPath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft stream source needs a store path: .load(\"/path/to/store\")"))
+
+  override def sourceSchema(ctx: org.apache.spark.sql.SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    require(schema.isEmpty,
+      "the graft stream source derives its schema from the store's " +
+        "commit log — drop .schema(...)")
+    (shortName(),
+      GraftStreamSource.schemaFor(ctx.sparkSession, streamPath(parameters)))
+  }
+
+  /** One [[GraftStreamSource]] per query: commits become micro-batch
+    * offsets. Options: `startingVersion` (default 0 = the full
+    * history; N = only commits AFTER version N) and
+    * `maxVersionsPerBatch` (rate limit — how many commits one
+    * micro-batch may drain). */
+  override def createSource(ctx: org.apache.spark.sql.SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    def longOpt(key: String): Option[Long] = parameters.get(key).map(v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"$key takes a commit version count, got '$v'")))
+    val starting = longOpt("startingVersion").getOrElse(0L)
+    require(starting >= 0, s"startingVersion must be >= 0: $starting")
+    val maxPer = longOpt("maxVersionsPerBatch")
+    maxPer.foreach(m => require(m >= 1,
+      s"maxVersionsPerBatch must be >= 1: $m"))
+    new GraftStreamSource(ctx.sparkSession, streamPath(parameters),
+      starting, maxPer)
+  }
 }

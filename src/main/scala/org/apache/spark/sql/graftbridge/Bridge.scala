@@ -23,4 +23,15 @@ object Bridge {
       : Option[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = false)
+
+  /** LogicalPlan → DataFrame (`Dataset.ofRows` is `private[sql]`) —
+    * the streaming store source builds its per-batch plan by marking
+    * a batch read's leaf relations `isStreaming = true` (the V1
+    * Source contract MicroBatchExecution asserts) and needs a frame
+    * back. */
+  def dataFrame(spark: org.apache.spark.sql.SparkSession,
+                plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

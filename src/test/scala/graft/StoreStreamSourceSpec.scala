@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.TableStore
+
+/** The versioned store as a streaming SOURCE
+  * ([[graft.sources.GraftStreamSource]]): commits become micro-batch
+  * offsets behind Spark's own checkpoint machinery — tick
+  * equivalence against the batch change feed, exactly-once replay
+  * through a real checkpoint, rate-limited catch-up, and the loud
+  * rewrite contract. */
+class StoreStreamSourceSpec extends SparkSpec {
+
+  private def base() = graft.TempRoots.create("graft_ssrc")
+
+  private def mk(ids: Seq[Long]) = {
+    val s = spark; import s.implicits._
+    ids.map(i => (i, s"r$i")).toDF("id", "payload")
+  }
+
+  /** Drain the store stream through foreachBatch (AvailableNow; a
+    * checkpoint-recoverable sink, unlike memory) and return the rows
+    * this RUN delivered as (id, payload, _commit_version). */
+  private def drain(root: String, ckpt: String, tag: String,
+                    options: Map[String, String] = Map.empty)
+      : Seq[(Long, String, Long)] = {
+    var reader = spark.readStream.format("graft")
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]
+    val q = reader.load(root).writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add((r.getLong(0), r.getString(1),
+          r.getAs[Long]("_commit_version"))))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    got.toArray(Array.empty[(Long, String, Long)]).toSeq
+  }
+
+  test("stream over N commits is tick-equivalent to the batch feed") {
+    val b = base(); val root = s"$b/t"
+    TableStore.append(mk(1L to 3L), root)  // v1
+    TableStore.append(mk(4L to 6L), root)  // v2
+    TableStore.append(mk(7L to 9L), root)  // v3
+    val got = drain(root, s"$b/ckpt_eq", "eq",
+      Map("maxVersionsPerBatch" -> "1")).toSet
+    val feed = TableStore.readChangesSince(spark, root, 0L, Some(3L))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Long]("_commit_version"))).toSet
+    assert(got == feed)
+    // the cap paced catch-up one commit per batch: every version is
+    // a distinct provenance value and all three arrived
+    assert(got.map(_._3) == Set(1L, 2L, 3L) &&
+      got.map(_._1) == (1L to 9L).toSet)
+  }
+
+  test("exactly-once replay through a real checkpoint") {
+    val b = base(); val root = s"$b/t"
+    val ckpt = s"$b/ckpt_once"
+    TableStore.append(mk(1L to 3L), root)  // v1
+    TableStore.append(mk(4L to 5L), root)  // v2
+    val first = drain(root, ckpt, "once1").map(_._1).toSet
+    assert(first == (1L to 5L).toSet)
+    // new commits land; the restarted query (SAME checkpoint) must
+    // see exactly them — no replays, no losses
+    TableStore.append(mk(6L to 7L), root)  // v3
+    TableStore.append(mk(8L to 8L), root)  // v4
+    val second = drain(root, ckpt, "once2")
+      .map(r => (r._1, r._3)).toSet
+    assert(second == Set((6L, 3L), (7L, 3L), (8L, 4L)))
+    // nothing new: a third restart drains zero batches
+    assert(drain(root, ckpt, "once3").isEmpty)
+  }
+
+  test("startingVersion skips history; layout commits are invisible") {
+    val b = base(); val root = s"$b/t"
+    TableStore.append(mk(1L to 3L), root)          // v1 — history
+    TableStore.append(mk(4L to 5L), root)          // v2
+    TableStore.compact(spark, root, 1L << 30)      // v3 — layout
+    TableStore.append(mk(6L to 6L), root)          // v4
+    val got = drain(root, s"$b/ckpt_sv", "sv",
+      Map("startingVersion" -> "1")).map(r => (r._1, r._3)).toSet
+    // v1 skipped (history), v3 contributed nothing (rewrote content
+    // it didn't change), v2 + v4 arrived once each
+    assert(got == Set((4L, 2L), (5L, 2L), (6L, 4L)))
+  }
+
+  test("a content rewrite inside the stream window fails loudly") {
+    val b = base(); val root = s"$b/t"
+    TableStore.append(mk(1L to 3L), root) // v1
+    TableStore.overwrite(mk(9L to 9L), root) // v2 — rewrite
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(root, s"$b/ckpt_rw", "rw")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("rewrote content")))
+  }
+}
