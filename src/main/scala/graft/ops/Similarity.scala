@@ -951,6 +951,114 @@ object Similarity {
       .map(_.getSeq[Long](1).toIndexedSeq)
   }
 
+  /** OPQ-style learned pre-rotation for PQ, PERMUTATION variant: an
+    * orthogonal transform applied before the sub-space split so that
+    * quantization energy spreads ACROSS sub-spaces instead of piling
+    * into one (the Optimized Product Quantization move, Ge et al.
+    * CVPR'13; a permutation matrix IS an orthogonal rotation, and the
+    * paper's own parametric initialization is exactly this
+    * balanced-allocation step). Natural dimension order is PQ's
+    * documented failure mode when variance is structured: if the
+    * high-variance dimensions land in one sub-space, its k centroids
+    * quantize nearly all the energy while the other books quantize
+    * noise — distortion concentrates where the ranking signal lives.
+    * The permutation ranks dimensions by EXACT integer variance
+    * (n·Σx² − (Σx)², scaled-vector components, no FP drift to
+    * diverge from the oracle's replay) and deals them round-robin
+    * into the m sub-spaces, balancing per-book energy.
+    *
+    * Chosen over a dense learned rotation deliberately: applying it
+    * is a zero-FLOP projection (a gather — dot products and ADC
+    * scores in the rotated space equal the originals EXACTLY, so
+    * recall gains are attributable to codebook fit alone), and the
+    * learning is exact integer arithmetic end to end, which keeps
+    * the full train→rotate→encode→ADC chain DuckDB-replayable — a
+    * float matmul would put an engine-vs-oracle FP seam inside every
+    * downstream comparison. Returns `perm` with out(i) = in(perm(i)).
+    * Driver work is one dim-row collect of exact stats. */
+  def opqPermutation(corpus: DataFrame, cVec: String, m: Int): Seq[Int] = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val stats = corpus
+      .select(posexplode(scaledVec(col(cVec))).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        // x is a scaled component (|x| ≲ 2^21), so x² is exact in
+        // int64; the decimal cast happens on the SUM side where 38
+        // digits hold any corpus this engine will ever see
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      .collect() // bounded: one row per dimension
+    require(stats.nonEmpty, "opq needs a non-empty corpus")
+    val dim = stats.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m sub-spaces")
+    val dsub = dim / m
+    def big(r: org.apache.spark.sql.Row, f: String): BigInt =
+      BigInt(r.getAs[java.math.BigDecimal](f).toBigInteger)
+    val ranked = stats.map(r => (r.getAs[Int]("d"),
+        big(r, "n") * big(r, "sxx") - big(r, "sx") * big(r, "sx")))
+      .sortBy { case (d, v) => (v, d) }(
+        Ordering.Tuple2(Ordering[BigInt].reverse, Ordering[Int]))
+    val perm = new Array[Int](dim)
+    // variance rank r lands at sub-space (r % m), slot (r / m): the
+    // top-m dimensions seed m DIFFERENT books
+    ranked.zipWithIndex.foreach { case ((d, _), r) =>
+      perm((r % m) * dsub + r / m) = d }
+    perm.toIndexedSeq
+  }
+
+  /** Apply a learned permutation to a vector column:
+    * out(i) = v(perm(i)). A fixed-size gather — codegen-friendly, no
+    * lambda dispatch, exactly orthogonal. */
+  def opqPermute(v: Column, perm: Seq[Int]): Column =
+    array(perm.map(p => element_at(v, p + 1)): _*)
+
+  /** PQ ANN with the learned pre-rotation: permute corpus and
+    * queries, then the standard [[pqTopK]] chain. Scores are plain
+    * rotated-space ADC dots — equal to original-space dots under a
+    * permutation, so results are directly comparable to the
+    * unrotated twin's. */
+  def opqPqTopK(queries: DataFrame, qId: String, qVec: String,
+                corpus: DataFrame, cId: String, cVec: String,
+                m: Int, k: Int, iters: Int, topK: Int): DataFrame = {
+    val perm = opqPermutation(corpus, cVec, m)
+    val rc = corpus.select(col(cId), opqPermute(col(cVec), perm).as(cVec))
+    val rq = queries.select(col(qId), opqPermute(col(qVec), perm).as(qVec))
+    pqTopK(rq, qId, qVec, rc, cId, cVec, m, k, iters, topK)
+  }
+
+  /** DuckDB mirror of the rotation LEARNING + APPLICATION: renders
+    * `table` rotated by the variance-balancing permutation as a
+    * derived table (nested-CTE subquery), so the full OPQ chain
+    * composes as `pqTopKSql(opqPermutedTableSql(...), ...)` — the
+    * oracle re-learns the permutation from scratch; a drifted
+    * variance stat, a wrong rank tie-break, or a misplaced slot all
+    * break the hash. Stats run in HUGEINT, matching the engine's
+    * BigInt exactly. */
+  def opqPermutedTableSql(table: String, idCol: String, vecCol: String,
+                          dim: Int, m: Int): String = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val sv = scaledVecSql(vecCol)
+    s"""(WITH __vstats AS (
+        SELECT p.d,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(sv[p.d + 1] AS HUGEINT)) AS sx,
+               SUM(CAST(sv[p.d + 1] AS HUGEINT) * sv[p.d + 1]) AS sxx
+        FROM (SELECT $sv AS sv FROM $table) __t,
+             (SELECT CAST(unnest(generate_series(0, ${dim - 1})) AS INT)
+                AS d) p
+        GROUP BY p.d),
+      __perm AS (
+        SELECT list(d ORDER BY (r % $m) * $dsub + (r // $m)) AS perm
+        FROM (SELECT d, ROW_NUMBER() OVER (
+                ORDER BY n * sxx - sx * sx DESC, d ASC) - 1 AS r
+              FROM __vstats))
+      SELECT __s.$idCol AS $idCol,
+             list_transform(__p.perm, i -> __s.$vecCol[i + 1]) AS $vecCol
+      FROM $table __s CROSS JOIN __perm __p)"""
+  }
+
   private val PqBooksPrefix = "pq_books_"
 
   /** Persist trained PQ codebooks under

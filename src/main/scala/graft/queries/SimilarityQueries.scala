@@ -614,6 +614,115 @@ object SimilarityQueries extends QueryPack {
       dim = 64, m = PqM, k = PqK, iters = PqIters, topK = TopK,
       queryPred = QueryPred)))
 
+  /** OPQ — the learned pre-rotation ([[Similarity.opqPermutation]],
+    * permutation variant of Ge et al.'s Optimized Product
+    * Quantization) judged by the DUAL verdict the r11 advisory asked
+    * for: per-query recall-vs-exact for the ROTATED chain next to its
+    * UNROTATED twin on the same corpus, plus a summary row, with the
+    * in-body `require` pinning the STRICT lift. The corpus is the
+    * embeddings table under a variance skew (dims 1..dsub ×4, rest
+    * ×0.25 — exact power-of-two scaling, FP-identical in both
+    * engines) that concentrates the ranking signal into what natural
+    * order makes ONE sub-space: PQ's documented structured-variance
+    * failure mode (measured here: recall 0.28 → 0.82 at sf0.01,
+    * 0.07 → 0.70 at sf0.1). The oracle re-learns the permutation and
+    * replays BOTH full chains (exact baseline, unrotated
+    * train/encode/ADC, rotated train/encode/ADC) from scratch, so a
+    * drifted variance stat, a wrong rank tie-break, or a misplaced
+    * slot breaks the hash — not just the verdict booleans. */
+  val opqAnnTopK = GQuery(
+    "q_ann_opq_topk",
+    (s, d) => {
+      val dsub = 64 / PqM
+      val skewed = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") *
+            when(i < lit(dsub), lit(4.0)).otherwise(lit(0.25)))
+          .as("embedding"))
+      val queries = skewed.filter(expr(QueryPred))
+      def tops(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbour_id")
+      val exact = tops(Similarity.bruteTopK(queries, "vec_id",
+        "embedding", skewed, "vec_id", "embedding", TopK))
+      val pq = tops(Similarity.pqTopK(queries, "vec_id", "embedding",
+        skewed, "vec_id", "embedding", PqM, PqK, PqIters, TopK))
+      val opq = tops(Similarity.opqPqTopK(queries, "vec_id", "embedding",
+        skewed, "vec_id", "embedding", PqM, PqK, PqIters, TopK))
+      def recallMilli(ann: org.apache.spark.sql.DataFrame, out: String) =
+        exact.join(ann
+            .withColumnRenamed("query_id", "q2")
+            .withColumnRenamed("neighbour_id", "n2"),
+            col("query_id") === col("q2") &&
+              col("neighbour_id") === col("n2"), "left")
+          .groupBy("query_id").agg(count(col("n2")).as("h"))
+          .select(col("query_id"),
+            expr(s"(1000 * h) div $TopK").as(out))
+      val perQuery = recallMilli(pq, "recall_pq_milli")
+        .join(recallMilli(opq, "recall_opq_milli"), "query_id")
+      val summary = perQuery
+        .agg(expr("sum(recall_pq_milli) div count(*)").as("p"),
+          expr("sum(recall_opq_milli) div count(*)").as("o"))
+        .select(lit(-1L).as("query_id"), col("p").as("recall_pq_milli"),
+          col("o").as("recall_opq_milli"))
+      val sRow = summary.collect().head // bounded: the verdict row
+      require(sRow.getLong(2) > sRow.getLong(1),
+        s"OPQ must lift mean recall STRICTLY above the unrotated twin " +
+          s"on the skewed corpus: pq=${sRow.getLong(1)}‰ " +
+          s"opq=${sRow.getLong(2)}‰")
+      perQuery.unionByName(summary).orderBy("query_id")
+    },
+    Some {
+      val dsub = 64 / PqM
+      val skewSql = s"""list_transform(embedding, (x, i) ->
+            x * CASE WHEN i <= $dsub THEN 4.0 ELSE 0.25 END)"""
+      val pqSql = Similarity.pqTopKSql("skewed", "vec_id", "embedding",
+        dim = 64, m = PqM, k = PqK, iters = PqIters, topK = TopK,
+        queryPred = QueryPred)
+      val opqSql = Similarity.pqTopKSql(
+        Similarity.opqPermutedTableSql("skewed", "vec_id", "embedding",
+          dim = 64, m = PqM),
+        "vec_id", "embedding",
+        dim = 64, m = PqM, k = PqK, iters = PqIters, topK = TopK,
+        queryPred = QueryPred)
+      def hits(twin: String, out: String) = s"""$out AS (
+        SELECT e.query_id, COUNT(t.neighbour_id) AS h
+        FROM exact e LEFT JOIN $twin t
+          ON e.query_id = t.query_id AND e.neighbour_id = t.neighbour_id
+        GROUP BY e.query_id)"""
+      s"""
+      WITH skewed AS (
+        SELECT vec_id, $skewSql AS embedding FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM skewed WHERE $QueryPred),
+      escored AS (
+        SELECT q.query_id, e.vec_id AS neighbour_id,
+               ${Similarity.dotScaledSql("q.qv", "e.embedding")} AS sim
+        FROM q CROSS JOIN skewed e),
+      exact AS (
+        SELECT query_id, neighbour_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbour_id) AS rank
+          FROM escored)
+        WHERE rank <= $TopK),
+      pq AS (SELECT query_id, neighbour_id FROM ($pqSql)),
+      opq AS (SELECT query_id, neighbour_id FROM ($opqSql)),
+      ${hits("pq", "hits_pq")},
+      ${hits("opq", "hits_opq")},
+      perq AS (
+        SELECT hp.query_id,
+               (1000 * hp.h) // $TopK AS recall_pq_milli,
+               (1000 * ho.h) // $TopK AS recall_opq_milli
+        FROM hits_pq hp JOIN hits_opq ho USING (query_id))
+      SELECT * FROM perq
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT),
+             CAST(SUM(recall_pq_milli) // COUNT(*) AS BIGINT),
+             CAST(SUM(recall_opq_milli) // COUNT(*) AS BIGINT)
+      FROM perq
+      ORDER BY query_id
+    """},
+    eager = true)
+
   /** IVF-PQ ([[Similarity.ivfPqTopK]]) — the composed production
     * index: IVF bounds WHICH rows score (nProbe/C of the corpus), PQ
     * bounds WHAT a scored row costs (m code bytes + m adds). The
@@ -684,6 +793,6 @@ object SimilarityQueries extends QueryPack {
   def all: Seq[GQuery] =
     Seq(cosineTopK, annTopK, embeddingStats, embeddingNearDup, ivfTopK,
       embedQuantize, annInt8TopK, semanticDedup, semanticDedupScaled,
-      ivfTopKScaled, kmeansClusters, pqAnnTopK, ivfPqAnnTopK,
+      ivfTopKScaled, kmeansClusters, pqAnnTopK, opqAnnTopK, ivfPqAnnTopK,
       pqIndexTick)
 }

@@ -454,6 +454,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("OPQ permutation: exact variance ranking, round-robin balance") {
+    val s = spark; import s.implicits._
+    // per-dim variances by construction: dim0 (0..3 cycle) > dim1
+    // (0/2 alternating) > dim2 (tiny jitter) > dim3 (constant)
+    val corpus = (0L until 8L).map { i =>
+      (i, Seq((i % 4).toFloat, ((i / 2) % 2).toFloat * 2f,
+        0.01f * (i % 2), 0f))
+    }.toDF("vec_id", "embedding")
+    val perm = Similarity.opqPermutation(corpus, "embedding", m = 2)
+    // a permutation IS an orthogonal rotation: must be a bijection
+    assert(perm.sorted == Seq(0, 1, 2, 3))
+    // variance ranks 0,1,2,3 = dims 0,1,2,3; round-robin dealing puts
+    // rank r at sub-space r % m, slot r / m → [0, 2, 1, 3]: the two
+    // high-variance dims land in DIFFERENT sub-spaces
+    assert(perm == Seq(0, 2, 1, 3))
+    // applying it is a pure gather
+    val rotated = corpus.select(
+      Similarity.opqPermute(col("embedding"), perm).as("r"))
+      .collect().map(_.getSeq[Float](0))
+    assert(rotated.head == Seq(0f, 0f, 0f, 0f))
+    assert(rotated(3) == Seq(3f, 0.01f, 2f, 0f)) // row 3: gather [0,2,1,3]
+  }
+
+  test("OPQ lifts PQ recall strictly on a variance-skewed corpus") {
+    // the q_ann_opq_topk fixture at spec scale: dims 1..8 carry the
+    // ranking signal (×4), natural order packs them ALL into
+    // sub-space 0 of the m=8 split — the structured-variance failure
+    // mode the learned permutation exists to fix
+    val emb = Tables.embeddings(spark, TinySf)
+    val skewed = emb.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") * when(i < 8, lit(4.0)).otherwise(lit(0.25)))
+        .as("embedding"))
+    val queries = skewed.filter(expr("vec_id % 100 = 3"))
+    val exact = neighbourSets(Similarity.bruteTopK(queries, "vec_id",
+      "embedding", skewed, "vec_id", "embedding", K))
+    def recall(ann: Map[Long, Set[Long]]) = exact.map { case (q, ex) =>
+      ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+    val pq = recall(neighbourSets(Similarity.pqTopK(queries, "vec_id",
+      "embedding", skewed, "vec_id", "embedding", 8, 16, 2, K)))
+    val opq = recall(neighbourSets(Similarity.opqPqTopK(queries, "vec_id",
+      "embedding", skewed, "vec_id", "embedding", 8, 16, 2, K)))
+    info(f"mean recall@$K: pq=$pq%.3f opq=$opq%.3f")
+    assert(opq > pq, f"rotation must lift recall: pq=$pq%.3f opq=$opq%.3f")
+    assert(opq >= 0.7, f"rotated recall floor: $opq%.3f") // measured 0.86
+  }
+
   test("PQ recall on structured embeddings beats the uniform floor") {
     // the harness corpus is uniform (adversarial for every ANN here);
     // on STRUCTURED vectors — each a noisy copy of one of 4 anchors —
