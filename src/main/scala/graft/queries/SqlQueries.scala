@@ -136,5 +136,61 @@ object SqlQueries extends QueryPack {
     """),
     eager = true)
 
-  override def all: Seq[GQuery] = Seq(storeSql, storeSqlChanges)
+  /** DML through the catalog ([[graft.sources.GraftWriteBuilder]]):
+    * `INSERT INTO` appends one commit and `INSERT OVERWRITE` replaces
+    * content as one commit — the SQL spellings of the very
+    * append/overwrite commits the API takes, which is how the
+    * reference loads its warehouse (dags/SQL/Bronze/
+    * insert_data_into_bronze.sql — the entire ingest surface is
+    * INSERT statements). The gate bootstraps v1 via the API, INSERTs
+    * the rest of the table through SQL (in-body `require` pins one
+    * commit per statement), then INSERT OVERWRITEs a slice and
+    * digests BOTH the post-insert snapshot (`VERSION AS OF 2` — the
+    * overwrite must not have touched it) and the overwritten latest.
+    * The oracle restates both states from the source slices. */
+  val storeSqlInsert = GQuery(
+    "q_store_sql_insert",
+    (s, d) => {
+      val root = graft.TempRoots.create("graft_sqlins") + "/orders"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") < 5000L), root)
+      s.conf.set("spark.sql.catalog.gsqlw",
+        classOf[graft.sources.GraftCatalog].getName)
+      src.where(col("o_orderkey") >= 5000L)
+        .createOrReplaceTempView("gate_sqlins_delta")
+      s.sql(s"INSERT INTO gsqlw.`$root` " +
+        "SELECT * FROM gate_sqlins_delta")
+      require(graft.ops.TableStore.versions(s, root) == Seq(1L, 2L),
+        "INSERT INTO must land as exactly one append commit")
+      s.sql(s"INSERT OVERWRITE gsqlw.`$root` " +
+        "SELECT * FROM gate_sqlins_delta WHERE o_orderkey >= 10000")
+      require(graft.ops.TableStore.versions(s, root) ==
+        Seq(1L, 2L, 3L),
+        "INSERT OVERWRITE must land as exactly one rewrite commit")
+      s.sql(s"""
+        SELECT 'post_insert' AS leg, COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM gsqlw.`$root` VERSION AS OF 2
+        UNION ALL
+        SELECT 'post_overwrite', COUNT(*),
+               CAST(SUM(o_orderkey) AS BIGINT)
+        FROM gsqlw.`$root`
+        ORDER BY leg""")
+    },
+    Some("""
+      SELECT 'post_insert' AS leg, COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders
+      UNION ALL
+      SELECT 'post_overwrite', COUNT(*),
+             CAST(SUM(o_orderkey) AS BIGINT)
+      FROM orders WHERE o_orderkey >= 10000
+      ORDER BY leg
+    """),
+    eager = true)
+
+  override def all: Seq[GQuery] =
+    Seq(storeSql, storeSqlChanges, storeSqlInsert)
 }

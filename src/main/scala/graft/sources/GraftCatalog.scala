@@ -39,10 +39,14 @@ import graft.ops.TableStore
   * which pin the returned table to that snapshot
   * ([[TableStore.versionAt]]'s publish-time model for timestamps).
   *
-  * Read-only by design: stores are WRITTEN through the
-  * [[TableStore]] API (append/overwrite/merge — each a versioned
-  * commit with stats/blooms/constraints); DDL through the catalog
-  * would bypass every one of those contracts, so it refuses loudly.
+  * DML writes are the commit API on the SQL surface: `INSERT INTO` /
+  * `INSERT OVERWRITE` route through [[TableStore.append]] /
+  * [[TableStore.overwrite]] (constraints enforced pre-commit,
+  * optimistic retry, snapshot isolation — see
+  * [[GraftStoreTable.newWriteBuilder]]). DDL stays refused: create/
+  * drop/alter through the catalog would bypass the commit contracts
+  * (first-commit schema anchoring, vacuum retention, pinned
+  * readers), so those fail loudly with the API remedy.
   */
 class GraftCatalog extends TableCatalog {
 

@@ -3,11 +3,12 @@ package graft.sources
 import java.util.{Set => JSet}
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -39,7 +40,7 @@ import graft.ops.TableStore
   *    [[StatsSkipping]] file pruning when the snapshot is vector-free.
   */
 class GraftStoreTable(val root: String, requestedVersion: Option[Long])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -77,10 +78,51 @@ class GraftStoreTable(val root: String, requestedVersion: Option[Long])
       requestedVersion.map(v => s" VERSION AS OF $v").getOrElse("")
 
   override def capabilities(): JSet[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new GraftScanBuilder(this)
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` on the SQL surface. NOT a
+    * bypass of the commit contracts — the write routes through the
+    * very [[TableStore.append]]/[[TableStore.overwrite]] commits the
+    * API path takes (constraints enforced pre-commit, optimistic
+    * retry, snapshot isolation); only catalog DDL stays refused.
+    * Writes always target the table's LATEST version: a time-travel
+    * pin is a READ pin, so `INSERT INTO t VERSION AS OF n` refuses
+    * rather than silently forking history. Stats/bloom-bearing
+    * writes stay on the API (SQL has nowhere to carry statsCols). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(requestedVersion.isEmpty,
+      s"a time-travel pin is read-only: INSERT targets $root's " +
+        "latest version — drop VERSION AS OF / TIMESTAMP AS OF")
+    new GraftWriteBuilder(this)
+  }
+}
+
+/** V1Write delegation: `INSERT INTO` appends one commit,
+  * `INSERT OVERWRITE` (Spark calls `truncate()`) replaces content as
+  * one commit with every prior snapshot still readable. */
+class GraftWriteBuilder(table: GraftStoreTable) extends WriteBuilder
+    with SupportsTruncate {
+
+  private var overwriteAll = false
+
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          if (overwriteAll || overwrite)
+            TableStore.overwrite(data, table.root)
+          else TableStore.append(data, table.root)
+          ()
+        }
+      }
+  }
 }
 
 /** DSv2 scan builder: column pruning + filter pushdown. Every filter

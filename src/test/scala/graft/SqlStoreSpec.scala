@@ -219,4 +219,54 @@ class SqlStoreSpec extends SparkSpec {
     assert(keep(Not(EqualTo("k", 150L))))
     assert(keep(EqualTo("k", 3.5))) // non-integral type: no proof
   }
+
+  test("INSERT INTO appends a commit; INSERT OVERWRITE rewrites; " +
+      "old snapshots stay readable") {
+    val root = tmp()
+    TableStore.append(mk(1L to 3L: _*), root) // bootstrap v1 via API
+    spark.conf.set("spark.sql.catalog.gsqlw",
+      classOf[GraftCatalog].getName)
+    mk(4L to 6L: _*).createOrReplaceTempView("sqlw_delta")
+    spark.sql(s"INSERT INTO gsqlw.`$root` SELECT * FROM sqlw_delta")
+    assert(TableStore.versions(spark, root) == Seq(1L, 2L))
+    assert(TableStore.read(spark, root).select("id")
+      .collect().map(_.getLong(0)).toSet == (1L to 6L).toSet)
+    spark.sql(
+      s"INSERT OVERWRITE gsqlw.`$root` SELECT * FROM sqlw_delta " +
+        "WHERE id = 5")
+    assert(TableStore.versions(spark, root) == Seq(1L, 2L, 3L))
+    assert(TableStore.read(spark, root).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(5L))
+    // snapshot isolation: the pre-overwrite snapshot is intact
+    assert(TableStore.read(spark, root, Some(2L)).select("id")
+      .collect().map(_.getLong(0)).toSet == (1L to 6L).toSet)
+  }
+
+  test("SQL INSERT enforces CHECK constraints; time-travel pins are " +
+      "read-only") {
+    val root = tmp()
+    TableStore.append(mk(1L to 3L: _*), root)
+    TableStore.addConstraint(spark, root, "pos_id", "id > 0")
+    spark.conf.set("spark.sql.catalog.gsqlw",
+      classOf[GraftCatalog].getName)
+    mk(-7L).createOrReplaceTempView("sqlw_bad")
+    // the SQL write path is the commit API: the constraint refuses
+    // the commit, proving INSERT INTO is not a contract bypass
+    val ex = intercept[Exception] {
+      spark.sql(s"INSERT INTO gsqlw.`$root` SELECT * FROM sqlw_bad")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("pos_id")))
+    assert(TableStore.versions(spark, root) == Seq(1L, 2L)) // nothing landed
+    // a VERSION AS OF pin is a READ pin
+    mk(9L).createOrReplaceTempView("sqlw_nine")
+    val ex2 = intercept[Exception] {
+      spark.sql(s"INSERT INTO gsqlw.`$root` VERSION AS OF 1 " +
+        "SELECT * FROM sqlw_nine")
+    }
+    assert(messages(ex2).exists(m =>
+      m.contains("read-only") || m.contains("VERSION AS OF")))
+  }
 }
