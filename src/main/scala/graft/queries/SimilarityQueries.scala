@@ -15,6 +15,11 @@ object SimilarityQueries extends QueryPack {
   /** Query set: a fixed arithmetic slice of the corpus. */
   private val QueryPred = "vec_id % 100 = 3"
 
+  /** The OPQ gate's capped query predicate — see [[opqAnnTopK]]'s
+    * scaladoc for the replay-economics argument. Identical to
+    * [[QueryPred]] below sf1 (every vec_id is already < 5000). */
+  private val OpqQueryPred = s"$QueryPred AND vec_id < 5000"
+
   /** Brute-force exact cosine top-k — the correctness baseline. The
     * query side broadcasts; the corpus is scanned once; ranks prune
     * partition-locally before the only shuffle. */
@@ -629,7 +634,16 @@ object SimilarityQueries extends QueryPack {
     * replays BOTH full chains (exact baseline, unrotated
     * train/encode/ADC, rotated train/encode/ADC) from scratch, so a
     * drifted variance stat, a wrong rank tie-break, or a misplaced
-    * slot breaks the hash — not just the verdict booleans. */
+    * slot breaks the hash — not just the verdict booleans.
+    *
+    * Query-set cap (documented, not silent): the verdict runs the
+    * FIRST 50 eligible queries (`vec_id < 5000` — a no-op below sf1,
+    * where every vec_id is smaller). The exact baseline the oracle
+    * replays is a |Q|×|corpus| scored cross join; at sf10 the uncapped
+    * predicate yields 5 000 queries × 500 k vectors = 2.5 B windowed
+    * rows, which spills DuckDB past local disk (the r11 ADC-oracle
+    * lesson, second instance). Fifty queries decide the lift verdict
+    * with the same margin and keep the sf10 stamp replayable. */
   val opqAnnTopK = GQuery(
     "q_ann_opq_topk",
     (s, d) => {
@@ -639,7 +653,7 @@ object SimilarityQueries extends QueryPack {
           x.cast("double") *
             when(i < lit(dsub), lit(4.0)).otherwise(lit(0.25)))
           .as("embedding"))
-      val queries = skewed.filter(expr(QueryPred))
+      val queries = skewed.filter(expr(OpqQueryPred))
       def tops(df: org.apache.spark.sql.DataFrame) =
         df.select("query_id", "neighbour_id")
       val exact = tops(Similarity.bruteTopK(queries, "vec_id",
@@ -677,13 +691,13 @@ object SimilarityQueries extends QueryPack {
             x * CASE WHEN i <= $dsub THEN 4.0 ELSE 0.25 END)"""
       val pqSql = Similarity.pqTopKSql("skewed", "vec_id", "embedding",
         dim = 64, m = PqM, k = PqK, iters = PqIters, topK = TopK,
-        queryPred = QueryPred)
+        queryPred = OpqQueryPred)
       val opqSql = Similarity.pqTopKSql(
         Similarity.opqPermutedTableSql("skewed", "vec_id", "embedding",
           dim = 64, m = PqM),
         "vec_id", "embedding",
         dim = 64, m = PqM, k = PqK, iters = PqIters, topK = TopK,
-        queryPred = QueryPred)
+        queryPred = OpqQueryPred)
       def hits(twin: String, out: String) = s"""$out AS (
         SELECT e.query_id, COUNT(t.neighbour_id) AS h
         FROM exact e LEFT JOIN $twin t
@@ -693,7 +707,7 @@ object SimilarityQueries extends QueryPack {
       WITH skewed AS (
         SELECT vec_id, $skewSql AS embedding FROM embeddings),
       q AS (SELECT vec_id AS query_id, embedding AS qv
-            FROM skewed WHERE $QueryPred),
+            FROM skewed WHERE $OpqQueryPred),
       escored AS (
         SELECT q.query_id, e.vec_id AS neighbour_id,
                ${Similarity.dotScaledSql("q.qv", "e.embedding")} AS sim

@@ -557,7 +557,9 @@ object StreamQueries extends QueryPack {
         out, ckpt)
       drain()
       require(graft.ops.TableStore.versions(s, out).size == 3,
-        "the rate cap must pace catch-up one commit per micro-batch")
+        "the rate cap must pace catch-up one commit per micro-batch " +
+          "(an all-empty source commits versions but feeds no rows, " +
+          "so the sink lands nothing — empty-corpus refusal)")
       (3 to 4).foreach(slice)
       drain() // restart, same checkpoint: exactly the two new commits
       require(graft.ops.TableStore.versions(s, out).size == 5,

@@ -195,6 +195,10 @@ object UpsertQueries extends QueryPack {
       def tick(runId: Long, delta: org.apache.spark.sql.DataFrame,
                crashBeforeGold: Boolean): Unit = {
         graft.ops.TableStore.appendBatch(delta, silver, batchId = runId)
+        require(graft.ops.TableStore.versions(s, silver).nonEmpty,
+          "a warehouse tick needs a non-empty first silver delta — " +
+            "an all-empty batch commits nothing, so there is no " +
+            "layer version to publish")
         if (crashBeforeGold) return
         val sv = graft.ops.TableStore.versions(s, silver).last
         val g = graft.ops.TableStore.read(s, silver, Some(sv))

@@ -31,11 +31,17 @@ class DegenerateSpec extends SparkSpec {
     // change that belongs in this list (and its op's scaladoc), not a
     // silent drift
     val refusals = results.collect { case (n, Graceful(_)) => n }.toSet
-    // the PQ family shares the k-means precondition: Lloyd training
-    // needs a non-empty corpus to seed centroids (pqCodebooks'
-    // documented require)
+    // the PQ family (q_ann_opq_topk included) shares the k-means
+    // precondition: Lloyd training needs a non-empty corpus to seed
+    // centroids (pqCodebooks' documented require). The warehouse
+    // manifest needs a non-empty first silver delta (nothing commits,
+    // so there is no layer version to publish), and the store
+    // streaming-source gate's pacing require documents that an
+    // all-empty source feeds no rows into its sink.
     assert(refusals == Set("q_kmeans_clusters", "q_unigram_surprisal",
-      "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_pq_index_tick"),
+      "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_pq_index_tick",
+      "q_ann_opq_topk", "q_warehouse_manifest",
+      "q_stream_store_source"),
       s"unexpected refusal set: $refusals")
     val ok = results.collect { case (_, Ok(_)) => 1 }.size
     assert(ok == results.size - refusals.size)
