@@ -1027,6 +1027,25 @@ object Similarity {
     pqTopK(rq, qId, qVec, rc, cId, cVec, m, k, iters, topK)
   }
 
+  /** IVF-PQ under the learned pre-rotation — the full production
+    * composition: permute corpus and queries once, then the standard
+    * coarse-cells + m-byte-codes index. A permutation preserves dot
+    * products exactly, so the rotation leaves the IVF half's cell
+    * geometry untouched (same coarse assignments, same probes) and
+    * improves only what it should: WHICH dimensions each PQ sub-space
+    * quantizes. Recall gains are therefore attributable to codebook
+    * fit alone, same as [[opqPqTopK]]. */
+  def opqIvfPqTopK(queries: DataFrame, qId: String, qVec: String,
+                   corpus: DataFrame, cId: String, cVec: String,
+                   numCentroids: Int, nProbe: Int,
+                   m: Int, k: Int, iters: Int, topK: Int): DataFrame = {
+    val perm = opqPermutation(corpus, cVec, m)
+    val rc = corpus.select(col(cId), opqPermute(col(cVec), perm).as(cVec))
+    val rq = queries.select(col(qId), opqPermute(col(qVec), perm).as(qVec))
+    ivfPqTopK(rq, qId, qVec, rc, cId, cVec, numCentroids, nProbe,
+      m, k, iters, topK)
+  }
+
   /** DuckDB mirror of the rotation LEARNING + APPLICATION: renders
     * `table` rotated by the variance-balancing permutation as a
     * derived table (nested-CTE subquery), so the full OPQ chain

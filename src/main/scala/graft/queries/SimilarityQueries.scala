@@ -761,6 +761,51 @@ object SimilarityQueries extends QueryPack {
       m = PqM, k = PqK, iters = PqIters, topK = TopK,
       queryPred = QueryPred)))
 
+  /** OPQ composed into IVF-PQ ([[Similarity.opqIvfPqTopK]]) — the
+    * full production shape with the learned rotation in front: the
+    * permutation leaves the IVF half untouched (dots are
+    * permutation-invariant, so coarse cells and probes are identical)
+    * and improves only the PQ codebook fit. Hash-gated like
+    * q_ann_ivfpq_topk: the oracle re-learns the permutation
+    * ([[Similarity.opqPermutedTableSql]]) and replays rotation →
+    * coarse cells → probes → PQ train/encode → ADC from scratch on
+    * the same skewed corpus (and capped query set) as the OPQ twin
+    * gate; the recall lift over unrotated IVF-PQ is asserted in
+    * SimilaritySpec. */
+  val opqIvfPqAnnTopK = GQuery(
+    "q_ann_opq_ivfpq_topk",
+    (s, d) => {
+      val dsub = 64 / PqM
+      val skewed = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") *
+            when(i < lit(dsub), lit(4.0)).otherwise(lit(0.25)))
+          .as("embedding"))
+      Similarity.opqIvfPqTopK(
+          skewed.filter(expr(OpqQueryPred)), "vec_id", "embedding",
+          skewed, "vec_id", "embedding", NumCentroids, NProbe,
+          PqM, PqK, PqIters, TopK)
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val dsub = 64 / PqM
+      val skewSql = s"""list_transform(embedding, (x, i) ->
+            x * CASE WHEN i <= $dsub THEN 4.0 ELSE 0.25 END)"""
+      val inner = Similarity.ivfPqTopKSql(
+        Similarity.opqPermutedTableSql("skewed", "vec_id", "embedding",
+          dim = 64, m = PqM),
+        "vec_id", "embedding",
+        dim = 64, numCentroids = NumCentroids, nProbe = NProbe,
+        m = PqM, k = PqK, iters = PqIters, topK = TopK,
+        queryPred = OpqQueryPred)
+      s"""
+      WITH skewed AS (
+        SELECT vec_id, $skewSql AS embedding FROM embeddings)
+      SELECT * FROM ($inner)
+      ORDER BY query_id, rank
+    """},
+    eager = true)
+
   /** Incrementally-maintained PQ index
     * ([[graft.ops.DerivedView.tickMap]] + [[Similarity.pqEncode]]):
     * the ANN index as a DERIVED VIEW — books train ONCE on the first
@@ -808,5 +853,5 @@ object SimilarityQueries extends QueryPack {
     Seq(cosineTopK, annTopK, embeddingStats, embeddingNearDup, ivfTopK,
       embedQuantize, annInt8TopK, semanticDedup, semanticDedupScaled,
       ivfTopKScaled, kmeansClusters, pqAnnTopK, opqAnnTopK, ivfPqAnnTopK,
-      pqIndexTick)
+      opqIvfPqAnnTopK, pqIndexTick)
 }

@@ -34,7 +34,8 @@ class GraftSource extends org.apache.spark.sql.connector.catalog.TableProvider
 
   override def shortName(): String = "graft"
 
-  private def table(options: CaseInsensitiveStringMap): GraftStoreTable = {
+  private def table(options: CaseInsensitiveStringMap,
+                    provided: Option[StructType] = None): GraftStoreTable = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft source needs a store path: .load(\"/path/to/store\")"))
@@ -47,17 +48,24 @@ class GraftSource extends org.apache.spark.sql.connector.catalog.TableProvider
           s"timestampAsOf takes epoch millis, got '$t'"))))
     require(byVersion.isEmpty || byTime.isEmpty,
       "versionAsOf and timestampAsOf are mutually exclusive")
-    new GraftStoreTable(path, byVersion.orElse(byTime))
+    new GraftStoreTable(path, byVersion.orElse(byTime), provided)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     table(options).schema
 
+  /** `schema` arrives from the writer (`df.write.format("graft")`
+    * passes the frame's schema — how a FIRST write to a fresh path
+    * knows its shape before any commit exists) or from an explicit
+    * `.schema(...)`; an existing store's own schema always wins over
+    * it (the log is the source of truth — see
+    * [[GraftStoreTable.schema]]). */
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    table(new CaseInsensitiveStringMap(properties))
+    table(new CaseInsensitiveStringMap(properties),
+      Option(schema).filter(_.nonEmpty))
 
-  override def supportsExternalMetadata(): Boolean = false
+  override def supportsExternalMetadata(): Boolean = true
 
   // ---- streaming SOURCE: `spark.readStream.format("graft")` ----
 

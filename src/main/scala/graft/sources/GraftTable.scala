@@ -39,10 +39,20 @@ import graft.ops.TableStore
   *    delegation to the dv-aware [[TableStore.read]], with the same
   *    [[StatsSkipping]] file pruning when the snapshot is vector-free.
   */
-class GraftStoreTable(val root: String, requestedVersion: Option[Long])
+class GraftStoreTable(val root: String, requestedVersion: Option[Long],
+                      providedSchema: Option[StructType] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
+
+  /** A path IS a store once any write anchored it (commit log or
+    * first-touch schema anchor). */
+  private lazy val storeExists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$root/_log")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/_schema"))
+  }
 
   /** The pinned snapshot version: requested (validated by the read
     * below) or latest-at-load. */
@@ -71,7 +81,17 @@ class GraftStoreTable(val root: String, requestedVersion: Option[Long])
     TableStore.read(spark, root,
       if (resolvedVersion == 0L) None else Some(resolvedVersion))
 
-  override lazy val schema: StructType = snapshot.schema
+  /** An existing store's commit log is the source of truth (a
+    * user-provided schema is ignored there, the Delta posture); a
+    * FRESH path — the first `df.write.format("graft")` target —
+    * takes the writer-provided schema, since nothing is committed
+    * yet to infer from. */
+  override lazy val schema: StructType =
+    if (storeExists) snapshot.schema
+    else providedSchema.getOrElse(
+      throw new IllegalArgumentException(
+        s"no store at $root — reads need a committed store; a first " +
+          "write reaches here only through df.write.format(\"graft\")"))
 
   override def name(): String =
     s"graft.`$root`" +
@@ -98,17 +118,33 @@ class GraftStoreTable(val root: String, requestedVersion: Option[Long])
     require(requestedVersion.isEmpty,
       s"a time-travel pin is read-only: INSERT targets $root's " +
         "latest version — drop VERSION AS OF / TIMESTAMP AS OF")
-    new GraftWriteBuilder(this)
+    new GraftWriteBuilder(this, info)
   }
 }
 
 /** V1Write delegation: `INSERT INTO` appends one commit,
   * `INSERT OVERWRITE` (Spark calls `truncate()`) replaces content as
-  * one commit with every prior snapshot still readable. */
-class GraftWriteBuilder(table: GraftStoreTable) extends WriteBuilder
-    with SupportsTruncate {
+  * one commit with every prior snapshot still readable.
+  *
+  * `df.write.format("graft")` reaches the same builder with WRITER
+  * OPTIONS riding [[LogicalWriteInfo]]: `statsCols` (comma-separated
+  * integer columns whose per-file [min, max] land in the commit log
+  * for zero-IO pruning) and `bloomCols` (parquet bloom filters for
+  * point-lookup probes) — the commit-log contracts SQL INSERT has no
+  * syntax for, available to the writer API:
+  *
+  * {{{
+  *   df.write.format("graft").option("statsCols", "id,ts")
+  *     .mode("append").save("/data/events")
+  * }}} */
+class GraftWriteBuilder(table: GraftStoreTable, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
 
   private var overwriteAll = false
+
+  private def cols(key: String): Seq[String] =
+    Option(info.options.get(key)).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
 
@@ -116,9 +152,11 @@ class GraftWriteBuilder(table: GraftStoreTable) extends WriteBuilder
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val stats = cols("statsCols")
+          val blooms = cols("bloomCols")
           if (overwriteAll || overwrite)
-            TableStore.overwrite(data, table.root)
-          else TableStore.append(data, table.root)
+            TableStore.overwrite(data, table.root, stats, blooms)
+          else TableStore.append(data, table.root, stats, blooms)
           ()
         }
       }

@@ -500,6 +500,17 @@ class SimilaritySpec extends SparkSpec {
     info(f"mean recall@$K: pq=$pq%.3f opq=$opq%.3f")
     assert(opq > pq, f"rotation must lift recall: pq=$pq%.3f opq=$opq%.3f")
     assert(opq >= 0.7, f"rotated recall floor: $opq%.3f") // measured 0.86
+    // the composed index: rotation lifts IVF-PQ the same way (the
+    // IVF half is permutation-invariant, so the gain is pure PQ fit)
+    val ivfpq = recall(neighbourSets(Similarity.ivfPqTopK(queries,
+      "vec_id", "embedding", skewed, "vec_id", "embedding",
+      16, 16, 8, 16, 2, K))) // probe ALL cells: isolate the PQ half
+    val opqIvfpq = recall(neighbourSets(Similarity.opqIvfPqTopK(queries,
+      "vec_id", "embedding", skewed, "vec_id", "embedding",
+      16, 16, 8, 16, 2, K)))
+    info(f"mean recall@$K: ivfpq=$ivfpq%.3f opq_ivfpq=$opqIvfpq%.3f")
+    assert(opqIvfpq > ivfpq,
+      f"rotation must lift the composed index: $ivfpq%.3f -> $opqIvfpq%.3f")
   }
 
   test("PQ recall on structured embeddings beats the uniform floor") {

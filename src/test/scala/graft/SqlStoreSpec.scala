@@ -242,6 +242,29 @@ class SqlStoreSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == (1L to 6L).toSet)
   }
 
+  test("df.write.format(graft): append/overwrite commits with " +
+      "statsCols riding the writer options") {
+    import org.apache.spark.sql.sources.LessThanOrEqual
+    val root = tmp()
+    mk(1L to 100L: _*).coalesce(1).write.format("graft")
+      .option("statsCols", "id").mode("append").save(root)
+    mk(101L to 200L: _*).coalesce(1).write.format("graft")
+      .option("statsCols", "id").mode("append").save(root)
+    assert(TableStore.versions(spark, root) == Seq(1L, 2L))
+    // the writer option reached the commit log: per-file [min, max]
+    // present, and a ranged probe prunes to one of the two files
+    val live = TableStore.liveAt(spark, root, 2L)
+    assert(live.size == 2 && live.forall(_.mins.contains("id")))
+    assert(StatsSkipping.prune(live,
+      Seq(LessThanOrEqual("id", 50L))).size == 1)
+    // overwrite mode is one rewrite commit; the old snapshot survives
+    mk(999L).write.format("graft").mode("overwrite").save(root)
+    assert(TableStore.versions(spark, root) == Seq(1L, 2L, 3L))
+    assert(TableStore.read(spark, root).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(999L))
+    assert(TableStore.read(spark, root, Some(2L)).count() == 200L)
+  }
+
   test("SQL INSERT enforces CHECK constraints; time-travel pins are " +
       "read-only") {
     val root = tmp()
