@@ -551,10 +551,18 @@ object StreamQueries extends QueryPack {
       def slice(k: Int): Unit = { graft.ops.TableStore.append(
         orders.where(pmod(col("o_orderkey"), lit(5)) === k), src); () }
       (0 to 2).foreach(slice)
-      def drain(): Unit = graft.ops.TableStore.sinkStream(
-        s.readStream.format("graft")
-          .option("maxVersionsPerBatch", "1").load(src),
-        out, ckpt)
+      // BOTH ends of the pipe are the SQL-surface format: the store
+      // streams out through GraftStreamSource and lands through the
+      // native GraftStreamSink (batch-id ledger = exactly-once)
+      def drain(): Unit = {
+        val q = s.readStream.format("graft")
+          .option("maxVersionsPerBatch", "1").load(src)
+          .writeStream.format("graft")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(out)
+        q.awaitTermination()
+      }
       drain()
       require(graft.ops.TableStore.versions(s, out).size == 3,
         "the rate cap must pace catch-up one commit per micro-batch " +

@@ -30,7 +30,8 @@ import graft.ops.TableStore
   */
 class GraftSource extends org.apache.spark.sql.connector.catalog.TableProvider
     with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -106,5 +107,40 @@ class GraftSource extends org.apache.spark.sql.connector.catalog.TableProvider
       s"maxVersionsPerBatch must be >= 1: $m"))
     new GraftStreamSource(ctx.sparkSession, streamPath(parameters),
       starting, maxPer)
+  }
+
+  /** `writeStream.format("graft").start(root)` — one
+    * [[GraftStreamSink]] per query: micro-batches become batch-id'd
+    * store commits (exactly-once through the ledger). Options:
+    * `statsCols`, and `maxLiveFiles`/`targetBytes` for self-healing
+    * small-file maintenance. */
+  override def createSink(ctx: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "the graft sink takes no partitionBy — physical layout is " +
+        "OPTIMIZE's job (optimizeLayout/optimizeLayoutWhere), not " +
+        "the ingest path's")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"the graft sink is append-only (each micro-batch is one store " +
+        s"commit); got $outputMode — aggregate downstream with " +
+        "DerivedView ticks instead of Complete/Update modes")
+    val root = streamPath(parameters)
+    val stats = parameters.get("statsCols").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val maint = parameters.get("maxLiveFiles").map { m =>
+      TableStore.SinkMaintenance(
+        maxLiveFiles = m.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"maxLiveFiles takes a file count, got '$m'")),
+        targetBytes = parameters.get("targetBytes")
+          .map(_.toLongOption.getOrElse(
+            throw new IllegalArgumentException(
+              "targetBytes takes a byte count")))
+          .getOrElse(128L << 20))
+    }
+    new GraftStreamSink(ctx.sparkSession, root, stats, maint)
   }
 }

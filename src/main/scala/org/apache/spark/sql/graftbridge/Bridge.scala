@@ -34,4 +34,18 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A V1 streaming Sink's `addBatch` frame re-wrapped as a PLAIN
+    * batch frame over the micro-batch's already-planned RDD —
+    * Spark's own ForeachBatchSink construction
+    * (`LogicalRDD.fromDataset(isStreaming = false)`), needed because
+    * a streaming-flagged frame refuses batch writes. */
+  def batchView(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val classicDf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      classicDf.queryExecution.toRdd, classicDf, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      classicDf.sparkSession, node)
+  }
 }

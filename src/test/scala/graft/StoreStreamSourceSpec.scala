@@ -90,6 +90,49 @@ class StoreStreamSourceSpec extends SparkSpec {
     assert(got == Set((4L, 2L), (5L, 2L), (6L, 4L)))
   }
 
+  test("writeStream.format(graft): exactly-once sink; store-to-store pipe") {
+    val b = base(); val src = s"$b/src"; val out = s"$b/out"
+    val ckpt = s"$b/ckpt_pipe"
+    TableStore.append(mk(1L to 3L), src)  // v1
+    TableStore.append(mk(4L to 5L), src)  // v2
+    def pipe(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("statsCols", "id")
+        .trigger(Trigger.AvailableNow()).start(out)
+      q.awaitTermination()
+    }
+    pipe()
+    def outIds: Set[Long] = TableStore.read(spark, out)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(outIds == (1L to 5L).toSet)
+    val vAfter = TableStore.versions(spark, out).size
+    // statsCols rode the sink option into the commit log
+    assert(TableStore.liveAt(spark, out,
+      TableStore.versions(spark, out).last).forall(_.mins.contains("id")))
+    // checkpoint replay: a restart with nothing new commits nothing
+    pipe()
+    assert(TableStore.versions(spark, out).size == vAfter)
+    // new source commits flow through exactly once
+    TableStore.append(mk(6L to 6L), src)  // v3
+    pipe()
+    assert(outIds == (1L to 6L).toSet)
+    assert(TableStore.read(spark, out).count() == 6L) // no duplicates
+    // the sink is append-only by contract
+    val ex = intercept[Exception] {
+      spark.readStream.format("graft").load(src)
+        .groupBy("payload").count()
+        .writeStream.format("graft").outputMode("complete")
+        .option("checkpointLocation", s"$b/ckpt_bad")
+        .trigger(Trigger.AvailableNow()).start(s"$b/bad")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("append-only")))
+  }
+
   test("a content rewrite inside the stream window fails loudly") {
     val b = base(); val root = s"$b/t"
     TableStore.append(mk(1L to 3L), root) // v1
