@@ -98,6 +98,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.ops.TableStore.history(spark,
           strLit(args.head, "store path")).queryExecution.analyzed
       }))
+    ext.injectTableFunction((FunctionIdentifier("table_stats"),
+      info("table_stats", classOf[graft.sources.GraftCatalog]),
+      (in: Seq[Expression]) => {
+        if (in.isEmpty || in.length > 2)
+          throw new IllegalArgumentException(
+            "table_stats(store_path[, version])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ops.TableStore.metaStats(spark,
+          strLit(in.head, "store path"),
+          in.lift(1).map(longLit(_, "version")))
+          .queryExecution.analyzed
+      }))
   }
 
   private def strLit(e: Expression, what: String): String = e match {

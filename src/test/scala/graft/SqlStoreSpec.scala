@@ -196,6 +196,12 @@ class SqlStoreSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM table_changes('$root', 1 + 1)").collect()
     }
     assert(bad.getMessage.contains("integer literal"))
+    // table_stats == metaStats: the metadata-only digest on the SQL
+    // surface — the count(*) dashboard tick without a data scan
+    val stats = spark.sql(s"SELECT * FROM table_stats('$root')")
+    assert(rowsAsSet(stats) == rowsAsSet(TableStore.metaStats(spark, root)))
+    val statsV1 = spark.sql(s"SELECT n_rows FROM table_stats('$root', 1)")
+    assert(statsV1.collect().map(_.getLong(0)).toSeq == Seq(100L))
   }
 
   test("StatsSkipping semantics: conservative, truncation-sound") {
