@@ -78,4 +78,23 @@ class RunManifestSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("platinum"))
   }
+
+  test("a manifest pin vacuumed past the horizon fails loudly, " +
+      "never partially") {
+    val base = graft.TempRoots.create("graft_runman_vac")
+    val layer = s"$base/layer"; val man = s"$base/runs"
+    TableStore.append(mk(1L to 5L), layer)  // v1 — the pinned version
+    RunManifest.publish(spark, man, 1L, Map("layer" -> (layer, 1L)))
+    // the layer moves on; retention retires the pinned snapshot
+    TableStore.overwrite(mk(6L to 9L), layer) // v2
+    TableStore.vacuum(spark, layer, keepVersions = 1)
+    // consumers must get the documented loud refusal (a manifest pin
+    // is a retention obligation: keep >= the publish cadence), not a
+    // partial read of whatever files survived
+    val ex = intercept[IllegalArgumentException] {
+      RunManifest.readLayer(spark, man, "layer").collect()
+    }
+    assert(ex.getMessage.contains("not committed") ||
+      ex.getMessage.contains("vacuumed"))
+  }
 }

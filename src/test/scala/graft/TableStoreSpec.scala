@@ -1457,7 +1457,8 @@ class TableStoreSpec extends SparkSpec {
     * commit deterministically. */
   private def stageRewrite(root: String, v: Long)
       : Seq[TableStore.FileEntry] = {
-    val rel = s"data/v${v + 1}-rebasetest"
+    val rel = s"data/v${v + 1}-rebasetest" +
+      java.util.UUID.randomUUID.toString.take(8)
     val snap = TableStore.read(spark, root, Some(v))
     val rows = snap.count()
     snap.coalesce(1).write.parquet(s"$root/$rel")
@@ -1523,6 +1524,30 @@ class TableStoreSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("delete vector"))
     assert(ids(root) == Set(2L)) // the MoR delete holds
+  }
+
+  test("two competing compactors: one rebases only past appends, " +
+      "the second refuses (its sources are gone)") {
+    val root = tmp()
+    TableStore.append(mk(1, 2), root) // v1
+    TableStore.append(mk(3), root)    // v2
+    val live = TableStore.liveAt(spark, root, 2L)
+    // both compactors plan from v2 — the same remove-set
+    val addsA = stageRewrite(root, 2L)
+    val addsB = stageRewrite(root, 2L)
+    // A wins the race outright (no conflict)
+    val vA = TableStore.commitLayoutRebasing(
+      spark, root, 3L, addsA, live.map(_.path))
+    assert(vA == 3L)
+    // B lost to a rewrite of its OWN sources: rebasing would publish
+    // duplicate content (A's copy + B's copy) — must refuse
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      TableStore.commitLayoutRebasing(
+        spark, root, 3L, addsB, live.map(_.path))
+    }
+    assert(ex.getMessage.contains("cannot rebase"))
+    assert(ids(root) == Set(1L, 2L, 3L)) // content intact, no dupes
+    assert(TableStore.versions(spark, root) == Seq(1L, 2L, 3L))
   }
 
   test("compactor thread survives a concurrent appender: history linear") {
