@@ -589,8 +589,74 @@ object StreamQueries extends QueryPack {
     """),
     bench = false, eager = true)
 
+  /** The CDC row feed as a STREAM (`feed=rows` on
+    * [[graft.sources.GraftStreamSource]]): each micro-batch is the
+    * window's NET row delta from the file-set diff
+    * ([[graft.ops.TableStore.readRowChanges]]), so a mid-stream
+    * OVERWRITE — which the adds-only feed refuses loudly — flows
+    * through as its delete+insert rows. The gate streams across a
+    * rewrite boundary, lands the feed in a store sink, and
+    * digests per (_op, _commit_version); the oracle restates the net
+    * delta from the slice algebra: inserts @1 = the v1 slice
+    * (< 10000), deletes @2 = rows only in v1 ([5000, 10000)),
+    * inserts @2 = rows only in v2 (>= 10000); the unchanged
+    * intersection (< 5000) cancels in the diff and must appear in
+    * NEITHER @2 leg — phantom rows break the hash. */
+  val streamStoreCdc = GQuery(
+    "q_stream_store_cdc",
+    (s, d) => {
+      val base = graft.TempRoots.create("graft_scdcgate")
+      val src = s"$base/src"; val out = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+      graft.ops.TableStore.append(
+        orders.where(col("o_orderkey") < 10000L), src) // v1
+      def drain(): Unit = {
+        val q = s.readStream.format("graft").option("feed", "rows")
+          .load(src)
+          .writeStream.format("graft")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(out)
+        q.awaitTermination()
+      }
+      drain() // batch (0,1]: the v1 slice as inserts
+      // the REWRITE: keys < 5000 keep their rows (identical on both
+      // sides of the diff — they cancel and must appear in NEITHER
+      // leg), keys in [5000, 10000) leave, keys >= 10000 arrive — all
+      // as ONE overwrite commit
+      graft.ops.TableStore.overwrite(
+        orders.where(col("o_orderkey") < 5000L)
+          .unionByName(orders.where(col("o_orderkey") >= 10000L)),
+        src) // v2
+      drain() // batch (1,2]: net delta across the rewrite
+      require(graft.ops.TableStore.versions(s, out).size == 2,
+        "each drain must land exactly one sink commit (an all-empty " +
+          "corpus commits versions but feeds no rows — empty-corpus " +
+          "refusal)")
+      graft.ops.TableStore.read(s, out)
+        .groupBy(col("_op"), col("_commit_version"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").cast("long").as("key_sum"))
+        .orderBy("_commit_version", "_op")
+    },
+    Some("""
+      SELECT 'insert' AS _op, CAST(1 AS BIGINT) AS _commit_version,
+             COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders WHERE o_orderkey < 10000
+      UNION ALL
+      SELECT 'delete', 2, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+      FROM orders WHERE o_orderkey >= 5000 AND o_orderkey < 10000
+      UNION ALL
+      SELECT 'insert', 2, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+      FROM orders WHERE o_orderkey >= 10000
+      ORDER BY _commit_version, _op
+    """),
+    bench = false, eager = true)
+
   def all: Seq[GQuery] = Seq(streamWindowedCounts, streamIntervalJoin,
     streamDedupReplay, streamSessionWindow, streamSessionize,
     streamTableIngest, streamIngestCompact, streamUpsert,
-    streamLiveView, streamStoreSource)
+    streamLiveView, streamStoreSource, streamStoreCdc)
 }

@@ -83,14 +83,26 @@ class GraftSource extends org.apache.spark.sql.connector.catalog.TableProvider
       "the graft stream source derives its schema from the store's " +
         "commit log — drop .schema(...)")
     (shortName(),
-      GraftStreamSource.schemaFor(ctx.sparkSession, streamPath(parameters)))
+      GraftStreamSource.schemaFor(ctx.sparkSession, streamPath(parameters),
+        rowFeedOf(parameters)))
   }
+
+  private def rowFeedOf(parameters: Map[String, String]): Boolean =
+    parameters.get("feed") match {
+      case None | Some("appends") => false
+      case Some("rows") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"feed takes 'appends' (default — adds-only, rewrites are " +
+          s"loud) or 'rows' (net row deltas with _op, rewrites flow " +
+          s"through), got '$other'")
+    }
 
   /** One [[GraftStreamSource]] per query: commits become micro-batch
     * offsets. Options: `startingVersion` (default 0 = the full
-    * history; N = only commits AFTER version N) and
+    * history; N = only commits AFTER version N),
     * `maxVersionsPerBatch` (rate limit — how many commits one
-    * micro-batch may drain). */
+    * micro-batch may drain), and `feed` (`appends` default / `rows`
+    * for the CDC row feed with `_op`). */
   override def createSource(ctx: org.apache.spark.sql.SQLContext,
                             metadataPath: String,
                             schema: Option[StructType],
@@ -106,7 +118,7 @@ class GraftSource extends org.apache.spark.sql.connector.catalog.TableProvider
     maxPer.foreach(m => require(m >= 1,
       s"maxVersionsPerBatch must be >= 1: $m"))
     new GraftStreamSource(ctx.sparkSession, streamPath(parameters),
-      starting, maxPer)
+      starting, maxPer, rowFeedOf(parameters))
   }
 
   /** `writeStream.format("graft").start(root)` — one

@@ -48,10 +48,12 @@ import graft.ops.TableStore
   * size — the same economics as the batch feed. */
 class GraftStreamSource(spark: SparkSession, root: String,
                         startingVersion: Long,
-                        maxVersionsPerBatch: Option[Long])
+                        maxVersionsPerBatch: Option[Long],
+                        rowFeed: Boolean = false)
     extends Source with SupportsTriggerAvailableNow {
 
-  override val schema: StructType = GraftStreamSource.schemaFor(spark, root)
+  override val schema: StructType =
+    GraftStreamSource.schemaFor(spark, root, rowFeed)
 
   /** AvailableNow drain target, snapshotted at prepare time. Honored
     * HERE rather than through the engine's wrapper: the wrapper
@@ -95,9 +97,19 @@ class GraftStreamSource(spark: SparkSession, root: String,
     val fromV = start.map(GraftStreamSource.version)
       .getOrElse(startingVersion)
     val batch =
-      if (toV <= fromV)
-        TableStore.read(spark, root).limit(0)
+      if (toV <= fromV) {
+        val empty = TableStore.read(spark, root).limit(0)
           .withColumn("_commit_version", lit(0L))
+        if (rowFeed) empty.withColumn("_op", lit("insert")) else empty
+      }
+      // rows mode: the NET delta of the window from the file-set diff
+      // (readRowChanges) — updates arrive as delete+insert pairs, and
+      // REWRITES (overwrite/delete/restore) flow through instead of
+      // failing the stream, the CDC-consumer posture the mirror gates
+      // prove in batch. Appends mode stays the cheaper adds-only scan.
+      else if (rowFeed)
+        TableStore.readRowChanges(spark, root, fromV, Some(toV))
+          .withColumn("_commit_version", lit(toV))
       else TableStore.readChangesSince(spark, root, fromV, Some(toV))
     // pin the stream's fixed schema: columns added to the store
     // mid-stream are dropped, columns the window's files predate
@@ -108,7 +120,13 @@ class GraftStreamSource(spark: SparkSession, root: String,
       if (cols.contains(sf.name)) col(sf.name)
       else lit(null).cast(sf.dataType).as(sf.name)
     }: _*)
-    GraftStreamSource.asStreaming(spark, projected)
+    // appends mode: mark the scan leaves streaming — pushdown and
+    // codegen flow through the parquet read. Rows mode: the net-delta
+    // plan carries exceptAll set-ops the streaming planner refuses,
+    // so the BATCH planner owns it and the engine sees one opaque
+    // streaming leaf over the planned RDD.
+    if (rowFeed) Bridge.streamingView(projected)
+    else GraftStreamSource.asStreaming(spark, projected)
   }
 
   override def stop(): Unit = ()
@@ -122,14 +140,24 @@ class GraftStreamSource(spark: SparkSession, root: String,
 object GraftStreamSource {
 
   /** The stream's fixed schema: the store's snapshot schema plus the
-    * `_commit_version` provenance column the batch feed carries. */
-  def schemaFor(spark: SparkSession, root: String): StructType = {
+    * `_commit_version` provenance column the batch feed carries —
+    * and, in rows mode, the `_op` column (insert/delete) of the
+    * row-level feed. */
+  def schemaFor(spark: SparkSession, root: String,
+                rowFeed: Boolean = false): StructType = {
     val base = TableStore.read(spark, root).schema
-    require(!base.fieldNames.contains("_commit_version"),
-      s"store at $root already has a _commit_version column — it " +
-        "collides with the feed's provenance column")
-    StructType(base.fields :+
-      StructField("_commit_version", LongType, nullable = false))
+    val reserved = Seq("_commit_version") ++
+      (if (rowFeed) Seq("_op") else Nil)
+    reserved.foreach(c => require(!base.fieldNames.contains(c),
+      s"store at $root already has a $c column — it collides with " +
+        "the feed's provenance columns"))
+    val extra = StructField("_commit_version", LongType,
+      nullable = false) +:
+      (if (rowFeed)
+         Seq(StructField("_op", org.apache.spark.sql.types.StringType,
+           nullable = false))
+       else Nil)
+    StructType(base.fields ++ extra)
   }
 
   /** Engine offsets arrive either as our own [[LongOffset]] or as a

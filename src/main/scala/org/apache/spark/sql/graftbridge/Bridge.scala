@@ -48,4 +48,20 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       classicDf.sparkSession, node)
   }
+
+  /** The reverse wrap: a fully-planned BATCH frame presented to the
+    * streaming engine as a streaming leaf (`LogicalRDD(isStreaming =
+    * true)` over its planned RDD — the KafkaSource construction).
+    * Needed when a getBatch plan contains operators the streaming
+    * planner refuses (the row feed's exceptAll set-ops): the batch
+    * planner owns the computation, the engine sees one opaque
+    * streaming relation. */
+  def streamingView(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val classicDf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      classicDf.queryExecution.toRdd, classicDf, isStreaming = true)
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      classicDf.sparkSession, node)
+  }
 }
