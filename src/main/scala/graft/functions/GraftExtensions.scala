@@ -71,10 +71,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("pq_adc", classOf[PqAdc]),
       (in: Seq[Expression]) => { val args = arity("pq_adc", 2)(in)
         PqAdc(args.head, args(1)) }))
-    // versioned-store SQL surface: rewrite GraftStoreTable relations
-    // to the native pruned parquet scan (graft.sources.GraftRewrite),
-    // plus table-valued sugar over the change feed / audit log so CDC
-    // consumers don't hand-roll readRowChanges plumbing
+    // versioned-store SQL surface: row-level DML (DELETE/UPDATE/MERGE
+    // claimed by GraftDmlRule BEFORE the scan rewrite can strip the V2
+    // relation out from under the command), then rewrite remaining
+    // GraftStoreTable relations to the native pruned parquet scan
+    // (graft.sources.GraftRewrite), plus table-valued sugar over the
+    // change feed / audit log so CDC consumers don't hand-roll
+    // readRowChanges plumbing
+    ext.injectResolutionRule(session =>
+      graft.sources.GraftDmlRule(session))
+    ext.injectPlannerStrategy(session =>
+      graft.sources.GraftDmlStrategy(session))
     ext.injectResolutionRule(session =>
       graft.sources.GraftRewrite(session))
     ext.injectTableFunction((FunctionIdentifier("table_changes"),

@@ -1,0 +1,442 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+import TableStore.FileEntry
+
+/** Row-level DML over the versioned store with AUTOMATIC pruning —
+  * the engine behind `DELETE FROM` / `UPDATE` / `MERGE INTO` on the
+  * SQL surface (graft.sources.GraftDml*), and a first-class API in
+  * its own right. Where [[TableStore.deleteWhere]] takes the caller's
+  * explicit skipping hint, these ops derive the candidate file set
+  * from the predicate ITSELF: the condition is translated to
+  * `sources.Filter`s (Spark's own translation) and evaluated against
+  * the commit log's per-file bounds by [[graft.sources.StatsSkipping]]
+  * — the same zero-IO evaluator every read path runs. The reference
+  * mutates its warehouse through exactly these statements
+  * (dags/SQL/Silver/Delete_duplicates_in_silver.sql,
+  * dags/Reprocessing.py:96-126 — correction deletes and re-inserts).
+  *
+  * Every op is ONE commit with three proportionality levels:
+  *
+  *  1. log-stats prune: files whose logged [min, max] PROVE no row
+  *     can match are never read (zero IO, metadata-sized);
+  *  2. exact discovery: one column-pruned scan of the survivors finds
+  *     the files that actually HOLD an affected row — a false
+  *     candidate costs a scan, never a rewrite;
+  *  3. only those files are rewritten; at 100 TB a keyed DELETE or
+  *     UPDATE touches the files the layout localizes the key to,
+  *     never the table.
+  *
+  * Determinism contract: predicates and assignment values must be
+  * deterministic — discovery and rewrite evaluate them in separate
+  * jobs, and a `rand()` that "matched" in discovery could keep
+  * different rows in the rewrite (callers on the SQL path are
+  * screened by [[graft.sources.GraftDmlRule]]; API callers own it).
+  * Snapshots carrying merge-on-read delete vectors refuse loudly
+  * (the [[TableStore.deleteWhere]] posture): fold vectors back with
+  * `purgeDeletes` first.
+  *
+  * Three-valued logic: a row is affected only when the predicate is
+  * DEFINITELY true; NULL keeps the row (the deleteWhere contract,
+  * and SQL's own WHERE semantics). */
+object Dml {
+
+  /** Stats columns to re-declare on rewritten files: every column any
+    * live file carries logged bounds for — so a DML rewrite never
+    * silently degrades the table's future pruning. (Bloom filters are
+    * parquet-file-level, not logged; rewritten files drop them —
+    * re-establish with a stats-bearing OPTIMIZE if needed.) */
+  private def carriedStatsCols(live: Seq[FileEntry]): Seq[String] =
+    live.flatMap(e => e.mins.keySet ++ e.maxs.keySet ++
+      e.smins.keySet ++ e.smaxs.keySet).distinct.sorted
+
+  /** Split a conjunction into its factors (And-tree flatten). */
+  private def conjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+
+  /** The predicate's log-stats prune: analyze `pred` against the
+    * snapshot's schema, translate each conjunct to a `sources.Filter`
+    * (untranslatable conjuncts prune nothing — conservative), and
+    * keep the files whose logged bounds cannot REFUTE a match. */
+  private def pruneByPredicate(snapshot: DataFrame, live: Seq[FileEntry],
+                               pred: Column): Seq[FileEntry] = {
+    val analyzed = snapshot.where(pred).queryExecution.analyzed
+    val filters = analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        conjuncts(f.condition)
+    }.flatten.flatMap(Bridge.translateFilter)
+    graft.sources.StatsSkipping.prune(live, filters)
+  }
+
+  private def requireDeterministic(snapshot: DataFrame, what: String,
+                                   cols: Column*): Unit =
+    cols.foreach { c =>
+      val e = snapshot.select(c).queryExecution.analyzed.expressions
+      require(e.forall(_.deterministic),
+        s"$what must be deterministic — discovery and rewrite evaluate " +
+          "it in separate jobs, and a nondeterministic match set would " +
+          "tear between them")
+    }
+
+  /** URI file paths (from `_metadata.file_path`) back to the log's
+    * relative entry paths. */
+  private def toEntryPaths(uris: Seq[String], root: String,
+                           candidates: Seq[FileEntry]): Seq[String] =
+    uris.map { u =>
+      candidates.map(_.path)
+        .find(p => u.endsWith("/" + p) || u.endsWith(p))
+        .getOrElse(throw new IllegalStateException(
+          s"scanned file $u is not a candidate of $root"))
+    }
+
+  private def scanFiles(spark: SparkSession, root: String,
+                        paths: Seq[String]): DataFrame =
+    spark.read.option("ignoreMissingFiles", "false")
+      .parquet(paths.map(p => TableStore.resolve(root, p)): _*)
+
+  /** `DELETE FROM store WHERE pred` — copy-on-write, one commit,
+    * auto-pruned. An unconditional delete (`pred` is a true literal)
+    * is METADATA-ONLY: every live file is removed from the log with
+    * zero data IO — truncating a 100 TB table costs one log write.
+    * Returns the committed version, or the current latest when no
+    * row matches (a provable no-op commits nothing). */
+  def delete(spark: SparkSession, root: String, pred: Column): Long = {
+    val vs = TableStore.versions(spark, root)
+    if (vs.isEmpty) return 0L // anchored-but-empty store: typed no-op
+    val prev = vs.last
+    val live = TableStore.liveAt(spark, root, prev)
+    TableStore.requireNoDvs(spark, root, prev, live, "Dml.delete")
+    if (live.isEmpty) return prev
+    val snapshot = TableStore.read(spark, root, Some(prev))
+    requireDeterministic(snapshot, "a DELETE predicate", pred)
+    // unconditional delete: no scan can change the answer — remove
+    // every live file as one metadata commit (truncation is O(log))
+    if (Bridge.expression(pred) ==
+        org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral) {
+      val n = prev + 1
+      TableStore.commitExclusive(spark, root, n, Seq.empty,
+        live.map(_.path), marker = Some("rewrite"))
+      return n
+    }
+    val candidates = pruneByPredicate(snapshot, live, pred)
+    if (candidates.isEmpty) return prev
+    // exact discovery: which candidates HOLD a definitely-matching row
+    val hitUris = scanFiles(spark, root, candidates.map(_.path))
+      .where(coalesce(pred, lit(false)))
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSeq // bounded by file count
+    if (hitUris.isEmpty) return prev
+    val touched = toEntryPaths(hitUris, root, candidates)
+    val kept = scanFiles(spark, root, touched)
+      .where(!coalesce(pred, lit(false)))
+    val n = prev + 1
+    val adds = TableStore.writeData(kept, root, n,
+      carriedStatsCols(live))
+    // kept rows are a subset of rows that already passed the table's
+    // constraints — nothing new to validate
+    TableStore.commitExclusive(spark, root, n, adds, touched,
+      marker = Some("rewrite"))
+    n
+  }
+
+  /** `UPDATE store SET c = v, … WHERE pred` — copy-on-write, one
+    * commit, auto-pruned. All assignments evaluate against the
+    * ORIGINAL row (simultaneous-assignment SQL semantics: `SET a = b,
+    * b = a` swaps). Values are cast to the column's declared type.
+    * CHECK constraints re-validate the rewritten files before the
+    * commit — an UPDATE cannot smuggle a violation in. Returns the
+    * committed version, or the latest when nothing matches. */
+  def update(spark: SparkSession, root: String,
+             set: Seq[(String, Column)],
+             pred: Option[Column] = None): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    val vs = TableStore.versions(spark, root)
+    if (vs.isEmpty) return 0L // anchored-but-empty store: typed no-op
+    val prev = vs.last
+    val live = TableStore.liveAt(spark, root, prev)
+    TableStore.requireNoDvs(spark, root, prev, live, "Dml.update")
+    if (live.isEmpty) return prev
+    val snapshot = TableStore.read(spark, root, Some(prev))
+    val fields = snapshot.schema.fields.map(f => f.name -> f).toMap
+    set.foreach { case (c, _) =>
+      require(fields.contains(c),
+        s"UPDATE assigns unknown column $c — table has " +
+          s"[${snapshot.columns.mkString(",")}]") }
+    require(set.map(_._1).distinct.size == set.size,
+      "UPDATE assigns a column twice")
+    // (an anchored-but-empty store exits at live.isEmpty above)
+    val cond = pred.getOrElse(lit(true))
+    requireDeterministic(snapshot, "an UPDATE predicate", cond)
+    requireDeterministic(snapshot, "an UPDATE assignment",
+      set.map(_._2): _*)
+    val candidates = pred match {
+      case Some(p) => pruneByPredicate(snapshot, live, p)
+      case None => live // unconditional update touches everything
+    }
+    if (candidates.isEmpty) return prev
+    val hitUris = scanFiles(spark, root, candidates.map(_.path))
+      .where(coalesce(cond, lit(false)))
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSeq // bounded by file count
+    if (hitUris.isEmpty) return prev
+    val touched = toEntryPaths(hitUris, root, candidates)
+    val assigned = set.toMap
+    val rewritten = scanFiles(spark, root, touched).select(
+      snapshot.columns.toIndexedSeq.map { c =>
+        assigned.get(c) match {
+          case Some(v) =>
+            when(coalesce(cond, lit(false)),
+              v.cast(fields(c).dataType)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    val n = prev + 1
+    val adds = TableStore.writeData(rewritten, root, n,
+      carriedStatsCols(live))
+    // updated rows are NEW content: re-validate against constraints
+    TableStore.enforceConstraints(spark, root, adds)
+    TableStore.commitExclusive(spark, root, n, adds, touched,
+      marker = Some("rewrite"))
+    n
+  }
+
+  /** One WHEN MATCHED clause: `set = None` is DELETE, `Some(…)` is
+    * UPDATE with those assignments (over target AND source columns). */
+  final case class WhenMatched(cond: Option[Column],
+                               set: Option[Seq[(String, Column)]])
+
+  /** One WHEN NOT MATCHED clause: INSERT with per-target-column
+    * values (over source columns). */
+  final case class WhenNotMatched(cond: Option[Column],
+                                  values: Seq[(String, Column)])
+
+  /** One WHEN NOT MATCHED BY SOURCE clause: `set = None` is DELETE,
+    * `Some(…)` is UPDATE (over target columns only — no source row
+    * exists). */
+  final case class WhenNotMatchedBySource(cond: Option[Column],
+                                          set: Option[Seq[(String, Column)]])
+
+  /** `MERGE INTO store USING source ON …` — the full SQL merge as ONE
+    * proportional commit. `on` must embed at least the
+    * `targetKey = sourceKey` equality (the discovery key); arbitrary
+    * residual conditions ride along. Clauses apply FIRST-TRUE-WINS in
+    * declaration order (the SQL standard); a target row matching
+    * multiple SOURCE rows is a cardinality violation and fails loudly
+    * (the nondeterministic-merge guard every lakehouse engine ships).
+    *
+    * Source column names must be disjoint from the target's — the SQL
+    * layer guarantees this by renaming; API callers own it.
+    *
+    * Proportionality: candidates come from the log-stats prune on the
+    * source's key span ([min, max] of `sourceKey`, one agg job) —
+    * UNLESS a not-matched-by-source clause is present, which by
+    * definition must examine every target row, so candidates = all
+    * live files (the cost is the semantics, not the engine). Exact
+    * discovery then rewrites only files holding a row an action
+    * actually changes. */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+            on: Column, targetKey: String, sourceKey: Column,
+            matched: Seq[WhenMatched] = Nil,
+            notMatched: Seq[WhenNotMatched] = Nil,
+            notMatchedBySource: Seq[WhenNotMatchedBySource] = Nil): Long = {
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "MERGE with no clauses is a no-op " +
+      "by construction — refuse loudly instead of committing nothing")
+    val vs = TableStore.versions(spark, root)
+    // an anchored-but-empty store still merges: nothing matches, the
+    // NOT MATCHED inserts land as the first real commit
+    val prev = if (vs.isEmpty) 0L else vs.last
+    val live =
+      if (vs.isEmpty) Seq.empty[FileEntry]
+      else TableStore.liveAt(spark, root, prev)
+    if (vs.nonEmpty)
+      TableStore.requireNoDvs(spark, root, prev, live, "Dml.merge")
+    val snapshot = TableStore.read(spark, root,
+      if (vs.isEmpty) None else Some(prev))
+    val tCols = snapshot.columns.toIndexedSeq
+    require(tCols.contains(targetKey),
+      s"merge key $targetKey is not a column of $root [${tCols.mkString(",")}]")
+    val overlap = source.columns.toSet.intersect(tCols.toSet)
+    require(overlap.isEmpty,
+      s"merge source column names must be disjoint from the target's " +
+        s"(rename the source side): shared [${overlap.mkString(",")}]")
+    val fields = snapshot.schema.fields.map(f => f.name -> f).toMap
+    (matched.flatMap(_.set).flatten ++ notMatched.flatMap(_.values) ++
+      notMatchedBySource.flatMap(_.set).flatten).foreach { case (c, _) =>
+      require(fields.contains(c),
+        s"merge assigns unknown target column $c") }
+    notMatched.foreach { nm =>
+      val missing = tCols.filterNot(nm.values.map(_._1).contains)
+      require(missing.isEmpty,
+        s"WHEN NOT MATCHED INSERT must provide every target column — " +
+          s"missing [${missing.mkString(",")}]")
+    }
+
+    // the source is read up to three times (discovery, rewrite,
+    // insert anti-join) — persist it for the op's duration so a
+    // re-computed source can't tear the passes apart (the source is
+    // batch-sized by assumption; the TABLE is what's 100 TB)
+    source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeBody(spark, root, source, on, targetKey, sourceKey,
+      matched, notMatched, notMatchedBySource, prev, live, snapshot,
+      tCols, fields)
+    finally source.unpersist()
+  }
+
+  private def mergeBody(spark: SparkSession, root: String,
+                        source: DataFrame, on: Column, targetKey: String,
+                        sourceKey: Column, matched: Seq[WhenMatched],
+                        notMatched: Seq[WhenNotMatched],
+                        notMatchedBySource: Seq[WhenNotMatchedBySource],
+                        prev: Long, live: Seq[FileEntry],
+                        snapshot: DataFrame,
+                        tCols: IndexedSeq[String],
+                        fields: Map[String, org.apache.spark.sql.types.StructField]): Long = {
+    // candidate files: key-span prune, unless NMBS forces a full look
+    val candidates: Seq[FileEntry] =
+      if (notMatchedBySource.nonEmpty) live
+      else if (live.isEmpty) Seq.empty
+      else {
+        val span = source.agg(min(sourceKey), max(sourceKey)).collect()(0)
+        if (span.isNullAt(0)) Seq.empty // no non-null keys match nothing
+        else {
+          import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+          val filters: Seq[org.apache.spark.sql.sources.Filter] =
+            Seq(GreaterThanOrEqual(targetKey, span.get(0)),
+              LessThanOrEqual(targetKey, span.get(1)))
+          graft.sources.StatsSkipping.prune(live, filters)
+        }
+      }
+
+    val srcPresent = col("__graft_src_present")
+    val src = source.withColumn("__graft_src_present", lit(true))
+
+    // the matched / not-matched split: LEFT join of candidate content
+    // against the source under the FULL on-condition
+    def joined(paths: Seq[String]): DataFrame =
+      scanFiles(spark, root, paths)
+        .withColumn("__graft_file", col("_metadata.file_path"))
+        .withColumn("__graft_rid", col("_metadata.row_index"))
+        .join(src, on, "left")
+
+    // first-true-wins action index over a joined row; actions encode
+    // as: -1 keep, 0..n-1 matched clause i, 100+i NMBS clause i
+    def actionCol(): Column = {
+      val chain = matched.zipWithIndex.map { case (wm, i) =>
+        (srcPresent.isNotNull && coalesce(wm.cond.getOrElse(lit(true)),
+          lit(false)), lit(i)) } ++
+        notMatchedBySource.zipWithIndex.map { case (wn, i) =>
+          (srcPresent.isNull && coalesce(wn.cond.getOrElse(lit(true)),
+            lit(false)), lit(100 + i)) }
+      chain.reverse.foldLeft(lit(-1): Column) { case (els, (cond, v)) =>
+        when(cond, v).otherwise(els)
+      }
+    }
+
+    // exact discovery: files holding a row some clause CHANGES, plus
+    // the cardinality guard (>1 source rows matching one target row)
+    val (touched, cardinalityBad): (Seq[String], Boolean) =
+      if (candidates.isEmpty) (Seq.empty, false)
+      else {
+        val j = joined(candidates.map(_.path))
+        val dup = j.where(srcPresent.isNotNull)
+          .groupBy(col("__graft_file"), col("__graft_rid"))
+          .count().where(col("count") > 1).limit(1).collect()
+        val hitUris = j.where(actionCol() >= 0)
+          .select(col("__graft_file")).distinct()
+          .collect().map(_.getString(0)).toSeq // bounded by file count
+        (toEntryPaths(hitUris, root, candidates), dup.nonEmpty)
+      }
+    require(!cardinalityBad,
+      s"MERGE cardinality violation at $root: a target row matches " +
+        "more than one source row — the outcome would depend on row " +
+        "order; de-duplicate the source on the merge key")
+
+    // rewrite pass: only the touched files, clause actions applied
+    val rewritten: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else {
+        val j = joined(touched)
+        val act = actionCol().as("__graft_act")
+        val deleteActs =
+          matched.zipWithIndex.collect { case (wm, i) if wm.set.isEmpty => i } ++
+            notMatchedBySource.zipWithIndex.collect {
+              case (wn, i) if wn.set.isEmpty => 100 + i }
+        val updateActs: Seq[(Int, Map[String, Column])] =
+          matched.zipWithIndex.collect { case (wm, i) if wm.set.isDefined =>
+            (i, wm.set.get.toMap) } ++
+            notMatchedBySource.zipWithIndex.collect {
+              case (wn, i) if wn.set.isDefined => (100 + i, wn.set.get.toMap) }
+        val withAct = j.withColumn("__graft_act", act)
+          .where(!col("__graft_act").isin(deleteActs: _*))
+        Some(withAct.select(tCols.map { c =>
+          updateActs.foldLeft(null: Column) { case (acc, (i, setMap)) =>
+            setMap.get(c) match {
+              case Some(v) =>
+                val cast = v.cast(fields(c).dataType)
+                if (acc == null) when(col("__graft_act") === i, cast)
+                else acc.when(col("__graft_act") === i, cast)
+              case None => acc
+            }
+          } match {
+            case null => col(c).as(c)
+            case chain => chain.otherwise(col(c)).as(c)
+          }
+        }: _*))
+      }
+
+    // inserts: source rows matching NO target row in the candidate set
+    // (candidates cover every file that can hold the key — a row
+    // unmatched there is unmatched, period), first-true-wins clause
+    val inserts: Option[DataFrame] =
+      if (notMatched.isEmpty) None
+      else {
+        val unmatchedSrc =
+          if (candidates.isEmpty) source
+          else source.join(
+            scanFiles(spark, root, candidates.map(_.path)), on,
+            "left_anti")
+        val insertAct = notMatched.zipWithIndex.reverse
+          .foldLeft(lit(-1): Column) { case (els, (wn, i)) =>
+            when(coalesce(wn.cond.getOrElse(lit(true)), lit(false)),
+              lit(i)).otherwise(els)
+          }
+        val withAct = unmatchedSrc.withColumn("__graft_iact", insertAct)
+          .where(col("__graft_iact") >= 0)
+        Some(withAct.select(tCols.map { c =>
+          notMatched.zipWithIndex.foldLeft(null: Column) {
+            case (acc, (wn, i)) =>
+              val v = wn.values.toMap.apply(c).cast(fields(c).dataType)
+              if (acc == null) when(col("__graft_iact") === i, v)
+              else acc.when(col("__graft_iact") === i, v)
+          }.otherwise(lit(null).cast(fields(c).dataType)).as(c)
+        }: _*))
+      }
+
+    if (touched.isEmpty && inserts.isEmpty) return prev
+    val n = prev + 1
+    val stats = carriedStatsCols(live)
+    val rewriteAdds =
+      rewritten.map(TableStore.writeData(_, root, n, stats))
+        .getOrElse(Seq.empty)
+    val insertAdds =
+      inserts.map(TableStore.writeData(_, root, n, stats))
+        .getOrElse(Seq.empty)
+    if (touched.isEmpty && insertAdds.isEmpty) return prev
+    // rewritten rows may carry UPDATE-assigned values and inserts are
+    // new content — both re-validate against the CHECK constraints
+    TableStore.enforceConstraints(spark, root, rewriteAdds ++ insertAdds)
+    TableStore.commitExclusive(spark, root, n, rewriteAdds ++ insertAdds,
+      touched, marker = if (touched.isEmpty) None else Some("rewrite"))
+    n
+  }
+}

@@ -309,9 +309,9 @@ object TableStore {
     * re-commits the SAME files under the next version (appends) or
     * abandons them to the vacuum sweep (conflicted snapshot ops,
     * crashes). */
-  private def writeData(df: DataFrame, root: String, n: Long,
-                        statsCols: Seq[String],
-                        bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
+  private[graft] def writeData(df: DataFrame, root: String, n: Long,
+                               statsCols: Seq[String],
+                               bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     val spark = df.sparkSession
     val attempt = java.util.UUID.randomUUID.toString.take(8)
     val sub = s"v$n-$attempt"
@@ -592,7 +592,7 @@ object TableStore {
     * (file, dv) pair, so stats pruning, file-diff feeds, clones and
     * rewrites that read files raw would silently resurrect deleted
     * rows. They refuse instead, naming the remedy. */
-  private def requireNoDvs(spark: SparkSession, root: String,
+  private[graft] def requireNoDvs(spark: SparkSession, root: String,
                            asOf: Long, live: Seq[FileEntry],
                            op: String): Unit =
     require(dvsAt(spark, root, asOf, live).isEmpty,
@@ -1901,8 +1901,8 @@ object TableStore {
     * nondeterministic upstream can't sneak a violation in. On
     * violation the staged files stay unreferenced (vacuum sweeps
     * them) and the commit never happens. */
-  private def enforceConstraints(spark: SparkSession, root: String,
-                                 entries: Seq[FileEntry]): Unit = {
+  private[graft] def enforceConstraints(spark: SparkSession, root: String,
+                                        entries: Seq[FileEntry]): Unit = {
     if (entries.isEmpty) return
     val vs = versions(spark, root)
     if (vs.isEmpty) return // first-ever write: nothing declared yet

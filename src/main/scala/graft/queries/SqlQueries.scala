@@ -191,6 +191,268 @@ object SqlQueries extends QueryPack {
     """),
     eager = true)
 
+  /** `DELETE FROM` on the SQL surface ([[graft.sources.GraftDmlRule]]
+    * → [[graft.ops.Dml.delete]]): three key-ranged commits, one keyed
+    * DELETE whose predicate mixes a PRUNABLE range conjunct with an
+    * untranslatable modulo — the log-stats prune keeps the two
+    * out-of-range files from even being READ, and the in-body
+    * `require` pins them live-by-the-same-log-entry (proportionality
+    * as part of the hash gate, not just a spec). Digests the latest
+    * state AND the pre-delete snapshot (history must survive a
+    * delete). The reference's correction loop is exactly this
+    * statement (dags/SQL/Silver/Delete_duplicates_in_silver.sql). */
+  val storeSqlDelete = GQuery(
+    "q_sql_delete",
+    (s, d) => {
+      val root = graft.TempRoots.create("graft_sqldel") + "/orders"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Seq(col("o_orderkey") < 5000L,
+        col("o_orderkey") >= 5000L && col("o_orderkey") < 10000L,
+        col("o_orderkey") >= 10000L).foreach(p =>
+        graft.ops.TableStore.append(src.where(p).coalesce(1), root,
+          statsCols = Seq("o_orderkey")))
+      s.conf.set("spark.sql.catalog.gdmlq",
+        classOf[graft.sources.GraftCatalog].getName)
+      val before = graft.ops.TableStore.liveAt(s, root, 3L).map(_.path)
+      s.sql(s"DELETE FROM gdmlq.`$root` WHERE o_orderkey >= 5000 " +
+        "AND o_orderkey < 10000 AND o_orderkey % 2 = 0").collect()
+      val after = graft.ops.TableStore.liveAt(s, root,
+        graft.ops.TableStore.versions(s, root).last).map(_.path).toSet
+      require(before.isEmpty || before.count(after.contains) == 2,
+        s"DELETE must carry the two unpruned files over live: " +
+          s"$before -> $after")
+      s.sql(s"""
+        SELECT 'latest' AS leg, COUNT(*) AS n_rows,
+               SUM(o_orderkey) AS key_sum,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_price
+        FROM gdmlq.`$root`
+        UNION ALL
+        SELECT 'pre_delete', COUNT(*), SUM(o_orderkey),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        FROM gdmlq.`$root` VERSION AS OF 3
+        ORDER BY leg""")
+    },
+    Some("""
+      SELECT 'latest' AS leg, COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price
+      FROM orders
+      WHERE NOT (o_orderkey >= 5000 AND o_orderkey < 10000
+                 AND o_orderkey % 2 = 0)
+      UNION ALL
+      SELECT 'pre_delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      FROM orders
+      ORDER BY leg
+    """),
+    eager = true)
+
+  /** `UPDATE` on the SQL surface → [[graft.ops.Dml.update]]: a keyed
+    * range update over two columns (simultaneous assignment against
+    * the ORIGINAL row), the two out-of-range files carried over live
+    * by the same log entries (`require`), and the whole final state
+    * digested per order-status group so a mis-scoped update (wrong
+    * rows, wrong columns, chained assignment) breaks the hash. */
+  val storeSqlUpdate = GQuery(
+    "q_sql_update",
+    (s, d) => {
+      val root = graft.TempRoots.create("graft_squpd") + "/orders"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Seq(col("o_orderkey") < 5000L,
+        col("o_orderkey") >= 5000L && col("o_orderkey") < 10000L,
+        col("o_orderkey") >= 10000L).foreach(p =>
+        graft.ops.TableStore.append(src.where(p).coalesce(1), root,
+          statsCols = Seq("o_orderkey")))
+      s.conf.set("spark.sql.catalog.gdmlq",
+        classOf[graft.sources.GraftCatalog].getName)
+      val before = graft.ops.TableStore.liveAt(s, root, 3L).map(_.path)
+      s.sql(s"UPDATE gdmlq.`$root` SET " +
+        "o_totalprice = o_totalprice + 1000.0, " +
+        "o_orderstatus = concat('U', o_orderstatus) " +
+        "WHERE o_orderkey >= 5000 AND o_orderkey < 10000").collect()
+      val after = graft.ops.TableStore.liveAt(s, root,
+        graft.ops.TableStore.versions(s, root).last).map(_.path).toSet
+      require(before.isEmpty || before.count(after.contains) == 2,
+        s"UPDATE must carry the two unpruned files over live: " +
+          s"$before -> $after")
+      s.sql(s"""
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+               SUM(o_orderkey) AS key_sum,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_price
+        FROM gdmlq.`$root`
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    },
+    Some("""
+      SELECT CASE WHEN o_orderkey >= 5000 AND o_orderkey < 10000
+                  THEN 'U' || o_orderstatus ELSE o_orderstatus END
+               AS o_orderstatus,
+             COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(SUM(CAST(
+               CASE WHEN o_orderkey >= 5000 AND o_orderkey < 10000
+                    THEN o_totalprice + 1000.0 ELSE o_totalprice END
+               AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      FROM orders
+      GROUP BY 1
+      ORDER BY o_orderstatus
+    """),
+    eager = true)
+
+  /** `MERGE INTO` on the SQL surface → [[graft.ops.Dml.merge]]: one
+    * statement carrying all three clause families — a conditional
+    * matched DELETE, a matched UPDATE reading BOTH sides, and a
+    * NOT MATCHED INSERT landing synthetic high keys — against a
+    * three-file store. The `require` pins the high-range file live
+    * (its keys match nothing; exact discovery must spare it even
+    * though the source's key span covers everything). The oracle
+    * restates the slice algebra from the source table. */
+  val storeSqlMerge = GQuery(
+    "q_sql_merge",
+    (s, d) => {
+      val root = graft.TempRoots.create("graft_sqmrg") + "/orders"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Seq(col("o_orderkey") < 5000L,
+        col("o_orderkey") >= 5000L && col("o_orderkey") < 10000L,
+        col("o_orderkey") >= 10000L).foreach(p =>
+        graft.ops.TableStore.append(src.where(p).coalesce(1), root,
+          statsCols = Seq("o_orderkey")))
+      s.conf.set("spark.sql.catalog.gdmlq",
+        classOf[graft.sources.GraftCatalog].getName)
+      // the high-range file holds no matched key — it must survive
+      // empty-corpus sweeps have no files at all — Option, not throw
+      val highFile = graft.ops.TableStore.liveAt(s, root, 3L)
+        .find(_.mins.get("o_orderkey").exists(_ >= 10000L))
+        .map(_.path)
+      src.where(col("o_orderkey") < 7500L)
+        .select(col("o_orderkey").as("m_key"),
+          col("o_orderstatus").as("m_status"),
+          col("o_totalprice").as("m_price"))
+        .union(src.where(
+          col("o_orderkey") >= 10000L && col("o_orderkey") < 12500L)
+          .select((col("o_orderkey") + 100000000L).as("m_key"),
+            col("o_orderstatus").as("m_status"),
+            col("o_totalprice").as("m_price")))
+        .createOrReplaceTempView("gate_merge_src")
+      s.sql(s"""
+        MERGE INTO gdmlq.`$root` t USING gate_merge_src s
+        ON t.o_orderkey = s.m_key
+        WHEN MATCHED AND s.m_key >= 5000 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET
+          o_totalprice = t.o_totalprice + s.m_price
+        WHEN NOT MATCHED THEN INSERT
+          (o_orderkey, o_orderstatus, o_totalprice)
+          VALUES (s.m_key, s.m_status, s.m_price)""").collect()
+      val after = graft.ops.TableStore.liveAt(s, root,
+        graft.ops.TableStore.versions(s, root).last).map(_.path).toSet
+      require(highFile.forall(after.contains),
+        s"MERGE exact discovery must spare the unmatched high file " +
+          s"$highFile: $after")
+      s.sql(s"""
+        SELECT COUNT(*) AS n_rows, SUM(o_orderkey) AS key_sum,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_price,
+               COUNT(DISTINCT o_orderstatus) AS n_status
+        FROM gdmlq.`$root`""")
+    },
+    Some("""
+      WITH survivors AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey < 7500
+                    THEN o_totalprice + o_totalprice
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders
+        WHERE NOT (o_orderkey >= 5000 AND o_orderkey < 7500)
+      ), inserted AS (
+        SELECT o_orderkey + 100000000 AS o_orderkey,
+               o_totalprice, o_orderstatus
+        FROM orders
+        WHERE o_orderkey >= 10000 AND o_orderkey < 12500
+      ), final AS (
+        SELECT * FROM survivors UNION ALL SELECT * FROM inserted
+      )
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price,
+             COUNT(DISTINCT o_orderstatus) AS n_status
+      FROM final
+    """),
+    eager = true)
+
+  /** The maintenance lifecycle as SQL (`CALL` procedures,
+    * [[graft.sources.GraftProcedures]]): constraint declaration,
+    * small-file OPTIMIZE, and a zero-mutation VACUUM dry run — each
+    * returning its evidence row, each the same TableStore commit the
+    * API takes. The digest carries SF-STABLE evidence (content sums,
+    * version counts, boolean contract bits) so a procedure that
+    * mutated the wrong thing — or a dry run that mutated ANYTHING —
+    * breaks the hash, not just a spec. */
+  val storeSqlMaintenance = GQuery(
+    "q_sql_maintenance",
+    (s, d) => {
+      val root = graft.TempRoots.create("graft_sqlmx") + "/orders"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      // six small key-ranged commits: the compaction fodder
+      (0 until 6).foreach { i =>
+        graft.ops.TableStore.append(
+          src.where(col("o_orderkey") % 6 === i).coalesce(1), root,
+          statsCols = Seq("o_orderkey"))
+      }
+      s.conf.set("spark.sql.catalog.gmx",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.sql(s"CALL gmx.add_constraint(table => '$root', " +
+        "name => 'price_pos', expr => 'o_totalprice >= 0')").collect()
+      val filesBefore = graft.ops.TableStore.liveAt(s, root, 7L).size
+      // target 1 GiB: the six slices must classify as small at every
+      // stamped SF (sf10's sixths are ~100 MB) for the fold to fire
+      val opt = s.sql(s"CALL gmx.optimize(table => '$root', " +
+        "target_mb => 1024, stats_cols => 'o_orderkey')").collect().head
+      require(filesBefore == 0 || opt.getLong(0) == 8L,
+        s"optimize commit version: $opt")
+      val filesAfter = opt.getLong(1)
+      val dry = s.sql(s"CALL gmx.vacuum(table => '$root', " +
+        "keep_versions => 2, dry_run => true)").collect().head
+      // dry run evidence: horizon 7, six versions dropped, nothing run
+      val v1Readable =
+        try { graft.ops.TableStore.read(s, root, Some(1L)).limit(1)
+          .count() >= 0L }
+        catch { case _: Throwable => false }
+      s.sql(s"""
+        SELECT COUNT(*) AS n_rows, SUM(o_orderkey) AS key_sum,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_price,
+               CAST(${if (filesAfter <= filesBefore && filesAfter >= 1)
+                   1 else 0} AS BIGINT) AS files_folded,
+               CAST(${dry.getLong(0)} AS BIGINT) AS horizon,
+               CAST(${dry.getLong(1)} AS BIGINT) AS versions_dropped,
+               CAST(${if (!dry.getBoolean(4) && v1Readable) 1 else 0}
+                 AS BIGINT) AS dry_run_zero_mutation
+        FROM gmx.`$root`""")
+    },
+    Some("""
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price,
+             CAST(1 AS BIGINT) AS files_folded,
+             CAST(7 AS BIGINT) AS horizon,
+             CAST(6 AS BIGINT) AS versions_dropped,
+             CAST(1 AS BIGINT) AS dry_run_zero_mutation
+      FROM orders
+    """),
+    eager = true)
+
   override def all: Seq[GQuery] =
-    Seq(storeSql, storeSqlChanges, storeSqlInsert)
+    Seq(storeSql, storeSqlChanges, storeSqlInsert,
+      storeSqlDelete, storeSqlUpdate, storeSqlMerge,
+      storeSqlMaintenance)
 }

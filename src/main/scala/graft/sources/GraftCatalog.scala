@@ -48,7 +48,8 @@ import graft.ops.TableStore
   * (first-commit schema anchoring, vacuum retention, pinned
   * readers), so those fail loudly with the API remedy.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Option[String] = None
@@ -154,4 +155,41 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "graft store roots are physical paths; rename the directory and " +
         "re-address it")
+
+  // ---- maintenance procedures (`CALL cat.optimize(…)` etc.) ----
+  // DDL is refused above on purpose; the LIFECYCLE verbs a table
+  // owner runs (optimize / vacuum / purge_deletes / constraints /
+  // clone / restore) are commits with audited evidence rows, so they
+  // DO belong on the SQL surface — see [[GraftProcedures]].
+
+  /** Procedure `table =>` arguments resolve exactly like catalog
+    * identifiers: absolute store paths pass through, names resolve
+    * under the configured root. */
+  private def resolveArg(name: String): String =
+    if (name.startsWith("/") || name.contains("://")) name
+    else pathFor(Identifier.of(Array.empty, name))
+
+  private lazy val procedures: Map[String, GraftProcedure] =
+    GraftProcedures.all(resolveArg)
+      .map(pr => pr.name -> new GraftProcedure(pr)).toMap
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.isEmpty,
+      s"graft procedures live at the catalog top level: " +
+        s"$catalogName.${ident.name}")
+    procedures.getOrElse(ident.name,
+      throw new UnsupportedOperationException(
+        s"unknown procedure ${ident.name} — graft has " +
+          procedures.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] = {
+    if (namespace.nonEmpty)
+      throw new NoSuchNamespaceException(
+        (catalogName +: namespace.toSeq))
+    procedures.keys.toSeq.sorted
+      .map(n => Identifier.of(Array.empty, n)).toArray
+  }
 }

@@ -1,0 +1,309 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, ExprId, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, V2CommandExec}
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.ops.Dml
+
+/** Row-level DML on the SQL surface: `DELETE FROM` / `UPDATE` /
+  * `MERGE INTO` against [[GraftCatalog]] tables, routed through the
+  * same proportional copy-on-write commits the API takes
+  * ([[graft.ops.Dml]] — log-stats pruning, exact touched-file
+  * discovery, one commit). The reference's correction loop IS these
+  * statements (dags/SQL/Silver/Delete_duplicates_in_silver.sql,
+  * dags/Reprocessing.py:96-126), so a reference user gets their
+  * mutation surface verbatim.
+  *
+  * Mechanics: Spark parses the statements into
+  * `DeleteFromTable`/`UpdateTable`/`MergeIntoTable`; for tables that
+  * are not `SupportsRowLevelOperations` its own rewrites give up
+  * (UPDATE/MERGE throw TABLE_OPERATION). [[GraftDmlRule]] — an
+  * injected resolution rule — claims the fully-RESOLVED command when
+  * the target is a graft store, screens the shapes the engine refuses
+  * (subqueries, nondeterminism, time-travel pins), and replaces the
+  * node with a leaf command carrying the store root, the resolved
+  * expressions, and the attribute maps needed to re-bind them by NAME
+  * at execution ([[GraftRewrite]] leaves DML targets un-rewritten so
+  * the V2 relation is still visible here). [[GraftDmlStrategy]] plans
+  * the leaf into a [[V2CommandExec]] that runs the store op — EXPLAIN
+  * stays side-effect-free, execution happens exactly once at
+  * `collect`. */
+object GraftDmlRule {
+
+  /** The graft V2 relation under optional subquery aliases. */
+  private[sources] object GraftTarget {
+    def unapply(plan: LogicalPlan)
+        : Option[(DataSourceV2Relation, GraftStoreTable)] = plan match {
+      case SubqueryAlias(_, child) => unapply(child)
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftStoreTable] =>
+        Some((r, r.table.asInstanceOf[GraftStoreTable]))
+      case _ => None
+    }
+  }
+
+  private[sources] def screen(what: String, exprs: Seq[Expression]): Unit =
+    exprs.foreach { e =>
+      require(!SubqueryExpression.hasSubquery(e),
+        s"graft $what does not support subqueries — materialize the " +
+          "subquery (temp view / join through MERGE) first")
+      require(!e.exists(_.isInstanceOf[AggregateExpression]),
+        s"graft $what does not allow aggregate functions")
+      require(e.deterministic,
+        s"graft $what must be deterministic — discovery and rewrite " +
+          "evaluate it in separate jobs")
+    }
+
+  private[sources] def requireWritable(t: GraftStoreTable,
+                                       what: String): Unit =
+    require(t.requestedVersion.isEmpty,
+      s"a time-travel pin is read-only: $what targets ${t.root}'s " +
+        "latest version — drop VERSION AS OF / TIMESTAMP AS OF")
+
+  /** `Seq` of conjunction factors. */
+  private[sources] def conjuncts(e: Expression): Seq[Expression] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+}
+
+case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import GraftDmlRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case d @ DeleteFromTable(GraftTarget(rel, table), cond)
+        if d.resolved =>
+      requireWritable(table, "DELETE")
+      screen("DELETE", Seq(cond))
+      GraftDeleteCommand(table.root, cond, rel.output)
+
+    case u @ UpdateTable(GraftTarget(rel, table), assignments, cond)
+        if u.resolved =>
+      requireWritable(table, "UPDATE")
+      screen("UPDATE", assignments.map(_.value) ++ cond.toSeq)
+      val set = assignments.map { a =>
+        a.key match {
+          case attr: AttributeReference => attr.name -> a.value
+          case other => throw new IllegalArgumentException(
+            s"graft UPDATE assigns whole columns only, got $other — " +
+              "nested-field updates are not supported")
+        }
+      }
+      GraftUpdateCommand(table.root, set, cond, rel.output)
+
+    case m @ MergeIntoTable(GraftTarget(rel, table), source, onCond,
+        matchedActions, notMatchedActions, notMatchedBySourceActions,
+        withSchemaEvolution) if m.resolved =>
+      requireWritable(table, "MERGE")
+      require(!withSchemaEvolution,
+        "graft MERGE does not evolve schemas — add columns through " +
+          "SchemaEvolution/readAs first, then merge")
+      val actionExprs = (matchedActions ++ notMatchedActions ++
+        notMatchedBySourceActions).flatMap {
+        case UpdateAction(c, as, _) => c.toSeq ++ as.map(_.value)
+        case InsertAction(c, as) => c.toSeq ++ as.map(_.value)
+        case DeleteAction(c) => c.toSeq
+        case other => throw new IllegalArgumentException(
+          s"graft MERGE does not support action $other")
+      }
+      screen("MERGE", onCond +: actionExprs)
+      // the equi-key the proportional touch discovery keys on: one
+      // conjunct of ON must be a bare target column = source expr
+      val targetIds = rel.output.map(_.exprId).toSet
+      val sourceIds = source.output.map(_.exprId).toSet
+      def refsOnly(e: Expression, ids: Set[ExprId]): Boolean =
+        e.references.forall(a => ids.contains(a.exprId))
+      val equi = conjuncts(onCond).collectFirst {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            l: AttributeReference, r)
+            if targetIds.contains(l.exprId) && refsOnly(r, sourceIds) =>
+          (l, r)
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            l, r: AttributeReference)
+            if targetIds.contains(r.exprId) && refsOnly(l, sourceIds) =>
+          (r, l)
+      }.getOrElse(throw new IllegalArgumentException(
+        "graft MERGE needs at least one `target.column = " +
+          "source_expression` equality in ON (same types — a coerced " +
+          "key hides the column behind a cast) to key the touch " +
+          "discovery on"))
+      GraftMergeCommand(table.root, source, onCond, equi._1, equi._2,
+        matchedActions, notMatchedActions, notMatchedBySourceActions,
+        rel.output)
+  }
+}
+
+/** Shared execution plumbing: re-bind resolved expressions by NAME so
+  * they evaluate against the store's own reads (fresh parquet scans
+  * whose attributes differ from the analyzed relation's). */
+private[sources] trait GraftDmlExecHelpers { self: V2CommandExec =>
+
+  protected def rebind(e: Expression,
+                       byId: Map[ExprId, String]): Column =
+    Bridge.column(e.transform {
+      case a: AttributeReference => byId.get(a.exprId) match {
+        case Some(n) => UnresolvedAttribute(Seq(n))
+        case None => throw new IllegalArgumentException(
+          s"expression column $a resolves to neither the target " +
+            "table nor the merge source")
+      }
+    })
+
+  protected def attrMap(attrs: Seq[Attribute]): Map[ExprId, String] =
+    attrs.map(a => a.exprId -> a.name).toMap
+}
+
+case class GraftDeleteCommand(root: String, cond: Expression,
+                              targetAttrs: Seq[Attribute])
+    extends LeafCommand {
+  override def simpleString(maxFields: Int): String =
+    s"GraftDelete $root cond=${cond.sql}"
+}
+
+case class GraftUpdateCommand(root: String,
+                              set: Seq[(String, Expression)],
+                              cond: Option[Expression],
+                              targetAttrs: Seq[Attribute])
+    extends LeafCommand {
+  override def simpleString(maxFields: Int): String =
+    s"GraftUpdate $root set=[${set.map(_._1).mkString(",")}]"
+}
+
+/** A LEAF on purpose: the source plan rides as a field, not a child —
+  * the command's expressions reference target attributes no child
+  * could provide (CheckAnalysis would flag them missing), and the
+  * source re-enters its own full analyze/optimize cycle at execution
+  * (`Bridge.dataFrame`), so nothing is lost by hiding it here. */
+case class GraftMergeCommand(root: String, source: LogicalPlan,
+                             onCond: Expression,
+                             targetKey: AttributeReference,
+                             sourceKey: Expression,
+                             matchedActions: Seq[MergeAction],
+                             notMatchedActions: Seq[MergeAction],
+                             notMatchedBySourceActions: Seq[MergeAction],
+                             targetAttrs: Seq[Attribute])
+    extends LeafCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def simpleString(maxFields: Int): String =
+    s"GraftMerge $root on=${onCond.sql}"
+}
+
+case class GraftDmlStrategy(session: SparkSession) extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GraftDeleteCommand(root, cond, attrs) =>
+      GraftDeleteExec(root, cond, attrs) :: Nil
+    case GraftUpdateCommand(root, set, cond, attrs) =>
+      GraftUpdateExec(root, set, cond, attrs) :: Nil
+    case m: GraftMergeCommand =>
+      GraftMergeExec(m) :: Nil
+    case _ => Nil
+  }
+}
+
+case class GraftDeleteExec(root: String, cond: Expression,
+                           targetAttrs: Seq[Attribute])
+    extends V2CommandExec with GraftDmlExecHelpers {
+  override def output: Seq[Attribute] = Seq.empty
+  override def children: Seq[SparkPlan] = Seq.empty
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SparkPlan = this
+  override def run(): Seq[InternalRow] = {
+    Dml.delete(session, root, rebind(cond, attrMap(targetAttrs)))
+    Seq.empty
+  }
+}
+
+case class GraftUpdateExec(root: String, set: Seq[(String, Expression)],
+                           cond: Option[Expression],
+                           targetAttrs: Seq[Attribute])
+    extends V2CommandExec with GraftDmlExecHelpers {
+  override def output: Seq[Attribute] = Seq.empty
+  override def children: Seq[SparkPlan] = Seq.empty
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SparkPlan = this
+  override def run(): Seq[InternalRow] = {
+    val byId = attrMap(targetAttrs)
+    Dml.update(session, root,
+      set.map { case (c, v) => c -> rebind(v, byId) },
+      cond.map(rebind(_, byId)))
+    Seq.empty
+  }
+}
+
+/** MERGE execution: the source plan runs as its own frame with
+  * columns renamed positionally to `__graft_src_<i>` (disjoint from
+  * any target name by construction), every action expression re-bound
+  * into the (target ∪ renamed-source) namespace, and the whole thing
+  * handed to [[graft.ops.Dml.merge]]'s proportional commit. */
+case class GraftMergeExec(cmd: GraftMergeCommand)
+    extends V2CommandExec with GraftDmlExecHelpers {
+  override def output: Seq[Attribute] = Seq.empty
+  override def children: Seq[SparkPlan] = Seq.empty
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SparkPlan = this
+
+  override def run(): Seq[InternalRow] = {
+    val srcNames = cmd.source.output.zipWithIndex
+      .map { case (_, i) => s"__graft_src_$i" }
+    val src = Bridge.dataFrame(session, cmd.source).toDF(srcNames: _*)
+    val byId = attrMap(cmd.targetAttrs) ++
+      cmd.source.output.zip(srcNames).map { case (a, n) => a.exprId -> n }
+    val targetCols = cmd.targetAttrs.map(_.name)
+
+    def toSet(as: Seq[Assignment]): Seq[(String, Column)] =
+      as.map { a =>
+        a.key match {
+          case attr: AttributeReference => attr.name -> rebind(a.value, byId)
+          case other => throw new IllegalArgumentException(
+            s"graft MERGE assigns whole columns only, got $other")
+        }
+      }
+
+    val matched = cmd.matchedActions.map {
+      case UpdateAction(c, as, _) =>
+        Dml.WhenMatched(c.map(rebind(_, byId)), Some(toSet(as)))
+      case DeleteAction(c) =>
+        Dml.WhenMatched(c.map(rebind(_, byId)), None)
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN MATCHED action $other")
+    }
+    val notMatched = cmd.notMatchedActions.map {
+      case InsertAction(c, as) =>
+        val given = toSet(as).toMap
+        // SQL allows a partial INSERT column list: unnamed target
+        // columns land as NULL (and face the CHECK constraints)
+        val values = targetCols.map(tc =>
+          tc -> given.getOrElse(tc,
+            org.apache.spark.sql.functions.lit(null)))
+        Dml.WhenNotMatched(c.map(rebind(_, byId)), values)
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED action $other")
+    }
+    val nmbs = cmd.notMatchedBySourceActions.map {
+      case UpdateAction(c, as, _) =>
+        Dml.WhenNotMatchedBySource(c.map(rebind(_, byId)), Some(toSet(as)))
+      case DeleteAction(c) =>
+        Dml.WhenNotMatchedBySource(c.map(rebind(_, byId)), None)
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action $other")
+    }
+
+    Dml.merge(session, cmd.root, src,
+      on = rebind(cmd.onCond, byId),
+      targetKey = cmd.targetKey.name,
+      sourceKey = rebind(cmd.sourceKey, byId),
+      matched = matched, notMatched = notMatched,
+      notMatchedBySource = nmbs)
+    Seq.empty
+  }
+}

@@ -27,14 +27,37 @@ import org.apache.spark.sql.types.StructType
   * (same names, types, exprIds), so parent operators are untouched.
   * Snapshots carrying merge-on-read delete vectors are left on the
   * dv-aware V1Scan path — a raw file scan would resurrect deleted
-  * rows; correctness owns the fork. */
+  * rows; correctness owns the fork.
+  *
+  * DML TARGETS are left alone: the relation under a
+  * `DeleteFromTable`/`UpdateTable`/`MergeIntoTable` must stay a V2
+  * relation for [[GraftDmlRule]] to claim once the command resolves
+  * (the rewrite would otherwise fire in the iteration where the
+  * relation resolves but the condition hasn't yet — stranding the
+  * command over a plain parquet relation no DML path understands).
+  * A merge's SOURCE side still rewrites: only the mutation target is
+  * protected. */
 case class GraftRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, MergeIntoTable, UpdateTable}
+
+  private def dmlTargets(plan: LogicalPlan): Set[LogicalPlan] =
+    plan.collect {
+      case d: DeleteFromTable =>
+        d.table.collect { case r: DataSourceV2Relation => r }
+      case u: UpdateTable =>
+        u.table.collect { case r: DataSourceV2Relation => r }
+      case m: MergeIntoTable =>
+        m.targetTable.collect { case r: DataSourceV2Relation => r }
+    }.flatten.toSet
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val protectedRels = dmlTargets(plan)
     plan.transformUp {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftStoreTable] &&
-            !r.table.asInstanceOf[GraftStoreTable].hasDeleteVectors =>
+            !r.table.asInstanceOf[GraftStoreTable].hasDeleteVectors &&
+            !protectedRels.contains(r) =>
         val t = r.table.asInstanceOf[GraftStoreTable]
         val index = new GraftFileIndex(session, t.root,
           t.resolvedVersion, t.liveEntries)
@@ -48,4 +71,5 @@ case class GraftRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         LogicalRelation(rel, r.output, None, isStreaming = false,
           stream = None)
     }
+  }
 }

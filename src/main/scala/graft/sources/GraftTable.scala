@@ -39,7 +39,7 @@ import graft.ops.TableStore
   *    delegation to the dv-aware [[TableStore.read]], with the same
   *    [[StatsSkipping]] file pruning when the snapshot is vector-free.
   */
-class GraftStoreTable(val root: String, requestedVersion: Option[Long],
+class GraftStoreTable(val root: String, val requestedVersion: Option[Long],
                       providedSchema: Option[StructType] = None)
     extends Table with SupportsRead with SupportsWrite {
 
