@@ -481,12 +481,22 @@ object Similarity {
     * metadata, the only collect); init is the k lowest-id rows'
     * sub-vectors; empty cells keep their previous centroid. */
   def pqCodebooks(corpus: DataFrame, cId: String, cVec: String,
-                  m: Int, k: Int, iters: Int): Seq[Seq[Seq[Long]]] = {
+                  m: Int, k: Int, iters: Int): Seq[Seq[Seq[Long]]] =
+    pqCodebooksScaled(
+      corpus.select(col(cId).as("id"), scaledVec(col(cVec)).as("sv")),
+      m, k, iters)
+
+  /** [[pqCodebooks]] over an ALREADY-SCALED `(id, sv)` frame — the
+    * shared core, and the entry point for the residual chain
+    * ([[ivfPqResidualTopK]]), whose "vectors" are integer residuals
+    * that must never be re-scaled. */
+  private[graft] def pqCodebooksScaled(svFrame: DataFrame, m: Int,
+                                       k: Int, iters: Int)
+      : Seq[Seq[Seq[Long]]] = {
     import org.apache.spark.sql.graftbridge.Bridge
     require(m >= 1 && k >= 1 && iters >= 0,
       s"pq needs m,k >= 1 and iters >= 0: m=$m k=$k iters=$iters")
-    val sv = corpus
-      .select(col(cId).as("id"), scaledVec(col(cVec)).as("sv"))
+    val sv = svFrame.select(col("id"), col("sv"))
       .persist() // scanned once per iteration
     try {
       val seed = sv.orderBy("id").limit(k).collect()
@@ -779,6 +789,201 @@ object Similarity {
       Bridge.column(graft.functions.NearestCentroid(
         Bridge.expression(scaledVec(col(cVec))),
         Bridge.expression(centLit))).as("cent_idx"))
+  }
+
+  /** RESIDUAL IVF-PQ — the standard recall lift over [[ivfPqTopK]]
+    * (Jégou et al.'s IVFADC encodes residuals, not raw vectors): PQ
+    * codebooks train on `x − centroid(cell(x))`, so their k centroids
+    * spend NO capacity re-describing which cell a vector sits in —
+    * the coarse index already knows — and all of it on the
+    * within-cell detail the ranking actually needs. On clustered
+    * corpora (the shape real embedding fleets have) the residual
+    * magnitudes are the intra-cluster spread, a fraction of the raw
+    * coordinates, so quantization error shrinks by the cluster
+    * separation ratio.
+    *
+    * Scoring stays EXACT in its decomposition: dot(q, cent + r̂) =
+    * dot(q, cent) + dot(q, r̂). The first term is the full-precision
+    * coarse dot the probe ranking already computes (carried, not
+    * recomputed); the second is standard ADC against the residual
+    * books — the LUT still expands ONCE per query (it depends on q
+    * and the books, not the cell). Integer arithmetic end to end, so
+    * the DuckDB oracle ([[ivfPqResidualTopKSql]]) replays the whole
+    * chain value-exactly. Scale shape unchanged from ivfPqTopK: the
+    * corpus side touches only (cell, m-byte codes); one extra int64
+    * add per candidate. */
+  def ivfPqResidualTopK(queries: DataFrame, qId: String, qVec: String,
+                        corpus: DataFrame, cId: String, cVec: String,
+                        numCentroids: Int, nProbe: Int,
+                        m: Int, k: Int, iters: Int,
+                        topK: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarse: Seq[Seq[Long]] = corpus
+      .select(col(cId).as("id"), scaledVec(col(cVec)).as("sv"))
+      .orderBy("id").limit(numCentroids)
+      .collect().toIndexedSeq.map(_.getSeq[Long](1).toIndexedSeq)
+    val centLit = typedLit(coarse)
+    // corpus residuals: cell by argmax dot (the IVF assignment), then
+    // rv = sv − cent_cell elementwise — still exact scaled integers
+    val resid = corpus
+      .select(col(cId).as("id"), scaledVec(col(cVec)).as("sv"))
+      .withColumn("cent_idx", Bridge.column(graft.functions.NearestCentroid(
+        Bridge.expression(col("sv")), Bridge.expression(centLit))))
+      .withColumn("rv", zip_with(col("sv"),
+        element_at(centLit, col("cent_idx") + 1), (a, b) => a - b))
+    val books = pqCodebooksScaled(
+      resid.select(col("id"), col("rv").as("sv")), m, k, iters)
+    val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val dsub = books.head.head.length
+    val codesCol = array(books.indices.map { s =>
+      Bridge.column(graft.functions.NearestCentroidL2(
+        Bridge.expression(slice(col("rv"), s * dsub + 1, dsub)),
+        Bridge.expression(typedLit(books(s).map(_.toSeq).toSeq))))
+    }: _*)
+    val index = resid.select(col("id").as("neighbour_id"),
+      col("cent_idx"), codesCol.as("_codes"))
+    // probes carry BOTH the lut (per query, once) and the coarse dot
+    // _d (per probe) — _d is the exact first term of the score
+    val probes = queries
+      .select(col(qId).as("query_id"), scaledVec(col(qVec)).as("_qv"))
+      .withColumn("_lut", Bridge.column(graft.functions.PqLut(
+        Bridge.expression(col("_qv")), Bridge.expression(booksLit))))
+      .crossJoin(broadcast(coarse.zipWithIndex
+        .map { case (v, i) => (i, v) }.toDF("cent_idx", "_cent")))
+      .withColumn("_d", dotScaled(col("_qv"), col("_cent")))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("_d").desc, col("cent_idx"))))
+      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("cent_idx"), col("_lut"), col("_d"))
+    val scored = index.join(broadcast(probes), "cent_idx")
+      .withColumn("sim_scaled",
+        col("_d") + Bridge.column(graft.functions.PqAdc(
+          Bridge.expression(col("_lut")),
+          Bridge.expression(col("_codes")))))
+      .select("query_id", "neighbour_id", "sim_scaled")
+    topKPerQuery(scored, topK)
+  }
+
+  /** DuckDB mirror of [[ivfPqResidualTopK]]: coarse cells first, then
+    * the full PQ train/encode replay over the RESIDUAL rows, probes
+    * carrying their exact coarse dot, and scoring as that dot plus
+    * the list-folded ADC sum. */
+  def ivfPqResidualTopKSql(table: String, idCol: String, vecCol: String,
+                           dim: Int, numCentroids: Int, nProbe: Int,
+                           m: Int, k: Int, iters: Int, topK: Int,
+                           queryPred: String): String = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val sv = scaledVecSql(vecCol)
+    def assign(cb: String, out: String): String =
+      s"""$out AS (
+        SELECT id, sub, sv, cent_idx FROM (
+          SELECT s.id, s.sub, s.sv, c.cent_idx,
+                 ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                   ORDER BY ${l2PreScaledSql("s.sv", "c.cent")} ASC,
+                            c.cent_idx) AS rn
+          FROM subv s JOIN $cb c USING (sub))
+        WHERE rn = 1)"""
+    def update(assignT: String, prevCb: String, out: String): String =
+      s"""${out}_stats AS (
+        SELECT sub, cent_idx, p.pos,
+               CAST(FLOOR(CAST(SUM(sv[p.pos]) AS DOUBLE) / COUNT(*)
+                 + 0.5) AS BIGINT) AS mean
+        FROM $assignT, positions p
+        GROUP BY sub, cent_idx, p.pos),
+      ${out}_new AS (
+        SELECT sub, cent_idx, list(mean ORDER BY pos) AS cent
+        FROM ${out}_stats GROUP BY sub, cent_idx),
+      $out AS (
+        SELECT p.sub, p.cent_idx, COALESCE(u.cent, p.cent) AS cent
+        FROM $prevCb p LEFT JOIN ${out}_new u USING (sub, cent_idx))"""
+    val rounds = (0 until iters).map { i =>
+      assign(s"cb$i", s"assign$i") + ",\n      " +
+        update(s"assign$i", s"cb$i", s"cb${i + 1}")
+    }.mkString(",\n      ")
+    s"""
+      WITH corpus AS (SELECT $idCol AS id, $sv AS v FROM $table),
+      coarse AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT)
+                 AS cell, v AS cent
+        FROM (SELECT * FROM corpus ORDER BY id LIMIT $numCentroids)),
+      cells AS (
+        SELECT id, cell FROM (
+          SELECT c.id, co.cell,
+                 ROW_NUMBER() OVER (PARTITION BY c.id
+                   ORDER BY ${dotPreScaledSql("c.v", "co.cent")} DESC,
+                            co.cell) AS rn
+          FROM corpus c CROSS JOIN coarse co)
+        WHERE rn = 1),
+      resid AS (
+        SELECT c.id, ce.cell,
+               list_transform(list_zip(c.v, co.cent),
+                 p -> p[1] - p[2]) AS v
+        FROM corpus c JOIN cells ce USING (id)
+        JOIN coarse co USING (cell)),
+      subs AS (
+        SELECT CAST(unnest(generate_series(0, ${m - 1})) AS INT) AS sub),
+      positions AS (
+        SELECT unnest(generate_series(1, $dsub)) AS pos),
+      subv AS (
+        SELECT id, sub,
+               list_slice(v, sub * $dsub + 1, sub * $dsub + $dsub) AS sv
+        FROM resid, subs),
+      init AS (
+        SELECT sub,
+               CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY id) - 1
+                 AS INT) AS cent_idx,
+               sv AS cent
+        FROM subv
+        WHERE id IN (SELECT id FROM resid ORDER BY id LIMIT $k)),
+      cb0 AS (SELECT sub, cent_idx, cent FROM init),
+      $rounds,
+      ${assign(s"cb$iters", "enc")},
+      q AS (SELECT $idCol AS query_id, $sv AS qv
+            FROM $table WHERE $queryPred),
+      probes AS (
+        SELECT query_id, cell, d FROM (
+          SELECT q.query_id, co.cell,
+                 ${dotPreScaledSql("q.qv", "co.cent")} AS d,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY ${dotPreScaledSql("q.qv", "co.cent")} DESC,
+                            co.cell) AS rn
+          FROM q CROSS JOIN coarse co)
+        WHERE rn <= $nProbe),
+      qsub AS (
+        SELECT query_id, sub,
+               list_slice(qv, sub * $dsub + 1, sub * $dsub + $dsub) AS qsv
+        FROM q, subs),
+      lut AS (
+        SELECT qs.query_id, qs.sub, c.cent_idx,
+               ${dotPreScaledSql("qs.qsv", "c.cent")} AS d
+        FROM qsub qs JOIN cb$iters c USING (sub)),
+      enc_list AS (
+        SELECT id, list(cent_idx ORDER BY sub) AS codes
+        FROM enc GROUP BY id),
+      lut_list AS (
+        SELECT query_id, list(d ORDER BY sub, cent_idx) AS lt
+        FROM lut GROUP BY query_id),
+      scored AS (
+        SELECT ca.query_id, ca.id AS neighbour_id,
+               CAST(ca.d + list_sum(list_transform(e.codes,
+                 (c, s) -> l.lt[(s - 1) * $k + c + 1])) AS BIGINT)
+                 AS sim_scaled
+        FROM (SELECT p.query_id, p.d, ce.id
+              FROM probes p JOIN cells ce USING (cell)) ca
+        JOIN enc_list e USING (id)
+        JOIN lut_list l USING (query_id)),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim_scaled DESC, neighbour_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbour_id, sim_scaled, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= $topK
+      ORDER BY query_id, rank
+    """
   }
 
   /** DuckDB mirror of [[ivfPqTopK]]: the [[pqTopKSql]] training/

@@ -708,6 +708,55 @@ object TableStore {
     n
   }
 
+  /** Anchor a FRESH path's schema without committing data — the
+    * `CREATE TABLE` of the commit-log model: the path becomes a
+    * readable TYPED-EMPTY store (the anchored-but-never-committed
+    * state [[read]] and the SQL catalog already understand), and the
+    * first real commit lands as version 1. Published by the same
+    * staged-rename the first write uses, so a racing CREATE cannot
+    * tear the anchor; losing the race is a loud error, never a
+    * silent clobber. Refuses paths that are already stores. */
+  def createEmpty(spark: SparkSession, root: String,
+                  schema: org.apache.spark.sql.types.StructType): Unit = {
+    val anchor = new Path(s"$root/_schema")
+    val logDir = new Path(s"$root/$Log")
+    val fs = fsOf(spark, anchor)
+    require(!fs.exists(anchor) && !fs.exists(logDir),
+      s"$root is already a store — CREATE refuses to clobber it")
+    val df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val attempt = java.util.UUID.randomUUID.toString.take(8)
+    val staged = new Path(s"$root/.schema_tmp-$attempt")
+    df.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    if (!fs.rename(staged, anchor)) {
+      fs.delete(staged, true)
+      throw new IllegalStateException(
+        s"concurrent CREATE published an anchor at $root first — " +
+          "re-read the table instead of re-creating it")
+    }
+    // rename-into-existing-dir nests the source (writeData's lesson):
+    // sweep the nested copy if a racer's anchor landed between checks
+    val nested = new Path(anchor, staged.getName)
+    if (fs.exists(nested)) fs.delete(nested, true)
+  }
+
+  /** Retire an anchored-but-never-committed store — the only DROP the
+    * engine allows: nothing was committed, so nothing can be lost and
+    * no pinned reader exists. A store with ANY committed version
+    * refuses (history retires through [[vacuum]] retention, never a
+    * catalog-style drop). */
+  def dropEmpty(spark: SparkSession, root: String): Unit = {
+    require(versions(spark, root).isEmpty,
+      s"$root has committed versions — history retires through " +
+        "vacuum retention, not DROP")
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val anchor = new Path(s"$root/_schema")
+    require(fs.exists(anchor), s"no store at $root")
+    fs.delete(rootPath, true)
+    ()
+  }
+
   /** Snapshot read at `version` (default: latest). The file list
     * comes from the log replay, never an FS walk; a concurrent later
     * commit cannot change what this frame reads.

@@ -225,26 +225,26 @@ object SqlQueries extends QueryPack {
       s.sql(s"""
         SELECT 'latest' AS leg, COUNT(*) AS n_rows,
                SUM(o_orderkey) AS key_sum,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
                  AS total_price
         FROM gdmlq.`$root`
         UNION ALL
         SELECT 'pre_delete', COUNT(*), SUM(o_orderkey),
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
         FROM gdmlq.`$root` VERSION AS OF 3
         ORDER BY leg""")
     },
     Some("""
       SELECT 'latest' AS leg, COUNT(*) AS n_rows,
              CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
                AS total_price
       FROM orders
       WHERE NOT (o_orderkey >= 5000 AND o_orderkey < 10000
                  AND o_orderkey % 2 = 0)
       UNION ALL
       SELECT 'pre_delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
       FROM orders
       ORDER BY leg
     """),
@@ -282,7 +282,7 @@ object SqlQueries extends QueryPack {
       s.sql(s"""
         SELECT o_orderstatus, COUNT(*) AS n_rows,
                SUM(o_orderkey) AS key_sum,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
                  AS total_price
         FROM gdmlq.`$root`
         GROUP BY o_orderstatus
@@ -294,10 +294,10 @@ object SqlQueries extends QueryPack {
                AS o_orderstatus,
              COUNT(*) AS n_rows,
              CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
-             CAST(SUM(CAST(
-               CASE WHEN o_orderkey >= 5000 AND o_orderkey < 10000
-                    THEN o_totalprice + 1000.0 ELSE o_totalprice END
-               AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+             CAST(SUM(CAST(ROUND(
+               (CASE WHEN o_orderkey >= 5000 AND o_orderkey < 10000
+                     THEN o_totalprice + 1000.0 ELSE o_totalprice END)
+               * 1e2) AS BIGINT)) AS DOUBLE) / 1e2 AS total_price
       FROM orders
       GROUP BY 1
       ORDER BY o_orderstatus
@@ -356,7 +356,7 @@ object SqlQueries extends QueryPack {
           s"$highFile: $after")
       s.sql(s"""
         SELECT COUNT(*) AS n_rows, SUM(o_orderkey) AS key_sum,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
                  AS total_price,
                COUNT(DISTINCT o_orderstatus) AS n_status
         FROM gdmlq.`$root`""")
@@ -380,7 +380,7 @@ object SqlQueries extends QueryPack {
       )
       SELECT COUNT(*) AS n_rows,
              CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
                AS total_price,
              COUNT(DISTINCT o_orderstatus) AS n_status
       FROM final
@@ -428,7 +428,7 @@ object SqlQueries extends QueryPack {
         catch { case _: Throwable => false }
       s.sql(s"""
         SELECT COUNT(*) AS n_rows, SUM(o_orderkey) AS key_sum,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
                  AS total_price,
                CAST(${if (filesAfter <= filesBefore && filesAfter >= 1)
                    1 else 0} AS BIGINT) AS files_folded,
@@ -441,7 +441,7 @@ object SqlQueries extends QueryPack {
     Some("""
       SELECT COUNT(*) AS n_rows,
              CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
                AS total_price,
              CAST(1 AS BIGINT) AS files_folded,
              CAST(7 AS BIGINT) AS horizon,
@@ -451,8 +451,56 @@ object SqlQueries extends QueryPack {
     """),
     eager = true)
 
+  /** DDL on the SQL surface: `CREATE TABLE … AS SELECT` anchors a
+    * fresh store and lands the query as ONE ordinary append commit
+    * (`require` pins versions == [1]); a follow-up `INSERT INTO`
+    * proves the created store is a full citizen of the write path;
+    * the digest reads both the latest state and the CTAS snapshot
+    * (`VERSION AS OF 1`) back through SQL. The oracle restates both
+    * states from the source slices. */
+  val storeSqlCtas = GQuery(
+    "q_sql_ctas",
+    (s, d) => {
+      val root = graft.TempRoots.create("graft_sqlctas") + "/orders"
+      s.conf.set("spark.sql.catalog.gctas",
+        classOf[graft.sources.GraftCatalog].getName)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView("gate_ctas_src")
+      s.sql(s"CREATE TABLE gctas.`$root` AS " +
+        "SELECT * FROM gate_ctas_src WHERE o_orderkey < 10000")
+      require(graft.ops.TableStore.versions(s, root) == Seq(1L),
+        "CTAS must land exactly one commit")
+      s.sql(s"INSERT INTO gctas.`$root` " +
+        "SELECT * FROM gate_ctas_src WHERE o_orderkey >= 10000")
+      s.sql(s"""
+        SELECT 'latest' AS leg, COUNT(*) AS n_rows,
+               SUM(o_orderkey) AS key_sum,
+               CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
+                 AS total_price
+        FROM gctas.`$root`
+        UNION ALL
+        SELECT 'ctas_snapshot', COUNT(*), SUM(o_orderkey),
+               CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
+        FROM gctas.`$root` VERSION AS OF 1
+        ORDER BY leg""")
+    },
+    Some("""
+      SELECT 'latest' AS leg, COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
+               AS total_price
+      FROM orders
+      UNION ALL
+      SELECT 'ctas_snapshot', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
+      FROM orders WHERE o_orderkey < 10000
+      ORDER BY leg
+    """),
+    eager = true)
+
   override def all: Seq[GQuery] =
     Seq(storeSql, storeSqlChanges, storeSqlInsert,
       storeSqlDelete, storeSqlUpdate, storeSqlMerge,
-      storeSqlMaintenance)
+      storeSqlMaintenance, storeSqlCtas)
 }

@@ -43,10 +43,13 @@ import graft.ops.TableStore
   * `INSERT OVERWRITE` route through [[TableStore.append]] /
   * [[TableStore.overwrite]] (constraints enforced pre-commit,
   * optimistic retry, snapshot isolation — see
-  * [[GraftStoreTable.newWriteBuilder]]). DDL stays refused: create/
-  * drop/alter through the catalog would bypass the commit contracts
-  * (first-commit schema anchoring, vacuum retention, pinned
-  * readers), so those fail loudly with the API remedy.
+  * [[GraftStoreTable.newWriteBuilder]]); DELETE/UPDATE/MERGE through
+  * [[GraftDmlRule]]. DDL follows the commit model, never bypasses it:
+  * CREATE/CTAS anchor a typed-empty store whose first write is
+  * version 1 ([[TableStore.createEmpty]]), DROP retires ONLY
+  * never-committed stores (history goes through vacuum retention),
+  * ALTER stays refused toward the readAs/SchemaEvolution posture,
+  * and the lifecycle verbs are procedures ([[GraftProcedures]]).
   */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
@@ -130,13 +133,27 @@ class GraftCatalog extends TableCatalog
       .toArray
   }
 
+  /** `CREATE TABLE` / the create half of CTAS: anchors the schema on
+    * a fresh path ([[TableStore.createEmpty]] — the typed-empty state
+    * every read path already understands); the first INSERT (or the
+    * CTAS write) lands as version 1 through the same commit the API
+    * takes. Partition transforms are refused — layout is a COMMIT
+    * concern here (OPTIMIZE / cluster / z-order), not a directory
+    * shape fixed at create time. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: JMap[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft stores are created by their first TableStore.append/" +
-        "overwrite commit, not by catalog DDL — the commit carries the " +
-        "stats/bloom/constraint contracts DDL would bypass")
+                           properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft stores take no PARTITIONED BY — layout is managed by " +
+        "commits (CALL optimize(cluster_by => …)), not directory shape")
+    val p = pathFor(ident)
+    if (isStore(p))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (catalogName +: ident.namespace.toSeq :+ ident.name))
+    TableStore.createEmpty(spark, p, schema)
+    new GraftStoreTable(p, None, Some(schema))
+  }
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =
@@ -144,11 +161,21 @@ class GraftCatalog extends TableCatalog
       "graft stores evolve through TableStore commits " +
         "(SchemaEvolution/addConstraint), not catalog DDL")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "graft stores are retired through TableStore.vacuum retention, " +
-        "not catalog DROP — a catalog-level delete would bypass the " +
-        "pinned-reader contract")
+  /** DROP succeeds only for an anchored-but-never-committed store
+    * (nothing to lose, no pinned readers — also the CTAS failure
+    * cleanup path); anything with history still refuses toward
+    * vacuum retention. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = pathFor(ident)
+    if (!isStore(p)) return false
+    try { TableStore.dropEmpty(spark, p); true }
+    catch { case e: IllegalArgumentException =>
+      throw new UnsupportedOperationException(
+        "graft stores with committed history are retired through " +
+          "vacuum retention, not catalog DROP — a catalog-level " +
+          "delete would bypass the pinned-reader contract", e)
+    }
+  }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =

@@ -61,11 +61,15 @@ private[sources] object GraftProcedures {
     Proc("optimize",
       "recluster (cluster_by set) or fold small files into ~target_mb " +
         "outputs; one layout commit, content identical, pinned readers " +
-        "unaffected",
+        "unaffected. bloom_cols re-establishes parquet bloom filters " +
+        "the row-level DML rewrites drop (blooms are file-level, not " +
+        "logged — OPTIMIZE is where a DML-heavy table gets its " +
+        "point-lookup pruning back)",
       Seq(p("table", StringType),
         opt("cluster_by", StringType, "NULL"),
         opt("target_mb", IntegerType, "128"),
-        opt("stats_cols", StringType, "NULL")),
+        opt("stats_cols", StringType, "NULL"),
+        opt("bloom_cols", StringType, "NULL")),
       StructType(Seq(StructField("version", LongType),
         StructField("live_files", LongType))),
       (spark, in) => {
@@ -73,16 +77,19 @@ private[sources] object GraftProcedures {
         val cluster =
           if (in.isNullAt(1)) None else Some(in.getUTF8String(1).toString)
         val targetBytes = in.getInt(2).toLong << 20
-        val stats =
-          if (in.isNullAt(3)) Nil
-          else in.getUTF8String(3).toString.split(",").map(_.trim)
+        def cols(i: Int): Seq[String] =
+          if (in.isNullAt(i)) Nil
+          else in.getUTF8String(i).toString.split(",").map(_.trim)
             .filter(_.nonEmpty).toSeq
+        val stats = cols(3)
+        val blooms = cols(4)
         val v = cluster match {
           case Some(c) =>
-            TableStore.optimizeLayout(spark, root, c, targetBytes, stats)
+            TableStore.optimizeLayout(spark, root, c, targetBytes, stats,
+              blooms)
           case None =>
             TableStore.compactSmall(spark, root, targetBytes, targetBytes,
-              stats)
+              stats, blooms)
         }
         val live = TableStore.liveAt(spark, root,
           TableStore.versions(spark, root).last).size.toLong

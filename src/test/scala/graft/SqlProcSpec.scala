@@ -44,8 +44,14 @@ class SqlProcSpec extends SparkSpec {
     val root = manySmall("optc")
     val g = cat("gproc")
     spark.sql(s"CALL $g.optimize(table => '$root', " +
-      "cluster_by => 'id', target_mb => 1)").collect()
+      "cluster_by => 'id', target_mb => 1, " +
+      "stats_cols => 'id', bloom_cols => 'id')").collect()
     assert(TableStore.read(spark, root).count() == 300)
+    // the rewrite re-declared id stats: point probes prune by the log
+    val live = TableStore.liveAt(spark, root,
+      TableStore.versions(spark, root).last)
+    assert(live.forall(e => e.mins.contains("id")),
+      "stats_cols must land in the rewritten files' log entries")
   }
 
   test("CALL vacuum dry_run reports the plan and mutates nothing") {
