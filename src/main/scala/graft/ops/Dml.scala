@@ -343,14 +343,21 @@ object Dml {
     }
 
     // exact discovery: files holding a row some clause CHANGES, plus
-    // the cardinality guard (>1 source rows matching one target row)
+    // the cardinality guard (>1 source rows matching one target row).
+    // Both only matter when a clause can touch target rows at all —
+    // an insert-only merge rewrites nothing, and a multi-matched
+    // target row is then unambiguous (it just isn't inserted), so the
+    // SQL standard allows it there.
+    val rowClauses = matched.nonEmpty || notMatchedBySource.nonEmpty
     val (touched, cardinalityBad): (Seq[String], Boolean) =
-      if (candidates.isEmpty) (Seq.empty, false)
+      if (candidates.isEmpty || !rowClauses) (Seq.empty, false)
       else {
         val j = joined(candidates.map(_.path))
-        val dup = j.where(srcPresent.isNotNull)
-          .groupBy(col("__graft_file"), col("__graft_rid"))
-          .count().where(col("count") > 1).limit(1).collect()
+        val dup =
+          if (matched.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else j.where(srcPresent.isNotNull)
+            .groupBy(col("__graft_file"), col("__graft_rid"))
+            .count().where(col("count") > 1).limit(1).collect()
         val hitUris = j.where(actionCol() >= 0)
           .select(col("__graft_file")).distinct()
           .collect().map(_.getString(0)).toSeq // bounded by file count
@@ -358,8 +365,9 @@ object Dml {
       }
     require(!cardinalityBad,
       s"MERGE cardinality violation at $root: a target row matches " +
-        "more than one source row — the outcome would depend on row " +
-        "order; de-duplicate the source on the merge key")
+        "more than one source row under WHEN MATCHED clauses — the " +
+        "outcome would depend on row order; de-duplicate the source " +
+        "on the merge key")
 
     // rewrite pass: only the touched files, clause actions applied
     val rewritten: Option[DataFrame] =
@@ -376,8 +384,15 @@ object Dml {
             (i, wm.set.get.toMap) } ++
             notMatchedBySource.zipWithIndex.collect {
               case (wn, i) if wn.set.isDefined => (100 + i, wn.set.get.toMap) }
+        // one output row per surviving TARGET row: with no matched
+        // clauses the cardinality guard is off, so a multi-matched
+        // kept row appears once per source match in the left join —
+        // (file, row-index) is the row's identity, and every copy
+        // projects to the same target columns (act -1 keeps, NMBS
+        // rows are unmatched and unique), so any-one-of is exact
         val withAct = j.withColumn("__graft_act", act)
           .where(!col("__graft_act").isin(deleteActs: _*))
+          .dropDuplicates("__graft_file", "__graft_rid")
         Some(withAct.select(tCols.map { c =>
           updateActs.foldLeft(null: Column) { case (acc, (i, setMap)) =>
             setMap.get(c) match {

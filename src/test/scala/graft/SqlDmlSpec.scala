@@ -205,6 +205,42 @@ class SqlDmlSpec extends SparkSpec {
       "the sync-to-source shape: target rows absent from source go")
   }
 
+  test("insert-only MERGE tolerates a multi-matching source") {
+    val s = spark; import s.implicits._
+    val root = rangedStore("mergeinsdup")
+    val g = cat("gdml")
+    // key 2 matches twice; per the standard that is FINE when no
+    // matched clause exists — neither copy inserts, nothing rewrites
+    Seq((2L, "x", 1L), (2L, "y", 2L), (40L, "new", 400L))
+      .toDF("mid", "mname", "mv").createOrReplaceTempView("dml_insdup")
+    spark.sql(s"""
+      MERGE INTO $g.`$root` t USING dml_insdup s ON t.id = s.mid
+      WHEN NOT MATCHED THEN INSERT (id, name, v)
+        VALUES (s.mid, s.mname, s.mv)""").collect()
+    val got = state(root)
+    assert(got.count(_._1 == 2L) == 1, s"no duplication of key 2: $got")
+    assert(got.find(_._1 == 2L).contains((2L, "n2", 20L)),
+      "matched row untouched by an insert-only merge")
+    assert(got.count(_._1 == 40L) == 1)
+    assert(got.size == 10)
+  }
+
+  test("NMBS-only MERGE keeps multi-matched rows exactly once") {
+    val s = spark; import s.implicits._
+    val root = rangedStore("mergenmbsdup")
+    val g = cat("gdml")
+    // every low key listed TWICE: kept rows must not duplicate in the
+    // rewritten files (the left join sees each match twice)
+    Seq(1L, 1L, 2L, 2L, 3L, 3L).toDF("mid")
+      .createOrReplaceTempView("dml_nmbsdup")
+    spark.sql(s"""
+      MERGE INTO $g.`$root` t USING dml_nmbsdup s ON t.id = s.mid
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""").collect()
+    val got = state(root)
+    assert(got.map(_._1) == Seq(1L, 2L, 3L),
+      s"kept rows exactly once, unmatched deleted: $got")
+  }
+
   test("MERGE star actions work despite colliding raw column names") {
     val s = spark; import s.implicits._
     val root = rangedStore("mergestar")
