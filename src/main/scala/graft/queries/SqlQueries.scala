@@ -499,8 +499,57 @@ object SqlQueries extends QueryPack {
     """),
     eager = true)
 
+  /** Metadata-only COUNT(*) ([[graft.sources.GraftRewrite]]'s count
+    * pre-pass): a bare count over a store answers from the log's
+    * per-file footer row counts — zero data IO (SqlStoreSpec pins the
+    * no-scan plan; this gate pins the VALUES across the states that
+    * could break the sum: post-append, post-DELETE (the log shrinks),
+    * and a time-travel pin (the historical log slice)). The filtered
+    * count rides along as the scan-path control — if the rewrite ever
+    * over-matched a filtered count, this digest breaks. */
+  val storeSqlCountMeta = GQuery(
+    "q_sql_count_meta",
+    (s, d) => {
+      val root = graft.TempRoots.create("graft_sqlcnt") + "/orders"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+      Seq(col("o_orderkey") < 5000L,
+        col("o_orderkey") >= 5000L && col("o_orderkey") < 10000L,
+        col("o_orderkey") >= 10000L).foreach(p =>
+        graft.ops.TableStore.append(src.where(p).coalesce(1), root,
+          statsCols = Seq("o_orderkey")))
+      s.conf.set("spark.sql.catalog.gcnt",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.sql(s"DELETE FROM gcnt.`$root` WHERE o_orderkey >= 5000 " +
+        "AND o_orderkey < 10000 AND o_orderkey % 3 = 0").collect()
+      s.sql(s"""
+        SELECT 'latest_meta' AS leg,
+               (SELECT COUNT(*) FROM gcnt.`$root`) AS n
+        UNION ALL
+        SELECT 'v3_meta',
+               (SELECT COUNT(*) FROM gcnt.`$root` VERSION AS OF 3)
+        UNION ALL
+        SELECT 'filtered_scan',
+               (SELECT COUNT(*) FROM gcnt.`$root`
+                WHERE o_orderkey < 5000)
+        ORDER BY leg""")
+    },
+    Some("""
+      SELECT 'latest_meta' AS leg,
+             (SELECT COUNT(*) FROM orders
+              WHERE NOT (o_orderkey >= 5000 AND o_orderkey < 10000
+                         AND o_orderkey % 3 = 0)) AS n
+      UNION ALL
+      SELECT 'v3_meta', (SELECT COUNT(*) FROM orders)
+      UNION ALL
+      SELECT 'filtered_scan',
+             (SELECT COUNT(*) FROM orders WHERE o_orderkey < 5000)
+      ORDER BY leg
+    """),
+    eager = true)
+
   override def all: Seq[GQuery] =
     Seq(storeSql, storeSqlChanges, storeSqlInsert,
       storeSqlDelete, storeSqlUpdate, storeSqlMerge,
-      storeSqlMaintenance, storeSqlCtas)
+      storeSqlMaintenance, storeSqlCtas, storeSqlCountMeta)
 }

@@ -32,6 +32,10 @@ import graft.ops.TableStore.FileEntry
 class GraftFileIndex(spark: SparkSession, root: String, version: Long,
                      live: Seq[FileEntry]) extends FileIndex {
 
+  /** The snapshot's log entries — exact per-file footer row counts
+    * for the metadata-only COUNT rewrite ([[GraftRewrite]]). */
+  private[sources] def entries: Seq[FileEntry] = live
+
   def this(spark: SparkSession, root: String, version: Long) =
     this(spark, root, version, TableStore.liveAt(spark, root, version))
 

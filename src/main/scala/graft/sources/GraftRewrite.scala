@@ -51,9 +51,64 @@ case class GraftRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         m.targetTable.collect { case r: DataSourceV2Relation => r }
     }.flatten.toSet
 
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project, SubqueryAlias}
+
+  /** A bare graft snapshot under aliases/trivial projections — the
+    * only shape whose row count the LOG answers exactly (any Filter
+    * or join in between makes the count data-dependent). Matches the
+    * V2 relation AND the already-rewritten file-index form (the two
+    * can race within the resolution fixed point). Yields the
+    * log-exact row count. */
+  private object MetaCountable {
+    def unapply(plan: LogicalPlan): Option[Long] = plan match {
+      case SubqueryAlias(_, child) => unapply(child)
+      case p @ Project(_, child) if p.projectList.forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]) =>
+        unapply(child)
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftStoreTable] &&
+            !r.table.asInstanceOf[GraftStoreTable].hasDeleteVectors =>
+        Some(r.table.asInstanceOf[GraftStoreTable]
+          .liveEntries.map(_.rows).sum)
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation if h.location.isInstanceOf[GraftFileIndex] =>
+          Some(h.location.asInstanceOf[GraftFileIndex]
+            .entries.map(_.rows).sum)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def isCountStar(e: org.apache.spark.sql.catalyst.expressions.NamedExpression): Boolean =
+    e match {
+      case Alias(AggregateExpression(
+        Count(Seq(Literal(v, _))), _, false, None, _), _) => v != null
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val protectedRels = dmlTargets(plan)
-    plan.transformUp {
+    // metadata-only COUNT(*) pre-pass (top-down: the count subsumes
+    // its relation before the bottom-up scan rewrite converts it):
+    // an ungrouped, unfiltered count over a vector-free snapshot is
+    // the sum of the log's per-file footer row counts — exact by the
+    // commit contract, ZERO data IO. At a million files this is the
+    // difference between an instant dashboard tick and a full scan
+    // (the metaStats contract on the query path). DV-carrying
+    // snapshots fall through: their logical count is footer rows
+    // minus vectored rows, which the dv-aware scan owns.
+    val counted = plan.transformDown {
+      case a @ Aggregate(Nil, aggs, MetaCountable(total), _)
+          if a.resolved && aggs.nonEmpty && aggs.forall(isCountStar) =>
+        LocalRelation(a.output.map(_.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.Attribute]),
+          Seq(org.apache.spark.sql.catalyst.InternalRow(
+            Seq.fill(aggs.size)(total): _*)))
+    }
+    counted.transformUp {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftStoreTable] &&
             !r.table.asInstanceOf[GraftStoreTable].hasDeleteVectors &&

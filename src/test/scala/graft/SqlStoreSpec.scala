@@ -298,4 +298,67 @@ class SqlStoreSpec extends SparkSpec {
     assert(messages(ex2).exists(m =>
       m.contains("read-only") || m.contains("VERSION AS OF")))
   }
+
+  private def hasAnyScan(df: DataFrame): Boolean = {
+    df.collect()
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case r: org.apache.spark.sql.execution.RowDataSourceScanExec =>
+        Seq(r)
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      // materialized AQE stages are leaf wrappers: descend explicitly
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        leaves(q.plan)
+    }.flatten
+    leaves(df.queryExecution.executedPlan).nonEmpty
+  }
+
+  test("COUNT(*) answers from the log with zero data IO") {
+    val root = threeRangedCommits()
+    spark.conf.set("spark.sql.catalog.gsqlc",
+      classOf[graft.sources.GraftCatalog].getName)
+    val c = spark.sql(s"SELECT COUNT(*) AS n FROM gsqlc.`$root`")
+    assert(c.collect().head.getLong(0) == 300L)
+    assert(!hasAnyScan(c), "bare COUNT(*) must plan as a LocalRelation")
+    // time travel counts from the pinned snapshot's log slice
+    val c1 = spark.sql(
+      s"SELECT COUNT(*) AS n FROM gsqlc.`$root` VERSION AS OF 1")
+    assert(c1.collect().head.getLong(0) == 100L)
+    assert(!hasAnyScan(c1))
+    // a DELETE-shrunk snapshot counts the post-delete log exactly
+    spark.sql(s"DELETE FROM gsqlc.`$root` WHERE id <= 10").collect()
+    val c2 = spark.sql(s"SELECT COUNT(*) AS n FROM gsqlc.`$root`")
+    assert(c2.collect().head.getLong(0) == 290L)
+    assert(!hasAnyScan(c2))
+  }
+
+  test("COUNT with a filter, grouping, or other aggregates still scans") {
+    val root = threeRangedCommits()
+    spark.conf.set("spark.sql.catalog.gsqlc",
+      classOf[graft.sources.GraftCatalog].getName)
+    val f = spark.sql(
+      s"SELECT COUNT(*) AS n FROM gsqlc.`$root` WHERE id <= 150")
+    assert(f.collect().head.getLong(0) == 150L)
+    assert(hasAnyScan(f), "filtered counts are data-dependent")
+    val m = spark.sql(
+      s"SELECT COUNT(*) AS n, SUM(id) AS s FROM gsqlc.`$root`")
+    assert(m.collect().head.getLong(0) == 300L)
+    assert(hasAnyScan(m), "mixed aggregates scan")
+    val cc = spark.sql(
+      s"SELECT COUNT(payload) AS n FROM gsqlc.`$root`")
+    assert(cc.collect().head.getLong(0) == 300L)
+    assert(hasAnyScan(cc), "COUNT(column) is null-sensitive — scans")
+  }
+
+  test("COUNT over a DV-carrying snapshot takes the dv-aware path") {
+    val root = threeRangedCommits()
+    spark.conf.set("spark.sql.catalog.gsqlc",
+      classOf[graft.sources.GraftCatalog].getName)
+    TableStore.deleteWhereMoR(spark, root, col("id") === 5L,
+      ("id", 5L, 5L))
+    val c = spark.sql(s"SELECT COUNT(*) AS n FROM gsqlc.`$root`")
+    assert(c.collect().head.getLong(0) == 299L,
+      "the vectored row must not be counted")
+  }
 }
