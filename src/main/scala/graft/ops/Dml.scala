@@ -103,6 +103,16 @@ object Dml {
     spark.read.option("ignoreMissingFiles", "false")
       .parquet(paths.map(p => TableStore.resolve(root, p)): _*)
 
+  /** The DELETE execution mode knob the SQL surface reads:
+    * `SET spark.graft.dml.deleteMode = mor` switches [[delete]] from
+    * copy-on-write rewrites to MERGE-ON-READ delete vectors — a
+    * one-row delete then costs a KB-sized vector commit instead of a
+    * file rewrite (the right-to-be-forgotten shape at 100 TB), at the
+    * price of the DV transient state (file-granularity ops refuse
+    * until `CALL purge_deletes`). Unconditional deletes stay
+    * metadata-only in both modes. */
+  val DeleteModeKey = "spark.graft.dml.deleteMode"
+
   /** `DELETE FROM store WHERE pred` — copy-on-write, one commit,
     * auto-pruned. An unconditional delete (`pred` is a true literal)
     * is METADATA-ONLY: every live file is removed from the log with
@@ -114,8 +124,14 @@ object Dml {
     if (vs.isEmpty) return 0L // anchored-but-empty store: typed no-op
     val prev = vs.last
     val live = TableStore.liveAt(spark, root, prev)
-    TableStore.requireNoDvs(spark, root, prev, live, "Dml.delete")
     if (live.isEmpty) return prev
+    val mor = spark.conf.get(DeleteModeKey, "cow")
+      .equalsIgnoreCase("mor")
+    // copy-on-write refuses outstanding vectors (the deleteWhere
+    // contract); merge-on-read composes with them (the new vector
+    // covers only rows still VISIBLE)
+    if (!mor) TableStore.requireNoDvs(spark, root, prev, live,
+      "Dml.delete")
     val snapshot = TableStore.read(spark, root, Some(prev))
     requireDeterministic(snapshot, "a DELETE predicate", pred)
     // unconditional delete: no scan can change the answer — remove
@@ -129,6 +145,12 @@ object Dml {
     }
     val candidates = pruneByPredicate(snapshot, live, pred)
     if (candidates.isEmpty) return prev
+    if (mor)
+      // merge-on-read: vector the matching rows of the pruned
+      // candidates; data files stay byte-identical (the KB-sized
+      // right-to-be-forgotten commit — purge_deletes folds later)
+      return TableStore.deleteMoRTouched(spark, root, pred, prev,
+        candidates)
     // exact discovery: which candidates HOLD a definitely-matching row
     val hitUris = scanFiles(spark, root, candidates.map(_.path))
       .where(coalesce(pred, lit(false)))

@@ -646,6 +646,18 @@ object TableStore {
     val prev = vs.last
     val live = liveAt(spark, root, prev)
     val touched = overlappingFiles(spark, root, live, pcol, lo, hi)
+    deleteMoRTouched(spark, root, pred, prev, touched)
+  }
+
+  /** The merge-on-read delete core over an explicit candidate set —
+    * shared by [[deleteWhereMoR]] (interval-hint pruning) and the SQL
+    * DML path ([[Dml]] — predicate-derived pruning). Commits a delete
+    * VECTOR for the definitely-matching rows of `touched`; data files
+    * stay byte-identical. */
+  private[graft] def deleteMoRTouched(spark: SparkSession, root: String,
+                                      pred: org.apache.spark.sql.Column,
+                                      prev: Long,
+                                      touched: Seq[FileEntry]): Long = {
     if (touched.isEmpty) return prev
     val n = prev + 1
     val attempt = java.util.UUID.randomUUID.toString.take(8)

@@ -548,8 +548,76 @@ object SqlQueries extends QueryPack {
     """),
     eager = true)
 
+  /** Merge-on-read DELETE on the SQL surface
+    * (`SET spark.graft.dml.deleteMode = mor` → [[graft.ops.Dml]]
+    * routes to delete vectors): the same keyed DELETE as q_sql_delete
+    * but the data files stay BYTE-IDENTICAL (the in-body `require`
+    * pins every pre-delete file still live — a one-row delete at
+    * 100 TB is a KB-sized vector commit), reads apply the vector, and
+    * `CALL purge_deletes` folds it back into clean files with the
+    * content unchanged. Digests the MoR state AND the post-purge
+    * state against one slice-algebra oracle (both must equal it). */
+  val storeSqlDeleteMor = GQuery(
+    "q_sql_delete_mor",
+    (s, d) => {
+      val root = graft.TempRoots.create("graft_sqldelmor") + "/orders"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Seq(col("o_orderkey") < 5000L,
+        col("o_orderkey") >= 5000L && col("o_orderkey") < 10000L,
+        col("o_orderkey") >= 10000L).foreach(p =>
+        graft.ops.TableStore.append(src.where(p).coalesce(1), root,
+          statsCols = Seq("o_orderkey")))
+      s.conf.set("spark.sql.catalog.gmor",
+        classOf[graft.sources.GraftCatalog].getName)
+      val before = graft.ops.TableStore.liveAt(s, root, 3L)
+        .map(_.path).toSet
+      s.conf.set(graft.ops.Dml.DeleteModeKey, "mor")
+      try s.sql(s"DELETE FROM gmor.`$root` WHERE o_orderkey >= 5000 " +
+        "AND o_orderkey < 10000 AND o_orderkey % 2 = 0").collect()
+      finally s.conf.set(graft.ops.Dml.DeleteModeKey, "cow")
+      val after = graft.ops.TableStore.liveAt(s, root,
+        graft.ops.TableStore.versions(s, root).last).map(_.path).toSet
+      require(before.subsetOf(after),
+        s"merge-on-read must keep every data file live: " +
+          s"$before -> $after")
+      val morLeg = s.sql(s"""
+        SELECT 'mor' AS leg, COUNT(*) AS n_rows,
+               SUM(o_orderkey) AS key_sum,
+               CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT))
+                 AS DOUBLE) / 1e2 AS total_price
+        FROM gmor.`$root`""")
+      // one proportional fold later, the content is identical
+      s.sql(s"CALL gmor.purge_deletes(table => '$root')").collect()
+      morLeg.unionAll(s.sql(s"""
+        SELECT 'purged' AS leg, COUNT(*) AS n_rows,
+               SUM(o_orderkey) AS key_sum,
+               CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT))
+                 AS DOUBLE) / 1e2 AS total_price
+        FROM gmor.`$root`""")).orderBy("leg")
+    },
+    Some("""
+      WITH kept AS (
+        SELECT * FROM orders
+        WHERE NOT (o_orderkey >= 5000 AND o_orderkey < 10000
+                   AND o_orderkey % 2 = 0))
+      SELECT 'mor' AS leg, COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT))
+               AS DOUBLE) / 1e2 AS total_price
+      FROM kept
+      UNION ALL
+      SELECT 'purged', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT))
+               AS DOUBLE) / 1e2
+      FROM kept
+      ORDER BY leg
+    """),
+    eager = true)
+
   override def all: Seq[GQuery] =
     Seq(storeSql, storeSqlChanges, storeSqlInsert,
       storeSqlDelete, storeSqlUpdate, storeSqlMerge,
-      storeSqlMaintenance, storeSqlCtas, storeSqlCountMeta)
+      storeSqlMaintenance, storeSqlCtas, storeSqlCountMeta,
+      storeSqlDeleteMor)
 }

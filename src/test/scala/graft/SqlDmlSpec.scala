@@ -274,6 +274,29 @@ class SqlDmlSpec extends SparkSpec {
     assert(state(root).count(_._2 == "mirrored") == 3)
   }
 
+  test("deleteMode=mor: DELETE commits a vector, files stay put") {
+    val root = rangedStore("delmor")
+    val g = cat("gdml")
+    val before = livePaths(root)
+    spark.conf.set(graft.ops.Dml.DeleteModeKey, "mor")
+    try {
+      spark.sql(s"DELETE FROM $g.`$root` WHERE id = 12").collect()
+      assert(livePaths(root) == before,
+        "merge-on-read must leave every data file live and untouched")
+      assert(state(root).map(_._1) ==
+        Seq(1L, 2L, 3L, 11L, 13L, 21L, 22L, 23L),
+        "reads apply the vector")
+      // a second MoR delete composes with the outstanding vector
+      spark.sql(s"DELETE FROM $g.`$root` WHERE id = 13").collect()
+      assert(state(root).map(_._1) ==
+        Seq(1L, 2L, 3L, 11L, 21L, 22L, 23L))
+      // fold back via the procedure; files rewrite proportionally
+      spark.sql(s"CALL $g.purge_deletes(table => '$root')").collect()
+      assert(state(root).map(_._1) ==
+        Seq(1L, 2L, 3L, 11L, 21L, 22L, 23L))
+    } finally spark.conf.set(graft.ops.Dml.DeleteModeKey, "cow")
+  }
+
   test("DML cannot target a time-travel pin") {
     val root = rangedStore("dmlpin")
     val g = cat("gdml")
