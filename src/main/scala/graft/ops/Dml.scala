@@ -15,9 +15,15 @@ import TableStore.FileEntry
   * `sources.Filter`s (Spark's own translation) and evaluated against
   * the commit log's per-file bounds by [[graft.sources.StatsSkipping]]
   * — the same zero-IO evaluator every read path runs. The reference
-  * mutates its warehouse through exactly these statements
-  * (dags/SQL/Silver/Delete_duplicates_in_silver.sql,
-  * dags/Reprocessing.py:96-126 — correction deletes and re-inserts).
+  * mutates its warehouse through exactly these statements: the
+  * correction loop's IN-subquery delete + re-insert
+  * (dags/Reprocessing.py:117-126), the silver dup-delete whose
+  * predicate self-references the table through a GROUP BY … HAVING
+  * subquery (dags/DataWarehouse.py:531-540), and the staging
+  * dedup-against-bronze delete (dags/DataWarehouse.py:666-673) —
+  * all three run verbatim on the SQL surface
+  * ([[graft.sources.GraftDmlRule]] routes uncorrelated subquery
+  * predicates here; q_sql_delete_subquery gates the shapes).
   *
   * Every op is ONE commit with three proportionality levels:
   *
@@ -87,15 +93,45 @@ object Dml {
           "tear between them")
     }
 
+  /** The predicate-position twin of [[requireDeterministic]]: analyze
+    * through a FILTER, the only position IN/EXISTS subqueries are
+    * plannable in — a subquery-bearing DELETE/UPDATE predicate would
+    * fail analysis inside a bare projection. */
+  private def requireDeterministicPred(snapshot: DataFrame, what: String,
+                                       pred: Column): Unit = {
+    val e = snapshot.where(pred).queryExecution.analyzed.expressions
+    require(e.forall(_.deterministic),
+      s"$what must be deterministic — discovery and rewrite evaluate " +
+        "it in separate jobs, and a nondeterministic match set would " +
+        "tear between them")
+  }
+
+  /** Does a (possibly still name-bound) predicate carry a subquery?
+    * Decides which rewrite shape the op takes — subquery predicates
+    * must stay in Filter position end to end. */
+  private def hasSubquery(pred: Column): Boolean =
+    org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+      .hasSubquery(Bridge.expression(pred))
+
   /** URI file paths (from `_metadata.file_path`) back to the log's
-    * relative entry paths. */
+    * relative entry paths. Matching requires a path-separator
+    * boundary — `resolve(root, p)` always joins with '/', so a bare
+    * suffix match could attribute a scanned URI to the WRONG entry
+    * (a prefix-sharing part name), removing one file from the log
+    * while rewriting another's rows: silent row loss. Exactly one
+    * candidate must claim each URI; zero or several is a broken
+    * invariant and fails loudly. */
   private def toEntryPaths(uris: Seq[String], root: String,
                            candidates: Seq[FileEntry]): Seq[String] =
     uris.map { u =>
-      candidates.map(_.path)
-        .find(p => u.endsWith("/" + p) || u.endsWith(p))
-        .getOrElse(throw new IllegalStateException(
-          s"scanned file $u is not a candidate of $root"))
+      candidates.map(_.path).filter(p => u.endsWith("/" + p)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalStateException(
+          s"scanned file $u is not a candidate of $root")
+        case many => throw new IllegalStateException(
+          s"scanned file $u matches ${many.size} log entries of $root " +
+            s"(${many.mkString(", ")}) — ambiguous attribution")
+      }
     }
 
   private def scanFiles(spark: SparkSession, root: String,
@@ -133,7 +169,7 @@ object Dml {
     if (!mor) TableStore.requireNoDvs(spark, root, prev, live,
       "Dml.delete")
     val snapshot = TableStore.read(spark, root, Some(prev))
-    requireDeterministic(snapshot, "a DELETE predicate", pred)
+    requireDeterministicPred(snapshot, "a DELETE predicate", pred)
     // unconditional delete: no scan can change the answer — remove
     // every live file as one metadata commit (truncation is O(log))
     if (Bridge.expression(pred) ==
@@ -197,7 +233,7 @@ object Dml {
       "UPDATE assigns a column twice")
     // (an anchored-but-empty store exits at live.isEmpty above)
     val cond = pred.getOrElse(lit(true))
-    requireDeterministic(snapshot, "an UPDATE predicate", cond)
+    requireDeterministicPred(snapshot, "an UPDATE predicate", cond)
     requireDeterministic(snapshot, "an UPDATE assignment",
       set.map(_._2): _*)
     val candidates = pred match {
@@ -212,15 +248,32 @@ object Dml {
     if (hitUris.isEmpty) return prev
     val touched = toEntryPaths(hitUris, root, candidates)
     val assigned = set.toMap
-    val rewritten = scanFiles(spark, root, touched).select(
-      snapshot.columns.toIndexedSeq.map { c =>
-        assigned.get(c) match {
-          case Some(v) =>
-            when(coalesce(cond, lit(false)),
-              v.cast(fields(c).dataType)).otherwise(col(c)).as(c)
-          case None => col(c)
-        }
-      }: _*)
+    // assignments evaluate against the ORIGINAL row in both shapes
+    // (simultaneous-assignment semantics: a select's projections all
+    // read the input row). The single-scan CASE shape needs the
+    // predicate in a PROJECTION, where IN/EXISTS subqueries are not
+    // plannable — a subquery predicate takes the two-Filter shape
+    // instead (matched rows with assignments ∪ unmatched rows as-is;
+    // same touched files, one extra scan of only those files).
+    val applied = snapshot.columns.toIndexedSeq.map { c =>
+      assigned.get(c).map(_.cast(fields(c).dataType).as(c))
+        .getOrElse(col(c))
+    }
+    val rewritten =
+      if (hasSubquery(cond)) {
+        val base = scanFiles(spark, root, touched)
+        base.where(coalesce(cond, lit(false))).select(applied: _*)
+          .unionByName(base.where(!coalesce(cond, lit(false)))
+            .select(snapshot.columns.toIndexedSeq.map(col): _*))
+      } else scanFiles(spark, root, touched).select(
+        snapshot.columns.toIndexedSeq.map { c =>
+          assigned.get(c) match {
+            case Some(v) =>
+              when(coalesce(cond, lit(false)),
+                v.cast(fields(c).dataType)).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
     val n = prev + 1
     val adds = TableStore.writeData(rewritten, root, n,
       carriedStatsCols(live))
@@ -291,6 +344,16 @@ object Dml {
     require(overlap.isEmpty,
       s"merge source column names must be disjoint from the target's " +
         s"(rename the source side): shared [${overlap.mkString(",")}]")
+    // the rewrite plumbing rides on __graft_* working columns; a
+    // table or source that already carries one of those names would
+    // be silently clobbered by withColumn and the rewrite would emit
+    // corrupted values — refuse loudly (the posture everywhere else)
+    val working = Set("__graft_src_present", "__graft_file",
+      "__graft_rid", "__graft_act", "__graft_iact")
+    val clash = (tCols ++ source.columns).filter(working.contains)
+    require(clash.isEmpty,
+      s"merge target/source columns collide with the rewrite's " +
+        s"internal working set [${clash.mkString(",")}] — rename them")
     val fields = snapshot.schema.fields.map(f => f.name -> f).toMap
     (matched.flatMap(_.set).flatten ++ notMatched.flatMap(_.values) ++
       notMatchedBySource.flatMap(_.set).flatten).foreach { case (c, _) =>

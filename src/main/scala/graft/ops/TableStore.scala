@@ -758,13 +758,33 @@ object TableStore {
     * refuses (history retires through [[vacuum]] retention, never a
     * catalog-style drop). */
   def dropEmpty(spark: SparkSession, root: String): Unit = {
-    require(versions(spark, root).isEmpty,
-      s"$root has committed versions — history retires through " +
-        "vacuum retention, not DROP")
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     val anchor = new Path(s"$root/_schema")
-    require(fs.exists(anchor), s"no store at $root")
+    val logDir = new Path(s"$root/$Log")
+    // failure modes are DISTINCT on purpose (the catalog maps them to
+    // different user errors): committed history refuses toward vacuum
+    // retention (IllegalArgumentException); a path that is not a
+    // store at all — no anchor AND no log, e.g. a plain directory —
+    // is a caller mistake (IllegalStateException). A log dir with
+    // zero committed versions and no anchor (torn first commit) IS
+    // droppable: nothing was ever published.
+    if (!fs.exists(anchor) && !fs.exists(logDir))
+      throw new IllegalStateException(
+        s"no store at $root — nothing to drop")
+    require(versions(spark, root).isEmpty,
+      s"$root has committed versions — history retires through " +
+        "vacuum retention, not DROP")
+    // retire the anchor first, then RE-VERIFY no first commit landed
+    // between the emptiness check and the recursive delete — the
+    // check-then-delete window a racing first commit could otherwise
+    // lose silently. A surviving racer's store keeps its committed
+    // data (writeData re-anchors on the next write); the drop aborts.
+    if (fs.exists(anchor)) fs.delete(anchor, true)
+    if (versions(spark, root).nonEmpty)
+      throw new IllegalArgumentException(
+        s"$root received its first commit while DROP was checking — " +
+          "the store survives with its history; re-read it")
     fs.delete(rootPath, true)
     ()
   }

@@ -250,6 +250,128 @@ object SqlQueries extends QueryPack {
     """),
     eager = true)
 
+  /** The reference's LITERAL mutation statements — all three of its
+    * DELETEs are IN-SUBQUERY deletes — run shape-verbatim through
+    * `spark.sql` against one store ([[graft.sources.GraftDmlRule]]
+    * routes uncorrelated subquery predicates into
+    * [[graft.ops.Dml.delete]], which re-plans them as existence joins
+    * inside its discovery/rewrite Filters):
+    *
+    *  1. the silver dup-delete whose predicate SELF-REFERENCES the
+    *     table through GROUP BY … HAVING COUNT(*) > 1 OR'd with
+    *     scalar conditions (dags/DataWarehouse.py:531-540) — the
+    *     in-body `require` pins PRE-IMAGE semantics: ALL copies of a
+    *     duplicated key go, never "all but one" (the subquery reads
+    *     the pinned pre-delete snapshot);
+    *  2. the correction-loop upsert: DELETE … WHERE key IN (SELECT
+    *     key FROM staging) then INSERT the staging rows
+    *     (dags/Reprocessing.py:117-126);
+    *  3. the staging-dedup delete: IN over a two-table JOIN subquery
+    *     (dags/DataWarehouse.py:666-673).
+    *
+    * The oracle replays the full three-statement algebra in DuckDB
+    * (same IN-subquery semantics, same pre-image reads via CTE
+    * staging of each state). */
+  val storeSqlDeleteSubquery = GQuery(
+    "q_sql_delete_subquery",
+    (s, d) => {
+      val root = graft.TempRoots.create("graft_sqldelsub") + "/silver"
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.ops.TableStore.append(base.coalesce(1), root,
+        statsCols = Seq("o_orderkey"))
+      // injected duplicates (keys < 2000 land twice) and dirty rows
+      // (offset keys, negative prices) — the states the reference's
+      // cleanup statement exists to remove
+      graft.ops.TableStore.append(
+        base.where(col("o_orderkey") < 2000L).coalesce(1), root,
+        statsCols = Seq("o_orderkey"))
+      graft.ops.TableStore.append(
+        base.where(col("o_orderkey").between(2200L, 2400L))
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_custkey"),
+            (-col("o_totalprice")).as("o_totalprice"))
+          .coalesce(1), root,
+        statsCols = Seq("o_orderkey"))
+      s.conf.set("spark.sql.catalog.gdsub",
+        classOf[graft.sources.GraftCatalog].getName)
+      // 1. DataWarehouse.py:531-540, shape verbatim
+      s.sql(s"""
+        DELETE FROM gdsub.`$root`
+        WHERE o_totalprice < 0
+           OR o_orderkey IN (
+               SELECT o_orderkey FROM gdsub.`$root`
+               GROUP BY o_orderkey HAVING COUNT(*) > 1)""").collect()
+      require(s.sql(s"SELECT COUNT(*) FROM gdsub.`$root` " +
+        "WHERE o_orderkey < 2000").head.getLong(0) == 0L,
+        "pre-image dup delete must remove ALL copies of a dup key")
+      // 2. Reprocessing.py:117-126 — the correction upsert
+      base.where(col("o_orderkey").between(8000L, 9000L))
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+        .createOrReplaceTempView("gate_delsub_stg")
+      s.sql(s"DELETE FROM gdsub.`$root` WHERE o_orderkey IN " +
+        "(SELECT o_orderkey FROM gate_delsub_stg)").collect()
+      s.sql(s"INSERT INTO gdsub.`$root` SELECT * FROM gate_delsub_stg")
+      // 3. DataWarehouse.py:666-673 — IN over a join subquery
+      base.where(col("o_orderkey").between(3000L, 4000L))
+        .select("o_orderkey").createOrReplaceTempView("gate_delsub_a")
+      base.where(col("o_orderkey").between(3500L, 4500L))
+        .select("o_orderkey").createOrReplaceTempView("gate_delsub_b")
+      s.sql(s"""
+        DELETE FROM gdsub.`$root`
+        WHERE o_orderkey IN (
+            SELECT x.o_orderkey FROM gate_delsub_a x
+            JOIN gate_delsub_b y ON x.o_orderkey = y.o_orderkey)""")
+        .collect()
+      s.sql(s"""
+        SELECT COUNT(*) AS n_rows, SUM(o_orderkey) AS key_sum,
+               CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT))
+                 AS DOUBLE) / 1e2 AS total_price,
+               COUNT(CASE WHEN o_orderkey < 2000 THEN 1 END)
+                 AS n_dup_range
+        FROM gdsub.`$root`""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ), t0 AS (
+        SELECT * FROM base
+        UNION ALL SELECT * FROM base WHERE o_orderkey < 2000
+        UNION ALL SELECT o_orderkey + 100000000, o_custkey,
+                         -o_totalprice
+                  FROM base WHERE o_orderkey BETWEEN 2200 AND 2400
+      ), t1 AS (
+        SELECT * FROM t0
+        WHERE NOT (o_totalprice < 0 OR o_orderkey IN (
+          SELECT o_orderkey FROM t0
+          GROUP BY o_orderkey HAVING COUNT(*) > 1))
+      ), stg AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 500.0 AS o_totalprice
+        FROM base WHERE o_orderkey BETWEEN 8000 AND 9000
+      ), t2 AS (
+        SELECT * FROM t1
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM stg)
+        UNION ALL SELECT * FROM stg
+      ), j AS (
+        SELECT x.o_orderkey AS k
+        FROM (SELECT o_orderkey FROM base
+              WHERE o_orderkey BETWEEN 3000 AND 4000) x
+        JOIN (SELECT o_orderkey FROM base
+              WHERE o_orderkey BETWEEN 3500 AND 4500) y
+          ON x.o_orderkey = y.o_orderkey
+      ), t3 AS (
+        SELECT * FROM t2 WHERE o_orderkey NOT IN (SELECT k FROM j)
+      )
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT))
+               AS DOUBLE) / 1e2 AS total_price,
+             COUNT(CASE WHEN o_orderkey < 2000 THEN 1 END)
+               AS n_dup_range
+      FROM t3
+    """),
+    eager = true)
+
   /** `UPDATE` on the SQL surface → [[graft.ops.Dml.update]]: a keyed
     * range update over two columns (simultaneous assignment against
     * the ORIGINAL row), the two out-of-range files carried over live
@@ -619,5 +741,5 @@ object SqlQueries extends QueryPack {
     Seq(storeSql, storeSqlChanges, storeSqlInsert,
       storeSqlDelete, storeSqlUpdate, storeSqlMerge,
       storeSqlMaintenance, storeSqlCtas, storeSqlCountMeta,
-      storeSqlDeleteMor)
+      storeSqlDeleteMor, storeSqlDeleteSubquery)
 }

@@ -146,6 +146,21 @@ class GraftCatalog extends TableCatalog
     require(partitions.isEmpty,
       "graft stores take no PARTITIONED BY — layout is managed by " +
         "commits (CALL optimize(cluster_by => …)), not directory shape")
+    // refuse-loudly posture: silently dropping a user's TBLPROPERTIES
+    // would vanish declared intent without any signal. Spark itself
+    // rides reserved keys (provider, owner, …) on this map — those
+    // pass; anything user-declared names the supported mechanisms.
+    val userProps = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.keys.filterNot(k =>
+        k == TableCatalog.PROP_PROVIDER || k == TableCatalog.PROP_OWNER ||
+          k == TableCatalog.PROP_LOCATION || k == TableCatalog.PROP_COMMENT ||
+          k == TableCatalog.PROP_EXTERNAL || k.startsWith("option.")).toSeq
+    }
+    require(userProps.isEmpty,
+      s"graft stores take no TBLPROPERTIES (got ${userProps.sorted
+        .mkString(", ")}) — constraints are CALL add_constraint(…), " +
+        "layout is CALL optimize(…)")
     val p = pathFor(ident)
     if (isStore(p))
       throw new org.apache.spark.sql.catalyst.analysis
@@ -164,7 +179,11 @@ class GraftCatalog extends TableCatalog
   /** DROP succeeds only for an anchored-but-never-committed store
     * (nothing to lose, no pinned readers — also the CTAS failure
     * cleanup path); anything with history still refuses toward
-    * vacuum retention. */
+    * vacuum retention. [[TableStore.dropEmpty]] distinguishes its
+    * failure modes: committed history (IllegalArgumentException —
+    * mapped to the retention message here) vs not-a-store
+    * (IllegalStateException — a caller mistake, propagated as-is,
+    * though isStore screens it in practice). */
   override def dropTable(ident: Identifier): Boolean = {
     val p = pathFor(ident)
     if (!isStore(p)) return false

@@ -18,9 +18,13 @@ import graft.ops.Dml
   * same proportional copy-on-write commits the API takes
   * ([[graft.ops.Dml]] — log-stats pruning, exact touched-file
   * discovery, one commit). The reference's correction loop IS these
-  * statements (dags/SQL/Silver/Delete_duplicates_in_silver.sql,
-  * dags/Reprocessing.py:96-126), so a reference user gets their
-  * mutation surface verbatim.
+  * statements — and its literal DELETEs are IN-SUBQUERY deletes: the
+  * correction-loop upsert (dags/Reprocessing.py:117-126), the
+  * self-referencing GROUP-BY-HAVING dup delete
+  * (dags/DataWarehouse.py:531-540), and the staging-vs-bronze dedup
+  * (dags/DataWarehouse.py:666-673) — so a reference user gets their
+  * mutation surface verbatim, subqueries included (uncorrelated
+  * only; see [[GraftDmlRule.screen]]).
   *
   * Mechanics: Spark parses the statements into
   * `DeleteFromTable`/`UpdateTable`/`MergeIntoTable`; for tables that
@@ -50,6 +54,10 @@ object GraftDmlRule {
     }
   }
 
+  /** VALUE expressions (UPDATE/MERGE assignments, MERGE ON and action
+    * conditions): no subqueries — a value position has no Filter to
+    * re-plan them through, and the merge rewrite evaluates values in
+    * projections where IN/EXISTS are not plannable. */
   private[sources] def screen(what: String, exprs: Seq[Expression]): Unit =
     exprs.foreach { e =>
       require(!SubqueryExpression.hasSubquery(e),
@@ -61,6 +69,54 @@ object GraftDmlRule {
         s"graft $what must be deterministic — discovery and rewrite " +
           "evaluate it in separate jobs")
     }
+
+  /** PREDICATE positions (DELETE / UPDATE WHERE): UNCORRELATED
+    * subqueries are allowed — the reference's literal DELETE
+    * statements are IN-subquery deletes (dags/DataWarehouse.py:531-540
+    * self-referencing dup delete, :666-673 staging⋈bronze dedup,
+    * dags/Reprocessing.py:117-126 correction upsert), so refusing them
+    * would break a reference user on day one. The resolved subquery
+    * plans ride the command into [[graft.ops.Dml]], whose discovery
+    * and rewrite passes re-plan the predicate as a fresh Filter —
+    * Spark's own RewritePredicateSubquery turns IN/EXISTS into
+    * (existence) joins there. Pre-image semantics hold by
+    * construction: a SELF-referencing subquery's relation pinned its
+    * snapshot version at statement analysis, and the one commit
+    * happens after every evaluation — both passes read pre-delete
+    * state (DmlSubquerySpec pins it: the dup-delete removes ALL
+    * copies, never "all but one").
+    *
+    * Correlated subqueries stay refused: rebinding by name cannot
+    * reach OuterReference attrs inside the inner plan. Nondeterminism
+    * anywhere in the inner plan is refused for the same reason the
+    * outer predicate must be deterministic — discovery and rewrite
+    * evaluate it twice. */
+  private[sources] def screenPredicate(what: String, e: Expression): Unit = {
+    require(!SubqueryExpression.hasCorrelatedSubquery(e),
+      s"graft $what supports only UNCORRELATED subqueries in its " +
+        "predicate — rewrite the correlated reference as a join " +
+        "through MERGE")
+    def planDeterministic(p: LogicalPlan): Boolean =
+      p.expressions.forall(_.deterministic) &&
+        p.children.forall(planDeterministic) &&
+        !p.expressions.exists(_.exists {
+          case s: SubqueryExpression => !planDeterministic(s.plan)
+          case _ => false
+        })
+    e.foreach {
+      case s: SubqueryExpression =>
+        require(planDeterministic(s.plan),
+          s"graft $what subqueries must be deterministic — discovery " +
+            "and rewrite evaluate the predicate in separate jobs")
+      case _ => ()
+    }
+    require(!e.exists(_.isInstanceOf[AggregateExpression]),
+      s"graft $what does not allow aggregate functions outside a " +
+        "subquery")
+    require(e.deterministic,
+      s"graft $what must be deterministic — discovery and rewrite " +
+        "evaluate it in separate jobs")
+  }
 
   private[sources] def requireWritable(t: GraftStoreTable,
                                        what: String): Unit =
@@ -84,13 +140,14 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case d @ DeleteFromTable(GraftTarget(rel, table), cond)
         if d.resolved =>
       requireWritable(table, "DELETE")
-      screen("DELETE", Seq(cond))
+      screenPredicate("DELETE", cond)
       GraftDeleteCommand(table.root, cond, rel.output)
 
     case u @ UpdateTable(GraftTarget(rel, table), assignments, cond)
         if u.resolved =>
       requireWritable(table, "UPDATE")
-      screen("UPDATE", assignments.map(_.value) ++ cond.toSeq)
+      screen("UPDATE", assignments.map(_.value))
+      cond.foreach(screenPredicate("UPDATE", _))
       val set = assignments.map { a =>
         a.key match {
           case attr: AttributeReference => attr.name -> a.value
@@ -163,9 +220,12 @@ private[sources] trait GraftDmlExecHelpers { self: V2CommandExec =>
     attrs.map(a => a.exprId -> a.name).toMap
 }
 
+/** `SupportsSubquery` marks the node a legal host for IN/EXISTS in
+  * CheckAnalysis (the DeleteFromTable posture this command replaces —
+  * predicate subqueries ride the command into execution). */
 case class GraftDeleteCommand(root: String, cond: Expression,
                               targetAttrs: Seq[Attribute])
-    extends LeafCommand {
+    extends LeafCommand with SupportsSubquery {
   override def simpleString(maxFields: Int): String =
     s"GraftDelete $root cond=${cond.sql}"
 }
@@ -174,7 +234,7 @@ case class GraftUpdateCommand(root: String,
                               set: Seq[(String, Expression)],
                               cond: Option[Expression],
                               targetAttrs: Seq[Attribute])
-    extends LeafCommand {
+    extends LeafCommand with SupportsSubquery {
   override def simpleString(maxFields: Int): String =
     s"GraftUpdate $root set=[${set.map(_._1).mkString(",")}]"
 }
@@ -200,42 +260,49 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
 
 case class GraftDmlStrategy(session: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GraftDeleteCommand(root, cond, attrs) =>
-      GraftDeleteExec(root, cond, attrs) :: Nil
-    case GraftUpdateCommand(root, set, cond, attrs) =>
-      GraftUpdateExec(root, set, cond, attrs) :: Nil
+    case d: GraftDeleteCommand =>
+      GraftDeleteExec(d) :: Nil
+    case u: GraftUpdateCommand =>
+      GraftUpdateExec(u) :: Nil
     case m: GraftMergeCommand =>
       GraftMergeExec(m) :: Nil
     case _ => Nil
   }
 }
 
-case class GraftDeleteExec(root: String, cond: Expression,
-                           targetAttrs: Seq[Attribute])
+/** Each exec carries its LOGICAL command as one opaque field (the
+  * GraftMergeExec pattern) ON PURPOSE: were the predicate a direct
+  * Expression field, the physical preparation's PlanSubqueries would
+  * rewrite any InSubquery inside it into an InSubqueryExec — a
+  * driver-materialized IN the re-analysis in [[graft.ops.Dml]] could
+  * neither plan nor afford (the dup-key set of a 100 TB table is
+  * data-sized). Hidden in the command, the resolved subquery PLANS
+  * reach run() intact and re-plan as existence JOINS inside the
+  * discovery/rewrite Filters. */
+case class GraftDeleteExec(cmd: GraftDeleteCommand)
     extends V2CommandExec with GraftDmlExecHelpers {
   override def output: Seq[Attribute] = Seq.empty
   override def children: Seq[SparkPlan] = Seq.empty
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[SparkPlan]): SparkPlan = this
   override def run(): Seq[InternalRow] = {
-    Dml.delete(session, root, rebind(cond, attrMap(targetAttrs)))
+    Dml.delete(session, cmd.root,
+      rebind(cmd.cond, attrMap(cmd.targetAttrs)))
     Seq.empty
   }
 }
 
-case class GraftUpdateExec(root: String, set: Seq[(String, Expression)],
-                           cond: Option[Expression],
-                           targetAttrs: Seq[Attribute])
+case class GraftUpdateExec(cmd: GraftUpdateCommand)
     extends V2CommandExec with GraftDmlExecHelpers {
   override def output: Seq[Attribute] = Seq.empty
   override def children: Seq[SparkPlan] = Seq.empty
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[SparkPlan]): SparkPlan = this
   override def run(): Seq[InternalRow] = {
-    val byId = attrMap(targetAttrs)
-    Dml.update(session, root,
-      set.map { case (c, v) => c -> rebind(v, byId) },
-      cond.map(rebind(_, byId)))
+    val byId = attrMap(cmd.targetAttrs)
+    Dml.update(session, cmd.root,
+      cmd.set.map { case (c, v) => c -> rebind(v, byId) },
+      cmd.cond.map(rebind(_, byId)))
     Seq.empty
   }
 }

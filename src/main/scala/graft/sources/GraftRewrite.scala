@@ -108,7 +108,13 @@ case class GraftRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           Seq(org.apache.spark.sql.catalyst.InternalRow(
             Seq.fill(aggs.size)(total): _*)))
     }
-    counted.transformUp {
+    // transformUpWithSubqueries: relations INSIDE subquery expressions
+    // (IN/EXISTS/scalar over a graft store — the reference's literal
+    // DELETE shapes, and any SELECT with a store-reading subquery) get
+    // the same native vectorized scan as top-level relations. DML
+    // targets are top-level by grammar, so the protection set is
+    // never shadowed by a subquery relation (those are reads).
+    counted.transformUpWithSubqueries {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftStoreTable] &&
             !r.table.asInstanceOf[GraftStoreTable].hasDeleteVectors &&

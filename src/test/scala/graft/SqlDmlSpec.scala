@@ -313,14 +313,15 @@ class SqlDmlSpec extends SparkSpec {
       "pinned snapshots stay readable and untouched")
   }
 
-  test("DML refuses subqueries and nondeterministic predicates") {
+  test("DELETE takes uncorrelated subquery predicates; " +
+      "nondeterminism still refused") {
     val root = rangedStore("dmlrefuse")
     val g = cat("gdml")
-    val e1 = intercept[Exception] {
-      spark.sql(s"DELETE FROM $g.`$root` WHERE id IN " +
-        s"(SELECT id FROM $g.`$root` WHERE v > 100)").collect()
-    }
-    assert(e1.getMessage.contains("subquer"), e1.getMessage)
+    // the r12-era refusal is gone: the reference's literal DELETEs
+    // are IN-subquery deletes (full coverage in DmlSubquerySpec)
+    spark.sql(s"DELETE FROM $g.`$root` WHERE id IN " +
+      s"(SELECT id FROM $g.`$root` WHERE v > 100)").collect()
+    assert(state(root).map(_._1) == Seq(1L, 2L, 3L))
     val e2 = intercept[Exception] {
       spark.sql(s"DELETE FROM $g.`$root` WHERE rand() < 0.5").collect()
     }
