@@ -69,19 +69,20 @@ object Dml {
       case other => Seq(other)
     }
 
-  /** The predicate's log-stats prune: analyze `pred` against the
-    * snapshot's schema, translate each conjunct to a `sources.Filter`
-    * (untranslatable conjuncts prune nothing — conservative), and
-    * keep the files whose logged bounds cannot REFUTE a match. */
-  private def pruneByPredicate(snapshot: DataFrame, live: Seq[FileEntry],
-                               pred: Column): Seq[FileEntry] = {
-    val analyzed = snapshot.where(pred).queryExecution.analyzed
-    val filters = analyzed.collect {
+  /** The predicate's NECESSARY conditions as `sources.Filter`s:
+    * analyze `pred` against the snapshot's schema and translate each
+    * conjunct (Spark's own translation; untranslatable conjuncts —
+    * subqueries, modulo arithmetic — contribute nothing, which is
+    * conservative in both uses). Because the full predicate implies
+    * every conjunct, a file these filters REFUTE cannot hold a
+    * matching row — sound for the candidate prune AND for the
+    * commit-race serializability screen. */
+  private def predicateFilters(snapshot: DataFrame, pred: Column)
+      : Seq[org.apache.spark.sql.sources.Filter] =
+    snapshot.where(pred).queryExecution.analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         conjuncts(f.condition)
     }.flatten.flatMap(Bridge.translateFilter)
-    graft.sources.StatsSkipping.prune(live, filters)
-  }
 
   private def requireDeterministic(snapshot: DataFrame, what: String,
                                    cols: Column*): Unit =
@@ -174,12 +175,15 @@ object Dml {
     // every live file as one metadata commit (truncation is O(log))
     if (Bridge.expression(pred) ==
         org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral) {
-      val n = prev + 1
-      TableStore.commitExclusive(spark, root, n, Seq.empty,
-        live.map(_.path), marker = Some("rewrite"))
-      return n
+      // truncation rebases past metadata-only racers; the empty
+      // filter set refuses on any concurrent ADD (a truncate's
+      // predicate matches everything — serial order would decide
+      // whether the appended rows survive)
+      return TableStore.commitRewriteRebasing(spark, root, prev + 1,
+        Seq.empty, live.map(_.path), Seq.empty)
     }
-    val candidates = pruneByPredicate(snapshot, live, pred)
+    val filters = predicateFilters(snapshot, pred)
+    val candidates = graft.sources.StatsSkipping.prune(live, filters)
     if (candidates.isEmpty) return prev
     if (mor)
       // merge-on-read: vector the matching rows of the pruned
@@ -200,10 +204,12 @@ object Dml {
     val adds = TableStore.writeData(kept, root, n,
       carriedStatsCols(live))
     // kept rows are a subset of rows that already passed the table's
-    // constraints — nothing new to validate
-    TableStore.commitExclusive(spark, root, n, adds, touched,
-      marker = Some("rewrite"))
-    n
+    // constraints — nothing new to validate. A lost version race
+    // rebases when the racer is provably disjoint (pure appends the
+    // predicate's filters refute) — the streaming-sink coexistence
+    // contract layout rewrites already have.
+    TableStore.commitRewriteRebasing(spark, root, n, adds, touched,
+      filters)
   }
 
   /** `UPDATE store SET c = v, … WHERE pred` — copy-on-write, one
@@ -236,8 +242,12 @@ object Dml {
     requireDeterministicPred(snapshot, "an UPDATE predicate", cond)
     requireDeterministic(snapshot, "an UPDATE assignment",
       set.map(_._2): _*)
+    // unconditional update: empty filters (touches everything, and
+    // the commit-race screen must refuse on any concurrent add)
+    val filters = pred.map(predicateFilters(snapshot, _))
+      .getOrElse(Seq.empty)
     val candidates = pred match {
-      case Some(p) => pruneByPredicate(snapshot, live, p)
+      case Some(_) => graft.sources.StatsSkipping.prune(live, filters)
       case None => live // unconditional update touches everything
     }
     if (candidates.isEmpty) return prev
@@ -279,9 +289,8 @@ object Dml {
       carriedStatsCols(live))
     // updated rows are NEW content: re-validate against constraints
     TableStore.enforceConstraints(spark, root, adds)
-    TableStore.commitExclusive(spark, root, n, adds, touched,
-      marker = Some("rewrite"))
-    n
+    TableStore.commitRewriteRebasing(spark, root, n, adds, touched,
+      filters)
   }
 
   /** One WHEN MATCHED clause: `set = None` is DELETE, `Some(…)` is
@@ -386,21 +395,28 @@ object Dml {
                         snapshot: DataFrame,
                         tCols: IndexedSeq[String],
                         fields: Map[String, org.apache.spark.sql.types.StructField]): Long = {
+    // the source's key span as filters — drives BOTH the candidate
+    // prune and the commit-race serializability screen (a concurrent
+    // add the span refutes cannot change any clause's match set).
+    // Empty when NMBS is present (every target row participates — no
+    // concurrent add is ever safe) or when the source has no non-null
+    // keys (nothing can equi-match; conservative for the screen).
+    val spanFilters: Seq[org.apache.spark.sql.sources.Filter] =
+      if (notMatchedBySource.nonEmpty) Seq.empty
+      else {
+        val span = source.agg(min(sourceKey), max(sourceKey)).collect()(0)
+        if (span.isNullAt(0)) Seq.empty
+        else {
+          import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+          Seq(GreaterThanOrEqual(targetKey, span.get(0)),
+            LessThanOrEqual(targetKey, span.get(1)))
+        }
+      }
     // candidate files: key-span prune, unless NMBS forces a full look
     val candidates: Seq[FileEntry] =
       if (notMatchedBySource.nonEmpty) live
-      else if (live.isEmpty) Seq.empty
-      else {
-        val span = source.agg(min(sourceKey), max(sourceKey)).collect()(0)
-        if (span.isNullAt(0)) Seq.empty // no non-null keys match nothing
-        else {
-          import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
-          val filters: Seq[org.apache.spark.sql.sources.Filter] =
-            Seq(GreaterThanOrEqual(targetKey, span.get(0)),
-              LessThanOrEqual(targetKey, span.get(1)))
-          graft.sources.StatsSkipping.prune(live, filters)
-        }
-      }
+      else if (live.isEmpty || spanFilters.isEmpty) Seq.empty
+      else graft.sources.StatsSkipping.prune(live, spanFilters)
 
     val srcPresent = col("__graft_src_present")
     val src = source.withColumn("__graft_src_present", lit(true))
@@ -535,8 +551,8 @@ object Dml {
     // rewritten rows may carry UPDATE-assigned values and inserts are
     // new content — both re-validate against the CHECK constraints
     TableStore.enforceConstraints(spark, root, rewriteAdds ++ insertAdds)
-    TableStore.commitExclusive(spark, root, n, rewriteAdds ++ insertAdds,
-      touched, marker = if (touched.isEmpty) None else Some("rewrite"))
-    n
+    TableStore.commitRewriteRebasing(spark, root, n,
+      rewriteAdds ++ insertAdds, touched, spanFilters,
+      marker = if (touched.isEmpty) None else Some("rewrite"))
   }
 }

@@ -519,6 +519,90 @@ object TableStore {
         "— livelocked against a faster writer")
   }
 
+  /** Commit for CONTENT-CHANGING row-level rewrites (DELETE / UPDATE /
+    * MERGE from [[Dml]]): a lost version race REBASES when the racer
+    * is provably disjoint, instead of abandoning the whole rewrite —
+    * the [[commitLayoutRebasing]] argument applied to DML: under the
+    * streaming sink's continuous appends, a keyed DELETE that loses
+    * every race starves even though the appended rows provably cannot
+    * match its predicate. Unlike a layout rewrite, the adds here are
+    * NOT content-identical to the removes, so disjointness needs one
+    * more screen beyond live-sources + no-DVs: SERIALIZABILITY over
+    * the racer's new content. `screenFilters` carries the predicate's
+    * translated necessary conditions (each a conjunct the full
+    * predicate implies); a concurrently ADDED file whose log stats
+    * the filters cannot REFUTE might hold a row the op should have
+    * seen — serial execution would differ — so the rebase refuses
+    * loudly (the caller's remedy: re-read and re-run). An EMPTY
+    * filter set therefore means "any concurrent add refuses" — the
+    * conservative default for untranslatable predicates,
+    * unconditional ops, and not-matched-by-source merges.
+    *
+    * Remaining refusals, each a real serial-inequivalence:
+    *  - a removed (touched) path no longer live: the racer rewrote or
+    *    deleted the very rows this op rewrote;
+    *  - ANY delete-vector action in the race window: a MoR delete
+    *    changes logical content without moving file liveness, and
+    *    this op's scans read raw bytes;
+    *  - a constraint change in the window: the op validated its
+    *    rewritten rows against the constraints it READ.
+    * Returns the version actually committed. */
+  private[graft] def commitRewriteRebasing(
+      spark: SparkSession, root: String, first: Long,
+      adds: Seq[FileEntry], removes: Seq[String],
+      screenFilters: Seq[org.apache.spark.sql.sources.Filter],
+      marker: Option[String] = Some("rewrite")): Long = {
+    val base = first - 1
+    var n = first
+    var attempts = 0
+    while (attempts < 64) {
+      try {
+        commitLog(spark, root, n, adds, removes, marker = marker)
+        return n
+      } catch { case e: CommitConflictException =>
+        attempts += 1
+        val latest = versions(spark, root).lastOption.getOrElse(0L)
+        def refuse(why: String): Nothing =
+          throw new java.util.ConcurrentModificationException(
+            s"row-level rewrite at $root lost the version-$n race " +
+              s"and cannot rebase: $why — re-read version $latest " +
+              "and re-run the operation", e)
+        val live = liveAt(spark, root, latest)
+        val liveP = live.map(_.path).toSet
+        val lost = removes.filterNot(liveP.contains)
+        if (lost.nonEmpty)
+          refuse(s"a concurrent writer removed ${lost.size} of its " +
+            s"touched files (e.g. ${lost.head})")
+        // any dv/constraint action in (base, latest] — metadata-sized
+        val windowMeta = logFrame(spark, root)
+          .where(col("v") > base && col("v") <= latest &&
+            col("action").isin("dv", "constraint", "constraint_drop"))
+          .select("action").limit(1).collect()
+        if (windowMeta.nonEmpty)
+          refuse(s"a concurrent ${windowMeta.head.getString(0)} " +
+            "action landed in the race window; this rewrite's scans " +
+            "and validation predate it")
+        // serializability screen: every file the racers ADDED must be
+        // REFUTED by the predicate's necessary conditions
+        val baseP =
+          if (versions(spark, root).contains(base))
+            liveAt(spark, root, base).map(_.path).toSet
+          else Set.empty[String]
+        val newAdds = live.filterNot(f => baseP.contains(f.path))
+        val unrefuted =
+          graft.sources.StatsSkipping.prune(newAdds, screenFilters)
+        if (unrefuted.nonEmpty)
+          refuse(s"${unrefuted.size} concurrently added file(s) " +
+            s"(e.g. ${unrefuted.head.path}) might hold rows the " +
+            "predicate matches — serial execution could differ")
+        n = math.max(n + 1, latest + 1)
+      }
+    }
+    throw new java.io.IOException(
+      s"row-level rewrite lost the commit race $attempts times at " +
+        s"$root — livelocked against a faster writer")
+  }
+
   // mergeSchema: the log's OWN schema evolves (string-stats maps were
   // added after stores existed on disk); commits written before a
   // column resolve it to null, exactly the readAs posture applied to
