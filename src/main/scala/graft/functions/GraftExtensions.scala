@@ -105,6 +105,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.ops.TableStore.history(spark,
           strLit(args.head, "store path")).queryExecution.analyzed
       }))
+    ext.injectTableFunction((FunctionIdentifier("run_manifest"),
+      info("run_manifest", classOf[graft.sources.GraftCatalog]),
+      (in: Seq[Expression]) => {
+        val args = arity("run_manifest", 1)(in)
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ops.RunManifest.currentFrame(spark,
+          strLit(args.head, "manifest root"))
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("table_stats"),
       info("table_stats", classOf[graft.sources.GraftCatalog]),
       (in: Seq[Expression]) => {

@@ -62,6 +62,34 @@ object RunManifest {
     Some((runId, pins))
   }
 
+  /** The latest published run as a FRAME — `(run_id, layer,
+    * store_root, version)` rows, the [[current]] pins in the shape
+    * the SQL surface consumes (`run_manifest('<root>')` TVF,
+    * registered in [[graft.functions.GraftExtensions]]). A pure-SQL
+    * consumer — the reference's entire audience — resolves the
+    * consistent layer set with one SELECT and reads a layer at its
+    * pinned version via `VERSION AS OF`:
+    *
+    * {{{
+    *   SELECT layer, version FROM run_manifest('/wh/_runs');
+    *   SELECT * FROM wh.`/wh/silver` VERSION AS OF <pinned>;
+    * }}}
+    *
+    * Empty (typed) before the first publish — a consumer polling a
+    * not-yet-published warehouse gets zero rows, not an error. */
+  def currentFrame(spark: SparkSession, manifestRoot: String): DataFrame = {
+    import spark.implicits._
+    current(spark, manifestRoot) match {
+      case None =>
+        Seq.empty[(Long, String, String, Long)]
+          .toDF("run_id", "layer", "store_root", "version")
+      case Some((runId, pins)) =>
+        pins.toSeq.sortBy(_._1)
+          .map { case (layer, (root, v)) => (runId, layer, root, v) }
+          .toDF("run_id", "layer", "store_root", "version")
+    }
+  }
+
   /** Read `layer` at the version the latest published run pinned —
     * the consumer path: never the layer store's own latest, so a
     * half-finished tick (later silver version committed, gold not

@@ -900,14 +900,32 @@ object TableStore {
     val v = version.getOrElse(vs.max)
     val entries = liveAt(spark, root, v)
     val dvs = dvsAt(spark, root, v, entries)
+    // an ALTER-evolved snapshot reads under its DECLARED schema:
+    // by-name parquet resolution fills pre-ALTER files' missing
+    // columns with null inside the reader (the readAs posture,
+    // versioned). Never-ALTERed stores skip this entirely.
+    val declared = declaredSchemaAt(spark, root, v)
     if (entries.isEmpty)
       // empty snapshot (all-empty commits, overwrite-with-empty): the
-      // first-touch anchor keeps the columns
-      spark.read.parquet(s"$root/_schema").limit(0)
-    else if (dvs.isEmpty)
-      spark.read.option("ignoreMissingFiles", "false")
-        .parquet(entries.map(e => resolve(root, e.path)): _*)
-    else {
+      // declared schema if ALTERed, else the first-touch anchor
+      declared match {
+        case Some(t) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t)
+        case None => spark.read.parquet(s"$root/_schema").limit(0)
+      }
+    else if (dvs.isEmpty) {
+      val raw = spark.read.option("ignoreMissingFiles", "false")
+      declared match {
+        case Some(t) =>
+          raw.schema(t).parquet(entries.map(e => resolve(root, e.path)): _*)
+        case None =>
+          raw.parquet(entries.map(e => resolve(root, e.path)): _*)
+      }
+    } else {
+      require(declared.isEmpty,
+        s"snapshot $v at $root carries BOTH a declared (ALTERed) " +
+          "schema and outstanding delete vectors — fold the vectors " +
+          "back first (CALL purge_deletes), then read")
       // merge-on-read: vectored files anti-join their delete vectors;
       // clean files keep the plain columnar scan
       val dirtyNames = dvs.keySet.map(_.split('/').last)
@@ -1097,6 +1115,72 @@ object TableStore {
     lf.where(col("v") <= asOf && col("action") === action)
       .orderBy(col("v").desc).select("meta").limit(1)
       .collect().headOption.map(_.getString(0))
+  }
+
+  /** Rows ADDED per version in `(fromExclusive, toInclusive]` — from
+    * the log's per-file footer row counts, zero data IO. The
+    * streaming source's row-based admission sizes its batches with
+    * this (versions with no adds — schema/constraint/marker commits —
+    * simply have no entry). */
+  private[graft] def addedRowsByVersion(spark: SparkSession, root: String,
+                                        fromExclusive: Long,
+                                        toInclusive: Long)
+      : Map[Long, Long] =
+    logFrame(spark, root)
+      .where(col("v") > fromExclusive && col("v") <= toInclusive &&
+        col("action") === "add")
+      .groupBy(col("v").cast("long").as("v"))
+      .agg(sum("n_rows").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** The DECLARED schema in force at `asOf`: the payload of the
+    * newest `schema` action at v <= asOf — written by [[addColumn]]
+    * (SQL `ALTER TABLE ADD COLUMN`). None for never-ALTERed stores,
+    * whose reads infer from data files (the original contract, zero
+    * cost preserved). */
+  private[graft] def declaredSchemaAt(spark: SparkSession, root: String,
+                                      asOf: Long)
+      : Option[org.apache.spark.sql.types.StructType] =
+    latestMeta(spark, root, "schema", asOf).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** `ALTER TABLE ADD COLUMN` as a COMMIT — the [[SchemaEvolution]]
+    * readAs posture made first-class on the store itself: at 100 TB
+    * you cannot rewrite history for a column add, so the new column
+    * is one metadata row (the full target schema as JSON) and ZERO
+    * data IO. From the commit on, [[read]] resolves files by NAME
+    * under the declared schema — files predating the column surface
+    * it as null inside the parquet reader (no extra pass, pruning
+    * and pushdown intact). Time travel keeps each version's OWN
+    * contract: a snapshot pinned before the ALTER reads with the
+    * pre-ALTER schema (the Iceberg/Delta posture — history's shape
+    * is part of history). Nullable, defaultless, top-level columns
+    * only: anything else would need a backfill pass, which belongs
+    * to an explicit UPDATE the operator prices, never a hidden one.
+    * Returns the committed version. */
+  def addColumn(spark: SparkSession, root: String, colName: String,
+                dataType: org.apache.spark.sql.types.DataType): Long = {
+    require(colName.nonEmpty && !colName.startsWith("_"),
+      s"column names starting with _ are reserved for feed " +
+        s"provenance: $colName")
+    val vs = versions(spark, root)
+    val prev = vs.lastOption.getOrElse(0L)
+    val cur = read(spark, root,
+      if (vs.isEmpty) None else Some(prev)).schema
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
+      s"column $colName already exists at $root " +
+        s"[${cur.fieldNames.mkString(",")}]")
+    val target = org.apache.spark.sql.types.StructType(
+      cur.fields :+ org.apache.spark.sql.types.StructField(
+        colName, dataType, nullable = true))
+    val n = prev + 1
+    // snapshot-dependent (the target embeds the CURRENT schema), so a
+    // lost race surfaces loudly rather than composing blindly with a
+    // concurrent ALTER
+    commitExclusive(spark, root, n, Seq.empty, Seq.empty,
+      metaRows = Seq((colName, "schema", target.json)))
+    n
   }
 
   /** Rewrite the live set to ~targetBytes files as a new version —
@@ -2413,6 +2497,9 @@ object TableStore {
     // next tick replay from an older position and DOUBLE-append its
     // delta — the same must-survive class as batch-id markers
     val keptViewPos = latestMeta(spark, root, "viewpos", horizon)
+    // ...and the declared (ALTERed) schema: losing it would silently
+    // shrink every surviving snapshot back to its data files' shape
+    val keptSchema = latestMeta(spark, root, "schema", horizon)
     val noMeta = None: Option[String]
     (horizonLive
       .map(e => (e.path, "add", e.rows, None: Option[Long],
@@ -2428,7 +2515,10 @@ object TableStore {
           snone, snone, Some(d): Option[String], 0L)) } ++
       keptViewPos.map(p =>
         ("", "viewpos", 0L, None: Option[Long], none, none,
-          snone, snone, Some(p): Option[String], 0L)))
+          snone, snone, Some(p): Option[String], 0L)) ++
+      keptSchema.map(j =>
+        ("", "schema", 0L, None: Option[Long], none, none,
+          snone, snone, Some(j): Option[String], 0L)))
       .toDF("path", "action", "n_rows", "batch_id",
         "min_vals", "max_vals", "smin_vals", "smax_vals", "meta",
         "n_bytes")

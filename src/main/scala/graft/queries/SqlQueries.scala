@@ -737,9 +737,168 @@ object SqlQueries extends QueryPack {
     """),
     eager = true)
 
+  /** `ALTER TABLE ADD COLUMN` on the SQL surface
+    * ([[graft.sources.GraftCatalog]].alterTable →
+    * [[graft.ops.TableStore.addColumn]]): one metadata commit, zero
+    * data IO (the in-body `require` pins the live file set
+    * byte-identical across the ALTER), pre-ALTER files resolve the
+    * column to null inside the reader, a post-ALTER INSERT carries
+    * values, time travel keeps the pre-ALTER snapshot's OWN schema
+    * (`require` pins the column list), and the change feed resolves
+    * across the boundary (the readAs posture) — digested as three
+    * legs against a DuckDB restating of the same slice algebra. */
+  val storeSqlAddColumn = GQuery(
+    "q_sql_add_column",
+    (s, d) => {
+      val root = graft.TempRoots.create("graft_sqladdcol") + "/orders"
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+      graft.ops.TableStore.append(
+        base.where(col("o_orderkey") < 10000L).coalesce(1), root,
+        statsCols = Seq("o_orderkey"))
+      graft.ops.TableStore.append(
+        base.where(col("o_orderkey") >= 10000L).coalesce(1), root,
+        statsCols = Seq("o_orderkey"))
+      s.conf.set("spark.sql.catalog.galt",
+        classOf[graft.sources.GraftCatalog].getName)
+      val filesBefore = graft.ops.TableStore.liveAt(s, root, 2L)
+        .map(_.path).toSet
+      s.sql(s"ALTER TABLE galt.`$root` ADD COLUMN o_note STRING")
+      require(graft.ops.TableStore.versions(s, root) == Seq(1L, 2L, 3L),
+        "ALTER must land as exactly one metadata commit")
+      require(graft.ops.TableStore.liveAt(s, root, 3L).map(_.path)
+        .toSet == filesBefore,
+        "ALTER must be zero data IO — same live files")
+      base.where(col("o_orderkey") < 2500L)
+        .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+          col("o_totalprice"),
+          concat(lit("n"), col("o_orderkey")).as("o_note"))
+        .createOrReplaceTempView("gate_addcol_ins")
+      s.sql(s"INSERT INTO galt.`$root` SELECT * FROM gate_addcol_ins")
+      require(s.table(s"galt.`$root`").schema.fieldNames.toSeq ==
+        Seq("o_orderkey", "o_totalprice", "o_note"),
+        "latest must read under the declared schema")
+      require(s.sql(s"SELECT * FROM galt.`$root` VERSION AS OF 2")
+        .schema.fieldNames.toSeq == Seq("o_orderkey", "o_totalprice"),
+        "the pre-ALTER snapshot keeps its own schema")
+      s.sql(s"""
+        SELECT 'latest' AS leg, COUNT(*) AS n_rows,
+               SUM(o_orderkey) AS key_sum,
+               COUNT(o_note) AS n_notes
+        FROM galt.`$root`
+        UNION ALL
+        SELECT 'pre_alter', COUNT(*), SUM(o_orderkey),
+               CAST(-1 AS BIGINT)
+        FROM galt.`$root` VERSION AS OF 2
+        UNION ALL
+        SELECT 'feed', COUNT(*), SUM(o_orderkey), COUNT(o_note)
+        FROM table_changes('$root', 1)
+        ORDER BY leg""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+      ), ins AS (
+        SELECT o_orderkey + 200000000 AS o_orderkey, o_totalprice,
+               'n' || o_orderkey AS o_note
+        FROM base WHERE o_orderkey < 2500
+      ), latest AS (
+        SELECT o_orderkey, NULL AS o_note FROM base
+        UNION ALL SELECT o_orderkey, o_note FROM ins
+      ), feedset AS (
+        SELECT o_orderkey, NULL AS o_note FROM base
+        WHERE o_orderkey >= 10000
+        UNION ALL SELECT o_orderkey, o_note FROM ins
+      )
+      SELECT 'latest' AS leg, COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             COUNT(o_note) AS n_notes
+      FROM latest
+      UNION ALL
+      SELECT 'pre_alter', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+             CAST(-1 AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT 'feed', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+             COUNT(o_note)
+      FROM feedset
+      ORDER BY leg
+    """),
+    eager = true)
+
+  /** The cross-table consistency guarantee on the SQL surface: the
+    * `run_manifest(root)` TVF ([[graft.ops.RunManifest.currentFrame]])
+    * resolves the latest PUBLISHED (silver, gold) pins with one
+    * SELECT, and the pinned layer reads back through ordinary
+    * `VERSION AS OF` — the pure-SQL consumer loop the reference's
+    * quality checks are (dags/SQL/DWH_Quality_Checks.sql). The gate
+    * publishes run 1, then lands a HALF-FINISHED tick 2 (silver
+    * committed, gold never refreshed, manifest never published): the
+    * SQL consumer must keep resolving tick 1's consistent pair, and
+    * the in-body `require` pins the SQL pinned-read hash-equal to
+    * [[graft.ops.RunManifest.readLayer]]. */
+  val storeSqlManifest = GQuery(
+    "q_store_sql_manifest",
+    (s, d) => {
+      val base = graft.TempRoots.create("graft_sqlmanifest")
+      val silver = s"$base/silver"
+      val gold = s"$base/gold"
+      val manifest = s"$base/_runs"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+      // tick 1: silver load, gold refresh, publish LAST
+      val sv1 = graft.ops.TableStore.append(
+        src.where(col("o_orderkey") < 10000L).coalesce(1), silver)
+      val gv1 = graft.ops.TableStore.append(
+        graft.ops.TableStore.read(s, silver, Some(sv1))
+          .agg(count(lit(1)).as("n"),
+            sum("o_orderkey").as("key_sum")).coalesce(1), gold)
+      graft.ops.RunManifest.publish(s, manifest, 1L,
+        Map("silver" -> (silver, sv1), "gold" -> (gold, gv1)))
+      // tick 2 CRASHES between the silver commit and the gold refresh
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") >= 10000L).coalesce(1), silver)
+      s.conf.set("spark.sql.catalog.gman",
+        classOf[graft.sources.GraftCatalog].getName)
+      // the SQL consumer: resolve pins, read the pinned layer
+      val pins = s.sql(
+        s"SELECT layer, version FROM run_manifest('$manifest')")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(pins == Map("silver" -> sv1, "gold" -> gv1),
+        s"SQL pins must be tick 1's pair: $pins")
+      val sqlRead = s.sql(s"SELECT COUNT(*) AS n, SUM(o_orderkey) AS k " +
+        s"FROM gman.`$silver` VERSION AS OF ${pins("silver")}")
+        .collect().head
+      val apiRead = graft.ops.RunManifest.readLayer(s, manifest, "silver")
+        .agg(count(lit(1)), sum("o_orderkey")).collect().head
+      require(sqlRead == apiRead,
+        s"SQL pinned read must equal readLayer: $sqlRead vs $apiRead")
+      s.sql(s"""
+        SELECT m.layer, m.version, d.n_rows, d.key_sum
+        FROM run_manifest('$manifest') m
+        CROSS JOIN (
+          SELECT COUNT(*) AS n_rows, SUM(o_orderkey) AS key_sum
+          FROM gman.`$silver` VERSION AS OF ${pins("silver")}) d
+        ORDER BY m.layer""")
+    },
+    Some("""
+      WITH d AS (
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders WHERE o_orderkey < 10000
+      )
+      SELECT 'gold' AS layer, CAST(1 AS BIGINT) AS version,
+             n_rows, key_sum FROM d
+      UNION ALL
+      SELECT 'silver', CAST(1 AS BIGINT), n_rows, key_sum FROM d
+      ORDER BY layer
+    """),
+    eager = true)
+
   override def all: Seq[GQuery] =
     Seq(storeSql, storeSqlChanges, storeSqlInsert,
       storeSqlDelete, storeSqlUpdate, storeSqlMerge,
       storeSqlMaintenance, storeSqlCtas, storeSqlCountMeta,
-      storeSqlDeleteMor, storeSqlDeleteSubquery)
+      storeSqlDeleteMor, storeSqlDeleteSubquery, storeSqlAddColumn,
+      storeSqlManifest)
 }

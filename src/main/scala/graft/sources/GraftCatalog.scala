@@ -170,11 +170,36 @@ class GraftCatalog extends TableCatalog
     new GraftStoreTable(p, None, Some(schema))
   }
 
+  /** `ALTER TABLE ADD COLUMN` maps onto [[TableStore.addColumn]] —
+    * one metadata commit, zero data IO, history untouched (pre-ALTER
+    * snapshots keep their own schema). Only the shape the commit can
+    * honor without a hidden backfill is accepted: a single nullable
+    * top-level column with no default and no position. Everything
+    * else stays refused toward the commit-model mechanisms. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft stores evolve through TableStore commits " +
-        "(SchemaEvolution/addConstraint), not catalog DDL")
+                          changes: TableChange*): Table = {
+    val p = pathFor(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft ALTER adds top-level columns only, got " +
+            add.fieldNames.mkString("."))
+        require(add.isNullable,
+          "graft ALTER adds NULLABLE columns only — pre-ALTER files " +
+            "resolve the column to null, which a NOT NULL contract " +
+            "would instantly violate")
+        require(add.position() == null,
+          "graft ALTER takes no FIRST/AFTER — the declared schema " +
+            "appends")
+        TableStore.addColumn(spark, p, add.fieldNames()(0),
+          add.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"graft stores support ALTER TABLE ADD COLUMN only (got " +
+          s"$other) — constraints are CALL add_constraint(…), layout " +
+          "is CALL optimize(…), history retires through vacuum")
+    }
+    new GraftStoreTable(p, None)
+  }
 
   /** DROP succeeds only for an anchored-but-never-committed store
     * (nothing to lose, no pinned readers — also the CTAS failure

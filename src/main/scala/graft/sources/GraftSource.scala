@@ -101,8 +101,11 @@ class GraftSource extends org.apache.spark.sql.connector.catalog.TableProvider
     * offsets. Options: `startingVersion` (default 0 = the full
     * history; N = only commits AFTER version N),
     * `maxVersionsPerBatch` (rate limit — how many commits one
-    * micro-batch may drain), and `feed` (`appends` default / `rows`
-    * for the CDC row feed with `_op`). */
+    * micro-batch may drain), `maxRowsPerBatch` (ROW-based admission
+    * from the log's footer row counts — bounds batches under skewed
+    * commit sizes; a single commit larger than the cap still lands
+    * whole, commits are the atom), and `feed` (`appends` default /
+    * `rows` for the CDC row feed with `_op`). */
   override def createSource(ctx: org.apache.spark.sql.SQLContext,
                             metadataPath: String,
                             schema: Option[StructType],
@@ -117,8 +120,11 @@ class GraftSource extends org.apache.spark.sql.connector.catalog.TableProvider
     val maxPer = longOpt("maxVersionsPerBatch")
     maxPer.foreach(m => require(m >= 1,
       s"maxVersionsPerBatch must be >= 1: $m"))
+    val maxRows = longOpt("maxRowsPerBatch")
+    maxRows.foreach(m => require(m >= 1,
+      s"maxRowsPerBatch must be >= 1: $m"))
     new GraftStreamSource(ctx.sparkSession, streamPath(parameters),
-      starting, maxPer, rowFeedOf(parameters))
+      starting, maxPer, rowFeedOf(parameters), maxRows)
   }
 
   /** `writeStream.format("graft").start(root)` — one

@@ -49,7 +49,8 @@ import graft.ops.TableStore
 class GraftStreamSource(spark: SparkSession, root: String,
                         startingVersion: Long,
                         maxVersionsPerBatch: Option[Long],
-                        rowFeed: Boolean = false)
+                        rowFeed: Boolean = false,
+                        maxRowsPerBatch: Option[Long] = None)
     extends Source with SupportsTriggerAvailableNow {
 
   override val schema: StructType =
@@ -74,13 +75,43 @@ class GraftStreamSource(spark: SparkSession, root: String,
 
   /** The admission-control path the engine actually drives: `start`
     * is the stream's current position (checkpoint-authoritative), the
-    * offer walks at most the cap past it. Null = nothing new. */
+    * offer walks at most the caps past it. `maxVersionsPerBatch`
+    * bounds commits per batch; `maxRowsPerBatch` bounds ROWS — the
+    * pacing lever versions-per-batch cannot give when commit sizes
+    * are skewed (one fat backfill commit next to trickle appends).
+    * Row accounting is METADATA-ONLY: the log carries per-file footer
+    * row counts, so sizing a batch reads zero data. A single commit
+    * larger than the row cap still lands whole — offsets are commit
+    * versions, a commit is the atom — so the cap bounds batches at
+    * max(cap, largest single commit), never splits one. Null =
+    * nothing new. */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val latest = latestVisible.getOrElse(return null)
     val base = Option(start).map(GraftStreamSource.version)
       .getOrElse(startingVersion)
-    val offered = maxVersionsPerBatch
+    val capped = maxVersionsPerBatch
       .fold(latest)(m => math.min(latest, base + m))
+    val offered = maxRowsPerBatch match {
+      case None => capped
+      case Some(maxRows) =>
+        val window = TableStore.versions(spark, root)
+          .filter(v => v > base && v <= capped)
+        val rowsOf = TableStore.addedRowsByVersion(spark, root,
+          base, capped)
+        // walk stops at the FIRST over-budget commit: offsets are a
+        // contiguous window, a later small commit cannot leapfrog it
+        var cum = 0L
+        var last = base
+        var stopped = false
+        window.foreach { v =>
+          if (!stopped) {
+            val r = rowsOf.getOrElse(v, 0L)
+            if (last == base || cum + r <= maxRows) { cum += r; last = v }
+            else stopped = true
+          }
+        }
+        last
+    }
     if (offered <= base || offered <= startingVersion) null
     else LongOffset(offered)
   }

@@ -194,9 +194,33 @@ class GraftScanBuilder(table: GraftStoreTable)
   * (The primary SQL path never reaches here: the analysis rewrite in
   * [[graft.functions.GraftExtensions]] replaces the relation with a
   * native parquet scan first. This path serves `spark.read
-  * .format("graft")` without extensions, and dv-carrying snapshots.) */
+  * .format("graft")` without extensions, and dv-carrying snapshots.)
+  *
+  * Statistics come from the COMMIT LOG (byte and row sums over the
+  * live entries — metadata-sized, zero IO): without them a fallback
+  * relation defaults to `defaultSizeInBytes` = "huge", and a small
+  * store on this path would never broadcast in a join — the planner
+  * regression a no-extensions session (or a dv-carrying snapshot)
+  * would otherwise silently pay. Bytes from pre-byte-logging commits
+  * are unknown: the estimate then reports only the row count rather
+  * than guessing low (an under-estimate flips joins the WRONG way).
+  * Under delete vectors the sums slightly over-count — conservative
+  * for broadcast decisions. */
 class GraftScan(table: GraftStoreTable, required: StructType,
-                pushed: Array[Filter]) extends V1Scan {
+                pushed: Array[Filter]) extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val entries = table.liveEntries
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (entries.forall(_.bytes > 0))
+          java.util.OptionalLong.of(entries.map(_.bytes).sum)
+        else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(entries.map(_.rows).sum)
+    }
 
   override def readSchema(): StructType = required
 

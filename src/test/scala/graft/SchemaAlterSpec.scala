@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ops.TableStore
+
+/** `ALTER TABLE ADD COLUMN` as a metadata commit
+  * ([[TableStore.addColumn]] + the catalog's alterTable): declared
+  * schemas version with the log, pre-ALTER files resolve the new
+  * column to null inside the reader, time travel keeps each
+  * snapshot's OWN shape, the change feed resolves across the
+  * boundary, vacuum checkpoints carry the declaration, and the
+  * refusal surface (NOT NULL, positions, nested, non-ADD changes,
+  * reserved names, duplicate columns, DV-carrying snapshots). */
+class SchemaAlterSpec extends SparkSpec {
+
+  private def tmp() = graft.TempRoots.create("graft_alter") + "/t"
+
+  private def mk(ids: Long*) = {
+    val s = spark; import s.implicits._
+    ids.map(i => (i, i * 10L)).toDF("id", "v")
+  }
+
+  private def cat(name: String): String = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.GraftCatalog].getName)
+    name
+  }
+
+  test("addColumn: one metadata commit, nulls for old files, values " +
+      "for new ones, history keeps its own schema") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    TableStore.append(mk(1L, 2L).coalesce(1), root) // v1
+    TableStore.append(mk(3L).coalesce(1), root)     // v2
+    val filesBefore = TableStore.liveAt(spark, root, 2L).map(_.path).toSet
+    assert(TableStore.addColumn(spark, root, "note", StringType) == 3L)
+    // zero data IO: the same files are live, byte-identical
+    assert(TableStore.liveAt(spark, root, 3L).map(_.path).toSet ==
+      filesBefore)
+    val post = TableStore.read(spark, root)
+    assert(post.schema.fieldNames.toSeq == Seq("id", "v", "note"))
+    assert(post.where(col("note").isNull).count() == 3L)
+    // a write after the ALTER carries the column
+    TableStore.append(Seq((9L, 90L, "hi")).toDF("id", "v", "note")
+      .coalesce(1), root) // v4
+    val rows = TableStore.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2))))
+    assert(rows.toSeq ==
+      Seq((1L, None), (2L, None), (3L, None), (9L, Some("hi"))))
+    // time travel: the pre-ALTER snapshot keeps the pre-ALTER shape
+    assert(TableStore.read(spark, root, Some(2L)).schema.fieldNames
+      .toSeq == Seq("id", "v"))
+    // and the post-ALTER pin reads the declared shape
+    assert(TableStore.read(spark, root, Some(3L)).schema.fieldNames
+      .toSeq == Seq("id", "v", "note"))
+  }
+
+  test("SQL surface: ALTER TABLE ADD COLUMN, INSERT with the column, " +
+      "refusals for everything else") {
+    val root = tmp()
+    TableStore.append(mk(1L, 2L).coalesce(1), root)
+    val g = cat("galt")
+    spark.sql(s"ALTER TABLE $g.`$root` ADD COLUMN note STRING")
+    spark.sql(s"INSERT INTO $g.`$root` VALUES (7, 70, 'x')")
+    val got = spark.sql(s"SELECT id, note FROM $g.`$root` ORDER BY id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got == Seq((1L, None), (2L, None), (7L, Some("x"))))
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $g.`$root` ADD COLUMN bad LONG NOT NULL")
+    }
+    assert(e1.getMessage.contains("NULLABLE"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $g.`$root` ADD COLUMN b2 LONG FIRST")
+    }
+    assert(e2.getMessage.contains("FIRST/AFTER"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $g.`$root` DROP COLUMN note")
+    }
+    assert(e3.getMessage.contains("ADD COLUMN only"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $g.`$root` ADD COLUMN note STRING")
+    }
+    assert(e4.getMessage.contains("already exists"), e4.getMessage)
+    intercept[Exception] {
+      TableStore.addColumn(spark, root, "_commit_version", LongType)
+    }
+  }
+
+  test("change feeds resolve across the ALTER boundary") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    TableStore.append(mk(1L).coalesce(1), root)       // v1
+    TableStore.addColumn(spark, root, "note", StringType) // v2
+    TableStore.append(Seq((2L, 20L, "n2")).toDF("id", "v", "note")
+      .coalesce(1), root) // v3
+    // adds-only feed across (0, 3]: pre-ALTER file null-fills
+    val feed = TableStore.readChangesSince(spark, root, 0L)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), Option(r.getAs[String]("note"))))
+    assert(feed.toSeq == Seq((1L, None), (2L, Some("n2"))))
+    // row feed across the boundary: reads under the to-schema
+    val rows = TableStore.readRowChanges(spark, root, 0L, Some(3L))
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("_op")))
+    assert(rows.toSeq == Seq((1L, "insert"), (2L, "insert")))
+  }
+
+  test("vacuum checkpoints carry the declared schema") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    TableStore.append(mk(1L).coalesce(1), root)           // v1
+    TableStore.addColumn(spark, root, "note", StringType) // v2
+    TableStore.append(Seq((2L, 20L, "n2")).toDF("id", "v", "note")
+      .coalesce(1), root) // v3
+    TableStore.append(mk(4L).withColumn("note", lit(null)
+      .cast(StringType)).coalesce(1), root) // v4
+    TableStore.vacuum(spark, root, keepVersions = 2)
+    // the ALTER commit itself fell past the horizon — the checkpoint
+    // must carry its declaration forward
+    assert(TableStore.versions(spark, root) == Seq(3L, 4L))
+    val post = TableStore.read(spark, root)
+    assert(post.schema.fieldNames.toSeq == Seq("id", "v", "note"))
+    assert(post.where(col("id") === 1L).select("note")
+      .collect().head.isNullAt(0))
+  }
+
+  test("declared schema + outstanding delete vectors refuses loudly") {
+    val root = tmp()
+    TableStore.append(mk(1L, 2L, 3L).coalesce(1), root,
+      statsCols = Seq("id"))
+    TableStore.addColumn(spark, root, "note", StringType)
+    TableStore.deleteWhereMoR(spark, root, col("id") === 2L,
+      ("id", 2L, 2L))
+    val e = intercept[Exception] {
+      TableStore.read(spark, root).collect()
+    }
+    assert(e.getMessage.contains("purge_deletes"), e.getMessage)
+  }
+
+  test("ALTER on an anchored-but-empty store (CREATE then ALTER " +
+      "before first INSERT)") {
+    val root = tmp()
+    TableStore.createEmpty(spark, root, StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    assert(TableStore.addColumn(spark, root, "note", StringType) == 1L)
+    val empty = TableStore.read(spark, root)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "v", "note"))
+    assert(empty.count() == 0L)
+  }
+}

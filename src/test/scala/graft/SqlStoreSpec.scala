@@ -361,4 +361,32 @@ class SqlStoreSpec extends SparkSpec {
     assert(c.collect().head.getLong(0) == 299L,
       "the vectored row must not be counted")
   }
+
+  test("the V1Scan fallback reports log statistics: a small " +
+      "dv-carrying store broadcasts in a join") {
+    val root = tmp()
+    TableStore.append(mk(1L to 50L: _*).coalesce(1), root,
+      statsCols = Seq("id"))
+    // the dv forces the fallback path (the rewrite refuses dv
+    // snapshots) — exactly where missing stats used to default the
+    // relation to "huge" and break broadcast decisions
+    TableStore.deleteWhereMoR(spark, root, col("id") === 1L,
+      ("id", 1L, 1L))
+    // AQE off: the broadcast decision must come from PLAN-time stats
+    // (AQE's runtime re-plan would mask a missing estimate)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val small = spark.read.format("graft").load(root)
+      val big = spark.range(0L, 100000L).select(col("id").as("k"))
+      val j = big.join(small, col("k") === col("id"))
+      assert(j.count() == 49L)
+      val bhj = j.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty,
+        s"expected a broadcast join from log-reported stats:\n" +
+          j.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }

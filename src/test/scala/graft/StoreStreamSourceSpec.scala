@@ -59,6 +59,37 @@ class StoreStreamSourceSpec extends SparkSpec {
       got.map(_._1) == (1L to 9L).toSet)
   }
 
+  test("maxRowsPerBatch bounds batches across skewed commit sizes; " +
+      "tick equivalence preserved") {
+    val b = base(); val root = s"$b/t"
+    TableStore.append(mk(1L to 2L), root)   // v1: 2 rows
+    TableStore.append(mk(3L to 5L), root)   // v2: 3 rows
+    TableStore.append(mk(6L to 15L), root)  // v3: 10 rows (fat commit)
+    TableStore.append(mk(16L to 16L), root) // v4: 1 row
+    TableStore.append(mk(17L to 17L), root) // v5: 1 row
+    // capture (batchId -> versions) to assert batch COMPOSITION
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Set[Long]]
+    var reader = spark.readStream.format("graft")
+      .option("maxRowsPerBatch", "5")
+    val q = reader.load(root).writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batches.put(id, df.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).toSet)
+        ()
+      }
+      .option("checkpointLocation", s"$b/ckpt_rows")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val byBatch = batches.asScala.toSeq.sortBy(_._1).map(_._2)
+    // v1+v2 fit the 5-row budget; the 10-row v3 exceeds it but lands
+    // WHOLE as its own batch (commits are the atom); v4+v5 follow
+    assert(byBatch == Seq(Set(1L, 2L), Set(3L), Set(4L, 5L)),
+      s"batch composition: $byBatch")
+    // tick equivalence: the union is exactly the batch feed
+    assert(byBatch.flatten.toSet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("exactly-once replay through a real checkpoint") {
     val b = base(); val root = s"$b/t"
     val ckpt = s"$b/ckpt_once"
