@@ -978,9 +978,184 @@ object SimilarityQueries extends QueryPack {
       queryPred = QueryPred, trainPred = "vec_id % 3 = 0")),
     eager = true)
 
+  /** The LEARNED OPQ rotation ([[Similarity.opqRotation]] —
+    * non-parametric OPQ, Ge et al. CVPR'13 §4: alternate PQ fits with
+    * exact orthogonal-Procrustes solves; the step the permutation
+    * variant deliberately stopped short of) judged on TWO corpora
+    * chosen to separate the variants:
+    *
+    *  - the SKEWED corpus (q_ann_opq_topk's axis-aligned variance
+    *    skew) — the permutation's home turf; the rotation is
+    *    initialized AT the permutation and must match or beat it
+    *    (measured: 860→900 ‰ recall@10 at sf0.01, 745→750 at sf0.1);
+    *  - a CORRELATED corpus (`x_i + 0.9·x_{(i+dsub) mod 64}` — each
+    *    dim mixed with its cross-sub-space neighbour): energy is
+    *    correlated ACROSS sub-spaces, which a permutation can only
+    *    shuffle and a learned rotation can decorrelate (measured:
+    *    400→440 at sf0.01, 280→355 at sf0.1).
+    *
+    * VERDICT-CAP posture (the q_ann_ivfpq_residual_topk precedent):
+    * the rotation's SVD learning is deterministic float math DuckDB
+    * cannot replay, so the digest hashes the REPLAYABLE twins — the
+    * raw-PQ and permutation mean recalls, re-derived from scratch by
+    * the oracle (exact ground truth, both full train/encode/ADC
+    * chains) — plus the rotation's verdict BITS, with the in-body
+    * `require`s naming the measured numbers on failure. The rotation
+    * cannot regress its init by construction (best-distortion
+    * selection INCLUDES the initial permutation), and the learner's
+    * inner Lloyd mirrors the deployed trainer (lowest-id seeding,
+    * same iteration budget) so the optimized objective is the
+    * deployed encoder's, not an idealized one.
+    *
+    * Corpus cap (the residual-gate move): both corpora take only
+    * `vec_id < 5000` (a no-op at sf ≤ 0.1), so the verdict
+    * computation is LITERALLY identical at every stamped SF ≥ 1 —
+    * margins measured once hold by determinism, not by hope. */
+  /** Verdict query set: denser than [[OpqQueryPred]] (every 10th id
+    * under the corpus cap — 50 queries at sf0.01, 500 from sf1 on):
+    * a 5-query set decides recall in 20‰ steps, far coarser than the
+    * lifts being judged. Oracle cost stays bounded by the corpus cap
+    * (≤ 500 × 5 000 scored pairs per twin). */
+  private val RotQueryPred = "vec_id % 10 = 3 AND vec_id < 5000"
+
+  val opqRotationAnnTopK = GQuery(
+    "q_ann_opq_rotation_topk",
+    (s, d) => {
+      val dsub = 64 / PqM
+      val emb = Tables.embeddings(s, d).where(col("vec_id") < 5000L)
+      val skewed = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") *
+            when(i < lit(dsub), lit(4.0)).otherwise(lit(0.25)))
+          .as("embedding"))
+      val correlated = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") +
+            element_at(col("embedding"),
+              (pmod(i + lit(dsub), lit(64)) + 1).cast("int"))
+              .cast("double") * lit(0.9))
+          .as("embedding"))
+      def tops(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbour_id")
+      def measure(corpus: org.apache.spark.sql.DataFrame)
+          : (Long, Long, Long) = {
+        val queries = corpus.filter(expr(RotQueryPred))
+        val exact = tops(Similarity.bruteTopK(queries, "vec_id",
+          "embedding", corpus, "vec_id", "embedding", TopK))
+        def rc(ann: org.apache.spark.sql.DataFrame): Long = {
+          val h = exact.join(ann
+              .withColumnRenamed("query_id", "q2")
+              .withColumnRenamed("neighbour_id", "n2"),
+              col("query_id") === col("q2") &&
+                col("neighbour_id") === col("n2"), "left")
+            .agg(count(col("n2")), countDistinct(col("query_id")))
+            .collect().head // bounded: the verdict pair
+          if (h.getLong(1) == 0) 0L
+          else 1000L * h.getLong(0) / (h.getLong(1) * TopK)
+        }
+        (rc(tops(Similarity.pqTopK(queries, "vec_id", "embedding",
+          corpus, "vec_id", "embedding", PqM, PqK, PqIters, TopK))),
+          rc(tops(Similarity.opqPqTopK(queries, "vec_id", "embedding",
+            corpus, "vec_id", "embedding", PqM, PqK, PqIters, TopK))),
+          rc(tops(Similarity.opqRotationPqTopK(queries, "vec_id",
+            "embedding", corpus, "vec_id", "embedding",
+            PqM, PqK, PqIters, TopK))))
+      }
+      val (pqS, permS, rotS) = measure(skewed)
+      val (pqC, permC, rotC) = measure(correlated)
+      require(rotS >= permS && rotC >= permC,
+        s"the learned rotation must never regress its permutation " +
+          s"init: skewed $permS‰→$rotS‰, correlated $permC‰→$rotC‰")
+      require(rotS > pqS && rotC > pqC,
+        s"the rotation must beat raw PQ on both corpora: " +
+          s"skewed $pqS‰→$rotS‰, correlated $pqC‰→$rotC‰")
+      require(rotS + rotC > permS + permC,
+        s"the rotation must lift aggregate recall STRICTLY above the " +
+          s"permutation: perm ${permS + permC}‰, rot ${rotS + rotC}‰")
+      import s.implicits._
+      Seq(
+        ("correlated", pqC, permC,
+          if (rotC >= permC) 1L else 0L, if (rotC > pqC) 1L else 0L),
+        ("skewed", pqS, permS,
+          if (rotS >= permS) 1L else 0L, if (rotS > pqS) 1L else 0L))
+        .toDF("corpus", "recall_pq_milli", "recall_perm_milli",
+          "rot_ge_perm", "rot_gt_pq")
+        .orderBy("corpus")
+    },
+    Some {
+      val dsub = 64 / PqM
+      def twins(corpus: String): (String, String) = (
+        Similarity.pqTopKSql(corpus, "vec_id", "embedding",
+          dim = 64, m = PqM, k = PqK, iters = PqIters, topK = TopK,
+          queryPred = RotQueryPred),
+        Similarity.pqTopKSql(
+          Similarity.opqPermutedTableSql(corpus, "vec_id", "embedding",
+            dim = 64, m = PqM),
+          "vec_id", "embedding",
+          dim = 64, m = PqM, k = PqK, iters = PqIters, topK = TopK,
+          queryPred = RotQueryPred))
+      val (pqS, permS) = twins("skewed")
+      val (pqC, permC) = twins("correlated")
+      def corpusBlock(tag: String, pqSql: String, permSql: String) =
+        s"""q_$tag AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM $tag WHERE $RotQueryPred),
+        escored_$tag AS (
+          SELECT q.query_id, e.vec_id AS neighbour_id,
+                 ${Similarity.dotScaledSql("q.qv", "e.embedding")} AS sim
+          FROM q_$tag q CROSS JOIN $tag e),
+        exact_$tag AS (
+          SELECT query_id, neighbour_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbour_id) AS rank
+            FROM escored_$tag)
+          WHERE rank <= $TopK),
+        pq_$tag AS (SELECT query_id, neighbour_id FROM ($pqSql)),
+        perm_$tag AS (SELECT query_id, neighbour_id FROM ($permSql)),
+        m_$tag AS (
+          SELECT
+            (1000 * (SELECT COUNT(*) FROM exact_$tag e
+                     JOIN pq_$tag t USING (query_id, neighbour_id)))
+              // ((SELECT COUNT(DISTINCT query_id) FROM exact_$tag)
+                  * $TopK) AS recall_pq_milli,
+            (1000 * (SELECT COUNT(*) FROM exact_$tag e
+                     JOIN perm_$tag t USING (query_id, neighbour_id)))
+              // ((SELECT COUNT(DISTINCT query_id) FROM exact_$tag)
+                  * $TopK) AS recall_perm_milli)"""
+      s"""
+      WITH capped AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5000),
+      skewed AS (
+        SELECT vec_id, list_transform(embedding, (x, i) ->
+          CAST(x AS DOUBLE) * CASE WHEN i <= $dsub
+            THEN 4.0 ELSE 0.25 END) AS embedding
+        FROM capped),
+      correlated AS (
+        SELECT vec_id, list_transform(embedding, (x, i) ->
+          CAST(x AS DOUBLE) +
+            CAST(embedding[((i - 1 + $dsub) % 64) + 1] AS DOUBLE)
+              * CAST(0.9 AS DOUBLE)) AS embedding
+        FROM capped),
+      ${corpusBlock("skewed", pqS, permS)},
+      ${corpusBlock("correlated", pqC, permC)}
+      SELECT 'correlated' AS corpus,
+             CAST(recall_pq_milli AS BIGINT) AS recall_pq_milli,
+             CAST(recall_perm_milli AS BIGINT) AS recall_perm_milli,
+             CAST(1 AS BIGINT) AS rot_ge_perm,
+             CAST(1 AS BIGINT) AS rot_gt_pq
+      FROM m_correlated
+      UNION ALL
+      SELECT 'skewed', CAST(recall_pq_milli AS BIGINT),
+             CAST(recall_perm_milli AS BIGINT),
+             CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+      FROM m_skewed
+      ORDER BY corpus
+    """},
+    eager = true)
+
   def all: Seq[GQuery] =
     Seq(cosineTopK, annTopK, embeddingStats, embeddingNearDup, ivfTopK,
       embedQuantize, annInt8TopK, semanticDedup, semanticDedupScaled,
       ivfTopKScaled, kmeansClusters, pqAnnTopK, opqAnnTopK, ivfPqAnnTopK,
-      opqIvfPqAnnTopK, ivfPqResidualAnnTopK, pqIndexTick)
+      opqIvfPqAnnTopK, ivfPqResidualAnnTopK, pqIndexTick,
+      opqRotationAnnTopK)
 }
