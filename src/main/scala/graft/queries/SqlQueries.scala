@@ -737,6 +737,72 @@ object SqlQueries extends QueryPack {
     """),
     eager = true)
 
+  /** `UPDATE` with a SUBQUERY predicate — the update-shaped half of
+    * the reference's correction loop (Reprocessing.py repairs rows it
+    * previously rejected; the IN-subquery selects them). The engine
+    * takes the two-Filter rewrite shape ([[graft.ops.Dml.update]]:
+    * IN/EXISTS are not plannable inside a projection, so matched rows
+    * select assignments and unmatched rows pass through, both behind
+    * Filters Spark re-plans as existence joins). The predicate MIXES
+    * a prunable range conjunct with the subquery — the in-body
+    * `require` pins the two out-of-range files live-by-the-same-log-
+    * entry (the prune works off the translatable conjuncts even when
+    * a subquery rides along). */
+  val storeSqlUpdateSubquery = GQuery(
+    "q_sql_update_subquery",
+    (s, d) => {
+      val root = graft.TempRoots.create("graft_squpdsub") + "/orders"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Seq(col("o_orderkey") < 5000L,
+        col("o_orderkey") >= 5000L && col("o_orderkey") < 10000L,
+        col("o_orderkey") >= 10000L).foreach(p =>
+        graft.ops.TableStore.append(src.where(p).coalesce(1), root,
+          statsCols = Seq("o_orderkey")))
+      s.conf.set("spark.sql.catalog.gusub",
+        classOf[graft.sources.GraftCatalog].getName)
+      src.where(col("o_orderkey").between(6000L, 7000L))
+        .select("o_orderkey")
+        .createOrReplaceTempView("gate_updsub_sel")
+      val before = graft.ops.TableStore.liveAt(s, root, 3L).map(_.path)
+      s.sql(s"""
+        UPDATE gusub.`$root`
+        SET o_totalprice = o_totalprice + 100.0,
+            o_orderstatus = concat('R', o_orderstatus)
+        WHERE o_orderkey >= 5000 AND o_orderkey < 10000
+          AND o_orderkey IN (SELECT o_orderkey FROM gate_updsub_sel)""")
+        .collect()
+      val after = graft.ops.TableStore.liveAt(s, root,
+        graft.ops.TableStore.versions(s, root).last).map(_.path).toSet
+      require(before.isEmpty || before.count(after.contains) == 2,
+        s"the range conjunct must carry the two out-of-range files " +
+          s"over live even with a subquery riding along: " +
+          s"$before -> $after")
+      s.sql(s"""
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+               SUM(o_orderkey) AS key_sum,
+               CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT))
+                 AS DOUBLE) / 1e2 AS total_price
+        FROM gusub.`$root`
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    },
+    Some("""
+      SELECT CASE WHEN o_orderkey BETWEEN 6000 AND 7000
+                  THEN 'R' || o_orderstatus ELSE o_orderstatus END
+               AS o_orderstatus,
+             COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(SUM(CAST(ROUND(
+               (CASE WHEN o_orderkey BETWEEN 6000 AND 7000
+                     THEN o_totalprice + 100.0 ELSE o_totalprice END)
+               * 1e2) AS BIGINT)) AS DOUBLE) / 1e2 AS total_price
+      FROM orders
+      GROUP BY 1
+      ORDER BY o_orderstatus
+    """),
+    eager = true)
+
   /** `ALTER TABLE ADD COLUMN` on the SQL surface
     * ([[graft.sources.GraftCatalog]].alterTable →
     * [[graft.ops.TableStore.addColumn]]): one metadata commit, zero
@@ -899,6 +965,6 @@ object SqlQueries extends QueryPack {
     Seq(storeSql, storeSqlChanges, storeSqlInsert,
       storeSqlDelete, storeSqlUpdate, storeSqlMerge,
       storeSqlMaintenance, storeSqlCtas, storeSqlCountMeta,
-      storeSqlDeleteMor, storeSqlDeleteSubquery, storeSqlAddColumn,
-      storeSqlManifest)
+      storeSqlDeleteMor, storeSqlDeleteSubquery, storeSqlUpdateSubquery,
+      storeSqlAddColumn, storeSqlManifest)
 }

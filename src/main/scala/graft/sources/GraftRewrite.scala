@@ -100,7 +100,11 @@ case class GraftRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     // (the metaStats contract on the query path). DV-carrying
     // snapshots fall through: their logical count is footer rows
     // minus vectored rows, which the dv-aware scan owns.
-    val counted = plan.transformDown {
+    // transformDownWithSubqueries: a bare COUNT(*) inside a SCALAR
+    // SUBQUERY (`SELECT (SELECT COUNT(*) FROM wh.t) AS n, …` — the
+    // dashboard-tile shape) short-circuits to the log sum too, not
+    // just top-level counts
+    val counted = plan.transformDownWithSubqueries {
       case a @ Aggregate(Nil, aggs, MetaCountable(total), _)
           if a.resolved && aggs.nonEmpty && aggs.forall(isCountStar) =>
         LocalRelation(a.output.map(_.asInstanceOf[

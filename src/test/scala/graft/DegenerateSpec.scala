@@ -41,6 +41,7 @@ class DegenerateSpec extends SparkSpec {
     assert(refusals == Set("q_kmeans_clusters", "q_unigram_surprisal",
       "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_pq_index_tick",
       "q_ann_opq_topk", "q_ann_opq_ivfpq_topk",
+      "q_ann_opq_rotation_topk",
       "q_ann_ivfpq_residual_topk", "q_warehouse_manifest",
       "q_stream_store_source", "q_stream_store_cdc"),
       s"unexpected refusal set: $refusals")

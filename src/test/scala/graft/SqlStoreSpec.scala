@@ -331,6 +331,13 @@ class SqlStoreSpec extends SparkSpec {
     val c2 = spark.sql(s"SELECT COUNT(*) AS n FROM gsqlc.`$root`")
     assert(c2.collect().head.getLong(0) == 290L)
     assert(!hasAnyScan(c2))
+    // the dashboard-tile shape: a bare count inside a SCALAR SUBQUERY
+    // short-circuits too (the rewrite descends into subquery plans)
+    val c3 = spark.sql(
+      s"SELECT 'tile' AS leg, (SELECT COUNT(*) FROM gsqlc.`$root`) AS n")
+    assert(c3.collect().head.getLong(1) == 290L)
+    assert(!hasAnyScan(c3),
+      "a scalar-subquery bare COUNT(*) must answer from the log")
   }
 
   test("COUNT with a filter, grouping, or other aggregates still scans") {
