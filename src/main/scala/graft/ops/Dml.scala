@@ -135,9 +135,17 @@ object Dml {
       }
     }
 
+  /** Candidate-file scan under the snapshot's EFFECTIVE schema: the
+    * snapshot frame's own schema is declared-aware
+    * ([[TableStore.read]]), so on an ALTER-evolved store pre-ALTER
+    * files null-fill the added column inside the reader — a DML
+    * predicate can reference it, and a rewrite of these rows CARRIES
+    * it instead of silently dropping the values. */
   private def scanFiles(spark: SparkSession, root: String,
+                        snapshot: DataFrame,
                         paths: Seq[String]): DataFrame =
     spark.read.option("ignoreMissingFiles", "false")
+      .schema(snapshot.schema)
       .parquet(paths.map(p => TableStore.resolve(root, p)): _*)
 
   /** The DELETE execution mode knob the SQL surface reads:
@@ -192,13 +200,13 @@ object Dml {
       return TableStore.deleteMoRTouched(spark, root, pred, prev,
         candidates)
     // exact discovery: which candidates HOLD a definitely-matching row
-    val hitUris = scanFiles(spark, root, candidates.map(_.path))
+    val hitUris = scanFiles(spark, root, snapshot, candidates.map(_.path))
       .where(coalesce(pred, lit(false)))
       .select(col("_metadata.file_path")).distinct()
       .collect().map(_.getString(0)).toSeq // bounded by file count
     if (hitUris.isEmpty) return prev
     val touched = toEntryPaths(hitUris, root, candidates)
-    val kept = scanFiles(spark, root, touched)
+    val kept = scanFiles(spark, root, snapshot, touched)
       .where(!coalesce(pred, lit(false)))
     val n = prev + 1
     val adds = TableStore.writeData(kept, root, n,
@@ -251,7 +259,7 @@ object Dml {
       case None => live // unconditional update touches everything
     }
     if (candidates.isEmpty) return prev
-    val hitUris = scanFiles(spark, root, candidates.map(_.path))
+    val hitUris = scanFiles(spark, root, snapshot, candidates.map(_.path))
       .where(coalesce(cond, lit(false)))
       .select(col("_metadata.file_path")).distinct()
       .collect().map(_.getString(0)).toSeq // bounded by file count
@@ -271,11 +279,11 @@ object Dml {
     }
     val rewritten =
       if (hasSubquery(cond)) {
-        val base = scanFiles(spark, root, touched)
+        val base = scanFiles(spark, root, snapshot, touched)
         base.where(coalesce(cond, lit(false))).select(applied: _*)
           .unionByName(base.where(!coalesce(cond, lit(false)))
             .select(snapshot.columns.toIndexedSeq.map(col): _*))
-      } else scanFiles(spark, root, touched).select(
+      } else scanFiles(spark, root, snapshot, touched).select(
         snapshot.columns.toIndexedSeq.map { c =>
           assigned.get(c) match {
             case Some(v) =>
@@ -424,7 +432,7 @@ object Dml {
     // the matched / not-matched split: LEFT join of candidate content
     // against the source under the FULL on-condition
     def joined(paths: Seq[String]): DataFrame =
-      scanFiles(spark, root, paths)
+      scanFiles(spark, root, snapshot, paths)
         .withColumn("__graft_file", col("_metadata.file_path"))
         .withColumn("__graft_rid", col("_metadata.row_index"))
         .join(src, on, "left")
@@ -519,7 +527,7 @@ object Dml {
         val unmatchedSrc =
           if (candidates.isEmpty) source
           else source.join(
-            scanFiles(spark, root, candidates.map(_.path)), on,
+            scanFiles(spark, root, snapshot, candidates.map(_.path)), on,
             "left_anti")
         val insertAct = notMatched.zipWithIndex.reverse
           .foldLeft(lit(-1): Column) { case (els, (wn, i)) =>

@@ -683,17 +683,37 @@ object TableStore {
       s"$op plans at file granularity, but merge-on-read delete " +
         s"vectors are present at $root — run purgeDeletes first")
 
+  /** Scan a subset of LIVE data files under the snapshot's EFFECTIVE
+    * schema: the declared (ALTER-evolved) schema when one is in force
+    * at `asOf` — files predating an added column null-fill it inside
+    * the reader, and a REWRITE of this frame CARRIES the column —
+    * else plain schema inference (uniform live sets by construction).
+    * Every content-rewrite path (compaction, layout, DML,
+    * replaceWhere, purge) and every pruned read must go through here:
+    * a raw read of a mixed-schema live set infers ONE file's shape,
+    * and a rewrite of that frame would silently drop the ALTERed
+    * column's values from every rewritten file. */
+  private[graft] def readLiveFiles(spark: SparkSession, root: String,
+                                   asOf: Long,
+                                   entries: Seq[FileEntry]): DataFrame = {
+    val raw = spark.read.option("ignoreMissingFiles", "false")
+    val files = entries.map(e => resolve(root, e.path))
+    declaredSchemaAt(spark, root, asOf) match {
+      case Some(t) => raw.schema(t).parquet(files: _*)
+      case None => raw.parquet(files: _*)
+    }
+  }
+
   /** Apply `dvs` to a scan of `dirty` files: anti-join on
     * (file name, row index) removes exactly the vectored rows. */
   private def applyDvs(spark: SparkSession, root: String,
                        dirty: Seq[FileEntry],
-                       dvs: Map[String, Seq[String]]): DataFrame = {
+                       dvs: Map[String, Seq[String]], asOf: Long): DataFrame = {
     val dvRows = spark.read.option("ignoreMissingFiles", "false")
       .parquet(dvs.values.flatten.toSeq.distinct
         .map(p => resolve(root, p)): _*)
       .select(col("fname").as("__dv_fname"), col("idx").as("__dv_idx"))
-    val scan = spark.read.option("ignoreMissingFiles", "false")
-      .parquet(dirty.map(e => resolve(root, e.path)): _*)
+    val scan = readLiveFiles(spark, root, asOf, dirty)
     val cols = scan.columns
     scan
       .withColumn("__dv_fname",
@@ -746,8 +766,7 @@ object TableStore {
     val n = prev + 1
     val attempt = java.util.UUID.randomUUID.toString.take(8)
     val dvRel = s"dv/v$n-$attempt"
-    val raw = spark.read.option("ignoreMissingFiles", "false")
-      .parquet(touched.map(e => resolve(root, e.path)): _*)
+    val raw = readLiveFiles(spark, root, prev, touched)
       .where(coalesce(pred, lit(false))) // definite-true rows only
       .select(
         element_at(split(col("_metadata.file_path"), "/"), -1)
@@ -796,7 +815,7 @@ object TableStore {
     if (dvs.isEmpty) return prev
     val dirtyNames = dvs.keySet.map(_.split('/').last)
     val dirty = live.filter(e => dirtyNames.contains(e.path.split('/').last))
-    val cleaned = applyDvs(spark, root, dirty, dvs)
+    val cleaned = applyDvs(spark, root, dirty, dvs, prev)
     val n = prev + 1
     commitExclusive(spark, root, n,
       writeData(cleaned, root, n, statsCols, bloomCols),
@@ -931,11 +950,9 @@ object TableStore {
       val dirtyNames = dvs.keySet.map(_.split('/').last)
       val (dirty, clean) = entries.partition(e =>
         dirtyNames.contains(e.path.split('/').last))
-      val mor = applyDvs(spark, root, dirty, dvs)
+      val mor = applyDvs(spark, root, dirty, dvs, v)
       if (clean.isEmpty) mor
-      else mor.unionByName(
-        spark.read.option("ignoreMissingFiles", "false")
-          .parquet(clean.map(e => resolve(root, e.path)): _*))
+      else mor.unionByName(readLiveFiles(spark, root, v, clean))
     }
   }
 
@@ -1205,8 +1222,7 @@ object TableStore {
     val bytes = live.map(e =>
       sizeOf(spark, root, e)).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.option("ignoreMissingFiles", "false")
-          .parquet(live.map(e => resolve(root, e.path)): _*)
+    val df = readLiveFiles(spark, root, prev, live)
       .repartition(nOut)
     val n = prev + 1
     commitLayoutRebasing(spark, root, n,
@@ -1284,8 +1300,7 @@ object TableStore {
     val residual = col(pcol) >= lo && col(pcol) <= hi
     val df =
       if (touched.nonEmpty)
-        spark.read.option("ignoreMissingFiles", "false")
-          .parquet(touched.map(e => resolve(root, e.path)): _*)
+        readLiveFiles(spark, root, version.getOrElse(vs.max), touched)
           .where(residual)
       else read(spark, root, version).where(residual).limit(0)
     (df, touched.size, live.size)
@@ -1367,8 +1382,7 @@ object TableStore {
     val residual = col(pcol) >= lit(lo) && col(pcol) <= lit(hi)
     val df =
       if (touched.nonEmpty)
-        spark.read.option("ignoreMissingFiles", "false")
-          .parquet(touched.map(e => resolve(root, e.path)): _*)
+        readLiveFiles(spark, root, version.getOrElse(vs.max), touched)
           .where(residual)
       else read(spark, root, version).where(residual).limit(0)
     (df, touched.size, live.size)
@@ -1408,8 +1422,7 @@ object TableStore {
     val residual = col(pcol).startsWith(prefix)
     val df =
       if (touched.nonEmpty)
-        spark.read.option("ignoreMissingFiles", "false")
-          .parquet(touched.map(e => resolve(root, e.path)): _*)
+        readLiveFiles(spark, root, version.getOrElse(vs.max), touched)
           .where(residual)
       else read(spark, root, version).where(residual).limit(0)
     (df, touched.size, live.size)
@@ -1496,8 +1509,7 @@ object TableStore {
     val residual = col(pcol).isin(values: _*)
     val df =
       if (touched.nonEmpty)
-        spark.read.option("ignoreMissingFiles", "false")
-          .parquet(touched.map(e => resolve(root, e.path)): _*)
+        readLiveFiles(spark, root, version.getOrElse(vs.max), touched)
           .where(residual)
       else read(spark, root, version).where(residual).limit(0)
     (df, touched.size, live.size)
@@ -1577,8 +1589,7 @@ object TableStore {
     val residual = col(pcol).isin(values: _*)
     val df =
       if (touched.nonEmpty)
-        spark.read.option("ignoreMissingFiles", "false")
-          .parquet(touched.map(e => resolve(root, e.path)): _*)
+        readLiveFiles(spark, root, version.getOrElse(vs.max), touched)
           .where(residual)
       else read(spark, root, version).where(residual).limit(0)
     (df, touched.size, live.size)
@@ -1656,8 +1667,7 @@ object TableStore {
     val bytes = small.map(e =>
       sizeOf(spark, root, e)).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.option("ignoreMissingFiles", "false")
-      .parquet(small.map(e => resolve(root, e.path)): _*)
+    val df = readLiveFiles(spark, root, prev, small)
       .repartition(nOut)
     val n = prev + 1
     commitLayoutRebasing(spark, root, n,
@@ -1741,8 +1751,7 @@ object TableStore {
     // keep a row unless the predicate is DEFINITELY true: under
     // three-valued logic `!pred` drops NULL-valued rows the caller
     // never selected — a silent data loss, not a delete
-    val kept = spark.read.option("ignoreMissingFiles", "false")
-      .parquet(touched.map(e => resolve(root, e.path)): _*)
+    val kept = readLiveFiles(spark, root, prev, touched)
       .where(!coalesce(pred, lit(false)))
     val n = prev + 1
     commitExclusive(spark, root, n,
@@ -1817,8 +1826,7 @@ object TableStore {
     val touched = overlappingFiles(spark, root, live, pcol, lo, hi)
     val kept =
       if (touched.isEmpty) df.limit(0).select(store.columns.map(col): _*)
-      else spark.read.option("ignoreMissingFiles", "false")
-        .parquet(touched.map(e => resolve(root, e.path)): _*)
+      else readLiveFiles(spark, root, prev, touched)
         .where(!coalesce(pred, lit(false)))
     val adds = batchAdds ++ writeData(kept, root, n, statsCols, bloomCols)
     enforceConstraints(spark, root, adds)
@@ -1942,8 +1950,7 @@ object TableStore {
     // level 2: exact touched-file discovery — bounded by file count
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
-      else spark.read.option("ignoreMissingFiles", "false")
-        .parquet(candidates.map(e => resolve(root, e.path)): _*)
+      else readLiveFiles(spark, root, prev, candidates)
         .select(col(key), col("_metadata.file_path").as("__f"))
         .join(keys, col(key) === col("__merge_key"))
         .select("__f").distinct()
@@ -1955,9 +1962,11 @@ object TableStore {
     // level 3: rewrite ONLY the touched files, matched rows dropped
     val survivors =
       if (touched.isEmpty) None
-      else Some(spark.read.option("ignoreMissingFiles", "false")
-        .parquet(touched.map(p => resolve(root, p)): _*)
-        .join(keys, col(key) === col("__merge_key"), "left_anti"))
+      else {
+        val byPath = candidates.map(e => e.path -> e).toMap
+        Some(readLiveFiles(spark, root, prev, touched.map(byPath))
+          .join(keys, col(key) === col("__merge_key"), "left_anti"))
+      }
     val n = prev + 1
     val newAdds = writeData(aligned, root, n, statsCols, bloomCols)
     // only NEW content is validated: survivors are a subset of rows
@@ -2157,8 +2166,7 @@ object TableStore {
     if (vs.isEmpty) return // first-ever write: nothing declared yet
     val cs = activeConstraints(spark, root, vs.max)
     if (cs.isEmpty) return
-    val df = spark.read.option("ignoreMissingFiles", "false")
-      .parquet(entries.map(e => resolve(root, e.path)): _*)
+    val df = readLiveFiles(spark, root, vs.max, entries)
     cs.foreach { case (name, exprSql) =>
       val bad = df.where(!coalesce(expr(exprSql), lit(true)))
         .limit(1).collect()
@@ -2277,8 +2285,7 @@ object TableStore {
     val bytes = live.map(e =>
       sizeOf(spark, root, e)).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.option("ignoreMissingFiles", "false")
-          .parquet(live.map(e => resolve(root, e.path)): _*)
+    val df = readLiveFiles(spark, root, prev, live)
       .repartitionByRange(nOut, col(clusterCol))
       .sortWithinPartitions(clusterCol)
     val n = prev + 1
@@ -2317,8 +2324,7 @@ object TableStore {
     if (touched.size < 2) return prev
     val bytes = touched.map(e => sizeOf(spark, root, e)).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.option("ignoreMissingFiles", "false")
-      .parquet(touched.map(e => resolve(root, e.path)): _*)
+    val df = readLiveFiles(spark, root, prev, touched)
       .repartitionByRange(nOut, col(clusterCol))
       .sortWithinPartitions(clusterCol)
     val n = prev + 1
@@ -2363,8 +2369,7 @@ object TableStore {
       sizeOf(spark, root, e)).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val key = Layout.hilbertValue(col(xCol), col(yCol), bits)
-    val df = spark.read.option("ignoreMissingFiles", "false")
-      .parquet(live.map(e => resolve(root, e.path)): _*)
+    val df = readLiveFiles(spark, root, prev, live)
       .repartitionByRange(nOut, key)
       .sortWithinPartitions(key)
     val n = prev + 1
@@ -2397,8 +2402,7 @@ object TableStore {
       col(y._1).between(y._2, y._3)
     val df =
       if (touched.nonEmpty)
-        spark.read.option("ignoreMissingFiles", "false")
-          .parquet(touched.map(e => resolve(root, e.path)): _*)
+        readLiveFiles(spark, root, version.getOrElse(vs.max), touched)
           .where(residual)
       else read(spark, root, version).where(residual).limit(0)
     (df, touched.size, live.size)

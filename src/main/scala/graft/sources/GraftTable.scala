@@ -240,7 +240,11 @@ class GraftScan(table: GraftStoreTable, required: StructType,
           else {
             val kept = StatsSkipping.prune(table.liveEntries, pushed)
             if (kept.isEmpty) table.snapshot.limit(0)
+            // read under the table's (declared-aware) schema: an
+            // ALTER-evolved snapshot's pre-ALTER files null-fill the
+            // added column instead of inferring one file's shape
             else spark.read.option("ignoreMissingFiles", "false")
+              .schema(table.schema)
               .parquet(kept.map(e =>
                 TableStore.resolve(table.root, e.path)): _*)
           }

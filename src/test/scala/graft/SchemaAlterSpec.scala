@@ -139,6 +139,48 @@ class SchemaAlterSpec extends SparkSpec {
     assert(e.getMessage.contains("purge_deletes"), e.getMessage)
   }
 
+  test("compaction over a mixed-schema live set CARRIES the ALTERed " +
+      "column's values (the raw-read data-loss regression)") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    TableStore.append(mk(1L, 2L).coalesce(1), root)           // v1: no note
+    TableStore.addColumn(spark, root, "note", StringType)     // v2
+    TableStore.append(Seq((3L, 30L, "keepme")).toDF("id", "v", "note")
+      .coalesce(1), root) // v3: carries values
+    // a raw mixed read would infer ONE file's shape; if that file is
+    // the pre-ALTER one, the compacted rewrite silently drops every
+    // "note" value — the declared-schema read must carry it
+    TableStore.compact(spark, root, targetBytes = 1L << 30)
+    val rows = TableStore.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2))))
+    assert(rows.toSeq ==
+      Seq((1L, None), (2L, None), (3L, Some("keepme"))))
+  }
+
+  test("DML on an ALTER-evolved store: backfill UPDATE, predicate on " +
+      "the new column, values carried through rewrites") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    TableStore.append(mk(1L, 2L, 3L).coalesce(1), root,
+      statsCols = Seq("id")) // v1: no note
+    val g = cat("galt2")
+    spark.sql(s"ALTER TABLE $g.`$root` ADD COLUMN note STRING")
+    spark.sql(s"INSERT INTO $g.`$root` VALUES (4, 40, 'n4')")
+    // the backfill shape: UPDATE the new column on pre-ALTER rows —
+    // the rewrite reads pre-ALTER files under the declared schema
+    spark.sql(s"UPDATE $g.`$root` SET note = concat('b', id) " +
+      "WHERE note IS NULL").collect()
+    val afterBackfill = spark.sql(
+      s"SELECT id, note FROM $g.`$root` ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(afterBackfill == Seq((1L, "b1"), (2L, "b2"), (3L, "b3"),
+      (4L, "n4")))
+    // DELETE keyed on the new column
+    spark.sql(s"DELETE FROM $g.`$root` WHERE note = 'b2'").collect()
+    assert(spark.sql(s"SELECT id FROM $g.`$root` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+  }
+
   test("ALTER on an anchored-but-empty store (CREATE then ALTER " +
       "before first INSERT)") {
     val root = tmp()
