@@ -737,6 +737,66 @@ object SqlQueries extends QueryPack {
     """),
     eager = true)
 
+  /** `TRUNCATE TABLE` on the SQL surface
+    * ([[graft.sources.GraftStoreTable]].truncateTable → the
+    * unconditional [[graft.ops.Dml.delete]]): METADATA-ONLY — the
+    * in-body `require`s pin zero live files after one commit with the
+    * data bytes untouched on disk (history reads them) — then the
+    * store keeps working (INSERT lands as the next commit) and the
+    * pre-truncate snapshot stays readable. Three digest legs against
+    * a DuckDB restating. */
+  val storeSqlTruncate = GQuery(
+    "q_sql_truncate",
+    (s, d) => {
+      val root = graft.TempRoots.create("graft_sqltrunc") + "/orders"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") < 10000L).coalesce(1), root)
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") >= 10000L).coalesce(1), root)
+      s.conf.set("spark.sql.catalog.gtrunc",
+        classOf[graft.sources.GraftCatalog].getName)
+      val dataFiles = graft.ops.TableStore.liveAt(s, root, 2L).map(_.path)
+      s.sql(s"TRUNCATE TABLE gtrunc.`$root`").collect()
+      require(graft.ops.TableStore.versions(s, root) == Seq(1L, 2L, 3L),
+        "TRUNCATE must land as exactly one commit")
+      require(graft.ops.TableStore.liveAt(s, root, 3L).isEmpty,
+        "TRUNCATE must empty the live set")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(dataFiles.forall(p =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/$p"))),
+        "TRUNCATE must be metadata-only — data bytes untouched")
+      src.where(col("o_orderkey") < 2500L)
+        .createOrReplaceTempView("gate_trunc_reload")
+      s.sql(s"INSERT INTO gtrunc.`$root` " +
+        "SELECT * FROM gate_trunc_reload")
+      s.sql(s"""
+        SELECT 'pre_truncate' AS leg, COUNT(*) AS n_rows,
+               SUM(o_orderkey) AS key_sum
+        FROM gtrunc.`$root` VERSION AS OF 2
+        UNION ALL
+        SELECT 'post_truncate', COUNT(*), SUM(o_orderkey)
+        FROM gtrunc.`$root` VERSION AS OF 3
+        UNION ALL
+        SELECT 'reloaded', COUNT(*), SUM(o_orderkey)
+        FROM gtrunc.`$root`
+        ORDER BY leg""")
+    },
+    Some("""
+      SELECT 'post_truncate' AS leg, CAST(0 AS BIGINT) AS n_rows,
+             CAST(NULL AS BIGINT) AS key_sum
+      UNION ALL
+      SELECT 'pre_truncate', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'reloaded', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+      FROM orders WHERE o_orderkey < 2500
+      ORDER BY leg
+    """),
+    eager = true)
+
   /** `UPDATE` with a SUBQUERY predicate — the update-shaped half of
     * the reference's correction loop (Reprocessing.py repairs rows it
     * previously rejected; the IN-subquery selects them). The engine
@@ -966,5 +1026,5 @@ object SqlQueries extends QueryPack {
       storeSqlDelete, storeSqlUpdate, storeSqlMerge,
       storeSqlMaintenance, storeSqlCtas, storeSqlCountMeta,
       storeSqlDeleteMor, storeSqlDeleteSubquery, storeSqlUpdateSubquery,
-      storeSqlAddColumn, storeSqlManifest)
+      storeSqlAddColumn, storeSqlManifest, storeSqlTruncate)
 }

@@ -41,7 +41,8 @@ import graft.ops.TableStore
   */
 class GraftStoreTable(val root: String, val requestedVersion: Option[Long],
                       providedSchema: Option[StructType] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -104,6 +105,21 @@ class GraftStoreTable(val root: String, val requestedVersion: Option[Long],
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new GraftScanBuilder(this)
+
+  /** `TRUNCATE TABLE` — the unconditional [[graft.ops.Dml.delete]]:
+    * METADATA-ONLY (every live file leaves the log in one commit,
+    * zero data IO — truncating a 100 TB table costs one log write),
+    * history stays readable behind the new version, and the commit
+    * rebases past provably-disjoint racers like every row-level
+    * rewrite. A time-travel pin is read-only, as everywhere. */
+  override def truncateTable(): Boolean = {
+    require(requestedVersion.isEmpty,
+      s"a time-travel pin is read-only: TRUNCATE targets $root's " +
+        "latest version — drop VERSION AS OF / TIMESTAMP AS OF")
+    graft.ops.Dml.delete(spark, root,
+      org.apache.spark.sql.functions.lit(true))
+    true
+  }
 
   /** `INSERT INTO` / `INSERT OVERWRITE` on the SQL surface. NOT a
     * bypass of the commit contracts — the write routes through the

@@ -76,6 +76,27 @@ class SqlDmlSpec extends SparkSpec {
     assert(TableStore.read(spark, root, Some(3L)).count() == 9)
   }
 
+  test("TRUNCATE TABLE is the same metadata-only commit") {
+    val root = rangedStore("truncate")
+    val g = cat("gdml")
+    val dataFiles = livePaths(root)
+    spark.sql(s"TRUNCATE TABLE $g.`$root`").collect()
+    assert(livePaths(root).isEmpty)
+    assert(TableStore.read(spark, root).count() == 0)
+    // metadata-only: the data files still EXIST on disk (history
+    // reads them); only the log shrank
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dataFiles.foreach(p => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/$p")),
+      s"truncate must not touch data bytes: $p"))
+    assert(TableStore.read(spark, root, Some(3L)).count() == 9,
+      "history stays readable behind the truncate")
+    // and the store keeps working: an INSERT lands as the next commit
+    spark.sql(s"INSERT INTO $g.`$root` VALUES (99, 'n99', 990)")
+    assert(state(root).map(_._1) == Seq(99L))
+  }
+
   test("DELETE keeps NULL-predicate rows (three-valued semantics)") {
     val s = spark; import s.implicits._
     val root = graft.TempRoots.create("graft_sqldml_delnull") + "/t"
