@@ -84,6 +84,44 @@ object Dml {
         conjuncts(f.condition)
     }.flatten.flatMap(Bridge.translateFilter)
 
+  /** The commit-race screen for a predicate: its translated necessary
+    * conditions — UNLESS the predicate carries a subquery, where the
+    * empty set (= refuse on ANY concurrent add) is the only sound
+    * screen. The per-ROW refutation argument does not extend to
+    * subqueries: `WHERE k < 100 AND c IN (SELECT c FROM t WHERE
+    * k > 500)` has necessary condition k < 100, but a concurrent
+    * append of k=600 rows — refuted per-row — still changes the
+    * SUBQUERY's result set, so serial execution could delete
+    * different k<100 rows. */
+  private def screenFilters(snapshot: DataFrame, pred: Column,
+                            filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Seq[org.apache.spark.sql.sources.Filter] =
+    if (hasSubquery(pred)) Seq.empty else filters
+
+  /** Does `df`'s plan read the target store itself? The merge
+    * commit-race screen must then refuse on any concurrent add for
+    * the same reason subquery predicates do: a refuted-per-row add
+    * still changes what a SELF-READING source computes, so serial
+    * execution could merge different rows. Detects the two shapes a
+    * store read takes on this engine (the V2 relation and the
+    * rewritten GraftFileIndex scan); an API caller reading the target
+    * through bare parquet paths owns the race, as documented. */
+  private def readsStore(df: DataFrame, root: String): Boolean =
+    // collectWithSubqueries: a target read nested in a subquery of
+    // the source counts too
+    df.queryExecution.analyzed.collectWithSubqueries {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.GraftStoreTable] &&
+            r.table.asInstanceOf[graft.sources.GraftStoreTable]
+              .root == root => ()
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+            lr.relation.asInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.exists(_.toString.startsWith(root)) => ()
+    }.nonEmpty
+
   private def requireDeterministic(snapshot: DataFrame, what: String,
                                    cols: Column*): Unit =
     cols.foreach { c =>
@@ -113,6 +151,27 @@ object Dml {
   private def hasSubquery(pred: Column): Boolean =
     org.apache.spark.sql.catalyst.expressions.SubqueryExpression
       .hasSubquery(Bridge.expression(pred))
+
+  /** Is the predicate a constant TRUE — the unconditional
+    * delete/truncate? SQL-parsed conditions arrive as a raw Catalyst
+    * `Literal.TrueLiteral`; API literals (`lit(true)`, the
+    * TRUNCATE TABLE path) arrive as Spark 4's LAZY column-node
+    * wrapper, which a naive equality never matches — normalize those
+    * through a trivial row-free analysis and fold. A predicate that
+    * references columns fails that analysis and is (correctly) not
+    * unconditional. */
+  private def isUnconditional(spark: SparkSession, pred: Column): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    if (Bridge.expression(pred) == Literal.TrueLiteral) return true
+    try {
+      val e = spark.range(1).select(pred.cast("boolean"))
+        .queryExecution.analyzed.expressions.head match {
+        case a: Alias => a.child
+        case o => o
+      }
+      e.foldable && e.eval() == true
+    } catch { case _: org.apache.spark.sql.AnalysisException => false }
+  }
 
   /** URI file paths (from `_metadata.file_path`) back to the log's
     * relative entry paths. Matching requires a path-separator
@@ -170,6 +229,20 @@ object Dml {
     val prev = vs.last
     val live = TableStore.liveAt(spark, root, prev)
     if (live.isEmpty) return prev
+    // unconditional delete: no scan can change the answer — remove
+    // every live file as one metadata commit (truncation is O(log)).
+    // BEFORE any DV or read gate on purpose: a truncate is sound with
+    // outstanding vectors (the removed files take their vectors'
+    // relevance with them), and it is the natural escape hatch from
+    // any state where reads refuse — it must not itself refuse.
+    if (isUnconditional(spark, pred)) {
+      // truncation rebases past metadata-only racers; the empty
+      // filter set refuses on any concurrent ADD (a truncate's
+      // predicate matches everything — serial order would decide
+      // whether the appended rows survive)
+      return TableStore.commitRewriteRebasing(spark, root, prev + 1,
+        Seq.empty, live.map(_.path), Seq.empty)
+    }
     val mor = spark.conf.get(DeleteModeKey, "cow")
       .equalsIgnoreCase("mor")
     // copy-on-write refuses outstanding vectors (the deleteWhere
@@ -179,17 +252,6 @@ object Dml {
       "Dml.delete")
     val snapshot = TableStore.read(spark, root, Some(prev))
     requireDeterministicPred(snapshot, "a DELETE predicate", pred)
-    // unconditional delete: no scan can change the answer — remove
-    // every live file as one metadata commit (truncation is O(log))
-    if (Bridge.expression(pred) ==
-        org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral) {
-      // truncation rebases past metadata-only racers; the empty
-      // filter set refuses on any concurrent ADD (a truncate's
-      // predicate matches everything — serial order would decide
-      // whether the appended rows survive)
-      return TableStore.commitRewriteRebasing(spark, root, prev + 1,
-        Seq.empty, live.map(_.path), Seq.empty)
-    }
     val filters = predicateFilters(snapshot, pred)
     val candidates = graft.sources.StatsSkipping.prune(live, filters)
     if (candidates.isEmpty) return prev
@@ -217,7 +279,7 @@ object Dml {
     // predicate's filters refute) — the streaming-sink coexistence
     // contract layout rewrites already have.
     TableStore.commitRewriteRebasing(spark, root, n, adds, touched,
-      filters)
+      screenFilters(snapshot, pred, filters))
   }
 
   /** `UPDATE store SET c = v, … WHERE pred` — copy-on-write, one
@@ -298,7 +360,7 @@ object Dml {
     // updated rows are NEW content: re-validate against constraints
     TableStore.enforceConstraints(spark, root, adds)
     TableStore.commitRewriteRebasing(spark, root, n, adds, touched,
-      filters)
+      screenFilters(snapshot, cond, filters))
   }
 
   /** One WHEN MATCHED clause: `set = None` is DELETE, `Some(…)` is
@@ -559,8 +621,12 @@ object Dml {
     // rewritten rows may carry UPDATE-assigned values and inserts are
     // new content — both re-validate against the CHECK constraints
     TableStore.enforceConstraints(spark, root, rewriteAdds ++ insertAdds)
+    // a SELF-READING source voids the key-span screen (a concurrent
+    // add its span refutes can still change what the source computes)
+    // — refuse on any concurrent add then, like subquery predicates
     TableStore.commitRewriteRebasing(spark, root, n,
-      rewriteAdds ++ insertAdds, touched, spanFilters,
+      rewriteAdds ++ insertAdds, touched,
+      if (readsStore(source, root)) Seq.empty else spanFilters,
       marker = if (touched.isEmpty) None else Some("rewrite"))
   }
 }

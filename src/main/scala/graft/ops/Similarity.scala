@@ -1314,7 +1314,8 @@ object Similarity {
     * [[graft.functions.MatVec]] codegen projection. */
   def opqRotation(corpus: DataFrame, cId: String, cVec: String,
                   m: Int, k: Int, alternations: Int = 4,
-                  lloydIters: Int = 8, sampleCap: Int = 4096)
+                  lloydIters: Int = 8, sampleCap: Int = 4096,
+                  initPerm: Option[Seq[Int]] = None)
       : Seq[Seq[Double]] = {
     val sample = corpus
       .select(col(cId).cast("long"), col(cVec).cast("array<double>"))
@@ -1457,8 +1458,9 @@ object Similarity {
     }
 
     // init at the permutation (exact integer learning on the FULL
-    // corpus — the parametric init)
-    val perm = opqPermutation(corpus, cVec, m)
+    // corpus — the parametric init; callers that already learned it
+    // pass it in rather than re-aggregating the corpus)
+    val perm = initPerm.getOrElse(opqPermutation(corpus, cVec, m))
     val pMat = Array.ofDim[Double](dim, dim)
     perm.zipWithIndex.foreach { case (src, i) => pMat(i)(src) = 1.0 }
 
@@ -1514,11 +1516,13 @@ object Similarity {
                         m: Int, k: Int, iters: Int, topK: Int,
                         alternations: Int = 4,
                         validationCap: Int = 5000): DataFrame = {
+    // one full-corpus permutation learning, shared by the init and
+    // the validation twin
+    val perm = opqPermutation(corpus, cVec, m)
     // the learner's inner Lloyd runs the DEPLOYED iteration budget:
     // the rotation must be optimal for the encoder that will run
     val learned = opqRotation(corpus, cId, cVec, m, k, alternations,
-      lloydIters = iters)
-    val perm = opqPermutation(corpus, cVec, m)
+      lloydIters = iters, initPerm = Some(perm))
     val dim = perm.size
     val pMat: Seq[Seq[Double]] = {
       val a = Array.ofDim[Double](dim, dim)

@@ -407,6 +407,22 @@ object TableStore {
            Seq(("", "txn", 0L, batchId, none, none, snone, snone,
              noMeta, 0L))
          else Nil)
+    // the drop-tombstone fence: a store whose v1 is a `dropped`
+    // marker is being recursively deleted — any commit racing past it
+    // (a lost-v1 appender retrying at v2) must refuse, or its data
+    // lands in a directory the dropper is about to erase. Checked
+    // only on the v1→v2 transition (every writer's first step past
+    // the tombstone's slot), so a normal store pays one tiny log read
+    // once in its lifetime.
+    if (n == 2) {
+      val v1 = new Path(s"$root/$Log/v=1")
+      val v1fs = fsOf(spark, v1)
+      if (v1fs.exists(v1) && spark.read.parquet(v1.toString)
+          .where(col("action") === "dropped").limit(1).collect().nonEmpty)
+        throw new IllegalStateException(
+          s"$root was DROPPED — the root is being retired; re-create " +
+            "the store instead of writing to it")
+    }
     // attempt-unique staging: concurrent committers racing toward the
     // same n never share (or clobber) a staging dir
     val attempt = java.util.UUID.randomUUID.toString.take(8)
@@ -878,16 +894,22 @@ object TableStore {
     require(versions(spark, root).isEmpty,
       s"$root has committed versions — history retires through " +
         "vacuum retention, not DROP")
-    // retire the anchor first, then RE-VERIFY no first commit landed
-    // between the emptiness check and the recursive delete — the
-    // check-then-delete window a racing first commit could otherwise
-    // lose silently. A surviving racer's store keeps its committed
-    // data (writeData re-anchors on the next write); the drop aborts.
-    if (fs.exists(anchor)) fs.delete(anchor, true)
-    if (versions(spark, root).nonEmpty)
+    // TOMBSTONE fence: claim version 1 with a `dropped` marker — the
+    // same rename-committed slot a racing first commit would take, so
+    // exactly one of (drop, first commit) wins. Losing means a commit
+    // landed: the store survives with its history, the drop aborts.
+    // Winning fences every later writer: commitLog refuses the v1→v2
+    // transition over a tombstone, so a racer mid-retry cannot land
+    // data into a directory about to be recursively deleted (the
+    // check-then-delete race the plain re-verify only narrowed).
+    try commitLog(spark, root, 1L, Seq.empty, Seq.empty,
+      marker = Some("dropped"))
+    catch { case _: CommitConflictException =>
       throw new IllegalArgumentException(
         s"$root received its first commit while DROP was checking — " +
           "the store survives with its history; re-read it")
+    }
+    if (fs.exists(anchor)) fs.delete(anchor, true)
     fs.delete(rootPath, true)
     ()
   }
@@ -941,10 +963,10 @@ object TableStore {
           raw.parquet(entries.map(e => resolve(root, e.path)): _*)
       }
     } else {
-      require(declared.isEmpty,
-        s"snapshot $v at $root carries BOTH a declared (ALTERed) " +
-          "schema and outstanding delete vectors — fold the vectors " +
-          "back first (CALL purge_deletes), then read")
+      // declared schema + outstanding vectors composes: both the
+      // dirty scan (applyDvs) and the clean scan below read through
+      // readLiveFiles, which applies the declared schema — an ALTER
+      // landing between a MoR delete and its purge cannot brick reads
       // merge-on-read: vectored files anti-join their delete vectors;
       // clean files keep the plain columnar scan
       val dirtyNames = dvs.keySet.map(_.split('/').last)
@@ -1150,6 +1172,32 @@ object TableStore {
       .agg(sum("n_rows").as("r"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  /** Rows CHANGED per version in `(fromExclusive, toInclusive]` for
+    * the rows/CDC feed's admission: adds by their footer counts PLUS
+    * removes by their ORIGINAL add-time counts — a delete/rewrite
+    * commit emits its removed rows as `_op = delete` rows, so
+    * charging only the adds would admit batches over the cap by the
+    * entire removed volume (exactly on the skewed commits the cap
+    * exists for). Still metadata-only: one log self-join on path. */
+  private[graft] def changedRowsByVersion(spark: SparkSession,
+                                          root: String,
+                                          fromExclusive: Long,
+                                          toInclusive: Long)
+      : Map[Long, Long] = {
+    val lf = logFrame(spark, root)
+    val addRows = lf.where(col("action") === "add")
+      .groupBy("path").agg(max("n_rows").as("orig_rows"))
+    val window = lf.where(col("v") > fromExclusive &&
+      col("v") <= toInclusive)
+    val added = window.where(col("action") === "add")
+      .select(col("v").cast("long").as("v"), col("n_rows").as("r"))
+    val removed = window.where(col("action") === "remove")
+      .join(addRows, "path")
+      .select(col("v").cast("long").as("v"), col("orig_rows").as("r"))
+    added.unionByName(removed).groupBy("v").agg(sum("r").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
   /** The DECLARED schema in force at `asOf`: the payload of the
     * newest `schema` action at v <= asOf — written by [[addColumn]]
     * (SQL `ALTER TABLE ADD COLUMN`). None for never-ALTERed stores,
@@ -1177,26 +1225,47 @@ object TableStore {
     * to an explicit UPDATE the operator prices, never a hidden one.
     * Returns the committed version. */
   def addColumn(spark: SparkSession, root: String, colName: String,
-                dataType: org.apache.spark.sql.types.DataType): Long = {
-    require(colName.nonEmpty && !colName.startsWith("_"),
-      s"column names starting with _ are reserved for feed " +
-        s"provenance: $colName")
+                dataType: org.apache.spark.sql.types.DataType): Long =
+    addColumns(spark, root, Seq(colName -> dataType))
+
+  /** Multi-column ADD as ONE schema commit — the catalog's
+    * `ALTER TABLE t ADD COLUMNS (a …, b …)` must be atomic (Spark's
+    * alterTable contract is apply-all-or-none): every column is
+    * validated against the current schema AND against its siblings
+    * before the single metadata row lands, so a bad column in the
+    * list leaves the table untouched. */
+  def addColumns(spark: SparkSession, root: String,
+                 cols: Seq[(String, org.apache.spark.sql.types.DataType)])
+      : Long = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    cols.foreach { case (colName, _) =>
+      require(colName.nonEmpty && !colName.startsWith("_"),
+        s"column names starting with _ are reserved for feed " +
+          s"provenance: $colName")
+    }
+    val dupNew = cols.groupBy(_._1.toLowerCase).filter(_._2.size > 1)
+    require(dupNew.isEmpty,
+      s"ADD COLUMNS lists a column twice: ${dupNew.keys.mkString(",")}")
     val vs = versions(spark, root)
     val prev = vs.lastOption.getOrElse(0L)
     val cur = read(spark, root,
       if (vs.isEmpty) None else Some(prev)).schema
-    require(!cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
-      s"column $colName already exists at $root " +
-        s"[${cur.fieldNames.mkString(",")}]")
+    cols.foreach { case (colName, _) =>
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
+        s"column $colName already exists at $root " +
+          s"[${cur.fieldNames.mkString(",")}]")
+    }
     val target = org.apache.spark.sql.types.StructType(
-      cur.fields :+ org.apache.spark.sql.types.StructField(
-        colName, dataType, nullable = true))
+      cur.fields ++ cols.map { case (colName, dt) =>
+        org.apache.spark.sql.types.StructField(colName, dt,
+          nullable = true) })
     val n = prev + 1
     // snapshot-dependent (the target embeds the CURRENT schema), so a
     // lost race surfaces loudly rather than composing blindly with a
     // concurrent ALTER
     commitExclusive(spark, root, n, Seq.empty, Seq.empty,
-      metaRows = Seq((colName, "schema", target.json)))
+      metaRows = Seq((cols.map(_._1).mkString(","), "schema",
+        target.json)))
     n
   }
 

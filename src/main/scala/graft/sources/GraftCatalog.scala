@@ -179,7 +179,11 @@ class GraftCatalog extends TableCatalog
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val p = pathFor(ident)
-    changes.foreach {
+    // validate EVERY change before committing ANY (the alterTable
+    // contract is apply-all-or-none): a refused shape later in the
+    // list must leave the table untouched, and the whole column list
+    // lands as ONE schema commit in TableStore.addColumns
+    val adds = changes.map {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "graft ALTER adds top-level columns only, got " +
@@ -191,13 +195,13 @@ class GraftCatalog extends TableCatalog
         require(add.position() == null,
           "graft ALTER takes no FIRST/AFTER — the declared schema " +
             "appends")
-        TableStore.addColumn(spark, p, add.fieldNames()(0),
-          add.dataType())
+        add.fieldNames()(0) -> add.dataType()
       case other => throw new UnsupportedOperationException(
         s"graft stores support ALTER TABLE ADD COLUMN only (got " +
           s"$other) — constraints are CALL add_constraint(…), layout " +
           "is CALL optimize(…), history retires through vacuum")
     }
+    TableStore.addColumns(spark, p, adds)
     new GraftStoreTable(p, None)
   }
 

@@ -96,8 +96,12 @@ class GraftStreamSource(spark: SparkSession, root: String,
       case Some(maxRows) =>
         val window = TableStore.versions(spark, root)
           .filter(v => v > base && v <= capped)
-        val rowsOf = TableStore.addedRowsByVersion(spark, root,
-          base, capped)
+        // rows mode also EMITS removed rows (delete legs) — charge
+        // them, or a rewrite-heavy commit blows the cap
+        val rowsOf =
+          if (rowFeed) TableStore.changedRowsByVersion(spark, root,
+            base, capped)
+          else TableStore.addedRowsByVersion(spark, root, base, capped)
         // walk stops at the FIRST over-budget commit: offsets are a
         // contiguous window, a later small commit cannot leapfrog it
         var cum = 0L

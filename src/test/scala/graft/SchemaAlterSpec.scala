@@ -86,6 +86,25 @@ class SchemaAlterSpec extends SparkSpec {
     intercept[Exception] {
       TableStore.addColumn(spark, root, "_commit_version", LongType)
     }
+    // multi-column ADD is ATOMIC: a bad column anywhere in the list
+    // leaves the table untouched (apply-all-or-none)
+    val before = spark.table(s"$g.`$root`").schema.fieldNames.toSeq
+    val vsBefore = TableStore.versions(spark, root)
+    val e5 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $g.`$root` ADD COLUMNS " +
+        "(extra1 LONG, note STRING)") // note already exists
+    }
+    assert(e5.getMessage.contains("already exists"), e5.getMessage)
+    assert(spark.table(s"$g.`$root`").schema.fieldNames.toSeq == before,
+      "a failed multi-column ALTER must not change the schema")
+    assert(TableStore.versions(spark, root) == vsBefore,
+      "a failed multi-column ALTER must commit nothing")
+    // and a GOOD multi-column list lands as ONE commit
+    spark.sql(s"ALTER TABLE $g.`$root` ADD COLUMNS " +
+      "(extra1 LONG, extra2 STRING)")
+    assert(TableStore.versions(spark, root).size == vsBefore.size + 1)
+    assert(spark.table(s"$g.`$root`").schema.fieldNames.toSeq ==
+      before ++ Seq("extra1", "extra2"))
   }
 
   test("change feeds resolve across the ALTER boundary") {
@@ -126,17 +145,33 @@ class SchemaAlterSpec extends SparkSpec {
       .collect().head.isNullAt(0))
   }
 
-  test("declared schema + outstanding delete vectors refuses loudly") {
+  test("declared schema + outstanding delete vectors composes: reads " +
+      "apply BOTH, purge carries the column") {
+    val s = spark; import s.implicits._
     val root = tmp()
     TableStore.append(mk(1L, 2L, 3L).coalesce(1), root,
       statsCols = Seq("id"))
     TableStore.addColumn(spark, root, "note", StringType)
+    TableStore.append(Seq((4L, 40L, "n4")).toDF("id", "v", "note")
+      .coalesce(1), root, statsCols = Seq("id"))
     TableStore.deleteWhereMoR(spark, root, col("id") === 2L,
       ("id", 2L, 2L))
-    val e = intercept[Exception] {
-      TableStore.read(spark, root).collect()
-    }
-    assert(e.getMessage.contains("purge_deletes"), e.getMessage)
+    def state() = TableStore.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSeq
+    // the MoR read applies the vector AND the declared schema
+    assert(state() == Seq((1L, None), (3L, None), (4L, Some("n4"))))
+    // purge folds the vector back with the column intact
+    TableStore.purgeDeletes(spark, root)
+    assert(state() == Seq((1L, None), (3L, None), (4L, Some("n4"))))
+    // and TRUNCATE works from any state (the escape hatch never
+    // refuses): metadata-only even with vectors outstanding
+    val root2 = tmp()
+    TableStore.append(mk(7L, 8L).coalesce(1), root2,
+      statsCols = Seq("id"))
+    TableStore.deleteWhereMoR(spark, root2, col("id") === 7L,
+      ("id", 7L, 7L))
+    graft.ops.Dml.delete(spark, root2, lit(true))
+    assert(TableStore.read(spark, root2).count() == 0L)
   }
 
   test("compaction over a mixed-schema live set CARRIES the ALTERed " +

@@ -90,6 +90,31 @@ class StoreStreamSourceSpec extends SparkSpec {
     assert(byBatch.flatten.toSet == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("rows-feed admission charges REMOVED rows too, not just adds") {
+    val b = base(); val root = s"$b/t"
+    TableStore.append(mk(1L to 5L), root)    // v1: 5 rows
+    TableStore.overwrite(mk(6L to 7L), root) // v2: removes 5, adds 2
+    // rows-feed emits v2 as 2 inserts + 5 deletes = 7 rows; a cap of
+    // 7 must NOT batch v1 (5 rows) with v2 — adds-only accounting
+    // (5 + 2 = 7) would
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Long]
+    val q = spark.readStream.format("graft")
+      .option("feed", "rows").option("maxRowsPerBatch", "7")
+      .load(root).writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batches.put(id, df.count()); ()
+      }
+      .option("checkpointLocation", s"$b/ckpt_rowscap")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val sizes = batches.asScala.toSeq.sortBy(_._1).map(_._2)
+    // batch 0 = v1's 5 inserts; batch 1 = v2's net delta (the rows
+    // feed cancels moved rows: 5 deletes + 2 inserts net)
+    assert(sizes.size == 2, s"v2 must land as its own batch: $sizes")
+    assert(sizes.head == 5L, s"batch sizes: $sizes")
+  }
+
   test("exactly-once replay through a real checkpoint") {
     val b = base(); val root = s"$b/t"
     val ckpt = s"$b/ckpt_once"
