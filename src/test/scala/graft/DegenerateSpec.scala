@@ -31,6 +31,10 @@ class DegenerateSpec extends SparkSpec {
     // change that belongs in this list (and its op's scaladoc), not a
     // silent drift
     val refusals = results.collect { case (n, Graceful(_)) => n }.toSet
+    // q_sql_truncate's evidence pins (exactly one truncate commit,
+    // a VERSION AS OF 3 digest leg) cannot hold on a zero-row corpus:
+    // an empty store's truncate is a provable no-op that commits
+    // nothing, so the gate refuses gracefully at its own require.
     // the PQ family (q_ann_opq_topk included) shares the k-means
     // precondition: Lloyd training needs a non-empty corpus to seed
     // centroids (pqCodebooks' documented require). The warehouse
@@ -41,7 +45,7 @@ class DegenerateSpec extends SparkSpec {
     assert(refusals == Set("q_kmeans_clusters", "q_unigram_surprisal",
       "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_pq_index_tick",
       "q_ann_opq_topk", "q_ann_opq_ivfpq_topk",
-      "q_ann_opq_rotation_topk",
+      "q_ann_opq_rotation_topk", "q_sql_truncate",
       "q_ann_ivfpq_residual_topk", "q_warehouse_manifest",
       "q_stream_store_source", "q_stream_store_cdc"),
       s"unexpected refusal set: $refusals")
