@@ -238,12 +238,20 @@ object Bench {
     }
     val trailing = if (only.isEmpty) trailingHistory() else Map.empty[String, Seq[Double]]
     val resolo = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // sub-floor rows can't be adjudicated meaningfully (a 0.1 s query
+    // at 2x trailing is scheduler noise, and a solo re-measure of it
+    // is more noise) — but they must not ship as SILENT >1.8x rows
+    // either: stamp them floor-exempt in the artifact so every
+    // over-threshold row is either resolo'd or explicitly exempted.
+    val ResoloFloor = 0.25
+    val floorExempt = scala.collection.mutable.ArrayBuffer[String]()
     if (only.isEmpty) {
       val flagged = results.flatMap { case (name, med) =>
         val ref = median(trailing.getOrElse(name, Seq.empty))
-        if (med > 0.4 && ref > 0 && med > 1.8 * ref)
-          Some((name, med, med / ref))
-        else None
+        if (ref > 0 && med > 1.8 * ref) {
+          if (med > ResoloFloor) Some((name, med, med / ref))
+          else { floorExempt += name; None }
+        } else None
       }.sortBy(-_._3)
       if (flagged.nonEmpty) {
         // give the cleaner a push so the solo pass runs in a settled
@@ -272,11 +280,27 @@ object Bench {
     val qs = adjudicated.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = adjudicated.map(_._2).filter(_ >= 0).sum
-    val resoloJson =
-      if (resolo.isEmpty) ""
-      else resolo.map { case (k, (inseq, solo)) =>
-        s""""$k":{"inseq":$inseq,"solo":$solo}"""
-      }.mkString(""","resolo":{""", ",", "}")
+    val resoloJson = {
+      // an in-seq/solo gap LARGER than the adjudication threshold
+      // itself is not plain settling noise — it may be a genuine
+      // regression that only manifests under in-sequence conditions
+      // (cache pressure, contention from an earlier query). Adopting
+      // the solo number is still the artifact-of-record policy (the
+      // r10 drift lesson), but such rows are stamped review:true so a
+      // judge re-examines them instead of the gap being silent.
+      val entries =
+        if (resolo.isEmpty) ""
+        else resolo.map { case (k, (inseq, solo)) =>
+          val review = if (solo > 0 && inseq > 1.8 * solo)
+            ""","review":true""" else ""
+          s""""$k":{"inseq":$inseq,"solo":$solo$review}"""
+        }.mkString(""","resolo":{""", ",", "}")
+      val exempt =
+        if (floorExempt.isEmpty) ""
+        else floorExempt.map(n => s""""$n"""")
+          .mkString(""","floor_exempt":[""", ",", "]")
+      entries + exempt
+    }
     // ---- split headline: ops-gates vs query-plans ----
     // The store/IVM/PQ families are eager end-to-end gates (build a
     // store, run merges/ticks, hash the digest) — their wall-time is

@@ -106,21 +106,36 @@ object Dml {
     * store read takes on this engine (the V2 relation and the
     * rewritten GraftFileIndex scan); an API caller reading the target
     * through bare parquet paths owns the race, as documented. */
-  private def readsStore(df: DataFrame, root: String): Boolean =
+  private def readsStore(df: DataFrame, root: String): Boolean = {
+    // FS-qualified comparison with a '/'-boundary (the toEntryPaths
+    // strictness): a bare startsWith would (a) let a prefix-sharing
+    // SIBLING store (/wh/t vs /wh/t2) spuriously void the key-span
+    // screen, and (b) miss a scheme-qualified spelling of the SAME
+    // root (file:/wh/t vs /wh/t), leaving the span screen in force
+    // for a genuinely self-reading source — unsound in that spelling.
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    def qualify(p: org.apache.hadoop.fs.Path): String =
+      p.getFileSystem(conf).makeQualified(p).toString
+    val rootQ = qualify(new org.apache.hadoop.fs.Path(root))
+    def underRoot(p: org.apache.hadoop.fs.Path): Boolean = {
+      val q = qualify(p)
+      q == rootQ || q.startsWith(rootQ + "/")
+    }
     // collectWithSubqueries: a target read nested in a subquery of
     // the source counts too
     df.queryExecution.analyzed.collectWithSubqueries {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
           if r.table.isInstanceOf[graft.sources.GraftStoreTable] &&
-            r.table.asInstanceOf[graft.sources.GraftStoreTable]
-              .root == root => ()
+            underRoot(new org.apache.hadoop.fs.Path(
+              r.table.asInstanceOf[graft.sources.GraftStoreTable].root)) => ()
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
           if lr.relation.isInstanceOf[
               org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
             lr.relation.asInstanceOf[
                 org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-              .location.rootPaths.exists(_.toString.startsWith(root)) => ()
+              .location.rootPaths.exists(underRoot) => ()
     }.nonEmpty
+  }
 
   private def requireDeterministic(snapshot: DataFrame, what: String,
                                    cols: Column*): Unit =

@@ -417,11 +417,21 @@ object TableStore {
     if (n == 2) {
       val v1 = new Path(s"$root/$Log/v=1")
       val v1fs = fsOf(spark, v1)
-      if (v1fs.exists(v1) && spark.read.parquet(v1.toString)
-          .where(col("action") === "dropped").limit(1).collect().nonEmpty)
+      if (v1fs.exists(v1)) {
+        if (spark.read.parquet(v1.toString)
+            .where(col("action") === "dropped").limit(1).collect().nonEmpty)
+          throw new IllegalStateException(
+            s"$root was DROPPED — the root is being retired; re-create " +
+              "the store instead of writing to it")
+      } else
+        // a committer at v2 read versions=[1] moments ago; v1 gone now
+        // means the DROP's recursive delete ran in between — landing
+        // this commit would resurrect a gapped, anchor-less store out
+        // of the erased directory. (A vacuum never retires the only
+        // version, so a legitimate v2 commit always still sees v1.)
         throw new IllegalStateException(
-          s"$root was DROPPED — the root is being retired; re-create " +
-            "the store instead of writing to it")
+          s"$root has no version 1 — the store was dropped while this " +
+            "commit was in flight; re-create it instead")
     }
     // attempt-unique staging: concurrent committers racing toward the
     // same n never share (or clobber) a staging dir
@@ -611,6 +621,25 @@ object TableStore {
           refuse(s"${unrefuted.size} concurrently added file(s) " +
             s"(e.g. ${unrefuted.head.path}) might hold rows the " +
             "predicate matches — serial execution could differ")
+        // the empty-filter contract ("refuse on ANY live-set change")
+        // must cover REMOVES too: a racer can commit removes with zero
+        // adds (a COW DELETE whose matched files rewrite to zero rows
+        // drops the empty parts), and for a subquery predicate or a
+        // self-reading MERGE source the match set depends on rows in
+        // files this op never touched — removing them changes the
+        // subquery/source result, so serial execution could differ.
+        // With non-empty filters removes stay irrelevant: the
+        // predicate is per-row and a vanished row this op didn't
+        // touch can't change which of ITS rows match.
+        if (screenFilters.isEmpty) {
+          val goneElsewhere = baseP -- liveP -- removes
+          if (goneElsewhere.nonEmpty)
+            refuse(s"${goneElsewhere.size} file(s) beyond this op's " +
+              s"touched set (e.g. ${goneElsewhere.head}) were " +
+              "concurrently removed — a subquery/self-reading/" +
+              "unconditional operation's match set could depend on " +
+              "their rows, so serial execution could differ")
+        }
         n = math.max(n + 1, latest + 1)
       }
     }
@@ -891,7 +920,17 @@ object TableStore {
     if (!fs.exists(anchor) && !fs.exists(logDir))
       throw new IllegalStateException(
         s"no store at $root — nothing to drop")
-    require(versions(spark, root).isEmpty,
+    val vs = versions(spark, root)
+    // crash recovery: a previous DROP that died between the v1
+    // tombstone commit and the recursive delete leaves versions=[1]
+    // with the `dropped` marker — the root is fenced (every writer's
+    // v1→v2 step refuses) but still on disk. Re-running DROP must
+    // RESUME the delete (idempotent drop), not refuse with the
+    // misleading committed-history error that would brick the path.
+    val resumingDrop = vs == Seq(1L) &&
+      spark.read.parquet(s"$root/$Log/v=1")
+        .where(col("action") === "dropped").limit(1).collect().nonEmpty
+    require(resumingDrop || vs.isEmpty,
       s"$root has committed versions — history retires through " +
         "vacuum retention, not DROP")
     // TOMBSTONE fence: claim version 1 with a `dropped` marker — the
@@ -902,13 +941,14 @@ object TableStore {
     // transition over a tombstone, so a racer mid-retry cannot land
     // data into a directory about to be recursively deleted (the
     // check-then-delete race the plain re-verify only narrowed).
-    try commitLog(spark, root, 1L, Seq.empty, Seq.empty,
-      marker = Some("dropped"))
-    catch { case _: CommitConflictException =>
-      throw new IllegalArgumentException(
-        s"$root received its first commit while DROP was checking — " +
-          "the store survives with its history; re-read it")
-    }
+    if (!resumingDrop)
+      try commitLog(spark, root, 1L, Seq.empty, Seq.empty,
+        marker = Some("dropped"))
+      catch { case _: CommitConflictException =>
+        throw new IllegalArgumentException(
+          s"$root received its first commit while DROP was checking — " +
+            "the store survives with its history; re-read it")
+      }
     if (fs.exists(anchor)) fs.delete(anchor, true)
     fs.delete(rootPath, true)
     ()

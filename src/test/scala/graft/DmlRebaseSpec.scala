@@ -143,6 +143,60 @@ class DmlRebaseSpec extends SparkSpec {
     assert(ex2.getMessage.contains("constraint"), ex2.getMessage)
   }
 
+  test("empty filters refuse a REMOVES-ONLY racer; keyed filters " +
+      "rebase past it") {
+    // the racer: a COW DELETE of every row in the 21-23 file — the
+    // rewrite yields zero rows, writeData drops empty parts, so the
+    // commit is removes-with-zero-adds. For a subquery predicate or
+    // self-reading source (empty screen) the match set can depend on
+    // rows in files this op never touched, so the rebase must refuse;
+    // a keyed per-row predicate (non-empty screen) is unaffected by
+    // vanished rows outside its touched set and keeps rebasing.
+    val root = tmp()
+    ranged(root)
+    val (adds, touched) = stageDelete12(root)
+    assert(Dml.delete(spark, root,
+      col("id") >= 21L && col("id") <= 23L) == 4L)
+    assert(TableStore.liveAt(spark, root, 4L).size == 2,
+      "racer must commit removes with zero adds")
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      TableStore.commitRewriteRebasing(
+        spark, root, 4L, adds, touched, Seq.empty)
+    }
+    assert(ex.getMessage.contains("concurrently removed"), ex.getMessage)
+
+    val root2 = tmp()
+    ranged(root2)
+    val (adds2, touched2) = stageDelete12(root2)
+    assert(Dml.delete(spark, root2,
+      col("id") >= 21L && col("id") <= 23L) == 4L)
+    assert(TableStore.commitRewriteRebasing(
+      spark, root2, 4L, adds2, touched2, filters1113) == 5L)
+    assert(ids(root2) == Seq(1L, 2L, 3L, 11L, 13L))
+  }
+
+  test("dropEmpty resumes after a crash between tombstone and delete") {
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the torn state: the v1 `dropped` tombstone committed (exactly
+    // what dropEmpty commits), then the process died before the
+    // recursive delete ran
+    val root = graft.TempRoots.create("graft_dropresume") + "/t"
+    TableStore.createEmpty(spark, root, mk(1L).schema)
+    TableStore.commitRewriteRebasing(spark, root, 1L,
+      Seq.empty, Seq.empty, Seq.empty, marker = Some("dropped"))
+    assert(TableStore.versions(spark, root) == Seq(1L))
+    // writers stay fenced by the tombstone (the v1→v2 check)…
+    intercept[IllegalStateException] {
+      TableStore.append(mk(5L), root)
+    }
+    // …and a re-run of dropEmpty RESUMES the delete instead of
+    // refusing with the misleading "has committed versions" error
+    // that would brick the root
+    TableStore.dropEmpty(spark, root)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root)))
+  }
+
   test("end-to-end: keyed DELETEs interleaved with an appender " +
       "thread — history linear, both writers' content lands") {
     val root = tmp()
