@@ -50,6 +50,18 @@ import TableStore.FileEntry
   * and SQL's own WHERE semantics). */
 object Dml {
 
+  /** The subquery-correlation anchor: every frame a DML predicate is
+    * evaluated against is wrapped in `alias(TargetAlias)`, and the SQL
+    * path rebinds a correlated subquery's `OuterReference`s to
+    * attributes QUALIFIED by this name
+    * ([[graft.sources.GraftDmlExecHelpers.rebind]]). Analysis of the
+    * op's fresh Filter then resolves `__graft_target.col` ONLY
+    * against the outer scan (the inner plan has no such qualifier),
+    * re-discovering the correlation exactly where the original
+    * statement had it. Unqualified predicates resolve through the
+    * alias unchanged, so API callers never see it. */
+  private[graft] val TargetAlias = "__graft_target"
+
   /** Stats columns to re-declare on rewritten files: every column any
     * live file carries logged bounds for — so a DML rewrite never
     * silently degrades the table's future pruning. (Bloom filters are
@@ -79,7 +91,7 @@ object Dml {
     * commit-race serializability screen. */
   private def predicateFilters(snapshot: DataFrame, pred: Column)
       : Seq[org.apache.spark.sql.sources.Filter] =
-    snapshot.where(pred).queryExecution.analyzed.collect {
+    snapshot.alias(TargetAlias).where(pred).queryExecution.analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         conjuncts(f.condition)
     }.flatten.flatMap(Bridge.translateFilter)
@@ -153,7 +165,8 @@ object Dml {
     * fail analysis inside a bare projection. */
   private def requireDeterministicPred(snapshot: DataFrame, what: String,
                                        pred: Column): Unit = {
-    val e = snapshot.where(pred).queryExecution.analyzed.expressions
+    val e = snapshot.alias(TargetAlias).where(pred)
+      .queryExecution.analyzed.expressions
     require(e.forall(_.deterministic),
       s"$what must be deterministic — discovery and rewrite evaluate " +
         "it in separate jobs, and a nondeterministic match set would " +
@@ -177,6 +190,14 @@ object Dml {
     * unconditional. */
   private def isUnconditional(spark: SparkSession, pred: Column): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    // a subquery predicate is never unconditional — and, critically,
+    // it must NOT reach the throwaway row-free analysis below: a
+    // FAILED analysis of the shared expression tree marks its inner
+    // plan nodes rule-ineffective (Spark's rule-ID pruning state
+    // lives ON the TreeNode and survives across analyses), which
+    // would silently disable resolution of a correlated subquery's
+    // rebound outer references in the op's REAL analyses afterwards
+    if (hasSubquery(pred)) return false
     if (Bridge.expression(pred) == Literal.TrueLiteral) return true
     try {
       val e = spark.range(1).select(pred.cast("boolean"))
@@ -218,9 +239,14 @@ object Dml {
   private def scanFiles(spark: SparkSession, root: String,
                         snapshot: DataFrame,
                         paths: Seq[String]): DataFrame =
+    // aliased so a correlated subquery's rebound outer references
+    // (`TargetAlias.col`) resolve against THIS scan — transparent to
+    // unqualified predicates and to the merge join (plain columns
+    // resolve through a SubqueryAlias unchanged)
     spark.read.option("ignoreMissingFiles", "false")
       .schema(snapshot.schema)
       .parquet(paths.map(p => TableStore.resolve(root, p)): _*)
+      .alias(TargetAlias)
 
   /** The DELETE execution mode knob the SQL surface reads:
     * `SET spark.graft.dml.deleteMode = mor` switches [[delete]] from

@@ -812,6 +812,10 @@ object TableStore {
     val attempt = java.util.UUID.randomUUID.toString.take(8)
     val dvRel = s"dv/v$n-$attempt"
     val raw = readLiveFiles(spark, root, prev, touched)
+      // aliased for correlated-subquery predicates from the SQL DML
+      // path (their rebound outer refs are Dml.TargetAlias-qualified);
+      // transparent to plain predicates
+      .alias(Dml.TargetAlias)
       .where(coalesce(pred, lit(false))) // definite-true rows only
       .select(
         element_at(split(col("_metadata.file_path"), "/"), -1)

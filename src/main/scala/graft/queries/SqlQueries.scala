@@ -1021,10 +1021,105 @@ object SqlQueries extends QueryPack {
     """),
     eager = true)
 
+  /** CORRELATED EXISTS / NOT EXISTS deletes on the SQL surface — the
+    * reference's staging dedup (dags/DataWarehouse.py:666-673)
+    * written the way a Postgres user writes it (`WHERE EXISTS
+    * (SELECT 1 … WHERE x.k = t.k)`), plus the gold-corpus orphan
+    * shape its quality layer is built on (correlated NOT EXISTS,
+    * dags/SQL/Gold/create_load_data_gold.sql:142-145).
+    * [[graft.sources.GraftDmlRule]] routes both through
+    * [[graft.ops.Dml]] with the subquery's outer references rebound
+    * against the op's aliased scans; the in-body `require` pins the
+    * EXISTS form HASH-EQUAL to the reference's literal IN form run
+    * on a twin store, and the oracle replays the full algebra in
+    * DuckDB with its own EXISTS semantics. */
+  val storeSqlDeleteExists = GQuery(
+    "q_sql_delete_exists",
+    (s, d) => {
+      val base = graft.TempRoots.create("graft_sqldelex")
+      val rootEx = s"$base/silver_ex"
+      val rootIn = s"$base/silver_in"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      Seq(rootEx, rootIn).foreach { r =>
+        graft.ops.TableStore.append(src.coalesce(1), r,
+          statsCols = Seq("o_orderkey"))
+      }
+      s.conf.set("spark.sql.catalog.gdex",
+        classOf[graft.sources.GraftCatalog].getName)
+      src.where(col("o_orderkey").between(3000L, 4000L))
+        .select("o_orderkey").createOrReplaceTempView("gate_delex_a")
+      src.where(col("o_orderkey").between(3500L, 4500L))
+        .select("o_orderkey").createOrReplaceTempView("gate_delex_b")
+      // the EXISTS twin of DataWarehouse.py:666-673…
+      s.sql(s"""
+        DELETE FROM gdex.`$rootEx` t
+        WHERE EXISTS (
+            SELECT 1 FROM gate_delex_a x
+            JOIN gate_delex_b y ON x.o_orderkey = y.o_orderkey
+            WHERE x.o_orderkey = t.o_orderkey)""").collect()
+      // …must be hash-equal to the reference's literal IN form
+      s.sql(s"""
+        DELETE FROM gdex.`$rootIn`
+        WHERE o_orderkey IN (
+            SELECT x.o_orderkey FROM gate_delex_a x
+            JOIN gate_delex_b y ON x.o_orderkey = y.o_orderkey)""")
+        .collect()
+      def digest(r: String) = s.sql(s"SELECT COUNT(*), SUM(o_orderkey)" +
+        s", SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) " +
+        s"FROM gdex.`$r`").collect().head
+      require(digest(rootEx) == digest(rootIn),
+        s"EXISTS delete must be hash-equal to its IN twin: " +
+          s"${digest(rootEx)} vs ${digest(rootIn)}")
+      // the gold-corpus orphan delete: rows whose customer is not in
+      // the dimension go (correlated NOT EXISTS)
+      Tables.customer(s, d).select("c_custkey")
+        .where(col("c_custkey") % 3 =!= 0L)
+        .createOrReplaceTempView("gate_delex_dim")
+      s.sql(s"""
+        DELETE FROM gdex.`$rootEx` t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM gate_delex_dim d
+            WHERE d.c_custkey = t.o_custkey)""").collect()
+      s.sql(s"""
+        SELECT COUNT(*) AS n_rows, SUM(o_orderkey) AS key_sum,
+               CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT))
+                 AS DOUBLE) / 1e2 AS total_price,
+               COUNT(DISTINCT o_custkey) AS n_cust
+        FROM gdex.`$rootEx`""")
+    },
+    Some("""
+      WITH t0 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ), a AS (
+        SELECT o_orderkey FROM t0 WHERE o_orderkey BETWEEN 3000 AND 4000
+      ), b AS (
+        SELECT o_orderkey FROM t0 WHERE o_orderkey BETWEEN 3500 AND 4500
+      ), t1 AS (
+        SELECT * FROM t0 t
+        WHERE NOT EXISTS (
+          SELECT 1 FROM a x JOIN b y ON x.o_orderkey = y.o_orderkey
+          WHERE x.o_orderkey = t.o_orderkey)
+      ), dim AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0
+      ), t2 AS (
+        SELECT * FROM t1 t
+        WHERE EXISTS (SELECT 1 FROM dim d WHERE d.c_custkey = t.o_custkey)
+      )
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT))
+               AS DOUBLE) / 1e2 AS total_price,
+             COUNT(DISTINCT o_custkey) AS n_cust
+      FROM t2
+    """),
+    eager = true)
+
   override def all: Seq[GQuery] =
     Seq(storeSql, storeSqlChanges, storeSqlInsert,
       storeSqlDelete, storeSqlUpdate, storeSqlMerge,
       storeSqlMaintenance, storeSqlCtas, storeSqlCountMeta,
       storeSqlDeleteMor, storeSqlDeleteSubquery, storeSqlUpdateSubquery,
-      storeSqlAddColumn, storeSqlManifest, storeSqlTruncate)
+      storeSqlAddColumn, storeSqlManifest, storeSqlTruncate,
+      storeSqlDeleteExists)
 }

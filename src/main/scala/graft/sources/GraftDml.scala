@@ -70,32 +70,38 @@ object GraftDmlRule {
           "evaluate it in separate jobs")
     }
 
-  /** PREDICATE positions (DELETE / UPDATE WHERE): UNCORRELATED
-    * subqueries are allowed — the reference's literal DELETE
-    * statements are IN-subquery deletes (dags/DataWarehouse.py:531-540
-    * self-referencing dup delete, :666-673 staging⋈bronze dedup,
-    * dags/Reprocessing.py:117-126 correction upsert), so refusing them
-    * would break a reference user on day one. The resolved subquery
-    * plans ride the command into [[graft.ops.Dml]], whose discovery
-    * and rewrite passes re-plan the predicate as a fresh Filter —
+  /** PREDICATE positions (DELETE / UPDATE WHERE): subqueries are
+    * allowed, UNCORRELATED and CORRELATED — the reference's literal
+    * DELETE statements are IN-subquery deletes
+    * (dags/DataWarehouse.py:531-540 self-referencing dup delete,
+    * :666-673 staging⋈bronze dedup, dags/Reprocessing.py:117-126
+    * correction upsert), its gold quality corpus is built on
+    * correlated NOT EXISTS
+    * (dags/SQL/Gold/create_load_data_gold.sql:142-145), and every
+    * Postgres-ported dedup-delete writes `WHERE EXISTS (SELECT 1
+    * FROM s WHERE s.id = t.id)` — so refusing either form would
+    * break a reference user on day one. The resolved subquery plans
+    * ride the command into [[graft.ops.Dml]], whose discovery and
+    * rewrite passes re-plan the predicate as a fresh Filter —
     * Spark's own RewritePredicateSubquery turns IN/EXISTS into
-    * (existence) joins there. Pre-image semantics hold by
-    * construction: a SELF-referencing subquery's relation pinned its
-    * snapshot version at statement analysis, and the one commit
-    * happens after every evaluation — both passes read pre-delete
-    * state (DmlSubquerySpec pins it: the dup-delete removes ALL
-    * copies, never "all but one").
+    * (existence) joins there. Correlated plans have their
+    * `OuterReference`s rebound by NAME against the op's aliased
+    * target scans ([[GraftDmlExecHelpers.rebind]] — the fresh
+    * Filter's analysis re-discovers the correlation through the
+    * [[graft.ops.Dml.TargetAlias]] qualifier, exactly the semi/anti
+    * decorrelation Spark applies to the original statement).
+    * Pre-image semantics hold by construction: a SELF-referencing
+    * subquery's relation pinned its snapshot version at statement
+    * analysis, and the one commit happens after every evaluation —
+    * both passes read pre-delete state (DmlSubquerySpec pins the IN
+    * form, DmlExistsSpec the correlated form).
     *
-    * Correlated subqueries stay refused: rebinding by name cannot
-    * reach OuterReference attrs inside the inner plan. Nondeterminism
-    * anywhere in the inner plan is refused for the same reason the
-    * outer predicate must be deterministic — discovery and rewrite
-    * evaluate it twice. */
+    * Correlated refs must point at the TARGET relation (for
+    * DELETE/UPDATE there is no other outer scope — rebind throws on
+    * anything else). Nondeterminism anywhere in the inner plan is
+    * refused for the same reason the outer predicate must be
+    * deterministic — discovery and rewrite evaluate it twice. */
   private[sources] def screenPredicate(what: String, e: Expression): Unit = {
-    require(!SubqueryExpression.hasCorrelatedSubquery(e),
-      s"graft $what supports only UNCORRELATED subqueries in its " +
-        "predicate — rewrite the correlated reference as a join " +
-        "through MERGE")
     def planDeterministic(p: LogicalPlan): Boolean =
       p.expressions.forall(_.deterministic) &&
         p.children.forall(planDeterministic) &&
@@ -105,6 +111,12 @@ object GraftDmlRule {
         })
     e.foreach {
       case s: SubqueryExpression =>
+        require(!s.isCorrelated ||
+          s.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Exists],
+          s"graft $what supports correlated subqueries as EXISTS / " +
+            "NOT EXISTS only — rewrite the correlated " +
+            s"${s.getClass.getSimpleName} as EXISTS (SELECT 1 … " +
+            "WHERE <correlation>)")
         require(planDeterministic(s.plan),
           s"graft $what subqueries must be deterministic — discovery " +
             "and rewrite evaluate the predicate in separate jobs")
@@ -202,19 +214,76 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
 /** Shared execution plumbing: re-bind resolved expressions by NAME so
   * they evaluate against the store's own reads (fresh parquet scans
-  * whose attributes differ from the analyzed relation's). */
+  * whose attributes differ from the analyzed relation's). Correlated
+  * subqueries rebind INSIDE the inner plan too: each
+  * `OuterReference(attr)` becomes an UnresolvedAttribute QUALIFIED by
+  * [[graft.ops.Dml.TargetAlias]] (the alias [[graft.ops.Dml]] wraps
+  * around every frame it evaluates the predicate against), and the
+  * subquery's outer-tracking fields are cleared — re-analysis of the
+  * op's fresh Filter then re-discovers the correlation against the
+  * aliased scan, never against a same-named inner column (the
+  * qualifier is what prevents `s.id = t.id` from collapsing to
+  * `s.id = s.id` when the subquery reads a same-schema table). */
 private[sources] trait GraftDmlExecHelpers { self: V2CommandExec =>
 
   protected def rebind(e: Expression,
                        byId: Map[ExprId, String]): Column =
-    Bridge.column(e.transform {
+    Bridge.column(rebindExpr(e, byId))
+
+  private def rebindExpr(e: Expression,
+                         byId: Map[ExprId, String]): Expression =
+    e.transform {
+      case s: SubqueryExpression if s.isCorrelated =>
+        import org.apache.spark.sql.catalyst.expressions.{And, Exists, OuterReference}
+        import org.apache.spark.sql.catalyst.plans.logical.Filter
+        def outerUnresolved(a: AttributeReference): UnresolvedAttribute =
+          byId.get(a.exprId) match {
+            case Some(n) =>
+              UnresolvedAttribute(Seq(graft.ops.Dml.TargetAlias, n))
+            case None => throw new IllegalArgumentException(
+              s"correlated subquery reference $a is not a column of " +
+                "the target table — only target columns can be " +
+                "referenced from a DML predicate's subquery")
+          }
+        // the command's expressions ride through the session's
+        // OPTIMIZER before execution, and PullupCorrelatedPredicates
+        // moves the correlation out of the inner plan into joinCond
+        // (bare outer attrs, no OuterReference wrapper). Reinject it
+        // as a Filter over the (already optimized) plan with the
+        // outer side rebound — re-analysis of the op's fresh Filter
+        // then re-discovers the correlation through the TargetAlias
+        // qualifier and decorrelates it again against the new scan.
+        val ex = s match {
+          case ex: Exists => ex
+          case other => throw new IllegalArgumentException(
+            "only correlated EXISTS / NOT EXISTS is supported in a " +
+              "DML predicate — rewrite a correlated " +
+              s"${other.getClass.getSimpleName} as EXISTS (SELECT 1 " +
+              "… WHERE <correlation>)")
+        }
+        val innerOut = ex.plan.outputSet
+        val reinjected = ex.joinCond.map(_.transform {
+          case OuterReference(a: AttributeReference) => outerUnresolved(a)
+          case a: AttributeReference if !innerOut.contains(a) =>
+            outerUnresolved(a)
+        })
+        // the un-optimized shape (OuterReference still inside the
+        // plan) rebinds in place — covers EXPLAIN-time rendering and
+        // API callers handing an analyzed-but-unoptimized predicate
+        val newPlan0 = ex.plan.transformAllExpressions {
+          case OuterReference(a: AttributeReference) => outerUnresolved(a)
+        }
+        val newPlan =
+          if (reinjected.isEmpty) newPlan0
+          else Filter(reinjected.reduce(And), newPlan0)
+        ex.copy(plan = newPlan, outerAttrs = Nil, joinCond = Nil)
       case a: AttributeReference => byId.get(a.exprId) match {
         case Some(n) => UnresolvedAttribute(Seq(n))
         case None => throw new IllegalArgumentException(
           s"expression column $a resolves to neither the target " +
             "table nor the merge source")
       }
-    })
+    }
 
   protected def attrMap(attrs: Seq[Attribute]): Map[ExprId, String] =
     attrs.map(a => a.exprId -> a.name).toMap

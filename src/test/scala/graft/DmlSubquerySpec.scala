@@ -157,16 +157,12 @@ class DmlSubquerySpec extends SparkSpec {
     assert(vs == Seq(10L, 20L, 30L, 111L, 120L, 130L, 211L, 220L, 230L))
   }
 
-  test("correlated subqueries and value-position subqueries refuse") {
+  test("value-position subqueries refuse (correlated predicates are " +
+      "supported — DmlExistsSpec)") {
     val s = spark; import s.implicits._
     val root = rangedStore("refuse")
     val g = cat("gsub")
     Seq((1L, 5L)).toDF("k", "w").createOrReplaceTempView("dmlsub_corr")
-    val e1 = intercept[Exception] {
-      spark.sql(s"DELETE FROM $g.`$root` t WHERE EXISTS " +
-        "(SELECT 1 FROM dmlsub_corr c WHERE c.k = t.id)").collect()
-    }
-    assert(e1.getMessage.contains("UNCORRELATED"), e1.getMessage)
     val e2 = intercept[Exception] {
       spark.sql(s"UPDATE $g.`$root` SET v = " +
         "(SELECT MAX(w) FROM dmlsub_corr) WHERE id = 1").collect()
