@@ -1313,6 +1313,87 @@ object TableStore {
     n
   }
 
+  /** Is `to` a SAFE read-time widening of `from` — value-preserving
+    * for every representable `from` value AND supported by Spark's
+    * vectorized parquet reader when old files are read under the new
+    * declared type? Integer up-sizing, float→double, integer→double
+    * (ints ≤ 2^31 are exact in a 53-bit mantissa; LONG→double is NOT
+    * and refuses), and decimal growth that never drops integer or
+    * fractional digits. */
+  private def isSafeWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale >= d1.scale &&
+          d2.precision - d2.scale >= d1.precision - d1.scale &&
+          (d2.precision > d1.precision || d2.scale > d1.scale)
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN … TYPE` as a COMMIT — the widening
+    * half of schema evolution: at 100 TB you cannot rewrite history
+    * because a key outgrew INT, so the type change is one metadata
+    * row (the full target schema as JSON) and ZERO data IO. From the
+    * commit on, every read path resolves files under the DECLARED
+    * schema and the parquet reader up-casts pre-widen files' values
+    * in place (int32 read as BIGINT — reader-level, pruning and
+    * pushdown intact). Only provably value-preserving widenings are
+    * accepted ([[isSafeWidening]]); narrowing and cross-family casts
+    * refuse loudly toward an explicit UPDATE the operator prices.
+    * Log-stats soundness: numeric bounds are logged as Long, so a
+    * widened integer column's existing [min, max] entries compare
+    * exactly under the new type — no stats rewrite needed. Time
+    * travel keeps each version's own contract (a snapshot pinned
+    * before the widen reads with the narrow schema). Returns the
+    * committed version. */
+  def widenColumns(spark: SparkSession, root: String,
+                   cols: Seq[(String, org.apache.spark.sql.types.DataType)])
+      : Long = {
+    require(cols.nonEmpty, "ALTER COLUMN TYPE needs at least one column")
+    val dupNew = cols.groupBy(_._1.toLowerCase).filter(_._2.size > 1)
+    require(dupNew.isEmpty,
+      s"ALTER COLUMN TYPE lists a column twice: ${dupNew.keys.mkString(",")}")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty,
+      s"no committed versions at $root — widen after the first commit")
+    val prev = vs.last
+    val cur = read(spark, root, Some(prev)).schema
+    val byName = cur.fields.map(f => f.name.toLowerCase -> f).toMap
+    val target = cols.foldLeft(cur) { case (sch, (colName, to)) =>
+      val f = byName.getOrElse(colName.toLowerCase,
+        throw new IllegalArgumentException(
+          s"ALTER COLUMN TYPE names unknown column $colName — table " +
+            s"has [${cur.fieldNames.mkString(",")}]"))
+      require(f.dataType != to,
+        s"column $colName already has type ${to.simpleString}")
+      require(isSafeWidening(f.dataType, to),
+        s"refusing ${f.dataType.simpleString} -> ${to.simpleString} " +
+          s"for column $colName — only value-preserving widenings " +
+          "(integer up-size, float->double, int->double, decimal " +
+          "growth) change a column's type in place; anything else " +
+          "is a priced rewrite (UPDATE with an explicit cast)")
+      org.apache.spark.sql.types.StructType(sch.fields.map(g =>
+        if (g.name.equalsIgnoreCase(colName)) g.copy(dataType = to)
+        else g))
+    }
+    val n = prev + 1
+    // snapshot-dependent (the target embeds the CURRENT schema), so a
+    // lost race surfaces loudly rather than composing blindly with a
+    // concurrent ALTER
+    commitExclusive(spark, root, n, Seq.empty, Seq.empty,
+      metaRows = Seq((cols.map(_._1).mkString(","), "schema",
+        target.json)))
+    n
+  }
+
   /** Rewrite the live set to ~targetBytes files as a new version —
     * [[Compaction]] under snapshot isolation: content-identical to
     * the previous version, old file layout still readable there. */

@@ -1021,6 +1021,104 @@ object SqlQueries extends QueryPack {
     """),
     eager = true)
 
+  /** `ALTER TABLE … ALTER COLUMN … TYPE` widening on the SQL surface
+    * — the key-outgrew-INT evolution every long-lived warehouse hits
+    * (the reference's DDL declares INTEGER keys,
+    * dags/SQL/create_table_datawarehouse.sql; at 100 TB the fix must
+    * be metadata-only). [[graft.sources.GraftCatalog.alterTable]] →
+    * [[graft.ops.TableStore.widenColumns]]: one schema commit, zero
+    * data IO, pre-widen files up-cast inside the parquet reader,
+    * log-stats pruning still exact in the widened type (in-body
+    * StatsSkipping evidence rides the hash), pre-widen snapshots
+    * keep their own narrow schema (`require`). */
+  val storeSqlWidenColumn = GQuery(
+    "q_sql_widen_column",
+    (s, d) => {
+      val root = graft.TempRoots.create("graft_sqlwiden") + "/orders"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("int").as("o_key"),
+          col("o_totalprice"))
+      graft.ops.TableStore.append(
+        base.where(col("o_key") < 10000).coalesce(1), root,
+        statsCols = Seq("o_key"))
+      graft.ops.TableStore.append(
+        base.where(col("o_key") >= 10000).coalesce(1), root,
+        statsCols = Seq("o_key"))
+      s.conf.set("spark.sql.catalog.gwid",
+        classOf[graft.sources.GraftCatalog].getName)
+      val filesBefore = graft.ops.TableStore.liveAt(s, root, 2L)
+        .map(_.path).toSet
+      s.sql(s"ALTER TABLE gwid.`$root` ALTER COLUMN o_key TYPE BIGINT")
+      require(graft.ops.TableStore.versions(s, root) == Seq(1L, 2L, 3L),
+        "widen must land as exactly one metadata commit")
+      require(graft.ops.TableStore.liveAt(s, root, 3L).map(_.path)
+        .toSet == filesBefore,
+        "widen must be zero data IO — same live files")
+      require(s.table(s"gwid.`$root`").schema("o_key").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "latest must read the widened type")
+      require(s.sql(s"SELECT * FROM gwid.`$root` VERSION AS OF 2")
+        .schema("o_key").dataType ==
+        org.apache.spark.sql.types.IntegerType,
+        "the pre-widen snapshot keeps its narrow schema")
+      // rows only BIGINT can hold land through the same surface
+      s.sql(s"INSERT INTO gwid.`$root` " +
+        "SELECT o_key + 5000000000, o_totalprice " +
+        s"FROM gwid.`$root` VERSION AS OF 2 WHERE o_key < 2500")
+      // pruning evidence in the WIDENED type: a probe above 2^32
+      // must touch only the post-widen file, proved by the same
+      // evaluator the scan runs
+      val live = graft.ops.TableStore.liveAt(s, root,
+        graft.ops.TableStore.versions(s, root).last)
+      val touched = graft.sources.StatsSkipping.prune(live, Seq(
+        org.apache.spark.sql.sources.GreaterThanOrEqual(
+          "o_key", 4000000000L)))
+      s.sql(s"""
+        SELECT 'latest' AS leg, COUNT(*) AS n_rows,
+               SUM(o_key) AS key_sum,
+               CAST(${touched.size} AS BIGINT) AS files_touched,
+               CAST(${live.size} AS BIGINT) AS files_total
+        FROM gwid.`$root`
+        UNION ALL
+        SELECT 'big_keys', COUNT(*), SUM(o_key),
+               CAST(${touched.size} AS BIGINT),
+               CAST(${live.size} AS BIGINT)
+        FROM gwid.`$root` WHERE o_key > 4000000000
+        UNION ALL
+        SELECT 'pre_widen', COUNT(*), SUM(CAST(o_key AS BIGINT)),
+               CAST(${touched.size} AS BIGINT),
+               CAST(${live.size} AS BIGINT)
+        FROM gwid.`$root` VERSION AS OF 2
+        ORDER BY leg""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT CAST(o_orderkey AS INTEGER) AS o_key, o_totalprice
+        FROM orders
+      ), ins AS (
+        SELECT CAST(o_key AS BIGINT) + 5000000000 AS o_key
+        FROM base WHERE o_key < 2500
+      ), latest AS (
+        SELECT CAST(o_key AS BIGINT) AS o_key FROM base
+        UNION ALL SELECT o_key FROM ins
+      )
+      SELECT 'latest' AS leg, COUNT(*) AS n_rows,
+             CAST(SUM(o_key) AS BIGINT) AS key_sum,
+             CAST(1 AS BIGINT) AS files_touched,
+             CAST(3 AS BIGINT) AS files_total
+      FROM latest
+      UNION ALL
+      SELECT 'big_keys', COUNT(*), CAST(SUM(o_key) AS BIGINT),
+             CAST(1 AS BIGINT), CAST(3 AS BIGINT)
+      FROM latest WHERE o_key > 4000000000
+      UNION ALL
+      SELECT 'pre_widen', COUNT(*), CAST(SUM(o_key) AS BIGINT),
+             CAST(1 AS BIGINT), CAST(3 AS BIGINT)
+      FROM base
+      ORDER BY leg
+    """),
+    eager = true)
+
   /** CORRELATED EXISTS / NOT EXISTS deletes on the SQL surface — the
     * reference's staging dedup (dags/DataWarehouse.py:666-673)
     * written the way a Postgres user writes it (`WHERE EXISTS
@@ -1121,5 +1219,5 @@ object SqlQueries extends QueryPack {
       storeSqlMaintenance, storeSqlCtas, storeSqlCountMeta,
       storeSqlDeleteMor, storeSqlDeleteSubquery, storeSqlUpdateSubquery,
       storeSqlAddColumn, storeSqlManifest, storeSqlTruncate,
-      storeSqlDeleteExists)
+      storeSqlDeleteExists, storeSqlWidenColumn)
 }

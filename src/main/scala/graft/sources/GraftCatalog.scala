@@ -170,20 +170,39 @@ class GraftCatalog extends TableCatalog
     new GraftStoreTable(p, None, Some(schema))
   }
 
-  /** `ALTER TABLE ADD COLUMN` maps onto [[TableStore.addColumn]] —
-    * one metadata commit, zero data IO, history untouched (pre-ALTER
-    * snapshots keep their own schema). Only the shape the commit can
-    * honor without a hidden backfill is accepted: a single nullable
-    * top-level column with no default and no position. Everything
-    * else stays refused toward the commit-model mechanisms. */
+  /** `ALTER TABLE ADD COLUMN` maps onto [[TableStore.addColumns]] and
+    * `ALTER TABLE … ALTER COLUMN … TYPE` onto
+    * [[TableStore.widenColumns]] — each one metadata commit, zero
+    * data IO, history untouched (pre-ALTER snapshots keep their own
+    * schema; pre-widen files up-cast inside the parquet reader).
+    * Only shapes the commit can honor without a hidden backfill or
+    * rewrite are accepted: adds must be nullable defaultless
+    * top-level columns, type changes must be value-preserving
+    * widenings (narrowing refuses loudly toward a priced UPDATE).
+    * Everything else stays refused toward the commit-model
+    * mechanisms. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val p = pathFor(ident)
     // validate EVERY change before committing ANY (the alterTable
     // contract is apply-all-or-none): a refused shape later in the
-    // list must leave the table untouched, and the whole column list
-    // lands as ONE schema commit in TableStore.addColumns
-    val adds = changes.map {
+    // list must leave the table untouched, and each statement's
+    // column list lands as ONE schema commit
+    val (addChanges, rest) = changes.partition(
+      _.isInstanceOf[TableChange.AddColumn])
+    val (widenChanges, other) = rest.partition(
+      _.isInstanceOf[TableChange.UpdateColumnType])
+    other.foreach { o =>
+      throw new UnsupportedOperationException(
+        s"graft stores support ALTER TABLE ADD COLUMN and ALTER " +
+          s"COLUMN TYPE widening only (got $o) — constraints are " +
+          "CALL add_constraint(…), layout is CALL optimize(…), " +
+          "history retires through vacuum")
+    }
+    require(addChanges.isEmpty || widenChanges.isEmpty,
+      "graft ALTER applies column adds and type widenings as " +
+        "separate statements — one schema commit each")
+    val adds = addChanges.map {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "graft ALTER adds top-level columns only, got " +
@@ -196,12 +215,16 @@ class GraftCatalog extends TableCatalog
           "graft ALTER takes no FIRST/AFTER — the declared schema " +
             "appends")
         add.fieldNames()(0) -> add.dataType()
-      case other => throw new UnsupportedOperationException(
-        s"graft stores support ALTER TABLE ADD COLUMN only (got " +
-          s"$other) — constraints are CALL add_constraint(…), layout " +
-          "is CALL optimize(…), history retires through vacuum")
     }
-    TableStore.addColumns(spark, p, adds)
+    val widens = widenChanges.map {
+      case up: TableChange.UpdateColumnType =>
+        require(up.fieldNames.length == 1,
+          "graft ALTER widens top-level columns only, got " +
+            up.fieldNames.mkString("."))
+        up.fieldNames()(0) -> up.newDataType()
+    }
+    if (adds.nonEmpty) TableStore.addColumns(spark, p, adds)
+    else TableStore.widenColumns(spark, p, widens)
     new GraftStoreTable(p, None)
   }
 

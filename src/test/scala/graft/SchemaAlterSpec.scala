@@ -78,7 +78,7 @@ class SchemaAlterSpec extends SparkSpec {
     val e3 = intercept[Exception] {
       spark.sql(s"ALTER TABLE $g.`$root` DROP COLUMN note")
     }
-    assert(e3.getMessage.contains("ADD COLUMN only"), e3.getMessage)
+    assert(e3.getMessage.contains("ADD COLUMN and ALTER"), e3.getMessage)
     val e4 = intercept[Exception] {
       spark.sql(s"ALTER TABLE $g.`$root` ADD COLUMN note STRING")
     }
@@ -225,5 +225,112 @@ class SchemaAlterSpec extends SparkSpec {
     val empty = TableStore.read(spark, root)
     assert(empty.schema.fieldNames.toSeq == Seq("id", "v", "note"))
     assert(empty.count() == 0L)
+  }
+
+  test("widenColumns: int->bigint is one metadata commit; old files " +
+      "up-cast in the reader; out-of-int-range inserts land") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    // an INT-keyed store (the shape that outgrows its key type)
+    TableStore.append(Seq((1, 10L), (2, 20L)).toDF("k", "v")
+      .coalesce(1), root, statsCols = Seq("k")) // v1, int k
+    val filesBefore = TableStore.liveAt(spark, root, 1L).map(_.path).toSet
+    assert(TableStore.widenColumns(spark, root,
+      Seq("k" -> org.apache.spark.sql.types.LongType)) == 2L)
+    assert(TableStore.liveAt(spark, root, 2L).map(_.path).toSet ==
+      filesBefore, "widening must move zero data")
+    val post = TableStore.read(spark, root)
+    assert(post.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // a value only BIGINT can hold
+    TableStore.append(Seq((5000000000L, 50L)).toDF("k", "v")
+      .coalesce(1), root, statsCols = Seq("k")) // v3
+    val ks = TableStore.read(spark, root).orderBy("k").select("k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ks == Seq(1L, 2L, 5000000000L))
+    // time travel: the pre-widen snapshot keeps its own (int) shape
+    assert(TableStore.read(spark, root, Some(1L))
+      .schema("k").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // log-stats pruning still prunes in the widened type: the probe
+    // for the big key must touch only the post-widen file
+    val live = TableStore.liveAt(spark, root, 3L)
+    val touched = graft.sources.StatsSkipping.prune(live, Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("k", 4000000000L)))
+    assert(touched.size == 1, s"stats must prune the int-era file: " +
+      s"${touched.map(_.path)}")
+  }
+
+  test("widenColumns: float->double and decimal growth; narrowing " +
+      "and cross-family changes refuse; unknown column refuses") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.types._
+    val root = tmp()
+    TableStore.append(
+      Seq((1, 1.5f, BigDecimal("12.34"), 10L),
+          (2, 2.5f, BigDecimal("99.99"), 20L))
+        .toDF("k", "f", "d", "n")
+        .withColumn("d", col("d").cast(DecimalType(6, 2)))
+        .coalesce(1), root)
+    TableStore.widenColumns(spark, root, Seq(
+      "f" -> DoubleType, "d" -> DecimalType(12, 4)))
+    val r = TableStore.read(spark, root).orderBy("k").collect()
+    assert(r.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5))
+    assert(r.map(_.getDecimal(2).toString).toSeq ==
+      Seq("12.3400", "99.9900"))
+    val vsBefore = TableStore.versions(spark, root)
+    val e1 = intercept[IllegalArgumentException] {
+      TableStore.widenColumns(spark, root, Seq("k" -> ShortType))
+    }
+    assert(e1.getMessage.contains("value-preserving"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TableStore.widenColumns(spark, root, Seq("k" -> StringType))
+    }
+    assert(e2.getMessage.contains("value-preserving"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      TableStore.widenColumns(spark, root, Seq("nope" -> LongType))
+    }
+    assert(e3.getMessage.contains("unknown column"), e3.getMessage)
+    // LONG -> DOUBLE is lossy past 2^53 and must refuse
+    val e4 = intercept[IllegalArgumentException] {
+      TableStore.widenColumns(spark, root, Seq("n" -> DoubleType))
+    }
+    assert(e4.getMessage.contains("value-preserving"), e4.getMessage)
+    assert(TableStore.versions(spark, root) == vsBefore,
+      "refused widenings must commit nothing")
+  }
+
+  test("SQL surface: ALTER TABLE ALTER COLUMN TYPE widens through " +
+      "the catalog; DML and the change feed work across the boundary") {
+    val s = spark; import s.implicits._
+    val root = tmp()
+    TableStore.append(Seq((1, 10L), (2, 20L), (3, 30L)).toDF("k", "v")
+      .coalesce(1), root, statsCols = Seq("k"))
+    val g = cat("galt")
+    spark.sql(s"ALTER TABLE $g.`$root` ALTER COLUMN k TYPE BIGINT")
+    assert(spark.table(s"$g.`$root`").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    spark.sql(s"INSERT INTO $g.`$root` VALUES (8000000000, 80)")
+    // DML across the boundary: delete an int-era row by its (now
+    // BIGINT) key — the predicate evaluates over up-cast values
+    spark.sql(s"DELETE FROM $g.`$root` WHERE k = 2").collect()
+    val ks = spark.sql(s"SELECT k FROM $g.`$root` ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ks == Seq(1L, 3L, 8000000000L))
+    // narrowing refuses on the SQL surface too
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $g.`$root` ALTER COLUMN v TYPE INT")
+    }
+    // Spark's own CheckAnalysis screens narrowing upstream of the
+    // catalog (NOT_SUPPORTED_CHANGE_COLUMN); either refusal is the
+    // loud one the contract wants
+    assert(e.getMessage.contains("value-preserving") ||
+      e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e.getMessage)
+    // the change feed resolves across the widen boundary
+    val feed = spark.sql(
+      s"SELECT _op, COUNT(*) AS n FROM table_changes('$root', 0) " +
+        "GROUP BY _op ORDER BY _op").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(feed.nonEmpty, "feed must resolve")
   }
 }
