@@ -880,11 +880,62 @@ object TableStore {
     * staged-rename the first write uses, so a racing CREATE cannot
     * tear the anchor; losing the race is a loud error, never a
     * silent clobber. Refuses paths that are already stores. */
+  /** Declared partition/cluster columns of a store — the
+    * `PARTITIONED BY` of its CREATE ([[createEmpty]]'s sidecar), or
+    * empty for plain stores. Every write path consults this
+    * ([[withDeclaredLayout]]); it is a LAYOUT declaration, not a
+    * directory shape: rows range-cluster on these columns and their
+    * per-file bounds ride the commit log, so a partition predicate
+    * prunes at planning time from metadata alone — the same
+    * observable a Hive-style directory layout buys, without freezing
+    * the physical shape at create time (OPTIMIZE can recluster). */
+  def partitionColsOf(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(s"$root/$PartSidecar")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      finally in.close()
+    }
+  }
+
+  private val PartSidecar = "_partition"
+
+  /** Apply a store's declared layout to a write: range-cluster on
+    * the partition columns (tight, non-overlapping per-file bounds —
+    * hash clustering would scatter each value's range across every
+    * file and gut the prune) and log their per-file stats. The
+    * shuffle is the declared price of the layout; a 100 TB ingest
+    * pays it once per batch and every reader prunes forever after. */
+  private def withDeclaredLayout(df: DataFrame, root: String,
+                                 statsCols: Seq[String])
+      : (DataFrame, Seq[String]) = {
+    val parts = partitionColsOf(df.sparkSession, root)
+    if (parts.isEmpty) (df, statsCols)
+    else {
+      val missing = parts.filterNot(c =>
+        df.columns.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"write to $root omits its declared partition column(s) " +
+          s"[${missing.mkString(",")}]")
+      (df.repartitionByRange(parts.map(col): _*),
+        (statsCols ++ parts).distinct)
+    }
+  }
+
   def createEmpty(spark: SparkSession, root: String,
-                  schema: org.apache.spark.sql.types.StructType): Unit = {
+                  schema: org.apache.spark.sql.types.StructType,
+                  partitionBy: Seq[String] = Nil): Unit = {
     val anchor = new Path(s"$root/_schema")
     val logDir = new Path(s"$root/$Log")
     val fs = fsOf(spark, anchor)
+    partitionBy.foreach { c =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"PARTITIONED BY names unknown column $c — schema has " +
+          s"[${schema.fieldNames.mkString(",")}]")
+    }
     require(!fs.exists(anchor) && !fs.exists(logDir),
       s"$root is already a store — CREATE refuses to clobber it")
     val df = spark.createDataFrame(
@@ -902,6 +953,16 @@ object TableStore {
     // sweep the nested copy if a racer's anchor landed between checks
     val nested = new Path(anchor, staged.getName)
     if (fs.exists(nested)) fs.delete(nested, true)
+    // the layout declaration lands AFTER the anchor wins its race (a
+    // loser must not pollute the winner's store). A crash in between
+    // leaves an anchored unpartitioned store with zero commits — the
+    // torn CREATE is retired with DROP and re-created, same as any
+    // other create failure.
+    if (partitionBy.nonEmpty) {
+      val out = fs.create(new Path(s"$root/$PartSidecar"), true)
+      try out.write(partitionBy.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
   }
 
   /** Retire an anchored-but-never-committed store — the only DROP the
@@ -1142,7 +1203,8 @@ object TableStore {
              bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val hint = versions(spark, root).lastOption.getOrElse(0L) + 1
-    val adds = writeData(df, root, hint, statsCols, bloomCols)
+    val (laid, stats) = withDeclaredLayout(df, root, statsCols)
+    val adds = writeData(laid, root, hint, stats, bloomCols)
     enforceConstraints(spark, root, adds)
     appendRetrying(spark, root, hint, adds, None)
   }
@@ -1161,7 +1223,8 @@ object TableStore {
     val removes = prev.map(liveAt(spark, root, _).map(_.path))
       .getOrElse(Seq.empty)
     val n = prev.getOrElse(0L) + 1
-    val adds = writeData(df, root, n, statsCols, bloomCols)
+    val (laid, stats) = withDeclaredLayout(df, root, statsCols)
+    val adds = writeData(laid, root, n, stats, bloomCols)
     enforceConstraints(spark, root, adds)
     commitExclusive(spark, root, n, adds, removes,
       marker = prev.map(_ => "rewrite"), batchId = batchId)
@@ -1806,7 +1869,8 @@ object TableStore {
     if (seen) None // cheap fast path before paying the data write
     else {
       val hint = versions(spark, root).lastOption.getOrElse(0L) + 1
-      val adds = writeData(df, root, hint, statsCols)
+      val (laid, stats) = withDeclaredLayout(df, root, statsCols)
+      val adds = writeData(laid, root, hint, stats)
       enforceConstraints(spark, root, adds)
       if (adds.isEmpty) None
       else {

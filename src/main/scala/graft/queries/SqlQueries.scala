@@ -1119,6 +1119,79 @@ object SqlQueries extends QueryPack {
     """),
     eager = true)
 
+  /** `CREATE TABLE … PARTITIONED BY` on the SQL surface — the
+    * reference's run-date-partitioned layers (SURVEY P10,
+    * dags/ml_churn_pipeline.py:153) created and loaded purely
+    * through SQL. The identity transform maps onto the store's
+    * declared LAYOUT ([[graft.ops.TableStore.partitionColsOf]]):
+    * every INSERT range-clusters on the column and logs its per-file
+    * bounds, so the month probe prunes at planning time from the
+    * commit log alone — the in-body `require` pins files_touched <
+    * files_total with the same [[graft.sources.StatsSkipping]]
+    * evaluator the scan's file index runs, and the hashed result
+    * carries the pruned flag beside the per-month digest. */
+  val storeSqlCreatePartitioned = GQuery(
+    "q_sql_create_partitioned",
+    (s, d) => {
+      val root = graft.TempRoots.create("graft_sqlpart") + "/fact"
+      s.conf.set("spark.sql.catalog.gprt",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.sql(s"CREATE TABLE gprt.`$root` " +
+        "(o_key BIGINT, o_month STRING, o_price DOUBLE) " +
+        "PARTITIONED BY (o_month)")
+      require(graft.ops.TableStore.partitionColsOf(s, root) ==
+        Seq("o_month"), "CREATE must declare the layout")
+      val src = Tables.orders(s, d).select(
+        col("o_orderkey").as("o_key"),
+        when(col("o_orderkey") < 5000L, "2024-01")
+          .when(col("o_orderkey") < 10000L, "2024-02")
+          .otherwise("2024-03").as("o_month"),
+        col("o_totalprice").as("o_price"))
+      src.createOrReplaceTempView("gate_part_src")
+      // the reference's per-run-date ingest: one batch per month
+      Seq("2024-01", "2024-02", "2024-03").foreach { m =>
+        s.sql(s"INSERT INTO gprt.`$root` SELECT * FROM gate_part_src " +
+          s"WHERE o_month = '$m'")
+      }
+      val live = graft.ops.TableStore.liveAt(s, root,
+        graft.ops.TableStore.versions(s, root).last)
+      val touched = graft.sources.StatsSkipping.prune(live, Seq(
+        org.apache.spark.sql.sources.EqualTo("o_month", "2024-02")))
+      require(touched.nonEmpty && touched.size < live.size,
+        s"the month probe must prune: ${touched.size} of ${live.size}")
+      require(touched.forall(e =>
+        e.smins.get("o_month").contains("2024-02") &&
+          e.smaxs.get("o_month").contains("2024-02")),
+        "touched files must be single-month (clustered write)")
+      s.sql(s"""
+        SELECT o_month, COUNT(*) AS n_rows, SUM(o_key) AS key_sum,
+               CAST(SUM(CAST(ROUND(o_price * 1e2) AS BIGINT))
+                 AS DOUBLE) / 1e2 AS total_price,
+               CAST(${touched.size < live.size} AS BOOLEAN) AS pruned
+        FROM gprt.`$root`
+        GROUP BY o_month
+        ORDER BY o_month""")
+    },
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey AS o_key,
+               CASE WHEN o_orderkey < 5000 THEN '2024-01'
+                    WHEN o_orderkey < 10000 THEN '2024-02'
+                    ELSE '2024-03' END AS o_month,
+               o_totalprice AS o_price
+        FROM orders
+      )
+      SELECT o_month, COUNT(*) AS n_rows,
+             CAST(SUM(o_key) AS BIGINT) AS key_sum,
+             CAST(SUM(CAST(ROUND(o_price * 1e2) AS BIGINT))
+               AS DOUBLE) / 1e2 AS total_price,
+             true AS pruned
+      FROM src
+      GROUP BY o_month
+      ORDER BY o_month
+    """),
+    eager = true)
+
   /** CORRELATED EXISTS / NOT EXISTS deletes on the SQL surface — the
     * reference's staging dedup (dags/DataWarehouse.py:666-673)
     * written the way a Postgres user writes it (`WHERE EXISTS
@@ -1219,5 +1292,5 @@ object SqlQueries extends QueryPack {
       storeSqlMaintenance, storeSqlCtas, storeSqlCountMeta,
       storeSqlDeleteMor, storeSqlDeleteSubquery, storeSqlUpdateSubquery,
       storeSqlAddColumn, storeSqlManifest, storeSqlTruncate,
-      storeSqlDeleteExists, storeSqlWidenColumn)
+      storeSqlDeleteExists, storeSqlWidenColumn, storeSqlCreatePartitioned)
 }

@@ -137,15 +137,30 @@ class GraftCatalog extends TableCatalog
     * a fresh path ([[TableStore.createEmpty]] — the typed-empty state
     * every read path already understands); the first INSERT (or the
     * CTAS write) lands as version 1 through the same commit the API
-    * takes. Partition transforms are refused — layout is a COMMIT
-    * concern here (OPTIMIZE / cluster / z-order), not a directory
-    * shape fixed at create time. */
+    * takes. `PARTITIONED BY (col, …)` — identity transforms only —
+    * maps onto the store's declared LAYOUT: every write
+    * range-clusters on the columns and logs their per-file bounds,
+    * so a partition predicate prunes at planning time from the
+    * commit log alone (the observable a directory layout buys,
+    * without freezing the physical shape — OPTIMIZE can recluster).
+    * Bucket/days/truncate transforms stay refused toward
+    * CALL optimize(cluster_by => …). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft stores take no PARTITIONED BY — layout is managed by " +
-        "commits (CALL optimize(cluster_by => …)), not directory shape")
+    val partCols = partitions.toSeq.map { t =>
+      if (t.name != "identity")
+        throw new UnsupportedOperationException(
+          s"graft PARTITIONED BY takes identity transforms only (got " +
+            s"$t) — expression layouts are CALL optimize" +
+            "(cluster_by => …)")
+      t.references()(0).fieldNames() match {
+        case Array(one) => one
+        case other => throw new UnsupportedOperationException(
+          s"graft PARTITIONED BY takes top-level columns, got " +
+            other.mkString("."))
+      }
+    }
     // refuse-loudly posture: silently dropping a user's TBLPROPERTIES
     // would vanish declared intent without any signal. Spark itself
     // rides reserved keys (provider, owner, …) on this map — those
@@ -166,7 +181,7 @@ class GraftCatalog extends TableCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
           (catalogName +: ident.namespace.toSeq :+ ident.name))
-    TableStore.createEmpty(spark, p, schema)
+    TableStore.createEmpty(spark, p, schema, partCols)
     new GraftStoreTable(p, None, Some(schema))
   }
 

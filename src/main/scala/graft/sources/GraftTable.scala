@@ -103,6 +103,17 @@ class GraftStoreTable(val root: String, val requestedVersion: Option[Long],
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  /** The declared layout columns (`CREATE … PARTITIONED BY`),
+    * reported as identity transforms so DESCRIBE/SHOW surfaces the
+    * contract. Writes honor it inside [[TableStore.append]] (range
+    * clustering + logged bounds), not through Spark's distribution
+    * machinery. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    TableStore.partitionColsOf(spark, root)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new GraftScanBuilder(this)
 

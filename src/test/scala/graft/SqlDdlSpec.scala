@@ -61,14 +61,75 @@ class SqlDdlSpec extends SparkSpec {
       e.getMessage)
   }
 
-  test("PARTITIONED BY is refused toward layout commits") {
+  test("PARTITIONED BY declares the store's layout: writes " +
+      "range-cluster and log bounds, partition predicates prune " +
+      "from metadata, non-identity transforms refuse") {
+    val s = spark; import s.implicits._
     val root = graft.TempRoots.create("graft_ddl_part") + "/t"
     val g = cat("gddl")
-    val e = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $g.`$root` (id BIGINT, v BIGINT) " +
-        "PARTITIONED BY (v)")
+    spark.sql(s"CREATE TABLE $g.`$root` " +
+      "(id BIGINT, run_month STRING, v BIGINT) PARTITIONED BY (run_month)")
+    assert(graft.ops.TableStore.partitionColsOf(spark, root) ==
+      Seq("run_month"))
+    // DESCRIBE surfaces the contract
+    val desc = spark.sql(s"DESCRIBE TABLE $g.`$root`").collect()
+      .map(_.getString(0))
+    assert(desc.contains("# Partition Information"), desc.mkString("|"))
+    // the incremental-ingest shape: one batch per run month (at
+    // scale a single multi-month INSERT also splits, because each
+    // range-clustered output partition is advisory-sized; at test
+    // scale AQE coalesces the tiny shuffle to one file, which is the
+    // right call there too). Each file's logged [smin, smax] covers
+    // its month, so an equality probe prunes the others with zero IO
+    (1 to 3).foreach { m =>
+      (1L to 30L).map(i => (i, f"2024-$m%02d", i * 10L))
+        .toDF("id", "run_month", "v")
+        .createOrReplaceTempView("ddl_part_src")
+      spark.sql(s"INSERT INTO $g.`$root` SELECT * FROM ddl_part_src")
     }
-    assert(e.getMessage.contains("optimize"), e.getMessage)
+    val live = graft.ops.TableStore.liveAt(spark, root, 3L)
+    assert(live.size == 3, s"one file per month batch: " +
+      s"${live.map(_.path)}")
+    val touched = graft.sources.StatsSkipping.prune(live, Seq(
+      org.apache.spark.sql.sources.EqualTo("run_month", "2024-02")))
+    assert(touched.size < live.size,
+      s"month probe must prune: ${touched.size} of ${live.size}")
+    // the SCAN itself prunes: the rewrite's file index hands the
+    // month filter to the log-stats skipper at planning time
+    val probe = spark.sql(s"SELECT id FROM $g.`$root` " +
+      "WHERE run_month = '2024-02'")
+    assert(probe.count() == 30L)
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.orElse(probe.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    }.flatten.headOption).get
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.files.size).sum
+    assert(selected == 1,
+      s"month probe must scan 1 of ${live.size} files, got $selected")
+    // a write omitting the declared column refuses
+    val e0 = intercept[Exception] {
+      graft.ops.TableStore.append(
+        Seq((1L, 2L)).toDF("id", "v"), root)
+    }
+    assert(e0.getMessage.contains("partition column"), e0.getMessage)
+    // non-identity transforms stay refused toward layout commits
+    val root2 = graft.TempRoots.create("graft_ddl_part2") + "/t"
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $g.`$root2` (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+    }
+    assert(e.getMessage.contains("identity"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $g.`$root2` (id BIGINT, v BIGINT) " +
+        "PARTITIONED BY (nope)")
+    }
+    assert(e2.getMessage.toLowerCase.contains("unknown column") ||
+      e2.getMessage.contains("nope"), e2.getMessage)
   }
 
   test("DROP retires only never-committed stores") {
