@@ -1286,11 +1286,80 @@ object SqlQueries extends QueryPack {
     """),
     eager = true)
 
+  /** The SQL WRITE-side of the run manifest — `CALL publish_run`
+    * beside the TVF consumer, so a pure-SQL producer gets the
+    * reference's cross-table transaction shape end to end
+    * (dags/Reprocessing.py:113-126's engine.begin() replaced by
+    * publish-last): tick 1 lands via CALL with an `@current` pin,
+    * tick 2 commits silver then CRASHES before its publish — the
+    * in-body `require`s pin the TVF to tick 1's consistent pair and
+    * a replayed CALL to the stand-down row, and the hashed result is
+    * the consumer's manifest join against the pinned layer read. */
+  val storeSqlPublishRun = GQuery(
+    "q_sql_publish_run",
+    (s, d) => {
+      val base = graft.TempRoots.create("graft_sqlpubrun")
+      val silver = s"$base/silver"
+      val gold = s"$base/gold"
+      val manifest = s"$base/_runs"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") < 10000L).coalesce(1), silver)
+      graft.ops.TableStore.append(
+        graft.ops.TableStore.read(s, silver, Some(1L))
+          .agg(count(lit(1)).as("n"),
+            sum("o_orderkey").as("key_sum")).coalesce(1), gold)
+      s.conf.set("spark.sql.catalog.gpub",
+        classOf[graft.sources.GraftCatalog].getName)
+      // tick 1 published through SQL, silver pinned at @current
+      val r1 = s.sql(s"CALL gpub.publish_run(manifest => '$manifest', " +
+        s"run_id => 1, layers => 'silver=$silver@current,gold=$gold@1')")
+        .collect().head
+      require(!r1.isNullAt(0) && !r1.getBoolean(1),
+        s"tick 1 must publish fresh: $r1")
+      // a replayed CALL stands down (idempotent on run_id)
+      val r2 = s.sql(s"CALL gpub.publish_run(manifest => '$manifest', " +
+        s"run_id => 1, layers => 'silver=$silver@current,gold=$gold@1')")
+        .collect().head
+      require(r2.isNullAt(0) && r2.getBoolean(1),
+        s"replayed publish must stand down: $r2")
+      // tick 2 commits silver then crashes before its publish
+      graft.ops.TableStore.append(
+        src.where(col("o_orderkey") >= 10000L).coalesce(1), silver)
+      val pins = s.sql(
+        s"SELECT layer, version FROM run_manifest('$manifest')")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(pins == Map("silver" -> 1L, "gold" -> 1L),
+        s"the half-finished tick must stay invisible: $pins")
+      s.sql(s"""
+        SELECT m.layer, m.version, d.n_rows, d.key_sum
+        FROM run_manifest('$manifest') m
+        CROSS JOIN (
+          SELECT COUNT(*) AS n_rows, SUM(o_orderkey) AS key_sum
+          FROM gpub.`$silver` VERSION AS OF 1) d
+        ORDER BY m.layer""")
+    },
+    Some("""
+      WITH d AS (
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders WHERE o_orderkey < 10000
+      )
+      SELECT 'gold' AS layer, CAST(1 AS BIGINT) AS version,
+             n_rows, key_sum FROM d
+      UNION ALL
+      SELECT 'silver', CAST(1 AS BIGINT), n_rows, key_sum FROM d
+      ORDER BY layer
+    """),
+    eager = true)
+
   override def all: Seq[GQuery] =
     Seq(storeSql, storeSqlChanges, storeSqlInsert,
       storeSqlDelete, storeSqlUpdate, storeSqlMerge,
       storeSqlMaintenance, storeSqlCtas, storeSqlCountMeta,
       storeSqlDeleteMor, storeSqlDeleteSubquery, storeSqlUpdateSubquery,
       storeSqlAddColumn, storeSqlManifest, storeSqlTruncate,
-      storeSqlDeleteExists, storeSqlWidenColumn, storeSqlCreatePartitioned)
+      storeSqlDeleteExists, storeSqlWidenColumn, storeSqlCreatePartitioned,
+      storeSqlPublishRun)
 }

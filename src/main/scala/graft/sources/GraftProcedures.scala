@@ -174,6 +174,55 @@ private[sources] object GraftProcedures {
         require(!in.isNullAt(1), "version must not be NULL")
         Seq(TableStore.restore(spark,
           resolve(str(in, 0, "table")), in.getLong(1)))
+      }),
+
+    Proc("publish_run",
+      "publish a warehouse tick's layer->version pins as one run " +
+        "manifest commit — the SQL write-side of run_manifest(): " +
+        "layers is 'name=store@version,...' with '@current' pinning " +
+        "the layer's latest committed version at call time; " +
+        "batch-id idempotent on run_id (a replayed publish stands " +
+        "down and reports already_published)",
+      Seq(p("manifest", StringType), p("run_id", LongType),
+        p("layers", StringType)),
+      StructType(Seq(
+        StructField("manifest_version", LongType, nullable = true),
+        StructField("already_published", BooleanType),
+        StructField("n_layers", IntegerType))),
+      (spark, in) => {
+        val manifest = resolve(str(in, 0, "manifest"))
+        require(!in.isNullAt(1), "run_id must not be NULL")
+        val runId = in.getLong(1)
+        val layers = str(in, 2, "layers").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq.map { spec =>
+            val eq = spec.indexOf('=')
+            require(eq > 0, s"layer spec '$spec' is not " +
+              "name=store@version")
+            val name = spec.substring(0, eq).trim
+            val at = spec.lastIndexOf('@')
+            require(at > eq, s"layer spec '$spec' is not " +
+              "name=store@version (use @current for the latest)")
+            val root = resolve(spec.substring(eq + 1, at).trim)
+            val verSpec = spec.substring(at + 1).trim
+            val version =
+              if (verSpec.equalsIgnoreCase("current")) {
+                val vs = TableStore.versions(spark, root)
+                require(vs.nonEmpty,
+                  s"layer $name at $root has no committed versions " +
+                    "to pin")
+                vs.last
+              } else verSpec.toLongOption.getOrElse(
+                throw new IllegalArgumentException(
+                  s"layer spec '$spec' version must be a number or " +
+                    "'current'"))
+            name -> (root, version)
+          }
+        val dup = layers.groupBy(_._1).filter(_._2.size > 1)
+        require(dup.isEmpty,
+          s"layers lists a layer twice: ${dup.keys.mkString(",")}")
+        val v = graft.ops.RunManifest.publish(spark, manifest, runId,
+          layers.toMap)
+        Seq(v.map(Long.box).orNull, v.isEmpty, layers.size)
       })
   )
 }

@@ -122,6 +122,53 @@ class SqlProcSpec extends SparkSpec {
       "history stays readable after restore")
   }
 
+  test("CALL publish_run: @current pins, idempotent replay, the " +
+      "half-finished tick stays invisible to run_manifest()") {
+    val s = spark; import s.implicits._
+    val base = graft.TempRoots.create("graft_sqlproc_pub")
+    val silver = s"$base/silver"
+    val gold = s"$base/gold"
+    val manifest = s"$base/_runs"
+    val g = cat("gproc")
+    TableStore.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .coalesce(1), silver) // silver v1
+    TableStore.append(Seq((2L, 30L)).toDF("n", "s").coalesce(1), gold)
+    // tick 1 published via CALL, one layer pinned explicitly and one
+    // at @current
+    val r1 = spark.sql(s"CALL $g.publish_run(manifest => '$manifest', " +
+      s"run_id => 1, layers => 'silver=$silver@current,gold=$gold@1')")
+      .collect().head
+    assert(!r1.isNullAt(0) && r1.getLong(0) == 1L, s"published: $r1")
+    assert(!r1.getBoolean(1) && r1.getInt(2) == 2, s"fresh publish: $r1")
+    // a REPLAYED publish stands down (batch-id ledger)
+    val r2 = spark.sql(s"CALL $g.publish_run(manifest => '$manifest', " +
+      s"run_id => 1, layers => 'silver=$silver@current,gold=$gold@1')")
+      .collect().head
+    assert(r2.isNullAt(0) && r2.getBoolean(1), s"replay stands down: $r2")
+    // tick 2 commits silver then CRASHES before publish: the TVF
+    // keeps resolving tick 1's consistent pair
+    TableStore.append(Seq((9L, 90L)).toDF("id", "v").coalesce(1), silver)
+    val pins = spark.sql(
+      s"SELECT layer, version FROM run_manifest('$manifest') " +
+        "ORDER BY layer").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(pins == Seq(("gold", 1L), ("silver", 1L)), pins.toString)
+    // the re-run completes tick 2 and publishes — pins advance
+    spark.sql(s"CALL $g.publish_run(manifest => '$manifest', " +
+      s"run_id => 2, layers => 'silver=$silver@current,gold=$gold@1')")
+    val pins2 = spark.sql(
+      s"SELECT layer, version FROM run_manifest('$manifest') " +
+        "ORDER BY layer").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(pins2 == Seq(("gold", 1L), ("silver", 2L)), pins2.toString)
+    // malformed layer specs refuse loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $g.publish_run(manifest => '$manifest', " +
+        s"run_id => 3, layers => 'silver$silver')").collect()
+    }
+    assert(e.getMessage.contains("name=store@version"), e.getMessage)
+  }
+
   test("unknown procedure fails loudly with the inventory") {
     val g = cat("gproc")
     val e = intercept[Exception] {
