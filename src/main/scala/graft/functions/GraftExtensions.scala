@@ -114,6 +114,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strLit(args.head, "manifest root"))
           .queryExecution.analyzed
       }))
+    // the ANN stack end-to-end from SQL: score `queries` against
+    // `corpus` through the PERSISTED IVF index (the newest committed
+    // codebook under artifacts_root — Similarity.saveCodebook's
+    // artifact), k results per query, n_probe cells probed. Corpus
+    // and queries are store roots OR plain parquet dirs exposing
+    // columns (id, vec) — the retrieval family's API shapes, now one
+    // SELECT for the reference's SQL-only audience:
+    //   SELECT * FROM ann_topk('/wh/_ann', '/wh/corpus',
+    //                          '/wh/queries', 10, 4)
+    ext.injectTableFunction((FunctionIdentifier("ann_topk"),
+      info("ann_topk", classOf[graft.ops.Similarity.type]),
+      (in: Seq[Expression]) => {
+        val args = arity("ann_topk", 5)(in)
+        val spark = org.apache.spark.sql.SparkSession.active
+        def readAny(root: String) = {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val isStore =
+            fs.exists(new org.apache.hadoop.fs.Path(s"$root/_log")) ||
+              fs.exists(new org.apache.hadoop.fs.Path(s"$root/_schema"))
+          val df = if (isStore) graft.ops.TableStore.read(spark, root)
+            else spark.read.parquet(root)
+          require(df.columns.contains("id") && df.columns.contains("vec"),
+            s"ann_topk reads (id, vec) columns; $root has " +
+              s"[${df.columns.mkString(",")}] — alias/select first")
+          df
+        }
+        val codebook = graft.ops.Similarity.loadLatestCodebook(spark,
+          strLit(args.head, "artifacts root"))
+        graft.ops.Similarity.ivfTopK(
+            readAny(strLit(args(2), "queries root")), "id", "vec",
+            readAny(strLit(args(1), "corpus root")), "id", "vec",
+            intLit(args(3), "k"), codebook.size,
+            intLit(args(4), "n_probe"), Some(codebook))
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("table_stats"),
       info("table_stats", classOf[graft.sources.GraftCatalog]),
       (in: Seq[Expression]) => {

@@ -1158,10 +1158,96 @@ object SimilarityQueries extends QueryPack {
     """},
     eager = true)
 
+  /** The ANN stack on the SQL surface — `ann_topk(artifacts, corpus,
+    * queries, k, n_probe)` ([[graft.functions.GraftExtensions]])
+    * scoring against the PERSISTED index: corpus and query stores
+    * built as graft tables, the codebook trained once and saved
+    * through [[Similarity.saveCodebook]] (the versioned artifact a
+    * production pipeline probes many times), the TVF resolving the
+    * newest committed version. The in-body `require` pins the TVF
+    * result hash-equal to its API twin ([[Similarity.ivfTopK]] with
+    * the same loaded codebook), and the oracle replays the exact
+    * integer pipeline in DuckDB — the q_ann_ivf_topk algebra over
+    * the same rows. */
+  val annSqlTopK = GQuery(
+    "q_ann_sql_topk",
+    (s, d) => {
+      val base = graft.TempRoots.create("graft_annsql")
+      val corpusRoot = s"$base/corpus"
+      val queriesRoot = s"$base/queries"
+      val artifacts = s"$base/_ann"
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.ops.TableStore.append(emb.coalesce(4), corpusRoot)
+      graft.ops.TableStore.append(
+        emb.filter(expr("id % 100 = 3")).coalesce(1), queriesRoot)
+      // train once, persist, probe many times — the ivfTopK default
+      // codebook (first NumCentroids corpus rows by id, scaled) made
+      // an explicit versioned artifact
+      val codebook = emb
+        .select(col("id"), Similarity.scaledVec(col("vec")).as("sv"))
+        .orderBy("id").limit(NumCentroids)
+        .collect().toIndexedSeq.map(_.getSeq[Long](1).toIndexedSeq)
+      Similarity.saveCodebook(s, codebook, artifacts, "v1")
+      val tvf = s.sql(s"SELECT * FROM ann_topk('$artifacts', " +
+        s"'$corpusRoot', '$queriesRoot', $TopK, $NProbe) " +
+        "ORDER BY query_id, rank")
+      val api = Similarity.ivfTopK(
+          graft.ops.TableStore.read(s, queriesRoot), "id", "vec",
+          graft.ops.TableStore.read(s, corpusRoot), "id", "vec",
+          TopK, NumCentroids, NProbe,
+          Some(Similarity.loadLatestCodebook(s, artifacts)))
+        .orderBy("query_id", "rank")
+      val (tRows, aRows) = (tvf.collect().toSeq, api.collect().toSeq)
+      require(tRows == aRows,
+        s"TVF must hash-match its API twin: ${tRows.take(3)} vs " +
+          s"${aRows.take(3)}")
+      tvf
+    },
+    Some {
+      val sv = Similarity.scaledVecSql("embedding")
+      s"""
+      WITH cents AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_idx,
+               $sv AS cent
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $NumCentroids)),
+      corpus AS (SELECT vec_id AS neighbour_id, $sv AS cv FROM embeddings),
+      assign AS (
+        SELECT neighbour_id, cv, cent_idx FROM (
+          SELECT c.neighbour_id, c.cv, ct.cent_idx,
+                 ROW_NUMBER() OVER (PARTITION BY c.neighbour_id
+                   ORDER BY ${Similarity.dotPreScaledSql("c.cv", "ct.cent")} DESC,
+                            ct.cent_idx) AS rn
+          FROM corpus c CROSS JOIN cents ct)
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, $sv AS qv
+            FROM embeddings WHERE vec_id % 100 = 3),
+      probes AS (
+        SELECT query_id, qv, cent_idx FROM (
+          SELECT q.query_id, q.qv, ct.cent_idx,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY ${Similarity.dotPreScaledSql("q.qv", "ct.cent")} DESC,
+                            ct.cent_idx) AS rn
+          FROM q CROSS JOIN cents ct)
+        WHERE rn <= $NProbe),
+      scored AS (
+        SELECT p.query_id, a.neighbour_id,
+               ${Similarity.dotPreScaledSql("p.qv", "a.cv")} AS sim_scaled
+        FROM probes p JOIN assign a USING (cent_idx)),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim_scaled DESC, neighbour_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbour_id, sim_scaled, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= $TopK
+      ORDER BY query_id, rank
+    """},
+    eager = true)
+
   def all: Seq[GQuery] =
     Seq(cosineTopK, annTopK, embeddingStats, embeddingNearDup, ivfTopK,
       embedQuantize, annInt8TopK, semanticDedup, semanticDedupScaled,
       ivfTopKScaled, kmeansClusters, pqAnnTopK, opqAnnTopK, ivfPqAnnTopK,
       opqIvfPqAnnTopK, ivfPqResidualAnnTopK, pqIndexTick,
-      opqRotationAnnTopK)
+      opqRotationAnnTopK, annSqlTopK)
 }
