@@ -1343,35 +1343,66 @@ object TableStore {
     * list leaves the table untouched. */
   def addColumns(spark: SparkSession, root: String,
                  cols: Seq[(String, org.apache.spark.sql.types.DataType)])
+      : Long = alterSchema(spark, root, cols, Nil)
+
+  /** Column ADDS and type WIDENINGS as ONE schema commit — the shape
+    * MERGE schema evolution needs (a source can both carry a new
+    * column and widen an existing one; two commits would let a crash
+    * land half the evolution). Every change is validated against the
+    * current schema AND its siblings before the single metadata row
+    * lands. */
+  def alterSchema(spark: SparkSession, root: String,
+                  adds: Seq[(String, org.apache.spark.sql.types.DataType)],
+                  widens: Seq[(String, org.apache.spark.sql.types.DataType)])
       : Long = {
-    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
-    cols.foreach { case (colName, _) =>
+    require(adds.nonEmpty || widens.nonEmpty,
+      "ALTER needs at least one column change")
+    adds.foreach { case (colName, _) =>
       require(colName.nonEmpty && !colName.startsWith("_"),
         s"column names starting with _ are reserved for feed " +
           s"provenance: $colName")
     }
-    val dupNew = cols.groupBy(_._1.toLowerCase).filter(_._2.size > 1)
+    val dupNew = (adds ++ widens).groupBy(_._1.toLowerCase)
+      .filter(_._2.size > 1)
     require(dupNew.isEmpty,
-      s"ADD COLUMNS lists a column twice: ${dupNew.keys.mkString(",")}")
+      s"ALTER lists a column twice: ${dupNew.keys.mkString(",")}")
     val vs = versions(spark, root)
     val prev = vs.lastOption.getOrElse(0L)
     val cur = read(spark, root,
       if (vs.isEmpty) None else Some(prev)).schema
-    cols.foreach { case (colName, _) =>
+    adds.foreach { case (colName, _) =>
       require(!cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
         s"column $colName already exists at $root " +
           s"[${cur.fieldNames.mkString(",")}]")
     }
+    val byName = cur.fields.map(f => f.name.toLowerCase -> f).toMap
+    widens.foreach { case (colName, to) =>
+      val f = byName.getOrElse(colName.toLowerCase,
+        throw new IllegalArgumentException(
+          s"ALTER COLUMN TYPE names unknown column $colName — table " +
+            s"has [${cur.fieldNames.mkString(",")}]"))
+      require(f.dataType != to,
+        s"column $colName already has type ${to.simpleString}")
+      require(isSafeWidening(f.dataType, to),
+        s"refusing ${f.dataType.simpleString} -> ${to.simpleString} " +
+          s"for column $colName — only value-preserving widenings " +
+          "(integer up-size, float->double, int->double, decimal " +
+          "growth) change a column's type in place; anything else " +
+          "is a priced rewrite (UPDATE with an explicit cast)")
+    }
+    val widenMap = widens.map { case (c, t) => c.toLowerCase -> t }.toMap
     val target = org.apache.spark.sql.types.StructType(
-      cur.fields ++ cols.map { case (colName, dt) =>
-        org.apache.spark.sql.types.StructField(colName, dt,
-          nullable = true) })
+      cur.fields.map(f => widenMap.get(f.name.toLowerCase)
+        .map(t => f.copy(dataType = t)).getOrElse(f)) ++
+        adds.map { case (colName, dt) =>
+          org.apache.spark.sql.types.StructField(colName, dt,
+            nullable = true) })
     val n = prev + 1
     // snapshot-dependent (the target embeds the CURRENT schema), so a
     // lost race surfaces loudly rather than composing blindly with a
     // concurrent ALTER
     commitExclusive(spark, root, n, Seq.empty, Seq.empty,
-      metaRows = Seq((cols.map(_._1).mkString(","), "schema",
+      metaRows = Seq(((adds ++ widens).map(_._1).mkString(","), "schema",
         target.json)))
     n
   }
@@ -1419,43 +1450,7 @@ object TableStore {
     * committed version. */
   def widenColumns(spark: SparkSession, root: String,
                    cols: Seq[(String, org.apache.spark.sql.types.DataType)])
-      : Long = {
-    require(cols.nonEmpty, "ALTER COLUMN TYPE needs at least one column")
-    val dupNew = cols.groupBy(_._1.toLowerCase).filter(_._2.size > 1)
-    require(dupNew.isEmpty,
-      s"ALTER COLUMN TYPE lists a column twice: ${dupNew.keys.mkString(",")}")
-    val vs = versions(spark, root)
-    require(vs.nonEmpty,
-      s"no committed versions at $root — widen after the first commit")
-    val prev = vs.last
-    val cur = read(spark, root, Some(prev)).schema
-    val byName = cur.fields.map(f => f.name.toLowerCase -> f).toMap
-    val target = cols.foldLeft(cur) { case (sch, (colName, to)) =>
-      val f = byName.getOrElse(colName.toLowerCase,
-        throw new IllegalArgumentException(
-          s"ALTER COLUMN TYPE names unknown column $colName — table " +
-            s"has [${cur.fieldNames.mkString(",")}]"))
-      require(f.dataType != to,
-        s"column $colName already has type ${to.simpleString}")
-      require(isSafeWidening(f.dataType, to),
-        s"refusing ${f.dataType.simpleString} -> ${to.simpleString} " +
-          s"for column $colName — only value-preserving widenings " +
-          "(integer up-size, float->double, int->double, decimal " +
-          "growth) change a column's type in place; anything else " +
-          "is a priced rewrite (UPDATE with an explicit cast)")
-      org.apache.spark.sql.types.StructType(sch.fields.map(g =>
-        if (g.name.equalsIgnoreCase(colName)) g.copy(dataType = to)
-        else g))
-    }
-    val n = prev + 1
-    // snapshot-dependent (the target embeds the CURRENT schema), so a
-    // lost race surfaces loudly rather than composing blindly with a
-    // concurrent ALTER
-    commitExclusive(spark, root, n, Seq.empty, Seq.empty,
-      metaRows = Seq((cols.map(_._1).mkString(","), "schema",
-        target.json)))
-    n
-  }
+      : Long = alterSchema(spark, root, Nil, cols)
 
   /** Rewrite the live set to ~targetBytes files as a new version —
     * [[Compaction]] under snapshot isolation: content-identical to

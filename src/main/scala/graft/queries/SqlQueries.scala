@@ -1354,6 +1354,93 @@ object SqlQueries extends QueryPack {
     """),
     eager = true)
 
+  /** `MERGE WITH SCHEMA EVOLUTION` — the reference's two-dialect feed
+    * problem (SURVEY §1.3: a new export column appears mid-stream)
+    * absorbed by ONE statement: the AUTOMATIC_SCHEMA_EVOLUTION
+    * capability routes Spark's ResolveMergeIntoSchemaEvolution
+    * through the catalog's alterTable (one schema commit via
+    * [[graft.ops.TableStore.alterSchema]]), then the merge lands
+    * against the evolved relation with J3's partial-update semantics
+    * unchanged. In-body `require`s pin the two-commit shape, the
+    * pre-evolution snapshot's narrow schema, and null-filled old
+    * rows; the oracle replays the evolved upsert algebra. */
+  val storeSqlMergeEvolve = GQuery(
+    "q_sql_merge_evolve",
+    (s, d) => {
+      val root = graft.TempRoots.create("graft_sqlmevo") + "/orders"
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+      graft.ops.TableStore.append(base.coalesce(1), root,
+        statsCols = Seq("o_orderkey")) // v1, two columns
+      s.conf.set("spark.sql.catalog.gmev",
+        classOf[graft.sources.GraftCatalog].getName)
+      // the evolved feed: keys 4000-6000 re-arrive with a price bump
+      // AND a new o_channel column; keys above the corpus insert
+      base.where(col("o_orderkey").between(4000L, 6000L))
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 100.0).as("o_totalprice"),
+          concat(lit("c"), col("o_orderkey") % 3).as("o_channel"))
+        .unionByName(
+          base.where(col("o_orderkey") < 1500L)
+            .select((col("o_orderkey") + 300000000L).as("o_orderkey"),
+              col("o_totalprice"),
+              lit("cnew").as("o_channel")))
+        .createOrReplaceTempView("gate_mevo_src")
+      s.sql(s"""
+        MERGE WITH SCHEMA EVOLUTION INTO gmev.`$root` t
+        USING gate_mevo_src s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET
+          o_totalprice = s.o_totalprice, o_channel = s.o_channel
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, o_channel)
+          VALUES (s.o_orderkey, s.o_totalprice, s.o_channel)""")
+        .collect()
+      require(graft.ops.TableStore.versions(s, root) == Seq(1L, 2L, 3L),
+        "one schema commit + one merge commit")
+      require(s.sql(s"SELECT * FROM gmev.`$root` VERSION AS OF 1")
+        .schema.fieldNames.toSeq == Seq("o_orderkey", "o_totalprice"),
+        "the pre-evolution snapshot keeps its narrow schema")
+      require(s.table(s"gmev.`$root`").schema.fieldNames.toSeq ==
+        Seq("o_orderkey", "o_totalprice", "o_channel"),
+        "latest reads the evolved schema")
+      s.sql(s"""
+        SELECT COALESCE(o_channel, '_none') AS o_channel,
+               COUNT(*) AS n_rows, SUM(o_orderkey) AS key_sum,
+               CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT))
+                 AS DOUBLE) / 1e2 AS total_price
+        FROM gmev.`$root`
+        GROUP BY 1
+        ORDER BY o_channel""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+      ), matched AS (
+        SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+               'c' || CAST(o_orderkey % 3 AS VARCHAR) AS o_channel
+        FROM base WHERE o_orderkey BETWEEN 4000 AND 6000
+      ), ins AS (
+        SELECT o_orderkey + 300000000 AS o_orderkey, o_totalprice,
+               'cnew' AS o_channel
+        FROM base WHERE o_orderkey < 1500
+      ), merged AS (
+        SELECT b.o_orderkey,
+               COALESCE(m.o_totalprice, b.o_totalprice) AS o_totalprice,
+               m.o_channel
+        FROM base b LEFT JOIN matched m USING (o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_channel FROM ins
+      )
+      SELECT COALESCE(o_channel, '_none') AS o_channel,
+             COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT))
+               AS DOUBLE) / 1e2 AS total_price
+      FROM merged
+      GROUP BY 1
+      ORDER BY o_channel
+    """),
+    eager = true)
+
   override def all: Seq[GQuery] =
     Seq(storeSql, storeSqlChanges, storeSqlInsert,
       storeSqlDelete, storeSqlUpdate, storeSqlMerge,
@@ -1361,5 +1448,5 @@ object SqlQueries extends QueryPack {
       storeSqlDeleteMor, storeSqlDeleteSubquery, storeSqlUpdateSubquery,
       storeSqlAddColumn, storeSqlManifest, storeSqlTruncate,
       storeSqlDeleteExists, storeSqlWidenColumn, storeSqlCreatePartitioned,
-      storeSqlPublishRun)
+      storeSqlPublishRun, storeSqlMergeEvolve)
 }

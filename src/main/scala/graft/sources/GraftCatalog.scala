@@ -214,9 +214,6 @@ class GraftCatalog extends TableCatalog
           "CALL add_constraint(…), layout is CALL optimize(…), " +
           "history retires through vacuum")
     }
-    require(addChanges.isEmpty || widenChanges.isEmpty,
-      "graft ALTER applies column adds and type widenings as " +
-        "separate statements — one schema commit each")
     val adds = addChanges.map {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -238,8 +235,10 @@ class GraftCatalog extends TableCatalog
             up.fieldNames.mkString("."))
         up.fieldNames()(0) -> up.newDataType()
     }
-    if (adds.nonEmpty) TableStore.addColumns(spark, p, adds)
-    else TableStore.widenColumns(spark, p, widens)
+    // adds and widens land as ONE schema commit (MERGE schema
+    // evolution can produce both in a single alterTable call; a
+    // half-landed evolution would tear the merge's resolution)
+    TableStore.alterSchema(spark, p, adds, widens)
     new GraftStoreTable(p, None)
   }
 

@@ -23,8 +23,9 @@ import graft.ops.Dml
   * self-referencing GROUP-BY-HAVING dup delete
   * (dags/DataWarehouse.py:531-540), and the staging-vs-bronze dedup
   * (dags/DataWarehouse.py:666-673) — so a reference user gets their
-  * mutation surface verbatim, subqueries included (uncorrelated
-  * only; see [[GraftDmlRule.screen]]).
+  * mutation surface verbatim, subqueries included — uncorrelated
+  * AND correlated EXISTS/NOT EXISTS (see [[GraftDmlRule
+  * .screenPredicate]]).
   *
   * Mechanics: Spark parses the statements into
   * `DeleteFromTable`/`UpdateTable`/`MergeIntoTable`; for tables that
@@ -174,9 +175,11 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         matchedActions, notMatchedActions, notMatchedBySourceActions,
         withSchemaEvolution) if m.resolved =>
       requireWritable(table, "MERGE")
-      require(!withSchemaEvolution,
-        "graft MERGE does not evolve schemas — add columns through " +
-          "SchemaEvolution/readAs first, then merge")
+      // withSchemaEvolution is already DONE by the time this rule
+      // claims the command: the AUTOMATIC_SCHEMA_EVOLUTION capability
+      // routes Spark's ResolveMergeIntoSchemaEvolution through the
+      // catalog's alterTable (one schema commit), and the merge here
+      // resolves against the EVOLVED relation — nothing left to do.
       val actionExprs = (matchedActions ++ notMatchedActions ++
         notMatchedBySourceActions).flatMap {
         case UpdateAction(c, as, _) => c.toSeq ++ as.map(_.value)

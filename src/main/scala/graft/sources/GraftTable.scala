@@ -98,10 +98,18 @@ class GraftStoreTable(val root: String, val requestedVersion: Option[Long],
     s"graft.`$root`" +
       requestedVersion.map(v => s" VERSION AS OF $v").getOrElse("")
 
+  // AUTOMATIC_SCHEMA_EVOLUTION opts into Spark's own
+  // ResolveMergeIntoSchemaEvolution: `MERGE WITH SCHEMA EVOLUTION`
+  // computes the add/widen TableChanges from the source schema and
+  // routes them through GraftCatalog.alterTable — i.e. the SAME
+  // one-metadata-commit evolution ALTER TABLE takes — before the
+  // merge resolves against the evolved relation. Without the keyword
+  // nothing changes (the capability only enables the opt-in syntax).
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** The declared layout columns (`CREATE … PARTITIONED BY`),
     * reported as identity transforms so DESCRIBE/SHOW surfaces the
