@@ -50,6 +50,14 @@ object TempRoots {
     p.toString
   }
 
+  /** A scratch dir EXCLUDED from [[sweepCreated]] — for CROSS-QUERY
+    * fixtures (the bench-prepare master stores gate bodies branch
+    * from): it must survive the between-queries sweep, and is still
+    * reclaimed by the per-process shutdown hook / stale-pid sweep
+    * like everything else under the root. */
+  def createPinned(tag: String): String =
+    Files.createTempDirectory(root, tag).toString
+
   /** Delete every dir handed out since the last sweep — called by the
     * harnesses BETWEEN queries (after the previous query's frame has
     * been fully consumed; never while one is pending). Deletion cost

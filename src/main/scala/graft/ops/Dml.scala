@@ -218,17 +218,35 @@ object Dml {
     * candidate must claim each URI; zero or several is a broken
     * invariant and fails loudly. */
   private def toEntryPaths(uris: Seq[String], root: String,
-                           candidates: Seq[FileEntry]): Seq[String] =
-    uris.map { u =>
-      candidates.map(_.path).filter(p => u.endsWith("/" + p)) match {
-        case Seq(one) => one
-        case Seq() => throw new IllegalStateException(
-          s"scanned file $u is not a candidate of $root")
-        case many => throw new IllegalStateException(
-          s"scanned file $u matches ${many.size} log entries of $root " +
-            s"(${many.mkString(", ")}) — ambiguous attribution")
+                           candidates: Seq[FileEntry]): Seq[String] = {
+    // FS-qualified EXACT matching: resolve each candidate entry to its
+    // full path (relative entries join under root; absolute entries —
+    // shallow-clone references into another store's data dir — pass
+    // through) and require the scanned URI to equal it after
+    // qualification. Strictly stronger than the old '/'-boundary
+    // suffix match, and the only sound rule once entries can be
+    // absolute. Two entries qualifying to the same path is a broken
+    // invariant and fails loudly, as does an unclaimed URI.
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    def qualify(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val byQualified = new scala.collection.mutable.HashMap[String, String]()
+    candidates.foreach { e =>
+      val q = qualify(TableStore.resolve(root, e.path))
+      byQualified.put(q, e.path).foreach { prior =>
+        throw new IllegalStateException(
+          s"log entries $prior and ${e.path} of $root resolve to the " +
+            s"same file $q — ambiguous attribution")
       }
     }
+    uris.map { u =>
+      byQualified.getOrElse(qualify(u), throw new IllegalStateException(
+        s"scanned file $u is not a candidate of $root"))
+    }
+  }
 
   /** Candidate-file scan under the snapshot's EFFECTIVE schema: the
     * snapshot frame's own schema is declared-aware

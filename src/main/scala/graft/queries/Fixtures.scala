@@ -44,6 +44,56 @@ private[queries] object Fixtures {
       ensureLocked(spark, path, fingerprint)(build)
     }
 
+  // ------------------------------------------------------------------
+  // Build-once PRISTINE master stores the operation gates branch from
+  // — the bench's fixture-containment mechanism (GQuery.prepare): a
+  // DML gate's assertions measure the OPERATION, but its body used to
+  // re-pay the store-seeding IO (several appends of source-table
+  // slices) on every timed rep. The seeding now lands once per JVM in
+  // an untimed prepare ([[master]]), and the timed body takes a fresh
+  // mutable branch ([[branch]]) — one METADATA-ONLY commit
+  // (TableStore.shallowClone: the branch's v1 re-references the
+  // master's files by absolute path, no data moves) — so each rep
+  // mutates its own store for the cost of one log write.
+  //
+  // Contract for gates using this: the branch's history starts at v1
+  // (one clone commit holding every master file), so bodies and
+  // oracles must not reference the master's internal version numbers;
+  // pruning is unaffected (clone entries carry the master's logged
+  // stats); COW mutations never touch master files (TableStoreSpec
+  // pins this); gates that PHYSICALLY delete files (vacuum) must not
+  // branch — a swept master would poison later reps — and stay
+  // documented as timing their fixtures on purpose. Verify stays
+  // self-sufficient: [[branch]] builds the master lazily when no
+  // prepare ran.
+  // ------------------------------------------------------------------
+
+  private val masters =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The pristine master for `key` at this sf dir — built once per
+    * JVM (pinned scratch dir: survives the between-queries sweep),
+    * returned thereafter. `build` must only APPEND — the master is
+    * shared by every rep's branch. */
+  def master(s: SparkSession, d: String, key: String)
+            (build: String => Unit): String =
+    masters.computeIfAbsent(s"$key|$d", _ => {
+      val root = graft.TempRoots.createPinned(s"graft_fix_$key") + "/t"
+      build(root)
+      root
+    })
+
+  /** A fresh mutable branch of the master: shallowClone into a
+    * normally-swept scratch root — the body pays one metadata commit
+    * plus the measured operation, never the seeding IO. */
+  def branch(s: SparkSession, d: String, key: String)
+            (build: String => Unit): String = {
+    val m = master(s, d, key)(build)
+    val dst = graft.TempRoots.create(s"graft_br_$key") + "/t"
+    graft.ops.TableStore.shallowClone(s, m, dst)
+    dst
+  }
+
   private def ensureLocked(spark: SparkSession, path: String,
                            fingerprint: String)(build: => Unit): Unit = {
     val lockPath = java.nio.file.Paths.get(s"$path.lock")

@@ -14,6 +14,53 @@ import graft.Tables
   * a DuckDB replay from the source table. */
 object SqlQueries extends QueryPack {
 
+  /** The shared pre-mutation seeding the DML gates branch from — a
+    * [[Fixtures]] master built once per JVM (untimed in the bench's
+    * prepare), with each gate body taking a METADATA-ONLY branch
+    * whose v1 is exactly this state. Gates that need the master's
+    * internal version numbering or relative file paths (q_sql_truncate,
+    * q_sql_maintenance's vacuum) deliberately do NOT branch — they
+    * time their fixtures on purpose. */
+  private def ordersSplit3(s: org.apache.spark.sql.SparkSession,
+                           d: String)(root: String): Unit = {
+    val src = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    Seq(col("o_orderkey") < 5000L,
+      col("o_orderkey") >= 5000L && col("o_orderkey") < 10000L,
+      col("o_orderkey") >= 10000L).foreach(p =>
+      graft.ops.TableStore.append(src.where(p).coalesce(1), root,
+        statsCols = Seq("o_orderkey")))
+  }
+
+  /** (o_orderkey, o_custkey, o_totalprice) in one file — the
+    * delete-exists twin stores' seeding. */
+  private def ordersCustKey(s: org.apache.spark.sql.SparkSession,
+                            d: String)(root: String): Unit =
+    graft.ops.TableStore.append(
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice").coalesce(1),
+      root, statsCols = Seq("o_orderkey"))
+
+  /** The dup-and-dirty silver the subquery-delete gate cleans
+    * (base + doubled keys < 2000 + negative-price offset rows). */
+  private def ordersDupDirty(s: org.apache.spark.sql.SparkSession,
+                             d: String)(root: String): Unit = {
+    val base = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    graft.ops.TableStore.append(base.coalesce(1), root,
+      statsCols = Seq("o_orderkey"))
+    graft.ops.TableStore.append(
+      base.where(col("o_orderkey") < 2000L).coalesce(1), root,
+      statsCols = Seq("o_orderkey"))
+    graft.ops.TableStore.append(
+      base.where(col("o_orderkey").between(2200L, 2400L))
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"),
+          (-col("o_totalprice")).as("o_totalprice"))
+        .coalesce(1), root,
+      statsCols = Seq("o_orderkey"))
+  }
+
   /** SQL over a versioned store: three key-ranged commits, then (a) a
     * range probe through `spark.sql` — planned by the analysis
     * rewrite as a native parquet scan whose file list the COMMIT
@@ -204,17 +251,12 @@ object SqlQueries extends QueryPack {
   val storeSqlDelete = GQuery(
     "q_sql_delete",
     (s, d) => {
-      val root = graft.TempRoots.create("graft_sqldel") + "/orders"
+      val root = Fixtures.branch(s, d, "orders3")(ordersSplit3(s, d))
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      Seq(col("o_orderkey") < 5000L,
-        col("o_orderkey") >= 5000L && col("o_orderkey") < 10000L,
-        col("o_orderkey") >= 10000L).foreach(p =>
-        graft.ops.TableStore.append(src.where(p).coalesce(1), root,
-          statsCols = Seq("o_orderkey")))
       s.conf.set("spark.sql.catalog.gdmlq",
         classOf[graft.sources.GraftCatalog].getName)
-      val before = graft.ops.TableStore.liveAt(s, root, 3L).map(_.path)
+      val before = graft.ops.TableStore.liveAt(s, root, 1L).map(_.path)
       s.sql(s"DELETE FROM gdmlq.`$root` WHERE o_orderkey >= 5000 " +
         "AND o_orderkey < 10000 AND o_orderkey % 2 = 0").collect()
       val after = graft.ops.TableStore.liveAt(s, root,
@@ -231,7 +273,7 @@ object SqlQueries extends QueryPack {
         UNION ALL
         SELECT 'pre_delete', COUNT(*), SUM(o_orderkey),
                CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
-        FROM gdmlq.`$root` VERSION AS OF 3
+        FROM gdmlq.`$root` VERSION AS OF 1
         ORDER BY leg""")
     },
     Some("""
@@ -248,6 +290,9 @@ object SqlQueries extends QueryPack {
       FROM orders
       ORDER BY leg
     """),
+    prepare = Some((s, d) => {
+      Fixtures.master(s, d, "orders3")(ordersSplit3(s, d)); ()
+    }),
     eager = true)
 
   /** The reference's LITERAL mutation statements — all three of its
@@ -275,24 +320,12 @@ object SqlQueries extends QueryPack {
   val storeSqlDeleteSubquery = GQuery(
     "q_sql_delete_subquery",
     (s, d) => {
-      val root = graft.TempRoots.create("graft_sqldelsub") + "/silver"
+      // dup/dirty seeding (keys < 2000 doubled, offset negative-price
+      // rows) branches from the ordersDupDirty master — the states the
+      // reference's cleanup statement exists to remove, pre-built once
+      val root = Fixtures.branch(s, d, "delsub")(ordersDupDirty(s, d))
       val base = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice")
-      graft.ops.TableStore.append(base.coalesce(1), root,
-        statsCols = Seq("o_orderkey"))
-      // injected duplicates (keys < 2000 land twice) and dirty rows
-      // (offset keys, negative prices) — the states the reference's
-      // cleanup statement exists to remove
-      graft.ops.TableStore.append(
-        base.where(col("o_orderkey") < 2000L).coalesce(1), root,
-        statsCols = Seq("o_orderkey"))
-      graft.ops.TableStore.append(
-        base.where(col("o_orderkey").between(2200L, 2400L))
-          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
-            col("o_custkey"),
-            (-col("o_totalprice")).as("o_totalprice"))
-          .coalesce(1), root,
-        statsCols = Seq("o_orderkey"))
       s.conf.set("spark.sql.catalog.gdsub",
         classOf[graft.sources.GraftCatalog].getName)
       // 1. DataWarehouse.py:531-540, shape verbatim
@@ -370,6 +403,9 @@ object SqlQueries extends QueryPack {
                AS n_dup_range
       FROM t3
     """),
+    prepare = Some((s, d) => {
+      Fixtures.master(s, d, "delsub")(ordersDupDirty(s, d)); ()
+    }),
     eager = true)
 
   /** `UPDATE` on the SQL surface → [[graft.ops.Dml.update]]: a keyed
@@ -381,17 +417,12 @@ object SqlQueries extends QueryPack {
   val storeSqlUpdate = GQuery(
     "q_sql_update",
     (s, d) => {
-      val root = graft.TempRoots.create("graft_squpd") + "/orders"
+      val root = Fixtures.branch(s, d, "orders3")(ordersSplit3(s, d))
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      Seq(col("o_orderkey") < 5000L,
-        col("o_orderkey") >= 5000L && col("o_orderkey") < 10000L,
-        col("o_orderkey") >= 10000L).foreach(p =>
-        graft.ops.TableStore.append(src.where(p).coalesce(1), root,
-          statsCols = Seq("o_orderkey")))
       s.conf.set("spark.sql.catalog.gdmlq",
         classOf[graft.sources.GraftCatalog].getName)
-      val before = graft.ops.TableStore.liveAt(s, root, 3L).map(_.path)
+      val before = graft.ops.TableStore.liveAt(s, root, 1L).map(_.path)
       s.sql(s"UPDATE gdmlq.`$root` SET " +
         "o_totalprice = o_totalprice + 1000.0, " +
         "o_orderstatus = concat('U', o_orderstatus) " +
@@ -424,6 +455,9 @@ object SqlQueries extends QueryPack {
       GROUP BY 1
       ORDER BY o_orderstatus
     """),
+    prepare = Some((s, d) => {
+      Fixtures.master(s, d, "orders3")(ordersSplit3(s, d)); ()
+    }),
     eager = true)
 
   /** `MERGE INTO` on the SQL surface → [[graft.ops.Dml.merge]]: one
@@ -437,19 +471,14 @@ object SqlQueries extends QueryPack {
   val storeSqlMerge = GQuery(
     "q_sql_merge",
     (s, d) => {
-      val root = graft.TempRoots.create("graft_sqmrg") + "/orders"
+      val root = Fixtures.branch(s, d, "orders3")(ordersSplit3(s, d))
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      Seq(col("o_orderkey") < 5000L,
-        col("o_orderkey") >= 5000L && col("o_orderkey") < 10000L,
-        col("o_orderkey") >= 10000L).foreach(p =>
-        graft.ops.TableStore.append(src.where(p).coalesce(1), root,
-          statsCols = Seq("o_orderkey")))
       s.conf.set("spark.sql.catalog.gdmlq",
         classOf[graft.sources.GraftCatalog].getName)
       // the high-range file holds no matched key — it must survive
       // empty-corpus sweeps have no files at all — Option, not throw
-      val highFile = graft.ops.TableStore.liveAt(s, root, 3L)
+      val highFile = graft.ops.TableStore.liveAt(s, root, 1L)
         .find(_.mins.get("o_orderkey").exists(_ >= 10000L))
         .map(_.path)
       src.where(col("o_orderkey") < 7500L)
@@ -507,6 +536,9 @@ object SqlQueries extends QueryPack {
              COUNT(DISTINCT o_orderstatus) AS n_status
       FROM final
     """),
+    prepare = Some((s, d) => {
+      Fixtures.master(s, d, "orders3")(ordersSplit3(s, d)); ()
+    }),
     eager = true)
 
   /** The maintenance lifecycle as SQL (`CALL` procedures,
@@ -682,17 +714,12 @@ object SqlQueries extends QueryPack {
   val storeSqlDeleteMor = GQuery(
     "q_sql_delete_mor",
     (s, d) => {
-      val root = graft.TempRoots.create("graft_sqldelmor") + "/orders"
+      val root = Fixtures.branch(s, d, "orders3")(ordersSplit3(s, d))
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      Seq(col("o_orderkey") < 5000L,
-        col("o_orderkey") >= 5000L && col("o_orderkey") < 10000L,
-        col("o_orderkey") >= 10000L).foreach(p =>
-        graft.ops.TableStore.append(src.where(p).coalesce(1), root,
-          statsCols = Seq("o_orderkey")))
       s.conf.set("spark.sql.catalog.gmor",
         classOf[graft.sources.GraftCatalog].getName)
-      val before = graft.ops.TableStore.liveAt(s, root, 3L)
+      val before = graft.ops.TableStore.liveAt(s, root, 1L)
         .map(_.path).toSet
       s.conf.set(graft.ops.Dml.DeleteModeKey, "mor")
       try s.sql(s"DELETE FROM gmor.`$root` WHERE o_orderkey >= 5000 " +
@@ -735,6 +762,9 @@ object SqlQueries extends QueryPack {
       FROM kept
       ORDER BY leg
     """),
+    prepare = Some((s, d) => {
+      Fixtures.master(s, d, "orders3")(ordersSplit3(s, d)); ()
+    }),
     eager = true)
 
   /** `TRUNCATE TABLE` on the SQL surface
@@ -811,20 +841,15 @@ object SqlQueries extends QueryPack {
   val storeSqlUpdateSubquery = GQuery(
     "q_sql_update_subquery",
     (s, d) => {
-      val root = graft.TempRoots.create("graft_squpdsub") + "/orders"
+      val root = Fixtures.branch(s, d, "orders3")(ordersSplit3(s, d))
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      Seq(col("o_orderkey") < 5000L,
-        col("o_orderkey") >= 5000L && col("o_orderkey") < 10000L,
-        col("o_orderkey") >= 10000L).foreach(p =>
-        graft.ops.TableStore.append(src.where(p).coalesce(1), root,
-          statsCols = Seq("o_orderkey")))
       s.conf.set("spark.sql.catalog.gusub",
         classOf[graft.sources.GraftCatalog].getName)
       src.where(col("o_orderkey").between(6000L, 7000L))
         .select("o_orderkey")
         .createOrReplaceTempView("gate_updsub_sel")
-      val before = graft.ops.TableStore.liveAt(s, root, 3L).map(_.path)
+      val before = graft.ops.TableStore.liveAt(s, root, 1L).map(_.path)
       s.sql(s"""
         UPDATE gusub.`$root`
         SET o_totalprice = o_totalprice + 100.0,
@@ -861,6 +886,9 @@ object SqlQueries extends QueryPack {
       GROUP BY 1
       ORDER BY o_orderstatus
     """),
+    prepare = Some((s, d) => {
+      Fixtures.master(s, d, "orders3")(ordersSplit3(s, d)); ()
+    }),
     eager = true)
 
   /** `ALTER TABLE ADD COLUMN` on the SQL surface
@@ -1207,15 +1235,10 @@ object SqlQueries extends QueryPack {
   val storeSqlDeleteExists = GQuery(
     "q_sql_delete_exists",
     (s, d) => {
-      val base = graft.TempRoots.create("graft_sqldelex")
-      val rootEx = s"$base/silver_ex"
-      val rootIn = s"$base/silver_in"
+      val rootEx = Fixtures.branch(s, d, "ordersck")(ordersCustKey(s, d))
+      val rootIn = Fixtures.branch(s, d, "ordersck")(ordersCustKey(s, d))
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice")
-      Seq(rootEx, rootIn).foreach { r =>
-        graft.ops.TableStore.append(src.coalesce(1), r,
-          statsCols = Seq("o_orderkey"))
-      }
       s.conf.set("spark.sql.catalog.gdex",
         classOf[graft.sources.GraftCatalog].getName)
       src.where(col("o_orderkey").between(3000L, 4000L))
@@ -1284,6 +1307,9 @@ object SqlQueries extends QueryPack {
              COUNT(DISTINCT o_custkey) AS n_cust
       FROM t2
     """),
+    prepare = Some((s, d) => {
+      Fixtures.master(s, d, "ordersck")(ordersCustKey(s, d)); ()
+    }),
     eager = true)
 
   /** The SQL WRITE-side of the run manifest — `CALL publish_run`
