@@ -872,14 +872,6 @@ object TableStore {
     n
   }
 
-  /** Anchor a FRESH path's schema without committing data — the
-    * `CREATE TABLE` of the commit-log model: the path becomes a
-    * readable TYPED-EMPTY store (the anchored-but-never-committed
-    * state [[read]] and the SQL catalog already understand), and the
-    * first real commit lands as version 1. Published by the same
-    * staged-rename the first write uses, so a racing CREATE cannot
-    * tear the anchor; losing the race is a loud error, never a
-    * silent clobber. Refuses paths that are already stores. */
   /** Declared partition/cluster columns of a store — the
     * `PARTITIONED BY` of its CREATE ([[createEmpty]]'s sidecar), or
     * empty for plain stores. Every write path consults this
@@ -925,6 +917,14 @@ object TableStore {
     }
   }
 
+  /** Anchor a FRESH path's schema without committing data — the
+    * `CREATE TABLE` of the commit-log model: the path becomes a
+    * readable TYPED-EMPTY store (the anchored-but-never-committed
+    * state [[read]] and the SQL catalog already understand), and the
+    * first real commit lands as version 1. Published by the same
+    * staged-rename the first write uses, so a racing CREATE cannot
+    * tear the anchor; losing the race is a loud error, never a
+    * silent clobber. Refuses paths that are already stores. */
   def createEmpty(spark: SparkSession, root: String,
                   schema: org.apache.spark.sql.types.StructType,
                   partitionBy: Seq[String] = Nil): Unit = {

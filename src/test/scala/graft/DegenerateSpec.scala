@@ -42,12 +42,19 @@ class DegenerateSpec extends SparkSpec {
     // so there is no layer version to publish), and the store
     // streaming-source gate's pacing require documents that an
     // all-empty source feeds no rows into its sink.
+    // q_sql_create_partitioned's pruning evidence (a month probe
+    // touching fewer than all files) needs at least one file per
+    // month — zero-row INSERTs commit no files, so its own require
+    // refuses; q_sql_merge_evolve pins the exact two-commit shape
+    // (schema evolution + merge rewrite), and an empty source's
+    // merge is a provable no-op that commits nothing.
     assert(refusals == Set("q_kmeans_clusters", "q_unigram_surprisal",
       "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_pq_index_tick",
       "q_ann_opq_topk", "q_ann_opq_ivfpq_topk",
       "q_ann_opq_rotation_topk", "q_sql_truncate",
       "q_ann_ivfpq_residual_topk", "q_warehouse_manifest",
-      "q_stream_store_source", "q_stream_store_cdc"),
+      "q_stream_store_source", "q_stream_store_cdc",
+      "q_sql_create_partitioned", "q_sql_merge_evolve"),
       s"unexpected refusal set: $refusals")
     val ok = results.collect { case (_, Ok(_)) => 1 }.size
     assert(ok == results.size - refusals.size)
