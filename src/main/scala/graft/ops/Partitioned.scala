@@ -59,7 +59,10 @@ object Partitioned {
       s.isFile && s.getPath.getName.startsWith("part-")
     val hasPartDirs = entries.exists(_.isDirectory)
     if (!hasPartDirs && !entries.exists(isAnchor))
-      df.limit(0).coalesce(1).write.mode("append").parquet(path)
+      // driver-side zero-row write (TableStore's anchor posture):
+      // same file shape as the old limit(0) Spark job, no scheduler
+      // round-trip
+      TableStore.writeSchemaDir(spark, root, df.schema)
     else if (hasPartDirs)
       entries.filter(isAnchor).foreach(s => fs.delete(s.getPath, false))
   }

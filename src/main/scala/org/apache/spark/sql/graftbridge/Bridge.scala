@@ -35,6 +35,17 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Spark's own StructType → parquet MessageType conversion
+    * (`SparkToParquetSchemaConverter` is sql-internal) — used to
+    * write schema-anchor files driver-side with exactly the physical
+    * shape a zero-row Spark write would have produced. */
+  def parquetMessageType(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.parquet.schema.MessageType =
+    new org.apache.spark.sql.execution.datasources.parquet
+      .SparkToParquetSchemaConverter(
+        org.apache.spark.sql.internal.SQLConf.get)
+      .convert(schema)
+
   /** A V1 streaming Sink's `addBatch` frame re-wrapped as a PLAIN
     * batch frame over the micro-batch's already-planned RDD —
     * Spark's own ForeachBatchSink construction
