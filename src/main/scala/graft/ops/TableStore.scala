@@ -3190,8 +3190,32 @@ object TableStore {
       else SchemaEvolution.readWithTarget(spark, target, files: _*)
     val a = frame(addedFiles)
     val r = frame(removedFiles)
-    a.exceptAll(r).withColumn("_op", lit("insert"))
-      .unionByName(r.exceptAll(a).withColumn("_op", lit("delete")))
+    // Multiset difference in ONE pass. The previous shape —
+    // a.exceptAll(r) UNION r.exceptAll(a) — scanned BOTH file sets
+    // TWICE and ran two aggregates (Spark rewrites each exceptAll
+    // into union+aggregate+generate), for a feed whose two directions
+    // share one grouping. One tagged union + one aggregate computes
+    // both directions with identical semantics: a distinct row with
+    // na copies among the adds and nr among the removes nets to
+    // |na-nr| rows, inserts when na>nr, deletes when nr>na
+    // (exceptAll's max(0, na-nr) / max(0, nr-na), fused). Windows
+    // that only added or only removed files skip the aggregate
+    // entirely — exceptAll against an empty side is the identity, so
+    // an append-only CDC window (the streaming source's steady state)
+    // is a plain pruned scan with zero shuffles.
+    val dataCols = target.fieldNames.toSeq
+    if (removedFiles.isEmpty) a.withColumn("_op", lit("insert"))
+    else if (addedFiles.isEmpty) r.withColumn("_op", lit("delete"))
+    else a.withColumn("__graft_d", lit(1L))
+      .unionByName(r.withColumn("__graft_d", lit(-1L)))
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(col("__graft_d")).as("__graft_d"))
+      .where(col("__graft_d") =!= 0L)
+      .withColumn("_op",
+        when(col("__graft_d") > 0L, lit("insert")).otherwise(lit("delete")))
+      .withColumn("__graft_i",
+        explode(sequence(lit(1L), abs(col("__graft_d")))))
+      .select(dataCols.map(col) :+ col("_op"): _*)
   }
 
   /** Fold a [[readRowChanges]] feed (insert/delete row pairs) into
@@ -3206,14 +3230,22 @@ object TableStore {
                  opCol: String = "_op"): DataFrame = {
     require(changes.columns.contains(opCol),
       s"netChanges needs the op column $opCol")
-    require(changes.where(col(key).isNull).limit(1).collect().isEmpty,
-      s"null $key in the change window — a keyed mirror needs keys")
-    val dupIns = changes.where(col(opCol) === "insert")
-      .groupBy(col(key)).count().where(col("count") > 1)
+    // both contract screens (no null keys, at most one insert per
+    // key) ride ONE aggregate action: `changes` is typically the
+    // readRowChanges diff, and each extra action here recomputed the
+    // whole changed-file scan + diff aggregate
+    val bad = changes.groupBy(col(key))
+      .agg(sum(when(col(opCol) === "insert", 1L).otherwise(0L))
+        .as("__graft_ins"))
+      .where(col(key).isNull || col("__graft_ins") > 1L)
       .limit(1).collect()
-    require(dupIns.isEmpty,
-      s"key ${dupIns.headOption.map(_.get(0))} inserts more than once " +
-        "in the window — a keyed mirror needs one live row per key")
+    bad.headOption.foreach { r =>
+      require(!r.isNullAt(0),
+        s"null $key in the change window — a keyed mirror needs keys")
+      require(false,
+        s"key ${Some(r.get(0))} inserts more than once " +
+          "in the window — a keyed mirror needs one live row per key")
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key))
       .orderBy(when(col(opCol) === "insert", 0).otherwise(1))

@@ -28,6 +28,24 @@ object PartitionQueries extends QueryPack {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
+  /** Multiset equality in ONE pass — the gate requires used to spell
+    * this `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty`: two
+    * actions, each scanning both sides and aggregating (Spark rewrites
+    * exceptAll to union+aggregate). Equality of the two multisets is
+    * exactly "no row whose tagged counts differ", one union + one
+    * aggregate + one action. The property enforced is unchanged:
+    * same rows, same multiplicities, both directions. */
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame): Boolean = {
+    val cols = a.columns.toSeq
+    a.withColumn("__d", lit(1L))
+      .unionByName(b.select(cols.map(col): _*).withColumn("__d", lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("__d")).as("__d"))
+      .where(col("__d") =!= 0L)
+      .isEmpty
+  }
+
   /** Schema version of the fixture projection — bump when the fact
     * columns below change so stale fixtures rebuild. */
   private val FixtureVersion = 2
@@ -776,8 +794,8 @@ object PartitionQueries extends QueryPack {
     * (repriced keys + past-range inserts) and a CDC batch (deletes +
     * restatused upserts); a mirror B, seeded from A's version 1, is
     * caught up purely from the row-level feed of A's changed files.
-    * Exact A≡B equality is enforced in-body (both exceptAll
-    * directions); the oracle independently reconstructs the final
+    * Exact A≡B equality is enforced in-body (multiset equality,
+    * [[sameRows]]); the oracle independently reconstructs the final
     * state from the source, so the feed, the netting, AND the apply
     * all have to be right for the hash to match. */
   val storeMirror = GQuery(
@@ -813,7 +831,7 @@ object PartitionQueries extends QueryPack {
       graft.ops.TableStore.applyChanges(net, rootB, "o_orderkey")
       val a = graft.ops.TableStore.read(s, rootA)
       val b = graft.ops.TableStore.read(s, rootB)
-      require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      require(sameRows(a, b),
         "mirror drifted from source after feed replay")
       b.groupBy((col("o_orderkey") % 8).as("bucket"))
         .agg(count(lit(1)).as("n_orders"),
@@ -852,8 +870,8 @@ object PartitionQueries extends QueryPack {
     * ([[graft.ops.TableStore.shallowClone]]): a documents store is
     * cloned with NO data movement (the clone's v1 re-references the
     * source's files absolutely), then a merge rewrites every tenth
-    * doc ON THE CLONE. Source immutability is enforced in-body (both
-    * exceptAll directions against a fresh snapshot read); the oracle
+    * doc ON THE CLONE. Source immutability is enforced in-body
+    * (multiset equality against a fresh snapshot read); the oracle
     * recomputes the clone's merged content from the source table, so
     * the clone read path, carried stats, and the COW divergence all
     * gate together. */
@@ -878,8 +896,7 @@ object PartitionQueries extends QueryPack {
           .withColumn("text_len", lit(-1L)),
         dst, "doc_id", statsCols = Seq("doc_id"))
       val srcNow = graft.ops.TableStore.read(s, src)
-      require(srcNow.exceptAll(sdf).isEmpty &&
-        sdf.exceptAll(srcNow).isEmpty,
+      require(sameRows(srcNow, sdf),
         "clone mutation leaked into the source store")
       graft.ops.TableStore.read(s, dst)
         .groupBy((col("doc_id") % 8).as("bucket"))
@@ -963,7 +980,7 @@ object PartitionQueries extends QueryPack {
     * hash-match the oracle's plain NOT-predicate. [[purgeDeletes]]
     * then folds the vectors into ONE proportional rewrite (1 of 3
     * commits, enforced) whose content is required identical to the
-    * MoR view in both exceptAll directions. */
+    * MoR view (multiset equality, [[sameRows]]). */
   val storeMorDelete = GQuery(
     "q_store_mor_delete",
     (s, d) => {
@@ -997,8 +1014,7 @@ object PartitionQueries extends QueryPack {
         require(ph.getAs[Long]("n_removed") < 3,
           "purge must rewrite only the vectored commits")
         val purged = graft.ops.TableStore.read(s, root)
-        require(morView.exceptAll(purged).isEmpty &&
-          purged.exceptAll(morView).isEmpty,
+        require(sameRows(morView, purged),
           "purge changed content")
       }
       graft.ops.TableStore.read(s, root)
