@@ -31,6 +31,10 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   */
 object Similarity {
 
+  /** Serializes breeze SVD calls — the fallback LAPACK is not
+    * concurrency-safe (see [[opqRotation]]'s procrustes step). */
+  private[ops] object SvdLock
+
   val Scale = 1000000L // 10^6 per component
 
   /** Quantize float vector → exact scaled BIGINT vector. */
@@ -1452,7 +1456,13 @@ object Similarity {
       }
       val bm = breeze.linalg.DenseMatrix.tabulate(dim, dim)(
         (i, j) => mAcc(i)(j))
-      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(bm)
+      // the fallback (F2J) LAPACK gesdd breeze dispatches to is not
+      // safe under concurrent calls (observed NotConvergedException
+      // when two rotations train from different driver threads); a
+      // d×d solve is microseconds, so one JVM-wide monitor costs
+      // nothing and makes the trainer callable from parallel jobs
+      val breeze.linalg.svd.SVD(u, _, vt) =
+        Similarity.SvdLock.synchronized { breeze.linalg.svd(bm) }
       val prod = u * vt
       Array.tabulate(dim, dim)((i, j) => prod(i, j))
     }
