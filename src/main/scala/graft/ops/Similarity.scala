@@ -35,6 +35,32 @@ object Similarity {
     * concurrency-safe (see [[opqRotation]]'s procrustes step). */
   private[ops] object SvdLock
 
+  /** Run N independent driver-side stacks (each typically a chain of
+    * small Spark jobs ending in a verdict-sized collect) CONCURRENTLY
+    * and return their results in order — the overlap-independent-jobs
+    * posture (guide §2.6) shared by every recall-verdict gate. All
+    * callers' stacks are deterministic, so results are
+    * execution-order-invariant. On any stack failure the pool is
+    * shut down NOW (interrupting the sibling threads' job waits)
+    * before the first failure rethrows, so a failed gate does not
+    * leave the other stacks' job chains running behind it. */
+  private[graft] def collectConcurrently[T](stacks: Seq[() => T]): Seq[T] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.max(1, stacks.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = stacks.map(s => Future(s()))
+      fs.map(Await.result(_, Duration.Inf))
+    } catch {
+      case t: Throwable =>
+        pool.shutdownNow()
+        pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+        throw t
+    } finally pool.shutdown()
+  }
+
   val Scale = 1000000L // 10^6 per component
 
   /** Quantize float vector → exact scaled BIGINT vector. */
@@ -1540,18 +1566,31 @@ object Similarity {
       a.map(_.toIndexedSeq).toIndexedSeq
     }
     val vCorpus = corpus.orderBy(col(cId)).limit(validationCap)
-    val exact = bruteTopK(queries, qId, qVec, vCorpus, cId, cVec, topK)
-      .select("query_id", "neighbour_id")
-    def hits(r: Seq[Seq[Double]]): Long = {
+    // ONE exact ground-truth execution — it is R-independent, yet the
+    // previous shape re-ran the full brute-force scoring inside EACH
+    // candidate's recall join (the most expensive validation stack
+    // executed twice per call). The exact pass and the two candidate
+    // chains are independent: run them concurrently (§2.6 back-fill)
+    // and intersect the verdict-sized pair sets on the driver — the
+    // same count the join computed (both sides are duplicate-free by
+    // the rank-≤-topK construction).
+    def pairsOf(df: DataFrame): Seq[(Any, Any)] =
+      df.select("query_id", "neighbour_id").collect().toSeq
+        .map(r => (r.get(0), r.get(1))) // bounded: ≤ |Q|·topK rows
+    def annPairs(r: Seq[Seq[Double]]): Seq[(Any, Any)] = {
       val rc = vCorpus.select(col(cId), opqRotate(col(cVec), r).as(cVec))
       val rq = queries.select(col(qId), opqRotate(col(qVec), r).as(qVec))
-      val ann = pqTopK(rq, qId, qVec, rc, cId, cVec, m, k, iters, topK)
-        .select(col("query_id").as("q2"), col("neighbour_id").as("n2"))
-      exact.join(ann, col("query_id") === col("q2") &&
-          col("neighbour_id") === col("n2"))
-        .count() // bounded: the validation verdict
+      pairsOf(pqTopK(rq, qId, qVec, rc, cId, cVec, m, k, iters, topK))
     }
-    val r = if (hits(learned) > hits(pMat)) learned else pMat
+    val Seq(exactRaw, learnedPairs, permPairs) = collectConcurrently(Seq(
+      () => pairsOf(
+        bruteTopK(queries, qId, qVec, vCorpus, cId, cVec, topK)),
+      () => annPairs(learned),
+      () => annPairs(pMat)))
+    val exactSet = exactRaw.toSet
+    val r =
+      if (learnedPairs.count(exactSet) > permPairs.count(exactSet)) learned
+      else pMat
     val rc = corpus.select(col(cId), opqRotate(col(cVec), r).as(cVec))
     val rq = queries.select(col(qId), opqRotate(col(qVec), r).as(qVec))
     pqTopK(rq, qId, qVec, rc, cId, cVec, m, k, iters, topK)

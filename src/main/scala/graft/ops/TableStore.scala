@@ -2365,21 +2365,36 @@ object TableStore {
                    bloomCols: Seq[String] = Nil): Long = {
     require(changes.columns.contains(opCol),
       s"applyChanges needs the op column $opCol")
-    val ops = changes.select(col(opCol)).distinct()
-      .collect().map(_.getString(0)).toSet // bounded: distinct ops
-    require(ops.subsetOf(Set("upsert", "delete")),
-      s"unknown ops ${(ops -- Set("upsert", "delete")).mkString(",")} " +
+    // both batch screens (known ops, at most one row per key) ride
+    // ONE aggregate action: per-key partial agg, then a one-row
+    // global rollup — each extra action here re-ran the whole batch
+    // (for a feed-driven apply, the change-feed scan)
+    val screen = changes.groupBy(col(key))
+      .agg(count(lit(1)).as("__graft_n"),
+        collect_set(when(!col(opCol).isin("upsert", "delete"),
+          col(opCol))).as("__graft_badops"))
+      .agg(
+        array_sort(array_distinct(flatten(
+          collect_list(col("__graft_badops"))))).as("badOps"),
+        min(when(col(key).isNotNull && col("__graft_n") > 1,
+          col(key).cast("string"))).as("dupKey"),
+        // the batch's key span rides the same rollup, sparing
+        // cowUpsert its own span aggregate over the feed
+        min(col(key)).as("kmin"), max(col(key)).as("kmax"))
+      .collect()(0)
+    val badOps = screen.getSeq[String](0)
+    require(badOps.isEmpty,
+      s"unknown ops ${badOps.mkString(",")} " +
         s"in $opCol — applyChanges understands upsert and delete")
-    val dup = changes.where(col(key).isNotNull)
-      .groupBy(col(key)).count().where(col("count") > 1)
-      .limit(1).collect()
-    require(dup.isEmpty,
-      s"applyChanges batch carries key ${dup.headOption.map(_.get(0))} " +
+    require(screen.isNullAt(1),
+      s"applyChanges batch carries key ${Some(screen.getString(1))} " +
         "more than once — one row per key, or the outcome would depend " +
         "on row order")
     cowUpsert(changes.where(col(opCol) === "upsert").drop(opCol),
       changes.drop(opCol), root, key, statsCols, bloomCols,
-      "applyChanges")
+      "applyChanges",
+      precomputedSpan =
+        Some(org.apache.spark.sql.Row(screen.get(2), screen.get(3))))
   }
 
   /** Shared copy-on-write upsert machinery: rows of `keyRows` whose
@@ -2390,7 +2405,9 @@ object TableStore {
                         root: String, key: String,
                         statsCols: Seq[String],
                         bloomCols: Seq[String], opName: String,
-                        batchId: Option[Long] = None): Long = {
+                        batchId: Option[Long] = None,
+                        precomputedSpan: Option[org.apache.spark.sql.Row]
+                          = None): Long = {
     val spark = inserts.sparkSession
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
@@ -2408,8 +2425,10 @@ object TableStore {
     require(inserts.columns.contains(key), s"$opName key $key not in batch")
     val aligned = inserts.select(store.columns.map(col): _*)
     import org.apache.spark.sql.types._
-    // level 1: log-stats prune on the batch's key span (one agg job)
-    val span = keyRows.agg(min(col(key)), max(col(key))).collect()(0)
+    // level 1: log-stats prune on the batch's key span (one agg job,
+    // or zero when the caller's batch screen already computed it)
+    val span = precomputedSpan.getOrElse(
+      keyRows.agg(min(col(key)), max(col(key))).collect()(0))
     val candidates: Seq[FileEntry] =
       if (span.isNullAt(0)) Seq.empty // no non-null keys: no matches
       else keyRows.schema(key).dataType match {
@@ -3230,26 +3249,43 @@ object TableStore {
                  opCol: String = "_op"): DataFrame = {
     require(changes.columns.contains(opCol),
       s"netChanges needs the op column $opCol")
+    // materialize the feed ONCE (eager localCheckpoint): `changes` is
+    // typically the readRowChanges diff — a changed-file scan + one
+    // aggregate whose recompute cost dwarfs its churn-bounded row
+    // count — and the netting CONSUMER (applyChanges' op screen, dup
+    // screen, and cowUpsert's span/touch/rewrite/insert actions)
+    // drives ~6 more actions over whatever this returns. Without a
+    // lineage cut each of those re-scanned the changed files and
+    // re-ran the diff aggregate (measured: 7 executions of the feed
+    // per q_store_mirror run); after it the feed is computed exactly
+    // once and every downstream action reads churn-bounded cached
+    // rows. Callers that are done with the result can release the
+    // blocks via [[Checkpoints.release]].
+    val feed = changes.localCheckpoint()
     // both contract screens (no null keys, at most one insert per
-    // key) ride ONE aggregate action: `changes` is typically the
-    // readRowChanges diff, and each extra action here recomputed the
-    // whole changed-file scan + diff aggregate
-    val bad = changes.groupBy(col(key))
+    // key) ride ONE aggregate action over the materialized feed
+    val bad = feed.groupBy(col(key))
       .agg(sum(when(col(opCol) === "insert", 1L).otherwise(0L))
         .as("__graft_ins"))
       .where(col(key).isNull || col("__graft_ins") > 1L)
+      // nulls first: a window holding BOTH a null key and a duplicate
+      // insert reports the null deterministically (the pre-fusion
+      // behaviour; an unordered limit(1) picked whichever partition
+      // answered first)
+      .orderBy(col(key).asc_nulls_first)
       .limit(1).collect()
     bad.headOption.foreach { r =>
-      require(!r.isNullAt(0),
-        s"null $key in the change window — a keyed mirror needs keys")
-      require(false,
+      if (r.isNullAt(0))
+        throw new IllegalArgumentException(
+          s"null $key in the change window — a keyed mirror needs keys")
+      throw new IllegalArgumentException(
         s"key ${Some(r.get(0))} inserts more than once " +
           "in the window — a keyed mirror needs one live row per key")
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key))
       .orderBy(when(col(opCol) === "insert", 0).otherwise(1))
-    changes.withColumn("__rn", row_number().over(w))
+    feed.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
       .withColumn(opCol,
         when(col(opCol) === "insert", lit("upsert"))

@@ -829,6 +829,10 @@ object PartitionQueries extends QueryPack {
       val net = graft.ops.TableStore.netChanges(
         graft.ops.TableStore.readRowChanges(s, rootA, 1L), "o_orderkey")
       graft.ops.TableStore.applyChanges(net, rootB, "o_orderkey")
+      // the apply was the feed's last consumer: release the blocks
+      // netChanges' one-scan materialization pinned (the r7
+      // session-residue posture)
+      graft.ops.Checkpoints.release(net)
       val a = graft.ops.TableStore.read(s, rootA)
       val b = graft.ops.TableStore.read(s, rootB)
       require(sameRows(a, b),

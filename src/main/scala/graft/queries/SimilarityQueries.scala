@@ -38,26 +38,22 @@ object SimilarityQueries extends QueryPack {
       annB: => org.apache.spark.sql.DataFrame,
       colA: String, colB: String)
       : (Long, Long, org.apache.spark.sql.DataFrame) = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
     def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
       df.select("query_id", "neighbour_id").collect().toSeq
         .map(r => (r.getLong(0), r.getLong(1)))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val (ex, pa, pb) =
-      try {
-        val fE = Future(pairs(exact))
-        val fA = Future(pairs(annA))
-        val fB = Future(pairs(annB))
-        (Await.result(fE, Duration.Inf),
-          Await.result(fA, Duration.Inf).toSet,
-          Await.result(fB, Duration.Inf).toSet)
-      } finally pool.shutdown()
-    val qids = ex.map(_._1).distinct.sorted
+    val Seq(ex, paRaw, pbRaw) =
+      graft.ops.Similarity.collectConcurrently(Seq(
+        () => pairs(exact), () => pairs(annA), () => pairs(annB)))
+    val pa = paRaw.toSet
+    val pb = pbRaw.toSet
+    // group once, not filter-per-qid: the per-qid filter scanned the
+    // full exact pair list once per query — O(|Q|²·TopK), verdict-
+    // sized today but a needless quadratic in a declared query path
+    val byQ = ex.groupBy(_._1)
+    val qids = byQ.keySet.toSeq.sorted
     require(qids.nonEmpty, "recall verdict needs a non-empty query set")
     val perQuery = qids.map { q =>
-      val mine = ex.filter(_._1 == q)
+      val mine = byQ(q)
       (q, 1000L * mine.count(pa) / TopK, 1000L * mine.count(pb) / TopK)
     }
     val mA = perQuery.map(_._2).sum / perQuery.size
@@ -355,34 +351,28 @@ object SimilarityQueries extends QueryPack {
       // by construction), scored on the driver — the join shape
       // re-executed the int8 stack and the exact baseline twice per
       // sink; the three stacks are independent and run concurrently
+      // through the shared [[graft.ops.Similarity.collectConcurrently]]
       // (the recallLiftTable posture)
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
       def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
         df.select("query_id", "neighbour_id").collect().toSeq
           .map(r => (r.getLong(0), r.getLong(1)))
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-      implicit val ec: ExecutionContext =
-        ExecutionContext.fromExecutor(pool)
-      val (ap, fv, ex) =
-        try {
-          val fA = Future(pairs(Similarity.ivfTopKInt8(
+      val Seq(ap, fvRaw, ex) =
+        graft.ops.Similarity.collectConcurrently(Seq(
+          () => pairs(Similarity.ivfTopKInt8(
             q, "vec_id", "embedding", emb, "vec_id", "embedding",
-            TopK, NumCentroids, NProbe)))
-          val fF = Future(pairs(Similarity.ivfTopK(
+            TopK, NumCentroids, NProbe)),
+          () => pairs(Similarity.ivfTopK(
             q, "vec_id", "embedding", emb, "vec_id", "embedding",
-            TopK, NumCentroids, NProbe)).toSet)
-          val fE = Future(pairs(Similarity.bruteTopK(
+            TopK, NumCentroids, NProbe)),
+          () => pairs(Similarity.bruteTopK(
             q, "vec_id", "embedding", emb, "vec_id", "embedding",
-            TopK)))
-          (Await.result(fA, Duration.Inf),
-            Await.result(fF, Duration.Inf),
-            Await.result(fE, Duration.Inf))
-        } finally pool.shutdown()
+            TopK))))
+      val fv = fvRaw.toSet
       val exSet = ex.toSet
+      val apByQ = ap.groupBy(_._1) // group once, not filter-per-qid
       import s.implicits._
       ex.map(_._1).distinct.sorted.map { qid =>
-        val mine = ap.filter(_._1 == qid)
+        val mine = apByQ.getOrElse(qid, Seq.empty)
         val nHits = mine.count(exSet).toLong
         val agreeHits = mine.count(fv).toLong
         val recallMilli = 1000L * nHits / TopK
@@ -1075,41 +1065,32 @@ object SimilarityQueries extends QueryPack {
       // deterministic, so the verdict is execution-order-invariant.
       def pairSeq(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
         tops(df).collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-      implicit val ec: ExecutionContext =
-        ExecutionContext.fromExecutor(pool)
       def measure(corpus: org.apache.spark.sql.DataFrame)
-          : Future[(Long, Long, Long)] = {
+          : (Long, Long, Long) = {
         val queries = corpus.filter(expr(RotQueryPred))
-        val fExact = Future(pairSeq(Similarity.bruteTopK(queries,
-          "vec_id", "embedding", corpus, "vec_id", "embedding", TopK)))
-        val fPq = Future(pairSeq(Similarity.pqTopK(queries, "vec_id",
-          "embedding", corpus, "vec_id", "embedding",
-          PqM, PqK, PqIters, TopK)).toSet)
-        val fPerm = Future(pairSeq(Similarity.opqPqTopK(queries,
-          "vec_id", "embedding", corpus, "vec_id", "embedding",
-          PqM, PqK, PqIters, TopK)).toSet)
-        val fRot = Future(pairSeq(Similarity.opqRotationPqTopK(queries,
-          "vec_id", "embedding", corpus, "vec_id", "embedding",
-          PqM, PqK, PqIters, TopK)).toSet)
-        for (ex <- fExact; pq <- fPq; pm <- fPerm; rt <- fRot) yield {
-          val nq = ex.map(_._1).distinct.length.toLong
-          def rc(ann: Set[(Long, Long)]): Long =
-            if (nq == 0) 0L
-            else 1000L * ex.count(ann.contains) / (nq * TopK)
-          (rc(pq), rc(pm), rc(rt))
-        }
+        val Seq(ex, pq, pm, rt) =
+          graft.ops.Similarity.collectConcurrently(Seq(
+            () => pairSeq(Similarity.bruteTopK(queries,
+              "vec_id", "embedding", corpus, "vec_id", "embedding",
+              TopK)),
+            () => pairSeq(Similarity.pqTopK(queries, "vec_id",
+              "embedding", corpus, "vec_id", "embedding",
+              PqM, PqK, PqIters, TopK)),
+            () => pairSeq(Similarity.opqPqTopK(queries,
+              "vec_id", "embedding", corpus, "vec_id", "embedding",
+              PqM, PqK, PqIters, TopK)),
+            () => pairSeq(Similarity.opqRotationPqTopK(queries,
+              "vec_id", "embedding", corpus, "vec_id", "embedding",
+              PqM, PqK, PqIters, TopK))))
+        val nq = ex.map(_._1).distinct.length.toLong
+        def rc(ann: Set[(Long, Long)]): Long =
+          if (nq == 0) 0L
+          else 1000L * ex.count(ann.contains) / (nq * TopK)
+        (rc(pq.toSet), rc(pm.toSet), rc(rt.toSet))
       }
-      val (pqS, permS, rotS, pqC, permC, rotC) =
-        try {
-          val fS = measure(skewed)
-          val fC = measure(correlated)
-          val (a, b, c) = Await.result(fS, Duration.Inf)
-          val (x, y, z) = Await.result(fC, Duration.Inf)
-          (a, b, c, x, y, z)
-        } finally pool.shutdown()
+      val Seq((pqS, permS, rotS), (pqC, permC, rotC)) =
+        graft.ops.Similarity.collectConcurrently(Seq(
+          () => measure(skewed), () => measure(correlated)))
       require(rotS >= permS && rotC >= permC,
         s"the learned rotation must never regress its permutation " +
           s"init: skewed $permS‰→$rotS‰, correlated $permC‰→$rotC‰")
