@@ -88,8 +88,15 @@ object SpanDedup {
   def scrub(docs: DataFrame, idCol: String, textCol: String,
             k: Int): DataFrame = {
     val spans = spanHashes(docs, idCol, textCol, k)
+    // corpus-wide count as a window over the one explode (the
+    // [[duplicateOccurrences]] shape) instead of groupBy + semi-join
+    // back: the join spelled the split/hash explode TWICE — once per
+    // side — and the explode is the operator's dominant per-row cost.
+    // Same (id, pos) multiset: count(*) over h ≥ 2 ≡ semi-join against
+    // having count(*) ≥ 2.
     val hits = spans
-      .join(duplicatedSpans(spans), Seq("h"), "left_semi")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("n") >= 2)
       .select(col(idCol), col("pos"))
     removeAt(docs, idCol, textCol, k, hits)
   }
@@ -138,13 +145,15 @@ object SpanDedup {
                        idCol: String, textCol: String,
                        k: Int): DataFrame = {
     val spans = spanHashes(batch, idCol, textCol, k)
-    val nBatch = spans.groupBy("h").agg(count(lit(1)).as("_nb"))
+    // one explode: the batch's own count rides a window over it (the
+    // [[scrub]] shape) and history counts attach as a LEFT join of the
+    // profile-sized store aggregate — the old groupBy + full_outer +
+    // semi-join re-exploded the batch for its count side.
     val nHist = store.groupBy("h").agg(sum(col("n_occ")).as("_nh"))
-    val dup = nBatch.join(nHist, Seq("h"), "full_outer")
-      .filter(coalesce(col("_nb"), lit(0L)) +
-        coalesce(col("_nh"), lit(0L)) >= 2)
-      .select("h")
-    val hits = spans.join(dup, Seq("h"), "left_semi")
+    val hits = spans
+      .withColumn("_nb", count(lit(1)).over(Window.partitionBy("h")))
+      .join(nHist, Seq("h"), "left")
+      .filter(col("_nb") + coalesce(col("_nh"), lit(0L)) >= 2)
       .select(col(idCol), col("pos"))
     removeAt(batch, idCol, textCol, k, hits)
   }
