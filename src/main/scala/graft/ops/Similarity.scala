@@ -35,31 +35,12 @@ object Similarity {
     * concurrency-safe (see [[opqRotation]]'s procrustes step). */
   private[ops] object SvdLock
 
-  /** Run N independent driver-side stacks (each typically a chain of
-    * small Spark jobs ending in a verdict-sized collect) CONCURRENTLY
-    * and return their results in order — the overlap-independent-jobs
-    * posture (guide §2.6) shared by every recall-verdict gate. All
-    * callers' stacks are deterministic, so results are
-    * execution-order-invariant. On any stack failure the pool is
-    * shut down NOW (interrupting the sibling threads' job waits)
-    * before the first failure rethrows, so a failed gate does not
-    * leave the other stacks' job chains running behind it. */
-  private[graft] def collectConcurrently[T](stacks: Seq[() => T]): Seq[T] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors
-      .newFixedThreadPool(math.max(1, stacks.size))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val fs = stacks.map(s => Future(s()))
-      fs.map(Await.result(_, Duration.Inf))
-    } catch {
-      case t: Throwable =>
-        pool.shutdownNow()
-        pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
-        throw t
-    } finally pool.shutdown()
-  }
+  /** The overlap-independent-jobs posture (guide §2.6) shared by
+    * every recall-verdict gate — now the engine-wide
+    * [[Concurrent.collectConcurrently]]; kept here as an alias for
+    * the verdict gates that grew up calling it by this name. */
+  private[graft] def collectConcurrently[T](stacks: Seq[() => T]): Seq[T] =
+    Concurrent.collectConcurrently(stacks)
 
   val Scale = 1000000L // 10^6 per component
 

@@ -2442,7 +2442,12 @@ object TableStore {
       }
     val keys = keyRows.select(col(key).as("__merge_key"))
       .where(col("__merge_key").isNotNull).distinct()
-    // level 2: exact touched-file discovery — bounded by file count
+    // level 2: exact touched-file discovery — bounded by file count.
+    // (Measured-and-rejected, r15: overlapping the discovery chain
+    // with the new-content write on a two-thread pool made every DML
+    // gate SLOWER — q_store_mirror 5.8→9.7 s — concurrent Catalyst
+    // planning on the driver contends worse than the ~2 small jobs
+    // it hides; sequential stands.)
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
       else readLiveFiles(spark, root, prev, candidates)
