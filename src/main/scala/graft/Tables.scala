@@ -17,14 +17,7 @@ object Tables {
   def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
-  // lineitem gets the same scale-adaptive spread as documents/
-  // embeddings (see below): the biggest fact ships as one row group
-  // locally, serializing every scan-side projection/explode. orders
-  // stays unspread on purpose — the store gates seed fixtures from it
-  // with explicit coalesce(n) shapes whose file counts are part of
-  // the gate fixtures.
-  def lineitem(s: SparkSession, d: String): DataFrame =
-    spread(s, t(s, d, "lineitem"))
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   /** events.ts has shipped in two physical forms across testdata
     * generations: TIMESTAMP(NANOS) parquet (surfaced as an epoch-nanos
     * long via spark.sql.legacy.parquet.nanosAsLong in GraftSession) and
@@ -44,36 +37,37 @@ object Tables {
       case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
     }
   }
-  /** Scale-adaptive read parallelism for the per-row-CPU-heavy tables
-    * (text shingling/hashing/BPE, vector math/Lloyd training): the
-    * testdata ships these as single-row-group parquet files, so the
-    * scan yields ONE partition and every downstream map-side stage —
-    * the dominant cost of the whole text/similarity families — runs
-    * single-threaded no matter how many cores the session has.
-    * Spread rows round-robin onto the session's default parallelism
-    * ONLY when the scan is narrower than it (guide §2.5: repartition
-    * immediately after an unsplittable read); at production scale the
-    * input has thousands of row groups, the guard is false, and the
-    * scan's own partitioning stands untouched. Filters and column
-    * pruning still reach the scan — Catalyst pushes Project/Filter
-    * through a round-robin exchange. Round-robin repartition is
-    * deterministic under retry (sort-before-repartition, on by
-    * default) and every consumer is partitioning-independent (the
-    * oracle gate re-proves each one value-exactly). */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+  /** Scale-adaptive read parallelism for ONE heavy scan-side pass:
+    * the testdata ships every table as a single-row-group parquet
+    * file, so a scan yields ONE partition and scan-side
+    * projection/explode work (text shingling/hashing/BPE, the star
+    * fact's join keys) runs single-threaded no matter how many cores
+    * the session has. Hash-spread rows on a real key onto the
+    * session's default parallelism ONLY when the scan is narrower
+    * than it (guide §2.5: repartition immediately after an
+    * unsplittable read); at production scale the input has thousands
+    * of row groups, the guard is false, and the plan is untouched.
+    * Hash partitioning on a unique id avoids round-robin's
+    * sort-before-repartition pass and is retry-deterministic by
+    * construction; filters and column pruning still push through the
+    * exchange.
+    *
+    * APPLIED SURGICALLY at call sites, not inside the table
+    * accessors (measured, r15): a blanket spread helps exactly the
+    * one-heavy-pass class (q_star_fact_load 4.6→1.6 s, skew joins,
+    * BPE/BM25/span-dedup) but TAXES everything else — iterative
+    * algorithms multiply the wider partitioning into every round's
+    * tiny jobs (q_pagerank 2.3→7.3 s), cheap scan+agg plans pay an
+    * exchange they never amortize (z-order family ~4x), and the
+    * similarity family's codebook-sized jobs drown in task-launch
+    * overhead (q_ann_opq_rotation_topk 3.4→9.4 s). */
+  def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
     val p = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (df.rdd.getNumPartitions < p)
+      df.repartition(p, org.apache.spark.sql.functions.col(key))
+    else df
   }
 
-  def documents(s: SparkSession, d: String): DataFrame =
-    spread(s, t(s, d, "documents"))
-  // embeddings deliberately NOT spread (measured, r15): the
-  // similarity family's per-job work is codebook-metadata-sized
-  // (Lloyd stats collects, verdict-capped corpora) and its gates run
-  // many stacks concurrently — widening every tiny job to 32 tasks
-  // tripled wall time on pure task-launch overhead, and the index
-  // gates' store appends fanned out to 32 files each
-  // (q_ann_opq_rotation_topk 3.4→9.4 s, q_pq_index_tick 2.3→6.2 s).
-  def embeddings(s: SparkSession, d: String): DataFrame =
-    t(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -470,6 +470,86 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     def releaseEdges(): Unit = Checkpoints.release(edges)
+    // Adaptive strategy choice (the broadcast-join posture applied to
+    // components): the edge list is DUPLICATE-bounded, not
+    // corpus-bounded — near-dup pairs of a deduped corpus are a tiny
+    // fraction of rows — so when the materialized edge set fits a
+    // driver bound, exact union-find on the driver replaces the whole
+    // label-propagation loop (each round of which was 3-4 small Spark
+    // jobs of almost pure scheduler latency). Same result by
+    // construction: min-id representative per component, singletons
+    // label themselves through the left join's coalesce. Integral ids
+    // only (the ordering must match least()'s numeric order); any
+    // other key type, or an over-bound edge set, takes the
+    // distributed loop below unchanged.
+    val idType = nodes.schema(idCol).dataType
+    val integralId = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val EdgeDriverBound = 1 << 20 // ~16 MB of id pairs, driver-trivial
+    val smallEdges: Option[Array[(Long, Long)]] =
+      if (!integralId) None
+      else
+        try {
+          // the checkpoint is physical: this collect reads cached
+          // blocks, and limit()+length tells us whether we saw it ALL
+          val rows = edges.limit(EdgeDriverBound + 1).collect()
+          if (rows.length > EdgeDriverBound) None
+          else Some(rows.map(r =>
+            (r.get(0).asInstanceOf[Number].longValue,
+              r.get(1).asInstanceOf[Number].longValue)))
+        } catch { case t: Throwable => releaseEdges(); throw t }
+    smallEdges.foreach { es =>
+      val parent = new scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root: the representative IS the component min,
+        // exactly what min-label propagation converges to
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val spark = nodes.sparkSession
+      val touched: Seq[org.apache.spark.sql.Row] =
+        parent.keysIterator.map { n =>
+          def back(v: Long): Any = idType match {
+            case org.apache.spark.sql.types.LongType => v
+            case org.apache.spark.sql.types.IntegerType => v.toInt
+            case org.apache.spark.sql.types.ShortType => v.toShort
+            case _ => v.toByte
+          }
+          org.apache.spark.sql.Row(back(n), back(find(n)))
+        }.toSeq
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", idType),
+        org.apache.spark.sql.types.StructField("_cl", idType)))
+      val local = spark.createDataFrame(
+        new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(touched).asJava),
+        schema)
+      releaseEdges()
+      return nodes.select(col(idCol).as("node"))
+        .join(org.apache.spark.sql.functions.broadcast(local),
+          Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("_cl"), col("node")).as("cluster_id"))
+        .withColumn("is_survivor",
+          (col("node") === col("cluster_id")).cast("int"))
+        .select(col("node").as(idCol), col("cluster_id"),
+          col("is_survivor"))
+    }
     var labels = nodes.select(col(idCol).as("node"),
       col(idCol).as("cluster_id"))
     var converged = false

@@ -107,6 +107,9 @@ object Corpus {
     ours = sc.getPersistentRDDs.keySet.toSet -- preexisting
 
     def staged(name: String)(f: DataFrame => DataFrame): Unit = {
+      // label the stage's jobs (guide §1.5) — setJobDescription is
+      // thread-local, cleared in the finally below
+      sc.setJobDescription(s"corpus: $name")
       val (outCount, outIdSum) =
         try {
           val out = f(current).localCheckpoint()
@@ -127,6 +130,7 @@ object Corpus {
       ours = sc.getPersistentRDDs.keySet.toSet -- preexisting
       funnel += Funnel(name, currentCount, outCount, outIdSum)
       currentCount = outCount
+      sc.setJobDescription(null)
     }
 
     def result(): Result = new Result(current, funnel.result(), ours)

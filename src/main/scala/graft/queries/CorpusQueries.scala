@@ -45,7 +45,11 @@ object CorpusQueries extends QueryPack {
     "q_corpus_funnel",
     (s, d) => {
       import s.implicits._
-      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      // hash-spread: the funnel's shingle/MinHash stages are heavy
+      // scan-side passes over a single-row-group file (Tables.spread)
+      val docs = Tables.spread(s,
+        Tables.documents(s, d).select("doc_id", "text", "source"),
+        "doc_id")
       val corpus = docs.unionByName(
         docs.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),

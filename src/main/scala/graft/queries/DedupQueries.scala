@@ -313,8 +313,11 @@ object DedupQueries extends QueryPack {
     * The all-pairs matrix is never formed — the 100 TB discovery path. */
   val minhashLsh = GQuery(
     "q_minhash_lsh_pairs",
+    // hash-spread: the shingle+MinHash explode is one heavy
+    // scan-side pass over a single-row-group file (Tables.spread)
     (s, d) => Dedup
-      .lshNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+      .lshNearDupPairs(Tables.spread(s, Tables.documents(s, d),
+          "doc_id"), "doc_id", "text",
         K, NumHashes, Bands, RowsPerBand, minMille = 850,
         maxBucket = CapNoBite) // production posture; cap can't bite
       .orderBy("id_a", "id_b"),
@@ -785,8 +788,11 @@ object DedupQueries extends QueryPack {
     * hash compare. */
   val spanDedup = GQuery(
     "q_span_dedup",
+    // hash-spread: the rolling-k-gram explode is one heavy scan-side
+    // pass over a single-row-group file (Tables.spread scaladoc)
     (s, d) => graft.ops.SpanDedup
-      .scrub(Tables.documents(s, d).select("doc_id", "text"),
+      .scrub(Tables.spread(s,
+          Tables.documents(s, d).select("doc_id", "text"), "doc_id"),
         "doc_id", "text", k = 8)
       .orderBy("doc_id"),
     Some("""
@@ -845,7 +851,8 @@ object DedupQueries extends QueryPack {
   val spanDedupKeepFirst = GQuery(
     "q_span_dedup_keepfirst",
     (s, d) => graft.ops.SpanDedup
-      .scrubKeepFirst(Tables.documents(s, d).select("doc_id", "text"),
+      .scrubKeepFirst(Tables.spread(s,
+          Tables.documents(s, d).select("doc_id", "text"), "doc_id"),
         "doc_id", "text", k = 8)
       .orderBy("doc_id"),
     Some("""

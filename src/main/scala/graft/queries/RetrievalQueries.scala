@@ -27,7 +27,10 @@ object RetrievalQueries extends QueryPack {
     (s, d) => {
       import s.implicits._
       val q = BmQueries.toDF("query_id", "term")
-      Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text", q, k = 5)
+      // hash-spread: the tokenize/tf explode is one heavy scan-side
+      // pass over a single-row-group file (Tables.spread scaladoc)
+      Retrieval.bm25TopK(Tables.spread(s, Tables.documents(s, d),
+          "doc_id"), "doc_id", "text", q, k = 5)
         .orderBy("query_id", "rank")
     },
     Some(Retrieval.bm25TopKSql(bmValues, k = 5)),

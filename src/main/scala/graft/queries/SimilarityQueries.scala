@@ -1226,11 +1226,21 @@ object SimilarityQueries extends QueryPack {
           TopK, NumCentroids, NProbe,
           Some(Similarity.loadLatestCodebook(s, artifacts)))
         .orderBy("query_id", "rank")
-      val (tRows, aRows) = (tvf.collect().toSeq, api.collect().toSeq)
+      // the two twins are independent job chains: collect them
+      // concurrently (the verdict-gate posture), and return the
+      // ALREADY-COLLECTED verdict-sized rows as a local frame — the
+      // previous shape executed the TVF stack twice (the compare
+      // collect, then the sink's re-execution) and the API stack once,
+      // strictly sequentially
+      val Seq(tRows, aRows) = graft.ops.Concurrent.collectConcurrently(
+        Seq(() => tvf.collect().toSeq, () => api.collect().toSeq))
       require(tRows == aRows,
         s"TVF must hash-match its API twin: ${tRows.take(3)} vs " +
           s"${aRows.take(3)}")
-      tvf
+      s.createDataFrame(
+        new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(tRows).asJava),
+        tvf.schema)
     },
     Some {
       val sv = Similarity.scaledVecSql("embedding")

@@ -35,7 +35,11 @@ object StarQueries extends QueryPack {
   val starFactLoad = GQuery(
     "q_star_fact_load",
     (s, d) => {
-      val li = Tables.lineitem(s, d)
+      // one heavy pass over the fact: hash-spread the single-row-group
+      // scan so the join-side map work uses the machine (Tables.spread
+      // scaladoc; measured 4.6→1.6 s) — the spread's hashpartitioning
+      // on the join key doubles as the join's own distribution
+      val li = Tables.spread(s, Tables.lineitem(s, d), "l_orderkey")
       val o  = Tables.orders(s, d)
       val c  = Tables.customer(s, d)
       val n  = Tables.nation(s, d)

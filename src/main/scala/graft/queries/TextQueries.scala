@@ -691,7 +691,9 @@ object TextQueries extends QueryPack {
     (s, d) => {
       val dir = graft.TempRoots
         .create("graft_bpe") + "/model"
-      val docs = Tables.documents(s, d)
+      // hash-spread: BPE's word fold is one heavy scan-side pass
+      // over a single-row-group file (Tables.spread scaladoc)
+      val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
       graft.ops.Vocab.bpeSaveModel(docs, "text", rounds = 3, dir)
       graft.ops.Vocab.bpeEncode(docs, "doc_id", "text", dir)
         .orderBy("doc_id")
