@@ -149,11 +149,17 @@ object Corpus {
     val runner = new StageRunner(spark, docs)
     import runner.staged
 
-    // 1. exact dedup: survivors carry the min id per content hash
+    // 1. exact dedup: survivors carry the min id per content hash.
+    // One window pass (hash-shuffle on the fingerprint, min-id within
+    // the frame) instead of Dedup.exact's groupBy + semi-join back —
+    // same survivors by definition, one full-data shuffle instead of
+    // a metadata shuffle plus a full-data join (guide §2.4).
     staged("exact_dedup") { d =>
-      val keep = Dedup.exact(d, "text", "doc_id")
-        .select(col("keep_id").as("doc_id"))
-      d.join(keep, Seq("doc_id"), "left_semi")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(Dedup.fingerprint(col("text")))
+      d.withColumn("_keep", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("_keep"))
+        .drop("_keep")
     }
 
     // 2. near-dup dedup: LSH pairs → components → cluster survivors
@@ -176,13 +182,20 @@ object Corpus {
           contaminationK, contaminationMille))
     }
 
-    // 4. quality filter (row-local projection)
-    staged("quality_filter")(
-      _.filter(TextOps.qualityMilli(col("text")) >= minQualityMilli))
+    // 4. quality filter (row-local projection). The upstream stage
+    // checkpoints collapse to few partitions (AQE-coalesced joins), so
+    // this CPU-heavy scan would run near-serial — hash-spread it back
+    // onto the cores first (guide §2.5; the Tables.spread guard:
+    // no-op when the input is already as wide as the session).
+    staged("quality_filter")(d =>
+      graft.Tables.spread(spark, d, "doc_id")
+        .filter(TextOps.qualityMilli(col("text")) >= minQualityMilli))
 
-    // 5. language filter (row-local argmax vs allow-list)
-    staged("lang_filter")(
-      _.filter(TextOps.predictedLang(col("text")).isin(langs: _*)))
+    // 5. language filter (row-local argmax vs allow-list; same
+    // spread posture as the quality stage)
+    staged("lang_filter")(d =>
+      graft.Tables.spread(spark, d, "doc_id")
+        .filter(TextOps.predictedLang(col("text")).isin(langs: _*)))
 
     // 6. per-domain cap on the survivors
     domainCap.foreach { case (domainCol, cap) =>

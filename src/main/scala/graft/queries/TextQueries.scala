@@ -37,7 +37,9 @@ object TextQueries extends QueryPack {
     "q_quality_score",
     (s, d) => {
       val qc = TextOps.qualityCols(col("text"))
-      Tables.documents(s, d)
+      // hash-spread: the quality projection is one heavy scan-side
+      // pass over a single-row-group file (Tables.spread scaladoc)
+      Tables.spread(s, Tables.documents(s, d), "doc_id")
         .select(col("doc_id") +: qc.map { case (n, c) => c.as(n) }: _*)
         .orderBy("doc_id")
     },
@@ -53,7 +55,8 @@ object TextQueries extends QueryPack {
     "q_lang_id",
     (s, d) => {
       val scores = TextOps.langScores(col("text"))
-      Tables.documents(s, d).select(
+      // hash-spread: the marker-profile scan dominates
+      Tables.spread(s, Tables.documents(s, d), "doc_id").select(
         (col("doc_id") +: col("lang").as("tagged_lang") +:
           scores.map { case (n, c) => c.as(n) }) :+
           TextOps.predictedLang(col("text")).as("predicted_lang"): _*)
@@ -68,6 +71,8 @@ object TextQueries extends QueryPack {
     * polynomial rolling hash. */
   val fingerprint = GQuery(
     "q_doc_fingerprint",
+    // measured r15: spreading this one was flat (0.46→0.49 s) — the
+    // hash CPU is too small to amortize the exchange; left unspread
     (s, d) => Tables.documents(s, d).select(
       col("doc_id"),
       TextOps.md5Fingerprint(col("text")).as("md5_fp"),
@@ -152,7 +157,8 @@ object TextQueries extends QueryPack {
         lit(" or call +1 555 000 "),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
       val redacted = TextOps.redactPii(planted)
-      Tables.documents(s, d).select(
+      // hash-spread: the regex redact/count pass dominates
+      Tables.spread(s, Tables.documents(s, d), "doc_id").select(
         col("doc_id"),
         regexp_count(planted, lit(TextOps.EmailRe)).cast("long")
           .as("n_emails_before"),
@@ -292,7 +298,8 @@ object TextQueries extends QueryPack {
     "q_repetition_stats",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
+      // hash-spread: tokenization + bigram explode dominate
+      val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
       val base = docs.select(col("doc_id"),
         TextOps.tokens(col("text")).as("t"),
         TextOps.bigrams(col("text")).as("bg"))
@@ -352,8 +359,10 @@ object TextQueries extends QueryPack {
     "q_boilerplate_score",
     (s, d) => {
       val MinDf = 20
-      val sh = Tables.documents(s, d).select(col("doc_id"),
-        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
+      // hash-spread: the shingle explode dominates
+      val sh = Tables.spread(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"),
+          explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
       val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       sh.join(dfreq, "sh")
         .groupBy("doc_id")
