@@ -180,6 +180,55 @@ object Dml {
     org.apache.spark.sql.catalyst.expressions.SubqueryExpression
       .hasSubquery(Bridge.expression(pred))
 
+  /** Size-gated driver materialization of uncorrelated single-column
+    * `IN (subquery)` predicates — the adaptive-strategy posture
+    * (broadcast joins, the components union-find) applied to DML.
+    * Left as a live subquery, an IN-predicate DELETE/UPDATE executes
+    * the subquery TWICE (the discovery scan plans it as an existence
+    * join, then the rewrite scan re-plans the same join) and the
+    * predicate contributes NOTHING to file pruning (a join is opaque
+    * to `sources.Filter` translation). Evaluated ONCE here and spliced
+    * back as a literal `In`, both passes run a plain row filter with
+    * identical three-valued-logic semantics (all values kept,
+    * including nulls; an empty result folds to FALSE — SQL's
+    * `x IN (∅)`), and the translated `sources.In` engages the log-
+    * stats prune, so a keyed correction-loop delete touches the files
+    * holding its keys instead of scanning the table.
+    *
+    * Gated on the subquery's INPUT bytes (leaf plan statistics, the
+    * broadcast-threshold discipline) so a subquery over a 100 TB
+    * table is never executed speculatively, plus a hard cap on the
+    * collected distinct values as the driver-safety net; over either
+    * bound — or correlated, or multi-column — the predicate and both
+    * plans stay exactly as they were. The COMMIT-RACE screen keeps
+    * judging the ORIGINAL predicate: materialization pins the
+    * subquery's result to this snapshot, but a concurrent add could
+    * still have changed that result under serial execution, so the
+    * refuse-on-any-add screen stands ([[screenFilters]]). */
+  private val InSubqueryInputBytesBound = 64L << 20
+  private val InSubqueryValuesBound = 1 << 17
+  private def materializeInSubqueries(spark: SparkSession,
+                                      pred: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSubquery,
+      ListQuery, Literal}
+    val e = Bridge.expression(pred)
+    if (!org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+        .hasSubquery(e)) return pred
+    val out = e.transform {
+      case in @ InSubquery(values, lq: ListQuery)
+          if values.size == 1 && lq.plan.output.size == 1 &&
+            lq.outerAttrs.isEmpty && lq.joinCond.isEmpty &&
+            lq.plan.stats.sizeInBytes <= InSubqueryInputBytesBound =>
+        val rows = Bridge.dataFrame(spark, lq.plan)
+          .distinct().limit(InSubqueryValuesBound + 1).collect()
+        if (rows.length > InSubqueryValuesBound) in
+        else if (rows.isEmpty) Literal.FalseLiteral
+        else In(values.head, rows.toSeq.map(r =>
+          Literal.create(r.get(0), lq.plan.output.head.dataType)))
+    }
+    Bridge.column(out)
+  }
+
   /** Is the predicate a constant TRUE — the unconditional
     * delete/truncate? SQL-parsed conditions arrive as a raw Catalyst
     * `Literal.TrueLiteral`; API literals (`lit(true)`, the
@@ -311,24 +360,28 @@ object Dml {
       "Dml.delete")
     val snapshot = TableStore.read(spark, root, Some(prev))
     requireDeterministicPred(snapshot, "a DELETE predicate", pred)
-    val filters = predicateFilters(snapshot, pred)
+    // one driver-side subquery evaluation serves BOTH passes below
+    // (and unlocks the stats prune); no-op unless a small uncorrelated
+    // IN-subquery is present — see materializeInSubqueries
+    val predM = materializeInSubqueries(spark, pred)
+    val filters = predicateFilters(snapshot, predM)
     val candidates = graft.sources.StatsSkipping.prune(live, filters)
     if (candidates.isEmpty) return prev
     if (mor)
       // merge-on-read: vector the matching rows of the pruned
       // candidates; data files stay byte-identical (the KB-sized
       // right-to-be-forgotten commit — purge_deletes folds later)
-      return TableStore.deleteMoRTouched(spark, root, pred, prev,
+      return TableStore.deleteMoRTouched(spark, root, predM, prev,
         candidates)
     // exact discovery: which candidates HOLD a definitely-matching row
     val hitUris = scanFiles(spark, root, snapshot, candidates.map(_.path))
-      .where(coalesce(pred, lit(false)))
+      .where(coalesce(predM, lit(false)))
       .select(col("_metadata.file_path")).distinct()
       .collect().map(_.getString(0)).toSeq // bounded by file count
     if (hitUris.isEmpty) return prev
     val touched = toEntryPaths(hitUris, root, candidates)
     val kept = scanFiles(spark, root, snapshot, touched)
-      .where(!coalesce(pred, lit(false)))
+      .where(!coalesce(predM, lit(false)))
     val n = prev + 1
     val adds = TableStore.writeData(kept, root, n,
       carriedStatsCols(live))
@@ -367,13 +420,17 @@ object Dml {
     require(set.map(_._1).distinct.size == set.size,
       "UPDATE assigns a column twice")
     // (an anchored-but-empty store exits at live.isEmpty above)
-    val cond = pred.getOrElse(lit(true))
-    requireDeterministicPred(snapshot, "an UPDATE predicate", cond)
+    val cond0 = pred.getOrElse(lit(true))
+    requireDeterministicPred(snapshot, "an UPDATE predicate", cond0)
     requireDeterministic(snapshot, "an UPDATE assignment",
       set.map(_._2): _*)
+    // one driver-side subquery evaluation serves discovery AND the
+    // rewrite (which then also takes the single-scan CASE shape);
+    // no-op unless a small uncorrelated IN-subquery is present
+    val cond = materializeInSubqueries(spark, cond0)
     // unconditional update: empty filters (touches everything, and
     // the commit-race screen must refuse on any concurrent add)
-    val filters = pred.map(predicateFilters(snapshot, _))
+    val filters = pred.map(_ => predicateFilters(snapshot, cond))
       .getOrElse(Seq.empty)
     val candidates = pred match {
       case Some(_) => graft.sources.StatsSkipping.prune(live, filters)
@@ -418,8 +475,10 @@ object Dml {
       carriedStatsCols(live))
     // updated rows are NEW content: re-validate against constraints
     TableStore.enforceConstraints(spark, root, adds)
+    // race screen judges the ORIGINAL predicate: a materialized
+    // subquery's result could still change under serial execution
     TableStore.commitRewriteRebasing(spark, root, n, adds, touched,
-      screenFilters(snapshot, cond, filters))
+      screenFilters(snapshot, cond0, filters))
   }
 
   /** One WHEN MATCHED clause: `set = None` is DELETE, `Some(…)` is
