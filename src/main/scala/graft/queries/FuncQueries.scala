@@ -95,7 +95,9 @@ object FuncQueries extends QueryPack {
     * DATE casts. */
   val dateFuncs = GQuery(
     "q_date_funcs",
-    (s, d) => Tables.lineitem(s, d)
+    // hash-spread: one heavy broadcast-join+projection pass over the
+    // single-row-group fact (Tables.spread scaladoc)
+    (s, d) => Tables.spread(s, Tables.lineitem(s, d), "l_orderkey")
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(
         col("l_orderkey"), col("l_linenumber"),
@@ -159,7 +161,8 @@ object FuncQueries extends QueryPack {
     * parse, validate, quarantine on NULL). */
   val jsonProps = GQuery(
     "q_json_props",
-    (s, d) => Tables.events(s, d).select(
+    // hash-spread: the from_json parse pass dominates (Tables.spread)
+    (s, d) => Tables.spread(s, Tables.events(s, d), "event_id").select(
         col("event_id"),
         from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k INT"))

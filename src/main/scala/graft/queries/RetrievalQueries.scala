@@ -65,6 +65,7 @@ object RetrievalQueries extends QueryPack {
     * Eager: the tf localCheckpoint runs jobs at construction. */
   val index = GQuery(
     "q_inverted_index",
+    // measured r15: spreading was flat (0.94→0.99 s); left unspread
     (s, d) => Retrieval.invertedIndex(
       Tables.documents(s, d), "doc_id", "text", cap = 8),
     Some(Retrieval.invertedIndexSql(cap = 8)),

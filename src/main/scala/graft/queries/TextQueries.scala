@@ -99,6 +99,8 @@ object TextQueries extends QueryPack {
     "q_tfidf_top_terms",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // measured r15: spreading was flat-to-worse (0.89→1.00 s) —
+      // the explode feeds shuffle-bound aggregates; left unspread
       val docs = Tables.documents(s, d)
       val n = docs.agg(count(lit(1)).as("_n"))
       val tf = docs
@@ -489,6 +491,8 @@ object TextQueries extends QueryPack {
     * part of the check. */
   val unigramSurprisal = GQuery(
     "q_unigram_surprisal",
+    // measured r15: spreading regressed it (0.75→0.90 s) — the
+    // explode feeds a shuffle-bound aggregate; left unspread
     (s, d) => TextOps.unigramSurprisal(
       Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id"),
@@ -633,6 +637,8 @@ object TextQueries extends QueryPack {
     * re-aggregated from one (doc, bigram) pass. */
   val bigramSurprisal = GQuery(
     "q_bigram_surprisal",
+    // measured r15: spreading was flat (1.34→1.33 s) — the explode
+    // feeds a shuffle-bound aggregate; left unspread
     (s, d) => TextOps.bigramSurprisal(
       Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id"),

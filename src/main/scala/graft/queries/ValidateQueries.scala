@@ -80,7 +80,8 @@ object ValidateQueries extends QueryPack {
   val coerceNumeric = GQuery(
     "q_coerce_numeric",
     (s, d) => {
-      val e = Tables.events(s, d)
+      // hash-spread: the regex-extract pass dominates (Tables.spread)
+      val e = Tables.spread(s, Tables.events(s, d), "event_id")
       val kRaw = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
       e.select(
           col("event_id"),
