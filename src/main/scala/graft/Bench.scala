@@ -82,9 +82,17 @@ object Bench {
       // driver GC collects their references; with a 32g heap a whole
       // 185-query run can finish between full GCs, so dead shuffle
       // state accumulates on disk for the entire sequence (one of the
-      // identified feeders of the r10 end-of-run drift). Default is
-      // 30min — far beyond a bench run; 60s keeps cleanup flowing.
-      .config("spark.cleaner.periodicGC.interval", "60s")
+      // identified feeders of the r10 end-of-run drift). r15
+      // measurement-hygiene fix: the r14 answer (a 60s periodic GC)
+      // kept cleanup flowing but landed its full stop-the-world
+      // collections INSIDE whichever query's timer was running —
+      // the roaming 1.8x+ inseq-vs-solo resolo rows (r14:
+      // q_store_pointlookup 3.2s vs 1.0s; this round's first run:
+      // q_warehouse_manifest 6.2s vs 2.4s) are exactly that shape.
+      // The same cleanup now runs deterministically BETWEEN queries
+      // (System.gc() in measure(), outside the timer); the periodic
+      // timer stays as a 30min backstop.
+      .config("spark.cleaner.periodicGC.interval", "30min")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -157,6 +165,11 @@ object Bench {
     // expression-heavy queries). Failures report as -1, not a timing.
     def measure(name: String, fn: (SparkSession, String) => DataFrame)
         : (Double, Seq[Double], Map[String, Long]) = {
+      // drain GC debt and let the ContextCleaner process the previous
+      // query's dead shuffle/broadcast references NOW, outside any
+      // timer — the untimed, deterministic placement of the cleanup
+      // the old 60s periodic GC did at random points inside timers
+      System.gc()
       val before = diag.snapshot()
       val times = (1 to reps).flatMap { _ =>
         // block-manager hygiene: operators that localCheckpoint for

@@ -62,6 +62,65 @@ object Graph {
   def pagerank(nodes: DataFrame, idCol: String, edges: DataFrame,
                iters: Int): DataFrame = {
     require(iters >= 1, s"pagerank needs iters >= 1, got $iters")
+    // Adaptive strategy choice (the components union-find posture):
+    // integer PageRank is exact long arithmetic — per-edge
+    // `rank div deg` contributions summed, both order-independent —
+    // so when graph and node set fit a driver bound the whole loop
+    // runs as driver hash-map math, bit-identical by construction.
+    // Each distributed round was 4-5 small Spark jobs of almost pure
+    // scheduler latency; at real scale the limit probes below
+    // early-exit past the bound and the distributed loop runs
+    // unchanged.
+    val DriverBound = 1 << 20
+    val smallEdges: Option[Array[(Long, Long)]] = {
+      val rows = edges
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .limit(DriverBound + 1).collect()
+      if (rows.length > DriverBound) None
+      else Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+    }
+    val smallNodes: Option[Array[Long]] = smallEdges.flatMap { _ =>
+      val rows = nodes.select(col(idCol).cast("long"))
+        .limit(DriverBound + 1).collect()
+      if (rows.length > DriverBound) None
+      else Some(rows.map(_.getLong(0)))
+    }
+    smallNodes.foreach { nodeArr =>
+      val es = smallEdges.get
+      val nodeSet = new java.util.HashSet[java.lang.Long](nodeArr.length)
+      nodeArr.foreach(nodeSet.add(_))
+      val deg = new scala.collection.mutable.HashMap[Long, Long]()
+      es.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
+      var ranks = new scala.collection.mutable.HashMap[Long, Long]()
+      nodeArr.foreach(n => ranks(n) = 1000000L)
+      for (_ <- 1 to iters) {
+        val in = new scala.collection.mutable.HashMap[Long, Long]()
+        es.foreach { case (s, d) =>
+          // mirror the distributed shape exactly: contributions flow
+          // from ranked srcs to dsts that are nodes; `div` on
+          // non-negative longs is plain truncating division
+          ranks.get(s).foreach { r =>
+            if (nodeSet.contains(d)) in(d) = in.getOrElse(d, 0L) + r / deg(s)
+          }
+        }
+        val next = new scala.collection.mutable.HashMap[Long, Long]()
+        nodeArr.foreach(n =>
+          next(n) = 150000L + (85L * in.getOrElse(n, 0L)) / 100L)
+        ranks = next
+      }
+      val spark = nodes.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank_micro",
+          org.apache.spark.sql.types.LongType)))
+      val out: Seq[org.apache.spark.sql.Row] = nodeArr.toSeq.map(n =>
+        org.apache.spark.sql.Row(n, ranks(n)))
+      return spark.createDataFrame(
+        new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+        schema)
+    }
     val outdeg = edges.groupBy("src")
       .agg(count(lit(1)).cast("long").as("_deg"))
     val e = edges.join(outdeg, "src").localCheckpoint()
