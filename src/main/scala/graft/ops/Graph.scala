@@ -178,6 +178,68 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    // Adaptive strategy choice (the pagerank/union-find posture):
+    // every output is an exact integer count, so when the distinct
+    // undirected edge set fits a driver bound the census runs as
+    // driver array math — degree-ordered orientation, wedge total
+    // from per-node in×out degree products, triangles from sorted
+    // out-adjacency intersections (cost ≤ m·√(2m) set probes at the
+    // bound, sub-second). Over the bound the distributed
+    // orient/join/probe below runs unchanged.
+    val EdgeDriverBound = 1 << 17
+    val smallUnd: Option[Array[(Long, Long)]] = {
+      val rows = und.limit(EdgeDriverBound + 1).collect()
+      if (rows.length > EdgeDriverBound) None
+      else Some(rows.map(r =>
+        (r.get(0).asInstanceOf[Number].longValue,
+          r.get(1).asInstanceOf[Number].longValue)))
+    }
+    smallUnd.foreach { es =>
+      val deg = new scala.collection.mutable.HashMap[Long, Long]()
+      es.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0L) + 1L
+        deg(b) = deg.getOrElse(b, 0L) + 1L
+      }
+      // orient from the (degree, id)-smaller endpoint to the larger
+      val oriented = es.map { case (a, b) =>
+        val (da, db) = (deg(a), deg(b))
+        if (da < db || (da == db && a < b)) (a, b) else (b, a)
+      }
+      val out = new scala.collection.mutable.HashMap[Long,
+        scala.collection.mutable.ArrayBuffer[Long]]()
+      val cIn = new scala.collection.mutable.HashMap[Long, Long]()
+      oriented.foreach { case (lo, hi) =>
+        out.getOrElseUpdate(lo,
+          new scala.collection.mutable.ArrayBuffer[Long]()) += hi
+        cIn(hi) = cIn.getOrElse(hi, 0L) + 1L
+      }
+      val adj = out.map { case (v, buf) => v -> buf.toArray.sorted }
+      // wedges x->y->z = Σ_y in(y)·out(y); no enumeration needed
+      val nWedges = adj.iterator.map { case (y, outs) =>
+        cIn.getOrElse(y, 0L) * outs.length
+      }.sum
+      // a triangle's orientation has exactly one 2-out-degree source
+      // x with x->y->z and x->z: count |N⁺(x) ∩ N⁺(y)| per edge (x,y)
+      def inter(xs: Array[Long], ys: Array[Long]): Long = {
+        var i = 0; var j = 0; var c = 0L
+        while (i < xs.length && j < ys.length) {
+          if (xs(i) < ys(j)) i += 1
+          else if (xs(i) > ys(j)) j += 1
+          else { c += 1; i += 1; j += 1 }
+        }
+        c
+      }
+      val empty = Array.empty[Long]
+      val nTriangles = oriented.iterator.map { case (x, y) =>
+        inter(adj.getOrElse(x, empty), adj.getOrElse(y, empty))
+      }.sum
+      val nNodes = deg.size.toLong
+      val nEdges = es.length.toLong
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return Seq((nNodes, nEdges, nWedges, nTriangles))
+        .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    }
     val deg = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).cast("long").as("d"))
