@@ -2468,13 +2468,23 @@ object TableStore {
           .join(keys, col(key) === col("__merge_key"), "left_anti"))
       }
     val n = prev + 1
-    val newAdds = writeData(aligned, root, n, statsCols, bloomCols)
-    // only NEW content is validated: survivors are a subset of rows
-    // that already passed (addConstraint validated the whole table)
-    enforceConstraints(spark, root, newAdds)
-    val adds = newAdds ++
-      survivors.map(sv => writeData(sv, root, n, statsCols, bloomCols))
-        .getOrElse(Seq.empty)
+    // Constraint-free stores (the common case) land new content and
+    // survivor rewrites in ONE write job — same files' worth of
+    // content, one scheduler round trip instead of two. A constrained
+    // store keeps the two-write shape: validation must see ONLY the
+    // new content (survivors are a subset of rows that already
+    // passed; re-validating them would re-read the whole rewrite).
+    val adds =
+      if (survivors.isEmpty ||
+          activeConstraints(spark, root, prev).nonEmpty) {
+        val newAdds = writeData(aligned, root, n, statsCols, bloomCols)
+        enforceConstraints(spark, root, newAdds)
+        newAdds ++
+          survivors.map(sv => writeData(sv, root, n, statsCols, bloomCols))
+            .getOrElse(Seq.empty)
+      } else
+        writeData(aligned.unionByName(survivors.get), root, n,
+          statsCols, bloomCols)
     // a batch that touched nothing is a pure append: no rewrite
     // marker, so an adds-only change feed stays consumable across it
     commitExclusive(spark, root, n, adds, touched,
