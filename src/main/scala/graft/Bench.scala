@@ -83,15 +83,20 @@ object Bench {
       // 185-query run can finish between full GCs, so dead shuffle
       // state accumulates on disk for the entire sequence (one of the
       // identified feeders of the r10 end-of-run drift). r15
-      // measurement-hygiene fix: the r14 answer (a 60s periodic GC)
-      // kept cleanup flowing but landed its full stop-the-world
-      // collections INSIDE whichever query's timer was running —
-      // the roaming 1.8x+ inseq-vs-solo resolo rows (r14:
-      // q_store_pointlookup 3.2s vs 1.0s; this round's first run:
-      // q_warehouse_manifest 6.2s vs 2.4s) are exactly that shape.
-      // The same cleanup now runs deterministically BETWEEN queries
-      // (System.gc() in measure(), outside the timer); the periodic
-      // timer stays as a 30min backstop.
+      // measurement-hygiene fix (A/B-measured): the r14 answer (a 60s
+      // periodic GC) kept cleanup flowing but landed its full
+      // stop-the-world collections INSIDE whichever query's timer was
+      // running — the roaming 1.8x+ inseq-vs-solo resolo rows (r14:
+      // q_store_pointlookup 3.2s vs 1.0s; r15 A/B run:
+      // q_warehouse_manifest 9.1s vs 2.5s solo) are exactly that
+      // shape. A per-QUERY System.gc() was measured too (210.0 s vs
+      // 194.2 s total): it removes the spikes but taxes every
+      // shuffle-heavy query ~70ms via the collector's re-expansion +
+      // the cleaner's async file deletes landing in the next timer.
+      // Final shape: the SAME cleanup cadence as the 60s timer, but
+      // placed deterministically BETWEEN queries (System.gc() every
+      // 12th query in the measure loop, outside any timer); the
+      // periodic timer stays as a 30min backstop.
       .config("spark.cleaner.periodicGC.interval", "30min")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
@@ -165,11 +170,6 @@ object Bench {
     // expression-heavy queries). Failures report as -1, not a timing.
     def measure(name: String, fn: (SparkSession, String) => DataFrame)
         : (Double, Seq[Double], Map[String, Long]) = {
-      // drain GC debt and let the ContextCleaner process the previous
-      // query's dead shuffle/broadcast references NOW, outside any
-      // timer — the untimed, deterministic placement of the cleanup
-      // the old 60s periodic GC did at random points inside timers
-      System.gc()
       val before = diag.snapshot()
       val times = (1 to reps).flatMap { _ =>
         // block-manager hygiene: operators that localCheckpoint for
@@ -201,7 +201,14 @@ object Bench {
         s""""times":[${times.mkString(",")}],""" +
         d.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
           .mkString(",") + "}"
+    var sinceGc = 0
     val results = selected.map { case (name, fn) =>
+      // drain GC debt and let the ContextCleaner process dead
+      // shuffle/broadcast references OUTSIDE any timer, on the 60s
+      // timer's effective cadence (~12 queries) — see the
+      // periodicGC.interval note above for the A/B evidence
+      sinceGc += 1
+      if (sinceGc >= 12) { System.gc(); sinceGc = 0 }
       val (med, times, d) = measure(name, fn)
       diagRows += diagRow(name, med, times, d)
       // reclaim this query's per-run scratch (temp stores, model dirs,
