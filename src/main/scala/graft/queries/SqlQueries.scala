@@ -1259,12 +1259,19 @@ object SqlQueries extends QueryPack {
             SELECT x.o_orderkey FROM gate_delex_a x
             JOIN gate_delex_b y ON x.o_orderkey = y.o_orderkey)""")
         .collect()
-      def digest(r: String) = s.sql(s"SELECT COUNT(*), SUM(o_orderkey)" +
-        s", SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) " +
-        s"FROM gdex.`$r`").collect().head
-      require(digest(rootEx) == digest(rootIn),
+      // both twins' digests ride ONE action (and the comparison reuses
+      // the collected rows instead of re-running the digests in the
+      // failure message)
+      def digestSql(r: String) = s"SELECT COUNT(*) AS n, " +
+        s"SUM(o_orderkey) AS ks, " +
+        s"SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS ps " +
+        s"FROM gdex.`$r`"
+      val twins = s.sql(s"SELECT 'ex' AS t, * FROM (${digestSql(rootEx)}) " +
+        s"UNION ALL SELECT 'in', * FROM (${digestSql(rootIn)})")
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      require(twins("ex") == twins("in"),
         s"EXISTS delete must be hash-equal to its IN twin: " +
-          s"${digest(rootEx)} vs ${digest(rootIn)}")
+          s"${twins("ex")} vs ${twins("in")}")
       // the gold-corpus orphan delete: rows whose customer is not in
       // the dimension go (correlated NOT EXISTS)
       Tables.customer(s, d).select("c_custkey")
