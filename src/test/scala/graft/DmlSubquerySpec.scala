@@ -112,6 +112,61 @@ class DmlSubquerySpec extends SparkSpec {
       s"NOT IN must keep the NULL row (3VL): $afterNotIn")
   }
 
+  test("empty subquery result folds to SQL's x IN (∅) = FALSE — " +
+    "IN deletes nothing, NOT IN deletes everything (incl. NULL keys)") {
+    val s = spark; import s.implicits._
+    val root = graft.TempRoots.create("graft_dmlsub_empty") + "/t"
+    TableStore.append(
+      Seq(Some(1L), Some(2L), None).toDF("id").coalesce(1), root)
+    val g = cat("gsub")
+    Seq.empty[Long].toDF("k").createOrReplaceTempView("dmlsub_emptyk")
+    spark.sql(s"DELETE FROM $g.`$root` WHERE id IN " +
+      "(SELECT k FROM dmlsub_emptyk)").collect()
+    assert(TableStore.read(spark, root).count() == 3,
+      "IN over an empty set matches no row, not even NULL")
+    // NULL NOT IN (∅) is TRUE (no element to compare): every row goes
+    spark.sql(s"DELETE FROM $g.`$root` WHERE id NOT IN " +
+      "(SELECT k FROM dmlsub_emptyk)").collect()
+    assert(TableStore.read(spark, root).count() == 0,
+      "NOT IN over an empty set matches every row, including NULL")
+  }
+
+  test("a NULL inside the subquery RESULT keeps 3VL: NOT IN can " +
+    "never be true, IN still matches present values") {
+    val s = spark; import s.implicits._
+    val root = graft.TempRoots.create("graft_dmlsub_nullin") + "/t"
+    TableStore.append(Seq(1L, 2L, 3L).toDF("id").coalesce(1), root)
+    val g = cat("gsub")
+    Seq(Some(1L), None).toDF("k")
+      .createOrReplaceTempView("dmlsub_nullv")
+    // 2 NOT IN (1, NULL) is NULL (not true): nothing deletes
+    spark.sql(s"DELETE FROM $g.`$root` WHERE id NOT IN " +
+      "(SELECT k FROM dmlsub_nullv)").collect()
+    assert(ids(root) == Seq(1L, 2L, 3L),
+      "NOT IN over a null-bearing set is never TRUE")
+    // 1 IN (1, NULL) is TRUE: the present value still deletes
+    spark.sql(s"DELETE FROM $g.`$root` WHERE id IN " +
+      "(SELECT k FROM dmlsub_nullv)").collect()
+    assert(ids(root) == Seq(2L, 3L))
+  }
+
+  test("a PURE IN-subquery predicate skips files by log stats " +
+    "(the r15 driver materialization unlocks the prune)") {
+    val s = spark; import s.implicits._
+    val root = rangedStore("inprune")
+    val g = cat("gsub")
+    val before = livePaths(root)
+    Seq(12L).toDF("k").createOrReplaceTempView("dmlsub_inprune")
+    // no range conjunct: the prune must come from the materialized
+    // IN values alone — only the middle file may be rewritten
+    spark.sql(s"DELETE FROM $g.`$root` WHERE id IN " +
+      "(SELECT k FROM dmlsub_inprune)").collect()
+    val after = livePaths(root)
+    assert(before.count(after.contains) == 2,
+      s"two out-of-range files must survive untouched: $before -> $after")
+    assert(ids(root) == Seq(1L, 2L, 3L, 11L, 13L, 21L, 22L, 23L))
+  }
+
   test("scalar subquery and EXISTS predicates work") {
     val s = spark; import s.implicits._
     val root = rangedStore("scalar")

@@ -1570,4 +1570,22 @@ class TableStoreSpec extends SparkSpec {
     val vs = TableStore.versions(spark, root)
     assert(vs == (1L to vs.size.toLong)) // linear, gap-free history
   }
+test("merge on a CONSTRAINED store: a violating batch refuses with " +
+    "the store untouched; a valid batch still rewrites survivors " +
+    "(the r15 one-write fast path must NOT engage here)") {
+    val root = tmp()
+    TableStore.append(mk(1L, 2L, 3L), root, statsCols = Seq("id"))
+    TableStore.addConstraint(spark, root, "id_nonneg", "id >= 0")
+    val vBefore = TableStore.versions(spark, root).last
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.merge(mk(2L, -7L), root, "id", statsCols = Seq("id"))
+    }
+    assert(ex.getMessage.contains("id_nonneg"))
+    assert(TableStore.versions(spark, root).last == vBefore,
+      "a refused merge must commit nothing")
+    assert(ids(root) == Set(1L, 2L, 3L))
+    // valid merge: key 2 rewritten, 9 inserted, survivors 1 and 3 kept
+    TableStore.merge(mk(2L, 9L), root, "id", statsCols = Seq("id"))
+    assert(ids(root) == Set(1L, 2L, 3L, 9L))
+  }
 }
